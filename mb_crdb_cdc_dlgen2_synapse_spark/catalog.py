@@ -1,0 +1,1028 @@
+"""Declared-query catalog: every SURVEY.md §2 operator that is
+SQL-expressible appears here twice — a PySpark builder and a DuckDB oracle —
+with *identical output column names and rounding*, so the driver's
+order-insensitive value-hash comparison is meaningful (SURVEY.md §2.8
+"declared-query contract").
+
+Determinism rules applied uniformly:
+- per-row scalar outputs are NEVER rounded (identical IEEE ops give
+  bit-identical doubles in both engines; rounding would *introduce* skew
+  because engines round doubles differently);
+- aggregate sums/avgs over grid-decimal measures go through exact DECIMAL
+  accumulation and cast back to double (functions/numeric.py) — order
+  independent, bit-exact across engines;
+- embedding-space scores (cosine/centroid), whose inputs are full-precision
+  floats, are rounded at 6 dp — the one place a hair of drift is possible;
+- every ranking/top-k carries a unique tiebreak key;
+- hashes used inside operators (minhash/simhash/fingerprints) are md5-prefix
+  based so both engines compute identical values.
+
+Entries without an oracle (``oracle=None``) are genuinely non-SQL ops
+(streaming pipelines, LSH-ANN) — the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import cdc, dedup, multimodal, relational, similarity, textops
+from .sources.changegen import CITIES
+from .sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ref: str  # SURVEY.md §2 operator ids this query certifies
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, survey_ref: str):
+    def deco(fn):
+        _REGISTRY[name] = QueryDef(builder=fn, oracle=oracle, survey_ref=survey_ref)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryDef]:
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_CITY_LIST_SQL = "[" + ", ".join(f"'{c}'" for c in CITIES) + "]"
+
+
+# ===========================================================================
+# Flagship — the reference's own query (README.md:173-192)
+# ===========================================================================
+
+@register(
+    "flagship_cdc_city_revenue",
+    f"""
+    SELECT list_extract({_CITY_LIST_SQL}, CAST(o_orderkey % 9 + 1 AS INT)) AS city,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    "S1,S4,P1,P2,P3,A1,A2",
+)
+def flagship_cdc_city_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-line NDJSON -> JSON_VALUE -> CAST -> SUM -> GROUP BY, end to end.
+    The oracle aggregates the base table directly: the envelope round-trip
+    must be value-preserving."""
+    lines = cdc.orders_as_ride_envelopes(_t(spark, sf_dir, "orders"))
+    return cdc.revenue_by_city_from_lines(lines)
+
+
+# ===========================================================================
+# Aggregations (A1-A5)
+# ===========================================================================
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*))      AS avg_qty,
+           (CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)) AS avg_price,
+           (CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(*))      AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A1,A3,P9",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "agg_stats_orders",
+    """
+    SELECT o_orderstatus,
+           count(*)                      AS n_orders,
+           min(o_totalprice)             AS min_price,
+           max(o_totalprice)             AS max_price,
+           (CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)) AS avg_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "A1,A3",
+)
+def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.agg_stats_orders(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "distinct_customers_per_priority",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "A4",
+)
+def distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.distinct_customers_per_priority(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "rollup_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                    AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "A5",
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.rollup_status_priority(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "A5",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.cube_status_priority(_t(spark, sf_dir, "orders"))
+
+
+# ===========================================================================
+# Projections / scalar functions (P1-P9)
+# ===========================================================================
+
+@register(
+    "filter_project_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+      AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+    "P9,P7",
+)
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.filter_project_lineitem(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "string_funcs_projection",
+    """
+    SELECT c_custkey,
+           upper(c_name)                                      AS name_upper,
+           substr(c_name, 1, 8)                               AS name_prefix,
+           concat_ws('#', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+           length(c_name)                                     AS name_len,
+           c_name LIKE '%1%'                                  AS has_one
+    FROM customer
+    """,
+    "P5",
+)
+def string_funcs_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.string_funcs_projection(_t(spark, sf_dir, "customer"))
+
+
+@register(
+    "datetime_projection",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                                  AS o_year,
+           month(o_orderdate)                                 AS o_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE)     AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-12-31') AS days_to_eoy
+    FROM orders
+    """,
+    "P6",
+)
+def datetime_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.datetime_projection(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "math_projection",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * l_quantity AS gross,
+           abs(l_discount - 0.05)       AS disc_dev,
+           l_tax * 100.0                AS tax_pct
+    FROM lineitem
+    """,
+    "P7",
+)
+def math_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.math_projection(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "json_props_extraction",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           event_type
+    FROM events
+    """,
+    "P1,P2",
+)
+def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.json_props_extraction(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Joins (J1-J6)
+# ===========================================================================
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    "J1,J2,A1",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_revenue_by_nation(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "customer_order_counts",
+    """
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey)                          AS n_orders,
+           coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 0.0) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    "J3",
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customer_order_counts(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "J4",
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_with_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "J4",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    "J1,J2,Q1,Q2",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = relational.shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+    return df.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_orderpriority",
+        "revenue",
+    )
+
+
+@register(
+    "range_join_ship_window",
+    """
+    SELECT o_orderpriority,
+           count(*)                       AS n_lineitems,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+    "J6",
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.lineitems_shipped_within(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+# ===========================================================================
+# Windows (W1-W4)
+# ===========================================================================
+
+@register(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+    "W1,J5",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = relational.latest_order_per_customer(_t(spark, sf_dir, "orders"))
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_totalprice",
+    )
+
+
+@register(
+    "order_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+               CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+    """,
+    "W2",
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_gap_days(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "cumulative_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS order_date,
+               sum(CAST(o_totalprice AS DECIMAL(30,6))) AS day_rev_dec
+        FROM orders GROUP BY 1, 2)
+    SELECT o_orderstatus, order_date,
+           CAST(day_rev_dec AS DOUBLE) AS day_rev,
+           CAST(sum(day_rev_dec) OVER (
+               PARTITION BY o_orderstatus ORDER BY order_date
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+    FROM daily
+    """,
+    "W3",
+)
+def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.cumulative_daily_revenue(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "top_orders_per_segment",
+    """
+    SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+    WHERE rk <= 3
+    """,
+    "W4",
+)
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_orders_per_segment(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+# ===========================================================================
+# Sorts / limits / set ops (Q1-Q5)
+# ===========================================================================
+
+@register(
+    "top_orders_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "Q1,Q2",
+)
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_orders_global(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "union_hi_lo_value_orders",
+    """
+    SELECT 'hi' AS bucket, o_orderkey, o_totalprice
+    FROM orders WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT 'lo' AS bucket, o_orderkey, o_totalprice
+    FROM orders WHERE o_totalprice < 5000
+    """,
+    "Q3",
+)
+def union_hi_lo_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.union_hi_lo_value_orders(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "distinct_status_priority",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "Q4",
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.distinct_status_priority(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "intersect_except_customers",
+    """
+    SELECT 'both' AS tag, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'urgent_only' AS tag, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "Q5",
+)
+def intersect_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.intersect_except_customers(_t(spark, sf_dir, "orders"))
+
+
+# ===========================================================================
+# CDC semantics, batch-oracle-able forms (Q4, J5/T6, T7)
+# ===========================================================================
+
+@register(
+    "cdc_dedup_counts",
+    """
+    WITH stream AS (
+        SELECT event_id, ts FROM events
+        UNION ALL
+        SELECT event_id, ts FROM events WHERE event_id % 50 = 0)
+    SELECT (SELECT count(*) FROM stream)                                   AS n_events_in,
+           (SELECT count(*) FROM (SELECT DISTINCT event_id, ts FROM stream)) AS n_events_deduped
+    """,
+    "Q4",
+)
+def cdc_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once dedup: re-emit every 50th event, collapse, count."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    stream = ev.unionByName(ev.filter(F.col("event_id") % 50 == 0))
+    deduped = cdc.dedup_events(stream, ["event_id"], "ts")
+    return stream.agg(F.count(F.lit(1)).alias("n_events_in")).crossJoin(
+        deduped.agg(F.count(F.lit(1)).alias("n_events_deduped"))
+    )
+
+
+@register(
+    "cdc_latest_state_events",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "J5,T6,W1",
+)
+def cdc_latest_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a keyed change stream: latest event per user wins."""
+    df = cdc.latest_state(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    return df.select("user_id", "event_id", "event_type", "value")
+
+
+@register(
+    "cdc_tombstone_state",
+    """
+    SELECT user_id, event_id, value
+    FROM (
+        SELECT * FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+    WHERE event_type <> 'error'
+    """,
+    "T7",
+)
+def cdc_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone semantics: keys whose latest change is a delete ('error'
+    stands in for after=null) vanish from the materialized state."""
+    last = cdc.latest_state(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    return last.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", "value"
+    )
+
+
+# ===========================================================================
+# Event-time analytics (T4/T5 batch forms)
+# ===========================================================================
+
+@register(
+    "daily_event_rollup",
+    """
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "T4,A2",
+)
+def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.daily_event_rollup(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "session_stats",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch(ts) AS ts_s,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1
+                    WHEN lag(epoch(ts)) OVER w IS NULL THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    numbered AS (
+        SELECT user_id, ts_s,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_s ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged),
+    per_session AS (
+        SELECT user_id, session_seq, count(*) AS n_events,
+               max(ts_s) - min(ts_s) AS duration_s
+        FROM numbered GROUP BY 1, 2)
+    SELECT user_id, count(*) AS n_sessions,
+           avg(n_events) AS avg_events_per_session,
+           max(duration_s) AS max_duration_s
+    FROM per_session GROUP BY user_id
+    """,
+    "T5",
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.session_stats(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Text analysis (X4) over documents
+# ===========================================================================
+
+@register(
+    "doc_token_counts",
+    r"""
+    SELECT token, count(*) AS n FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents)
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+    "X4",
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_token_count_per_doc",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+           len(string_split_regex(text, '\s+'))              AS n_ws_tokens
+    FROM documents
+    """,
+    "X4",
+)
+def doc_token_count_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_count_per_doc(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_lang_stats",
+    """
+    SELECT lang, count(*) AS n_docs,
+           avg(n_chars) AS avg_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    "X4",
+)
+def doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_stats(_t(spark, sf_dir, "documents"))
+
+
+_STOP_RE = r"\b(?:" + "|".join(textops.STOPWORDS) + r")\b"
+
+
+@register(
+    "doc_quality_scores",
+    rf"""
+    SELECT doc_id, lang, n_chars,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '{_STOP_RE}'))
+                 / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)
+               AS stopword_ratio,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 / greatest(n_chars, 1) AS punct_ratio,
+           n_chars
+                 / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)
+               AS chars_per_token
+    FROM documents
+    """,
+    "X4",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+           (('0x' || substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16))::UBIGINT)::VARCHAR AS fp64
+    FROM documents
+    """,
+    "X4",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = textops.fingerprints(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "fingerprint", F.col("fp64").cast("decimal(38,0)").cast("string").alias("fp64"))
+
+
+# ===========================================================================
+# Dedup (X1/X2) — over a dup-injected corpus so results are non-trivial
+# ===========================================================================
+
+_DUP_CORPUS_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def _dup_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic near-scale dup injection: every 20th doc re-appears
+    under a shifted id (exact duplicate text)."""
+    return documents.select("doc_id", "text").unionByName(
+        documents.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    rf"""
+    WITH corpus AS ({_DUP_CORPUS_SQL})
+    SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+           count(*) AS n_dups, min(doc_id) AS keep_doc_id
+    FROM corpus
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+    "X1",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicate_groups(_dup_corpus(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "dedup_exact_survivors",
+    rf"""
+    WITH corpus AS ({_DUP_CORPUS_SQL})
+    SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+           min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+    "X1",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_dup_corpus(_t(spark, sf_dir, "documents")))
+
+
+_SHINGLE_SQL = r"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM corpus),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 3, 0) + 2),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shingles
+        FROM toks WHERE len(tk) > 0)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    rf"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    {_SHINGLE_SQL},
+    expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hashes AS (
+        SELECT doc_id, seed,
+               min(('0x' || substr(md5(seed || ':' || s), 1, 8))::BIGINT) AS mh
+        FROM expl, (SELECT unnest(range(0, 16)) AS seed) seeds
+        GROUP BY doc_id, seed),
+    sigs AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hashes GROUP BY doc_id),
+    bandkeys AS (
+        SELECT doc_id, b AS band_id,
+               array_to_string(sig[b*4+1 : b*4+4], '-') AS band_key
+        FROM sigs, (SELECT unnest(range(0, 4)) AS b) bands)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bandkeys a JOIN bandkeys b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    "X2",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidates(_dup_corpus(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    rf"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    "X2",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_dup_corpus(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "dedup_simhash",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h FROM toks),
+    votes AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, (SELECT unnest(range(0, 16)) AS bit) bits
+        GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    "X2",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Similarity search (X3) + array functions (P8)
+# ===========================================================================
+
+_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+@register(
+    "knn_cosine_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round({_DOT_SQL.format(a='q.qv', b='e.embedding')}
+                     / ({_NORM_SQL.format(a='q.qv')} * {_NORM_SQL.format(a='e.embedding')}),
+                     6) AS cosine
+        FROM q CROSS JOIN embeddings e)
+    SELECT query_id, rk, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rk
+        FROM scored)
+    WHERE rk <= 5
+    """,
+    "X3,P8",
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, pos - 1 AS pos, round(avg(x), 6) AS centroid_val
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+    "X3,P8",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return pos.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid_val")
+    )
+
+
+@register(
+    "vector_stats",
+    f"""
+    SELECT vec_id, label, len(embedding) AS dim,
+           round({_NORM_SQL.format(a='embedding')}, 6) AS norm,
+           round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS max_component
+    FROM embeddings
+    """,
+    "P8",
+)
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(norm, 6).alias("norm"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: x.cast("double"))), 6
+        ).alias("max_component"),
+    )
+
+
+@register(
+    "ann_topk_lsh",
+    None,  # LSH plane projection is not reasonably SQL-expressible in the oracle
+    "X3",
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN (rows-only driver check; recall vs brute force is
+    asserted in tests/test_similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_topk(emb, queries, k=5)
+
+
+# ===========================================================================
+# Multimodal (X5)
+# ===========================================================================
+
+@register(
+    "media_binary_stats",
+    """
+    SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents
+    """,
+    "X5",
+)
+def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.media_stats(media)
+
+
+@register(
+    "media_features",
+    None,  # mapInPandas feature extraction — not SQL-expressible
+    "X5,X6",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing (deterministic fake codec);
+    rows-only driver check + schema/shape asserted in tests."""
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = multimodal.decode_image_features(media)
+    return feats.select(
+        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+# ===========================================================================
+# Streaming pipeline (T1-T8) — rows-only: the driver can't oracle streams
+# ===========================================================================
+
+@register(
+    "cdc_streaming_pipeline",
+    None,
+    "S1,S2,S3,T1,T2,T3,T6,T7,T8,Q4",
+)
+def cdc_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming replay: seeded changefeed fixture ->
+    availableNow stream -> dedup -> foreachBatch latest-state merge ->
+    materialized current-state table (golden-checked in tests/test_cdc_replay.py)."""
+    from pyspark.sql import types as T
+
+    from .sources.changegen import generate_changefeed
+    from .streaming.ingest import changefeed_stream, materialize_latest_state
+
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_")
+    landing = os.path.join(tmp, "landing")
+    fixture = generate_changefeed(landing, n_rows=300, seed=42)
+    after_schema = T.StructType(
+        [
+            T.StructField("city", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("rider_id", T.StringType()),
+            T.StructField("revenue", T.DoubleType()),
+        ]
+    )
+    stream = changefeed_stream(spark, landing, after_schema)
+    state_dir = os.path.join(tmp, "state")
+    q = materialize_latest_state(stream, state_dir, os.path.join(tmp, "ckpt"))
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state_dir)
+        .select("row_key", F.col("after.city").alias("city"), F.col("after.revenue").alias("revenue"))
+        .orderBy("row_key")
+    )

@@ -1,0 +1,206 @@
+"""Deduplication operators (SURVEY.md §2.8 X1/X2): exact, MinHash+LSH,
+SimHash, and n-gram Jaccard — all shuffle-bounded, no pairwise O(n²) scan.
+
+Scale notes (the point of each design):
+- exact: one hash-groupBy; the md5 key shuffles ~16 bytes/doc, not the text.
+- MinHash/LSH: signature = per-seed min over shingle hashes (map-side
+  aggregable); candidate generation is an equi-join on band keys, so cost is
+  driven by bucket collisions, never n².
+- SimHash: near-dup via Hamming-adjacent bucket keys, again equi-join only.
+- n-gram Jaccard: exact verification, but only over LSH/shingle-bucket
+  candidates — the verify join, not a cross join.
+
+Hashes are md5-prefix based (not Spark's xxhash64) so every step is
+reproducible in any engine — the DuckDB oracle replicates them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash64(col: F.Column) -> F.Column:
+    """Deterministic unsigned 32-bit-ish hash from an md5 prefix (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def with_content_hash(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """X1 key: md5 over whitespace-normalized lowercase text."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return documents.withColumn("content_hash", F.md5(norm))
+
+
+def exact_duplicate_groups(documents: DataFrame) -> DataFrame:
+    """X1: exact dedup — groups with >1 doc sharing a content hash.
+
+    Returns (content_hash, n_dups, keep_doc_id): the canonical survivor is
+    the minimum doc_id (deterministic policy).
+    """
+    return (
+        with_content_hash(documents)
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """X1: survivors only — min doc_id per content hash (whole corpus)."""
+    return (
+        with_content_hash(documents)
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct k-word shingles per document (the MinHash/Jaccard item set).
+
+    Pure higher-order functions: tokenize -> sliding window via
+    transform(sequence) -> distinct. Stays one row per doc until exploded.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    return documents.select("doc_id", sh.alias("shingles")).filter(F.size("shingles") > 0)
+
+
+def minhash_signatures(
+    documents: DataFrame, n_hashes: int = 16, shingle_k: int = 3
+) -> DataFrame:
+    """X2 step 1: MinHash signature per doc as array<bigint> of length
+    ``n_hashes`` — min over shingles of hash(seed || ':' || shingle).
+
+    Computed with transform+array_min per seed: no explode, no shuffle;
+    embarrassingly parallel over docs.
+    """
+    sh = word_shingles(documents, k=shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: _hash64(F.concat(F.lit(f"{seed}:"), s)),
+                )
+            )
+            for seed in range(n_hashes)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+def lsh_candidates(
+    documents: DataFrame, n_hashes: int = 16, bands: int = 4, shingle_k: int = 3
+) -> DataFrame:
+    """X2 step 2: banded LSH — docs sharing any band of the signature become
+    candidate pairs. Equi-join on (band_id, band_key): cost tracks bucket
+    sizes, never n². Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
+    """
+    rows = n_hashes // bands
+    sigs = minhash_signatures(documents, n_hashes, shingle_k)
+    band_entries = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws("-", *[
+                            F.element_at("sig", b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ]).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame, shingle_k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """X2 verify / n-gram Jaccard dedup: exact Jaccard over shingle sets for
+    docs sharing >=1 shingle (shingle-bucket candidate join).
+
+    |A∩B| comes from the shingle-equi-join match count; |A∪B| = |A|+|B|-∩.
+    Only candidate pairs are scored — never the full cross product.
+    """
+    sh = word_shingles(documents, k=shingle_k)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
+    """X2 variant: SimHash fingerprint — sign of per-bit vote over token
+    hashes. Explode tokens -> per-(doc,bit) vote -> reassemble; all hash-agg
+    with map-side combine, so it scales like a word count.
+    """
+    toks = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).alias("token"),
+        )
+        .withColumn("h", _hash64(F.col("token")))
+    )
+    votes = (
+        toks.select(
+            "doc_id",
+            "h",
+            F.explode(F.array(*[F.lit(b) for b in range(n_bits)])).alias("bit"),
+        )
+        .withColumn(
+            "vote",
+            F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )

@@ -1,0 +1,127 @@
+"""Multimodal column handling (SURVEY.md §2.8 X5): image/audio/video as
+opaque ``binary`` columns with typed metadata, plus the Pandas-UDF plumbing
+for decode / feature-extract stages.
+
+The decode step itself is STUBBED (media libraries are not available in this
+container): ``decode_image_features`` ships a deterministic fake keyed on the
+payload hash, and ``decode_image_real`` raises NotImplementedError at the
+exact point a real codec call would go.  Everything Spark-side — schema,
+Arrow batch shape, ``mapInPandas`` signature, partition behavior — is real
+and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: payload + typed metadata: the lake-side layout for multimodal data.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("meta", T.StructType(
+            [
+                T.StructField("width", T.IntegerType(), True),
+                T.StructField("height", T.IntegerType(), True),
+                T.StructField("duration_ms", T.LongType(), True),
+            ]
+        ), True),
+    ]
+)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Derive a media table from ``documents``: the text payload encoded as
+    binary stands in for an image blob (deterministic; real pipelines read
+    binary files via ``spark.read.format('binaryFile')``)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Binary-column analytics without decoding: size + content digest.
+    Operates on BinaryType directly — the cheap metadata pass that should
+    always run before any decode stage at scale."""
+    return media.select(
+        "media_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+    )
+
+
+_FEATURE_DIM = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a codec+model feature extractor."""
+    h = hashlib.sha256(payload).digest()
+    return [int.from_bytes(h[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(_FEATURE_DIM)]
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """X5 decode/feature stage: Arrow-batched ``mapInPandas`` over binary
+    payloads — the real plumbing (batch iterator in, batch iterator out;
+    one Python worker per partition; no row-at-a-time serialization).
+
+    Swap ``_fake_decode`` for a real codec (PIL/ffmpeg/torch) in a container
+    that has one; the Spark side is unchanged.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "features": pdf["payload"].map(_fake_decode),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def decode_image_real(media: DataFrame) -> DataFrame:
+    """Real decode entry point — requires an image library (not in this
+    container). The guard is per-partition so a cluster with the dependency
+    installed runs it unchanged."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; not available in this container. "
+            "Use decode_image_features (deterministic fake) for plumbing tests."
+        )
+        yield  # pragma: no cover
+
+    return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expands each media row into frame
+    timestamps (sequence/explode — JVM-side); the per-frame decode would then
+    run through ``decode_image_features``. Demonstrates the fan-out shape
+    without a codec."""
+    duration = F.coalesce(F.col("meta.duration_ms"), F.octet_length("payload").cast("long"))
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), duration, F.lit(every_ms).cast("long"))
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (SURVEY.md §2.8 X3):
+brute-force cosine top-k as the correctness baseline, hyperplane-LSH
+bucketed ANN as the scale path.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` entirely JVM-side (no
+Python in the hot loop).  The brute-force path broadcasts the (small) query
+set against the corpus — at 100 TB the corpus side never shuffles; the LSH
+path replaces the cross product with an equi-join on bucket signatures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_normalized(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize vectors so cosine == dot (normalize once, query many)."""
+    n = _norm(F.col(vec_col))
+    return embeddings.withColumn(
+        "unit_vec",
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / n),
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 baseline: exact cosine top-k for each query vector.
+
+    ``queries`` is (query_id, embedding) and is broadcast: the plan is a
+    broadcast nested-loop over the corpus followed by a per-query top-k
+    window — one pass over the corpus, no corpus shuffle beyond the final
+    (tiny) ranked result.
+    """
+    q = queries.select(
+        F.col("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = embeddings.alias("e").join(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id"),
+        F.round(
+            _dot(F.col("q_vec"), F.col(vec_col))
+            / (_norm(F.col("q_vec")) * _norm(F.col(vec_col))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "cosine")
+    )
+
+
+def _deterministic_planes(n_planes: int, dim: int, seed: str = "lsh") -> list[list[float]]:
+    """Pseudo-random hyperplanes derived from sha256 — stable across runs and
+    engines, no RNG at execution time."""
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{d}".encode()).digest()
+            comps.append(int.from_bytes(h[:4], "big") / 2**31 - 1.0)
+        planes.append(comps)
+    return planes
+
+
+def lsh_bucket_signatures(
+    embeddings: DataFrame, n_planes: int = 8, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """X3 scale path, step 1: hyperplane-LSH bucket key per vector (sign bit
+    per plane packed into one bigint). Vectors in the same bucket are
+    cosine-close with high probability."""
+    planes = _deterministic_planes(n_planes, dim)
+    bits = [
+        F.when(
+            _dot(F.col(vec_col), F.array(*[F.lit(c) for c in plane])) > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), i),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i, plane in enumerate(planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return embeddings.withColumn("bucket", bucket)
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 scale path, step 2: ANN top-k — score only corpus vectors sharing
+    the query's LSH bucket (equi-join on bucket key replaces the cross
+    product; recall traded via n_planes)."""
+    corpus = lsh_bucket_signatures(embeddings, n_planes, dim, vec_col)
+    q = lsh_bucket_signatures(
+        queries.select("query_id", F.col(vec_col)), n_planes, dim, vec_col
+    ).select("query_id", F.col(vec_col).alias("q_vec"), F.col("bucket").alias("q_bucket"))
+    scored = corpus.join(
+        F.broadcast(q), corpus.bucket == F.col("q_bucket")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("q_vec"), F.col(vec_col))
+            / (_norm(F.col("q_vec")) * _norm(F.col(vec_col))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "cosine")
+    )
+
+
+def centroid_per_label(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """Mean vector per label — the IVF coarse-quantizer building block.
+    Element-wise mean via posexplode + groupBy (map-side combinable), then
+    array reassembly ordered by position."""
+    pos = embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    )
+    means = pos.groupBy("label", "pos").agg(F.avg(F.col("x").cast("double")).alias("m"))
+    return (
+        means.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda s: s.m,
+            ).alias("centroid")
+        )
+    )

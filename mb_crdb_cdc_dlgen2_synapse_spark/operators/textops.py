@@ -1,0 +1,126 @@
+"""Text-analysis operators (SURVEY.md §2.8 X4) over the ``documents`` table:
+tokenization, token counting, language stats, quality scoring, language-ID
+heuristic, and document fingerprinting.
+
+All pure built-ins (split/explode/regexp/md5) — the hot path never leaves
+the JVM, so these scale linearly with partitions at 100 TB: tokenize/explode
+is map-side; only the final counts shuffle, pre-combined by partial
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny embedded stopword list for quality scoring (deterministic, public)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(documents: DataFrame) -> DataFrame:
+    """Whitespace tokenization -> one row per token (lowercased)."""
+    return documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def token_counts(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k tokens across the corpus (word-count with deterministic order)."""
+    return (
+        tokens(documents)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def token_count_per_doc(documents: DataFrame) -> DataFrame:
+    """Per-document token count via regexp (BPE-ish word/number splitting) —
+    no explode needed, stays one-row-per-doc."""
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)).alias(
+            "n_tokens"
+        ),
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+def lang_stats(documents: DataFrame) -> DataFrame:
+    """Corpus stats per language tag."""
+    return documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length, punctuation density, stopword ratio,
+    mean word length — the standard cheap pre-LLM text filters."""
+    lower = F.lower(F.col("text"))
+    n_tokens = F.size(F.regexp_extract_all(lower, F.lit(r"[a-z0-9]+"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(lower, F.lit(r"\b(?:" + "|".join(STOPWORDS) + r")\b"), 0)
+    )
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_stop / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+        (n_punct / F.greatest(F.col("n_chars"), F.lit(1))).alias("punct_ratio"),
+        (F.col("n_chars") / F.greatest(n_tokens, F.lit(1))).alias("chars_per_token"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """N-gram-heuristic language ID: score each doc against tiny per-language
+    marker-token sets and pick the argmax (deterministic tiebreak by tag).
+
+    A real deployment swaps the marker sets for trained n-gram profiles; the
+    *shape* (N scores per doc -> greatest/argmax, all codegen'd) is the part
+    that must scale.
+    """
+    markers = {
+        "en": ("the", "and", "of"),
+        "de": ("der", "und", "die"),
+        "fr": ("le", "et", "la"),
+        "es": ("el", "y", "de"),
+        "zh": ("zh",),  # placeholder marker for the synthetic corpus
+    }
+    lower = F.lower(F.col("text"))
+    scores = [
+        F.size(
+            F.regexp_extract_all(lower, F.lit(r"\b(?:" + "|".join(ms) + r")\b"), 0)
+        ).alias(f"score_{tag}")
+        for tag, ms in markers.items()
+    ]
+    scored = documents.select("doc_id", "lang", *scores)
+    tags = list(markers)
+    best = F.greatest(*[F.col(f"score_{t}") for t in tags])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{t}") == best, F.lit(t)) for t in tags]
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        best.alias("best_score"),
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 over whitespace-normalized
+    lowercase text (the exact-dedup key), plus a 64-bit prefix as a compact
+    join/sort key."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = F.md5(norm)
+    return documents.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 16), 16, 10).cast("decimal(38,0)").alias("fp64"),
+    )

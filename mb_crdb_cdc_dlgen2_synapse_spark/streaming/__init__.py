@@ -1,0 +1,17 @@
+from .ingest import (
+    changefeed_stream,
+    dedup_stream,
+    materialize_latest_state,
+    stream_to_lake,
+)
+from .windows import sliding_counts, tumbling_revenue, session_windows
+
+__all__ = [
+    "changefeed_stream",
+    "dedup_stream",
+    "materialize_latest_state",
+    "stream_to_lake",
+    "sliding_counts",
+    "tumbling_revenue",
+    "session_windows",
+]
