@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol): times the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+
+Execution is measured with the noop sink (full plan runs, zero driver
+transfer) so we time the engine, not row serialization to Python.
+
+The ``flagship_e2e_ndjson`` entry is the analog of the reference's measured
+number (2:48 for revenue-per-city over a day of NDJSON CDC files,
+/root/reference/images/synapse-img1.png): raw ``spark.read.text`` over real
+NDJSON files on disk -> JSON_VALUE -> cast -> group-aggregate.  File
+generation is setup, not timed — the reference's timer also starts at query
+submit, not at changefeed creation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+#: catalog queries timed per round — one per operator family (SURVEY.md §2)
+HEADLINE = [
+    "flagship_cdc_city_revenue",   # raw-line JSON analytics (reference query)
+    "q1_pricing_summary",          # scan+filter+hash agg
+    "q3_shipping_priority",        # selective 3-way join + top-k
+    "q5_region_revenue",           # star join, broadcast dims
+    "range_join_ship_window",      # equi+range join
+    "customer_order_counts",       # outer join + agg
+    "latest_order_per_customer",   # ranking window (CDC merge shape)
+    "cumulative_daily_revenue",    # running window aggregate
+    "cdc_latest_state_events",     # latest-per-key over event stream
+    "session_stats",               # gap sessionization
+    "daily_event_rollup",          # tumbling-window batch form
+    "doc_token_counts",            # tokenize/explode/count
+    "doc_quality_scores",          # regexp scoring pipeline
+    "dedup_exact_survivors",       # hash dedup
+    "dedup_minhash_lsh",           # MinHash signatures + band join
+    "knn_cosine_bruteforce",       # vector top-k
+    "media_features",              # Arrow mapInPandas plumbing
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from mb_crdb_cdc_dlgen2_synapse_spark import catalog
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.cdc import (
+        orders_as_ride_envelopes,
+        revenue_by_city_from_lines,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.session import get_spark
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.ndjson import read_raw_lines
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run_noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    reg = catalog.registry()
+    times: dict[str, float] = {}
+
+    # -- setup for the end-to-end flagship: land real NDJSON files (untimed)
+    lake = "/tmp/bench_ndjson_lake"
+    shutil.rmtree(lake, ignore_errors=True)
+    orders_as_ride_envelopes(load_table(spark, SF_DIR, "orders")).write.mode(
+        "overwrite"
+    ).text(lake)
+
+    # warm the JVM/codegen once (untimed)
+    run_noop(reg["flagship_cdc_city_revenue"].builder(spark, SF_DIR))
+
+    for name in HEADLINE:
+        t0 = time.time()
+        run_noop(reg[name].builder(spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    run_noop(revenue_by_city_from_lines(read_raw_lines(spark, lake)))
+    times["flagship_e2e_ndjson"] = round(time.time() - t0, 3)
+    shutil.rmtree(lake, ignore_errors=True)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = SF_DIR
+    out = {
+        "metric": "headline query wall-clock (noop sink), incl. e2e raw-NDJSON flagship",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,7 +73,7 @@ _CITY_LIST_SQL = "[" + ", ".join(f"'{c}'" for c in CITIES) + "]"
     "flagship_cdc_city_revenue",
     f"""
     SELECT list_extract({_CITY_LIST_SQL}, CAST(o_orderkey % 9 + 1 AS INT)) AS city,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
     FROM orders
     GROUP BY 1
     """,
@@ -95,13 +95,13 @@ def flagship_cdc_city_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-           (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*))      AS avg_qty,
-           (CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)) AS avg_price,
-           (CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(*))      AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*))      AS avg_qty,
+           (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)) AS avg_price,
+           (CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*))      AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -120,8 +120,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                      AS n_orders,
            min(o_totalprice)             AS min_price,
            max(o_totalprice)             AS max_price,
-           (CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / count(*)) AS avg_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+           (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)) AS avg_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
     FROM orders GROUP BY o_orderstatus
     """,
     "A1,A3",
@@ -149,7 +149,7 @@ def distinct_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFra
     """
     SELECT o_orderstatus, o_orderpriority,
            count(*)                    AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
            GROUPING(o_orderstatus, o_orderpriority) AS gid
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
@@ -262,7 +262,7 @@ def json_props_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -288,7 +288,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_mktsegment,
            count(o_orderkey)                          AS n_orders,
-           coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 0.0) AS total_spent
+           coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_mktsegment
     """,
@@ -332,7 +332,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -364,7 +364,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            count(*)                       AS n_lineitems,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
     FROM lineitem JOIN orders
       ON l_orderkey = o_orderkey
      AND l_shipdate >= o_orderdate
@@ -425,7 +425,7 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS order_date,
-               sum(CAST(o_totalprice AS DECIMAL(30,6))) AS day_rev_dec
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS day_rev_dec
         FROM orders GROUP BY 1, 2)
     SELECT o_orderstatus, order_date,
            CAST(day_rev_dec AS DOUBLE) AS day_rev,
@@ -593,7 +593,7 @@ def cdc_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "daily_event_rollup",
     """
     SELECT CAST(ts AS DATE) AS event_date, event_type,
-           count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+           count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
     "T4,A2",
@@ -768,6 +768,10 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_dup_corpus(_t(spark, sf_dir, "documents")))
 
 
+_MINHASH_SEEDS_SQL = "VALUES " + ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.minhash_params(16))
+)
+
 _SHINGLE_SQL = r"""
     toks AS (
         SELECT doc_id,
@@ -788,10 +792,12 @@ _SHINGLE_SQL = r"""
     WITH corpus AS ({_DUP_CORPUS_SQL}),
     {_SHINGLE_SQL},
     expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    basehash AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h
+        FROM expl),
     hashes AS (
-        SELECT doc_id, seed,
-               min(('0x' || substr(md5(seed || ':' || s), 1, 8))::BIGINT) AS mh
-        FROM expl, (SELECT unnest(range(0, 16)) AS seed) seeds
+        SELECT doc_id, seed, min((a * h + b) % 2147483647) AS mh
+        FROM basehash, ({_MINHASH_SEEDS_SQL}) seeds(seed, a, b)
         GROUP BY doc_id, seed),
     sigs AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hashes GROUP BY doc_id),
     bandkeys AS (

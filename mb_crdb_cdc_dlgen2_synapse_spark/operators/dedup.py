@@ -68,28 +68,51 @@ def word_shingles(documents: DataFrame, k: int = 3, text_col: str = "text") -> D
     return documents.select("doc_id", sh.alias("shingles")).filter(F.size("shingles") > 0)
 
 
+#: prime modulus + affine hash family for MinHash: h_i(x) = (a_i*x + b_i) mod P.
+#: One base md5 per shingle, then pure arithmetic per seed — 16x fewer digest
+#: calls than hashing (seed || shingle) per seed, and trivially portable to the
+#: SQL oracle since the (a_i, b_i) constants are plain literals.
+MINHASH_P = 2147483647  # 2^31 - 1
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    return [
+        ((i * 2654435761 + 1) % MINHASH_P | 1, (i * 2654435789 + 40503) % MINHASH_P)
+        for i in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     documents: DataFrame, n_hashes: int = 16, shingle_k: int = 3
 ) -> DataFrame:
     """X2 step 1: MinHash signature per doc as array<bigint> of length
-    ``n_hashes`` — min over shingles of hash(seed || ':' || shingle).
+    ``n_hashes`` — min over shingles of an affine family over one base hash.
 
-    Computed with transform+array_min per seed: no explode, no shuffle;
-    embarrassingly parallel over docs.
+    Shape matters for scale: explode shingles, hash each ONCE, then compute
+    all ``n_hashes`` minima as plain ``min()`` aggregates in a single
+    groupBy.  Aggregates stay inside whole-stage codegen with map-side
+    partial combine; the earlier array-lambda formulation
+    (``array_min(transform(...))``) ran interpreted per element and was
+    ~50x slower on the same data.  The input is repartitioned first so a
+    small corpus file doesn't pin the CPU-bound hashing to 1-2 tasks.
     """
     sh = word_shingles(documents, k=shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s: _hash64(F.concat(F.lit(f"{seed}:"), s)),
-                )
-            )
-            for seed in range(n_hashes)
-        ]
+    sh = sh.repartition(sh.sparkSession.sparkContext.defaultParallelism)
+    expl = sh.select("doc_id", F.explode("shingles").alias("s"))
+    h = (_hash64(F.col("s")) % MINHASH_P).alias("h")
+    return (
+        expl.select("doc_id", h)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
+                for i, (a, b) in enumerate(minhash_params(n_hashes))
+            ]
+        )
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig"),
+        )
     )
-    return sh.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidates(

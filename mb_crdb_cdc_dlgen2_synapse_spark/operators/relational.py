@@ -322,7 +322,7 @@ def cumulative_daily_revenue(orders: DataFrame) -> DataFrame:
         orders.groupBy(
             "o_orderstatus", F.col("o_orderdate").cast("date").alias("order_date")
         )
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("day_rev_dec"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("day_rev_dec"))
     )
     w = (
         W.partitionBy("o_orderstatus")
