@@ -90,12 +90,16 @@ def _deterministic_planes(n_planes: int, dim: int, seed: str = "lsh") -> list[li
 
 
 def lsh_bucket_signatures(
-    embeddings: DataFrame, n_planes: int = 8, dim: int = 64, vec_col: str = "embedding"
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: str = "lsh",
 ) -> DataFrame:
     """X3 scale path, step 1: hyperplane-LSH bucket key per vector (sign bit
     per plane packed into one bigint). Vectors in the same bucket are
     cosine-close with high probability."""
-    planes = _deterministic_planes(n_planes, dim)
+    planes = _deterministic_planes(n_planes, dim, seed)
     bits = [
         F.when(
             _dot(F.col(vec_col), F.array(*[F.lit(c) for c in plane])) > 0,
@@ -113,27 +117,43 @@ def ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 3,
     dim: int = 64,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """X3 scale path, step 2: ANN top-k — score only corpus vectors sharing
-    the query's LSH bucket (equi-join on bucket key replaces the cross
-    product; recall traded via n_planes)."""
-    corpus = lsh_bucket_signatures(embeddings, n_planes, dim, vec_col)
-    q = lsh_bucket_signatures(
-        queries.select("query_id", F.col(vec_col)), n_planes, dim, vec_col
-    ).select("query_id", F.col(vec_col).alias("q_vec"), F.col("bucket").alias("q_bucket"))
-    scored = corpus.join(
-        F.broadcast(q), corpus.bucket == F.col("q_bucket")
-    ).select(
-        "query_id",
-        "vec_id",
-        F.round(
-            _dot(F.col("q_vec"), F.col(vec_col))
-            / (_norm(F.col("q_vec")) * _norm(F.col(vec_col))),
-            6,
-        ).alias("cosine"),
+    """X3 scale path, step 2: multi-table ANN top-k — score only corpus
+    vectors sharing a bucket with the query in ANY of ``n_tables``
+    independent hash tables (standard LSH amplification: each table is
+    selective, the union recovers recall).  All joins are equi-joins on
+    bucket keys with the (tiny) query side broadcast; the cross product
+    never materializes.
+    """
+    cand = None
+    for t in range(n_tables):
+        seed = f"lsh{t}"
+        c = lsh_bucket_signatures(embeddings, n_planes, dim, vec_col, seed).select(
+            "vec_id", "bucket"
+        )
+        qb = lsh_bucket_signatures(
+            queries.select("query_id", F.col(vec_col)), n_planes, dim, vec_col, seed
+        ).select("query_id", "bucket")
+        p = c.join(F.broadcast(qb), "bucket").select("query_id", "vec_id")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["query_id", "vec_id"])
+    q = queries.select("query_id", F.col(vec_col).alias("q_vec"))
+    scored = (
+        cand.join(embeddings.select("vec_id", vec_col), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col(vec_col))
+                / (_norm(F.col("q_vec")) * _norm(F.col(vec_col))),
+                6,
+            ).alias("cosine"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

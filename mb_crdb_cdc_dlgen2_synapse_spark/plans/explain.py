@@ -27,5 +27,14 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    """Number of WholeStageCodegen subtrees — wider/fewer is better."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
+    """Number of WholeStageCodegen subtrees — wider/fewer is better.
+
+    Counts both formatted-mode nodes and simple-mode ``*(n)`` markers. Under
+    AQE the markers only appear in the final plan, so callers checking an
+    unexecuted plan should build the DataFrame with
+    ``spark.sql.adaptive.enabled=false`` in effect.
+    """
+    txt = explain_str(df) + explain_str(df, "simple")
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", txt))
+    ids |= set(re.findall(r"\*\((\d+)\)", txt))
+    return len(ids)

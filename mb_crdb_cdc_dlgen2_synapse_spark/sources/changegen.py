@@ -78,13 +78,16 @@ def generate_changefeed(
 
     events: list[tuple[int, dict | None, list[str]]] = []  # (updated_ns, row, key)
     state: dict[str, dict] = {}
-    per_key_seq: dict[str, int] = {}
+    per_key_last_ts: dict[str, int] = {}
 
     def next_ts(key: str, day: int) -> int:
-        # strictly increasing per key, spread across the day
-        seq = per_key_seq.get(key, 0) + 1
-        per_key_seq[key] = seq
-        return base_ns + day * day_ns + rng.randrange(0, day_ns // 2) + seq
+        # per-key ordering guarantee: `updated` is strictly increasing for a
+        # key even when the sampled day would move backwards (changefeeds
+        # never emit an older version of a row after a newer one)
+        cand = base_ns + day * day_ns + rng.randrange(0, day_ns // 2)
+        ts = max(cand, per_key_last_ts.get(key, 0) + 1)
+        per_key_last_ts[key] = ts
+        return ts
 
     # INSERT for every row
     for i in range(n_rows):

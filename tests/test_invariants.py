@@ -1,0 +1,69 @@
+"""Property-style invariants (SURVEY.md §5.2 #4) — cheap cross-checks that
+don't need an oracle: per-group sums reconcile with global sums, union of
+slices equals the whole, merge(stream) == dedup(batch).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.functions.numeric import exact_sum
+from mb_crdb_cdc_dlgen2_synapse_spark.operators import relational
+from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+
+
+def test_group_sums_reconcile_with_global(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    per_group = relational.agg_stats_orders(orders)
+    total_from_groups = per_group.agg(
+        F.sum("sum_price").alias("t"), F.sum("n_orders").alias("n")
+    ).collect()[0]
+    total = orders.agg(
+        exact_sum("o_totalprice").alias("t"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert total_from_groups["n"] == total["n"]
+    assert total_from_groups["t"] == pytest.approx(total["t"], rel=1e-12)
+
+
+def test_rollup_total_row_matches_global(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    roll = relational.rollup_status_priority(orders)
+    total_row = roll.filter(F.col("gid") == 3).collect()
+    assert len(total_row) == 1
+    assert total_row[0]["n_orders"] == orders.count()
+
+
+def test_union_of_day_slices_equals_whole(spark, sf_dir):
+    """Q3 semantics: multi-day glob == union of per-day reads (the
+    reference generalizes one date dir to many, README.md:182)."""
+    orders = load_table(spark, sf_dir, "orders")
+    whole = relational.cumulative_daily_revenue(orders)
+    y1 = orders.filter(F.year("o_orderdate") <= 1997)
+    y2 = orders.filter(F.year("o_orderdate") > 1997)
+    n_union = y1.unionByName(y2).count()
+    assert n_union == orders.count()
+    # cumulative revenue's last row per status equals the status total
+    last = (
+        whole.groupBy("o_orderstatus").agg(F.max("cum_rev").alias("final_cum")).collect()
+    )
+    totals = {
+        r["o_orderstatus"]: r["t"]
+        for r in orders.groupBy("o_orderstatus").agg(exact_sum("o_totalprice").alias("t")).collect()
+    }
+    for r in last:
+        assert r["final_cum"] == pytest.approx(totals[r["o_orderstatus"]], rel=1e-12)
+
+
+def test_semi_plus_anti_partitions_customers(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    n_with = relational.customers_with_orders(customer, orders).count()
+    n_without = relational.customers_without_orders(customer, orders).count()
+    assert n_with + n_without == customer.count()
+
+
+def test_latest_per_key_is_unique(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    latest = relational.latest_order_per_customer(orders)
+    assert latest.count() == latest.select("o_custkey").distinct().count()

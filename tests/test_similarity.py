@@ -1,0 +1,66 @@
+"""Similarity-search quality/invariant tests: ANN recall vs brute force,
+normalization invariants, centroid reassembly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.operators import similarity
+from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_bruteforce_self_is_top1(spark, emb, queries):
+    top = similarity.brute_force_topk(emb, queries, k=1).collect()
+    for r in top:
+        assert r["vec_id"] == r["query_id"], "nearest neighbor of v must be v"
+        assert r["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ann_recall_vs_bruteforce(spark, emb, queries):
+    k = 10
+    exact = similarity.brute_force_topk(emb, queries, k=k).collect()
+    approx = similarity.ann_topk(emb, queries, k=k).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / k for q in exact_sets
+    ]
+    # LSH with 6 planes on 64-dim data: expect meaningful (not perfect) recall
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_normalized_vectors_have_unit_norm(spark, emb):
+    df = similarity.with_normalized(emb.limit(50))
+    norms = df.select(
+        F.sqrt(
+            F.aggregate(
+                F.transform("unit_vec", lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+            )
+        ).alias("n")
+    ).collect()
+    for r in norms:
+        assert r["n"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_centroid_dimension_and_order(spark, emb):
+    cents = similarity.centroid_per_label(emb).collect()
+    assert len(cents) > 0
+    for r in cents:
+        assert len(r["centroid"]) == 64
