@@ -1032,3 +1032,293 @@ def cdc_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_key", F.col("after.city").alias("city"), F.col("after.revenue").alias("revenue"))
         .orderBy("row_key")
     )
+
+
+# ===========================================================================
+# Lake materialization (SURVEY.md §7 phase 2): bronze -> silver, parse once
+# ===========================================================================
+
+@register(
+    "flagship_silver_lake",
+    f"""
+    SELECT list_extract({_CITY_LIST_SQL}, CAST(o_orderkey % 9 + 1 AS INT)) AS city,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    "S3,S6,S7,A1,A2",
+)
+def flagship_silver_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference pipeline, silver-zone edition: envelope NDJSON landed
+    on disk -> materialize_silver (typed, deduped, date-partitioned parquet)
+    -> columnar flagship aggregate.  Same oracle as the raw-line flagship:
+    bronze and silver must agree exactly."""
+    from pyspark.sql import types as T
+
+    from .operators.lake import materialize_silver, silver_revenue_by_city
+
+    tmp = tempfile.mkdtemp(prefix="silver_lake_")
+    landing = os.path.join(tmp, "landing")
+    cdc.orders_as_ride_envelopes(_t(spark, sf_dir, "orders")).write.mode(
+        "overwrite"
+    ).text(landing)
+    after_schema = T.StructType(
+        [
+            T.StructField("city", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("rider_id", T.StringType()),
+            T.StructField("revenue", T.DoubleType()),
+        ]
+    )
+    silver = os.path.join(tmp, "silver")
+    materialize_silver(spark, landing, after_schema, silver, partition_granularity="month")
+    return silver_revenue_by_city(spark, silver)
+
+
+# ===========================================================================
+# Extended statistics / percentiles / ranking / pivot (A3+, W1+)
+# ===========================================================================
+
+@register(
+    "stats_moments",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+                / (count(*) - 1)), 6) AS stddev_qty,
+           round(((CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+            /
+            (sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*)))
+             * sqrt((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*))))
+           ), 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "A3",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/corr derived from exact decimal moment sums — deterministic
+    across engines and partitionings, unlike native stddev/corr whose
+    merge order varies. The derived ratios are rounded at 6dp: DuckDB's
+    compiler contracts a*b-c into FMA, shifting the last ulp vs the JVM."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(18,6)"
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("l_quantity").cast(dec)).cast("double")
+    sy = F.sum(F.col("l_extendedprice").cast(dec)).cast("double")
+    sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec)).cast("double")
+    syy = F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec)).cast("double")
+    sxy = F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(dec)).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))), 6).alias("stddev_qty"),
+        F.round(
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "percentiles_by_status",
+    """
+    SELECT o_orderstatus,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p25,
+           round(percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice), 6) AS median,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "A3",
+)
+def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. Interpolated values land on a 3+-dec
+    grid (midpoints of 2-dec data), so round(6) absorbs the one-ulp formula
+    difference between engines."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("median"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+        )
+    )
+
+
+@register(
+    "window_rank_funcs",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           dense_rank()   OVER w AS dr,
+           percent_rank() OVER w AS pr,
+           ntile(4)       OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    "W1,W4",
+)
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w).alias("dr"),
+        F.percent_rank().over(w).alias("pr"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "pivot_status_by_year",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders GROUP BY 1
+    """,
+    "A5",
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_year",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+    )
+
+
+@register(
+    "case_when_bucketing",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+    "P9,A2",
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.numeric import exact_sum
+
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), exact_sum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "time_functions",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30          AS due_date,
+           CAST(epoch(o_orderdate) AS BIGINT)      AS unix_ts,
+           dayofweek(o_orderdate)                  AS dow,
+           last_day(CAST(o_orderdate AS DATE))     AS month_end
+    FROM orders
+    """,
+    "P6",
+)
+def time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+# ===========================================================================
+# SQL front-end (the engine's spark.sql entry point) + JSON map functions
+# ===========================================================================
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+@register("sql_exists_high_value", _EXISTS_SQL, "J4,P9")
+def sql_exists_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same SQL string runs on both engines: Spark's SQL front-end
+    (temp views + spark.sql) is part of the declared surface — Catalyst
+    rewrites the EXISTS into a left-semi join."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_EXISTS_SQL)
+
+
+@register(
+    "props_map_functions",
+    """
+    SELECT event_id,
+           json_keys(props)                                  AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS INT)    AS k_val
+    FROM events
+    """,
+    "P8,P1",
+)
+def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.from_json("props", "map<string,int>")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token, tf, df,
+               round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+        WHERE doc_id < 100)
+    SELECT doc_id, rk, token, tf, df, tfidf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk
+        FROM scored)
+    WHERE rk <= 5
+    """,
+    "X4",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.tf_idf(_t(spark, sf_dir, "documents"), max_doc_id=100, top_k=5)

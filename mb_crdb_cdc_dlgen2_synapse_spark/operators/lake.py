@@ -1,0 +1,81 @@
+"""Lake materialization (SURVEY.md §7 phase 2, §4.3 "parse once, early").
+
+The reference pays a whole-line JSON parse on every query
+(/root/reference/README.md:183-190).  This module builds the silver zone:
+bronze NDJSON envelopes parsed ONCE into typed, date-partitioned parquet —
+after which every query gets columnar pruning + predicate pushdown for free,
+and the flagship aggregate reads two columns instead of the full text.
+
+Layout: ``<silver>/ingest_date=YYYY-MM-DD/*.parquet`` — the typed mirror of
+the reference's ``<date>/*.ndjson`` landing layout (README.md:182).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.ndjson import read_typed_envelopes
+
+
+def materialize_silver(
+    spark: SparkSession,
+    landing_glob: str,
+    after_schema: T.StructType,
+    out_dir: str,
+    dedup_keys: tuple[str, ...] = ("key", "updated"),
+    partition_granularity: str | None = "date",
+) -> None:
+    """Bronze -> silver: typed parse, at-least-once dedup, flatten the
+    ``after`` image to top-level columns, partition by ingest date/month.
+
+    One pass over the raw text; every downstream query then scans columnar
+    data.  At cluster scale this is the job you run continuously via
+    ``streaming.stream_to_lake``; the batch form here backfills history.
+
+    ``partition_granularity``: "date" for a live CDC zone (few distinct
+    days per backfill), "month" when event time spans years (daily dirs
+    would mean thousands of tiny files — the small-files failure mode),
+    None to skip hive partitioning entirely.
+    """
+    env = read_typed_envelopes(spark, landing_glob, after_schema)
+    flat = env.dropDuplicates(list(dedup_keys)).select(
+        "key",
+        "updated",
+        "updated_ts",
+        F.to_date("updated_ts").alias("ingest_date"),
+        F.col("after.*"),
+        F.col("after").isNull().alias("is_tombstone"),
+    )
+    writer = flat.write.mode("overwrite")
+    if partition_granularity == "date":
+        writer = writer.partitionBy("ingest_date")
+    elif partition_granularity == "month":
+        flat = flat.withColumn(
+            "ingest_month", F.date_format("updated_ts", "yyyy-MM")
+        )
+        # co-locate each month's rows into one task before the partitioned
+        # write: avoids n_tasks x n_months tiny output files
+        writer = flat.repartition(F.col("ingest_month")).write.mode(
+            "overwrite"
+        ).partitionBy("ingest_month")
+    writer.parquet(out_dir)
+
+
+def read_silver(spark: SparkSession, silver_dir: str) -> DataFrame:
+    return spark.read.parquet(silver_dir)
+
+
+def silver_revenue_by_city(spark: SparkSession, silver_dir: str) -> DataFrame:
+    """The flagship aggregate over the silver zone: identical semantics to
+    the raw-line form (tombstones excluded — their columns are NULL), but
+    the scan reads exactly two columns with pushdown."""
+    from ..functions.numeric import exact_sum
+
+    return (
+        read_silver(spark, silver_dir)
+        .filter(~F.col("is_tombstone"))
+        .groupBy("city")
+        .agg(exact_sum("revenue").alias("total_revenue"))
+    )

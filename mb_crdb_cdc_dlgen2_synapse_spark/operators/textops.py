@@ -124,3 +124,40 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 16), 16, 10).cast("decimal(38,0)").alias("fp64"),
     )
+
+
+def tf_idf(documents: DataFrame, max_doc_id: int | None = None, top_k: int = 5) -> DataFrame:
+    """X4: TF-IDF with smooth idf (ln((N+1)/(df+1)) + 1), top-k terms per doc.
+
+    Classic two-aggregation shape: tf is a (doc, token) count, df a token
+    count — both map-side combinable; the idf join broadcasts the (small)
+    token dictionary. ``max_doc_id`` bounds the *output* docs while df/N stay
+    corpus-wide.
+    """
+    toks = tokens(documents)
+    n_docs = documents.count()  # scalar dimension, computed once at plan build
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    if max_doc_id is not None:
+        scored = scored.filter(F.col("doc_id") < max_doc_id)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("doc_id", "rk", "token", "tf", "df", "tfidf")
+    )
