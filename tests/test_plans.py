@@ -90,3 +90,36 @@ def test_no_collect_in_operator_paths():
         src = inspect.getsource(mod)
         assert ".collect()" not in src, mod.__name__
         assert ".toPandas()" not in src, mod.__name__
+
+
+def test_silver_partition_pruning_in_plan(spark, sf_dir, tmp_path):
+    """S5: a filter on the hive partition column must become PartitionFilters
+    (directory-level pruning), not a post-scan filter."""
+    from pyspark.sql import types as T
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.cdc import orders_as_ride_envelopes
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.lake import (
+        materialize_silver,
+        read_silver,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+
+    landing = str(tmp_path / "landing")
+    orders_as_ride_envelopes(load_table(spark, sf_dir, "orders")).write.mode(
+        "overwrite"
+    ).text(landing)
+    schema = T.StructType(
+        [
+            T.StructField("city", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("rider_id", T.StringType()),
+            T.StructField("revenue", T.DoubleType()),
+        ]
+    )
+    silver = str(tmp_path / "silver")
+    materialize_silver(spark, landing, schema, silver, partition_granularity="month")
+    df = read_silver(spark, silver).filter(F.col("ingest_month") == "1997-03")
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    m = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert "ingest_month" in m[0], m[0]
