@@ -1517,3 +1517,66 @@ def silver_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("revenue").alias("revenue"),
         )
     )
+
+
+@register(
+    "doc_bigram_counts",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 2),
+                                     i -> array_to_string(tk[i:i+1], ' '))) AS bigram
+        FROM toks WHERE len(tk) >= 2)
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 25
+    """,
+    "X4",
+)
+def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word bigrams: sliding-window n-gram generation (transform over
+    token positions) -> explode -> count. Note DuckDB list slicing l[i:j] is
+    end-inclusive while Spark slice(arr, i, len) takes a length — the oracle
+    uses [i:i+1] to match Spark's slice(tk, i, 2)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    return (
+        docs.select(toks.alias("tk"), bigrams.alias("bgs"))
+        .filter(F.size("tk") >= 2)
+        .select(F.explode("bgs").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "order_lead_lag_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey)  OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           first_value(o_orderkey) OVER w AS first_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    "W2",
+)
+def order_lead_lag_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+    )

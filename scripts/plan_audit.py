@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Sweep every catalog query's physical plan for scale red flags:
+CartesianProduct, BroadcastNestedLoopJoin with a non-trivial build side,
+row-at-a-time Python eval (BatchEvalPython), and exchange counts.
+
+Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+from mb_crdb_cdc_dlgen2_synapse_spark import catalog  # noqa: E402
+from mb_crdb_cdc_dlgen2_synapse_spark.plans.explain import explain_str  # noqa: E402
+from mb_crdb_cdc_dlgen2_synapse_spark.session import get_spark  # noqa: E402
+
+spark = get_spark(app_name="plan_audit", master="local[4]", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+
+SKIP = {"cdc_streaming_pipeline", "flagship_silver_lake", "silver_partition_pruning"}
+# ^ these build temp dirs as a side effect; their plans are covered by tests
+
+flags = 0
+for name, qd in sorted(catalog.registry().items()):
+    if name in SKIP:
+        continue
+    df = qd.builder(spark, SF_DIR)
+    plan = explain_str(df)
+    issues = []
+    if "CartesianProduct" in plan:
+        issues.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan and name not in (
+        "dedup_embedding_cosine",  # intentional: bounded 300-row broadcast
+        "knn_cosine_bruteforce",   # intentional: tiny query side broadcast
+        "ann_topk_lsh",
+        "cdc_dedup_counts",        # crossJoin of two single-row aggregates
+    ):
+        issues.append("BNLJ")
+    if "BatchEvalPython" in plan:
+        issues.append("ROW_PYTHON_UDF")
+    n_exchange = plan.count("Exchange")
+    if issues:
+        flags += 1
+        print(f"FLAG {name}: {issues} exchanges={n_exchange}")
+    else:
+        print(f"ok   {name}: exchanges={n_exchange}")
+
+print(f"\n{flags} flagged")
+sys.exit(1 if flags else 0)

@@ -123,3 +123,31 @@ def test_silver_partition_pruning_in_plan(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     m = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert "ingest_month" in m[0], m[0]
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Co-located join: same bucketing on both sides -> zero Exchange."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), "b_orders", "o_orderkey", 8,
+            sort_col="o_orderkey",
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"), "b_lineitem", "l_orderkey", 8,
+            sort_col="l_orderkey",
+        )
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey", "l_orderkey")
+        plan = explain_str(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
