@@ -1580,3 +1580,17 @@ def order_lead_lag_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
         F.first("o_orderkey").over(w).alias("first_orderkey"),
     )
+
+
+@register(
+    "knn_ivf_probe",
+    None,  # coarse-quantizer probing is plan-level; recall asserted in pytest
+    "X3",
+)
+def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the nprobe nearest inverted lists only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=5, nprobe=3)

@@ -1,0 +1,83 @@
+"""User-facing facade: one object with the reference pipeline's whole
+surface, so a user of the reference can switch step-for-step.
+
+Reference step (/root/reference/README.md)      ->  Engine method
+------------------------------------------------------------------
+``CREATE CHANGEFEED ... INTO 'azure://...'``        start_changefeed_ingestion
+``WITH updated`` event-time semantics                (envelope ``updated_ts``)
+date-dir NDJSON landing (README.md:182)              raw_lines / landing layout
+``OPENROWSET ... WITH (line varchar(max))``          raw_lines
+``JSON_VALUE(line, '$.after."city"')``               extract / flagship_revenue
+Synapse SQL pool                                     sql (Spark SQL + views)
+(nothing — the reference re-parses per query)        materialize_silver
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .operators import cdc, lake
+from .sources import ndjson, tables
+
+
+class Engine:
+    """The PySpark-native analytics engine over a testdata/lake directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    # -- query surface -----------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return tables.load_table(self.spark, self.sf_dir, name)
+
+    def sql(self, query: str) -> DataFrame:
+        """Spark SQL over the registered star-schema views (the Synapse
+        serverless analog; register_views is idempotent)."""
+        tables.register_views(self.spark, self.sf_dir)
+        return self.spark.sql(query)
+
+    # -- lake surface (reference-compat) -----------------------------------
+    def raw_lines(self, paths) -> DataFrame:
+        """OPENROWSET-compatible whole-line scan (README.md:181-190)."""
+        return ndjson.read_raw_lines(self.spark, paths)
+
+    def extract(self, lines: DataFrame, paths: dict[str, str]) -> DataFrame:
+        """Generalized JSON_VALUE projection (README.md:174-177)."""
+        return ndjson.extract_json_fields(lines, "line", paths)
+
+    def flagship_revenue(self, lines: DataFrame) -> DataFrame:
+        """The reference's own query (README.md:173-192)."""
+        return cdc.revenue_by_city_from_lines(lines)
+
+    def typed_envelopes(self, paths, after_schema: T.StructType) -> DataFrame:
+        return ndjson.read_typed_envelopes(self.spark, paths, after_schema)
+
+    def materialize_silver(self, landing_glob, after_schema, out_dir, **kw) -> None:
+        lake.materialize_silver(self.spark, landing_glob, after_schema, out_dir, **kw)
+
+    # -- streaming surface (changefeed analog) ------------------------------
+    def start_changefeed_ingestion(
+        self,
+        landing_dir: str,
+        after_schema: T.StructType,
+        state_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+    ):
+        """The full ingestion half of the reference pipeline: unbounded
+        envelope stream -> watermark dedup -> keyed latest-state merge."""
+        from .streaming.ingest import changefeed_stream, materialize_latest_state
+
+        stream = changefeed_stream(self.spark, landing_dir, after_schema)
+        return materialize_latest_state(
+            stream, state_dir, checkpoint_dir, available_now=available_now
+        )
+
+    # -- CDC batch surface ---------------------------------------------------
+    def latest_state(self, changes: DataFrame, key_cols, ts_col, **kw) -> DataFrame:
+        return cdc.latest_state(changes, key_cols, ts_col, **kw)
+
+    def merge_full_image(self, changes: DataFrame, key_cols, ts_col) -> DataFrame:
+        return cdc.merge_full_image(changes, key_cols, ts_col)

@@ -182,3 +182,57 @@ def centroid_per_label(embeddings: DataFrame, dim: int = 64) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 scale path, IVF variant: coarse quantizer -> probe nearest lists.
+
+    The ``label`` column plays the inverted-list id (a real deployment runs
+    k-means for the coarse centroids; the search shape is identical):
+    1. centroid per list (one pass, map-side combinable),
+    2. each query scores the (tiny, broadcast) centroid table and keeps its
+       ``nprobe`` nearest lists,
+    3. candidates = equi-join on list id — the corpus is scanned only for
+       probed lists, and at scale the corpus is partitioned BY list id so a
+       probe touches few partitions.
+    """
+    cents = centroid_per_label(embeddings).select(
+        "label", F.col("centroid").alias("c_vec")
+    )
+    q = queries.select("query_id", F.col(vec_col).alias("q_vec"))
+    probe_scores = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "label",
+        "q_vec",
+        (
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+        ).alias("c_cos"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("label").asc())
+    probes = (
+        probe_scores.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "label", "q_vec")
+    )
+    scored = probes.join(embeddings.select("vec_id", "label", vec_col), "label").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("q_vec"), F.col(vec_col))
+            / (_norm(F.col("q_vec")) * _norm(F.col(vec_col))),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "cosine")
+    )

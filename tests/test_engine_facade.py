@@ -1,0 +1,61 @@
+"""Engine facade: every reference step has a working method (the
+"switch from the reference" walk-through, end to end)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from mb_crdb_cdc_dlgen2_synapse_spark.engine import Engine
+from mb_crdb_cdc_dlgen2_synapse_spark.operators.cdc import orders_as_ride_envelopes
+from mb_crdb_cdc_dlgen2_synapse_spark.sources.changegen import generate_changefeed
+
+AFTER_SCHEMA = T.StructType(
+    [
+        T.StructField("city", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("rider_id", T.StringType()),
+        T.StructField("revenue", T.DoubleType()),
+    ]
+)
+
+
+def test_reference_walkthrough(spark, sf_dir, tmp_path):
+    eng = Engine(spark, sf_dir)
+
+    # step 1: change traffic lands as date-partitioned NDJSON (README:135-153)
+    landing = str(tmp_path / "landing")
+    fx = generate_changefeed(landing, n_rows=150, seed=3)
+
+    # step 2: the Synapse query — raw-line scan + JSON_VALUE + aggregate
+    lines = eng.raw_lines(f"{landing}/*/*.ndjson")
+    totals = eng.flagship_revenue(lines)
+    assert totals.count() == 9
+
+    # step 2b: generalized WITH-clause extraction
+    proj = eng.extract(lines, {"city": "$.after.city", "id": "$.after.id"})
+    assert proj.columns == ["city", "id"]
+
+    # step 3: what the reference can't do — silver zone + streaming merge
+    silver = str(tmp_path / "silver")
+    eng.materialize_silver(f"{landing}/*", AFTER_SCHEMA, silver, partition_granularity="month")
+    assert spark.read.parquet(silver).count() > 0
+
+    q = eng.start_changefeed_ingestion(
+        landing, AFTER_SCHEMA, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.count() == len(fx.expected_state)
+
+    # step 4: SQL front-end over the star schema
+    assert eng.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"] > 0
+
+
+def test_entry_flagship_matches_engine(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    lines = orders_as_ride_envelopes(eng.table("orders"))
+    df = eng.flagship_revenue(lines)
+    assert {r["city"] for r in df.collect()} == {
+        "amsterdam", "boston", "los angeles", "new york", "paris", "rome",
+        "san francisco", "seattle", "washington dc",
+    }

@@ -64,3 +64,18 @@ def test_centroid_dimension_and_order(spark, emb):
     assert len(cents) > 0
     for r in cents:
         assert len(r["centroid"]) == 64
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb, queries):
+    k = 10
+    exact = similarity.brute_force_topk(emb, queries, k=k).collect()
+    approx = similarity.ivf_topk(emb, queries, k=k, nprobe=5).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / k for q in exact_sets]
+    # synthetic labels cluster weakly (max pairwise cosine ~0.46), so half
+    # the lists probed should recover well over half the true neighbors
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

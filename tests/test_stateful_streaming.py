@@ -1,0 +1,80 @@
+"""applyInPandasWithState custom operator: replay the CDC fixture and check
+the per-key version counts and latest images against batch ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mb_crdb_cdc_dlgen2_synapse_spark.sources.changegen import generate_changefeed
+from mb_crdb_cdc_dlgen2_synapse_spark.sources.ndjson import read_typed_envelopes
+from mb_crdb_cdc_dlgen2_synapse_spark.streaming.ingest import changefeed_stream
+from mb_crdb_cdc_dlgen2_synapse_spark.streaming.stateful import track_row_versions
+
+AFTER_SCHEMA = T.StructType(
+    [
+        T.StructField("city", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("rider_id", T.StringType()),
+        T.StructField("revenue", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    landing = str(tmp_path_factory.mktemp("stateful") / "landing")
+    return generate_changefeed(landing, n_rows=200, seed=7)
+
+
+def test_stateful_version_tracking(spark, fixture):
+    stream = changefeed_stream(spark, fixture.landing_dir, AFTER_SCHEMA)
+    tracked = track_row_versions(stream)
+    q = (
+        tracked.writeStream.format("memory")
+        .queryName("versions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit a key several times (once per batch); keep the
+    # last emission per key = the final state
+    got = (
+        spark.table("versions")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("row_id").orderBy(F.col("n_versions").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    env = read_typed_envelopes(spark, f"{fixture.landing_dir}/*", AFTER_SCHEMA)
+    exp = (
+        env.select(
+            F.coalesce(F.col("after.id"), F.element_at("key", 2)).alias("row_id"),
+            "updated",
+            F.col("after.revenue").alias("revenue"),
+        )
+        .groupBy("row_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max("updated").alias("latest_updated"),
+        )
+    )
+    g = {r["row_id"]: (r["n_versions"], r["latest_updated"]) for r in got.collect()}
+    e = {r["row_id"]: (r["n_versions"], r["latest_updated"]) for r in exp.collect()}
+    assert g == e
+    # deleted keys carry the tombstone flag
+    deleted_ids = {
+        r["row_id"]
+        for r in got.filter(F.col("deleted")).collect()
+    }
+    expected_deleted = {r["id"] for r in fixture.expected_state} ^ {
+        rid for rid in g
+    }
+    assert deleted_ids == expected_deleted
