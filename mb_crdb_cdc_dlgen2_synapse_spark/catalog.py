@@ -1281,7 +1281,7 @@ def sql_exists_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_map_functions",
     """
     SELECT event_id,
-           json_keys(props)                                  AS prop_keys,
+           array_to_string(json_keys(props), ',')            AS prop_keys,
            CAST(json_extract_string(props, '$.k') AS INT)    AS k_val
     FROM events
     """,
@@ -1291,7 +1291,7 @@ def props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,int>")
     return _t(spark, sf_dir, "events").select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
         m.getItem("k").alias("k_val"),
     )
 

@@ -61,11 +61,14 @@ def word_shingles(documents: DataFrame, k: int = 3, text_col: str = "text") -> D
     transform(sequence) -> distinct. Stays one row per doc until exploded.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    # drop zero-token docs BEFORE shingling: sequence(0,0) over an empty
+    # token array would otherwise yield one empty shingle
+    tokenized = documents.select("doc_id", toks.alias("tk")).filter(F.size("tk") > 0)
+    idx = F.sequence(F.lit(0), F.greatest(F.size("tk") - k, F.lit(0)))
     sh = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, k)))
     )
-    return documents.select("doc_id", sh.alias("shingles")).filter(F.size("shingles") > 0)
+    return tokenized.select("doc_id", sh.alias("shingles"))
 
 
 #: prime modulus + affine hash family for MinHash: h_i(x) = (a_i*x + b_i) mod P.

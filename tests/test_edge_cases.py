@@ -1,0 +1,90 @@
+"""Edge-case robustness: empty inputs, degenerate documents, all-tombstone
+streams — operators must degrade to empty/identity results, never throw."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mb_crdb_cdc_dlgen2_synapse_spark.operators import cdc, dedup, textops
+from mb_crdb_cdc_dlgen2_synapse_spark.operators.relational import pricing_summary
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_empty_lineitem_aggregate(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.lit(False))
+    assert pricing_summary(li).count() == 0
+
+
+def test_degenerate_documents(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "", "en", "s", 0),              # empty text
+            (2, "   ", "en", "s", 3),           # whitespace only
+            (3, "one", "en", "s", 3),           # single token (< shingle k)
+            (4, "a b", "en", "s", 3),           # below trigram width
+        ],
+    )
+    # tokenizers drop empties; shingles fall back to short joins; none throw
+    assert textops.token_counts(docs).count() >= 1
+    sh = dedup.word_shingles(docs).collect()
+    ids = {r["doc_id"] for r in sh}
+    assert 1 not in ids and 2 not in ids  # no tokens -> no shingle row
+    assert {3, 4} <= ids
+    assert dedup.minhash_signatures(docs).count() == 2
+    assert textops.quality_scores(docs).count() == 4
+    assert textops.fingerprints(docs).count() == 4
+
+
+def test_all_tombstone_stream_merges_to_empty(spark):
+    env_schema = T.StructType(
+        [
+            T.StructField("after", T.StructType([T.StructField("id", T.StringType())])),
+            T.StructField("key", T.ArrayType(T.StringType())),
+            T.StructField("updated", T.StringType()),
+        ]
+    )
+    rows = [
+        ({"id": "a"}, ["c", "a"], "100.0"),
+        (None, ["c", "a"], "200.0"),
+        ({"id": "b"}, ["c", "b"], "100.0"),
+        (None, ["c", "b"], "300.0"),
+    ]
+    env = spark.createDataFrame(rows, env_schema)
+    state = cdc.merge_full_image(env, ["key"], "updated")
+    assert state.count() == 0
+
+
+def test_duplicate_only_stream(spark):
+    env_schema = "key array<string>, updated string, v double"
+    env = spark.createDataFrame(
+        [(["k1"], "1.0", 5.0)] * 4 + [(["k2"], "1.0", 7.0)] * 2, env_schema
+    )
+    assert cdc.dedup_events(env, ["key"], "updated").count() == 2
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (2, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (3, "zeta eta theta iota kappa", "en", "s", 25),
+        ],
+    )
+    pairs = dedup.jaccard_pairs(docs, threshold=0.99).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
