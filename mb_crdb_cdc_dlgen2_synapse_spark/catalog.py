@@ -1594,3 +1594,155 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(emb, queries, k=5, nprobe=3)
+
+
+# ===========================================================================
+# Deeper TPC-H-shaped relational coverage
+# ===========================================================================
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name < cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+    "J1,J2,A1,P6",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two aliases of the same dimension (supplier nation vs
+    customer nation) broadcast into one fact pipeline."""
+    from .functions.numeric import exact_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    "J1,A1,Q1,Q2",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, top-20 customers."""
+    from .functions.numeric import exact_sum
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (1, 5, 9, 13)
+    GROUP BY 1, 2, 3
+    """,
+    "J1,A4,P9",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute slice."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2, 3
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    """,
+    "J1,A1,P9",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped join (large-quantity orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty_dec = F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(qty_dec.alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select(
+            "c_custkey", "o_orderkey", "order_date",
+            F.col("__q").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "nullsafe_grouping",
+    """
+    SELECT nullif(event_type, 'error') AS et,
+           count(*) AS n,
+           count(nullif(event_type, 'error')) AS n_nonnull
+    FROM events GROUP BY 1
+    """,
+    "P9,A2",
+)
+def nullsafe_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: nullif-derived group keys — the NULL group must
+    aggregate as one group, and count(col) must skip NULLs (vs count(*))."""
+    et = F.nullif(F.col("event_type"), F.lit("error"))
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(et.alias("et"))
+        .agg(F.count(F.lit(1)).alias("n"), F.count(et).alias("n_nonnull"))
+    )
