@@ -49,6 +49,10 @@ HEADLINE = [
     "dedup_minhash_lsh",           # MinHash signatures + band join
     "knn_cosine_bruteforce",       # vector top-k
     "media_features",              # Arrow mapInPandas plumbing
+    "q7_nation_volume",            # dual-alias dim joins
+    "q10_returned_revenue",        # selective fact join + top-k
+    "q18_large_orders",            # HAVING over grouped join
+    "tfidf_top_terms",             # two-aggregation text pipeline
 ]
 
 
