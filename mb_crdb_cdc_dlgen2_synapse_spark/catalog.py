@@ -1746,3 +1746,99 @@ def nullsafe_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(et.alias("et"))
         .agg(F.count(F.lit(1)).alias("n"), F.count(et).alias("n_nonnull"))
     )
+
+
+# ===========================================================================
+# Training-data pipeline utilities: sampling, histograms, string agg, regexp
+# ===========================================================================
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+    """,
+    "P9",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic hash sample — the reproducible alternative to
+    rand()-based sampling for training-data splits: stable across runs,
+    engines, and partitionings, and trivially stratifiable by salting the
+    hashed key."""
+    keep = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10 == 0
+    )
+    return _t(spark, sf_dir, "orders").filter(keep).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "price_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bucket,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+    "A2,P7",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor arithmetic (the distributed form of
+    width_bucket: pure projection + hash agg, no sort)."""
+    from .functions.numeric import exact_sum
+
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "string_agg_nations",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    "A2,P5",
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered by contract, so
+    sort the array before joining — deterministic in any engine."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@register(
+    "regexp_extract_brand",
+    r"""
+    SELECT regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+           count(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM part GROUP BY 1
+    """,
+    "P5,A2",
+)
+def regexp_extract_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.numeric import exact_sum
+
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            exact_sum("p_retailprice").alias("sum_price"),
+        )
+    )
