@@ -79,3 +79,32 @@ def silver_revenue_by_city(spark: SparkSession, silver_dir: str) -> DataFrame:
         .groupBy("city")
         .agg(exact_sum("revenue").alias("total_revenue"))
     )
+
+
+def compact(
+    spark: SparkSession,
+    data_dir: str,
+    target_rows_per_file: int = 1_000_000,
+) -> tuple[int, int]:
+    """Small-files compaction (the OPTIMIZE analog for a plain-parquet
+    zone): rewrite the directory with file count sized to the data.
+
+    Streaming sinks and per-batch journals accrete small files; scan cost at
+    100 TB is dominated by file-open overhead once files fall well under the
+    HDFS-block / maxPartitionBytes sweet spot. Returns (files_before,
+    files_after). Rewrite-then-swap keeps readers consistent (a table format
+    would make the swap transactional).
+    """
+    import glob
+    import shutil
+
+    df = spark.read.parquet(data_dir)
+    n_rows = df.count()
+    n_files_before = len(glob.glob(f"{data_dir}/**/*.parquet", recursive=True))
+    n_out = max(1, min(n_files_before, (n_rows + target_rows_per_file - 1) // target_rows_per_file))
+    tmp_dir = data_dir.rstrip("/") + ".compact_tmp"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp_dir)
+    shutil.rmtree(data_dir)
+    shutil.move(tmp_dir, data_dir)
+    n_files_after = len(glob.glob(f"{data_dir}/**/*.parquet", recursive=True))
+    return n_files_before, n_files_after

@@ -88,3 +88,32 @@ def test_jaccard_identical_docs_is_one(spark):
     )
     pairs = dedup.jaccard_pairs(docs, threshold=0.99).collect()
     assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_frame_sample_plan_fanout(spark):
+    """X5: video frame-sampling fan-out — one row per sampled timestamp."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, b"xx", "video/mp4", (None, None, 3000)), (2, b"y", "video/mp4", (None, None, 0))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(by_id[1]) == [0, 1000, 2000, 3000]
+    assert by_id[2] == [0]
+
+
+def test_decode_image_real_is_stubbed(spark):
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, b"xx", "image/png", (None, None, None))], multimodal.MEDIA_SCHEMA
+    )
+    df = multimodal.decode_image_real(media)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|image decode"):
+        df.collect()
