@@ -1842,3 +1842,47 @@ def regexp_extract_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("p_retailprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    """
+    WITH pos AS (
+        SELECT doc_id, lower(text) AS t,
+               unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS p
+        FROM documents WHERE doc_id < 50),
+    g AS (
+        SELECT doc_id,
+               CAST(floor((p - 1) / 16) AS INT) AS block,
+               ('0x' || substr(md5(substr(t, CAST(p AS INT), 8)), 1, 8))::BIGINT AS h
+        FROM pos)
+    SELECT doc_id, block, min(h) AS fp
+    FROM g GROUP BY 1, 2
+    """,
+    "X4,X2",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprinting (winnowing-style): hash every 8-char
+    window, keep the minimum per 16-position block — the plagiarism /
+    near-dup fingerprint sketch. Explode + codegen'd min aggregate (same
+    scaling shape as MinHash); output bounded to doc_id < 50 for the gate."""
+    from .operators.dedup import _hash64
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.lower("text").alias("t"))
+    )
+    pos = docs.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("t") - 7, F.lit(1)))
+        ).alias("p"),
+    )
+    g = pos.select(
+        "doc_id",
+        F.floor((F.col("p") - 1) / 16).cast("int").alias("block"),
+        _hash64(F.expr("substring(t, CAST(p AS INT), 8)")).alias("h"),
+    )
+    return g.groupBy("doc_id", "block").agg(F.min("h").alias("fp"))
