@@ -11,9 +11,16 @@ just exposes the catalog in the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# robust against being loaded by path from a different working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from mb_crdb_cdc_dlgen2_synapse_spark import catalog
 

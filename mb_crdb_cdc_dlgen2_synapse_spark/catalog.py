@@ -1886,3 +1886,39 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hash64(F.expr("substring(t, CAST(p AS INT), 8)")).alias("h"),
     )
     return g.groupBy("doc_id", "block").agg(F.min("h").alias("fp"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    WHERE l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "J1,A1,P9",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average) — the
+    DataFrame side expresses the decorrelated form Catalyst would produce:
+    per-key aggregate + equi-join. Exact decimal avgs keep the threshold
+    comparison engine-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+               / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    ).withColumnRenamed("l_partkey", "pk")
+    return (
+        li.join(part_avg, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
