@@ -1922,3 +1922,22 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "kmeans_cluster_sizes",
+    None,  # iterative algorithm — not SQL-expressible; invariants in pytest
+    "X3,X6",
+)
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration Lloyd k-means over the embeddings; returns per-cluster
+    size and mean distance (rows-only check; monotone-objective and
+    determinism invariants in tests/test_clustering.py)."""
+    from .operators.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans(emb, k=8, n_iter=2)
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("d2"), 6).alias("mean_sq_dist"),
+    )

@@ -1,0 +1,91 @@
+"""K-means over embedding columns — the iterative-algorithm class
+(SURVEY.md §2.8), built from the same declarative primitives as the rest of
+the engine: broadcast centroid join for assignment, positional-explode
+average for the update step.
+
+Per iteration: one broadcast join (no corpus shuffle) + one map-side
+combinable aggregate over (cluster, position).  ``localCheckpoint``
+truncates the growing lineage between iterations — the standard pattern for
+iterative algorithms on Spark.  Deterministic throughout: init takes the k
+lowest vec_ids, distance ties break by cluster id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .similarity import _dot, _norm
+
+
+def _sq_dist(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _centroids_from(assigned: DataFrame, vec_col: str) -> DataFrame:
+    pos = assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    means = pos.groupBy("cid", "pos").agg(F.avg(F.col("x").cast("double")).alias("m"))
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("c_vec")
+    )
+
+
+def assign_clusters(
+    embeddings: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    keep the argmin distance per vector (tie -> lowest cid)."""
+    scored = embeddings.join(F.broadcast(centroids)).select(
+        "vec_id",
+        F.col(vec_col),
+        "cid",
+        _sq_dist(F.col(vec_col), F.col("c_vec")).alias("d2"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", vec_col, "cid", "d2")
+    )
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's algorithm, ``n_iter`` rounds. Returns (centroids, assignments).
+
+    Init: the k lowest vec_ids (deterministic; k-means++ would sample by
+    distance — same dataflow, more rounds).
+    """
+    centroids = (
+        embeddings.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(W.orderBy("vec_id"))
+            .alias("cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
+        )
+    )
+    assigned = None
+    for _ in range(n_iter):
+        assigned = assign_clusters(embeddings, centroids, vec_col).localCheckpoint(
+            eager=True
+        )
+        centroids = _centroids_from(assigned, vec_col).localCheckpoint(eager=True)
+    return centroids, assigned
+
+
+def wcss(assignments: DataFrame) -> float:
+    """Within-cluster sum of squares of the CURRENT assignment — the
+    monotone objective (returns a scalar; driver-side by definition)."""
+    return assignments.agg(F.sum("d2").alias("s")).collect()[0]["s"]

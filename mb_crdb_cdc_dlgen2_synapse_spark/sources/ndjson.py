@@ -76,3 +76,21 @@ def extract_json_fields(df: DataFrame, line_col: str, paths: dict[str, str]) -> 
     return df.select(
         *[F.get_json_object(F.col(line_col), p).alias(name) for name, p in paths.items()]
     )
+
+
+def read_raw_lines_csv_compat(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+    """Byte-for-byte port of the reference's OPENROWSET trick
+    (/root/reference/README.md:183-190): read NDJSON through the CSV reader
+    with quote and delimiter both set to 0x0b (vertical tab — a byte that
+    never appears in the data), which disables field splitting so each line
+    survives as one varchar. Semantically identical to ``read_raw_lines``;
+    kept for reference parity and as the escape hatch for lines containing
+    characters the text source would mangle."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return (
+        spark.read.option("sep", "\x0b")
+        .option("quote", "\x0b")
+        .schema("line string")
+        .csv(list(paths))
+    )

@@ -154,3 +154,21 @@ def test_flagship_rawline_equals_merged_state_revenue(spark, fixture):
     assert set(got) == set(exp_by_city)
     for c in got:
         assert got[c] == pytest.approx(exp_by_city[c])
+
+
+def test_csv_compat_reader_equals_text_reader(spark, fixture):
+    """The OPENROWSET FORMAT='csv' 0x0b trick (README.md:183-190) and the
+    plain text source must produce identical line relations."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.ndjson import (
+        read_raw_lines_csv_compat,
+    )
+
+    glob = f"{fixture.landing_dir}/*/*.ndjson"
+    a = read_raw_lines(spark, glob)
+    b = read_raw_lines_csv_compat(spark, glob)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # and the flagship query agrees over both
+    ra = {t["city"]: t["total_revenue"] for t in revenue_by_city_from_lines(a).collect()}
+    rb = {t["city"]: t["total_revenue"] for t in revenue_by_city_from_lines(b).collect()}
+    assert ra == rb
