@@ -1941,3 +1941,72 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("d2"), 6).alias("mean_sq_dist"),
     )
+
+
+@register(
+    "grouping_sets_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    "A5",
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube) through the SQL
+    front-end. Spark spells the multi-column bitmask grouping_id(); DuckDB
+    spells it GROUPING(a, b) — same values."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
+
+
+@register(
+    "trailing_30d_revenue",
+    """
+    WITH daily AS (
+        SELECT o_orderstatus,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+               sum(CAST(o_totalprice AS DECIMAL(18,6))) AS day_rev_dec
+        FROM orders GROUP BY 1, 2)
+    SELECT o_orderstatus, day_num,
+           CAST(sum(day_rev_dec) OVER (
+               PARTITION BY o_orderstatus ORDER BY day_num
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+    FROM daily
+    """,
+    "W3",
+)
+def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 with a RANGE frame: trailing 30-day revenue — value-based frames
+    (gaps in the calendar handled correctly, unlike ROWS frames). Exact
+    decimal partials keep the windowed sum engine-independent."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderstatus",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("day_num"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("day_rev_dec"))
+    )
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("day_num")
+        .rangeBetween(-30, W.currentRow)
+    )
+    return daily.select(
+        "o_orderstatus",
+        "day_num",
+        F.sum("day_rev_dec").over(w).cast("double").alias("rev_30d"),
+    )
