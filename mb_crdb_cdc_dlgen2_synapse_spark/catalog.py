@@ -2010,3 +2010,36 @@ def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_num",
         F.sum("day_rev_dec").over(w).cast("double").alias("rev_30d"),
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT measure, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM (
+        SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'discount', l_discount FROM lineitem)
+    GROUP BY measure
+    """,
+    "Q3,P3",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack(): one scan emits all three measure
+    rows (the oracle's UNION ALL form scans three times — at 100 TB stack's
+    single pass is the point)."""
+    from .functions.numeric import exact_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, value)"
+        )
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), exact_sum("value").alias("total")
+    )
