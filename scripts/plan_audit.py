@@ -38,6 +38,7 @@ for name, qd in sorted(catalog.registry().items()):
         "knn_cosine_bruteforce",   # intentional: tiny query side broadcast
         "ann_topk_lsh",
         "cdc_dedup_counts",        # crossJoin of two single-row aggregates
+        "knn_ivf_probe",           # query-set x centroid-table, both tiny
     ):
         issues.append("BNLJ")
     if "BatchEvalPython" in plan:
