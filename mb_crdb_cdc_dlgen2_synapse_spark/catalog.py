@@ -2043,3 +2043,41 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n"), exact_sum("value").alias("total")
     )
+
+
+@register(
+    "streaming_tumbling_rollup",
+    None,  # runs an actual Structured Streaming query — not SQL-expressible
+    "T4,A6,T1",
+)
+def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 through a real stream: land the events table as NDJSON, consume it
+    as a file stream, tumbling 1-day event-time windows per event type
+    (complete mode for the bounded replay), return the final window table.
+    The batch equivalence is asserted in tests/test_streaming_windows.py."""
+    import uuid
+
+    from .streaming.windows import tumbling_revenue
+
+    tmp = tempfile.mkdtemp(prefix="stream_rollup_")
+    src = os.path.join(tmp, "json")
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        "event_id", F.col("ts").cast("string").alias("ts"), "user_id", "event_type", "value"
+    ).coalesce(4).write.mode("overwrite").json(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(src)
+    windowed = tumbling_revenue(
+        stream, ts_col="ts", key_col="event_type", value_col="value",
+        window_len="1 day", watermark="2 days",
+    )
+    qname = f"rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).withColumnRenamed("city", "event_type")
