@@ -2163,3 +2163,109 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact").getItem(1).alias("p50_exact"),
         )
     )
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT year(l_shipdate) AS l_year,
+           100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                    AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    "J2,A1,P6",
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share).
+    Both the numerator and denominator are exact decimal sums; the final
+    division is one deterministic double op."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(18,6)")).cast("double")
+                / F.sum(disc.cast("decimal(18,6)")).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT count(*) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 30)
+       OR (p_size >= 7 AND l_discount < 0.03)
+    """,
+    "J2,P9,A1",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive cross-table predicates — Catalyst pushes
+    the common join key and evaluates the OR tree post-join in codegen."""
+    from .functions.numeric import exact_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_size") >= 7) & (F.col("l_discount") < 0.03))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q22_wealthy_inactive_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+            FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+    "J4,A1,P9",
+)
+def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average balance)
+    + anti join (customers who never placed a large order). The scalar is computed as an
+    exact decimal mean so the threshold agrees across engines."""
+    from .functions.numeric import exact_sum
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    positive = c.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = positive.agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("t")
+    )
+    wealthy = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("t"))
+    big_orders = o.filter(F.col("o_totalprice") > 300000)
+    inactive = wealthy.join(big_orders, wealthy.c_custkey == big_orders.o_custkey, "left_anti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        exact_sum("c_acctbal").alias("total_bal"),
+    )
