@@ -89,3 +89,66 @@ def track_row_versions(envelope_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas variant — the Spark 4 successor API (typed state
+# handles + timers, RocksDB-backed). Same operator semantics as
+# track_row_versions; kept side by side so both stateful surfaces are covered.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - availability guard for older Spark
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _VersionTrackerProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ver", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, latest_updated, latest_revenue, deleted = self._state.get()
+            else:
+                n, latest_updated, latest_revenue, deleted = 0, "", float("nan"), False
+            for pdf in rows:
+                n += len(pdf)
+                idx = pdf["updated"].astype(str).idxmax()
+                if str(pdf.loc[idx, "updated"]) >= (latest_updated or ""):
+                    latest_updated = str(pdf.loc[idx, "updated"])
+                    rev = pdf.loc[idx, "revenue"]
+                    deleted = bool(pd.isna(rev))
+                    latest_revenue = float("nan") if deleted else float(rev)
+            self._state.update((n, latest_updated, latest_revenue, deleted))
+            yield pd.DataFrame(
+                {
+                    "row_id": [key[0]],
+                    "n_versions": [n],
+                    "latest_updated": [latest_updated],
+                    "latest_revenue": [latest_revenue],
+                    "deleted": [deleted],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def track_row_versions_tws(envelope_stream: DataFrame) -> DataFrame:
+        """transformWithStateInPandas port of ``track_row_versions``.
+        Requires the RocksDB state store provider (set by the caller/session:
+        spark.sql.streaming.stateStore.providerClass)."""
+        keyed = envelope_stream.select(
+            F.coalesce(F.col("after.id"), F.element_at("key", 2)).alias("row_id"),
+            F.col("updated"),
+            F.col("after.revenue").alias("revenue"),
+        )
+        return keyed.groupBy("row_id").transformWithStateInPandas(
+            statefulProcessor=_VersionTrackerProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover
+    track_row_versions_tws = None
