@@ -2269,3 +2269,61 @@ def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_customers"),
         exact_sum("c_acctbal").alias("total_bal"),
     )
+
+
+@register(
+    "array_ops_showcase",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(embedding[1]::DOUBLE, 6)  AS first_component,
+           round(list_max(list_transform(embedding[1:8], x -> x::DOUBLE)), 6) AS max_of_head,
+           list_contains(list_transform(embedding, x -> x::DOUBLE > 0.2), true) AS any_gt
+    FROM embeddings
+    """,
+    "P8",
+)
+def array_ops_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function depth: element access, slicing, element-wise
+    predicates with exists/contains — all JVM-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
+        F.round(
+            F.array_max(F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))),
+            6,
+        ).alias("max_of_head"),
+        F.exists("embedding", lambda x: x.cast("double") > 0.2).alias("any_gt"),
+    )
+
+
+@register(
+    "inline_lookup_join",
+    """
+    SELECT b.label, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders o
+    JOIN (VALUES (0, 'small'), (1, 'medium'), (2, 'large')) b(bucket, label)
+      ON CAST(least(floor(o.o_totalprice / 200000), 2) AS INT) = b.bucket
+    GROUP BY b.label
+    """,
+    "J2,P9",
+)
+def inline_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join on a computed key against an inline (literal) lookup table —
+    the tiny-dim broadcast pattern with the dim defined in code, as config
+    tables usually are."""
+    from .functions.numeric import exact_sum
+
+    lookup = spark.createDataFrame(
+        [(0, "small"), (1, "medium"), (2, "large")], "bucket int, label string"
+    )
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 200000), F.lit(2)).cast("int")
+    return (
+        o.join(F.broadcast(lookup), bucket == lookup.bucket)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_orders"), exact_sum("o_totalprice").alias("sum_price"))
+    )
