@@ -39,6 +39,7 @@ for name, qd in sorted(catalog.registry().items()):
         "ann_topk_lsh",
         "cdc_dedup_counts",        # crossJoin of two single-row aggregates
         "knn_ivf_probe",           # query-set x centroid-table, both tiny
+        "q22_wealthy_inactive_customers",  # 1-row scalar-aggregate broadcast
     ):
         issues.append("BNLJ")
     if "BatchEvalPython" in plan:
