@@ -18,14 +18,16 @@ from ..functions.numeric import exact_sum
 from ..sources.changegen import CITIES
 
 
-def orders_as_ride_envelopes(orders: DataFrame) -> DataFrame:
+def orders_as_ride_envelopes(orders: DataFrame, keep_month: bool = False) -> DataFrame:
     """Derive a movr-``rides``-shaped changefeed line stream from ``orders``.
 
     Deterministic envelope per order: city drawn from the 9 movr cities
     (synapse-img1.png shows 9 groups), revenue = o_totalprice, ``updated`` =
     epoch-nanos of o_orderdate as a decimal string (README.md:137-138 format).
     Returns one string column ``line`` — the same shape ``spark.read.text``
-    yields from real landed NDJSON.
+    yields from real landed NDJSON. With ``keep_month`` an ``ingest_month``
+    routing column (from o_orderdate) is kept so callers can land the lines
+    under date-named directories, the reference's lake layout (README.md:182).
     """
     city = F.element_at(
         F.array(*[F.lit(c) for c in CITIES]),
@@ -47,7 +49,10 @@ def orders_as_ride_envelopes(orders: DataFrame) -> DataFrame:
     )
     # CPU-bound JSON encoding: spread small single-file inputs across cores
     orders = orders.repartition(orders.sparkSession.sparkContext.defaultParallelism)
-    return orders.select(F.to_json(envelope).alias("line"))
+    cols = [F.to_json(envelope).alias("line")]
+    if keep_month:
+        cols.append(F.date_format("o_orderdate", "yyyy-MM").alias("ingest_month"))
+    return orders.select(*cols)
 
 
 def revenue_by_city_from_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
