@@ -1086,7 +1086,9 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode plumbing (deterministic fake codec);
     rows-only driver check + schema/shape asserted in tests."""
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
-    feats = multimodal.decode_image_features(media)
+    # local bench setting: tiny payloads + cheap fake codec -> worker spawn
+    # dominates, so cap fan-out; cluster callers omit the cap (see docstring)
+    feats = multimodal.decode_image_features(media, max_partitions=16)
     return feats.select(
         "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
     )
@@ -1108,7 +1110,11 @@ def cdc_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from .sources.changegen import generate_changefeed
-    from .streaming.ingest import changefeed_stream, materialize_latest_state
+    from .streaming.ingest import (
+        changefeed_stream,
+        materialize_latest_state,
+        read_latest_state,
+    )
 
     tmp = _scratch("cdc_stream")
     landing = os.path.join(tmp, "landing")
@@ -1126,7 +1132,7 @@ def cdc_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = materialize_latest_state(stream, state_dir, os.path.join(tmp, "ckpt"))
     q.awaitTermination()
     return (
-        spark.read.parquet(state_dir)
+        read_latest_state(spark, state_dir)
         .select("row_key", F.col("after.city").alias("city"), F.col("after.revenue").alias("revenue"))
         .orderBy("row_key")
     )

@@ -75,6 +75,13 @@ class Engine:
             stream, state_dir, checkpoint_dir, available_now=available_now
         )
 
+    def read_state(self, state_dir: str) -> DataFrame:
+        """Live rows of a materialized latest-state table (tombstone delete
+        markers filtered out — see streaming.ingest.read_latest_state)."""
+        from .streaming.ingest import read_latest_state
+
+        return read_latest_state(self.spark, state_dir)
+
     # -- CDC batch surface ---------------------------------------------------
     def latest_state(self, changes: DataFrame, key_cols, ts_col, **kw) -> DataFrame:
         return cdc.latest_state(changes, key_cols, ts_col, **kw)

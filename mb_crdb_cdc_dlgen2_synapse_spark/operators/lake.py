@@ -92,8 +92,16 @@ def compact(
     Streaming sinks and per-batch journals accrete small files; scan cost at
     100 TB is dominated by file-open overhead once files fall well under the
     HDFS-block / maxPartitionBytes sweet spot. Returns (files_before,
-    files_after). Rewrite-then-swap keeps readers consistent (a table format
-    would make the swap transactional).
+    files_after).
+
+    Swap protocol: write to ``.compact_tmp``, rename the old dir aside to
+    ``.compact_bak``, rename tmp into place, then delete the backup — the
+    window with no directory present is a single rename, and a crash at any
+    step leaves either the old or the new data recoverable on disk. This is
+    still NOT transactional for concurrent readers (a reader can catch the
+    rename gap or a half-deleted backup); true concurrent-reader atomicity
+    needs a table format's metadata commit (Delta/Iceberg), which is the
+    deployment recommendation at scale.
     """
     import glob
     import shutil
@@ -103,8 +111,11 @@ def compact(
     n_files_before = len(glob.glob(f"{data_dir}/**/*.parquet", recursive=True))
     n_out = max(1, min(n_files_before, (n_rows + target_rows_per_file - 1) // target_rows_per_file))
     tmp_dir = data_dir.rstrip("/") + ".compact_tmp"
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp_dir)
-    shutil.rmtree(data_dir)
+    bak_dir = data_dir.rstrip("/") + ".compact_bak"
+    df.localCheckpoint(eager=True).repartition(n_out).write.mode("overwrite").parquet(tmp_dir)
+    shutil.rmtree(bak_dir, ignore_errors=True)  # stale backup from a crash
+    shutil.move(data_dir, bak_dir)
     shutil.move(tmp_dir, data_dir)
+    shutil.rmtree(bak_dir)
     n_files_after = len(glob.glob(f"{data_dir}/**/*.parquet", recursive=True))
     return n_files_before, n_files_after

@@ -76,10 +76,17 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [int.from_bytes(h[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(_FEATURE_DIM)]
 
 
-def decode_image_features(media: DataFrame) -> DataFrame:
+def decode_image_features(media: DataFrame, max_partitions: int | None = None) -> DataFrame:
     """X5 decode/feature stage: Arrow-batched ``mapInPandas`` over binary
     payloads — the real plumbing (batch iterator in, batch iterator out;
     one Python worker per partition; no row-at-a-time serialization).
+
+    ``max_partitions``: by default the decode inherits the input partitioning,
+    which is correct on a cluster — a heavy codec at 100 TB wants every
+    executor decoding, never an artificial cap. Pass a small cap ONLY for
+    cheap decodes on small local inputs, where Python-worker startup is the
+    dominant fixed cost (measured here: 16 parts 2 s vs 32 parts 14 s on the
+    same tiny data — the local bench uses 16).
 
     Swap ``_fake_decode`` for a real codec (PIL/ffmpeg/torch) in a container
     that has one; the Spark side is unchanged.
@@ -96,10 +103,10 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             )
 
     src = media.select("media_id", "payload")
-    # Python-worker startup is the fixed cost here: cap fan-out so a cheap
-    # decode doesn't pay 32 interpreter spawns (measured: 16 parts 2s,
-    # 32 parts 14s on the same data). Real heavy codecs would raise the cap.
-    src = src.repartition(min(src.sparkSession.sparkContext.defaultParallelism, 16))
+    if max_partitions is not None:
+        src = src.repartition(
+            min(src.sparkSession.sparkContext.defaultParallelism, max_partitions)
+        )
     return src.mapInPandas(batches, FEATURE_SCHEMA)
 
 

@@ -135,21 +135,29 @@ def tf_idf(documents: DataFrame, max_doc_id: int | None = None, top_k: int = 5) 
     corpus-wide.
     """
     toks = tokens(documents)
-    n_docs = documents.count()  # scalar dimension, computed once at plan build
+    # N as a 1-row aggregate cross-joined in (Catalyst broadcasts the single
+    # row) — no driver-side count() job at plan-build time, and the plan
+    # stays lazy end to end.
+    n_docs = documents.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.select("doc_id", "token").distinct().groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
     )
+    # No broadcast hint on df: the document-frequency table is the *vocabulary*
+    # — corpus-scale it is millions of rows, so let Catalyst/AQE pick shuffle
+    # vs broadcast from its measured size.
     scored = (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
+        .crossJoin(n_docs)
         .withColumn(
             "tfidf",
             F.round(
                 F.col("tf")
-                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
                 6,
             ),
         )
+        .drop("n_docs")
     )
     if max_doc_id is not None:
         scored = scored.filter(F.col("doc_id") < max_doc_id)

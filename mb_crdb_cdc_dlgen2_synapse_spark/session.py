@@ -12,6 +12,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+# spark.driver.memory set via SparkSession.builder is a NO-OP when the JVM is
+# launched from a plain Python process (the heap is fixed before the conf is
+# read). Injecting it into PYSPARK_SUBMIT_ARGS before the gateway launches is
+# the one way to size the local-mode driver heap from Python. Harmless if a
+# JVM already exists (getOrCreate reuses it) or under spark-submit (which
+# owns these args).
+if "--driver-memory" not in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+    _mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    _rest = os.environ.get("PYSPARK_SUBMIT_ARGS", "").replace("pyspark-shell", "").strip()
+    os.environ["PYSPARK_SUBMIT_ARGS"] = " ".join(
+        p for p in (f"--driver-memory {_mem}", _rest, "pyspark-shell") if p
+    )
+
 
 def get_spark(
     app_name: str = "mb_crdb_cdc_dlgen2_synapse_spark",
@@ -57,7 +70,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # driver heap is set via PYSPARK_SUBMIT_ARGS above (builder-time
+        # spark.driver.memory cannot resize an already-launched JVM)
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -1,15 +1,19 @@
 from .ingest import (
     changefeed_stream,
+    compact_state,
     dedup_stream,
     materialize_latest_state,
+    read_latest_state,
     stream_to_lake,
 )
 from .windows import sliding_counts, tumbling_revenue, session_windows
 
 __all__ = [
     "changefeed_stream",
+    "compact_state",
     "dedup_stream",
     "materialize_latest_state",
+    "read_latest_state",
     "stream_to_lake",
     "sliding_counts",
     "tumbling_revenue",

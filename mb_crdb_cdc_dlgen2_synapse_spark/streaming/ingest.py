@@ -86,24 +86,112 @@ def stream_to_lake(
     return writer.start(out_dir)
 
 
+#: ``updated`` is the changefeed's decimal-nanos string (README.md:137-138).
+#: Ordering it AS A STRING is only correct while every value has the same
+#: digit count; this cast gives true numeric "latest" across producers whose
+#: timestamps differ in width or padding.
+_UPDATED_NUMERIC = "cast(updated as decimal(38,10))"
+
+
+def read_latest_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the live rows of a ``materialize_latest_state`` table.
+
+    The state table retains one latest row per key *including tombstones*
+    (``after IS NULL``) — exactly how a Delta MERGE target retains delete
+    markers until VACUUM — so per-batch merges can use dynamic partition
+    overwrite without ever needing to rewrite a bucket to empty. Readers see
+    only live rows; ``compact_state`` purges tombstones for real.
+    """
+    return (
+        spark.read.parquet(state_dir)
+        .filter(F.col("after").isNotNull())
+        .drop("bucket")
+    )
+
+
+def compact_state(spark: SparkSession, state_dir: str) -> None:
+    """Purge tombstone rows bucket-by-bucket (the VACUUM analog). Dynamic
+    partition overwrite rewrites every bucket that still holds a tombstone
+    alongside live rows; buckets that are ALL tombstones get no rows written,
+    so their directories are dropped explicitly via the Hadoop FS API.
+    Buckets without tombstones are left untouched. The bucket lists collected
+    here are partition metadata, bounded by n_buckets."""
+    state = spark.read.parquet(state_dir)
+    doomed = {
+        r.bucket
+        for r in state.filter(F.col("after").isNull()).select("bucket").distinct().collect()
+    }
+    if not doomed:
+        return
+    live = state.filter(F.col("bucket").isin(list(doomed)) & F.col("after").isNotNull())
+    live = live.localCheckpoint(eager=True)
+    live_buckets = {r.bucket for r in live.select("bucket").distinct().collect()}
+    if live_buckets:
+        with _dynamic_overwrite(spark):
+            live.write.mode("overwrite").partitionBy("bucket").parquet(state_dir)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for b in doomed - live_buckets:
+        path = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/bucket={b}")
+        path.getFileSystem(conf).delete(path, True)
+
+
+class _dynamic_overwrite:
+    """Scoped ``partitionOverwriteMode=dynamic``: INSERT OVERWRITE replaces
+    only the partitions present in the written data."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+
+
 def materialize_latest_state(
     stream: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
     key_expr: str = "cast(key as string)",
     available_now: bool = True,
+    n_buckets: int = 32,
 ):
     """T6/T7/T8: maintain the current-state table with a ``foreachBatch``
-    keyed merge.
+    keyed merge whose per-batch cost tracks the BATCH, not total state.
 
-    Each micro-batch: union the incoming events with the existing state
-    (kept as (key, updated, after) rows), take latest-per-key, drop
-    tombstones, and atomically overwrite. Overwrite-per-batch is the
-    plain-parquet stand-in for a Delta ``MERGE`` — idempotent under batch
-    replay, which is what upgrades at-least-once delivery to effectively-once.
-    On Delta/Iceberg the body becomes ``MERGE WHEN MATCHED AND after IS NULL
-    THEN DELETE ...`` with the same dataflow.
+    State layout: hive-partitioned by ``bucket = pmod(xxhash64(row_key),
+    n_buckets)``. Each micro-batch
+      1. buckets its incoming keys,
+      2. reads ONLY the state buckets the batch touches (partition pruning),
+      3. takes numeric latest-per-key over (touched state ∪ batch), keeping
+         tombstones as delete markers (see ``read_latest_state``),
+      4. rewrites exactly the touched buckets via dynamic partition overwrite.
+
+    This is the plain-parquet analog of a Delta/Iceberg ``MERGE`` keyed on
+    ``row_key`` (the container has no table format): a batch touching k of N
+    buckets rewrites ~k/N of the state, so a 100 TB state table is never
+    rewritten per trigger. Size ``n_buckets`` so one bucket's live rows fit an
+    executor's memory at the target scale (xxhash64 spreads keys uniformly —
+    no skew). Idempotent under batch replay: re-merging the same events picks
+    the same latest rows, which is what upgrades at-least-once delivery to
+    effectively-once (T8).
+
+    Missing-state detection is an explicit filesystem probe via Spark's
+    Hadoop FS (works for any path scheme); real read errors PROPAGATE and
+    fail the batch instead of silently re-initializing the table.
     """
+
+    def _state_exists(spark: SparkSession) -> bool:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        path = jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        return fs.exists(path)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -111,18 +199,29 @@ def materialize_latest_state(
             F.expr(key_expr).alias("row_key"),
             F.col("updated"),
             F.col("after"),
-        )
-        try:
-            current = spark.read.parquet(state_dir)
+        ).withColumn("bucket", F.pmod(F.xxhash64("row_key"), F.lit(n_buckets)).cast("int"))
+        # Partition METADATA, bounded by n_buckets — not a data collect.
+        touched = [r.bucket for r in incoming.select("bucket").distinct().collect()]
+        if not touched:
+            return
+        if _state_exists(spark):
+            current = spark.read.parquet(state_dir).filter(F.col("bucket").isin(touched))
             merged_input = current.unionByName(incoming)
-        except Exception:
+        else:
             merged_input = incoming
-        new_state = (
-            latest_state(merged_input, ["row_key"], "updated")
-            .filter(F.col("after").isNotNull())
-        )
-        # localCheckpoint breaks lineage from the directory we overwrite
-        new_state.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_dir)
+        new_state = latest_state(
+            merged_input.withColumn("__ts", F.expr(_UPDATED_NUMERIC)),
+            ["row_key"],
+            "__ts",
+        ).drop("__ts")
+        # Every incoming key yields exactly one latest row (live or tombstone),
+        # so each touched bucket is non-empty and dynamic overwrite replaces
+        # precisely the touched buckets. localCheckpoint breaks lineage from
+        # the directory we overwrite.
+        with _dynamic_overwrite(spark):
+            new_state.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(state_dir)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

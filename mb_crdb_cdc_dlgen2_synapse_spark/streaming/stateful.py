@@ -13,6 +13,7 @@ micro-batch touches only the keys present in it.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import Decimal
 from typing import Any
 
 import pandas as pd
@@ -20,6 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+def _nanos(s: Any) -> Decimal:
+    """Numeric value of the changefeed's decimal-nanos ``updated`` string.
+    'Latest' must be compared numerically — lexicographic string order breaks
+    the moment producer timestamps differ in digit count."""
+    return Decimal(str(s))
+
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -51,8 +59,8 @@ def _track_versions(
     for pdf in pdf_iter:
         n += len(pdf)
         # per-key ordering guarantee: within a batch, max(updated) is latest
-        idx = pdf["updated"].astype(str).idxmax()
-        if str(pdf.loc[idx, "updated"]) >= (latest_updated or ""):
+        idx = pdf["updated"].map(_nanos).idxmax()
+        if not latest_updated or _nanos(pdf.loc[idx, "updated"]) >= _nanos(latest_updated):
             latest_updated = str(pdf.loc[idx, "updated"])
             rev = pdf.loc[idx, "revenue"]
             deleted = bool(pd.isna(rev))
@@ -114,8 +122,8 @@ try:  # pragma: no cover - availability guard for older Spark
                 n, latest_updated, latest_revenue, deleted = 0, "", float("nan"), False
             for pdf in rows:
                 n += len(pdf)
-                idx = pdf["updated"].astype(str).idxmax()
-                if str(pdf.loc[idx, "updated"]) >= (latest_updated or ""):
+                idx = pdf["updated"].map(_nanos).idxmax()
+                if not latest_updated or _nanos(pdf.loc[idx, "updated"]) >= _nanos(latest_updated):
                     latest_updated = str(pdf.loc[idx, "updated"])
                     rev = pdf.loc[idx, "revenue"]
                     deleted = bool(pd.isna(rev))

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.numeric import exact_sum
+
 
 def tumbling_revenue(
     stream: DataFrame,
@@ -19,11 +21,13 @@ def tumbling_revenue(
 ) -> DataFrame:
     """T4: tumbling event-time window x key -> revenue sum. With a watermark,
     state for closed windows is dropped — bounded memory on an unbounded
-    stream; late rows beyond the watermark are discarded from windows."""
+    stream; late rows beyond the watermark are discarded from windows.
+    The sum goes through exact decimal accumulation (functions/numeric):
+    order-independent, so streaming and batch recomputation agree to the bit."""
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_len).alias("win"), F.col(key_col).alias("city"))
-        .agg(F.round(F.sum(F.col(value_col)), 2).alias("total_revenue"))
+        .agg(exact_sum(F.col(value_col)).alias("total_revenue"))
         .select(F.col("win.start").alias("window_start"), "city", "total_revenue")
     )
 
@@ -57,7 +61,7 @@ def session_windows(
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum("value").alias("sum_value"))
         .select(
             F.col("sess.start").alias("session_start"),
             F.col("sess.end").alias("session_end"),

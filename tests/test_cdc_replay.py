@@ -27,8 +27,10 @@ from mb_crdb_cdc_dlgen2_synapse_spark.sources.ndjson import (
 )
 from mb_crdb_cdc_dlgen2_synapse_spark.streaming.ingest import (
     changefeed_stream,
+    compact_state,
     dedup_stream,
     materialize_latest_state,
+    read_latest_state,
     stream_to_lake,
 )
 
@@ -100,7 +102,7 @@ def test_streaming_merge_matches_batch(spark, fixture, tmp_path):
     )
     q.awaitTermination()
     got = (
-        spark.read.parquet(state_dir)
+        read_latest_state(spark, state_dir)
         .select(F.col("after.id").alias("id"), F.col("after.revenue").alias("revenue"))
         .orderBy("id")
         .collect()
@@ -118,8 +120,117 @@ def test_streaming_restart_is_idempotent(spark, fixture, tmp_path):
         stream = changefeed_stream(spark, fixture.landing_dir, AFTER_SCHEMA)
         q = materialize_latest_state(stream, state_dir, ckpt)
         q.awaitTermination()
-    got = spark.read.parquet(state_dir)
+    got = read_latest_state(spark, state_dir)
     assert got.count() == len(fixture.expected_state)
+
+
+def _write_envelope_lines(landing: str, date: str, lines: list[str]) -> None:
+    d = os.path.join(landing, date)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "batch.ndjson"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _env_line(key: str, revenue, updated: str, delete: bool = False) -> str:
+    import json
+
+    after = None if delete else {
+        "city": "amsterdam", "id": key, "rider_id": "r1", "revenue": revenue,
+    }
+    return json.dumps({"after": after, "key": ["amsterdam", key], "updated": updated})
+
+
+def _bucket_snapshot(state_dir: str) -> dict[str, tuple[str, ...]]:
+    """Per-bucket (file name, mtime) signature of the state table."""
+    snap = {}
+    for d in os.listdir(state_dir):
+        if not d.startswith("bucket="):
+            continue
+        full = os.path.join(state_dir, d)
+        snap[d] = tuple(
+            sorted(f"{f}:{os.path.getmtime(os.path.join(full, f))}" for f in os.listdir(full))
+        )
+    return snap
+
+
+def test_incremental_merge_touches_only_batch_buckets(spark, fixture, tmp_path):
+    """The scale property of the partitioned merge: a micro-batch rewrites
+    ONLY the state buckets its keys hash into; all other bucket directories
+    are byte-identical afterwards (same files, same mtimes)."""
+    state_dir = str(tmp_path / "state")
+    q = materialize_latest_state(
+        changefeed_stream(spark, fixture.landing_dir, AFTER_SCHEMA),
+        state_dir,
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination()
+    before = _bucket_snapshot(state_dir)
+    assert len(before) > 4  # 400 keys spread over many of the 32 buckets
+
+    landing2 = str(tmp_path / "landing2")
+    _write_envelope_lines(
+        landing2, "2023-01-01", [_env_line("zz-solo-key", 42.0, "1700000000000000000.0000000000")]
+    )
+    q = materialize_latest_state(
+        changefeed_stream(spark, landing2, AFTER_SCHEMA),
+        state_dir,
+        str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination()
+    after = _bucket_snapshot(state_dir)
+
+    changed = {b for b in before if after.get(b) != before[b]}
+    new = set(after) - set(before)
+    assert len(changed | new) == 1  # exactly the solo key's bucket
+    got = read_latest_state(spark, state_dir)
+    assert got.filter(F.col("row_key").contains("zz-solo-key")).count() == 1
+    assert got.count() == len(fixture.expected_state) + 1
+
+
+def test_latest_state_orders_updated_numerically(spark, tmp_path):
+    """ADVICE fix: 'latest' must be numeric on the decimal-nanos string, not
+    lexicographic — '99...' sorts after '100...' as a string but is older."""
+    landing = str(tmp_path / "landing")
+    _write_envelope_lines(
+        landing,
+        "2023-01-01",
+        [
+            _env_line("k1", 1.0, "99000000000.0000000000"),
+            _env_line("k1", 2.0, "100000000000.0000000000"),  # numerically later
+        ],
+    )
+    state_dir = str(tmp_path / "state")
+    q = materialize_latest_state(
+        changefeed_stream(spark, landing, AFTER_SCHEMA), state_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    rows = read_latest_state(spark, state_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["after"]["revenue"] == 2.0
+
+
+def test_compact_state_purges_tombstones(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_envelope_lines(
+        landing,
+        "2023-01-01",
+        [
+            _env_line("k1", 1.0, "1000000000000000000.0000000000"),
+            _env_line("k2", 2.0, "1000000000000000001.0000000000"),
+            _env_line("k1", None, "1000000000000000002.0000000000", delete=True),
+        ],
+    )
+    state_dir = str(tmp_path / "state")
+    q = materialize_latest_state(
+        changefeed_stream(spark, landing, AFTER_SCHEMA), state_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    # tombstone retained as a delete marker, hidden from readers
+    assert spark.read.parquet(state_dir).count() == 2
+    assert read_latest_state(spark, state_dir).count() == 1
+    compact_state(spark, state_dir)
+    assert spark.read.parquet(state_dir).count() == 1
+    assert read_latest_state(spark, state_dir).count() == 1
 
 
 def test_stream_to_lake_preserves_rows_and_partitions(spark, fixture, tmp_path):

@@ -44,7 +44,7 @@ def test_reference_walkthrough(spark, sf_dir, tmp_path):
         landing, AFTER_SCHEMA, str(tmp_path / "state"), str(tmp_path / "ckpt")
     )
     q.awaitTermination()
-    state = spark.read.parquet(str(tmp_path / "state"))
+    state = eng.read_state(str(tmp_path / "state"))
     assert state.count() == len(fx.expected_state)
 
     # step 4: SQL front-end over the star schema

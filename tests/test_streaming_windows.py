@@ -9,6 +9,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from mb_crdb_cdc_dlgen2_synapse_spark.functions.numeric import exact_sum
 from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
 from mb_crdb_cdc_dlgen2_synapse_spark.streaming.windows import (
     session_windows,
@@ -56,7 +57,7 @@ def test_tumbling_window_matches_batch(spark, event_stream):
         events.groupBy(
             F.date_trunc("day", "ts").alias("window_start"), "event_type"
         )
-        .agg(F.round(F.sum("value"), 2).alias("total_revenue"))
+        .agg(exact_sum("value").alias("total_revenue"))
         .collect()
     )
     g = {(r["window_start"], r["city"]): r["total_revenue"] for r in got}
