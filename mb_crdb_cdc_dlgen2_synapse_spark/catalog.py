@@ -1692,7 +1692,9 @@ def order_lead_lag_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "X3",
 )
 def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: probe the nprobe nearest inverted lists only."""
+    """IVF ANN: k-means coarse quantizer (Lloyd, operators/clustering.py)
+    builds the inverted lists; queries probe only the nprobe nearest lists.
+    Recall vs brute force asserted in tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"

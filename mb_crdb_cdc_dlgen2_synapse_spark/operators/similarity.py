@@ -190,38 +190,87 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 3,
     vec_col: str = "embedding",
+    n_lists: int = 8,
+    n_iter: int = 2,
 ) -> DataFrame:
-    """X3 scale path, IVF variant: coarse quantizer -> probe nearest lists.
+    """X3 scale path, IVF variant: k-means coarse quantizer -> probe lists.
 
-    The ``label`` column plays the inverted-list id (a real deployment runs
-    k-means for the coarse centroids; the search shape is identical):
-    1. centroid per list (one pass, map-side combinable),
+    1. Lloyd's k-means (``operators.clustering``, ``n_iter`` rounds) builds
+       ``n_lists`` inverted lists: per-round cost is one broadcast-centroid
+       assignment (no corpus shuffle) + one map-side-combinable mean,
     2. each query scores the (tiny, broadcast) centroid table and keeps its
        ``nprobe`` nearest lists,
     3. candidates = equi-join on list id — the corpus is scanned only for
-       probed lists, and at scale the corpus is partitioned BY list id so a
-       probe touches few partitions.
+       probed lists, and at scale the corpus is materialized partitioned BY
+       list id so a probe touches few partitions.
+
+    ``ivf_topk_by_label`` keeps the degenerate quantizer (a pre-existing
+    label column as list id) for comparison; k-means lists track the actual
+    vector geometry, which is what recall depends on.
     """
-    cents = centroid_per_label(embeddings).select(
-        "label", F.col("centroid").alias("c_vec")
+    from .clustering import kmeans
+
+    centroids, assigned = kmeans(embeddings, k=n_lists, n_iter=n_iter, vec_col=vec_col)
+    return _ivf_probe_lists(
+        embeddings=assigned.select("vec_id", "cid", vec_col),
+        cents=centroids.select("cid", "c_vec"),
+        queries=queries,
+        k=k,
+        nprobe=nprobe,
+        vec_col=vec_col,
     )
+
+
+def ivf_topk_by_label(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with the ``label`` column as the (degenerate) coarse quantizer —
+    the search shape of ``ivf_topk`` without the k-means build; useful as a
+    recall baseline and when a domain partitioning column already exists."""
+    cents = centroid_per_label(embeddings).select(
+        F.col("label").alias("cid"), F.col("centroid").alias("c_vec")
+    )
+    return _ivf_probe_lists(
+        embeddings=embeddings.select("vec_id", F.col("label").alias("cid"), vec_col),
+        cents=cents,
+        queries=queries,
+        k=k,
+        nprobe=nprobe,
+        vec_col=vec_col,
+    )
+
+
+def _ivf_probe_lists(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF probe: nearest-``nprobe`` lists per query (broadcast
+    centroids), then exact cosine rerank over only the probed lists."""
     q = queries.select("query_id", F.col(vec_col).alias("q_vec"))
     probe_scores = q.join(F.broadcast(cents)).select(
         "query_id",
-        "label",
+        "cid",
         "q_vec",
         (
             _dot(F.col("q_vec"), F.col("c_vec"))
             / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
         ).alias("c_cos"),
     )
-    wp = W.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("label").asc())
+    wp = W.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
     probes = (
         probe_scores.withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= nprobe)
-        .select("query_id", "label", "q_vec")
+        .select("query_id", "cid", "q_vec")
     )
-    scored = probes.join(embeddings.select("vec_id", "label", vec_col), "label").select(
+    scored = probes.join(embeddings, "cid").select(
         "query_id",
         "vec_id",
         F.round(
