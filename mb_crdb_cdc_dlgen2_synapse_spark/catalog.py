@@ -2463,3 +2463,65 @@ def multi_day_glob_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         [f"{landing}/ingest_month=1996-*", f"{landing}/ingest_month=1997-*"]
     ).withColumnRenamed("value", "line")
     return cdc.revenue_by_city_from_lines(globbed)
+
+
+@register(
+    "flagship_tx_lake",
+    f"""
+    SELECT list_extract({_CITY_LIST_SQL}, CAST(o_orderkey % 9 + 1 AS INT)) AS city,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    "S3,T8,A2",
+)
+def flagship_tx_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship aggregate over a TRANSACTIONAL lake landing: envelope
+    stream -> exactly-once txlog appends (atomic commits + batch txn markers,
+    txlog.py) -> typed columnar query. The oracle aggregates the base table:
+    the stream->commit->read round trip must be value-preserving."""
+    from pyspark.sql import types as T
+
+    from .streaming.ingest import changefeed_stream
+    from .txlog import TxTable, stream_to_tx_table
+
+    tmp = _scratch("tx_lake")
+    landing = os.path.join(tmp, "landing")
+    date_dir = os.path.join(landing, "1998-01-01")
+    os.makedirs(date_dir, exist_ok=True)
+    cdc.orders_as_ride_envelopes(_t(spark, sf_dir, "orders")).write.mode(
+        "overwrite"
+    ).text(date_dir)
+    # the changefeed source globs *.ndjson (the reference's landing layout)
+    for fn in os.listdir(date_dir):
+        if fn.startswith("part-") and fn.endswith(".txt"):
+            os.rename(
+                os.path.join(date_dir, fn),
+                os.path.join(date_dir, fn[:-4] + ".ndjson"),
+            )
+    after_schema = T.StructType(
+        [
+            T.StructField("city", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("rider_id", T.StringType()),
+            T.StructField("revenue", T.DoubleType()),
+        ]
+    )
+    table_dir = os.path.join(tmp, "table")
+    stream = changefeed_stream(spark, landing, after_schema)
+    q = stream_to_tx_table(
+        stream.select("after", "key", "updated", "ingest_date"),
+        table_dir,
+        os.path.join(tmp, "ckpt"),
+        partition_by=["ingest_date"],
+    )
+    q.awaitTermination()
+    from .functions.numeric import exact_sum
+
+    return (
+        TxTable(spark, table_dir)
+        .read()
+        .filter(F.col("after").isNotNull())
+        .groupBy(F.col("after.city").alias("city"))
+        .agg(exact_sum("after.revenue").alias("total_revenue"))
+    )

@@ -3,7 +3,9 @@ from .ingest import (
     compact_state,
     dedup_stream,
     materialize_latest_state,
+    materialize_latest_state_tx,
     read_latest_state,
+    read_latest_state_tx,
     stream_to_lake,
 )
 from .windows import sliding_counts, tumbling_revenue, session_windows
@@ -13,7 +15,9 @@ __all__ = [
     "compact_state",
     "dedup_stream",
     "materialize_latest_state",
+    "materialize_latest_state_tx",
     "read_latest_state",
+    "read_latest_state_tx",
     "stream_to_lake",
     "sliding_counts",
     "tumbling_revenue",

@@ -1,0 +1,175 @@
+"""Transaction-log table format (txlog.py): atomicity, snapshot isolation,
+optimistic concurrency, exactly-once streaming appends, and the transactional
+CDC state merge built on it."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable, stream_to_tx_table
+from mb_crdb_cdc_dlgen2_synapse_spark.streaming.ingest import (
+    changefeed_stream,
+    materialize_latest_state_tx,
+    read_latest_state_tx,
+)
+
+from test_cdc_replay import AFTER_SCHEMA, _env_line, _write_envelope_lines
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_append_read_roundtrip(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    assert t.version() == -1
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    assert t.version() == 1
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    assert [c["op"] for c in t.history()] == ["append", "append"]
+
+
+def test_overwrite_is_atomic_and_snapshot_isolated(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "old")]))
+    old_reader = t.read()  # snapshot resolved now
+    t.overwrite(_df(spark, [(2, "new"), (3, "new")]))
+    # new reader sees only the new content...
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]
+    # ...while the in-flight reader keeps its consistent pre-overwrite view
+    # (removed files are retained until vacuum)
+    assert [r.k for r in old_reader.collect()] == [1]
+
+
+def test_incomplete_commit_is_invisible(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    # crash simulation: stray staged data + a tmp commit file that never linked
+    os.makedirs(os.path.join(t.path, "_staging", "deadbeef"), exist_ok=True)
+    with open(os.path.join(t.path, "_txlog", ".tmp-crashed.json"), "w") as f:
+        json.dump({"version": 99, "added": ["ghost.parquet"]}, f)
+    assert t.version() == 0
+    assert [r.k for r in t.read().collect()] == [1]
+
+
+def test_commit_race_retries_to_next_version(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    # another writer claims version 1 between our snapshot and link
+    rival = {"version": 1, "op": "append", "added": [], "removed": [],
+             "schema": None, "txn": None, "utc": ""}
+    with open(t._log_path(1), "w") as f:
+        json.dump(rival, f)
+    v = t.append(_df(spark, [(2, "b")]))
+    assert v == 2  # lost the race for v1, landed at v2
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+
+
+def test_txn_marker_makes_append_idempotent(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    txn = {"app": "job-1", "batch": 7}
+    t.append(_df(spark, [(1, "a")]), txn=txn)
+    t.append(_df(spark, [(1, "a")]), txn=txn)  # re-delivered batch
+    assert t.read().count() == 1
+    assert len(t.history()) == 1
+
+
+def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    n = t.vacuum()
+    assert n >= 1  # the overwritten file(s)
+    assert [r.k for r in t.read().collect()] == [2]
+    assert t.vacuum() == 0  # idempotent
+
+
+def test_compact_single_commit(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.append(_df(spark, [(i, "x")]).repartition(2))
+    _, files_before, _ = t.snapshot()
+    t.compact(target_files=1)
+    _, files_after, _ = t.snapshot()
+    assert len(files_after) < len(files_before)
+    assert t.read().count() == 4
+
+
+def test_partitioned_overwrite_touches_only_named_partitions(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "p1"), (2, "p2")], "k int, p string"),
+        partition_by=["p"],
+    )
+    _, before, _ = t.snapshot()
+    p2_files = [f for f in before if f.startswith("p=p2")]
+    t.overwrite_partitions(
+        spark.createDataFrame([(10, "p1")], "k int, p string"), ["p"]
+    )
+    _, after, _ = t.snapshot()
+    # p2's files survive untouched; p1's were replaced
+    assert all(f in after for f in p2_files)
+    got = sorted((r.k, r.p) for r in t.read().collect())
+    assert got == [(2, "p2"), (10, "p1")]
+
+
+def test_stream_append_exactly_once_across_restart(spark, tmp_path):
+    """T8 upgrade: restart with the same checkpoint re-delivers nothing new;
+    the txn markers in the log keep the table exactly-once."""
+    landing = str(tmp_path / "landing")
+    _write_envelope_lines(
+        landing, "2023-01-01",
+        [_env_line("k1", 1.0, "1000000000000000000.0000000000"),
+         _env_line("k2", 2.0, "1000000000000000001.0000000000")],
+    )
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):
+        stream = changefeed_stream(spark, landing, AFTER_SCHEMA)
+        q = stream_to_tx_table(stream, table_dir, ckpt)
+        q.awaitTermination()
+    t = TxTable(spark, table_dir)
+    assert t.read().count() == 2
+    # every commit carries its batch marker exactly once
+    markers = [(c["txn"]["app"], c["txn"]["batch"]) for c in t.history() if c.get("txn")]
+    assert len(markers) == len(set(markers))
+
+
+def test_tx_state_merge_matches_plain_merge(spark, fixture_dir_tx, tmp_path):
+    landing, expected = fixture_dir_tx
+    table_dir = str(tmp_path / "state_tx")
+    q = materialize_latest_state_tx(
+        changefeed_stream(spark, landing, AFTER_SCHEMA), table_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r["after"]["id"]: r["after"]["revenue"]
+        for r in read_latest_state_tx(spark, table_dir).collect()
+    }
+    assert got == expected
+    # merge landed as overwrite_partitions commits
+    ops = {c["op"] for c in TxTable(spark, table_dir).history()}
+    assert ops == {"overwrite_partitions"}
+
+
+@pytest.fixture()
+def fixture_dir_tx(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _write_envelope_lines(
+        landing, "2023-01-01",
+        [
+            _env_line("k1", 1.0, "1000000000000000000.0000000000"),
+            _env_line("k1", 5.0, "1000000000000000009.0000000000"),  # update wins
+            _env_line("k2", 2.0, "1000000000000000001.0000000000"),
+            _env_line("k3", 3.0, "1000000000000000002.0000000000"),
+            _env_line("k3", None, "1000000000000000003.0000000000", delete=True),
+        ],
+    )
+    return landing, {"k1": 5.0, "k2": 2.0}
