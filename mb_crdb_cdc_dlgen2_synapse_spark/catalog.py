@@ -2525,3 +2525,113 @@ def flagship_tx_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("after.city").alias("city"))
         .agg(exact_sum("after.revenue").alias("total_revenue"))
     )
+
+
+@register(
+    "dedup_clusters",
+    rf"""
+    WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+    {_SHINGLE_SQL},
+    expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    basehash AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h
+        FROM expl),
+    hashes AS (
+        SELECT doc_id, seed, min((a * h + b) % 2147483647) AS mh
+        FROM basehash, ({_MINHASH_SEEDS_SQL}) seeds(seed, a, b)
+        GROUP BY doc_id, seed),
+    sigs AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hashes GROUP BY doc_id),
+    bandkeys AS (
+        SELECT doc_id, b AS band_id,
+               array_to_string(sig[b*4+1 : b*4+4], '-') AS band_key
+        FROM sigs, (SELECT unnest(range(0, 4)) AS b) bands),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bandkeys a JOIN bandkeys b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a)
+    SELECT c.doc_id,
+           least(c.doc_id, coalesce(min(r.b), c.doc_id)) AS cluster_id
+    FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
+    GROUP BY c.doc_id
+    """,
+    "X2",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs -> connected components -> cluster id per doc: the
+    stage that turns pair-wise LSH output into actual dedup decisions
+    (survivor = min doc id per component). Oracle computes the same
+    components via a recursive transitive closure."""
+    corpus = _dup_corpus(_t(spark, sf_dir, "documents"))
+    pairs = dedup.lsh_candidates(corpus).select("doc_a", "doc_b")
+    return dedup.duplicate_clusters(corpus.select("doc_id"), pairs)
+
+
+@register(
+    "doc_repetition_metrics",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+    ts AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct, max(c) AS top_c
+        FROM tc GROUP BY 1),
+    tkl AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 2),
+                                     i -> array_to_string(tk[i:i+1], ' '))) AS bigram
+        FROM tkl WHERE len(tk) >= 2),
+    bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_big_c
+        FROM bc GROUP BY 1)
+    SELECT ts.doc_id, ts.n_tokens,
+           CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens AS type_token_ratio,
+           CAST(ts.top_c AS DOUBLE) / ts.n_tokens AS top_token_frac,
+           CAST(bs.top_big_c AS DOUBLE) / bs.n_bigrams AS top_bigram_frac
+    FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+    """,
+    "X4",
+)
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per doc (type-token ratio,
+    top-token and top-bigram fractions) — the corpus filters that catch
+    degenerate repetitive text before LLM training."""
+    return textops.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_pii_redaction",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9]{6,}')) AS n_long_numbers,
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS redacted_text
+    FROM documents
+    """,
+    "X4,P5",
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage: emails and long digit runs replaced with typed
+    placeholders + per-doc match counts (the audit trail). Patterns are
+    restricted to Java-regex/RE2 common syntax so the oracle is exact."""
+    return textops.redact_pii(_t(spark, sf_dir, "documents"))

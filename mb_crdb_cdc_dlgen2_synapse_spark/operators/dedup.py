@@ -230,3 +230,52 @@ def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
             )
         ).alias("simhash")
     )
+
+
+def duplicate_clusters(
+    documents: DataFrame,
+    pairs: DataFrame,
+    n_iter: int = 4,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """X2 final stage: resolve candidate pairs into duplicate CLUSTERS.
+
+    LSH/Jaccard emit PAIRS; a dedup pipeline needs components — transitive
+    groups with one survivor each (pair-wise "keep the smaller id" applied
+    naively can drop both docs of a chain a-b-c). Iterative min-label
+    propagation (the public MapReduce connected-components pattern): each
+    round every node takes the min of its own label and its neighbors'
+    labels — one shuffle per round, map-side combinable, lineage cut by
+    ``localCheckpoint``.
+
+    ``n_iter`` must be >= the component diameter. LSH dup clusters are
+    near-cliques (diameter 1-2), so the default 4 converges with slack;
+    chain-shaped graphs need diameter rounds (switch to pointer-doubling /
+    star-contraction if such graphs appear — same join shapes, log rounds).
+
+    Returns (doc_id, cluster_id): cluster_id = min doc id reachable;
+    survivors are ``doc_id == cluster_id``; singletons are their own cluster.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = documents.select(
+        F.col(doc_col).alias("doc_id"), F.col(doc_col).alias("label")
+    )
+    for _ in range(n_iter):
+        # labels flowing across edges: receiver takes min(own, received)
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

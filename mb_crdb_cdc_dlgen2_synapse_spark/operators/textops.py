@@ -169,3 +169,76 @@ def tf_idf(documents: DataFrame, max_doc_id: int | None = None, top_k: int = 5) 
         .filter(F.col("rk") <= top_k)
         .select("doc_id", "rk", "token", "tf", "df", "tfidf")
     )
+
+
+def repetition_metrics(documents: DataFrame) -> DataFrame:
+    """X4 quality signals against degenerate/repetitive text (the published
+    Gopher/C4-style heuristics): type-token ratio, most-frequent-token
+    fraction, most-frequent-bigram fraction.
+
+    One explode + two hash aggregates per n-gram order — word-count shape,
+    map-side combinable, no UDF. LLM corpus filtering drops docs whose
+    repetition fractions exceed thresholds; thresholds stay caller-side so
+    the metric is reusable.
+    """
+    toks = tokens(documents)  # (doc_id, token)
+    tok_counts = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    big = (
+        documents.select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("tk"),
+        )
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, 2)),
+                )
+            ).alias("bigram"),
+        )
+    )
+    big_counts = big.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    big_stats = big_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_big_c")
+    )
+    return (
+        tok_stats.join(big_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct") / F.col("n_tokens")).alias("type_token_ratio"),
+            (F.col("top_c") / F.col("n_tokens")).alias("top_token_frac"),
+            (F.col("top_big_c") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        )
+    )
+
+
+#: RE2-and-Java-compatible patterns (the oracle runs them in DuckDB/RE2)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUM_RE = r"[0-9]{6,}"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """X4 scrub stage: replace emails and long digit runs with typed
+    placeholders, reporting per-doc match counts (the audit trail a corpus
+    pipeline keeps). Pure regexp built-ins — JVM-side, codegen'd; patterns
+    deliberately restricted to a syntax shared by Java regex and RE2 so the
+    oracle reproduces them exactly."""
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+    n_nums = F.size(F.regexp_extract_all(F.col("text"), F.lit(LONG_NUM_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), LONG_NUM_RE, "<NUM>"
+    )
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_nums.alias("n_long_numbers"),
+        redacted.alias("redacted_text"),
+    )

@@ -117,3 +117,20 @@ def test_decode_image_real_is_stubbed(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|image decode"):
         df.collect()
+
+
+def test_duplicate_clusters_resolves_chains_and_singletons(spark):
+    """Connected components: a chain a-b-c-d must collapse to ONE cluster
+    (pairwise survivor-picking would get this wrong), singletons stay their
+    own cluster, and survivors are exactly one per component."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # chain 1-2-3-4, pair 5-6, singleton 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+    survivors = [d for d, c in got.items() if d == c]
+    assert sorted(survivors) == [1, 5, 7]
