@@ -66,9 +66,10 @@ def register(name: str, oracle: str | None, survey_ref: str):
 # window remain declared and are verified locally (tests/test_oracle_parity.py
 # + scripts/driver_replica.py at sf0.01 and sf0.1).
 _DRIVER_PRIORITY: list[str] = [
-    # flagship + lake + CDC (S1-S6, P3, P4, A2, Q4, J5, T4-T7; rows-only T1-T3/T8/S2)
+    # flagship + lake + CDC (S1-S6, P3, P4, A2, Q4, J5, T4-T8; rows-only T1-T3/S2)
     "flagship_cdc_city_revenue",
     "flagship_silver_lake",
+    "flagship_tx_lake",
     "silver_partition_pruning",
     "multi_day_glob_revenue",
     "cdc_envelope_extraction",
@@ -83,7 +84,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q7_nation_volume",
-    "q14_promo_revenue_ratio",
     "q18_large_orders",
     "q22_wealthy_inactive_customers",
     # projections / scalar functions (P1, P2, P5-P9)
@@ -98,7 +98,8 @@ _DRIVER_PRIORITY: list[str] = [
     "percentiles_by_status",
     "distinct_customers_per_priority",
     "rollup_status_priority",
-    # joins (J3, J4, J6)
+    # joins (J3, J4, J6; the anti-join half of J4 is below the fold —
+    # r01 already recorded customers_without_orders green)
     "customer_order_counts",
     "customers_with_orders",
     "range_join_ship_window",
