@@ -2636,3 +2636,132 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     placeholders + per-doc match counts (the audit trail). Patterns are
     restricted to Java-regex/RE2 common syntax so the oracle is exact."""
     return textops.redact_pii(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "streaming_interval_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    "T1,T3,J6",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/joins.py) run as a
+    bounded availableNow replay: views matched to purchases by the same user
+    within 30 minutes. State is evicted by watermark + the event-time range
+    bound; the oracle is the equivalent batch range join (the bounded replay
+    must reproduce it exactly)."""
+    import uuid
+
+    from .streaming.joins import interval_join
+
+    tmp = _scratch("interval_join")
+    src = os.path.join(tmp, "json")
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        "event_id", F.col("ts").cast("string").alias("ts"), "user_id", "event_type"
+    ).coalesce(4).write.mode("overwrite").json(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    stream = spark.readStream.schema(schema).json(src)
+    views = stream.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("event_id_r")
+    )
+    joined = interval_join(views, purchases, key="user_id", max_delay="30 minutes").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_r").alias("purchase_id"),
+    )
+    qname = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
+    "embedding_quantization",
+    """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+    s AS (
+        SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+        FROM v),
+    q AS (
+        SELECT vec_id, emb, scale,
+               list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qvec
+        FROM s)
+    SELECT vec_id, scale,
+           list_max(list_transform(range(1, len(emb) + 1),
+                    i -> abs(emb[i] - qvec[i] * scale))) AS max_abs_err
+    FROM q
+    """,
+    "X3,P8",
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 vector quantization audit: per-vector scale + max reconstruction
+    error after the int8 round trip (the compression step a 100 TB embedding
+    store applies before ANN). floor(x+0.5) instead of round() so both
+    engines compute bit-identical results."""
+    return similarity.quantization_error(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "corpus_source_mix",
+    """
+    WITH rates AS (
+        SELECT * FROM (VALUES
+            ('web', 0.25), ('wiki', 1.0), ('books', 1.0),
+            ('code', 0.5), ('news', 0.75)) r(source, rate)),
+    keyed AS (
+        SELECT d.doc_id, d.source, d.n_chars, coalesce(r.rate, 0.1) AS rate,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS h
+        FROM documents d LEFT JOIN rates r USING (source))
+    SELECT source, count(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS total_chars
+    FROM keyed
+    WHERE h < rate * 10000
+    GROUP BY source
+    """,
+    "X4,P9,J2",
+)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: deterministic per-source downsampling via a
+    content-independent hash gate (md5(doc_id) mod 10000 < rate·10000) — the
+    reproducible, cluster-order-independent way to hit dataset mixing ratios
+    at corpus scale (no rand(), no sampleBy seed drift across retries).
+    Unknown sources get a 10% floor."""
+    from .functions.numeric import exact_sum
+
+    rates = spark.createDataFrame(
+        [("web", 0.25), ("wiki", 1.0), ("books", 1.0), ("code", 0.5), ("news", 0.75)],
+        "source string, rate double",
+    )
+    d = _t(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    return (
+        d.join(F.broadcast(rates), "source", "left")
+        .withColumn("rate", F.coalesce(F.col("rate"), F.lit(0.1)))
+        .filter(h < F.col("rate") * 10000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            exact_sum("n_chars").alias("total_chars"),
+        )
+    )

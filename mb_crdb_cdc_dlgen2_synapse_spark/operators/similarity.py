@@ -285,3 +285,41 @@ def _ivf_probe_lists(
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "vec_id", "cosine")
     )
+
+
+def quantize_int8(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i/scale + 0.5).
+
+    The vector-compression step a 100 TB embedding store runs before ANN —
+    4× smaller scan + cheaper dot products, with the scale kept per vector
+    for dequantization. All JVM-side array lambdas; ``floor(x + 0.5)`` is
+    used instead of ``round`` because engines disagree on double rounding
+    but agree bit-for-bit on floor of identical IEEE ops.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    q = F.transform(v, lambda x: F.floor(x / (amax / 127.0) + 0.5).cast("int"))
+    return embeddings.select(
+        "vec_id",
+        scale,
+        q.alias("qvec"),
+    )
+
+
+def quantization_error(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Max absolute reconstruction error per vector after int8 round-trip —
+    the quality audit for the quantized store (bounded by scale/2)."""
+    qd = quantize_int8(embeddings, vec_col)
+    joined = embeddings.select("vec_id", vec_col).join(qd, "vec_id")
+    deq = F.zip_with(
+        F.col(vec_col),
+        F.col("qvec"),
+        lambda x, q: F.abs(x.cast("double") - q.cast("double") * F.col("scale")),
+    )
+    return joined.select(
+        "vec_id",
+        "scale",
+        F.array_max(deq).alias("max_abs_err"),
+    )

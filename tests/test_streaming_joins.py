@@ -1,0 +1,66 @@
+"""Stream-stream / stream-static joins (streaming/joins.py): the streaming
+interval join must reproduce the equivalent batch range join exactly on a
+bounded replay, and enrichment must broadcast without shuffling the stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+from mb_crdb_cdc_dlgen2_synapse_spark.streaming.joins import enrich_stream, interval_join
+
+from test_streaming_windows import _run_to_memory, event_stream  # noqa: F401
+
+
+def _split(events):
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    return views, purchases
+
+
+def test_interval_join_matches_batch_range_join(spark, event_stream):  # noqa: F811
+    stream, events = event_stream
+    sviews, spurch = _split(stream)
+    joined = interval_join(
+        sviews.withColumnRenamed("view_id", "event_id"),
+        spurch.withColumnRenamed("purchase_id", "event_id_r"),
+        key="user_id",
+        max_delay="30 minutes",
+    ).select("user_id", "event_id", "event_id_r")
+    got = _run_to_memory(spark, joined, "ss_join", mode="append").collect()
+
+    bviews, bpurch = _split(events)
+    exp = (
+        bviews.alias("v")
+        .join(
+            bpurch.alias("p"),
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("v.ts"))
+            & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select(F.col("v.user_id"), F.col("v.view_id"), F.col("p.purchase_id"))
+        .collect()
+    )
+    assert len(exp) > 0  # fixture actually exercises the join
+    g = sorted((r.user_id, r.event_id, r.event_id_r) for r in got)
+    e = sorted((r.user_id, r.view_id, r.purchase_id) for r in exp)
+    assert g == e
+
+
+def test_enrich_stream_broadcasts_dim(spark, event_stream, sf_dir):  # noqa: F811
+    stream, events = event_stream
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "convert")],
+        "event_type string, funnel_stage string",
+    )
+    enriched = enrich_stream(stream, dim, "event_type")
+    got = _run_to_memory(spark, enriched, "enriched", mode="append")
+    assert got.count() == events.count()
+    assert got.filter(F.col("funnel_stage").isNull()).count() == (
+        events.filter(~F.col("event_type").isin("view", "click", "purchase")).count()
+    )
