@@ -134,3 +134,37 @@ def test_duplicate_clusters_resolves_chains_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
     survivors = [d for d, c in got.items() if d == c]
     assert sorted(survivors) == [1, 5, 7]
+
+
+def test_duplicate_clusters_matches_union_find_on_random_graphs(spark):
+    """Seeded random graphs: Spark min-label propagation must agree with a
+    plain union-find reference, provided n_iter >= graph diameter."""
+    import random
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.dedup import duplicate_clusters
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(1, n + 1), 2))) for _ in range(25)}
+        )
+        parent = list(range(n + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expected = {d: min(x for x in range(1, n + 1) if find(x) == find(d)) for d in range(1, n + 1)}
+
+        docs = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in duplicate_clusters(docs, pairs, n_iter=8).collect()
+        }
+        assert got == expected, f"trial {trial} diverged"

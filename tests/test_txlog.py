@@ -173,3 +173,33 @@ def fixture_dir_tx(spark, tmp_path):
         ],
     )
     return landing, {"k1": 5.0, "k2": 2.0}
+
+
+def test_randomized_ops_match_model(spark, tmp_path):
+    """Seeded randomized sequence of append/overwrite/compact/vacuum ops vs
+    an in-memory model of table content — the model-based check that the
+    commit protocol never loses or duplicates rows."""
+    import random
+
+    rng = random.Random(1234)
+    t = TxTable(spark, str(tmp_path / "t"))
+    model: list[tuple[int, str]] = []
+    next_id = 0
+    for step in range(12):
+        op = rng.choice(["append", "append", "append", "overwrite", "compact", "vacuum"])
+        if op == "append":
+            rows = [(next_id + i, f"v{step}") for i in range(rng.randint(1, 4))]
+            next_id += len(rows)
+            t.append(_df(spark, rows))
+            model.extend(rows)
+        elif op == "overwrite":
+            rows = [(next_id, f"ow{step}")]
+            next_id += 1
+            t.overwrite(_df(spark, rows))
+            model = list(rows)
+        elif op == "compact" and model:
+            t.compact(target_files=1)
+        elif op == "vacuum":
+            t.vacuum()
+        got = sorted((r.k, r.v) for r in t.read().collect())
+        assert got == sorted(model), f"diverged at step {step} ({op})"
