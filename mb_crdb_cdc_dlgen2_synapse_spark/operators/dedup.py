@@ -235,7 +235,7 @@ def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
 def duplicate_clusters(
     documents: DataFrame,
     pairs: DataFrame,
-    n_iter: int = 4,
+    max_iter: int = 64,
     doc_col: str = "doc_id",
 ) -> DataFrame:
     """X2 final stage: resolve candidate pairs into duplicate CLUSTERS.
@@ -244,14 +244,17 @@ def duplicate_clusters(
     groups with one survivor each (pair-wise "keep the smaller id" applied
     naively can drop both docs of a chain a-b-c). Iterative min-label
     propagation (the public MapReduce connected-components pattern): each
-    round every node takes the min of its own label and its neighbors'
-    labels — one shuffle per round, map-side combinable, lineage cut by
+    round every node takes the min of its own label, its neighbors' labels,
+    and its label's label (pointer jump — accelerates chain-shaped
+    components). One shuffle per round, map-side combinable, lineage cut by
     ``localCheckpoint``.
 
-    ``n_iter`` must be >= the component diameter. LSH dup clusters are
-    near-cliques (diameter 1-2), so the default 4 converges with slack;
-    chain-shaped graphs need diameter rounds (switch to pointer-doubling /
-    star-contraction if such graphs appear — same join shapes, log rounds).
+    The loop runs UNTIL CONVERGED (no label changed), checked with
+    ``isEmpty()`` on the changed-rows diff — a control-flow boolean, not a
+    data collect; convergence is guaranteed in <= component-diameter rounds
+    (typically 2-3: LSH dup clusters are near-cliques), with ``max_iter`` as
+    a safety bound. Validated against union-find on random graphs and a
+    50-node chain in tests.
 
     Returns (doc_id, cluster_id): cluster_id = min doc id reachable;
     survivors are ``doc_id == cluster_id``; singletons are their own cluster.
@@ -266,16 +269,37 @@ def duplicate_clusters(
     )
     labels = documents.select(
         F.col(doc_col).alias("doc_id"), F.col(doc_col).alias("label")
-    )
-    for _ in range(n_iter):
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
         # labels flowing across edges: receiver takes min(own, received)
         msgs = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "label")
-        labels = (
+        # pointer jump: follow the current label one hop (label's label)
+        jump = (
+            labels.alias("l1")
+            .join(
+                labels.select(
+                    F.col("doc_id").alias("label"), F.col("label").alias("label2")
+                ).alias("l2"),
+                "label",
+            )
+            .select(F.col("doc_id"), F.col("label2").alias("label"))
+        )
+        new_labels = (
             labels.unionByName(msgs)
+            .unionByName(jump)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -134,11 +134,21 @@ def test_duplicate_clusters_resolves_chains_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
     survivors = [d for d, c in got.items() if d == c]
     assert sorted(survivors) == [1, 5, 7]
+    # convergence-checked loop: a 50-node chain collapses (pointer jump ~log rounds)
+    docs50 = spark.createDataFrame([(i,) for i in range(1, 51)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], "doc_a long, doc_b long"
+    )
+    got50 = {
+        r.doc_id: r.cluster_id
+        for r in duplicate_clusters(docs50, chain).collect()
+    }
+    assert set(got50.values()) == {1}
 
 
 def test_duplicate_clusters_matches_union_find_on_random_graphs(spark):
-    """Seeded random graphs: Spark min-label propagation must agree with a
-    plain union-find reference, provided n_iter >= graph diameter."""
+    """Seeded random graphs: the convergence-checked min-label propagation
+    must agree exactly with a plain union-find reference."""
     import random
 
     from mb_crdb_cdc_dlgen2_synapse_spark.operators.dedup import duplicate_clusters
@@ -165,6 +175,6 @@ def test_duplicate_clusters_matches_union_find_on_random_graphs(spark):
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got = {
             r.doc_id: r.cluster_id
-            for r in duplicate_clusters(docs, pairs, n_iter=8).collect()
+            for r in duplicate_clusters(docs, pairs).collect()
         }
         assert got == expected, f"trial {trial} diverged"
