@@ -88,3 +88,55 @@ class Engine:
 
     def merge_full_image(self, changes: DataFrame, key_cols, ts_col) -> DataFrame:
         return cdc.merge_full_image(changes, key_cols, ts_col)
+
+    # -- transactional lake (txlog table format) -----------------------------
+    def tx_table(self, path: str):
+        """Open/create a transaction-logged parquet table (atomic commits,
+        snapshot-isolated reads, exactly-once streaming appends)."""
+        from .txlog import TxTable
+
+        return TxTable(self.spark, path)
+
+    def start_tx_ingestion(
+        self,
+        landing_dir: str,
+        after_schema: T.StructType,
+        table_dir: str,
+        checkpoint_dir: str,
+        available_now: bool = True,
+    ):
+        """Changefeed stream -> transactional latest-state merge (one atomic
+        commit per micro-batch); read with ``read_tx_state``."""
+        from .streaming.ingest import changefeed_stream, materialize_latest_state_tx
+
+        stream = changefeed_stream(self.spark, landing_dir, after_schema)
+        return materialize_latest_state_tx(
+            stream, table_dir, checkpoint_dir, available_now=available_now
+        )
+
+    def read_tx_state(self, table_dir: str) -> DataFrame:
+        from .streaming.ingest import read_latest_state_tx
+
+        return read_latest_state_tx(self.spark, table_dir)
+
+    # -- LLM-data-pipeline surface -------------------------------------------
+    def dedup_clusters(self, documents: DataFrame, pairs: DataFrame, **kw) -> DataFrame:
+        """Candidate pairs -> connected-component cluster per doc."""
+        from .operators.dedup import duplicate_clusters
+
+        return duplicate_clusters(documents, pairs, **kw)
+
+    def lsh_candidate_pairs(self, documents: DataFrame, **kw) -> DataFrame:
+        from .operators.dedup import lsh_candidates
+
+        return lsh_candidates(documents, **kw)
+
+    def knn(self, embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+        from .operators.similarity import brute_force_topk
+
+        return brute_force_topk(embeddings, queries, k=k)
+
+    def quantize_embeddings(self, embeddings: DataFrame, **kw) -> DataFrame:
+        from .operators.similarity import quantize_int8
+
+        return quantize_int8(embeddings, **kw)

@@ -59,3 +59,31 @@ def test_entry_flagship_matches_engine(spark, sf_dir):
         "amsterdam", "boston", "los angeles", "new york", "paris", "rome",
         "san francisco", "seattle", "washington dc",
     }
+
+
+def test_tx_ingestion_and_llm_surface(spark, sf_dir, tmp_path):
+    """Round-2 facade surface: transactional ingestion round trip and the
+    LLM-pipeline entry points."""
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, sf_dir)
+    landing = str(tmp_path / "landing")
+    fx = generate_changefeed(landing, n_rows=100, seed=5)
+    table_dir = str(tmp_path / "tx_state")
+    q = eng.start_tx_ingestion(landing, AFTER_SCHEMA, table_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    state = eng.read_tx_state(table_dir)
+    assert state.count() == len(fx.expected_state)
+    assert len(eng.tx_table(table_dir).history()) > 0
+
+    docs = eng.table("documents").limit(50)
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    clusters = eng.dedup_clusters(docs.select("doc_id"), pairs)
+    assert clusters.count() == 50
+
+    emb = eng.table("embeddings").limit(20)
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert eng.knn(emb, queries, k=3).count() == 6
+    qd = eng.quantize_embeddings(emb)
+    assert qd.columns == ["vec_id", "scale", "qvec"]
+    assert qd.count() == 20
