@@ -2765,3 +2765,235 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ===========================================================================
+# Remaining TPC-H-shaped analogs (adapted to the testdata schema: no
+# partsupp/commitdate/shipmode columns, so each keeps the QUERY SHAPE —
+# the join/agg/subquery pattern — over the columns that exist)
+# ===========================================================================
+
+@register(
+    "q4_priority_with_shipped_items",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      AND o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+    "J4,A3,P6",
+)
+def q4_priority_with_shipped_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS decorrelated to a left-semi join, count per priority.
+    (Original checks commitdate<receiptdate; here: an item shipped >60 days
+    after the order date.)"""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               AS promo_revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 25
+    """,
+    "A1,P9,S7",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: single-scan selective aggregate — every predicate pushes to
+    the parquet scan; no shuffle beyond the 1-row final agg."""
+    from .functions.numeric import exact_sum
+
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "promo_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q12_returnflag_priority_matrix",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    "J1,A1,P9",
+)
+def q12_returnflag_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: fact-fact join + conditional-sum pivot on a CASE predicate
+    (returnflag standing in for shipmode)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey) pc
+    GROUP BY c_count
+    """,
+    "J3,A3,A2",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: outer join -> per-key count -> distribution of counts
+    (two chained aggregations; the second is tiny)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q15_top_supplier_revenue",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    CROSS JOIN (SELECT max(total_revenue) AS mx FROM rev) m
+    WHERE r.total_revenue = m.mx
+    """,
+    "A1,J1,Q2",
+)
+def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: derived revenue view + scalar-max subquery (1-row
+    cross-join broadcast, the q22 pattern) selecting the top supplier(s)."""
+    from .functions.numeric import exact_sum
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(s, rev.l_suppkey == s.s_suppkey)
+        .crossJoin(mx)
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q21_multi_supplier_last_ship",
+    """
+    WITH multi AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1),
+    lastship AS (
+        SELECT l_orderkey, max(l_shipdate) AS mx FROM lineitem GROUP BY l_orderkey)
+    SELECT l.l_suppkey, count(*) AS numwait
+    FROM lineitem l
+    JOIN multi m ON m.l_orderkey = l.l_orderkey
+    JOIN lastship x ON x.l_orderkey = l.l_orderkey AND l.l_shipdate = x.mx
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey
+          AND l2.l_shipdate = x.mx)
+    GROUP BY l.l_suppkey
+    ORDER BY numwait DESC, l_suppkey ASC
+    LIMIT 20
+    """,
+    "J4,A4,W4",
+)
+def q21_multi_supplier_last_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: semi (order has >1 supplier) + anti (no OTHER supplier
+    shipped on the final ship date) chained on the fact table — the
+    blame-the-last-supplier pattern, all equi-joins on orderkey."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    lastship = l.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("mx"))
+    last_lines = (
+        l.join(multi, "l_orderkey")
+        .join(lastship, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("mx"))
+    )
+    others_on_mx = (
+        l.join(lastship, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("mx"))
+        .select("l_orderkey", F.col("l_suppkey").alias("other_supp"))
+    )
+    blamed = last_lines.join(
+        others_on_mx,
+        (last_lines.l_orderkey == others_on_mx.l_orderkey)
+        & (last_lines.l_suppkey != others_on_mx.other_supp),
+        "left_anti",
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("l_suppkey").asc())
+        .limit(20)
+    )

@@ -173,15 +173,28 @@ class TxTable:
 
     # -- public write ops ----------------------------------------------------
 
+    def _check_schema(self, df: DataFrame, merge_schema: bool) -> None:
+        """Delta-style write-time schema enforcement: appends must match the
+        table schema exactly unless the caller opts into evolution."""
+        _v, _files, schema = self.snapshot()
+        if schema is not None and schema != df.schema.json() and not merge_schema:
+            raise ValueError(
+                "txlog schema mismatch: incoming write schema differs from the "
+                "table schema; pass merge_schema=True to evolve (readers then "
+                "merge parquet footers)"
+            )
+
     def append(
         self,
         df: DataFrame,
         partition_by: list[str] | None = None,
         txn: dict | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Atomic append; with ``txn`` a re-delivered batch is a no-op."""
         if self._txn_seen(txn):
             return self.version()
+        self._check_schema(df, merge_schema)
         added = self._stage(df, partition_by)
         return self._commit(added, lambda active: [], df.schema.json(), txn, "append")
 
@@ -224,7 +237,18 @@ class TxTable:
             st = T.StructType.fromJson(json.loads(schema)) if schema else T.StructType([])
             return self.spark.createDataFrame([], st)
         paths = [os.path.join(self.path, f) for f in active]
-        return self.spark.read.option("basePath", self.path).parquet(*paths)
+        reader = self.spark.read.option("basePath", self.path)
+        # evolved tables (ACTIVE files written under >1 schema) need footer
+        # merging; tables whose old schemas were fully overwritten don't
+        file_schema: dict[str, str | None] = {}
+        for c in self._commits():
+            for f in c.get("removed", []):
+                file_schema.pop(f, None)
+            for f in c.get("added", []):
+                file_schema[f] = c.get("schema")
+        if len(set(file_schema.values())) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def vacuum(self) -> int:
         """Delete data files no longer referenced by the CURRENT snapshot.

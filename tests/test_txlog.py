@@ -203,3 +203,19 @@ def test_randomized_ops_match_model(spark, tmp_path):
             t.vacuum()
         got = sorted((r.k, r.v) for r in t.read().collect())
         assert got == sorted(model), f"diverged at step {step} ({op})"
+
+
+def test_schema_enforcement_and_evolution(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    wider = spark.createDataFrame([(2, "b", 9.5)], "k int, v string, w double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(wider)
+    t.append(wider, merge_schema=True)  # explicit evolution
+    got = t.read()
+    assert set(got.columns) == {"k", "v", "w"}
+    rows = {r.k: (r.v, r.w) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # overwrite resets the schema lineage: no more footer merging needed
+    t.overwrite(_df(spark, [(3, "c")]))
+    assert t.read().columns == ["k", "v"]
