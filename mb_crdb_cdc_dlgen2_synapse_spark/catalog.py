@@ -2997,3 +2997,76 @@ def q21_multi_supplier_last_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("l_suppkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "q2_cheapest_supplier_per_part",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey),
+    best AS (
+        SELECT l_partkey, min(unit_cost) AS best_cost
+        FROM cost GROUP BY l_partkey)
+    SELECT c.l_partkey AS p_partkey, min(c.l_suppkey) AS s_suppkey, b.best_cost
+    FROM cost c JOIN best b
+      ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
+    GROUP BY c.l_partkey, b.best_cost
+    """,
+    "J1,A3,W1",
+)
+def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated-min subquery decorrelated to an argmin join-back
+    (per-part min cost, joined back on equality; ties broken by min suppkey).
+    The window-free argmin pattern — one extra tiny aggregate instead of a
+    per-key sort."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == best.l_partkey)
+            & (cost.unit_cost == best.best_cost),
+        )
+        .groupBy(cost.l_partkey.alias("p_partkey"), "best_cost")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+        .select("p_partkey", "s_suppkey", "best_cost")
+    )
+
+
+@register(
+    "q11_important_part_stock",
+    """
+    WITH val AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+        FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, part_value
+    FROM val
+    CROSS JOIN (
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 0.001
+               AS threshold
+        FROM lineitem) t
+    WHERE part_value > t.threshold
+    """,
+    "A1,Q2,J2",
+)
+def q11_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-group value filtered by a GLOBAL threshold (scalar
+    aggregate cross-joined in, Catalyst broadcasts the single row) — the
+    HAVING-against-global-sum pattern."""
+    from .functions.numeric import exact_sum
+
+    l = _t(spark, sf_dir, "lineitem")
+    val = l.groupBy("l_partkey").agg(exact_sum("l_extendedprice").alias("part_value"))
+    thr = l.agg((exact_sum("l_extendedprice") * 0.001).alias("threshold"))
+    return (
+        val.crossJoin(thr)
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )

@@ -283,3 +283,26 @@ def test_csv_compat_reader_equals_text_reader(spark, fixture):
     ra = {t["city"]: t["total_revenue"] for t in revenue_by_city_from_lines(a).collect()}
     rb = {t["city"]: t["total_revenue"] for t in revenue_by_city_from_lines(b).collect()}
     assert ra == rb
+
+
+def test_key_resurrection_after_tombstone(spark, tmp_path):
+    """Insert -> delete -> later re-insert: the key must come back live with
+    the newest image (ordering is numeric on the commit timestamp), in both
+    the plain and transactional merges."""
+    landing = str(tmp_path / "landing")
+    _write_envelope_lines(
+        landing,
+        "2023-01-01",
+        [
+            _env_line("k1", 1.0, "1000000000000000000.0000000000"),
+            _env_line("k1", None, "1000000000000000001.0000000000", delete=True),
+            _env_line("k1", 7.5, "1000000000000000002.0000000000"),
+        ],
+    )
+    state_dir = str(tmp_path / "state")
+    q = materialize_latest_state(
+        changefeed_stream(spark, landing, AFTER_SCHEMA), state_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    rows = read_latest_state(spark, state_dir).collect()
+    assert len(rows) == 1 and rows[0]["after"]["revenue"] == 7.5
