@@ -3026,14 +3026,21 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
     cost = l.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
-    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    # Rename the derived side's columns before the join-back: cost and best
+    # share lineage (both built from the same scan), and Spark's ambiguous-
+    # self-join check rejects attribute-equality conditions between them.
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("best_cost"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
     return (
         cost.join(
             best,
-            (cost.l_partkey == best.l_partkey)
-            & (cost.unit_cost == best.best_cost),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
         )
-        .groupBy(cost.l_partkey.alias("p_partkey"), "best_cost")
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "best_cost")
         .agg(F.min("l_suppkey").alias("s_suppkey"))
         .select("p_partkey", "s_suppkey", "best_cost")
     )
@@ -3049,8 +3056,8 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT l_partkey, part_value
     FROM val
     CROSS JOIN (
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 0.001
-               AS threshold
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(DISTINCT l_partkey) * 1.2 AS threshold
         FROM lineitem) t
     WHERE part_value > t.threshold
     """,
@@ -3059,14 +3066,172 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
 def q11_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 shape: per-group value filtered by a GLOBAL threshold (scalar
     aggregate cross-joined in, Catalyst broadcasts the single row) — the
-    HAVING-against-global-sum pattern."""
+    HAVING-against-global-sum pattern. The threshold is 1.2x the MEAN
+    per-part value (scale-free: TPC-H's fixed fraction of the global sum
+    returns zero rows once part count outgrows 1/fraction)."""
     from .functions.numeric import exact_sum
 
     l = _t(spark, sf_dir, "lineitem")
     val = l.groupBy("l_partkey").agg(exact_sum("l_extendedprice").alias("part_value"))
-    thr = l.agg((exact_sum("l_extendedprice") * 0.001).alias("threshold"))
+    thr = l.agg(
+        (exact_sum("l_extendedprice") / F.countDistinct("l_partkey") * 1.2).alias(
+            "threshold"
+        )
+    )
     return (
         val.crossJoin(thr)
         .filter(F.col("part_value") > F.col("threshold"))
         .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END
+                AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO') nations
+    GROUP BY o_year
+    """,
+    "J1,J2,A1,P6",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional volume per year — a
+    6-way star join (every dimension broadcast, the fact shuffles once for
+    the orders join) feeding a conditional-sum ratio. Ratio of exact decimal
+    sums, computed post-aggregation (NOTES determinism rule 3)."""
+    from .functions.numeric import exact_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                exact_sum(
+                    F.when(F.col("supp_nation") == "NATION_7", volume).otherwise(0.0)
+                )
+                / exact_sum(volume)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * 0.6 * l_quantity
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    "J1,J2,A1,P5,P6",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier-nation and order-year over a
+    name-filtered part subset (~13% of parts match '%gear%'). The testdata
+    has no partsupp table, so supply
+    cost is modeled as 60% of p_retailprice — same join/agg shape, fully
+    oracle-able. Part filter (LIKE) applied BEFORE the broadcast so the
+    hash table holds only matching parts."""
+    from .functions.numeric import exact_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.6 * F.col("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(exact_sum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "q20_heavy_shippers",
+    """
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey),
+    heavy AS (
+        SELECT DISTINCT l_suppkey FROM shipped
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1' AND qty > 50)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s_suppkey
+    """,
+    "J2,J4,A1,P6,Q1",
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers selected via a nested aggregate-threshold
+    subquery (who shipped >50 units of any Brand#1 part in 1997), realized
+    as agg -> broadcast-semi-join chain instead of correlated IN. The
+    testdata has no partsupp, so the availability predicate becomes a
+    shipped-quantity threshold — same semi-join-over-aggregate shape."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    s = _t(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    heavy = (
+        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )
