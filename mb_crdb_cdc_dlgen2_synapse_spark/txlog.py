@@ -52,6 +52,92 @@ class TxConflictError(RuntimeError):
     """Raised internally on a version race; commits retry automatically."""
 
 
+def _footer_stats(parquet_path: str) -> dict:
+    """{"rows": n, "min": {col: v}, "max": {col: v}} from the file's own
+    footer. Only top-level int/float/str columns with sound min/max are
+    recorded (floats dropped on NaN, strings dropped past 256 chars — a
+    truncated max-prefix would prune incorrectly); anything unrecorded is
+    simply never pruned on."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(parquet_path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue
+            st = col.statistics
+            ok = (
+                st is not None
+                and st.has_min_max
+                and isinstance(st.min, (int, float, str))
+                and not isinstance(st.min, bool)
+                and type(st.min) is type(st.max)
+                and st.min == st.min  # NaN check
+                and st.max == st.max
+                and not (isinstance(st.min, str) and (len(st.min) > 256 or len(st.max) > 256))
+            )
+            if not ok:
+                # one bad row group poisons the column for the whole file
+                dropped.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    return {"rows": md.num_rows, "min": mins, "max": maxs}
+
+
+def _partition_values(relpath: str) -> dict[str, str]:
+    """``key=value`` directory segments of a staged file path (hive layout).
+    Values are the raw path strings — equality-comparable only."""
+    out: dict[str, str] = {}
+    for seg in relpath.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+#: predicate ops accepted by ``TxTable.read(predicates=...)``
+_OPS = {
+    "==": lambda lo, hi, v: not (v < lo or v > hi),
+    ">=": lambda lo, hi, v: not (hi < v),
+    ">": lambda lo, hi, v: not (hi <= v),
+    "<=": lambda lo, hi, v: not (lo > v),
+    "<": lambda lo, hi, v: not (lo >= v),
+}
+
+
+def _file_may_match(stats: dict | None, parts: dict[str, str], predicates) -> bool:
+    """False only when the file's stats PROVE no row satisfies every
+    predicate (conjunction). Missing stats for a column -> may match."""
+    for col, op, value in predicates:
+        if op not in _OPS:
+            raise ValueError(f"unsupported predicate op {op!r} (have {sorted(_OPS)})")
+        if col in parts:
+            # partition value: exact, min == max == path string
+            if op == "==" and str(value) != parts[col]:
+                return False
+            continue
+        if not stats:
+            continue
+        lo, hi = stats.get("min", {}).get(col), stats.get("max", {}).get(col)
+        if lo is None or hi is None:
+            continue
+        try:
+            if not _OPS[op](lo, hi, value):
+                return False
+        except TypeError:
+            continue  # incomparable predicate value vs stored stat — keep file
+    return True
+
+
 class TxTable:
     """A transaction-logged parquet table rooted at ``path`` (local/posix
     paths; an object-store deployment maps these to FS-API calls)."""
@@ -86,12 +172,22 @@ class TxTable:
         """All commits, oldest first (the audit log)."""
         return self._commits()
 
-    def snapshot(self) -> tuple[int, list[str], str | None]:
+    def snapshot(self, as_of: int | None = None) -> tuple[int, list[str], str | None]:
         """(version, active data files relative to root, latest schema json).
-        Resolved ONCE per call — the reader's consistent view."""
+        Resolved ONCE per call — the reader's consistent view. ``as_of``
+        replays the log only through that version (time travel): immutable
+        data files + append-only log mean any historical snapshot is
+        reconstructible until ``vacuum()`` reclaims its files."""
         active: list[str] = []
         schema = None
         commits = self._commits()
+        if as_of is not None:
+            commits = [c for c in commits if c["version"] <= as_of]
+            if not commits or commits[-1]["version"] != as_of:
+                raise ValueError(
+                    f"version {as_of} not in log (have "
+                    f"{[c['version'] for c in self._commits()] or 'empty'})"
+                )
         for c in commits:
             removed = set(c.get("removed", []))
             active = [f for f in active if f not in removed]
@@ -110,27 +206,34 @@ class TxTable:
 
     # -- staging -------------------------------------------------------------
 
-    def _stage(self, df: DataFrame, partition_by: list[str] | None) -> list[str]:
+    def _stage(
+        self, df: DataFrame, partition_by: list[str] | None
+    ) -> tuple[list[str], dict[str, dict]]:
         """Write df's files into a staging dir, move them under the table
-        root (immutable, invisible until committed), return their relpaths."""
+        root (immutable, invisible until committed), return (relpaths,
+        per-file stats). Stats are harvested from the parquet footers the
+        write already produced — a driver-side metadata read of O(new files),
+        no extra Spark job (the same write-time collection Delta does)."""
         stage = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(stage)
         moved: list[str] = []
+        stats: dict[str, dict] = {}
         for dirpath, _dirnames, filenames in os.walk(stage):
             for name in filenames:
                 if not name.endswith(".parquet"):
                     continue
                 src = os.path.join(dirpath, name)
                 rel = os.path.relpath(src, stage)
+                stats[rel] = _footer_stats(src)
                 dst = os.path.join(self.path, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.rename(src, dst)
                 moved.append(rel)
         shutil.rmtree(stage, ignore_errors=True)
-        return moved
+        return moved, stats
 
     def _commit(
         self,
@@ -139,6 +242,7 @@ class TxTable:
         schema_json: str,
         txn: dict | None,
         op: str,
+        stats: dict[str, dict] | None = None,
         max_retries: int = 20,
     ) -> int:
         """Put-if-absent commit with optimistic retry. ``removed_fn`` maps the
@@ -154,6 +258,7 @@ class TxTable:
                 "removed": removed_fn(active),
                 "schema": schema_json,
                 "txn": txn,
+                "stats": stats or {},
                 "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
             tmp = os.path.join(
@@ -195,44 +300,82 @@ class TxTable:
         if self._txn_seen(txn):
             return self.version()
         self._check_schema(df, merge_schema)
-        added = self._stage(df, partition_by)
-        return self._commit(added, lambda active: [], df.schema.json(), txn, "append")
+        added, stats = self._stage(df, partition_by)
+        return self._commit(
+            added, lambda active: [], df.schema.json(), txn, "append", stats
+        )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Atomically replace the ENTIRE table content."""
-        added = self._stage(df, partition_by)
+        added, stats = self._stage(df, partition_by)
         return self._commit(
-            added, lambda active: list(active), df.schema.json(), None, "overwrite"
+            added, lambda active: list(active), df.schema.json(), None, "overwrite", stats
         )
 
     def overwrite_partitions(self, df: DataFrame, partition_by: list[str]) -> int:
         """Transactional dynamic partition overwrite: replace exactly the
         partition directories present in ``df`` (other partitions' files are
         untouched). The MERGE-shaped commit used by the CDC state sink."""
-        added = self._stage(df, partition_by)
+        added, stats = self._stage(df, partition_by)
         touched_dirs = {os.path.dirname(rel) for rel in added}
 
         def removed(active: list[str]) -> list[str]:
             return [f for f in active if os.path.dirname(f) in touched_dirs]
 
-        return self._commit(added, removed, df.schema.json(), None, "overwrite_partitions")
+        return self._commit(
+            added, removed, df.schema.json(), None, "overwrite_partitions", stats
+        )
 
     def compact(self, target_files: int = 1) -> int:
         """Rewrite current content into ``target_files`` files in ONE commit —
         the OPTIMIZE analog; concurrent readers keep their snapshot."""
         df = self.read().coalesce(target_files).localCheckpoint(eager=True)
-        added = self._stage(df, None)
+        added, stats = self._stage(df, None)
         return self._commit(
-            added, lambda active: list(active), df.schema.json(), None, "compact"
+            added, lambda active: list(active), df.schema.json(), None, "compact", stats
         )
 
     # -- read / maintenance --------------------------------------------------
 
-    def read(self) -> DataFrame:
-        """DataFrame over the current snapshot's files (partition columns
-        recovered via basePath). Empty table -> empty DF with the last
-        committed schema."""
-        _version, active, schema = self.snapshot()
+    def file_stats(self, as_of: int | None = None) -> dict[str, dict]:
+        """Per-active-file footer stats as recorded in the log (data-skipping
+        index). Log-only metadata — no file I/O."""
+        out: dict[str, dict] = {}
+        for c in self._commits():
+            if as_of is not None and c["version"] > as_of:
+                break
+            for f in c.get("removed", []):
+                out.pop(f, None)
+            for f in c.get("added", []):
+                out[f] = c.get("stats", {}).get(f, {})
+        return out
+
+    def read(
+        self,
+        as_of: int | None = None,
+        predicates: list[tuple] | None = None,
+    ) -> DataFrame:
+        """DataFrame over a snapshot's files (partition columns recovered via
+        basePath). Empty table -> empty DF with the last committed schema.
+
+        ``as_of``: time travel — read the table exactly as of that version.
+        ``predicates``: conjunctive ``(col, op, value)`` triples (ops
+        ``== >= > <= <``). Files whose logged min/max (or hive partition
+        path) prove no match are never opened — log-level data skipping, the
+        same mechanism as Delta/Iceberg file pruning; at 100 TB this is the
+        difference between listing-and-opening every object and touching
+        only the relevant ones. The same predicates are then applied as real
+        ``filter`` s, so the result equals ``read().filter(...)`` exactly.
+        """
+        _version, active, schema = self.snapshot(as_of)
+        predicates = predicates or []
+        if active and predicates:
+            stats = self.file_stats(as_of)
+            active = [
+                f
+                for f in active
+                if _file_may_match(stats.get(f), _partition_values(f), predicates)
+            ]
         if not active:
             st = T.StructType.fromJson(json.loads(schema)) if schema else T.StructType([])
             return self.spark.createDataFrame([], st)
@@ -242,13 +385,21 @@ class TxTable:
         # merging; tables whose old schemas were fully overwritten don't
         file_schema: dict[str, str | None] = {}
         for c in self._commits():
+            if as_of is not None and c["version"] > as_of:
+                break
             for f in c.get("removed", []):
                 file_schema.pop(f, None)
             for f in c.get("added", []):
                 file_schema[f] = c.get("schema")
-        if len(set(file_schema.values())) > 1:
+        if len({file_schema.get(f) for f in active}) > 1:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths)
+        df = reader.parquet(*paths)
+        from pyspark.sql import functions as F
+
+        ops = {"==": "__eq__", ">=": "__ge__", ">": "__gt__", "<=": "__le__", "<": "__lt__"}
+        for col, op, value in predicates:
+            df = df.filter(getattr(F.col(col), ops[op])(F.lit(value)))
+        return df
 
     def vacuum(self) -> int:
         """Delete data files no longer referenced by the CURRENT snapshot.

@@ -219,3 +219,110 @@ def test_schema_enforcement_and_evolution(spark, tmp_path):
     # overwrite resets the schema lineage: no more footer merging needed
     t.overwrite(_df(spark, [(3, "c")]))
     assert t.read().columns == ["k", "v"]
+
+
+def test_time_travel_reads_historical_versions(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))                       # v0
+    t.append(_df(spark, [(2, "b")]))                       # v1
+    t.overwrite(_df(spark, [(9, "z")]))                    # v2
+    assert sorted(r.k for r in t.read(as_of=0).collect()) == [1]
+    assert sorted(r.k for r in t.read(as_of=1).collect()) == [1, 2]
+    assert sorted(r.k for r in t.read(as_of=2).collect()) == [9]
+    assert sorted(r.k for r in t.read().collect()) == [9]
+    with pytest.raises(ValueError):
+        t.read(as_of=7)
+
+
+def test_time_travel_snapshot_survives_later_writes_until_vacuum(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))                       # v0
+    t.overwrite(_df(spark, [(2, "b")]))                    # v1
+    # pre-vacuum: v0's files still on disk -> historical read works
+    assert [r.k for r in t.read(as_of=0).collect()] == [1]
+    t.vacuum()
+    # post-vacuum the v0 files are gone; the log still has the commit, so
+    # snapshot() resolves but the scan fails — same contract as Delta after
+    # VACUUM passes the retention window
+    _v, active, _s = t.snapshot(as_of=0)
+    assert all(not os.path.exists(os.path.join(t.path, f)) for f in active)
+
+
+def test_commit_records_footer_stats(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(5, "x"), (17, "y")], "k int, v string").coalesce(1))
+    stats = t.file_stats()
+    assert len(stats) == 1
+    (s,) = stats.values()
+    assert s["rows"] == 2
+    assert s["min"]["k"] == 5 and s["max"]["k"] == 17
+    assert s["min"]["v"] == "x" and s["max"]["v"] == "y"
+
+
+def test_data_skipping_prunes_files_and_matches_full_filter(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    # three appends with disjoint key ranges -> three files with disjoint stats
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(10)], "k int, v string"
+            ).coalesce(1)
+        )
+    # the pruned read opens only files that may contain k >= 200
+    _v, active, _s = t.snapshot()
+    stats = t.file_stats()
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import _file_may_match, _partition_values
+
+    kept = [
+        f
+        for f in active
+        if _file_may_match(stats.get(f), _partition_values(f), [("k", ">=", 200)])
+    ]
+    assert len(active) == 3 and len(kept) == 1
+    got = sorted(r.k for r in t.read(predicates=[("k", ">=", 200)]).collect())
+    want = sorted(r.k for r in t.read().filter(F.col("k") >= 200).collect())
+    assert got == want == list(range(200, 210))
+    # range predicate across two files
+    got2 = sorted(r.k for r in t.read(predicates=[("k", ">", 95), ("k", "<", 205)]).collect())
+    assert got2 == list(range(100, 110)) + list(range(200, 205))
+
+
+def test_data_skipping_on_hive_partition_values(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, "d1" if i < 5 else "d2") for i in range(10)], "k int, day string"
+    )
+    t.append(df, partition_by=["day"])
+    _v, active, _s = t.snapshot()
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import _file_may_match, _partition_values
+
+    kept = [
+        f
+        for f in active
+        if _file_may_match(t.file_stats().get(f), _partition_values(f), [("day", "==", "d2")])
+    ]
+    assert all("day=d2" in f for f in kept) and kept
+    got = sorted(r.k for r in t.read(predicates=[("day", "==", "d2")]).collect())
+    assert got == list(range(5, 10))
+
+
+def test_data_skipping_never_drops_rows_randomized(spark, tmp_path):
+    """Property: for random predicates, pruned read == full read + filter."""
+    import random
+
+    rng = random.Random(7)
+    t = TxTable(spark, str(tmp_path / "t"))
+    for _ in range(4):
+        rows = [(rng.randrange(1000), rng.choice("abcde")) for _ in range(50)]
+        t.append(spark.createDataFrame(rows, "k int, v string").coalesce(1))
+    full = t.read()
+    for _ in range(8):
+        col, op = rng.choice([("k", ">="), ("k", "<"), ("k", "=="), ("v", "==")])
+        val = rng.randrange(1000) if col == "k" else rng.choice("abcde")
+        ops = {"==": "__eq__", ">=": "__ge__", "<": "__lt__"}
+        want = sorted(
+            (r.k, r.v)
+            for r in full.filter(getattr(F.col(col), ops[op])(F.lit(val))).collect()
+        )
+        got = sorted((r.k, r.v) for r in t.read(predicates=[(col, op, val)]).collect())
+        assert got == want, (col, op, val)
