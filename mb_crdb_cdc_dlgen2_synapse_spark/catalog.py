@@ -3235,3 +3235,100 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup family (X1/X4 at sub-document granularity)
+# ---------------------------------------------------------------------------
+
+_SEGS_CTE = """
+    segs AS (
+        SELECT doc_id, CAST(i AS INT) AS seg_idx,
+               array_to_string(list_slice(string_split(text, ' '),
+                                          i*10 + 1, (i+1)*10), ' ') AS seg
+        FROM documents,
+             LATERAL (SELECT unnest(range(CAST(ceil(len(string_split(text, ' '))/10.0)
+                                          AS BIGINT))) AS i))
+"""
+
+
+@register(
+    "paragraph_dedup_stats",
+    f"""
+    WITH {_SEGS_CTE},
+    hashed AS (SELECT doc_id, seg_idx, md5(seg) AS seg_hash FROM segs),
+    stats AS (
+        SELECT seg_hash, COUNT(DISTINCT doc_id) AS df_docs
+        FROM hashed GROUP BY 1),
+    firsts AS (
+        SELECT seg_hash, doc_id AS f_doc, seg_idx AS f_idx
+        FROM (SELECT seg_hash, doc_id, seg_idx,
+                     row_number() OVER (PARTITION BY seg_hash
+                                        ORDER BY doc_id, seg_idx) AS rn
+              FROM hashed)
+        WHERE rn = 1)
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN s.df_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+           CAST(SUM(CASE WHEN h.doc_id = f.f_doc AND h.seg_idx = f.f_idx
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM hashed h
+    JOIN stats  s USING (seg_hash)
+    JOIN firsts f USING (seg_hash)
+    GROUP BY 1
+    """,
+    "X1,X4,A3,J1,W1",
+)
+def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup accounting: per document, how many
+    10-token segments it has, how many occur in other documents, and how
+    many it KEEPS under the global first-occurrence rule."""
+    return textops.paragraph_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "paragraph_dedup_reassembled",
+    f"""
+    WITH {_SEGS_CTE},
+    hashed AS (SELECT doc_id, seg_idx, seg, md5(seg) AS seg_hash FROM segs),
+    firsts AS (
+        SELECT seg_hash, doc_id AS f_doc, seg_idx AS f_idx
+        FROM (SELECT seg_hash, doc_id, seg_idx,
+                     row_number() OVER (PARTITION BY seg_hash
+                                        ORDER BY doc_id, seg_idx) AS rn
+              FROM hashed)
+        WHERE rn = 1)
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM hashed h JOIN firsts f USING (seg_hash)
+    WHERE h.doc_id = f.f_doc AND h.seg_idx = f.f_idx
+    GROUP BY 1
+    """,
+    "X1,X4,Q4",
+)
+def paragraph_dedup_reassembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduped corpus itself: each surviving document rebuilt from its
+    kept segments in order; fully-duplicate documents vanish."""
+    return textops.paragraph_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_boilerplate_segments",
+    f"""
+    WITH {_SEGS_CTE}
+    SELECT seg,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs,
+           CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM segs
+    GROUP BY seg
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY df_docs DESC, seg ASC
+    LIMIT 20
+    """,
+    "X4,A4,Q1,Q2",
+)
+def corpus_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate removal list: segments shared by >= 2 documents,
+    most-widespread first."""
+    return textops.boilerplate_segments(_t(spark, sf_dir, "documents"))

@@ -242,3 +242,106 @@ def redact_pii(documents: DataFrame) -> DataFrame:
         n_nums.alias("n_long_numbers"),
         redacted.alias("redacted_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style paragraph-level dedup (X1/X4 at sub-document granularity)
+# ---------------------------------------------------------------------------
+
+def paragraph_segments(documents: DataFrame, seg_words: int = 10) -> DataFrame:
+    """Split each document into consecutive ``seg_words``-token segments —
+    the corpus's "paragraphs" (the synthetic docs are single-line, so a
+    fixed-width token window stands in for newline-split paragraphs; real
+    corpora swap the splitter, the rest of the pipeline is unchanged).
+
+    -> (doc_id, seg_idx, seg). Array slicing instead of explode+group keeps
+    each document's segmentation inside one row operation — no shuffle to
+    reassemble token order.
+    """
+    arr = F.split(F.col("text"), " ")
+    n = F.ceil(F.size(arr) / F.lit(float(seg_words))).cast("int")
+    segs = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(F.slice(arr, i * seg_words + 1, seg_words), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
+
+
+def paragraph_dedup_stats(documents: DataFrame, seg_words: int = 10) -> DataFrame:
+    """Per-document paragraph-dedup accounting (CCNet-style: a segment is a
+    duplicate if it occurs in >1 document; the single KEPT occurrence is the
+    globally first (doc_id, seg_idx)).
+
+    -> (doc_id, n_segs, n_dup_segs, n_kept). Scale shape: segments shuffle
+    once on md5(seg) (16-byte keys, not text) for the frequency aggregate,
+    then join back on the same key — partitioning reused, no window over the
+    whole corpus. First-occurrence is min(struct(doc_id, seg_idx)) — a
+    map-side-combinable argmin, not a per-key sort.
+    """
+    segs = paragraph_segments(documents, seg_words).withColumn(
+        "seg_hash", F.md5("seg")
+    )
+    seg_stats = segs.groupBy("seg_hash").agg(
+        F.countDistinct("doc_id").alias("df_docs"),
+        F.min(F.struct("doc_id", "seg_idx")).alias("first_occ"),
+    )
+    joined = segs.join(seg_stats, "seg_hash")
+    kept = (F.col("doc_id") == F.col("first_occ.doc_id")) & (
+        F.col("seg_idx") == F.col("first_occ.seg_idx")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("df_docs") > 1, 1).otherwise(0)).alias("n_dup_segs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+def paragraph_dedup(documents: DataFrame, seg_words: int = 10) -> DataFrame:
+    """The reassembled corpus after paragraph dedup: every duplicated segment
+    survives only at its globally first (doc_id, seg_idx); each surviving
+    document's text is its kept segments re-joined in order.
+
+    -> (doc_id, dedup_text, n_kept). Documents whose every segment already
+    appeared earlier vanish entirely (the aggregate is over kept segments
+    only) — exact-duplicate docs fall out as a special case.
+    """
+    segs = paragraph_segments(documents, seg_words).withColumn(
+        "seg_hash", F.md5("seg")
+    )
+    first = segs.groupBy("seg_hash").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first_occ")
+    )
+    kept = segs.join(first, "seg_hash").filter(
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("seg_idx") == F.col("first_occ.seg_idx"))
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+        lambda x: x["seg"],
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(ordered, " ").alias("dedup_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+def boilerplate_segments(
+    documents: DataFrame, seg_words: int = 10, min_df: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus boilerplate: segments occurring in >= ``min_df`` distinct
+    documents, most-frequent first — the removal list a cleaning pipeline
+    feeds back as a filter. -> (seg, df_docs, occurrences)."""
+    segs = paragraph_segments(documents, seg_words)
+    return (
+        segs.groupBy("seg")
+        .agg(
+            F.countDistinct("doc_id").alias("df_docs"),
+            F.count(F.lit(1)).alias("occurrences"),
+        )
+        .filter(F.col("df_docs") >= min_df)
+        .orderBy(F.col("df_docs").desc(), F.col("seg").asc())
+        .limit(k)
+    )

@@ -40,6 +40,7 @@ for name, qd in sorted(catalog.registry().items()):
         "cdc_dedup_counts",        # crossJoin of two single-row aggregates
         "knn_ivf_probe",           # query-set x centroid-table, both tiny
         "q22_wealthy_inactive_customers",  # 1-row scalar-aggregate broadcast
+        "q11_important_part_stock",  # 1-row global-threshold aggregate broadcast
         "tfidf_top_terms",  # 1-row corpus-size aggregate broadcast
     ):
         issues.append("BNLJ")

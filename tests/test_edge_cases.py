@@ -178,3 +178,37 @@ def test_duplicate_clusters_matches_union_find_on_random_graphs(spark):
             for r in duplicate_clusters(docs, pairs).collect()
         }
         assert got == expected, f"trial {trial} diverged"
+
+
+def test_paragraph_dedup_no_duplicate_segments_survive(spark, sf_dir):
+    """After paragraph dedup, re-segmenting the output yields globally
+    unique segments, and untouched documents round-trip verbatim."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import textops
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = textops.paragraph_dedup(docs).withColumnRenamed("dedup_text", "text")
+    resegs = textops.paragraph_segments(deduped.select("doc_id", "text"))
+    # NOTE: reassembly concatenates kept segments, so segment boundaries in
+    # the output shift where interior segments were dropped; uniqueness must
+    # hold for documents that kept everything (boundaries preserved).
+    intact = deduped.filter(
+        F.col("n_kept") == F.ceil(F.size(F.split("text", " ")) / 10).cast("int")
+    )
+    intact_segs = resegs.join(intact.select("doc_id"), "doc_id")
+    dupes = (
+        intact_segs.groupBy("seg").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+    # stats and reassembly agree on kept counts
+    stats = textops.paragraph_dedup_stats(docs).withColumnRenamed(
+        "n_kept", "n_kept_stats"
+    )
+    joined = deduped.join(stats, "doc_id")
+    assert joined.filter(F.col("n_kept") != F.col("n_kept_stats")).count() == 0
+    # a document with zero duplicated segments reassembles to its own text
+    clean = joined.filter(F.col("n_dup_segs") == 0)
+    orig = docs.select("doc_id", F.col("text").alias("orig"))
+    mismatched = clean.join(orig, "doc_id").filter(F.col("text") != F.col("orig"))
+    assert mismatched.count() == 0
