@@ -138,6 +138,37 @@ def _file_may_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
     return True
 
 
+def _zvalue(df: DataFrame, cols: list[str], bits: int = 6):
+    """Morton (Z-order) key column over numeric ``cols``: each column is
+    bucketed into 2^bits quantile buckets (boundaries from one sampled
+    ``approxQuantile`` pass — never a global sort), then the bucket ids'
+    bits are interleaved. Nulls sort first (bucket 0)."""
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    z = F.lit(0).cast("long")
+    for ci, col in enumerate(cols):
+        cuts = df.approxQuantile(col, probs, 1.0 / (4 * n_buckets))
+        # strictly increasing cut list (duplicates collapse low-cardinality
+        # columns into fewer buckets — harmless)
+        uniq: list[float] = []
+        for c in cuts:
+            if not uniq or c > uniq[-1]:
+                uniq.append(c)
+        bucket = F.lit(0)
+        for c in uniq:
+            bucket = bucket + F.when(F.col(col) > F.lit(c), 1).otherwise(0)
+        bucket = F.coalesce(bucket, F.lit(0)).cast("long")
+        # spread bucket bits to every len(cols)-th position, offset ci
+        for b in range(bits):
+            z = z + (
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+                * F.lit(1 << (b * len(cols) + ci)).cast("long")
+            )
+    return z
+
+
 class TxTable:
     """A transaction-logged parquet table rooted at ``path`` (local/posix
     paths; an object-store deployment maps these to FS-API calls)."""
@@ -326,10 +357,30 @@ class TxTable:
             added, removed, df.schema.json(), None, "overwrite_partitions", stats
         )
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(self, target_files: int = 1, z_order: list[str] | None = None) -> int:
         """Rewrite current content into ``target_files`` files in ONE commit —
-        the OPTIMIZE analog; concurrent readers keep their snapshot."""
-        df = self.read().coalesce(target_files).localCheckpoint(eager=True)
+        the OPTIMIZE analog; concurrent readers keep their snapshot.
+
+        ``z_order``: numeric columns to cluster by Morton (Z-) order before
+        the rewrite — each output file then covers a tight min/max range on
+        EVERY listed column, so ``read(predicates=...)`` skips files for
+        filters on any of them (a linear sort gives that for the first
+        column only). Buckets come from sampled quantiles (one
+        ``approxQuantile`` pass at compact time — maintenance cost, same
+        trade Delta's OPTIMIZE ZORDER makes), then the interleaved-bit key
+        feeds ``repartitionByRange`` + a per-partition sort: no global
+        single-partition sort anywhere."""
+        df = self.read()
+        if z_order:
+            df = (
+                df.withColumn("__z", _zvalue(df, z_order))
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.coalesce(target_files)
+        df = df.localCheckpoint(eager=True)
         added, stats = self._stage(df, None)
         return self._commit(
             added, lambda active: list(active), df.schema.json(), None, "compact", stats

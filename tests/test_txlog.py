@@ -326,3 +326,36 @@ def test_data_skipping_never_drops_rows_randomized(spark, tmp_path):
         )
         got = sorted((r.k, r.v) for r in t.read(predicates=[(col, op, val)]).collect())
         assert got == want, (col, op, val)
+
+
+def test_zorder_compact_prunes_on_both_columns(spark, tmp_path):
+    """After OPTIMIZE ZORDER BY (x, y), point predicates on EITHER column
+    must skip files (a linear sort clusters only its leading column), and
+    pruned reads stay exact."""
+    import random
+
+    rng = random.Random(13)
+    t = TxTable(spark, str(tmp_path / "t"))
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(4000)]
+    t.append(spark.createDataFrame(rows, "x int, y int"))
+    t.compact(target_files=4, z_order=["x", "y"])
+    _v, active, _s = t.snapshot()
+    assert len(active) == 4
+    stats = t.file_stats()
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import _file_may_match, _partition_values
+
+    def kept(preds):
+        return [
+            f
+            for f in active
+            if _file_may_match(stats.get(f), _partition_values(f), preds)
+        ]
+
+    assert len(kept([("x", "<", 64)])) < 4
+    assert len(kept([("y", "<", 64)])) < 4
+    # exactness under pruning
+    got = sorted(
+        (r.x, r.y) for r in t.read(predicates=[("x", "<", 64), ("y", "<", 64)]).collect()
+    )
+    want = sorted((x, y) for x, y in rows if x < 64 and y < 64)
+    assert got == want
