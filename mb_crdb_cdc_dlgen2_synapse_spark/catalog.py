@@ -3332,3 +3332,67 @@ def corpus_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The boilerplate removal list: segments shared by >= 2 documents,
     most-widespread first."""
     return textops.boilerplate_segments(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "training_sequence_packing",
+    r"""
+    WITH counted AS (
+        SELECT source AS shard, doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum
+        FROM counted)
+    SELECT shard, doc_id, n_tokens,
+           CAST(floor(cum / 256) AS BIGINT) AS seq_id,
+           CAST(cum % 256 AS BIGINT) AS seq_offset,
+           CAST(greatest(floor((cum + n_tokens - 1) / 256.0)
+                         - floor(cum / 256.0) + 1, 1) AS BIGINT) AS seq_spans
+    FROM packed
+    """,
+    "W3,A1,P6",
+)
+def training_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chop packing of each source shard's documents into
+    256-token training sequences: where every document lands (sequence id,
+    offset, sequences crossed). Sharded running totals — the window
+    partitions by source, so shards pack in parallel."""
+    return textops.sequence_packing(_t(spark, sf_dir, "documents"), budget=256)
+
+
+@register(
+    "benchmark_contamination",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+    grams AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(tk) - 8, 0) + 2),
+            i -> array_to_string(tk[i:i+7], ' '))) AS gs
+        FROM toks WHERE len(tk) > 0),
+    bench AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 10 = 0),
+    train AS (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 10 <> 0),
+    totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM train GROUP BY 1),
+    hits AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM train t JOIN bench b USING (gram) GROUP BY 1)
+    SELECT doc_id, n_grams, n_hits,
+           CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination
+    FROM totals JOIN hits USING (doc_id)
+    """,
+    "X4,J1,J2,A3",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training documents sharing >= 1 distinct
+    8-token n-gram with the benchmark subset (doc_id % 10 == 0), with their
+    contamination ratio — the removal/review list a pretraining pipeline
+    acts on."""
+    return textops.benchmark_contamination(_t(spark, sf_dir, "documents"))

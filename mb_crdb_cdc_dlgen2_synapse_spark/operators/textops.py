@@ -345,3 +345,93 @@ def boilerplate_segments(
         .orderBy(F.col("df_docs").desc(), F.col("seg").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-set assembly: sequence packing and benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def sequence_packing(
+    documents: DataFrame, budget: int = 256, shard_col: str = "source"
+) -> DataFrame:
+    """Concatenate-and-chop packing of documents into fixed-token training
+    sequences (the GPT-style pretraining layout): within each shard,
+    documents concatenate in doc_id order and are chopped into
+    ``budget``-token sequences.
+
+    -> (shard, doc_id, n_tokens, seq_id, seq_offset, seq_spans): the
+    sequence each document starts in, its token offset there, and how many
+    sequences it crosses.
+
+    Scale shape: the running total is a window partitioned BY SHARD — the
+    natural parallel unit (each shard packs independently; a whole corpus is
+    many shards). A single global ordering would serialize into one
+    partition; sharded packing is both what production pipelines do and what
+    scales.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    docs = documents.select(
+        F.col(shard_col).alias("shard"), "doc_id", n_tok.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    seq_id = F.floor(cum / budget).cast("long")
+    last_seq = F.floor((cum + F.col("n_tokens") - 1) / budget).cast("long")
+    return docs.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        seq_id.alias("seq_id"),
+        (cum % budget).cast("long").alias("seq_offset"),
+        F.greatest(last_seq - seq_id + 1, F.lit(1).cast("long")).alias("seq_spans"),
+    )
+
+
+def benchmark_contamination(
+    documents: DataFrame, gram_k: int = 8, benchmark_mod: int = 10
+) -> DataFrame:
+    """Eval-set decontamination accounting: docs with ``doc_id %
+    benchmark_mod == 0`` stand in for the benchmark; every other (training)
+    document is scored by how many of its distinct ``gram_k``-token n-grams
+    appear anywhere in the benchmark.
+
+    -> (doc_id, n_grams, n_hits, contamination) for training docs with at
+    least one hit — the removal/review list.
+
+    Scale shape: distinct benchmark grams are a one-column relation joined
+    equi on the gram; Catalyst/AQE picks broadcast vs shuffle by its size
+    (eval sets are tiny next to the corpus — this is the broadcast side).
+    No pair enumeration: cost tracks gram matches, never |train| x |bench|.
+    """
+    from .dedup import word_shingles
+
+    bench = documents.filter(F.col("doc_id") % benchmark_mod == 0)
+    train = documents.filter(F.col("doc_id") % benchmark_mod != 0)
+    bench_grams = (
+        word_shingles(bench, k=gram_k)
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    train_grams = word_shingles(train, k=gram_k).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    totals = train_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train_grams.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return totals.join(hits, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_grams").cast("double")).alias(
+            "contamination"
+        ),
+    )

@@ -120,3 +120,32 @@ def test_dfcap_jaccard_is_subset_quality(spark, sf_dir):
               if r["jaccard"] >= 0.999}
     assert full <= capped or full == capped or full >= capped  # both find the injected dups
     assert len(capped) >= len(full) * 0.5
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing is gapless and consistent: offsets stay inside the budget,
+    spans agree with (offset + n_tokens), and per-shard token totals equal
+    the final document's end position."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import textops
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    B = 256
+    packed = textops.sequence_packing(load_table(spark, sf_dir, "documents"), budget=B)
+    assert packed.filter((F.col("seq_offset") < 0) | (F.col("seq_offset") >= B)).count() == 0
+    bad_span = packed.filter(
+        F.col("seq_spans")
+        != F.greatest(
+            F.floor((F.col("seq_id") * B + F.col("seq_offset") + F.col("n_tokens") - 1) / B)
+            - F.col("seq_id")
+            + 1,
+            F.lit(1),
+        )
+    )
+    assert bad_span.count() == 0
+    # per shard: sum of token counts == last doc's global end position
+    ends = packed.groupBy("shard").agg(
+        F.sum("n_tokens").alias("total"),
+        F.max(F.col("seq_id") * B + F.col("seq_offset") + F.col("n_tokens")).alias("end"),
+    )
+    assert ends.filter(F.col("total") != F.col("end")).count() == 0
