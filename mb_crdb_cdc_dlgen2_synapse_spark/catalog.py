@@ -3396,3 +3396,49 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination ratio — the removal/review list a pretraining pipeline
     acts on."""
     return textops.benchmark_contamination(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "last_click_before_error",
+    """
+    WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    clicks AS (
+        SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY value DESC) AS rn
+            FROM events WHERE event_type = 'click')
+        WHERE rn = 1)
+    SELECT e.event_id, e.user_id,
+           epoch(e.ts) - epoch(c.ts) AS gap_s,
+           c.value AS click_value
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    "J6,W2,T2",
+)
+def last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the event stream: for every error event, the same
+    user's most recent click at-or-before it (time-to-failure analysis).
+    Spark side is the union-tag + running-last asof_join operator — one
+    shuffle, no range explosion; oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"), "value"
+    )
+    res = relational.asof_join(
+        errors, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["click_ts", "value"],
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        (F.col("ts").cast("double") - F.col("asof_click_ts").cast("double")).alias(
+            "gap_s"
+        ),
+        F.col("asof_value").alias("click_value"),
+    )

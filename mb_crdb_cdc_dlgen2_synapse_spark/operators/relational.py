@@ -411,3 +411,70 @@ def salted_aggregate(
         F.sum("__n").alias("n_orders"),
         F.sum("__s").cast("double").alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join (J6 extension): nearest-prior-event match, no range explosion
+# --------------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """As-of join: for every left row, the single right row with the
+    greatest ``right_ts`` <= ``left_ts`` for the same ``key`` (left rows
+    with no prior right row keep NULL payloads). The operator Spark lacks
+    natively (DuckDB/kdb ASOF JOIN; Pandas merge_asof).
+
+    Spark-first plan — union-tag + running ``last(ignorenulls)``:
+
+    1. dedup the right side per (key, ts) with an argmax struct (makes tie
+       resolution deterministic, which native ASOF leaves unspecified),
+    2. union both sides with a tag, right-before-left at equal ts so an
+       exactly-simultaneous right row IS visible (<= semantics),
+    3. one window per key ordered by (ts, tag): ``last(payload,
+       ignorenulls=True)`` over rows-unbounded-preceding carries the most
+       recent right payload forward,
+    4. keep the left rows.
+
+    ONE shuffle (on key), linear in |left| + |right|: never the range-join
+    explosion (|left| x |right per key|) a naive BETWEEN join produces, and
+    never a per-left-row sort. At 100 TB both sides shuffle once on the same
+    key and the window is a single pass per partition.
+    """
+    payload = [F.max(F.struct(*payload_cols)).alias("__p")]
+    r = (
+        right.groupBy(F.col(key).alias("__k"), F.col(right_ts).alias("__ts"))
+        .agg(*payload)
+        .select("__k", "__ts", F.lit(0).alias("__is_left"), "__p")
+    )
+    left_cols = left.columns
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c) for c in left_cols],
+    )
+    r_full = r.select(
+        "__k", "__ts", "__is_left", "__p",
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = l.unionByName(r_full).withColumn(
+        "__match", F.last("__p", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *left_cols,
+        *[F.col(f"__match.{p}").alias(f"asof_{p}") for p in payload_cols],
+        F.col("__match").isNotNull().alias("asof_matched"),
+    )
+    return out

@@ -212,3 +212,31 @@ def test_paragraph_dedup_no_duplicate_segments_survive(spark, sf_dir):
     orig = docs.select("doc_id", F.col("text").alias("orig"))
     mismatched = clean.join(orig, "doc_id").filter(F.col("text") != F.col("orig"))
     assert mismatched.count() == 0
+
+
+def test_asof_join_semantics(spark):
+    """<= inclusion at equal timestamps, NULL payloads before any right row,
+    and carry-forward across multiple left rows."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.relational import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("u1", 5, "l1"), ("u1", 10, "l2"), ("u1", 2, "l0"), ("u2", 7, "l3")],
+        "k string, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, 50.0), ("u1", 3, 30.0), ("u3", 1, 10.0)],
+        "k string, t int, v double",
+    )
+    out = {
+        r.tag: (r.asof_rt, r.asof_v, r.asof_matched)
+        for r in asof_join(
+            left,
+            right.select("k", "t", F.col("t").alias("rt"), "v"),
+            key="k", left_ts="t", right_ts="t", payload_cols=["rt", "v"],
+        ).collect()
+    }
+    assert out["l0"] == (None, None, False)      # before any right row
+    assert out["l1"] == (5, 50.0, True)          # equal ts matches (<=)
+    assert out["l2"] == (5, 50.0, True)          # carried forward
+    assert out["l3"] == (None, None, False)      # no right rows for key

@@ -151,3 +151,20 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_asof_join_single_exchange_no_join_explosion(spark, sf_dir):
+    """The as-of join must plan as union + one hash-partition exchange per
+    input + window — never a physical join node (no BNLJ/cartesian, no
+    range-join row explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"), "value"
+    )
+    df = relational.asof_join(left, right, "user_id", "ts", "ts", ["click_ts", "value"])
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" in plan
