@@ -3442,3 +3442,88 @@ def last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("asof_value").alias("click_value"),
     )
+
+
+@register(
+    "window_distribution_funcs",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice ASC, o_orderkey ASC
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    "W1,W3",
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3 distribution family: ntile, percent_rank, cume_dist,
+    first_value, nth_value — one window per priority with a unique tiebreak
+    (ranking determinism rule), single shuffle shared by all five."""
+    from pyspark.sql import Window as PW
+
+    o = _t(spark, sf_dir, "orders")
+    w = PW.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(PW.unboundedPreceding, PW.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+    )
+
+
+@register(
+    "streaming_dedup_ingest",
+    None,  # foreachBatch + txlog anti-join — not SQL-expressible
+    "S1,T1,T8,X1,Q4",
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest pipeline: a document stream (first 200 docs, with
+    every 10th re-delivered in a later file to simulate at-least-once
+    duplicates) lands in a txlog table; each micro-batch drops content
+    hashes already committed. Returns the final deduplicated table —
+    rows-only for the driver; exactness covered by tests/test_txlog.py."""
+    import json as _json
+
+    from .txlog import TxTable, stream_dedup_to_tx_table
+
+    tmp = _scratch("dedup_ingest")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    with open(os.path.join(landing, "b1.ndjson"), "w") as f:
+        for r in docs:
+            f.write(_json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    with open(os.path.join(landing, "b2.ndjson"), "w") as f:
+        for r in docs:
+            if r.doc_id % 10 == 0:  # re-delivered duplicates, new ids
+                f.write(
+                    _json.dumps({"doc_id": r.doc_id + 100000, "text": r.text}) + "\n"
+                )
+    stream = spark.readStream.schema("doc_id long, text string").json(landing)
+    table_dir = os.path.join(tmp, "table")
+    q = stream_dedup_to_tx_table(stream, table_dir, os.path.join(tmp, "ckpt"))
+    q.awaitTermination()
+    return (
+        TxTable(spark, table_dir)
+        .read()
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )

@@ -500,3 +500,59 @@ def stream_to_tx_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_to_tx_table(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Dedup-on-ingest (X1 as a streaming pipeline): each micro-batch keeps
+    only documents whose normalized content hash is new — first doc_id wins
+    within the batch, and an anti-join against the committed table drops
+    anything seen in ANY earlier batch — then appends atomically with a txn
+    marker (exactly-once across restarts, same protocol as
+    ``stream_to_tx_table``).
+
+    Scale shape: the state side is only READ (hash column scan — Parquet
+    column pruning means the text never moves), never rewritten; per-batch
+    cost is O(batch + state-hash-scan), and the anti-join shuffles 16-byte
+    hashes. A production deployment puts a bloom/bucket pre-filter in front
+    of the anti-join; the dataflow is unchanged.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    app_id = os.path.abspath(checkpoint_dir)
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        table = TxTable(batch.sparkSession, table_dir)
+        hashed = batch.withColumn(
+            "content_hash",
+            F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        )
+        w = Window.partitionBy("content_hash").orderBy("doc_id")
+        firsts = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if table.version() >= 0:
+            seen = table.read().select("content_hash")
+            # reselect in the original order — the USING join moves the key
+            # column first, which would trip write-time schema enforcement
+            firsts = firsts.join(seen, "content_hash", "left_anti").select(
+                *hashed.columns
+            )
+        table.append(firsts, txn={"app": app_id, "batch": batch_id})
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

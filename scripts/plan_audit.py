@@ -21,7 +21,12 @@ from mb_crdb_cdc_dlgen2_synapse_spark.session import get_spark  # noqa: E402
 spark = get_spark(app_name="plan_audit", master="local[4]", shuffle_partitions=8)
 spark.sparkContext.setLogLevel("ERROR")
 
-SKIP = {"cdc_streaming_pipeline", "flagship_silver_lake", "silver_partition_pruning"}
+SKIP = {
+    "cdc_streaming_pipeline",
+    "flagship_silver_lake",
+    "silver_partition_pruning",
+    "streaming_dedup_ingest",
+}
 # ^ these build temp dirs as a side effect; their plans are covered by tests
 
 flags = 0

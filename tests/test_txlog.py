@@ -359,3 +359,44 @@ def test_zorder_compact_prunes_on_both_columns(spark, tmp_path):
     )
     want = sorted((x, y) for x, y in rows if x < 64 and y < 64)
     assert got == want
+
+
+def test_stream_dedup_ingest_drops_cross_batch_duplicates(spark, tmp_path):
+    """Dedup-on-ingest: duplicates are dropped within a batch, across
+    batches, and across a stream restart (txn markers make re-delivered
+    batches no-ops)."""
+    import json as _json
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import stream_dedup_to_tx_table
+
+    land = tmp_path / "land"
+    land.mkdir()
+    docs_schema = "doc_id long, text string"
+
+    def write_batch(name, rows):
+        with open(land / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    write_batch("b1.ndjson", [(1, "alpha beta"), (2, "Alpha  Beta"), (3, "gamma")])
+    table_dir, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(docs_schema).json(str(land))
+        q = stream_dedup_to_tx_table(stream, table_dir, ckpt)
+        q.awaitTermination()
+
+    run()
+    t = TxTable(spark, table_dir)
+    got = {r.doc_id for r in t.read().collect()}
+    assert got == {1, 3}  # doc 2 is doc 1 after normalization (case+spaces)
+    # second batch arrives: one new doc, one duplicate of an OLD batch
+    write_batch("b2.ndjson", [(4, "alpha beta"), (5, "delta")])
+    run()
+    got = {r.doc_id: r.content_hash for r in t.read().collect()}
+    assert set(got) == {1, 3, 5}
+    assert len(set(got.values())) == 3
+    # restart with no new data: no growth, no duplicate commits
+    v = t.version()
+    run()
+    assert t.version() == v and {r.doc_id for r in t.read().collect()} == {1, 3, 5}
