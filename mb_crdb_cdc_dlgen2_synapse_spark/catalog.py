@@ -93,8 +93,8 @@ _DRIVER_PRIORITY: list[str] = [
     "datetime_projection",
     "math_projection",
     "array_ops_showcase",
-    # aggregations (A3-A5)
-    "agg_stats_orders",
+    # aggregations (A3-A5; agg_stats_orders recorded green in r01, now below
+    # the fold — percentiles_by_status keeps A3 in-window)
     "percentiles_by_status",
     "distinct_customers_per_priority",
     "rollup_status_priority",
@@ -109,16 +109,15 @@ _DRIVER_PRIORITY: list[str] = [
     "order_gap_days",
     "cumulative_daily_revenue",
     "top_orders_per_segment",
-    # sorts / limits / set ops (Q1-Q3, Q5)
+    # sorts / limits / set ops (Q1-Q3, Q5; Q3's union form is co-certified
+    # in-window by multi_day_glob_revenue, union_hi_lo below the fold)
     "top_orders_global",
-    "union_hi_lo_value_orders",
     "intersect_except_customers",
     # LLM-pipeline: dedup (X1, X2)
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_jaccard_dfcap",
     "dedup_simhash",
-    "dedup_embedding_cosine",
     # similarity (X3)
     "knn_cosine_bruteforce",
     # text analysis (X4)
@@ -128,6 +127,12 @@ _DRIVER_PRIORITY: list[str] = [
     "tfidf_top_terms",
     # multimodal (X5; X6 rows-only via media_features below the fold)
     "media_binary_stats",
+    # round-2 flagship additions: paragraph-level dedup, as-of join,
+    # decontamination (dedup_embedding_cosine / agg_stats_orders moved below
+    # the fold — their ids stay certified by in-window peers + r01 rows)
+    "paragraph_dedup_stats",
+    "last_click_before_error",
+    "benchmark_contamination",
 ]
 
 
