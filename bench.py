@@ -53,6 +53,13 @@ HEADLINE = [
     "q10_returned_revenue",        # selective fact join + top-k
     "q18_large_orders",            # HAVING over grouped join
     "tfidf_top_terms",             # two-aggregation text pipeline
+    # round-2 additions
+    "q8_market_share",             # 6-way broadcast star + conditional ratio
+    "paragraph_dedup_stats",       # segment explode + hash agg + join-back
+    "benchmark_contamination",     # 8-gram overlap join
+    "last_click_before_error",     # as-of join (union-tag window)
+    "training_sequence_packing",   # sharded running-total window
+    "knn_cosine_arrow",            # Arrow/numpy vectorized top-k
 ]
 
 

@@ -3383,8 +3383,12 @@ def training_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             range(1, greatest(len(tk) - 8, 0) + 2),
             i -> array_to_string(tk[i:i+7], ' '))) AS gs
         FROM toks WHERE len(tk) > 0),
-    bench AS (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 10 = 0),
-    train AS (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 10 <> 0),
+    bench AS (
+        SELECT DISTINCT ('0x' || substr(md5(unnest(gs)), 1, 16))::UBIGINT AS gram
+        FROM grams WHERE doc_id % 10 = 0),
+    train AS (
+        SELECT doc_id, ('0x' || substr(md5(unnest(gs)), 1, 16))::UBIGINT AS gram
+        FROM grams WHERE doc_id % 10 <> 0),
     totals AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM train GROUP BY 1),
     hits AS (
         SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits

@@ -140,3 +140,33 @@ class Engine:
         from .operators.similarity import quantize_int8
 
         return quantize_int8(embeddings, **kw)
+
+    def paragraph_dedup(self, documents: DataFrame, **kw) -> DataFrame:
+        """CCNet-style sub-document dedup: the reassembled corpus."""
+        from .operators import textops
+
+        return textops.paragraph_dedup(documents, **kw)
+
+    def pack_sequences(self, documents: DataFrame, budget: int = 256, **kw) -> DataFrame:
+        """Concatenate-and-chop documents into fixed-token training sequences."""
+        from .operators import textops
+
+        return textops.sequence_packing(documents, budget=budget, **kw)
+
+    def decontaminate(self, documents: DataFrame, **kw) -> DataFrame:
+        """n-gram overlap report of training docs vs the benchmark subset."""
+        from .operators import textops
+
+        return textops.benchmark_contamination(documents, **kw)
+
+    def asof_join(self, left: DataFrame, right: DataFrame, **kw) -> DataFrame:
+        """Nearest-prior-match join (see operators.relational.asof_join)."""
+        from .operators.relational import asof_join
+
+        return asof_join(left, right, **kw)
+
+    def start_dedup_ingestion(self, stream: DataFrame, table_dir: str, checkpoint_dir: str, **kw):
+        """Dedup-on-ingest: stream -> txlog table keeping first-seen content only."""
+        from .txlog import stream_dedup_to_tx_table
+
+        return stream_dedup_to_tx_table(stream, table_dir, checkpoint_dir, **kw)

@@ -54,12 +54,26 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row pipelines don't serialize on a single task:
+    a small single-file (one-row-group) source scans as ONE partition, which
+    pins all shingling/hashing to one core. Repartition only when below the
+    session's parallelism — on a many-file 100 TB input this is a no-op (the
+    scan already has more partitions than cores); locally it costs one tiny
+    shuffle of the input rows and buys core-count speedup."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(documents: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct k-word shingles per document (the MinHash/Jaccard item set).
 
     Pure higher-order functions: tokenize -> sliding window via
     transform(sequence) -> distinct. Stays one row per doc until exploded.
     """
+    documents = _spread(documents)
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     # drop zero-token docs BEFORE shingling: sequence(0,0) over an empty
     # token array would otherwise yield one empty shingle

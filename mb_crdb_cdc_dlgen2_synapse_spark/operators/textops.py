@@ -258,6 +258,9 @@ def paragraph_segments(documents: DataFrame, seg_words: int = 10) -> DataFrame:
     each document's segmentation inside one row operation — no shuffle to
     reassemble token order.
     """
+    from .dedup import _spread
+
+    documents = _spread(documents)
     arr = F.split(F.col("text"), " ")
     n = F.ceil(F.size(arr) / F.lit(float(seg_words))).cast("int")
     segs = F.when(
@@ -413,14 +416,22 @@ def benchmark_contamination(
 
     bench = documents.filter(F.col("doc_id") % benchmark_mod == 0)
     train = documents.filter(F.col("doc_id") % benchmark_mod != 0)
+    # hash each gram to a 64-bit md5 prefix BEFORE the distinct + join: the
+    # shuffle then moves 8-byte keys instead of ~50-char strings (measured
+    # 5.1 s -> see bench) and the oracle computes the identical hash, so any
+    # (cosmically unlikely) collision affects both engines the same way
+    gram_hash = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c), 1, 16), 16, 10
+    ).cast("decimal(38,0)")
     bench_grams = (
         word_shingles(bench, k=gram_k)
-        .select(F.explode("shingles").alias("gram"))
+        .select(F.explode("shingles").alias("g"))
+        .select(gram_hash(F.col("g")).alias("gram"))
         .distinct()
     )
     train_grams = word_shingles(train, k=gram_k).select(
-        "doc_id", F.explode("shingles").alias("gram")
-    )
+        "doc_id", F.explode("shingles").alias("g")
+    ).select("doc_id", gram_hash(F.col("g")).alias("gram"))
     totals = train_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         train_grams.join(bench_grams, "gram")

@@ -69,6 +69,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # split SMALL single-file tables across cores: CPU-heavy per-row
+        # pipelines (shingling, segment hashing) otherwise serialize on one
+        # task when the input is one compact parquet file; on a cluster this
+        # likewise spreads small inputs across executors instead of pinning
+        # them to one
+        .config("spark.sql.files.minPartitionNum", str(int(cpus)))
         .config("spark.ui.enabled", "false")
         # driver heap is set via PYSPARK_SUBMIT_ARGS above (builder-time
         # spark.driver.memory cannot resize an already-launched JVM)

@@ -87,3 +87,27 @@ def test_tx_ingestion_and_llm_surface(spark, sf_dir, tmp_path):
     qd = eng.quantize_embeddings(emb)
     assert qd.columns == ["vec_id", "scale", "qvec"]
     assert qd.count() == 20
+
+
+def test_facade_round2_surface(spark, sf_dir):
+    """The round-2 additions are reachable through the Engine facade."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.engine import Engine
+    from pyspark.sql import functions as F
+
+    e = Engine(spark, sf_dir)
+    docs = e.table("documents")
+    assert e.paragraph_dedup(docs).columns == ["doc_id", "dedup_text", "n_kept"]
+    packed = e.pack_sequences(docs, budget=128)
+    assert {"seq_id", "seq_offset", "seq_spans"} <= set(packed.columns)
+    assert e.decontaminate(docs).columns == [
+        "doc_id", "n_grams", "n_hits", "contamination",
+    ]
+    ev = e.table("events")
+    out = e.asof_join(
+        ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts").limit(50),
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("v")
+        ),
+        key="user_id", left_ts="ts", right_ts="ts", payload_cols=["v"],
+    )
+    assert "asof_v" in out.columns and out.count() == 50
