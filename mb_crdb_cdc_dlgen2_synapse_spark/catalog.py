@@ -3630,3 +3630,66 @@ def knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.brute_force_topk_arrow(emb, queries, k=5)
+
+
+@register(
+    "conversion_funnel",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS first_view
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS first_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.first_view GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.first_click GROUP BY 1)
+    SELECT CAST(count(v.user_id) AS BIGINT) AS n_viewed,
+           CAST(count(c.user_id) AS BIGINT) AS n_clicked,
+           CAST(count(p.user_id) AS BIGINT) AS n_purchased,
+           CAST(SUM(CAST(epoch(p.first_purchase) - epoch(v.first_view)
+                         AS DECIMAL(18,6))) AS DOUBLE)
+               / count(p.user_id) AS avg_convert_s
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON c.user_id = p.user_id
+    """,
+    "A3,J1,J3,P6,T2",
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence funnel over the event stream: view -> first
+    click strictly after it -> first purchase strictly after that, with
+    per-stage user counts and mean view-to-purchase latency. Each stage is
+    a min-aggregate + equi-join on user_id — every join reuses the same key
+    partitioning, and no stage materializes per-event pairs."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame, prev_col: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = first_after("click", v, "first_view", "first_click")
+    p = first_after("purchase", c, "first_click", "first_purchase")
+    joined = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return joined.agg(
+        F.count("first_view").alias("n_viewed"),
+        F.count("first_click").alias("n_clicked"),
+        F.count("first_purchase").alias("n_purchased"),
+        (
+            F.sum(
+                (
+                    F.col("first_purchase").cast("double")
+                    - F.col("first_view").cast("double")
+                ).cast("decimal(18,6)")
+            ).cast("double")
+            / F.count("first_purchase")
+        ).alias("avg_convert_s"),
+    )

@@ -111,6 +111,7 @@ _OPS = {
     ">": lambda lo, hi, v: not (hi <= v),
     "<=": lambda lo, hi, v: not (lo > v),
     "<": lambda lo, hi, v: not (lo >= v),
+    "in": lambda lo, hi, vs: any(not (v < lo or v > hi) for v in vs),
 }
 
 
@@ -123,6 +124,8 @@ def _file_may_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
         if col in parts:
             # partition value: exact, min == max == path string
             if op == "==" and str(value) != parts[col]:
+                return False
+            if op == "in" and parts[col] not in {str(v) for v in value}:
                 return False
             continue
         if not stats:
@@ -449,7 +452,10 @@ class TxTable:
 
         ops = {"==": "__eq__", ">=": "__ge__", ">": "__gt__", "<=": "__le__", "<": "__lt__"}
         for col, op, value in predicates:
-            df = df.filter(getattr(F.col(col), ops[op])(F.lit(value)))
+            if op == "in":
+                df = df.filter(F.col(col).isin(list(value)))
+            else:
+                df = df.filter(getattr(F.col(col), ops[op])(F.lit(value)))
         return df
 
     def vacuum(self) -> int:

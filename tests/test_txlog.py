@@ -400,3 +400,37 @@ def test_stream_dedup_ingest_drops_cross_batch_duplicates(spark, tmp_path):
     v = t.version()
     run()
     assert t.version() == v and {r.doc_id for r in t.read().collect()} == {1, 3, 5}
+
+
+def test_ivf_materialized_probe_reads_only_probed_partitions(spark, tmp_path, sf_dir):
+    """Operator x storage composition: the IVF corpus materialized as a
+    txlog table partitioned by list id; an nprobe read with an `in`
+    predicate must open only the probed partitions' files and return
+    exactly those lists' vectors."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.clustering import kmeans
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import _file_may_match, _partition_values
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _centroids, assigned = kmeans(emb, k=4, n_iter=1)
+    t = TxTable(spark, str(tmp_path / "ivf"))
+    t.append(
+        assigned.select("vec_id", F.col("cid").alias("list_id"), "embedding"),
+        partition_by=["list_id"],
+    )
+    probe = [0, 2]
+    _v, active, _s = t.snapshot()
+    stats = t.file_stats()
+    kept = [
+        f
+        for f in active
+        if _file_may_match(stats.get(f), _partition_values(f), [("list_id", "in", probe)])
+    ]
+    assert kept and all(
+        _partition_values(f)["list_id"] in {"0", "2"} for f in kept
+    )
+    assert len(kept) < len(active)
+    got = t.read(predicates=[("list_id", "in", probe)])
+    want = t.read().filter(F.col("list_id").isin(probe))
+    assert got.count() == want.count() > 0
+    assert {r.list_id for r in got.select("list_id").distinct().collect()} <= {0, 2}
