@@ -3693,3 +3693,31 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("first_purchase")
         ).alias("avg_convert_s"),
     )
+
+
+@register(
+    "props_variant_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1
+    """,
+    "P1,P8,A3",
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse_json once,
+    variant_get typed extraction — the modern engine path for schema-on-read
+    JSON (binary-encoded, no per-query string re-parse), aggregated per
+    event type. Oracle extracts the same path with DuckDB's JSON functions."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
