@@ -3721,3 +3721,39 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.sum(k).alias("sum_k"),
     )
+
+
+@register(
+    "rag_overlap_chunks",
+    """
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk,
+           CAST(least(n_chars - i * 150, 200) AS BIGINT) AS chunk_len
+    FROM documents,
+         LATERAL (SELECT unnest(range(CAST(ceil(greatest(n_chars - 50, 1) / 150.0)
+                                      AS BIGINT))) AS i)
+    """,
+    "X4,P5,P8",
+)
+def rag_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: 200-char chunks every 150 chars
+    (50-char overlap so no boundary ever splits context from both
+    neighbors). Chunk starts are generated per row with sequence/transform —
+    no shuffle at all; the whole op is map-side."""
+    d = _t(spark, sf_dir, "documents")
+    stride, size = 150, 200
+    n = F.ceil(F.greatest(F.col("n_chars") - 50, F.lit(1)) / stride).cast("int")
+    idx = F.sequence(F.lit(0), n - 1)
+    return d.select(
+        "doc_id",
+        F.posexplode(idx).alias("chunk_id", "_i"),
+        "text",
+        "n_chars",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.substring(F.col("text"), F.col("chunk_id") * stride + 1, size).alias("chunk"),
+        F.least(
+            F.col("n_chars") - F.col("chunk_id") * stride, F.lit(size)
+        ).cast("long").alias("chunk_len"),
+    )
