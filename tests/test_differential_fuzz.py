@@ -86,3 +86,42 @@ def test_random_predicates_match_duckdb(spark, sf_dir, seed):
             f"FROM lineitem WHERE {dpred}"
         ).fetchone()
         assert (got.n, got.s) == want, f"seed={seed} i={i} pred={spred}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_asof_join_matches_python_model(spark, seed):
+    """Randomized as-of join vs a brute-force Python reference: random keys,
+    duplicate timestamps, keys with no right rows — results must agree
+    exactly, including NULL payloads and equal-ts inclusion."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.relational import asof_join
+
+    rng = random.Random(2000 + seed)
+    keys = ["a", "b", "c", "d"]
+    left = [
+        (rng.choice(keys), rng.randint(0, 50), i) for i in range(60)
+    ]
+    right = [
+        (rng.choice(keys[:3]), rng.randint(0, 50), round(rng.uniform(0, 9), 2))
+        for _ in range(40)
+    ]
+    ldf = spark.createDataFrame(left, "k string, t int, lid int")
+    rdf = spark.createDataFrame(right, "k string, t int, v double")
+
+    def model(lk, lt):
+        cands = [(t, v) for (k, t, v) in right if k == lk and t <= lt]
+        if not cands:
+            return (None, None)
+        best_t = max(t for t, _ in cands)
+        # argmax tie resolution: max payload struct == max v among best_t
+        return (best_t, max(v for t, v in cands if t == best_t))
+
+    got = {
+        r.lid: (r.asof_rt, r.asof_v)
+        for r in asof_join(
+            ldf,
+            rdf.select("k", "t", F.col("t").alias("rt"), "v"),
+            key="k", left_ts="t", right_ts="t", payload_cols=["rt", "v"],
+        ).collect()
+    }
+    for lk, lt, lid in left:
+        assert got[lid] == model(lk, lt), (seed, lk, lt, lid)

@@ -141,3 +141,66 @@ def test_transform_with_state_matches_classic(spark, fixture):
     g = {r["row_id"]: (r["n_versions"], r["latest_updated"]) for r in got.collect()}
     e = {r["row_id"]: (r["n_versions"], r["latest_updated"]) for r in exp.collect()}
     assert g == e
+
+
+def test_progress_capture_listener_and_observe(spark, tmp_path):
+    """ProgressCapture sees every micro-batch's row count, and observe()
+    metrics surface tombstone counts without a second pass."""
+    import json as _json
+
+    from pyspark.sql import types as T
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.metrics import (
+        ProgressCapture,
+        observe_cdc_batch,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    rows = [
+        {"after": {"id": "a"}, "key": ["c", "a"], "updated": "1.0"},
+        {"after": None, "key": ["c", "a"], "updated": "2.0"},
+        {"after": {"id": "b"}, "key": ["c", "b"], "updated": "3.0"},
+    ]
+    with open(land / "b.ndjson", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("after", T.StructType([T.StructField("id", T.StringType())])),
+            T.StructField("key", T.ArrayType(T.StringType())),
+            T.StructField("updated", T.StringType()),
+        ]
+    )
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    try:
+        stream = spark.readStream.schema(schema).json(str(land))
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously on the bus
+        import time as _time
+
+        for _ in range(40):
+            if cap.total_rows() >= 3:
+                break
+            _time.sleep(0.25)
+        assert cap.total_rows() == 3
+        assert all(e["batch_id"] is not None for e in cap.batches())
+    finally:
+        spark.streams.removeListener(cap)
+    # observe(): batch-side metrics with no extra scan
+    from pyspark.sql.observation import Observation
+
+    obs = Observation("cdc_metrics")
+    df = spark.read.schema(schema).json(str(land)).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("after").isNull(), 1).otherwise(0)).alias("n_tombstones"),
+    )
+    assert df.count() == 3
+    assert obs.get == {"n_rows": 3, "n_tombstones": 1}
