@@ -477,12 +477,31 @@ class TxTable:
         return deleted
 
 
+def maybe_autocompact(table: "TxTable", max_files: int, target_files: int = 4) -> bool:
+    """Delta-style auto-compaction policy: when the ACTIVE file count
+    exceeds ``max_files``, rewrite to ``target_files`` in one commit.
+    Returns whether a compaction ran.
+
+    This is THE streaming-lakehouse failure mode: per-trigger appends write
+    a file per batch per partition, and a month of 1-minute triggers is
+    ~43k files — listing and opening costs swamp the scan. Bounding active
+    files keeps reads O(target_files); snapshot isolation means concurrent
+    readers are unaffected, and the file-count check is log metadata only
+    (no storage listing)."""
+    _v, active, _s = table.snapshot()
+    if len(active) <= max_files:
+        return False
+    table.compact(target_files=target_files)
+    return True
+
+
 def stream_to_tx_table(
     stream: DataFrame,
     table_dir: str,
     checkpoint_dir: str,
     partition_by: list[str] | None = None,
     available_now: bool = True,
+    autocompact_max_files: int | None = None,
 ):
     """T8 with real transactions: stream -> ``foreachBatch`` txlog append.
 
@@ -497,6 +516,10 @@ def stream_to_tx_table(
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         table = TxTable(batch.sparkSession, table_dir)
         table.append(batch, partition_by=partition_by, txn={"app": app_id, "batch": batch_id})
+        if autocompact_max_files is not None:
+            # compaction is its own commit AFTER the append: a crash between
+            # them loses only the compaction (re-runs next batch), never data
+            maybe_autocompact(table, autocompact_max_files)
 
     writer = (
         stream.writeStream.foreachBatch(commit_batch)

@@ -434,3 +434,33 @@ def test_ivf_materialized_probe_reads_only_probed_partitions(spark, tmp_path, sf
     want = t.read().filter(F.col("list_id").isin(probe))
     assert got.count() == want.count() > 0
     assert {r.list_id for r in got.select("list_id").distinct().collect()} <= {0, 2}
+
+
+def test_autocompact_bounds_file_count_across_batches(spark, tmp_path):
+    """Streaming appends with auto-compaction: after many per-batch commits
+    the active file count stays bounded and content is exactly the union of
+    all batches."""
+    import json as _json
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import stream_to_tx_table
+
+    land = tmp_path / "land"
+    land.mkdir()
+    table_dir, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    written = []
+    for b in range(6):
+        with open(land / f"b{b}.ndjson", "w") as f:
+            for i in range(5):
+                written.append(b * 10 + i)
+                f.write(_json.dumps({"k": b * 10 + i, "v": f"x{b}"}) + "\n")
+        stream = spark.readStream.schema("k long, v string").json(str(land))
+        q = stream_to_tx_table(
+            stream, table_dir, ckpt, available_now=True, autocompact_max_files=4
+        )
+        q.awaitTermination()
+    t = TxTable(spark, table_dir)
+    _v, active, _s = t.snapshot()
+    assert len(active) <= 8  # bounded (append spikes above 4, compact pulls back)
+    got = sorted(r.k for r in t.read().collect())
+    assert got == sorted(written)
+    assert any(c["op"] == "compact" for c in t.history())
