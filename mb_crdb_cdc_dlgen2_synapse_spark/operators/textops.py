@@ -412,7 +412,7 @@ def benchmark_contamination(
     (eval sets are tiny next to the corpus — this is the broadcast side).
     No pair enumeration: cost tracks gram matches, never |train| x |bench|.
     """
-    from .dedup import word_shingles
+    from .dedup import shingle_rows
 
     bench = documents.filter(F.col("doc_id") % benchmark_mod == 0)
     train = documents.filter(F.col("doc_id") % benchmark_mod != 0)
@@ -424,14 +424,13 @@ def benchmark_contamination(
         F.substring(F.md5(c), 1, 16), 16, 10
     ).cast("decimal(38,0)")
     bench_grams = (
-        word_shingles(bench, k=gram_k)
-        .select(F.explode("shingles").alias("g"))
-        .select(gram_hash(F.col("g")).alias("gram"))
+        shingle_rows(bench, k=gram_k)
+        .select(gram_hash(F.col("s")).alias("gram"))
         .distinct()
     )
-    train_grams = word_shingles(train, k=gram_k).select(
-        "doc_id", F.explode("shingles").alias("g")
-    ).select("doc_id", gram_hash(F.col("g")).alias("gram"))
+    train_grams = shingle_rows(train, k=gram_k).select(
+        "doc_id", gram_hash(F.col("s")).alias("gram")
+    )
     totals = train_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         train_grams.join(bench_grams, "gram")
