@@ -254,23 +254,36 @@ def paragraph_segments(documents: DataFrame, seg_words: int = 10) -> DataFrame:
     fixed-width token window stands in for newline-split paragraphs; real
     corpora swap the splitter, the rest of the pipeline is unchanged).
 
-    -> (doc_id, seg_idx, seg). Array slicing instead of explode+group keeps
-    each document's segmentation inside one row operation — no shuffle to
-    reassemble token order.
+    -> (doc_id, seg_idx, seg). posexplode + lead windows (whole-stage
+    codegen) rather than interpreted transform/slice lambdas; the doc_id
+    shuffle is reused by the downstream per-segment aggregates.
     """
+    from pyspark.sql import Window as W
+
     from .dedup import _spread
 
-    documents = _spread(documents)
-    arr = F.split(F.col("text"), " ")
-    n = F.ceil(F.size(arr) / F.lit(float(seg_words))).cast("int")
-    segs = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.array_join(F.slice(arr, i * seg_words + 1, seg_words), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return documents.select("doc_id", F.posexplode(segs).alias("seg_idx", "seg"))
+    d = _spread(documents)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, seg_words)]
+    # codegen'd window form (same rewrite as dedup.shingle_rows): segment
+    # starts are positions divisible by seg_words; concat_ws skips the null
+    # leads of the trailing partial segment
+    return (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("seg"),
+        )
+        .filter(F.col("pos") % seg_words == 0)
+        .select(
+            "doc_id",
+            (F.col("pos") / seg_words).cast("int").alias("seg_idx"),
+            "seg",
+        )
+    )
 
 
 def paragraph_dedup_stats(documents: DataFrame, seg_words: int = 10) -> DataFrame:
