@@ -2226,13 +2226,17 @@ def dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the hottest buckets (stop-shingle removal) — the join cost tracks
     the capped bucket sizes. Jaccard is then computed over the FILTERED
     shingle sets in both engines."""
-    from .operators.dedup import word_shingles
+    from .operators.dedup import shingle_rows
 
-    sh = word_shingles(_dup_corpus(_t(spark, sf_dir, "documents")))
-    n_docs = sh.count()
-    expl = sh.select("doc_id", F.explode("shingles").alias("s"))
-    keep = expl.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= 0.5 * n_docs
+    expl = shingle_rows(_dup_corpus(_t(spark, sf_dir, "documents")))
+    # corpus size as a 1-row aggregate cross-joined in (no driver-side
+    # count() job at plan-build time — the tf_idf/q22 scalar pattern)
+    n_docs = expl.agg(F.countDistinct("doc_id").alias("n_docs"))
+    keep = (
+        expl.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(n_docs)
+        .filter(F.col("df") <= 0.5 * F.col("n_docs"))
     )
     filtered = expl.join(keep.select("s"), "s")
     sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -42,12 +42,14 @@ for name, qd in sorted(catalog.registry().items()):
     if "BroadcastNestedLoopJoin" in plan and name not in (
         "dedup_embedding_cosine",  # intentional: bounded 300-row broadcast
         "knn_cosine_bruteforce",   # intentional: tiny query side broadcast
+        "knn_cosine_arrow",        # same broadcast shape, Arrow cosine
         "ann_topk_lsh",
         "cdc_dedup_counts",        # crossJoin of two single-row aggregates
         "knn_ivf_probe",           # query-set x centroid-table, both tiny
         "q22_wealthy_inactive_customers",  # 1-row scalar-aggregate broadcast
         "q11_important_part_stock",  # 1-row global-threshold aggregate broadcast
         "tfidf_top_terms",  # 1-row corpus-size aggregate broadcast
+        "dedup_jaccard_dfcap",  # 1-row corpus-size aggregate broadcast
     ):
         issues.append("BNLJ")
     if "BatchEvalPython" in plan:
