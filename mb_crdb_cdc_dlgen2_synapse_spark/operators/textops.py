@@ -188,21 +188,24 @@ def repetition_metrics(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("top_c"),
     )
+    from pyspark.sql import Window as W
+
+    from .dedup import _spread
+
+    # lead-window bigrams (codegen) instead of interpreted transform/slice
+    btoks = _spread(documents).select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    nxt = F.lead("tok", 1).over(W.partitionBy("doc_id").orderBy("pos"))
     big = (
-        documents.select(
-            "doc_id",
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "").alias("tk"),
+        btoks.select(
+            "doc_id", F.concat_ws(" ", F.col("tok"), nxt).alias("bigram"), nxt.alias("_n")
         )
-        .filter(F.size("tk") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("tk") - 2),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, 2)),
-                )
-            ).alias("bigram"),
-        )
+        .filter(F.col("_n").isNotNull())
+        .select("doc_id", "bigram")
     )
     big_counts = big.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
     big_stats = big_counts.groupBy("doc_id").agg(
