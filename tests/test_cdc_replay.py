@@ -306,3 +306,39 @@ def test_key_resurrection_after_tombstone(spark, tmp_path):
     q.awaitTermination()
     rows = read_latest_state(spark, state_dir).collect()
     assert len(rows) == 1 and rows[0]["after"]["revenue"] == 7.5
+
+
+def test_envelope_schema_drift_ignores_new_fields(spark, tmp_path):
+    """A producer that starts emitting EXTRA envelope/after fields must not
+    break ingestion with a pinned schema: unknown fields are ignored (the
+    documented behavior of an explicit-schema json source), known fields
+    keep parsing, and the merge result is unchanged."""
+    landing = str(tmp_path / "landing")
+    _write_envelope_lines(
+        landing,
+        "2023-01-01",
+        [_env_line("k1", 1.0, "1000000000000000000.0000000000")],
+    )
+    # second file: same envelope plus surplus fields a pinned schema ignores
+    import json as _json
+    import os as _os
+
+    day = _os.path.join(landing, "2023-01-02")
+    _os.makedirs(day, exist_ok=True)
+    line = _json.loads(_env_line("k2", 2.0, "1000000000000000001.0000000000"))
+    line["resolved"] = "1000000000000000002.0000000000"   # new top-level field
+    line["after"]["surge_multiplier"] = 1.5               # new nested field
+    with open(_os.path.join(day, "drift.ndjson"), "w") as f:
+        f.write(_json.dumps(line) + "\n")
+    state_dir = str(tmp_path / "state")
+    q = materialize_latest_state(
+        changefeed_stream(spark, landing, AFTER_SCHEMA),
+        state_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        r["after"]["id"]: r["after"]["revenue"]
+        for r in read_latest_state(spark, state_dir).collect()
+    }
+    assert got == {"k1": 1.0, "k2": 2.0}
