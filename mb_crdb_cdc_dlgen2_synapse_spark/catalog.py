@@ -3814,3 +3814,45 @@ def tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out.orderBy("version")
+
+
+@register(
+    "record_linkage_parts",
+    """
+    WITH dirty AS (
+        SELECT p_partkey + 1000000 AS dirty_id,
+               CASE WHEN p_partkey % 5 = 0
+                    THEN substr(p_name, 1, length(p_name) - 3)
+                         || substr(p_name, length(p_name) - 1, 2)
+                    ELSE p_name END AS dirty_name
+        FROM part
+    ),
+    cand AS (
+        SELECT d.dirty_id, d.dirty_name, m.p_partkey AS master_key,
+               CAST(levenshtein(d.dirty_name, m.p_name) AS BIGINT) AS dist
+        FROM dirty d
+        JOIN part m
+          ON split_part(d.dirty_name, ' ', 1) = split_part(m.p_name, ' ', 1)
+        WHERE levenshtein(d.dirty_name, m.p_name) <= 2
+    )
+    SELECT dirty_id, dirty_name, master_key, dist
+    FROM (SELECT cand.*,
+                 row_number() OVER (PARTITION BY dirty_id
+                                    ORDER BY dist, master_key) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+    "X2,J1,W4",
+)
+def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: a deterministically-corrupted re-ingest of the part
+    master (every 5th name loses one trailing character) linked back via
+    blocking on the first name word + exact Levenshtein verify + per-record
+    argmin (operators/linkage.py). The blocked equi-join is the scale story:
+    candidate cost tracks block sizes, never n*m; Levenshtein is a codegen'd
+    JVM builtin, no UDF."""
+    from .operators import linkage
+
+    part = _t(spark, sf_dir, "part")
+    dirty = linkage.corrupt_names(part, "p_partkey", "p_name")
+    return linkage.block_link(dirty, part, "p_partkey", "p_name")
