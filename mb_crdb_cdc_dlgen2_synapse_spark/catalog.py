@@ -3856,3 +3856,55 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     dirty = linkage.corrupt_names(part, "p_partkey", "p_name")
     return linkage.block_link(dirty, part, "p_partkey", "p_name")
+
+
+@register(
+    "incremental_matview_revenue",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 4 = 0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END AS DECIMAL(30,6)))
+                AS DOUBLE) AS sum_o_totalprice
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    "A6,A2,T8",
+)
+def incremental_matview_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (matview.py): a revenue-by-
+    priority aggregate kept current across three txlog commits (append even
+    keys, append odd keys, partition-overwrite bucket 0 with doubled prices)
+    by applying only each commit's file delta — adds weighted +1, removals
+    -1 — never recomputing from the base table. The oracle recomputes the
+    FINAL table state from scratch in SQL; the incremental path must land on
+    the identical per-key counts and exact-decimal sums. Certifies
+    re-aggregation (A6) with a full value-hash check, stronger than the
+    rows-only streaming twins."""
+    from .matview import IncrementalAggView
+    from .txlog import TxTable
+
+    tmp = _scratch("incr_matview")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderkey") % 4).alias("bucket"),
+    )
+    t = TxTable(spark, os.path.join(tmp, "base"))
+    mv = IncrementalAggView(
+        spark, t, os.path.join(tmp, "mv"), ["o_orderpriority"], ["o_totalprice"]
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0), partition_by=["bucket"])
+    mv.refresh()
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1), partition_by=["bucket"])
+    mv.refresh()
+    t.overwrite_partitions(
+        orders.filter(F.col("bucket") == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        ["bucket"],
+    )
+    mv.refresh()
+    return mv.read()

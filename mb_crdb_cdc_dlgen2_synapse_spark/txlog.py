@@ -71,17 +71,24 @@ def _footer_stats(parquet_path: str) -> dict:
             name = col.path_in_schema
             if "." in name or name in dropped:
                 continue
-            st = col.statistics
-            ok = (
-                st is not None
-                and st.has_min_max
-                and isinstance(st.min, (int, float, str))
-                and not isinstance(st.min, bool)
-                and type(st.min) is type(st.max)
-                and st.min == st.min  # NaN check
-                and st.max == st.max
-                and not (isinstance(st.min, str) and (len(st.min) > 256 or len(st.max) > 256))
-            )
+            try:
+                st = col.statistics
+                ok = (
+                    st is not None
+                    and st.has_min_max
+                    and isinstance(st.min, (int, float, str))
+                    and not isinstance(st.min, bool)
+                    and type(st.min) is type(st.max)
+                    and st.min == st.min  # NaN check
+                    and st.max == st.max
+                    and not (
+                        isinstance(st.min, str) and (len(st.min) > 256 or len(st.max) > 256)
+                    )
+                )
+            except Exception:
+                # pyarrow can't materialize stats for some types (e.g. decimal:
+                # "Cannot extract statistics" raised lazily at st.min access)
+                ok = False
             if not ok:
                 # one bad row group poisons the column for the whole file
                 dropped.add(name)
@@ -339,11 +346,19 @@ class TxTable:
             added, lambda active: [], df.schema.json(), txn, "append", stats
         )
 
-    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        """Atomically replace the ENTIRE table content."""
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        txn: dict | None = None,
+    ) -> int:
+        """Atomically replace the ENTIRE table content; with ``txn`` a
+        re-delivered overwrite (same app/batch id) is a no-op."""
+        if self._txn_seen(txn):
+            return self.version()
         added, stats = self._stage(df, partition_by)
         return self._commit(
-            added, lambda active: list(active), df.schema.json(), None, "overwrite", stats
+            added, lambda active: list(active), df.schema.json(), txn, "overwrite", stats
         )
 
     def overwrite_partitions(self, df: DataFrame, partition_by: list[str]) -> int:
