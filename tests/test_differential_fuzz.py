@@ -7,6 +7,7 @@ comparisons, string prefixes, date bounds)."""
 from __future__ import annotations
 
 import random
+from collections import Counter
 
 import duckdb
 import pytest
@@ -125,3 +126,120 @@ def test_asof_join_matches_python_model(spark, seed):
     }
     for lk, lt, lid in left:
         assert got[lid] == model(lk, lt), (seed, lk, lt, lid)
+
+
+# ---------------------------------------------------------------------------
+# Random join-tree fuzzing: chains over the star-schema join graph with
+# random join types, predicates, and grouped exact aggregates — the same SQL
+# text executed by both engines, full result sets compared.
+# ---------------------------------------------------------------------------
+
+_JOIN_EDGES = [
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+]
+
+_TABLE_COLS = {
+    "lineitem": {
+        "l_quantity": ("num", 1, 50),
+        "l_returnflag": ("str", ["A", "N", "R"]),
+        "l_shipdate": ("date", 1995, 2001),
+    },
+    "orders": {
+        "o_totalprice": ("num", 1000.0, 500000.0),
+        "o_orderstatus": ("str", ["F", "O", "P"]),
+        "o_orderpriority": (
+            "str",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        ),
+        "o_orderdate": ("date", 1995, 2001),
+    },
+    "customer": {
+        "c_acctbal": ("num", -1000.0, 10000.0),
+        "c_mktsegment": (
+            "str",
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        ),
+    },
+    "nation": {"n_regionkey": ("num", 0, 4)},
+}
+
+_GROUP_COLS = {
+    "lineitem": ["l_returnflag", "l_linestatus"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "customer": ["c_mktsegment", "c_nationkey"],
+    "nation": ["n_regionkey", "n_name"],
+}
+
+_SUM_COLS = {
+    "lineitem": "l_quantity",
+    "orders": "o_totalprice",
+    "customer": "c_acctbal",
+    "nation": "n_regionkey",
+}
+
+
+def _leaf_for(rng: random.Random, table: str) -> str:
+    col = rng.choice(list(_TABLE_COLS[table]))
+    kind = _TABLE_COLS[table][col][0]
+    if kind == "num":
+        _k, lo, hi = _TABLE_COLS[table][col]
+        v = round(rng.uniform(lo, hi), 2)
+        return f"{col} {rng.choice(['<', '<=', '>', '>=', '=', '<>'])} {v}"
+    if kind == "str":
+        vals = _TABLE_COLS[table][col][1]
+        if rng.random() < 0.5:
+            return f"{col} {rng.choice(['=', '<>'])} '{rng.choice(vals)}'"
+        subset = rng.sample(vals, rng.randint(1, len(vals)))
+        return f"{col} IN ({', '.join(repr(v) for v in subset)})"
+    _k, ylo, yhi = _TABLE_COLS[table][col]
+    v = f"{rng.randint(ylo, yhi):04d}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+    return f"{col} {rng.choice(['<', '>='])} TIMESTAMP '{v} 00:00:00'"
+
+
+def _rand_join_query(rng: random.Random) -> str:
+    start = rng.randrange(len(_JOIN_EDGES))
+    n_edges = rng.randint(1, len(_JOIN_EDGES) - start)
+    edges = _JOIN_EDGES[start : start + n_edges]
+    tables = [edges[0][0]] + [e[1] for e in edges]
+    sql_from = tables[0]
+    for _l, r, cond in edges:
+        jt = rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
+        sql_from += f" {jt} {r} ON {cond}"
+    preds = [
+        _leaf_for(rng, t) for t in tables if rng.random() < 0.5
+    ]
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+    sum_t = rng.choice(tables)
+    aggs = (
+        f"COUNT(*) AS n, "
+        f"SUM(CAST({_SUM_COLS[sum_t]} AS DECIMAL(18,2))) AS s"
+    )
+    if rng.random() < 0.7:
+        g_t = rng.choice(tables)
+        g = rng.choice(_GROUP_COLS[g_t])
+        return f"SELECT {g} AS g, {aggs} FROM {sql_from}{where} GROUP BY {g}"
+    return f"SELECT {aggs} FROM {sql_from}{where}"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_join_trees_match_duckdb(spark, sf_dir, seed):
+    """20 random join chains per seed over lineitem-orders-customer-nation:
+    inner/left joins, random per-table predicates, exact decimal aggregates,
+    optional grouping — full sorted result sets must agree."""
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rng = random.Random(3000 + seed)
+    for i in range(20):
+        q = _rand_join_query(rng)
+        # multiset compare: Python hashes Decimal/int/float by numeric value,
+        # so scale differences (5.00 vs 5.000) and NULL group keys are safe —
+        # sorted() would TypeError on None-vs-str mixed tuples
+        got = Counter(tuple(r) for r in spark.sql(q).collect())
+        want = Counter(tuple(r) for r in con.execute(q).fetchall())
+        assert got == want, f"seed={seed} i={i} {q}"
