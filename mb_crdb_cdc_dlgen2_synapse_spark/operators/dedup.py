@@ -174,7 +174,16 @@ def lsh_candidates(
     sizes, never n². Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
     """
     rows = n_hashes // bands
-    sigs = minhash_signatures(documents, n_hashes, shingle_k)
+    # materialize signatures ONCE before the self-join: the two join sides
+    # are otherwise separate plans, and Spark's ReusedExchange does not fire
+    # across the alias pair — without this the whole shingle+minhash
+    # computation runs twice (measured 1.76 s -> 1.29 s at sf0.1). Signatures
+    # are n_docs x n_hashes ints — tiny next to the corpus — so pinning them
+    # is the right trade at any scale (Spark ML's MinHashLSH caches the same
+    # relation).
+    sigs = minhash_signatures(documents, n_hashes, shingle_k).localCheckpoint(
+        eager=True
+    )
     band_entries = sigs.select(
         "doc_id",
         F.explode(
