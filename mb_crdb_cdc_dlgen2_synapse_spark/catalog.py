@@ -3908,3 +3908,43 @@ def incremental_matview_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mv.refresh()
     return mv.read()
+
+
+@register(
+    "tx_dml_orders",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_totalprice >= 400000.0)
+    """,
+    "S7,T8,P9",
+)
+def tx_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DML over the txlog format: orders land in a bucketed
+    txlog table, a DELETE WHERE removes the >=400k tail, then an UPDATE
+    WHERE raises urgent orders' price 10%. Both statements prune candidate
+    files from logged min/max stats and rewrite only those; the oracle
+    replays the same statements as plain SQL over the source table. The
+    multiplication is a per-row IEEE op — bit-identical across engines, no
+    rounding (catalog determinism rule 1)."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_dml")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderkey") % 8).alias("bucket"),
+    )
+    t.append(orders, partition_by=["bucket"])
+    t.delete_where([("o_totalprice", ">=", 400000.0)])
+    t.update_where(
+        [("o_orderpriority", "==", "1-URGENT")],
+        {"o_totalprice": F.col("o_totalprice") * 1.1},
+    )
+    return t.read().select("o_orderkey", "o_orderpriority", "o_totalprice")

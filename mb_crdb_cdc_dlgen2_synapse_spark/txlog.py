@@ -473,6 +473,103 @@ class TxTable:
                 df = df.filter(getattr(F.col(col), ops[op])(F.lit(value)))
         return df
 
+    def _predicate_column(self, predicates: list[tuple]):
+        """Conjunction of ``(col, op, value)`` triples as a boolean Column —
+        the same triples ``read(predicates=...)`` accepts, so file pruning
+        and row filtering share one vocabulary."""
+        from pyspark.sql import functions as F
+
+        ops = {"==": "__eq__", ">=": "__ge__", ">": "__gt__", "<=": "__le__", "<": "__lt__"}
+        cond = F.lit(True)
+        for col, op, value in predicates:
+            if op == "in":
+                cond = cond & F.col(col).isin(list(value))
+            else:
+                cond = cond & getattr(F.col(col), ops[op])(F.lit(value))
+        return cond
+
+    def _rewrite_files(self, cands: list[str], transform) -> dict:
+        """Copy-on-write core shared by DELETE/UPDATE: read only ``cands``
+        (partition columns recovered via basePath), apply ``transform``
+        (DataFrame -> DataFrame), stage the result preserving the hive
+        partition layout, and commit one atomic version that removes exactly
+        the candidate files. Untouched files keep byte identity — at 100 TB
+        the rewrite cost tracks the pruned candidate set, not the table."""
+        if not cands:
+            return {"files_rewritten": 0, "version": self.version()}
+        paths = [os.path.join(self.path, f) for f in cands]
+        reader = self.spark.read.option("basePath", self.path)
+        df = reader.parquet(*paths)
+        out = transform(df).localCheckpoint(eager=True)
+        part_cols = [
+            k for k in _partition_values(cands[0]) if k in out.columns
+        ]
+        added, stats = self._stage(out, part_cols or None)
+        cand_set = set(cands)
+
+        def removed(active: list[str]) -> list[str]:
+            missing = cand_set - set(active)
+            if missing:
+                # a concurrent commit (compact, overwrite, another rewrite)
+                # already replaced a file we rewrote from — committing would
+                # silently resurrect its rows. Same write-write conflict
+                # Delta aborts on.
+                raise TxConflictError(
+                    f"rewrite conflict: {len(missing)} candidate file(s) were "
+                    f"removed by a concurrent commit (e.g. {next(iter(missing))!r})"
+                )
+            return list(cand_set)
+
+        version = self._commit(
+            added, removed, out.schema.json(), None, "rewrite", stats
+        )
+        return {"files_rewritten": len(cands), "version": version}
+
+    def delete_where(self, predicates: list[tuple]) -> dict:
+        """Copy-on-write DELETE of rows matching ALL ``predicates`` (the
+        ``read()`` triple vocabulary). Log-level stats + partition values
+        prune the candidate file set first: files whose min/max prove no
+        match are never opened, let alone rewritten — the Delta/Iceberg
+        DELETE shape (without deletion vectors; a false-positive candidate
+        is rewritten byte-equal, which is correct, just not free). A
+        predicate wholly outside the table's range is a commit-free no-op.
+        """
+        _v, active, _s = self.snapshot()
+        stats = self.file_stats()
+        cands = [
+            f
+            for f in active
+            if _file_may_match(stats.get(f), _partition_values(f), predicates)
+        ]
+        cond = self._predicate_column(predicates)
+        return self._rewrite_files(cands, lambda df: df.filter(~cond))
+
+    def update_where(self, predicates: list[tuple], assignments: dict) -> dict:
+        """Copy-on-write UPDATE: rows matching ALL ``predicates`` get each
+        ``assignments`` column replaced by its expression (a Column or SQL
+        string); other rows — including non-matching rows inside rewritten
+        candidate files — pass through unchanged. Same stats-pruned
+        candidate selection as ``delete_where``."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        _v, active, _s = self.snapshot()
+        stats = self.file_stats()
+        cands = [
+            f
+            for f in active
+            if _file_may_match(stats.get(f), _partition_values(f), predicates)
+        ]
+        cond = self._predicate_column(predicates)
+
+        def apply(df):
+            for col, expr in assignments.items():
+                new = expr if isinstance(expr, Column) else F.expr(expr)
+                df = df.withColumn(col, F.when(cond, new).otherwise(F.col(col)))
+            return df
+
+        return self._rewrite_files(cands, apply)
+
     def vacuum(self) -> int:
         """Delete data files no longer referenced by the CURRENT snapshot.
         Run only when no reader older than the latest snapshot is in flight
