@@ -3948,3 +3948,59 @@ def tx_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"o_totalprice": F.col("o_totalprice") * 1.1},
     )
     return t.read().select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "tx_merge_upsert",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           CASE WHEN o_orderkey % 10 = 0
+                THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 0 AND o_orderkey % 50 = 0)
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey,
+           o_orderpriority,
+           o_totalprice
+    FROM orders
+    WHERE o_orderkey % 1000 = 0
+    """,
+    "J5,T7,T8",
+)
+def tx_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the txlog table format (txlog.TxTable.merge_into):
+    orders land bucketed by key hash, then one CDC-shaped source batch
+    updates every 10th key (+1.0 price), tombstones every 50th (price NULL
+    -> delete_when), and inserts brand-new keys. Candidate files are pruned
+    by key-span overlap; the all-new insert keys take the rewrite-free
+    append path. The oracle replays the same merge as plain SQL."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_merge")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderkey") % 8).alias("bucket"),
+    )
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    t.append(orders, partition_by=["bucket"])
+    changes = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice") + 1.0)
+        .alias("o_totalprice"),
+        "bucket",
+    )
+    t.merge_into(changes, on=["o_orderkey"], delete_when="o_totalprice IS NULL")
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderpriority",
+        "o_totalprice",
+        ((F.col("o_orderkey") + 10_000_000) % 8).alias("bucket"),
+    )
+    t.merge_into(inserts, on=["o_orderkey"])
+    return t.read().select("o_orderkey", "o_orderpriority", "o_totalprice")

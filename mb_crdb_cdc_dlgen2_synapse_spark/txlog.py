@@ -570,6 +570,143 @@ class TxTable:
 
         return self._rewrite_files(cands, apply)
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str],
+        delete_when=None,
+        update: bool = True,
+        insert: bool = True,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Delta-style ``MERGE INTO`` keyed on the ``on`` columns:
+
+        - target rows matching a source key are replaced by the source row
+          (``update=True``), kept as-is (``update=False`` — insert-only
+          merge), or dropped when ``delete_when`` (a Column/SQL boolean over
+          SOURCE columns, e.g. ``"after IS NULL"`` for CDC tombstones) holds;
+        - source rows with no target match are inserted (``insert=True``),
+          unless they are deletes.
+
+        Scale shape: only files whose logged per-key min/max (or hive
+        partition values) overlap the source's key span are read and
+        rewritten — a merge of a small batch into a huge table touches the
+        few files its keys land in, which is why the table should be laid
+        out by a key-derived partition (``partition_by``, used when the
+        table is created by the first merge). The no-match insert anti-join
+        runs against candidate files only: pruning PROVES non-candidates
+        hold no matching key. Source must carry every target column and be
+        key-unique (reduce CDC streams to latest-per-key first — the
+        ``operators.cdc.latest_state`` shape); duplicate source keys would
+        fan out matched target rows, as in Delta's multiple-match error.
+        Conflicts with concurrent commits abort (see ``_rewrite_files``).
+        """
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        src = source
+        if delete_when is not None:
+            cond = delete_when if isinstance(delete_when, Column) else F.expr(delete_when)
+            src = src.withColumn("__s_del", cond.cast("boolean"))
+        else:
+            src = src.withColumn("__s_del", F.lit(False))
+        src = src.localCheckpoint(eager=True)
+
+        version, active, _schema = self.snapshot()
+        if version < 0 or not active:
+            out = src.filter(~F.col("__s_del")).drop("__s_del") if insert else None
+            if out is None:
+                return {"files_rewritten": 0, "version": version}
+            self.append(out, partition_by=partition_by)
+            return {"files_rewritten": 0, "version": self.version()}
+
+        # candidate files: key-span overlap on every merge key
+        bounds = src.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in on],
+            *[F.max(k).alias(f"hi_{k}") for k in on],
+        ).first()
+        preds = []
+        for k in on:
+            lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+            if lo is not None:
+                preds.append((k, ">=", lo))
+            if hi is not None:
+                preds.append((k, "<=", hi))
+        stats = self.file_stats()
+        cands = [
+            f
+            for f in active
+            if _file_may_match(stats.get(f), _partition_values(f), preds)
+        ]
+
+        target_cols = self.read().columns
+        # column order + types conform to the table; nullability is relaxed
+        # (join/when outputs are nullable and .to() refuses to tighten) — a
+        # nullable-flag difference only costs readers a footer mergeSchema
+        target_schema = (
+            T.StructType(
+                [
+                    T.StructField(f.name, f.dataType, True)
+                    for f in T.StructType.fromJson(json.loads(_schema)).fields
+                ]
+            )
+            if _schema
+            else None
+        )
+
+        def conform(df: DataFrame) -> DataFrame:
+            df = df.select(*target_cols)
+            return df.to(target_schema) if target_schema is not None else df
+
+        if not cands:
+            # pruning PROVES no target file holds a source key: every
+            # non-delete source row is an insert, appended without touching
+            # any existing file (preserving the table's partition layout)
+            if not insert:
+                return {"files_rewritten": 0, "version": version}
+            out = conform(src.filter(~F.col("__s_del")))
+            layout = [
+                k for k in _partition_values(active[0]) if k in target_cols
+            ]
+            # merge_schema: conform already fixed order+types; only the
+            # nullable flags may differ from the table's logged schema
+            self.append(out, partition_by=layout or None, merge_schema=True)
+            return {"files_rewritten": 0, "version": self.version()}
+
+        def transform(tdf: DataFrame) -> DataFrame:
+            s_renamed = src.select(
+                *[F.col(k) for k in on],
+                *[
+                    F.col(c).alias(f"__s_{c}")
+                    for c in src.columns
+                    if c not in on and c != "__s_del"
+                ],
+                F.col("__s_del"),
+                F.lit(True).alias("__s_hit"),
+            )
+            joined = tdf.join(s_renamed, on, "left")
+            matched = F.col("__s_hit").isNotNull()
+            kept = joined.filter(~(matched & F.coalesce(F.col("__s_del"), F.lit(False))))
+            cols = []
+            for c in target_cols:
+                if update and c not in on:
+                    cols.append(
+                        F.when(matched, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            result = kept.select(*cols)
+            if insert:
+                new_rows = (
+                    src.filter(~F.col("__s_del"))
+                    .join(tdf.select(*on), on, "left_anti")
+                    .select(*target_cols)
+                )
+                result = result.unionByName(new_rows)
+            return conform(result)
+
+        return self._rewrite_files(cands, transform)
+
     def vacuum(self) -> int:
         """Delete data files no longer referenced by the CURRENT snapshot.
         Run only when no reader older than the latest snapshot is in flight
