@@ -4004,3 +4004,42 @@ def tx_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge_into(inserts, on=["o_orderkey"])
     return t.read().select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "dsir_importance_weights",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents),
+    wc AS (
+        SELECT token,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_t,
+               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS c_r
+        FROM toks GROUP BY token),
+    tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r, COUNT(*) AS v FROM wc),
+    llr AS (
+        SELECT token,
+               CAST(ln(((c_t + 1.0) / (n_t + v)) / ((c_r + 1.0) / (n_r + v)))
+                    AS DECIMAL(18,6)) AS llr
+        FROM wc, tot),
+    doc_tok AS (
+        SELECT doc_id, token, count(*) AS cnt
+        FROM toks WHERE source <> 'src0' GROUP BY doc_id, token)
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(d.cnt * l.llr AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(SUM(d.cnt) AS DOUBLE) AS dsir_score
+    FROM doc_tok d JOIN llr l USING (token)
+    GROUP BY d.doc_id
+    """,
+    "X4,A1,J1",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection scores (operators/textops.dsir_importance):
+    docs outside the target source ranked by mean unigram log-likelihood
+    ratio toward the target distribution — the importance-resampling weight
+    a 100 TB corpus-mixing pipeline computes before sampling."""
+    return textops.dsir_importance(_t(spark, sf_dir, "documents"))

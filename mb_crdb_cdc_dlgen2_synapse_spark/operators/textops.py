@@ -471,3 +471,62 @@ def benchmark_contamination(
             ),
         )
     )
+
+
+def dsir_importance(documents: DataFrame, target_source: str = "src0") -> DataFrame:
+    """Data-selection importance weights (the DSIR recipe — Xie et al. 2023,
+    arXiv:2302.03169 — reduced to its unigram form): score every non-target
+    document by the mean log-likelihood ratio of its tokens under the target
+    source's unigram distribution vs the rest of the corpus, add-one
+    smoothed over the shared vocabulary. High scores = "looks like the
+    target domain", the ranking used to resample a raw corpus toward a
+    target mix.
+
+    Scale shape: two aggregates over the exploded token relation (per-word
+    counts, per-(doc,word) counts), a vocabulary-sized join that AQE sizes
+    (never a forced broadcast — the vocabulary is corpus-sized at 100 TB),
+    and a scalar 1-row totals relation cross-joined, not collected. The
+    per-word log ratio is pinned to the DECIMAL(18,6) grid once, so the
+    per-doc sum is order-independent (catalog determinism rule 2)."""
+    toks = documents.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    is_t = F.col("source") == target_source
+    wc = toks.groupBy("token").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("c_r"),
+    )
+    totals = wc.agg(
+        F.sum("c_t").alias("n_t"),
+        F.sum("c_r").alias("n_r"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    llr = wc.crossJoin(totals).select(
+        "token",
+        F.log(
+            ((F.col("c_t") + 1.0) / (F.col("n_t") + F.col("v")))
+            / ((F.col("c_r") + 1.0) / (F.col("n_r") + F.col("v")))
+        )
+        .cast("decimal(18,6)")
+        .alias("llr"),
+    )
+    doc_tok = (
+        toks.filter(~is_t).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        doc_tok.join(llr, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum((F.col("cnt") * F.col("llr")).cast("decimal(18,6)")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("_s").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "dsir_score"
+            ),
+        )
+    )
