@@ -4043,3 +4043,67 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio toward the target distribution — the importance-resampling weight
     a 100 TB corpus-mixing pipeline computes before sampling."""
     return textops.dsir_importance(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx_change_feed_net",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+    final AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 2 = 0 AND NOT (o_orderkey % 50 = 0)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS net
+    FROM (SELECT * FROM final EXCEPT SELECT * FROM base)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, CAST(-1 AS BIGINT) AS net
+    FROM (SELECT * FROM base EXCEPT SELECT * FROM final)
+    """,
+    "T1,T2,Q5",
+)
+def tx_change_feed_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed over the txlog (TxTable.read_changes): even orders
+    land at v0, a MERGE updates every 10th key and tombstones every 50th,
+    odd orders append at v2; the feed after v0 is then aggregated to the
+    NET change per row image (+1 insert / -1 delete, rewrite-cancelled).
+    The raw feed's delete+insert pairs depend on physical file layout — the
+    net projection is layout-independent, which is exactly what an oracle
+    can pin down; golden feed-replay semantics live in tests/test_txlog.py.
+    """
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_cdf")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 8).alias("bucket"),
+    )
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0), partition_by=["bucket"])
+    base_v = t.version()
+    changes = orders.filter(
+        (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") % 10 == 0)
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice") + 1.0)
+        .alias("o_totalprice"),
+        "bucket",
+    )
+    t.merge_into(changes, on=["o_orderkey"], delete_when="o_totalprice IS NULL")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1), partition_by=["bucket"])
+    feed = t.read_changes(base_v)
+    return (
+        feed.groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .filter(F.col("net") != 0)
+    )

@@ -100,6 +100,22 @@ def _footer_stats(parquet_path: str) -> dict:
     return {"rows": md.num_rows, "min": mins, "max": maxs}
 
 
+def _nullable_normalized(schema_json: str) -> str:
+    """Canonical schema json with every nullable flag forced true — the
+    comparison form for write-time enforcement (names/order/types only)."""
+
+    def relax(node):
+        if isinstance(node, dict):
+            return {
+                k: (True if k == "nullable" else relax(v)) for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [relax(v) for v in node]
+        return node
+
+    return json.dumps(relax(json.loads(schema_json)), sort_keys=True)
+
+
 def _partition_values(relpath: str) -> dict[str, str]:
     """``key=value`` directory segments of a staged file path (hive layout).
     Values are the raw path strings — equality-comparable only."""
@@ -321,9 +337,14 @@ class TxTable:
 
     def _check_schema(self, df: DataFrame, merge_schema: bool) -> None:
         """Delta-style write-time schema enforcement: appends must match the
-        table schema exactly unless the caller opts into evolution."""
+        table schema (names, order, types) unless the caller opts into
+        evolution. Nullability flags are NOT compared — a merge commit
+        relaxes them (join outputs are nullable) and a strict source would
+        otherwise be refused for a flag parquet doesn't even enforce."""
         _v, _files, schema = self.snapshot()
-        if schema is not None and schema != df.schema.json() and not merge_schema:
+        if schema is None or merge_schema:
+            return
+        if _nullable_normalized(schema) != _nullable_normalized(df.schema.json()):
             raise ValueError(
                 "txlog schema mismatch: incoming write schema differs from the "
                 "table schema; pass merge_schema=True to evolve (readers then "
@@ -500,6 +521,17 @@ class TxTable:
         paths = [os.path.join(self.path, f) for f in cands]
         reader = self.spark.read.option("basePath", self.path)
         df = reader.parquet(*paths)
+        # conform to the table's logged schema (nullable-relaxed): hive
+        # partition columns come back TYPE-INFERRED from the path strings
+        # (bucket=0 -> int, not the long the table logged), and committing
+        # that drift would make later strict appends fail the schema check
+        _v0, _a0, schema_json = self.snapshot()
+        if schema_json:
+            logged = T.StructType.fromJson(json.loads(schema_json))
+            relaxed = T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in logged.fields]
+            )
+            df = df.select(*[f.name for f in relaxed.fields]).to(relaxed)
         out = transform(df).localCheckpoint(eager=True)
         part_cols = [
             k for k in _partition_values(cands[0]) if k in out.columns
@@ -706,6 +738,71 @@ class TxTable:
             return conform(result)
 
         return self._rewrite_files(cands, transform)
+
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change Data Feed: every row-level change committed AFTER
+        ``from_version`` up to ``to_version`` (default head), tagged with
+        ``_change_type`` (``insert``/``delete``) and ``_commit_version``.
+
+        Because data files are immutable, the per-commit file lists ARE the
+        row-level feed: a commit's added files contribute its inserted rows,
+        its removed files the deleted ones; a rewrite (DML, compact,
+        overwrite) appears as delete+insert at the same version, exactly how
+        Delta CDF renders an overwrite. Cost tracks the changed files — the
+        feed never scans the unchanged table. Files already reclaimed by
+        ``vacuum`` raise (same retention contract as the matview refresher);
+        an update-in-place rewrite yields a delete of the old row image and
+        an insert of the new one.
+        """
+        from pyspark.sql import functions as F
+
+        commits = [
+            c
+            for c in self._commits()
+            if c["version"] > from_version
+            and (to_version is None or c["version"] <= to_version)
+        ]
+        frames = []
+        for c in commits:
+            for relpaths, change in ((c.get("removed", []), "delete"), (c.get("added", []), "insert")):
+                files = [f for f in relpaths if f]
+                if not files:
+                    continue
+                missing = [
+                    f for f in files if not os.path.exists(os.path.join(self.path, f))
+                ]
+                if missing:
+                    raise FileNotFoundError(
+                        f"change feed needs {len(missing)} file(s) already vacuumed "
+                        f"(e.g. {missing[0]!r}): consume changes before vacuum"
+                    )
+                df = self.spark.read.option("basePath", self.path).parquet(
+                    *[os.path.join(self.path, f) for f in files]
+                )
+                frames.append(
+                    df.withColumn("_change_type", F.lit(change)).withColumn(
+                        "_commit_version", F.lit(c["version"])
+                    )
+                )
+        if not frames:
+            schema = self.snapshot(to_version)[2] if self._commits() else None
+            st = (
+                T.StructType.fromJson(json.loads(schema))
+                if schema
+                else T.StructType([])
+            )
+            st = T.StructType(
+                list(st.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.IntegerType()),
+                ]
+            )
+            return self.spark.createDataFrame([], st)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
 
     def vacuum(self) -> int:
         """Delete data files no longer referenced by the CURRENT snapshot.

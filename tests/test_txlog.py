@@ -693,3 +693,73 @@ def test_merge_randomized_matches_dict_model(spark, tmp_path):
                 model[k] = v
         got = {r.k: r.v for r in t.read().collect()}
         assert got == model, f"round {round_i}"
+
+
+# -- Change Data Feed ---------------------------------------------------------
+
+
+def test_read_changes_tags_inserts_and_deletes(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "cdf"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))  # v0: ONE file
+    t.append(_df(spark, [(3, "c")]).coalesce(1))            # v1
+    t.delete_where([("k", "==", 2)])                        # v2: rewrite v0's file
+    ch = t.read_changes(0).collect()
+    by_ver = {}
+    for r in ch:
+        by_ver.setdefault(r._commit_version, []).append((r._change_type, r.k))
+    assert sorted(by_ver[1]) == [("insert", 3)]
+    # the delete rewrites v0's file: old rows out, survivors back in
+    assert sorted(by_ver[2]) == [("delete", 1), ("delete", 2), ("insert", 1)]
+
+
+def test_change_feed_replay_reconstructs_any_snapshot(spark, tmp_path):
+    import random
+
+    rng = random.Random(11)
+    t = TxTable(spark, str(tmp_path / "cdfr"))
+    t.append(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("bucket")
+        ),
+        partition_by=["bucket"],
+    )
+    for _ in range(4):
+        op = rng.choice(["append", "delete", "merge"])
+        if op == "append":
+            lo = rng.randint(100, 900)
+            t.append(
+                spark.range(lo, lo + 10).select(
+                    F.col("id").alias("k"), (F.col("id") % 3).alias("bucket")
+                ),
+                partition_by=["bucket"],
+            )
+        elif op == "delete":
+            lo = rng.randint(0, 30)
+            t.delete_where([("k", ">=", lo), ("k", "<", lo + 8)])
+        else:
+            rows = [(rng.randint(0, 50), rng.randint(0, 2)) for _ in range(6)]
+            src = spark.createDataFrame(rows, "k long, bucket long").dropDuplicates(["k"])
+            t.merge_into(src, on=["k"])
+    head = t.version()
+    for base_v in range(head):
+        base = {r.k for r in t.read(as_of=base_v).collect()}
+        changes = t.read_changes(base_v, head).collect()
+        # apply per version in order: deletes then inserts within a commit
+        state = dict.fromkeys(base)
+        for v in sorted({r._commit_version for r in changes}):
+            for r in changes:
+                if r._commit_version == v and r._change_type == "delete":
+                    state.pop(r.k, None)
+            for r in changes:
+                if r._commit_version == v and r._change_type == "insert":
+                    state[r.k] = None
+        want = {r.k for r in t.read(as_of=head).collect()}
+        assert set(state) == want, f"replay from v{base_v}"
+
+
+def test_read_changes_empty_range_returns_typed_empty(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "cdfe"))
+    t.append(_df(spark, [(1, "a")]))
+    ch = t.read_changes(t.version())
+    assert ch.count() == 0
+    assert "_change_type" in ch.columns and "k" in ch.columns
