@@ -4107,3 +4107,58 @@ def tx_change_feed_net(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("net") != 0)
     )
+
+
+@register(
+    "streaming_matview_refresh",
+    """
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    "A6,T1,T8",
+)
+def streaming_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance: events stream in one file per
+    micro-batch (maxFilesPerTrigger=1), each batch lands as an exactly-once
+    txn-stamped txlog append, and the materialized revenue-by-type view
+    refreshes incrementally after every commit — reading only that commit's
+    files (matview.IncrementalAggView). The final view must equal the plain
+    SQL aggregate over the whole table: the A6 re-aggregation contract,
+    driven through a real Structured Streaming pipeline instead of a batch
+    stand-in. Exact decimal accumulation makes the refresh cadence
+    immaterial (cadence-invariance asserted in tests/test_matview.py)."""
+    from .matview import IncrementalAggView
+    from .txlog import TxTable
+
+    tmp = _scratch("stream_mv")
+    src = os.path.join(tmp, "json")
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        "event_id", "event_type", "value", (F.col("event_id") % 4).alias("bucket")
+    ).coalesce(4).write.mode("overwrite").json(src)
+    schema = "event_id long, event_type string, value double, bucket long"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    table = TxTable(spark, os.path.join(tmp, "table"))
+    view = IncrementalAggView(
+        spark, table, os.path.join(tmp, "mv"), ["event_type"], ["value"]
+    )
+
+    def land_and_refresh(batch: DataFrame, batch_id: int) -> None:
+        table.append(
+            batch, partition_by=["bucket"], txn={"app": "stream_mv", "batch": batch_id}
+        )
+        view.refresh()
+
+    q = (
+        stream.writeStream.foreachBatch(land_and_refresh)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return view.read()
