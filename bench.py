@@ -60,6 +60,11 @@ HEADLINE = [
     "last_click_before_error",     # as-of join (union-tag window)
     "training_sequence_packing",   # sharded running-total window
     "knn_cosine_arrow",            # Arrow/numpy vectorized top-k
+    # session-3 additions
+    "record_linkage_parts",        # blocked equi-join + levenshtein argmin
+    "tx_merge_upsert",             # txlog MERGE INTO (span-pruned rewrite)
+    "incremental_matview_revenue", # file-delta incremental view refresh
+    "dsir_importance_weights",     # corpus-selection LLR scoring
 ]
 
 

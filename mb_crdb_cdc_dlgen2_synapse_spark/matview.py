@@ -64,11 +64,13 @@ class IncrementalAggView:
         path: str,
         keys: list[str],
         sum_cols: list[str],
+        view_files: int = 4,
     ):
         self.spark = spark
         self.base = base
         self.keys = list(keys)
         self.sum_cols = list(sum_cols)
+        self.view_files = view_files
         self.view = TxTable(spark, path)
 
     # -- state ---------------------------------------------------------------
@@ -169,7 +171,10 @@ class IncrementalAggView:
                     ],
                 ]
             new = merged.select(*self.keys, *new_cols).filter(F.col("n_rows") != 0)
-        new = new.localCheckpoint(eager=True)  # sever lineage from the old view files
+        # the stored view has #groups rows — collapse the shuffle's 32 tiny
+        # output files to a handful before the overwrite commit; checkpoint
+        # severs lineage from the old view files
+        new = new.coalesce(self.view_files).localCheckpoint(eager=True)
         self.view.overwrite(new, txn={"app": self._app(), "batch": to_v})
         return {"from_version": from_v, "to_version": to_v, "files_read": n_files}
 

@@ -69,21 +69,40 @@ def block_link(
     Returns (dirty_id, dirty_name, master_key, dist) — unmatched dirty rows
     (no candidate within ``max_dist`` in their block) are absent, exactly as
     the SQL oracle's inner join drops them.
+
+    The pairwise work runs on the DISTINCT-NAME relations, not the row
+    relations: row-level argmin by (dist, master_key) equals name-level
+    argmin by (dist, min master_key of the name) — the min over a union of
+    groups is the min of the group minima — so both sides collapse to their
+    name vocabularies before any Levenshtein is computed, and per-row
+    results come from a cheap equi-join back on the dirty name. On the
+    synthetic corpus this is 20000²-per-block -> 128-per-block (52 s ->
+    sub-second at sf0.1); on a real feed it degrades gracefully to the
+    blocking bound as names approach uniqueness, which is when you refine
+    the blocking key (composite length buckets), not the plan shape.
     """
-    d = dirty.withColumn("block", F.split_part(F.col("dirty_name"), F.lit(" "), F.lit(1)))
-    m = master.select(
-        F.col(master_id).alias("master_key"),
-        F.col(master_name).alias("master_name"),
-        F.split_part(F.col(master_name), F.lit(" "), F.lit(1)).alias("block"),
+    first_word = lambda c: F.split_part(F.col(c), F.lit(" "), F.lit(1))  # noqa: E731
+    d_names = (
+        dirty.select("dirty_name")
+        .distinct()
+        .withColumn("block", first_word("dirty_name"))
+    )
+    m_names = (
+        master.groupBy(F.col(master_name).alias("master_name"))
+        .agg(F.min(master_id).alias("master_key"))
+        .withColumn("block", first_word("master_name"))
     )
     cand = (
-        d.join(m, "block")
+        d_names.join(m_names, "block")
         .withColumn("dist", F.levenshtein("dirty_name", "master_name").cast("bigint"))
         .filter(F.col("dist") <= max_dist)
     )
-    w = Window.partitionBy("dirty_id").orderBy("dist", "master_key")
-    return (
+    w = Window.partitionBy("dirty_name").orderBy("dist", "master_key")
+    best = (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("dirty_id", "dirty_name", "master_key", "dist")
+        .select("dirty_name", "master_key", "dist")
+    )
+    return dirty.join(best, "dirty_name").select(
+        "dirty_id", "dirty_name", "master_key", "dist"
     )

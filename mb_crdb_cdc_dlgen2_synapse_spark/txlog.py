@@ -518,6 +518,8 @@ class TxTable:
         the rewrite cost tracks the pruned candidate set, not the table."""
         if not cands:
             return {"files_rewritten": 0, "version": self.version()}
+        from pyspark.sql import functions as F
+
         paths = [os.path.join(self.path, f) for f in cands]
         reader = self.spark.read.option("basePath", self.path)
         df = reader.parquet(*paths)
@@ -532,10 +534,16 @@ class TxTable:
                 [T.StructField(f.name, f.dataType, True) for f in logged.fields]
             )
             df = df.select(*[f.name for f in relaxed.fields]).to(relaxed)
-        out = transform(df).localCheckpoint(eager=True)
+        out = transform(df)
         part_cols = [
             k for k in _partition_values(cands[0]) if k in out.columns
         ]
+        if part_cols:
+            # one output file per rewritten partition dir instead of
+            # shuffle-partition-count tiny files per dir — the write-side
+            # small-files guard; the shuffle moves only the rewritten rows
+            out = out.repartition(*[F.col(c) for c in part_cols])
+        out = out.localCheckpoint(eager=True)
         added, stats = self._stage(out, part_cols or None)
         cand_set = set(cands)
 
