@@ -90,8 +90,6 @@ _DRIVER_PRIORITY: list[str] = [
     "filter_project_lineitem",
     "json_props_extraction",
     "string_funcs_projection",
-    "datetime_projection",
-    "math_projection",
     "array_ops_showcase",
     # aggregations (A3-A5; agg_stats_orders recorded green in r01, now below
     # the fold — percentiles_by_status keeps A3 in-window)
@@ -101,7 +99,6 @@ _DRIVER_PRIORITY: list[str] = [
     # joins (J3, J4, J6; the anti-join half of J4 is below the fold —
     # r01 already recorded customers_without_orders green)
     "customer_order_counts",
-    "customers_with_orders",
     "range_join_ship_window",
     # windows (W1-W4, J5)
     "latest_order_per_customer",
@@ -133,6 +130,15 @@ _DRIVER_PRIORITY: list[str] = [
     "paragraph_dedup_stats",
     "last_click_before_error",
     "benchmark_contamination",
+    # session-3 flagships: A6 gets its first FULL-oracle row in-window
+    # (incremental matview), T7/T8/J5 a transactional MERGE row, X2 the
+    # record-linkage extension. Demoted to below-the-fold (all r01-green,
+    # ids co-certified in-window): datetime_projection (P6: q7),
+    # math_projection (P7: filter_project_lineitem), customers_with_orders
+    # (J4: q22_wealthy_inactive_customers).
+    "incremental_matview_revenue",
+    "tx_merge_upsert",
+    "record_linkage_parts",
 ]
 
 

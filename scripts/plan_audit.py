@@ -50,6 +50,7 @@ for name, qd in sorted(catalog.registry().items()):
         "q11_important_part_stock",  # 1-row global-threshold aggregate broadcast
         "tfidf_top_terms",  # 1-row corpus-size aggregate broadcast
         "dedup_jaccard_dfcap",  # 1-row corpus-size aggregate broadcast
+        "dsir_importance_weights",  # 1-row vocab-totals aggregate broadcast
     ):
         issues.append("BNLJ")
     if "BatchEvalPython" in plan:
