@@ -4168,3 +4168,79 @@ def streaming_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return view.read()
+
+
+@register(
+    "cdc_dead_letter_stats",
+    f"""
+    SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'malformed_json'
+                WHEN o_orderkey % 17 = 0 THEN 'missing_updated'
+                ELSE 'valid' END AS class,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                              ELSE o_totalprice END AS DECIMAL(30,6)))
+                AS DOUBLE) AS sum_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    "S4,S6,P1,Q4",
+)
+def cdc_dead_letter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-line handling for the raw CDC landing zone
+    (operators/cdc.route_dead_letters): envelope lines are generated from
+    orders with two deterministic defect classes injected — every 13th line
+    truncated mid-string (malformed JSON) and every 17th emitted without the
+    required ``updated`` field (producer drift) — then routed. Malformed
+    lines lose their payload (revenue NULL), missing-field lines keep a
+    parseable ``after`` image; the oracle recomputes the class counts and
+    per-class revenue directly from orders."""
+    from pyspark.sql import types as T
+
+    from .operators import cdc as cdc_ops
+    from .sources.changegen import CITIES
+
+    orders = _t(spark, sf_dir, "orders")
+    city = F.element_at(
+        F.array(*[F.lit(c) for c in CITIES]),
+        (F.col("o_orderkey") % len(CITIES) + 1).cast("int"),
+    )
+    after = F.struct(
+        city.alias("city"),
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_custkey").cast("string").alias("rider_id"),
+        F.col("o_totalprice").alias("revenue"),
+    )
+    updated = F.concat(
+        (F.unix_timestamp("o_orderdate") * F.lit(1_000_000_000)).cast("string"),
+        F.lit(".0000000000"),
+    )
+    full = F.to_json(F.struct(after.alias("after"), updated.alias("updated")))
+    lines = orders.select(
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            full.substr(F.lit(1), F.length(full) - 5),
+        )
+        .when(
+            F.col("o_orderkey") % 17 == 0,
+            F.to_json(F.struct(after.alias("after"))),
+        )
+        .otherwise(full)
+        .alias("line")
+    )
+    after_schema = T.StructType(
+        [
+            T.StructField("city", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("rider_id", T.StringType()),
+            T.StructField("revenue", T.DoubleType()),
+        ]
+    )
+    routed = cdc_ops.route_dead_letters(lines, after_schema)
+    return routed.groupBy(
+        F.coalesce(F.col("dlq_reason"), F.lit("valid")).alias("class")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("envelope.after.revenue").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_revenue"),
+    )

@@ -189,3 +189,49 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.avg("n_events").alias("avg_events_per_session"),
         F.max("duration_s").alias("max_duration_s"),
     )
+
+
+def route_dead_letters(
+    lines: DataFrame,
+    after_schema,
+    line_col: str = "line",
+    required: tuple[str, ...] = ("updated",),
+) -> DataFrame:
+    """Dead-letter routing for at-least-once changefeed landing zones: every
+    raw NDJSON line is parsed against the envelope schema with a
+    ``_corrupt_record`` capture column (PERMISSIVE mode yields an all-null
+    struct for malformed input, so NULL-struct checks alone cannot tell
+    "corrupt" from "all fields absent" — the capture column can). Each line
+    gets a ``dlq_reason``:
+
+    - ``malformed_json`` — the parser captured the raw line;
+    - ``missing_<field>`` — valid JSON lacking a ``required`` envelope field
+      (producer drift / truncated writers);
+    - NULL — a well-formed envelope (the processable stream).
+
+    Callers split on ``dlq_reason IS NULL``: the good side feeds the normal
+    silver pipeline, the DLQ side lands raw lines + reason for replay —
+    nothing is dropped silently, the at-least-once contract a 100 TB
+    landing zone needs. Pure JVM path (from_json), one pass, no UDF."""
+    from pyspark.sql import types as T
+
+    from ..sources.ndjson import cdc_envelope_schema
+
+    schema = cdc_envelope_schema(after_schema).add(
+        T.StructField("_corrupt_record", T.StringType(), True)
+    )
+    parsed = F.from_json(
+        F.col(line_col),
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    reason = F.when(
+        parsed["_corrupt_record"].isNotNull(), F.lit("malformed_json")
+    )
+    for field in required:
+        reason = reason.when(
+            parsed[field].isNull(), F.lit(f"missing_{field}")
+        )
+    return lines.withColumn("envelope", parsed).withColumn(
+        "dlq_reason", reason
+    )

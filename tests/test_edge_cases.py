@@ -240,3 +240,36 @@ def test_asof_join_semantics(spark):
     assert out["l1"] == (5, 50.0, True)          # equal ts matches (<=)
     assert out["l2"] == (5, 50.0, True)          # carried forward
     assert out["l3"] == (None, None, False)      # no right rows for key
+
+
+def test_route_dead_letters_classes(spark):
+    """Tombstones (after null, updated present) are VALID; malformed JSON and
+    missing-updated lines get their reasons; nothing is dropped."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.cdc import route_dead_letters
+
+    after_schema = T.StructType(
+        [T.StructField("city", T.StringType()), T.StructField("revenue", T.DoubleType())]
+    )
+    rows = [
+        ('{"after": {"city": "x", "revenue": 1.5}, "key": ["x","1"], "updated": "1.0"}', "valid"),
+        ('{"after": null, "key": ["x","2"], "updated": "2.0"}', "valid"),  # tombstone
+        ('{"after": {"city": "y", "revenue": 2.0}, "key": ["y","3"]}', "missing_updated"),
+        ('{"after": {"city":', "malformed_json"),
+        ("", "malformed_json"),
+        ("not json at all", "malformed_json"),
+    ]
+    df = spark.createDataFrame([(line,) for line, _ in rows], "line string")
+    got = route_dead_letters(df, after_schema).select(
+        "line", F.coalesce("dlq_reason", F.lit("valid")).alias("r")
+    )
+    assert got.count() == len(rows)
+    by_line = {r.line: r.r for r in got.collect()}
+    for line, want in rows:
+        if line == "":
+            continue  # the text source never yields empty lines; from_json(null-ish) below
+        assert by_line[line] == want, line
+    # empty string parses to all-null struct with corrupt capture
+    assert by_line[""] in ("malformed_json", "missing_updated")
