@@ -170,3 +170,30 @@ class Engine:
         from .txlog import stream_dedup_to_tx_table
 
         return stream_dedup_to_tx_table(stream, table_dir, checkpoint_dir, **kw)
+
+    def matview(self, base, path: str, keys, sum_cols, **kw):
+        """Incrementally-maintained grouped COUNT/SUM view over a tx table
+        (see matview.IncrementalAggView: refresh reads only commit deltas)."""
+        from .matview import IncrementalAggView
+
+        return IncrementalAggView(self.spark, base, path, keys, sum_cols, **kw)
+
+    def link_records(self, dirty: DataFrame, master: DataFrame, **kw) -> DataFrame:
+        """Entity resolution: blocked equi-join + Levenshtein argmin
+        (see operators.linkage.block_link)."""
+        from .operators.linkage import block_link
+
+        return block_link(dirty, master, **kw)
+
+    def importance_weights(self, documents: DataFrame, **kw) -> DataFrame:
+        """DSIR-style corpus-selection scores (operators.textops.dsir_importance)."""
+        from .operators.textops import dsir_importance
+
+        return dsir_importance(documents, **kw)
+
+    def route_dead_letters(self, lines: DataFrame, after_schema, **kw) -> DataFrame:
+        """Tag corrupt/incomplete changefeed lines for DLQ routing
+        (operators.cdc.route_dead_letters)."""
+        from .operators.cdc import route_dead_letters
+
+        return route_dead_letters(lines, after_schema, **kw)

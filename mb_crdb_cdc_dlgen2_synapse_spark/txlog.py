@@ -252,6 +252,65 @@ class TxTable:
             schema = c.get("schema") or schema
         return (commits[-1]["version"] if commits else -1), active, schema
 
+    def checks(self) -> dict[str, str]:
+        """Active CHECK constraints ({name: sql boolean expr}), carried
+        forward commit-to-commit exactly like the schema."""
+        out: dict[str, str] = {}
+        for c in self._commits():
+            if c.get("checks") is not None:
+                out = dict(c["checks"])
+        return out
+
+    def add_check(self, name: str, expr: str) -> int:
+        """Delta-style CHECK constraint: validates the EXISTING table first
+        (a constraint the current data violates is refused, like Delta's
+        ADD CONSTRAINT), then records it in a metadata-only commit; every
+        later write verifies its staged files against all active checks
+        before the commit link goes in."""
+        from pyspark.sql import functions as F
+
+        if self.version() >= 0:
+            bad = self.read().filter(~F.expr(expr).cast("boolean")).limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"cannot add CHECK {name!r}: existing rows violate ({expr})"
+                )
+        checks = self.checks()
+        checks[name] = expr
+        _v, _a, schema = self.snapshot()
+        return self._commit([], lambda active: [], schema, None, "set_check", None, checks=checks)
+
+    def drop_check(self, name: str) -> int:
+        checks = self.checks()
+        checks.pop(name, None)
+        _v, _a, schema = self.snapshot()
+        return self._commit([], lambda active: [], schema, None, "set_check", None, checks=checks)
+
+    def _enforce_checks(self, added: list[str]) -> None:
+        """Verify staged files against active checks BEFORE the commit link:
+        an O(new files) columnar scan — the already-written table is never
+        re-validated. On violation the staged files are removed and the
+        write fails atomically (the table keeps its previous version)."""
+        checks = self.checks()
+        if not checks or not added:
+            return
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, f) for f in added]
+        )
+        for name, expr in checks.items():
+            n_bad = df.filter(~F.expr(expr).cast("boolean")).limit(1).count()
+            if n_bad:
+                for f in added:
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
+                raise ValueError(
+                    f"CHECK constraint {name!r} violated by incoming rows ({expr})"
+                )
+
     def _txn_seen(self, txn: dict | None) -> bool:
         if not txn:
             return False
@@ -301,11 +360,13 @@ class TxTable:
         op: str,
         stats: dict[str, dict] | None = None,
         max_retries: int = 20,
+        checks: dict[str, str] | None = None,
     ) -> int:
         """Put-if-absent commit with optimistic retry. ``removed_fn`` maps the
         freshly re-read active file list -> files this commit removes (it is
         re-evaluated on every retry, so overwrites stay correct under races).
         """
+        self._enforce_checks(added)
         for _ in range(max_retries):
             version, active, _ = self.snapshot()
             entry = {
@@ -318,6 +379,8 @@ class TxTable:
                 "stats": stats or {},
                 "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
+            if checks is not None:
+                entry["checks"] = checks
             tmp = os.path.join(
                 self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}.json"
             )

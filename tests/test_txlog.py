@@ -763,3 +763,54 @@ def test_read_changes_empty_range_returns_typed_empty(spark, tmp_path):
     ch = t.read_changes(t.version())
     assert ch.count() == 0
     assert "_change_type" in ch.columns and "k" in ch.columns
+
+
+# -- CHECK constraints --------------------------------------------------------
+
+
+def test_check_constraint_blocks_bad_writes_atomically(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "chk"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.add_check("k_positive", "k > 0")
+    v = t.version()
+    n_files = len(t.snapshot()[1])
+    with pytest.raises(ValueError, match="k_positive"):
+        t.append(_df(spark, [(3, "c"), (-1, "bad")]))
+    # atomic refusal: version unchanged, no stray staged files
+    assert t.version() == v
+    assert len(t.snapshot()[1]) == n_files
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    t.append(_df(spark, [(3, "c")]))  # clean write passes
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_add_check_refuses_existing_violations(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "chk2"))
+    t.append(_df(spark, [(0, "zero")]))
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_check("k_positive", "k > 0")
+    assert "k_positive" not in t.checks()
+
+
+def test_checks_persist_across_handles_and_gate_dml(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "chk3"))
+    t.append(
+        spark.range(1, 50).select(F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    )
+    t.add_check("v_nonneg", "v >= 0")
+    t2 = TxTable(spark, t.path)  # fresh handle, same log
+    assert t2.checks() == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t2.update_where([("k", "<", 5)], {"v": F.lit(-1.0)})
+    assert t2.read().filter("v < 0").count() == 0
+    t2.drop_check("v_nonneg")
+    t2.update_where([("k", "<", 5)], {"v": F.lit(-1.0)})
+    assert t2.read().filter("v < 0").count() == 4
+
+
+def test_check_null_passes_sql_semantics(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "chk4"))
+    t.append(_df(spark, [(1, "a")]))
+    t.add_check("v_short", "length(v) < 10")
+    t.append(_df(spark, [(2, None)]))  # NULL check -> pass, per SQL CHECK
+    assert t.read().count() == 2
