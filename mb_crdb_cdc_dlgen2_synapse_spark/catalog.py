@@ -4244,3 +4244,159 @@ def cdc_dead_letter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_revenue"),
     )
+
+
+@register(
+    "gap_fill_daily_revenue",
+    """
+    WITH actual AS (
+        SELECT o_custkey AS custkey,
+               date_trunc('day', o_orderdate) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                   AS day_revenue
+        FROM orders
+        WHERE o_custkey % 100 = 0
+        GROUP BY 1, 2),
+    spine AS (
+        SELECT custkey,
+               unnest(generate_series(min(day), max(day),
+                                      INTERVAL 1 DAY)) AS day
+        FROM actual GROUP BY custkey)
+    SELECT s.custkey,
+           s.day,
+           last_value(a.day_revenue IGNORE NULLS)
+               OVER (PARTITION BY s.custkey ORDER BY s.day
+                     ROWS UNBOUNDED PRECEDING) AS day_revenue,
+           a.day_revenue IS NULL AS day_revenue_filled
+    FROM spine s LEFT JOIN actual a USING (custkey, day)
+    """,
+    "W3,P6,J3",
+)
+def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (operators/relational.gap_fill_locf): daily
+    revenue per (sampled) customer on a complete per-key date spine, gaps
+    filled by last observation carried forward, with a provenance flag per
+    filled cell. The spine is sequence()+explode at the executors; the
+    oracle builds the same spine with generate_series and fills with
+    last_value IGNORE NULLS."""
+    from .functions.numeric import exact_sum
+    from .operators.relational import gap_fill_locf
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    daily = (
+        orders.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("o_orderdate"),
+        )
+        .agg(exact_sum("o_totalprice").alias("day_revenue"))
+    )
+    return gap_fill_locf(daily, "custkey", "o_orderdate", ["day_revenue"]).select(
+        "custkey",
+        "day",
+        "day_revenue",
+        "day_revenue_filled",
+    )
+
+
+@register(
+    "cdc_streaming_dlq",
+    f"""
+    SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'malformed_json'
+                WHEN o_orderkey % 17 = 0 THEN 'missing_updated'
+                ELSE 'valid' END AS class,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                              ELSE o_totalprice END AS DECIMAL(30,6)))
+                AS DOUBLE) AS sum_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    "T1,T8,S4,Q4",
+)
+def cdc_streaming_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dead-letter quarantine (streaming/ingest.stream_with_dlq):
+    the corrupt-line corpus of cdc_dead_letter_stats lands on disk as NDJSON,
+    streams back through file-source micro-batches, and every batch appends
+    valid envelopes to one txlog table and quarantined lines (raw + reason +
+    partial parse) to another, both under the same exactly-once txn marker.
+    The per-class counts and revenue sums recomputed FROM THE TWO TABLES
+    must match the SQL oracle over orders — proving the split lost nothing,
+    doubled nothing, and parsed values survived the stream."""
+    from pyspark.sql import types as T
+
+    from .sources.changegen import CITIES
+    from .streaming.ingest import stream_with_dlq
+    from .txlog import TxTable
+
+    tmp = _scratch("stream_dlq")
+    src = os.path.join(tmp, "landing")
+    orders = _t(spark, sf_dir, "orders")
+    city = F.element_at(
+        F.array(*[F.lit(c) for c in CITIES]),
+        (F.col("o_orderkey") % len(CITIES) + 1).cast("int"),
+    )
+    after = F.struct(
+        city.alias("city"),
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_custkey").cast("string").alias("rider_id"),
+        F.col("o_totalprice").alias("revenue"),
+    )
+    updated = F.concat(
+        (F.unix_timestamp("o_orderdate") * F.lit(1_000_000_000)).cast("string"),
+        F.lit(".0000000000"),
+    )
+    full = F.to_json(F.struct(after.alias("after"), updated.alias("updated")))
+    orders.select(
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            full.substr(F.lit(1), F.length(full) - 5),
+        )
+        .when(
+            F.col("o_orderkey") % 17 == 0,
+            F.to_json(F.struct(after.alias("after"))),
+        )
+        .otherwise(full)
+        .alias("value")
+    ).coalesce(4).write.mode("overwrite").text(src)
+    after_schema = T.StructType(
+        [
+            T.StructField("city", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("rider_id", T.StringType()),
+            T.StructField("revenue", T.DoubleType()),
+        ]
+    )
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 2)
+        .load(src)
+        .withColumnRenamed("value", "line")
+    )
+    good_dir = os.path.join(tmp, "good")
+    dlq_dir = os.path.join(tmp, "dlq")
+    q = stream_with_dlq(
+        lines, after_schema, good_dir, dlq_dir, os.path.join(tmp, "ckpt")
+    )
+    q.awaitTermination()
+    dec = "decimal(18,6)"
+    good_sum = (
+        TxTable(spark, good_dir)
+        .read()
+        .agg(
+            F.lit("valid").alias("class"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("after.revenue").cast(dec)).cast("double").alias("sum_revenue"),
+        )
+    )
+    dlq_sums = (
+        TxTable(spark, dlq_dir)
+        .read()
+        .groupBy(F.col("dlq_reason").alias("class"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("envelope.after.revenue").cast(dec))
+            .cast("double")
+            .alias("sum_revenue"),
+        )
+    )
+    return good_sum.unionByName(dlq_sums)

@@ -478,3 +478,56 @@ def asof_join(
         F.col("__match").isNotNull().alias("asof_matched"),
     )
     return out
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Time-series gap filling: a complete per-key daily date spine (each
+    key's own min..max day) with missing days filled by last observation
+    carried forward (LOCF) — the standard densification step before
+    joining time series or charting.
+
+    Shape: per-key min/max aggregate -> ``sequence()`` + ``explode`` builds
+    the spine JVM-side (rows generated at the executors, never the driver),
+    left join with the actuals on (key, day) — co-partitioned by the same
+    keys, one shuffle — then ``last(ignorenulls=True)`` over an unbounded
+    preceding frame fills gaps. Spine cardinality is keys x days, generated
+    distributed; no collect, no Python.
+    """
+    day = F.date_trunc("day", F.col(date_col)).alias("day")
+    actual = df.groupBy(F.col(key_col), day).agg(
+        *[F.first(c).alias(c) for c in value_cols]
+    )
+    spine = (
+        df.groupBy(key_col)
+        .agg(
+            F.date_trunc("day", F.min(date_col)).alias("d0"),
+            F.date_trunc("day", F.max(date_col)).alias("d1"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(actual, [key_col, "day"], "left")
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = joined.select(
+        key_col,
+        "day",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+        *[F.col(c).isNull().alias(f"{c}_filled") for c in value_cols],
+    )
+    return filled

@@ -300,3 +300,47 @@ def read_latest_state_tx(spark: SparkSession, table_dir: str) -> DataFrame:
         .filter(F.col("after").isNotNull())
         .drop("bucket")
     )
+
+
+def stream_with_dlq(
+    stream_lines: DataFrame,
+    after_schema: T.StructType,
+    good_table_dir: str,
+    dlq_table_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming landing with dead-letter routing (T1/T8 + the corrupt-line
+    contract): each micro-batch of raw changefeed lines is classified by
+    ``operators.cdc.route_dead_letters``; well-formed envelopes append to
+    the good txlog table, everything else appends — raw line + reason +
+    whatever partial envelope parsed — to the DLQ table for replay. Both
+    appends carry the same per-batch txn marker, so a re-delivered batch is
+    a no-op on BOTH tables: nothing lost, nothing doubled, the
+    at-least-once-in / exactly-once-out contract with an explicit quarantine
+    instead of silent drops."""
+    from ..operators.cdc import route_dead_letters
+    from ..txlog import TxTable
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        routed = route_dead_letters(batch, after_schema).localCheckpoint(eager=True)
+        good = routed.filter(F.col("dlq_reason").isNull()).select(
+            "envelope.after", "envelope.key", "envelope.updated"
+        )
+        bad = routed.filter(F.col("dlq_reason").isNotNull()).select(
+            "line", "dlq_reason", "envelope"
+        )
+        txn_g = {"app": f"dlq-good:{good_table_dir}", "batch": batch_id}
+        txn_b = {"app": f"dlq-bad:{dlq_table_dir}", "batch": batch_id}
+        TxTable(spark, good_table_dir).append(good, txn=txn_g)
+        TxTable(spark, dlq_table_dir).append(bad, txn=txn_b)
+
+    writer = (
+        stream_lines.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
