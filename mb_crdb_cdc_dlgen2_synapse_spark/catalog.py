@@ -4400,3 +4400,75 @@ def cdc_streaming_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return good_sum.unionByName(dlq_sums)
+
+
+@register(
+    "corpus_e2e_pipeline",
+    r"""
+    WITH kept AS (
+        SELECT * FROM documents
+        WHERE n_chars >= 100 AND lang = 'en'
+          AND len(string_split(text, ' ')) >= 30
+          AND len(list_distinct(string_split(text, ' ')))
+              >= 0.3 * len(string_split(text, ' '))),
+    surv AS (
+        SELECT min(doc_id) AS doc_id
+        FROM kept
+        GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+    docs AS (
+        SELECT k.source, k.doc_id,
+               len(list_filter(string_split_regex(k.text, '\s+'),
+                               t -> t <> '')) AS n_tokens
+        FROM kept k JOIN surv s USING (doc_id)),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM docs)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CEIL(SUM(n_tokens) / 256.0) AS BIGINT) AS n_sequences,
+           CAST(SUM(CASE WHEN CAST(FLOOR(cum / 256.0) AS BIGINT)
+                          <> CAST(FLOOR((cum + n_tokens - 1) / 256.0) AS BIGINT)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS boundary_crossers
+    FROM packed
+    GROUP BY source
+    """,
+    "X1,X4,P9,W3",
+)
+def corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus flagship: quality gates (length -> language -> min
+    tokens -> lexical diversity) -> exact dedup survivors (min doc_id per
+    content hash) -> GPT-style fixed-budget sequence packing, reported as
+    per-source shard stats (docs, tokens, sequences, boundary crossers).
+    Every stage is the engine's own operator (quality_scores conditions,
+    dedup.exact_dedup, textops.sequence_packing) chained as one lazy plan —
+    the pipeline a training-data team runs nightly, end to end, with a full
+    value-hash oracle."""
+    from .operators import dedup as dedup_ops
+    from .operators.textops import sequence_packing
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kept = d.filter(
+        (F.col("n_chars") >= 100)
+        & (F.col("lang") == "en")
+        & (F.size(toks) >= 30)
+        & (F.size(F.array_distinct(toks)) >= 0.3 * F.size(toks))
+    )
+    surv_ids = dedup_ops.exact_dedup(kept).select("doc_id")
+    surv_docs = kept.join(surv_ids, "doc_id")
+    pack = sequence_packing(surv_docs, budget=256, shard_col="source")
+    return (
+        pack.groupBy(F.col("shard").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens") / 256.0).cast("bigint").alias("n_sequences"),
+            F.sum(
+                F.when(F.col("seq_spans") > 1, 1).otherwise(0)
+            ).alias("boundary_crossers"),
+        )
+    )
