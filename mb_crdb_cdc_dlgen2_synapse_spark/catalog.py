@@ -4472,3 +4472,57 @@ def corpus_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boundary_crossers"),
         )
     )
+
+
+@register(
+    "tx_incremental_etl",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 10 = 0
+                THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 50 = 0)
+      AND (CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 10 = 0
+                THEN o_totalprice + 1.0 ELSE o_totalprice END) < 300000.0
+    """,
+    "T1,T8,J5,P9",
+)
+def tx_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The medallion hop, incrementally: a bronze orders table takes three
+    commits (append evens, MERGE updating every 10th even key and
+    tombstoning every 50th, append odds); after EACH commit the silver
+    table syncs via the change feed (txlog.sync_changes) with the predicate
+    o_totalprice < 300000 — updates that cross the predicate boundary
+    become silver deletes, never silent skips. The final silver state must
+    hash-match a from-scratch SQL recompute of the same pipeline."""
+    from .txlog import TxTable, sync_changes
+
+    tmp = _scratch("tx_etl")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderkey") % 8).alias("bucket"),
+    )
+    bronze = TxTable(spark, os.path.join(tmp, "bronze"))
+    silver = TxTable(spark, os.path.join(tmp, "silver"))
+    sync = lambda: sync_changes(  # noqa: E731
+        bronze, silver, on=["o_orderkey"], predicate="o_totalprice < 300000.0"
+    )
+    bronze.append(orders.filter(F.col("o_orderkey") % 2 == 0), partition_by=["bucket"])
+    sync()
+    changes = orders.filter(
+        (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") % 10 == 0)
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 50 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice") + 1.0)
+        .alias("o_totalprice"),
+        "bucket",
+    )
+    bronze.merge_into(changes, on=["o_orderkey"], delete_when="o_totalprice IS NULL")
+    sync()
+    bronze.append(orders.filter(F.col("o_orderkey") % 2 == 1), partition_by=["bucket"])
+    sync()
+    return silver.read().select("o_orderkey", "o_orderpriority", "o_totalprice")

@@ -1002,3 +1002,67 @@ def stream_dedup_to_tx_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sync_changes(
+    src: TxTable,
+    dst: TxTable,
+    on: list[str],
+    predicate: str | None = None,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Incremental bronze->silver replication driven by the change feed: the
+    medallion hop. Consumes ``src.read_changes`` past the last synced
+    version (recorded in ``dst``'s log as a metadata commit), reduces the
+    feed to the LATEST image per key — within one commit an insert outranks
+    the delete half of a rewrite — and MERGEs the net batch into ``dst``.
+    Cost per sync tracks the changed files, never the bronze table.
+
+    ``predicate`` (SQL boolean over source columns) filters the silver
+    table, with the subtlety a naive filter gets wrong: a row UPDATED out
+    of the predicate range must become a silver DELETE, not be silently
+    skipped — so failing rows are demoted to deletes rather than dropped.
+    Re-running a completed sync is a no-op (the recorded version gates it).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    marker = f"sync:{os.path.abspath(src.path)}"
+    from_v = -1
+    for c in reversed(dst._commits()):
+        t = c.get("txn") or {}
+        if t.get("app") == marker:
+            from_v = t["batch"]
+            break
+    head = src.version()
+    if head <= from_v:
+        return {"from_version": from_v, "to_version": from_v, "rows": 0}
+    feed = src.read_changes(from_v, head)
+    w = Window.partitionBy(*on).orderBy(
+        F.col("_commit_version").desc(), F.col("__ins").desc()
+    )
+    latest = (
+        feed.withColumn("__ins", (F.col("_change_type") == "insert").cast("int"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn("__is_delete", F.col("__ins") == 0)
+        .drop("_change_type", "_commit_version", "__ins", "__rn")
+    )
+    if predicate is not None:
+        # rows leaving the predicate range become deletes, not skips
+        latest = latest.withColumn(
+            "__is_delete",
+            F.col("__is_delete") | ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)),
+        )
+    latest = latest.localCheckpoint(eager=True)
+    src_cols = [c for c in latest.columns if c != "__is_delete"]
+    if dst.version() < 0:
+        dst.append(
+            latest.filter(~F.col("__is_delete")).select(*src_cols),
+            partition_by=partition_by,
+        )
+    else:
+        dst.merge_into(latest, on=on, delete_when="__is_delete")
+    n = latest.count()
+    dst._commit([], lambda active: [], dst.snapshot()[2], {"app": marker, "batch": head}, "sync")
+    return {"from_version": from_v, "to_version": head, "rows": n}

@@ -814,3 +814,59 @@ def test_check_null_passes_sql_semantics(spark, tmp_path):
     t.add_check("v_short", "length(v) < 10")
     t.append(_df(spark, [(2, None)]))  # NULL check -> pass, per SQL CHECK
     assert t.read().count() == 2
+
+
+# -- incremental bronze->silver sync ------------------------------------------
+
+
+def test_sync_changes_incremental_replication(spark, tmp_path):
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import sync_changes
+
+    bronze = TxTable(spark, str(tmp_path / "bronze"))
+    silver = TxTable(spark, str(tmp_path / "silver"))
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v double")  # noqa: E731
+
+    bronze.append(mk([(1, 10.0), (2, 20.0), (3, 990.0)]).coalesce(1))
+    r1 = sync_changes(bronze, silver, on=["k"], predicate="v < 100")
+    assert {r.k: r.v for r in silver.read().collect()} == {1: 10.0, 2: 20.0}
+
+    # update 1 out of range (-> silver delete), update 3 INTO range,
+    # delete 2, insert 4
+    src = spark.createDataFrame(
+        [(1, 500.0), (3, 30.0), (2, None), (4, 40.0)], "k long, v double"
+    )
+    bronze.merge_into(src, on=["k"], delete_when="v IS NULL")
+    r2 = sync_changes(bronze, silver, on=["k"], predicate="v < 100")
+    assert r2["from_version"] == r1["to_version"]
+    assert {r.k: r.v for r in silver.read().collect()} == {3: 30.0, 4: 40.0}
+
+    # idempotent re-run: no new commits on silver
+    n_commits = len(silver.history())
+    r3 = sync_changes(bronze, silver, on=["k"], predicate="v < 100")
+    assert r3["rows"] == 0 and len(silver.history()) == n_commits
+
+
+def test_sync_changes_equals_full_recompute_randomized(spark, tmp_path):
+    import random
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import sync_changes
+
+    rng = random.Random(23)
+    bronze = TxTable(spark, str(tmp_path / "b"))
+    silver = TxTable(spark, str(tmp_path / "s"))
+    for step in range(4):
+        rows = [
+            (rng.randint(0, 30), None if rng.random() < 0.2 else float(rng.randint(0, 200)))
+            for _ in range(10)
+        ]
+        src = spark.createDataFrame(rows, "k long, v double").dropDuplicates(["k"])
+        if bronze.version() < 0:
+            bronze.append(src.filter("v IS NOT NULL").coalesce(1))
+        else:
+            bronze.merge_into(src, on=["k"], delete_when="v IS NULL")
+        sync_changes(bronze, silver, on=["k"], predicate="v < 150")
+        want = {
+            (r.k, r.v) for r in bronze.read().filter("v < 150").collect()
+        }
+        got = {(r.k, r.v) for r in silver.read().collect()}
+        assert got == want, f"step {step}"
