@@ -875,12 +875,43 @@ class TxTable:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
-    def vacuum(self) -> int:
-        """Delete data files no longer referenced by the CURRENT snapshot.
-        Run only when no reader older than the latest snapshot is in flight
-        (same contract as Delta VACUUM). Returns files deleted."""
-        _v, active, _s = self.snapshot()
-        keep = set(active)
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: ONE commit that makes the ``version``
+        snapshot current again. Purely a log operation over immutable files
+        — the restored files are re-referenced, the rolled-back commits'
+        files dropped — so it is atomic, concurrent-reader-safe, and itself
+        time-travelable (the rolled-back history stays in the log). Fails if
+        the target snapshot's files were already vacuumed."""
+        old_v, old_active, old_schema = self.snapshot(version)
+        missing = [
+            f for f in old_active if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore v{version}: {len(missing)} file(s) already "
+                f"vacuumed (e.g. {missing[0]!r})"
+            )
+        # overwrite-shaped commit: drop the whole current file list, add the
+        # restored one (re-adding a still-active file after only a partial
+        # removal would duplicate it in the snapshot replay)
+        return self._commit(
+            list(old_active), lambda active: list(active), old_schema, None, "restore"
+        )
+
+    def vacuum(self, retain_versions: int = 1) -> int:
+        """Delete data files not referenced by any of the newest
+        ``retain_versions`` snapshots (default 1 = current only, the
+        original contract). A larger retention keeps time travel,
+        ``read_changes``, RESTORE, and lagging matview/sync consumers
+        working across the retained window — the txlog analog of Delta's
+        retention period, expressed in versions rather than hours. Run only
+        when no reader older than the retained window is in flight."""
+        head = self.version()
+        if head < 0:
+            return 0
+        keep: set[str] = set()
+        for v in [c["version"] for c in self._commits()][-max(1, retain_versions):]:
+            keep |= set(self.snapshot(v)[1])
         deleted = 0
         for dirpath, dirnames, filenames in os.walk(self.path):
             dirnames[:] = [d for d in dirnames if d not in (_LOG_DIR, _STAGING)]

@@ -870,3 +870,47 @@ def test_sync_changes_equals_full_recompute_randomized(spark, tmp_path):
         }
         got = {(r.k, r.v) for r in silver.read().collect()}
         assert got == want, f"step {step}"
+
+
+# -- RESTORE and retention vacuum ---------------------------------------------
+
+
+def test_restore_rolls_back_in_one_commit(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "rst"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))      # v0
+    t.overwrite(_df(spark, [(9, "z")]).coalesce(1))             # v1
+    t.append(_df(spark, [(10, "y")]).coalesce(1))               # v2
+    v = t.restore(0)
+    assert v == 3 and t.history()[-1]["op"] == "restore"
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    # the rollback itself is time-travelable: v2 still readable pre-vacuum
+    assert sorted(r.k for r in t.read(as_of=2).collect()) == [9, 10]
+    # restoring the restore works too
+    t.restore(2)
+    assert sorted(r.k for r in t.read().collect()) == [9, 10]
+
+
+def test_restore_after_vacuum_fails_loudly(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "rstv"))
+    t.append(_df(spark, [(1, "a")]).coalesce(1))
+    t.overwrite(_df(spark, [(2, "b")]).coalesce(1))
+    t.vacuum()
+    with pytest.raises(FileNotFoundError, match="restore"):
+        t.restore(0)
+
+
+def test_vacuum_retention_keeps_time_travel_window(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "ret"))
+    for i in range(4):
+        t.overwrite(_df(spark, [(i, f"v{i}")]).coalesce(1))
+    t.vacuum(retain_versions=2)
+    # last two snapshots readable, older ones gone
+    assert [r.k for r in t.read(as_of=3).collect()] == [3]
+    assert [r.k for r in t.read(as_of=2).collect()] == [2]
+    with pytest.raises(Exception):
+        t.read(as_of=1).collect()
+    # default retention still tightest
+    t.vacuum()
+    with pytest.raises(Exception):
+        t.read(as_of=2).collect()
+    assert [r.k for r in t.read().collect()] == [3]
