@@ -243,3 +243,64 @@ def test_random_join_trees_match_duckdb(spark, sf_dir, seed):
         got = Counter(tuple(r) for r in spark.sql(q).collect())
         want = Counter(tuple(r) for r in con.execute(q).fetchall())
         assert got == want, f"seed={seed} i={i} {q}"
+
+
+# ---------------------------------------------------------------------------
+# Random window-function fuzzing: random func x partition x order x frame
+# specs over orders, identical SQL in both engines, full multiset compare.
+# Every ORDER BY carries the unique o_orderkey tiebreak so ranks/frames are
+# total-ordered (engine-independent); frame sums go through DECIMAL.
+# ---------------------------------------------------------------------------
+
+_WIN_FUNCS = [
+    "row_number()",
+    "rank()",
+    "dense_rank()",
+    "lag(o_orderkey, 1) ",
+    "lead(o_orderkey, 1)",
+    "count(*)",
+    "min(o_orderkey)",
+    "max(o_orderkey)",
+    "sum(CAST(o_totalprice AS DECIMAL(18,2)))",
+]
+_WIN_PARTS = ["o_orderstatus", "o_orderpriority", "o_custkey % 10", ""]
+_WIN_ORDERS = [
+    "o_totalprice ASC, o_orderkey",
+    "o_totalprice DESC, o_orderkey",
+    "o_orderdate ASC, o_orderkey",
+    "o_orderkey DESC",
+]
+_WIN_FRAMES = [
+    "",
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING",
+]
+
+
+def _rand_window_query(rng: random.Random) -> str:
+    fn = rng.choice(_WIN_FUNCS)
+    part = rng.choice(_WIN_PARTS)
+    order = rng.choice(_WIN_ORDERS)
+    frame = rng.choice(_WIN_FRAMES) if fn.startswith(("sum", "min", "max", "count")) else ""
+    over = f"PARTITION BY {part} " if part else ""
+    pred = _leaf_for(rng, "orders")
+    return (
+        f"SELECT o_orderkey, {fn} OVER ({over}ORDER BY {order}{frame}) AS w "
+        f"FROM orders WHERE {pred}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_window_specs_match_duckdb(spark, sf_dir, seed):
+    con = duckdb.connect()
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    rng = random.Random(4000 + seed)
+    for i in range(20):
+        q = _rand_window_query(rng)
+        got = Counter(tuple(r) for r in spark.sql(q).collect())
+        want = Counter(tuple(r) for r in con.execute(q).fetchall())
+        assert got == want, f"seed={seed} i={i} {q}"
