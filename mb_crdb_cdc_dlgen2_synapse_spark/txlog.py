@@ -63,6 +63,7 @@ def _footer_stats(parquet_path: str) -> dict:
     md = pq.ParquetFile(parquet_path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
     dropped: set[str] = set()
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
@@ -73,6 +74,8 @@ def _footer_stats(parquet_path: str) -> dict:
                 continue
             try:
                 st = col.statistics
+                if st is not None and st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
                 ok = (
                     st is not None
                     and st.has_min_max
@@ -97,7 +100,7 @@ def _footer_stats(parquet_path: str) -> dict:
                 continue
             mins[name] = st.min if name not in mins else min(mins[name], st.min)
             maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
-    return {"rows": md.num_rows, "min": mins, "max": maxs}
+    return {"rows": md.num_rows, "min": mins, "max": maxs, "nulls": nulls}
 
 
 def _nullable_normalized(schema_json: str) -> str:
@@ -161,6 +164,44 @@ def _file_may_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
                 return False
         except TypeError:
             continue  # incomparable predicate value vs stored stat — keep file
+    return True
+
+
+#: per-op proof that EVERY value in [lo, hi] satisfies the predicate
+_ALL_OPS = {
+    "==": lambda lo, hi, v: lo == v and hi == v,
+    ">=": lambda lo, hi, v: lo >= v,
+    ">": lambda lo, hi, v: lo > v,
+    "<=": lambda lo, hi, v: hi <= v,
+    "<": lambda lo, hi, v: hi < v,
+    "in": lambda lo, hi, vs: lo == hi and lo in set(vs),
+}
+
+
+def _file_all_match(stats: dict | None, parts: dict[str, str], predicates) -> bool:
+    """True only when metadata PROVES every row satisfies every predicate:
+    partition equality decides whole files; min/max bounds decide when the
+    whole range lies inside the predicate AND the column has no nulls (null
+    rows never satisfy a predicate, and min/max ignore them — commits from
+    before null counts were recorded simply stay unprovable)."""
+    for col, op, value in predicates:
+        if col in parts:
+            if op == "==" and str(value) == parts[col]:
+                continue
+            if op == "in" and parts[col] in {str(v) for v in value}:
+                continue
+            return False
+        if not stats:
+            return False
+        lo, hi = stats.get("min", {}).get(col), stats.get("max", {}).get(col)
+        n_null = stats.get("nulls", {}).get(col)
+        if lo is None or hi is None or n_null is None or n_null > 0:
+            return False
+        try:
+            if not _ALL_OPS[op](lo, hi, value):
+                return False
+        except (TypeError, KeyError):
+            return False
     return True
 
 
@@ -874,6 +915,43 @@ class TxTable:
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
+
+    def count_rows(self, predicates: list[tuple] | None = None) -> int:
+        """Metadata-only COUNT(*) when the log can answer it exactly: with no
+        predicates, the sum of logged per-file row counts (zero file I/O —
+        the table-format optimization Delta/Iceberg use for COUNT(*)); with
+        predicates, files are split into provably-all-match / provably-none /
+        ambiguous — only the ambiguous files are actually read and counted.
+        A partition-equality predicate is decidable for every file, so
+        per-partition counts stay metadata-only at any table size."""
+        _v, active, _s = self.snapshot()
+        predicates = predicates or []
+        stats = self.file_stats() if active else {}
+        meta_total = 0
+        ambiguous: list[str] = []
+        for f in active:
+            st = stats.get(f) or {}
+            parts = _partition_values(f)
+            if not _file_may_match(st, parts, predicates):
+                continue  # provably zero matching rows
+            if st.get("rows") is not None and _file_all_match(st, parts, predicates):
+                meta_total += st["rows"]
+            else:
+                ambiguous.append(f)
+        if ambiguous:
+            from pyspark.sql import functions as F
+
+            df = self.spark.read.option("basePath", self.path).parquet(
+                *[os.path.join(self.path, f) for f in ambiguous]
+            )
+            ops = {"==": "__eq__", ">=": "__ge__", ">": "__gt__", "<=": "__le__", "<": "__lt__"}
+            for col, op, value in predicates:
+                if op == "in":
+                    df = df.filter(F.col(col).isin(list(value)))
+                else:
+                    df = df.filter(getattr(F.col(col), ops[op])(F.lit(value)))
+            meta_total += df.count()
+        return meta_total
 
     def restore(self, version: int) -> int:
         """Delta-style RESTORE: ONE commit that makes the ``version``

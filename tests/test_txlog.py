@@ -914,3 +914,78 @@ def test_vacuum_retention_keeps_time_travel_window(spark, tmp_path):
     with pytest.raises(Exception):
         t.read(as_of=2).collect()
     assert [r.k for r in t.read().collect()] == [3]
+
+
+# -- metadata COUNT and multi-writer stress -----------------------------------
+
+
+def test_count_rows_metadata_only_and_exact(spark, tmp_path, monkeypatch):
+    t = TxTable(spark, str(tmp_path / "cnt"))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("bucket"),
+        F.col("id").cast("double").alias("v"),
+    )
+    t.append(df, partition_by=["bucket"])
+    # metadata-only proofs: blind the handle's SparkSession — any file I/O
+    # attempt would AttributeError on spark.read
+    monkeypatch.setattr(t, "spark", None)
+    assert t.count_rows() == 1000
+    # partition-equality predicate: decidable for every file, still no I/O
+    assert t.count_rows([("bucket", "==", 2)]) == 250
+    monkeypatch.setattr(t, "spark", spark)
+    # range predicate spanning files: falls back to reading only ambiguous
+    assert t.count_rows([("k", ">=", 123)]) == t.read().filter("k >= 123").count()
+
+
+def test_count_rows_randomized_equals_filter_count(spark, tmp_path):
+    import random
+
+    rng = random.Random(31)
+    t = TxTable(spark, str(tmp_path / "cntr"))
+    for lo in (0, 300, 600):
+        t.append(
+            spark.range(lo, lo + 300).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("bucket")
+            ),
+            partition_by=["bucket"],
+        )
+    for _ in range(10):
+        preds = []
+        if rng.random() < 0.7:
+            preds.append(("k", rng.choice([">=", ">", "<=", "<"]), rng.randint(-50, 950)))
+        if rng.random() < 0.5:
+            preds.append(("bucket", "==", rng.randint(0, 3)))
+        want = t.read(predicates=preds).count()
+        assert t.count_rows(preds) == want, preds
+
+
+def test_concurrent_writers_all_commits_land(spark, tmp_path):
+    """Optimistic concurrency under real thread interleaving: N threads x M
+    appends race for versions; every append must land exactly once."""
+    import threading
+
+    t_path = str(tmp_path / "mw")
+    TxTable(spark, t_path)  # init log dir
+    errors = []
+
+    def writer(wid: int):
+        try:
+            t = TxTable(spark, t_path)
+            for i in range(4):
+                t.append(
+                    spark.createDataFrame([(wid, i)], "w int, i int").coalesce(1)
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    t = TxTable(spark, t_path)
+    assert t.version() == 15  # 16 commits, contiguous versions 0..15
+    rows = {(r.w, r.i) for r in t.read().collect()}
+    assert rows == {(w, i) for w in range(4) for i in range(4)}
