@@ -500,9 +500,21 @@ class TxTable:
             added, removed, df.schema.json(), None, "overwrite_partitions", stats
         )
 
-    def compact(self, target_files: int = 1, z_order: list[str] | None = None) -> int:
-        """Rewrite current content into ``target_files`` files in ONE commit —
+    def compact(
+        self,
+        target_files: int = 1,
+        z_order: list[str] | None = None,
+        predicates: list[tuple] | None = None,
+    ) -> int:
+        """Rewrite content into ``target_files`` files in ONE commit —
         the OPTIMIZE analog; concurrent readers keep their snapshot.
+
+        ``predicates`` scopes the rewrite (OPTIMIZE ... WHERE): only files
+        whose stats/partition values may match are read and replaced; the
+        rest of the table is untouched — at 100 TB you compact the hot
+        partition of the day, never the table. Scoping is file-granular:
+        a matched file's non-matching rows are carried into the rewrite
+        unchanged (content is preserved exactly, only layout changes).
 
         ``z_order``: numeric columns to cluster by Morton (Z-) order before
         the rewrite — each output file then covers a tight min/max range on
@@ -513,16 +525,32 @@ class TxTable:
         trade Delta's OPTIMIZE ZORDER makes), then the interleaved-bit key
         feeds ``repartitionByRange`` + a per-partition sort: no global
         single-partition sort anywhere."""
-        df = self.read()
-        if z_order:
-            df = (
-                df.withColumn("__z", _zvalue(df, z_order))
-                .repartitionByRange(target_files, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
-        else:
-            df = df.coalesce(target_files)
+        def relayout(df: DataFrame) -> DataFrame:
+            if z_order:
+                return (
+                    df.withColumn("__z", _zvalue(df, z_order))
+                    .repartitionByRange(target_files, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+            return df.coalesce(target_files)
+
+        if predicates:
+            # OPTIMIZE ... WHERE: rewrite only files the predicates may touch
+            # (file-granular — a matched file's non-matching rows carry over
+            # unchanged). _rewrite_files conforms the schema and keeps the
+            # hive partition layout (one file per rewritten partition dir);
+            # conflicts with concurrent commits abort.
+            _v, active, _s = self.snapshot()
+            stats0 = self.file_stats()
+            scope = [
+                f
+                for f in active
+                if _file_may_match(stats0.get(f), _partition_values(f), predicates)
+            ]
+            res = self._rewrite_files(scope, relayout, op="compact")
+            return res["version"]
+        df = relayout(self.read())
         df = df.localCheckpoint(eager=True)
         added, stats = self._stage(df, None)
         return self._commit(
@@ -613,7 +641,7 @@ class TxTable:
                 cond = cond & getattr(F.col(col), ops[op])(F.lit(value))
         return cond
 
-    def _rewrite_files(self, cands: list[str], transform) -> dict:
+    def _rewrite_files(self, cands: list[str], transform, op: str = "rewrite") -> dict:
         """Copy-on-write core shared by DELETE/UPDATE: read only ``cands``
         (partition columns recovered via basePath), apply ``transform``
         (DataFrame -> DataFrame), stage the result preserving the hive
@@ -665,7 +693,7 @@ class TxTable:
             return list(cand_set)
 
         version = self._commit(
-            added, removed, out.schema.json(), None, "rewrite", stats
+            added, removed, out.schema.json(), None, op, stats
         )
         return {"files_rewritten": len(cands), "version": version}
 

@@ -989,3 +989,30 @@ def test_concurrent_writers_all_commits_land(spark, tmp_path):
     assert t.version() == 15  # 16 commits, contiguous versions 0..15
     rows = {(r.w, r.i) for r in t.read().collect()}
     assert rows == {(w, i) for w in range(4) for i in range(4)}
+
+
+def test_scoped_compact_rewrites_only_matching_partition(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only the predicate's files are rewritten; other
+    partitions keep byte identity and the table content is unchanged."""
+    t = TxTable(spark, str(tmp_path / "optw"))
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("bucket")
+    )
+    # many small files per partition
+    for _ in range(3):
+        t.append(df.repartition(6), partition_by=["bucket"])
+    before = {f: os.path.getmtime(os.path.join(t.path, f)) for f in t.snapshot()[1]}
+    n_b2_before = sum(1 for f in before if "bucket=2" in f)
+    t.compact(predicates=[("bucket", "==", 2)])
+    after = set(t.snapshot()[1])
+    n_b2_after = sum(1 for f in after if "bucket=2" in f)
+    assert n_b2_after < n_b2_before  # compacted
+    untouched = [f for f in before if f in after]
+    # every NEW file lands in the compacted partition; every surviving old
+    # file is outside it and keeps byte identity
+    assert all("bucket=2" in f for f in after - set(before))
+    for f in untouched:
+        assert "bucket=2" not in f
+        assert os.path.getmtime(os.path.join(t.path, f)) == before[f]
+    assert t.read().count() == 1200
+    assert t.history()[-1]["op"] == "compact"
