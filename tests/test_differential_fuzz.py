@@ -304,3 +304,54 @@ def test_random_window_specs_match_duckdb(spark, sf_dir, seed):
         got = Counter(tuple(r) for r in spark.sql(q).collect())
         want = Counter(tuple(r) for r in con.execute(q).fetchall())
         assert got == want, f"seed={seed} i={i} {q}"
+
+
+# ---------------------------------------------------------------------------
+# Random multi-dimensional grouping fuzzing: ROLLUP / CUBE / GROUPING SETS
+# over random dimension subsets with exact decimal aggregates.
+# ---------------------------------------------------------------------------
+
+_DIM_POOL = ["o_orderstatus", "o_orderpriority", "o_custkey % 7"]
+
+
+def _rand_grouping_query(rng: random.Random) -> str:
+    dims = rng.sample(_DIM_POOL, rng.randint(1, 3))
+    aliased = [f"{d} AS g{i}" for i, d in enumerate(dims)]
+    names = [f"g{i}" for i in range(len(dims))]
+    kind = rng.choice(["ROLLUP", "CUBE", "SETS", "PLAIN"])
+    if kind == "SETS":
+        subsets = ["()"] + [f"({n})" for n in names]
+        chosen = rng.sample(subsets, rng.randint(1, len(subsets)))
+        grouping = f"GROUPING SETS ({', '.join(chosen)})"
+        # Spark refuses a selected dim that appears in NO chosen set
+        # (DuckDB would return NULL for it) — select only covered dims
+        covered = [
+            (a, n) for a, n in zip(aliased, names) if any(n in c for c in chosen)
+        ]
+        aliased = [a for a, _ in covered] or ["1 AS g_dummy"]
+    elif kind == "PLAIN":
+        grouping = ", ".join(names)
+    else:
+        grouping = f"{kind} ({', '.join(names)})"
+    pred = _leaf_for(rng, "orders")
+    return (
+        f"SELECT {', '.join(aliased)}, COUNT(*) AS n, "
+        f"SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s "
+        f"FROM orders WHERE {pred} "
+        f"GROUP BY {grouping}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_grouping_sets_match_duckdb(spark, sf_dir, seed):
+    con = duckdb.connect()
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    rng = random.Random(5000 + seed)
+    for i in range(15):
+        q = _rand_grouping_query(rng)
+        got = Counter(tuple(r) for r in spark.sql(q).collect())
+        want = Counter(tuple(r) for r in con.execute(q).fetchall())
+        assert got == want, f"seed={seed} i={i} {q}"
