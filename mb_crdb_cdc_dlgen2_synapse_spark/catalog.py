@@ -4526,3 +4526,41 @@ def tx_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     bronze.append(orders.filter(F.col("o_orderkey") % 2 == 1), partition_by=["bucket"])
     sync()
     return silver.read().select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "tx_metadata_counts",
+    """
+    SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_totalprice >= 250000.0) AS BIGINT)
+               AS n_high
+    FROM orders
+    GROUP BY 1
+    """,
+    "S7,P9,A3",
+)
+def tx_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) over the txlog (TxTable.count_rows): orders
+    land bucketed, then per-bucket total counts are answered purely from
+    logged per-file row counts (partition-equality predicates decide every
+    file — zero data I/O), while the >=250k predicate count mixes
+    metadata-proved files with reads of only the ambiguous ones. The
+    assembled counts must hash-match the SQL recompute."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_counts")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", (F.col("o_orderkey") % 8).alias("bucket")
+    )
+    t.append(orders, partition_by=["bucket"])
+    rows = [
+        (
+            b,
+            t.count_rows([("bucket", "==", b)]),
+            t.count_rows([("bucket", "==", b), ("o_totalprice", ">=", 250000.0)]),
+        )
+        for b in range(8)
+    ]
+    return spark.createDataFrame(rows, "bucket long, n_rows long, n_high long")
