@@ -46,6 +46,37 @@ def interval_join(
     ``watermark > left_ts + max_delay`` (no future match possible), so the
     state store holds only the active window of both streams.
     """
+    return _interval_join(
+        left, right, key, left_ts, right_ts, max_delay,
+        left_watermark, right_watermark, "inner",
+    )
+
+
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer variant: unmatched left rows ARE emitted (right columns
+    NULL) — but only once the watermark proves no match can still arrive,
+    so outer results trail the watermark delay. This is the
+    "impression with no click" shape; the same time-range condition keeps
+    state bounded, and Spark requires it for outer stream-stream joins."""
+    return _interval_join(
+        left, right, key, left_ts, right_ts, max_delay,
+        left_watermark, right_watermark, "left_outer",
+    )
+
+
+def _interval_join(
+    left, right, key, left_ts, right_ts, max_delay,
+    left_watermark, right_watermark, how,
+):
     lt, rt = f"__l_{left_ts}", f"__r_{right_ts}"
     l = left.withColumnRenamed(left_ts, lt).withWatermark(lt, left_watermark)
     r = right.withColumnRenamed(right_ts, rt).withWatermark(rt, right_watermark)
@@ -58,7 +89,7 @@ def interval_join(
         & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {max_delay}"))
     )
     return (
-        l.join(r, cond, "inner")
+        l.join(r, cond, how)
         .withColumnRenamed(lk, key)
         .withColumnRenamed(lt, left_ts)
         .withColumnRenamed(rt, f"right_{right_ts}")

@@ -64,3 +64,41 @@ def test_enrich_stream_broadcasts_dim(spark, event_stream, sf_dir):  # noqa: F81
     assert got.filter(F.col("funnel_stage").isNull()).count() == (
         events.filter(~F.col("event_type").isin("view", "click", "purchase")).count()
     )
+
+
+def test_interval_join_outer_emits_unmatched_left(spark, event_stream):  # noqa: F811
+    """Left-outer stream-stream join on a bounded replay equals the batch
+    left range join: matched pairs identical, unmatched views emitted with
+    NULL purchase ids once the watermark closes them."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.joins import interval_join_outer
+
+    stream, events = event_stream
+    sviews, spurch = _split(stream)
+    joined = interval_join_outer(
+        sviews.withColumnRenamed("view_id", "event_id"),
+        spurch.withColumnRenamed("purchase_id", "event_id_r"),
+        key="user_id",
+        max_delay="30 minutes",
+        left_watermark="1 minute",
+        right_watermark="1 minute",
+    ).select("user_id", "event_id", "event_id_r")
+    got = _run_to_memory(spark, joined, "ss_ljoin", mode="append").collect()
+
+    bviews, bpurch = _split(events)
+    exp = (
+        bviews.alias("v")
+        .join(
+            bpurch.alias("p"),
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("v.ts"))
+            & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 30 minutes")),
+            "left",
+        )
+        .select(F.col("v.user_id"), F.col("v.view_id"), F.col("p.purchase_id"))
+        .collect()
+    )
+    n_unmatched = sum(1 for r in exp if r.purchase_id is None)
+    assert n_unmatched > 0  # fixture exercises the outer half
+    g = sorted((r.user_id, r.event_id, r.event_id_r) for r in got)
+    e = sorted((r.user_id, r.view_id, r.purchase_id) for r in exp)
+    assert g == e
