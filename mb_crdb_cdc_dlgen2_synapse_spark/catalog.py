@@ -3957,6 +3957,53 @@ def tx_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_schema_evolution",
+    """
+    SELECT o_orderkey,
+           o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1
+                THEN (CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 'hot' ELSE 'cold' END)
+                ELSE NULL END AS priority_class
+    FROM orders
+    """,
+    "S7,T8",
+)
+def tx_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution over the txlog format: even-keyed
+    orders land under the original two-column schema, ``ALTER TABLE ADD
+    COLUMN priority_class`` commits a NEW schema without reading or
+    rewriting a single data file (O(1) in table size — txlog.add_column),
+    then odd-keyed orders append WITH the column populated. The final read
+    must show typed NULLs for every pre-evolution row and the computed
+    class for post-evolution rows; the oracle recreates both generations
+    with a CASE on key parity."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_schema_evolution")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders")
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+    )
+    t.add_column("priority_class", "string")
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hot"
+            )
+            .otherwise("cold")
+            .alias("priority_class"),
+        )
+    )
+    return t.read()
+
+
+@register(
     "tx_merge_upsert",
     """
     SELECT o_orderkey,

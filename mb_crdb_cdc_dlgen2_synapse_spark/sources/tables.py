@@ -32,17 +32,26 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from an sf directory (one parquet file/dir per table).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; we read it as nanos-long (session-level legacy config)
-    and convert with integer ``div`` (never float division — 1.7e18 doesn't
-    fit a double's 53-bit mantissa) to a micros timestamp, matching DuckDB's
-    micro-truncation of the same column.
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark runtimes read
+    differently: older ones reject it from the vectorized reader (we read
+    nanos-long via the legacy config and convert with integer ``div`` —
+    never float division, 1.7e18 doesn't fit a double's 53-bit mantissa);
+    newer ones return a micro-truncated ``timestamp_ntz``, which we cast to
+    a session-zone (UTC) timestamp so downstream epoch arithmetic
+    (``cast("double")``/``unix_timestamp``) stays legal and value-identical
+    to DuckDB's micro-truncation of the same column. Both paths land on the
+    same micros-precision UTC timestamp.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # NTZ wall-clock reinterpreted in the session zone (UTC, pinned
+            # in session.py) — epoch values unchanged
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

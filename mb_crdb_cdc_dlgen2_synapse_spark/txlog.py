@@ -444,16 +444,63 @@ class TxTable:
         table schema (names, order, types) unless the caller opts into
         evolution. Nullability flags are NOT compared — a merge commit
         relaxes them (join outputs are nullable) and a strict source would
-        otherwise be refused for a flag parquet doesn't even enforce."""
+        otherwise be refused for a flag parquet doesn't even enforce.
+
+        A write whose fields are a SUBSET of the table schema (same types)
+        is accepted without the evolution flag: after ``add_column`` the
+        pre-evolution producers keep working, and readers project the
+        missing nullable columns as NULL — Delta's missing-column append
+        contract."""
         _v, _files, schema = self.snapshot()
         if schema is None or merge_schema:
             return
-        if _nullable_normalized(schema) != _nullable_normalized(df.schema.json()):
-            raise ValueError(
-                "txlog schema mismatch: incoming write schema differs from the "
-                "table schema; pass merge_schema=True to evolve (readers then "
-                "merge parquet footers)"
-            )
+        if _nullable_normalized(schema) == _nullable_normalized(df.schema.json()):
+            return
+        table_fields = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(schema)).fields
+        }
+        if all(
+            f.name in table_fields and table_fields[f.name] == f.dataType
+            for f in df.schema.fields
+        ):
+            return  # subset-compatible producer (pre-evolution writer)
+        raise ValueError(
+            "txlog schema mismatch: incoming write schema differs from the "
+            "table schema; pass merge_schema=True to evolve (readers then "
+            "merge parquet footers)"
+        )
+
+    def _union_schema_json(self, df: DataFrame) -> str:
+        """Schema to RECORD for an append: the table schema with any new df
+        fields appended (evolution widens, a subset producer never narrows
+        the logged schema back down)."""
+        _v, _files, schema = self.snapshot()
+        if schema is None:
+            return df.schema.json()
+        st = T.StructType.fromJson(json.loads(schema))
+        have = set(st.fieldNames())
+        extra = [f for f in df.schema.fields if f.name not in have]
+        if not extra:
+            return schema
+        return T.StructType(st.fields + extra).json()
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """``ALTER TABLE ADD COLUMN`` as a METADATA-ONLY commit — no data
+        file is read, rewritten, or even opened (O(1) in table size, the
+        same contract as Delta's ``ADD COLUMNS``). The field is appended to
+        the logged schema as nullable; files written before the evolution
+        simply lack it and ``read()`` projects it as typed NULLs. Time
+        travel to a pre-evolution version still shows the old schema."""
+        _v, _files, schema = self.snapshot()
+        if schema is None:
+            raise ValueError("cannot add a column to a never-written table")
+        st = T.StructType.fromJson(json.loads(schema))
+        if name in st.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        new_field = T.StructType.fromDDL(f"{name} {dtype}").fields[0]
+        new_schema = T.StructType(st.fields + [new_field]).json()
+        return self._commit([], lambda active: [], new_schema, None, "add_column")
 
     def append(
         self,
@@ -468,7 +515,7 @@ class TxTable:
         self._check_schema(df, merge_schema)
         added, stats = self._stage(df, partition_by)
         return self._commit(
-            added, lambda active: [], df.schema.json(), txn, "append", stats
+            added, lambda active: [], self._union_schema_json(df), txn, "append", stats
         )
 
     def overwrite(
@@ -617,6 +664,18 @@ class TxTable:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*paths)
         from pyspark.sql import functions as F
+
+        if schema is not None:
+            # conform to the LOGGED schema: a metadata-only add_column (or a
+            # subset-producer append) leaves active files without the column —
+            # project it as typed NULLs and restore the logged column order
+            logged = T.StructType.fromJson(json.loads(schema))
+            missing = [f for f in logged.fields if f.name not in df.columns]
+            if missing:
+                for f in missing:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                extras = [c for c in df.columns if c not in set(logged.fieldNames())]
+                df = df.select(*[f.name for f in logged.fields], *extras)
 
         ops = {"==": "__eq__", ">=": "__ge__", ">": "__gt__", "<=": "__le__", "<": "__lt__"}
         for col, op, value in predicates:

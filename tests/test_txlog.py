@@ -221,6 +221,65 @@ def test_schema_enforcement_and_evolution(spark, tmp_path):
     assert t.read().columns == ["k", "v"]
 
 
+def test_add_column_is_metadata_only(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN: one O(1) log commit, zero data I/O — no
+    existing data file is touched; readers project typed NULLs."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    _v, active, _s = t.snapshot()
+    mtimes = {f: os.path.getmtime(os.path.join(t.path, f)) for f in active}
+    t.add_column("score", "double")
+    last = t.history()[-1]
+    assert last["op"] == "add_column"
+    assert last["added"] == [] and last["removed"] == []
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(t.path, f)) == m
+    got = t.read()
+    assert got.columns == ["k", "v", "score"]
+    assert got.schema["score"].dataType.typeName() == "double"
+    assert all(r.score is None for r in got.collect())
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("score", "int")
+
+
+def test_add_column_old_and_new_producers_coexist(spark, tmp_path):
+    """After evolution: evolved producers write the new column, pre-evolution
+    producers keep appending the old schema (subset-compatible — Delta's
+    missing-nullable-column contract), and the logged schema never narrows.
+    Time travel to a pre-evolution version restores the old column set."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))                                   # v0
+    t.add_column("score", "double")                                    # v1
+    t.append(
+        spark.createDataFrame([(2, "b", 1.5)], "k int, v string, score double")
+    )                                                                  # v2
+    t.append(_df(spark, [(3, "c")]))                                   # v3 subset
+    rows = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", 1.5), 3: ("c", None)}
+    # the subset append did not narrow the logged schema
+    assert t.read().columns == ["k", "v", "score"]
+    # time travel: the pre-evolution snapshot has the pre-evolution schema
+    assert t.read(as_of=0).columns == ["k", "v"]
+    # a write with a WRONG type for an existing column is still refused
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(4, 4)], "k int, score int"))
+
+
+def test_add_column_predicate_on_new_column(spark, tmp_path):
+    """Filters on a just-added column must not drop pre-evolution rows via
+    stale stats pruning (their files have no stats for the column)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.add_column("score", "double")
+    t.append(
+        spark.createDataFrame([(3, "c", 9.0)], "k int, v string, score double")
+    )
+    got = t.read(predicates=[("score", ">=", 5.0)])
+    assert [(r.k, r.score) for r in got.collect()] == [(3, 9.0)]
+    # IS NULL semantics over the evolved rows
+    assert sorted(r.k for r in t.read().filter("score IS NULL").collect()) == [1, 2]
+
+
 def test_time_travel_reads_historical_versions(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, [(1, "a")]))                       # v0
