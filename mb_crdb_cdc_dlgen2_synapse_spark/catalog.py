@@ -1510,6 +1510,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup oracle: the same sha256-derived hyperplanes as the Spark side
+# (similarity._deterministic_planes), emitted as list literals; float repr
+# round-trips to the identical double in both engines.
+_SD_PLANES = similarity._deterministic_planes(6, 64, "semdedup")
+_SD_BUCKET_SQL = " + ".join(
+    "(CASE WHEN list_sum(list_transform(list_zip(embedding, ["
+    + ", ".join(repr(c) for c in plane)
+    + "]), x -> x[1]::DOUBLE * x[2]::DOUBLE)) > 0 THEN {w} ELSE 0 END)".format(
+        w=1 << i
+    )
+    for i, plane in enumerate(_SD_PLANES)
+)
+
+
+@register(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, CAST({_SD_BUCKET_SQL} AS BIGINT) AS bucket
+        FROM embeddings),
+    cent AS (
+        SELECT bucket, list(m ORDER BY idx) AS centroid
+        FROM (SELECT bucket, idx, AVG(embedding[idx]::DOUBLE) AS m
+              FROM b, UNNEST(generate_series(1, 64)) AS t(idx)
+              GROUP BY bucket, idx)
+        GROUP BY bucket),
+    scored AS (
+        SELECT b.vec_id, b.bucket,
+               round({_DOT_SQL.format(a='b.embedding', b='cent.centroid')}
+                     / ({_NORM_SQL.format(a='b.embedding')}
+                        * {_NORM_SQL.format(a='cent.centroid')}), 6) AS cos_centroid
+        FROM b JOIN cent USING (bucket)),
+    flagged AS (
+        SELECT vec_id, bucket, cos_centroid,
+               cos_centroid >= 0.55 AS is_dup,
+               row_number() OVER (PARTITION BY bucket, cos_centroid >= 0.55
+                                  ORDER BY cos_centroid, vec_id) AS rn
+        FROM scored)
+    SELECT vec_id, bucket, cos_centroid, ((NOT is_dup) OR rn = 1) AS is_kept
+    FROM flagged
+    """,
+    "X2,X3,P8",
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup): coarse
+    clusters from deterministic sign-LSH buckets, per-bucket centroid by
+    posexplode mean, duplicate = centroid cosine >= 0.55, survivor = the
+    least-centroid-similar duplicate per bucket. O(n) dot products + one
+    bounded equi-join — never a pairwise matrix; the oracle recomputes the
+    identical buckets from the same hyperplane literals."""
+    return dedup.semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.55)
+
+
 @register(
     "salted_priority_stats",
     """

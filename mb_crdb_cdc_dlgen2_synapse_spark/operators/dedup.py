@@ -359,3 +359,77 @@ def duplicate_clusters(
         if converged:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "semdedup",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column (the
+    published method: cluster embeddings, mark within-cluster items whose
+    embeddings are near-identical as semantic duplicates, keep the exemplar
+    LEAST similar to the cluster centroid).
+
+    Spark-first scale shape — every stage is a bounded equi-join/groupBy:
+
+    1. coarse clusters = deterministic sign-LSH buckets (sha256-derived
+       hyperplanes, no execution-time RNG, no iterative k-means in the hot
+       path) — a single projection, no shuffle;
+    2. bucket centroid = element-wise mean via posexplode + (bucket, pos)
+       groupBy — map-side combinable, one shuffle of n*dim scalars;
+    3. duplicate criterion = cosine(doc, centroid) >= threshold — O(n)
+       dot products, never the O(n^2) pairwise matrix (that is the
+       post-LSH verify stage, `dedup_embedding_cosine`);
+    4. survivor = the duplicate with the LOWEST centroid cosine per bucket
+       (SemDeDup's keep-the-outlier policy), non-duplicates all survive.
+
+    The decision compares the 6-dp ROUNDED cosine so the DuckDB oracle
+    lands on identical keep/drop flags (float-sum accumulation order
+    differs across engines below that precision).
+
+    Returns (id, bucket, cos_centroid, is_kept).
+    """
+    from .similarity import _dot, _norm, lsh_bucket_signatures
+
+    b = lsh_bucket_signatures(embeddings, n_planes, dim, vec_col, seed).select(
+        id_col, "bucket", vec_col
+    )
+    pos = b.select("bucket", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    cent = (
+        pos.groupBy("bucket", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))),
+                lambda s: s.m,
+            ).alias("centroid")
+        )
+    )
+    cos = F.round(
+        _dot(F.col(vec_col), F.col("centroid"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("centroid"))),
+        6,
+    )
+    scored = (
+        b.join(F.broadcast(cent), "bucket")  # <= 2^n_planes centroid rows
+        .select(id_col, "bucket", cos.alias("cos_centroid"))
+        .withColumn("is_dup", F.col("cos_centroid") >= F.lit(threshold))
+    )
+    w = W.partitionBy("bucket", "is_dup").orderBy(
+        F.col("cos_centroid").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "bucket",
+            "cos_centroid",
+            (~F.col("is_dup") | (F.col("rn") == 1)).alias("is_kept"),
+        )
+    )

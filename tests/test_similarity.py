@@ -117,3 +117,31 @@ def test_arrow_topk_equals_jvm_topk(spark, sf_dir):
     for key, (vid, cos) in jvm_map.items():
         avid, acos = arrow_map[key]
         assert avid == vid and abs(acos - cos) < 1e-6, (key, (vid, cos), (avid, acos))
+
+
+def test_semantic_dedup_keep_policy(spark, emb):
+    """SemDeDup invariants: no rows lost; non-duplicates all kept; every
+    bucket containing duplicates keeps EXACTLY one of them — the one least
+    similar to the bucket centroid (the published keep-the-outlier policy)."""
+    from collections import defaultdict
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.dedup import semantic_dedup
+
+    thr = 0.55
+    out = semantic_dedup(emb, threshold=thr).collect()
+    assert len(out) == emb.count()
+    by_bucket = defaultdict(list)
+    for r in out:
+        by_bucket[r.bucket].append(r)
+    n_dup_buckets = 0
+    for rows in by_bucket.values():
+        dups = [r for r in rows if r.cos_centroid >= thr]
+        for r in rows:
+            if r.cos_centroid < thr:
+                assert r.is_kept  # non-duplicates always survive
+        if dups:
+            n_dup_buckets += 1
+            kept = [r for r in dups if r.is_kept]
+            assert len(kept) == 1
+            assert kept[0].cos_centroid == min(r.cos_centroid for r in dups)
+    assert n_dup_buckets > 0  # fixture exercises the dedup branch
