@@ -1606,6 +1606,52 @@ def approx_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_distinct_rollup",
+    None,  # DataSketches estimates are engine-specific; merge-consistency
+    # and error bounds are asserted in tests/test_sketches.py
+    "A4",
+)
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch re-aggregation (operators/sketches.py): HLL sketches
+    of distinct customers built once per (priority, status) group, then
+    rolled up to per-priority AND a global ALL row purely by sketch union —
+    the persisted-sketch pattern that answers coarser distinct-count
+    questions at 100 TB without rescanning base data (what
+    approx_count_distinct's internal state cannot do)."""
+    from .operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = sketches.hll_group_sketches(
+        orders, ["o_orderpriority", "o_orderstatus"], "o_custkey"
+    )
+    per_prio = sketches.hll_rollup(sk, ["o_orderpriority"], "approx_customers")
+    total = (
+        sketches.hll_rollup(sk, [], "approx_customers")
+        .withColumn("o_orderpriority", F.lit("ALL"))
+        .select("o_orderpriority", "approx_customers")
+    )
+    return per_prio.unionByName(total).orderBy("o_orderpriority")
+
+
+@register(
+    "sketch_price_quantiles",
+    None,  # KLL quantile estimates are engine-specific; rank-error bounds
+    # asserted in tests/test_sketches.py
+    "A3",
+)
+def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches per returnflag over l_extendedprice, merged to
+    global p50/p90/p99 estimates from the sketch table alone — the quantile
+    twin of sketch_distinct_rollup (pairwise kll merge folded over the
+    #groups-sized sketch list)."""
+    from .operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = sketches.kll_group_sketches(li, ["l_returnflag"], "l_extendedprice")
+    return sketches.kll_rollup_quantiles(sk, [], [0.5, 0.9, 0.99])
+
+
 _LANG_MARKERS = {
     "en": ("the", "and", "of"),
     "de": ("der", "und", "die"),

@@ -1,0 +1,92 @@
+"""Mergeable DataSketches aggregation (operators/sketches.py): HLL
+merge-consistency (exact equality — sketch build and union are
+deterministic set functions), error bounds vs exact counts, KLL rank-error
+bounds, and the persist-then-merge roundtrip the 100 TB pattern relies on.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.operators import sketches
+from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def test_hll_merged_equals_direct(spark, orders):
+    """estimate(union(per-group sketches)) == estimate(direct sketch) —
+    exact, not approximate: HLL build/union are deterministic."""
+    sk = sketches.hll_group_sketches(
+        orders, ["o_orderpriority", "o_orderstatus"], "o_custkey"
+    )
+    merged = {
+        r["o_orderpriority"]: r["n"]
+        for r in sketches.hll_rollup(sk, ["o_orderpriority"], "n").collect()
+    }
+    direct = {
+        r["o_orderpriority"]: r["n"]
+        for r in sketches.hll_rollup(
+            sketches.hll_group_sketches(orders, ["o_orderpriority"], "o_custkey"),
+            ["o_orderpriority"],
+            "n",
+        ).collect()
+    }
+    assert merged == direct
+    # global rollup likewise
+    g_merged = sketches.hll_rollup(sk, [], "n").collect()[0]["n"]
+    g_direct = sketches.hll_rollup(
+        sketches.hll_group_sketches(orders.withColumn("g", F.lit(1)), ["g"], "o_custkey"),
+        [],
+        "n",
+    ).collect()[0]["n"]
+    assert g_merged == g_direct
+
+
+def test_hll_estimate_within_bounds(spark, orders):
+    """lg_k=12 → ~1.6% RSE; assert a loose 5% envelope per priority."""
+    sk = sketches.hll_group_sketches(orders, ["o_orderpriority"], "o_custkey")
+    est = {
+        r["o_orderpriority"]: r["n"]
+        for r in sketches.hll_rollup(sk, ["o_orderpriority"], "n").collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
+
+
+def test_hll_sketches_survive_parquet_roundtrip(spark, orders, tmp_path):
+    """The point of mergeable sketches: persist the binary column, read it
+    back later, and merge — identical estimates, no base-data access."""
+    sk = sketches.hll_group_sketches(
+        orders, ["o_orderpriority", "o_orderstatus"], "o_custkey"
+    )
+    before = sketches.hll_rollup(sk, [], "n").collect()[0]["n"]
+    path = str(tmp_path / "sketch_table")
+    sk.write.mode("overwrite").parquet(path)
+    re_read = spark.read.parquet(path)
+    after = sketches.hll_rollup(re_read, [], "n").collect()[0]["n"]
+    assert before == after
+
+
+def test_kll_merged_quantiles_rank_error(spark, sf_dir):
+    """Merged-KLL quantile estimates land within a 3%-rank envelope of the
+    true quantile (k=200 → ~1.7% normalized rank error)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = sketches.kll_group_sketches(li, ["l_returnflag"], "l_extendedprice")
+    got = sketches.kll_rollup_quantiles(sk, [], [0.5, 0.9]).collect()[0]
+    n = li.count()
+    for q, col in ((0.5, "q0_5"), (0.9, "q0_9")):
+        est = got[col]
+        rank = li.filter(F.col("l_extendedprice") <= est).count() / n
+        assert abs(rank - q) <= 0.03, (q, est, rank)
