@@ -502,6 +502,25 @@ class TxTable:
         new_schema = T.StructType(st.fields + [new_field]).json()
         return self._commit([], lambda active: [], new_schema, None, "add_column")
 
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE DROP COLUMN`` as a METADATA-ONLY commit: the field
+        leaves the logged schema, readers project it away, and the bytes in
+        existing files are simply never read again (columnar scan — dropped
+        columns cost nothing; the next full rewrite physically discards
+        them). Time travel to a pre-drop version still shows the column."""
+        _v, _files, schema = self.snapshot()
+        if schema is None:
+            raise ValueError("cannot drop a column from a never-written table")
+        st = T.StructType.fromJson(json.loads(schema))
+        if name not in st.fieldNames():
+            raise ValueError(f"column {name!r} does not exist")
+        if len(st.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        new_schema = T.StructType(
+            [f for f in st.fields if f.name != name]
+        ).json()
+        return self._commit([], lambda active: [], new_schema, None, "drop_column")
+
     def append(
         self,
         df: DataFrame,
@@ -668,14 +687,15 @@ class TxTable:
         if schema is not None:
             # conform to the LOGGED schema: a metadata-only add_column (or a
             # subset-producer append) leaves active files without the column —
-            # project it as typed NULLs and restore the logged column order
+            # project it as typed NULLs; a metadata-only drop_column leaves
+            # files WITH the column — project it away (columnar scans never
+            # read the dropped bytes); and restore the logged column order
             logged = T.StructType.fromJson(json.loads(schema))
-            missing = [f for f in logged.fields if f.name not in df.columns]
-            if missing:
-                for f in missing:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-                extras = [c for c in df.columns if c not in set(logged.fieldNames())]
-                df = df.select(*[f.name for f in logged.fields], *extras)
+            if df.columns != logged.fieldNames():
+                for f in logged.fields:
+                    if f.name not in df.columns:
+                        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                df = df.select(*logged.fieldNames())
 
         ops = {"==": "__eq__", ">=": "__ge__", ">": "__gt__", "<=": "__le__", "<": "__lt__"}
         for col, op, value in predicates:

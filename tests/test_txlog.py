@@ -265,6 +265,33 @@ def test_add_column_old_and_new_producers_coexist(spark, tmp_path):
         t.append(spark.createDataFrame([(4, 4)], "k int, score int"))
 
 
+def test_drop_column_is_metadata_only(spark, tmp_path):
+    """DROP COLUMN: one log commit, zero data I/O; readers project the
+    column away; time travel to a pre-drop version restores it."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))                         # v0
+    _v, active, _s = t.snapshot()
+    mtimes = {f: os.path.getmtime(os.path.join(t.path, f)) for f in active}
+    t.drop_column("v")                                                 # v1
+    assert t.history()[-1]["op"] == "drop_column"
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(t.path, f)) == m
+    assert t.read().columns == ["k"]
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    # pre-drop snapshot still shows the column (files were never rewritten)
+    assert t.read(as_of=0).columns == ["k", "v"]
+    # appends now use the narrowed schema; the OLD two-column producer is
+    # refused (unknown column)
+    t.append(spark.createDataFrame([(3,)], "k int"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(_df(spark, [(4, "d")]))
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    with pytest.raises(ValueError, match="does not exist"):
+        t.drop_column("v")
+    with pytest.raises(ValueError, match="only column"):
+        t.drop_column("k")
+
+
 def test_add_column_predicate_on_new_column(spark, tmp_path):
     """Filters on a just-added column must not drop pre-evolution rows via
     stale stats pruning (their files have no stats for the column)."""
