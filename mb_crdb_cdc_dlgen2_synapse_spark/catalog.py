@@ -1652,6 +1652,49 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kll_rollup_quantiles(sk, [], [0.5, 0.9, 0.99])
 
 
+@register(
+    "streaming_distinct_sketch",
+    None,  # sketch estimates are engine-specific; batch-equivalence (exact)
+    # and error bounds asserted in tests/test_sketches.py
+    "A4,A6,T1,T8",
+)
+def streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approximate-distinct maintenance: events stream in
+    micro-batches, each batch's per-type HLL user sketches union-merge into
+    a persisted sketch table (exactly-once txlog commits). Bounded state —
+    one few-KB sketch per event type, never the user-id set — is what
+    distinct-count over an unbounded stream has to look like at 100 TB.
+    Final estimates equal the one-shot batch sketch exactly (deterministic
+    register-max union; asserted in tests)."""
+    from .streaming.incremental import (
+        maintain_distinct_sketches,
+        read_distinct_estimates,
+    )
+
+    tmp = _scratch("stream_sketch")
+    src = os.path.join(tmp, "json")
+    ev = _t(spark, sf_dir, "events")
+    ev.select("event_id", "event_type", "user_id").coalesce(4).write.mode(
+        "overwrite"
+    ).json(src)
+    schema = "event_id long, event_type string, user_id long"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = maintain_distinct_sketches(
+        stream,
+        os.path.join(tmp, "sketches"),
+        ["event_type"],
+        "user_id",
+        os.path.join(tmp, "ckpt"),
+        app_id="stream_sketch",
+    )
+    q.awaitTermination()
+    return read_distinct_estimates(
+        spark, os.path.join(tmp, "sketches"), ["event_type"]
+    ).orderBy("event_type")
+
+
 _LANG_MARKERS = {
     "en": ("the", "and", "of"),
     "de": ("der", "und", "die"),

@@ -90,3 +90,55 @@ def test_kll_merged_quantiles_rank_error(spark, sf_dir):
         est = got[col]
         rank = li.filter(F.col("l_extendedprice") <= est).count() / n
         assert abs(rank - q) <= 0.03, (q, est, rank)
+
+
+def test_streaming_sketch_state_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Micro-batch sketch-union maintenance lands on the SAME estimates as a
+    one-shot batch sketch (register-max union is deterministic), and within
+    5% of exact distinct counts. State = one sketch per key, not the value
+    set — the bounded-state streaming distinct pattern."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.incremental import (
+        maintain_distinct_sketches,
+        read_distinct_estimates,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "json")
+    ev.select("event_id", "event_type", "user_id").coalesce(4).write.mode(
+        "overwrite"
+    ).json(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = maintain_distinct_sketches(
+        stream,
+        str(tmp_path / "sketches"),
+        ["event_type"],
+        "user_id",
+        str(tmp_path / "ckpt"),
+        app_id="t_sketch",
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in read_distinct_estimates(
+            spark, str(tmp_path / "sketches"), ["event_type"]
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("n"))
+        .collect()
+    }
+    assert got == direct  # exact: streaming union == one-shot sketch
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(got[k] - e) <= max(2, 0.05 * e), (k, got[k], e)
