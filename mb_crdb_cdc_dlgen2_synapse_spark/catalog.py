@@ -1653,6 +1653,106 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "crossmodal_paraphrase_pairs",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, CAST({_SD_BUCKET_SQL} AS BIGINT) AS bucket
+        FROM embeddings),
+    h AS (
+        SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ch
+        FROM documents),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               round({_DOT_SQL.format(a='a.embedding', b='c.embedding')}
+                     / ({_NORM_SQL.format(a='a.embedding')}
+                        * {_NORM_SQL.format(a='c.embedding')}), 6) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT p.vec_a, p.vec_b, p.cosine
+    FROM pairs p
+    JOIN h ha ON ha.doc_id = p.vec_a
+    JOIN h hb ON hb.doc_id = p.vec_b
+    WHERE p.cosine >= 0.4 AND ha.ch <> hb.ch
+    """,
+    "X2,X3,J1",
+)
+def crossmodal_paraphrase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal paraphrase detection: document pairs whose TEXTS differ
+    (different content hash — exact dedup would never touch them) but whose
+    EMBEDDINGS are cosine-close — the paraphrase/translation near-dup class
+    that text-shingle dedup misses. Candidates come from the same
+    deterministic sign-LSH buckets as semantic_dedup (equi-join, never a
+    pairwise matrix); the embedding<->document join rides the 1:1
+    vec_id==doc_id testdata alignment."""
+    from .operators.dedup import with_content_hash
+    from .operators.similarity import _dot, _norm, lsh_bucket_signatures
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = with_content_hash(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "content_hash"
+    )
+    b = lsh_bucket_signatures(emb, 6, 64, "embedding", "semdedup").select(
+        "vec_id", "bucket", "embedding"
+    )
+    a, c = b.alias("a"), b.alias("c")
+    cos = _dot(F.col("a.embedding"), F.col("c.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("c.embedding"))
+    )
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+    ha = docs.select(F.col("doc_id").alias("vec_a"), F.col("content_hash").alias("ch_a"))
+    hb = docs.select(F.col("doc_id").alias("vec_b"), F.col("content_hash").alias("ch_b"))
+    return (
+        pairs.join(F.broadcast(ha), "vec_a")
+        .join(F.broadcast(hb), "vec_b")
+        .filter(F.col("ch_a") != F.col("ch_b"))
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+@register(
+    "stratified_sample_fixed_n",
+    """
+    SELECT source, doc_id, n_chars
+    FROM (SELECT source, doc_id, n_chars,
+                 row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 10
+    """,
+    "X4,W4,P9",
+)
+def stratified_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 10 docs per source shard,
+    chosen by ranking on the md5 of the doc id (content-independent, stable
+    across runs/engines — the seeded-shuffle equivalent without an RNG).
+    sampleBy() gives Bernoulli fractions; training-data assembly wants
+    EXACT per-stratum counts, which is this one window per stratum."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+@register(
     "streaming_distinct_sketch",
     None,  # sketch estimates are engine-specific; batch-equivalence (exact)
     # and error bounds asserted in tests/test_sketches.py
