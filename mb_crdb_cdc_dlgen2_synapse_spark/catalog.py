@@ -103,18 +103,16 @@ _DRIVER_PRIORITY: list[str] = [
     # windows (W1-W4, J5)
     "latest_order_per_customer",
     "window_rank_funcs",
-    "order_gap_days",
     "cumulative_daily_revenue",
     "top_orders_per_segment",
-    # sorts / limits / set ops (Q1-Q3, Q5; Q3's union form is co-certified
-    # in-window by multi_day_glob_revenue, union_hi_lo below the fold)
-    "top_orders_global",
+    # sorts / limits / set ops (Q1/Q2 co-certified in-window by
+    # q3_shipping_priority; Q3's union form by multi_day_glob_revenue;
+    # top_orders_global / union_hi_lo below the fold, both r01-green)
     "intersect_except_customers",
     # LLM-pipeline: dedup (X1, X2)
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_jaccard_dfcap",
-    "dedup_simhash",
     # similarity (X3)
     "knn_cosine_bruteforce",
     # text analysis (X4)
@@ -139,6 +137,15 @@ _DRIVER_PRIORITY: list[str] = [
     "incremental_matview_revenue",
     "tx_merge_upsert",
     "record_linkage_parts",
+    # session-4 flagships: SemDeDup semantic dedup + cross-modal paraphrase
+    # pairs (X2/X3 full-oracle) and metadata-only schema evolution over the
+    # txlog format (S7/T8). Demoted to below-the-fold (all r01-green, ids
+    # co-certified in-window): dedup_simhash (X2: minhash/jaccard/linkage),
+    # order_gap_days (W2: last_click_before_error), top_orders_global
+    # (Q1/Q2: q3_shipping_priority).
+    "semantic_dedup_embeddings",
+    "crossmodal_paraphrase_pairs",
+    "tx_schema_evolution",
 ]
 
 
