@@ -65,6 +65,11 @@ HEADLINE = [
     "tx_merge_upsert",             # txlog MERGE INTO (span-pruned rewrite)
     "incremental_matview_revenue", # file-delta incremental view refresh
     "dsir_importance_weights",     # corpus-selection LLR scoring
+    # session-4 additions
+    "semantic_dedup_embeddings",   # LSH buckets + centroid cosine dedup
+    "crossmodal_paraphrase_pairs", # bucketed pair join + text-hash filter
+    "sketch_distinct_rollup",      # mergeable HLL sketch build + rollup
+    "tx_schema_evolution",         # metadata-only DDL + conformed read
 ]
 
 

@@ -161,13 +161,43 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), "mb_spark_scratch")
+# Scratch dirs are namespaced per PROCESS: a shared root let one process's
+# exit-time cleanup wipe another's in-flight table (observed: a finishing
+# bench run deleted the gate's scd2 txlog mid-query). Each process cleans
+# its own root at exit; roots left by hard-killed processes are swept at
+# import time (pid liveness check), so /tmp still never accumulates.
+_SCRATCH_BASE = os.path.join(tempfile.gettempdir(), "mb_spark_scratch")
+_SCRATCH_ROOT = os.path.join(_SCRATCH_BASE, f"pid{os.getpid()}")
+
+
+def _sweep_stale_scratch() -> None:
+    try:
+        entries = os.listdir(_SCRATCH_BASE)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith("pid"):
+            shutil.rmtree(os.path.join(_SCRATCH_BASE, name), ignore_errors=True)
+            continue
+        try:
+            pid = int(name[3:])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)  # liveness probe, no signal delivered
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(_SCRATCH_BASE, name), ignore_errors=True)
+        except OSError:
+            pass
+
+
+_sweep_stale_scratch()
 
 
 def _scratch(name: str) -> str:
-    """Deterministic per-query scratch dir: wiped and recreated on each call,
-    and removed at interpreter exit. Deterministic paths mean repeated driver
-    runs reuse (not accumulate) /tmp space — the round-1 leak fix."""
+    """Deterministic per-query scratch dir (within this process's root):
+    wiped and recreated on each call, removed at interpreter exit —
+    repeated driver runs reuse, never accumulate, /tmp space."""
     path = os.path.join(_SCRATCH_ROOT, name)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
@@ -1657,6 +1687,56 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     sk = sketches.kll_group_sketches(li, ["l_returnflag"], "l_extendedprice")
     return sketches.kll_rollup_quantiles(sk, [], [0.5, 0.9, 0.99])
+
+
+@register(
+    "scd2_customer_history",
+    """
+    WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+    SELECT c_custkey, c_name, c_acctbal,
+           CAST(0 AS INT) AS valid_from,
+           CASE WHEN c_custkey % 7 = 0 OR c_custkey % 50 = 0
+                THEN CAST(1 AS INT) END AS valid_to
+    FROM base
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal + 100.0, CAST(1 AS INT), CAST(NULL AS INT)
+    FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 50 <> 0
+    """,
+    "J5,T7,W2,Q5",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD dimension history from the txlog Change Data Feed
+    (txlog.scd2_history): customers land at v0, one MERGE at v1 raises
+    every 7th customer's balance by 100 and tombstones every 50th; the
+    history must show closed intervals for both change classes, a reopened
+    current row for updates, and open intervals for untouched customers —
+    with the MERGE rewrite's carried-row delete+insert pairs netted away
+    (layout-independent, which is what the oracle can pin down)."""
+    from .txlog import TxTable, scd2_history
+
+    tmp = _scratch("scd2_hist")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        (F.col("c_custkey") % 8).alias("bucket"),
+    )
+    t.append(cust, partition_by=["bucket"])
+    changes = cust.filter(
+        (F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 50 == 0)
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal") + 100.0)
+        .alias("c_acctbal"),
+        "bucket",
+    )
+    t.merge_into(changes, on=["c_custkey"], delete_when="c_acctbal IS NULL")
+    return scd2_history(t, exclude_cols=["bucket"]).select(
+        "c_custkey", "c_name", "c_acctbal", "valid_from", "valid_to"
+    )
 
 
 @register(

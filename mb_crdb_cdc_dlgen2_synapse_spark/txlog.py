@@ -1282,3 +1282,63 @@ def sync_changes(
     n = latest.count()
     dst._commit([], lambda active: [], dst.snapshot()[2], {"app": marker, "batch": head}, "sync")
     return {"from_version": from_v, "to_version": head, "rows": n}
+
+
+def scd2_history(
+    table: TxTable, from_version: int = -1, exclude_cols: list[str] | None = None
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history derived from the Change Data
+    Feed: one row per (row image, lifetime interval), with
+    ``valid_from``/``valid_to`` commit versions (``valid_to`` NULL = the
+    image is current).
+
+    Mechanics — all layout-independent, which is what makes it correct on a
+    file-granular feed:
+
+    1. **Net per (version, image)**: a rewrite (MERGE/DML/compact) emits
+       delete+insert pairs for every CARRIED row in the rewritten files;
+       summing +1/-1 per commit version and full row image cancels them,
+       leaving only true inserts/deletes (the same netting as
+       ``tx_change_feed_net``).
+    2. **Interval pairing**: an interval opens at a net insert's version and
+       closes at the EARLIEST net delete of the same image at a later
+       version (min-join on image equality). Identical images deleted and
+       re-inserted later pair correctly because their intervals cannot
+       overlap.
+
+    Scale: one groupBy over changed-file rows (the feed never scans the
+    unchanged table) plus one image-equality join between net inserts and
+    net deletes — both keyed on the full row image, shuffle size tracks the
+    CHANGE volume, not table size. Assumes dimension-style rows (an image
+    appears at most once per version after netting).
+    """
+    from pyspark.sql import functions as F
+
+    ch = table.read_changes(from_version)
+    attrs = [
+        c
+        for c in ch.columns
+        if c not in ("_change_type", "_commit_version")
+        and c not in (exclude_cols or [])
+    ]
+    net = (
+        ch.groupBy("_commit_version", *attrs)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .filter(F.col("net") != 0)
+    )
+    ins = net.filter(F.col("net") > 0).select(
+        *attrs, F.col("_commit_version").alias("valid_from")
+    )
+    dels = net.filter(F.col("net") < 0).select(
+        *attrs, F.col("_commit_version").alias("del_version")
+    )
+    cond = [F.col(f"i.{c}").eqNullSafe(F.col(f"d.{c}")) for c in attrs]
+    cond.append(F.col("d.del_version") > F.col("i.valid_from"))
+    joined = ins.alias("i").join(dels.alias("d"), cond, "left")
+    return joined.groupBy(
+        *[F.col(f"i.{c}").alias(c) for c in attrs], F.col("i.valid_from")
+    ).agg(F.min("d.del_version").alias("valid_to"))

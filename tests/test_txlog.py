@@ -1102,3 +1102,26 @@ def test_scoped_compact_rewrites_only_matching_partition(spark, tmp_path):
         assert os.path.getmtime(os.path.join(t.path, f)) == before[f]
     assert t.read().count() == 1200
     assert t.history()[-1]["op"] == "compact"
+
+
+def test_scd2_history_tracks_intervals_and_reinsert(spark, tmp_path):
+    """SCD2 from the change feed: update closes and reopens, delete closes,
+    and an identical image deleted then re-inserted later pairs with the
+    RIGHT delete (min-version pairing; intervals never overlap)."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import scd2_history
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))          # v0
+    t.delete_where([("k", "==", 1)])                    # v1: close (1,a)
+    t.append(_df(spark, [(1, "a")]))                    # v2: reopen same image
+    t.update_where([("k", "==", 2)], {"v": F.lit("c")})  # v3: (2,b)->(2,c)
+    hist = {
+        (r.k, r.v, r.valid_from): r.valid_to
+        for r in scd2_history(t).collect()
+    }
+    assert hist == {
+        (1, "a", 0): 1,
+        (1, "a", 2): None,
+        (2, "b", 0): 3,
+        (2, "c", 3): None,
+    }
