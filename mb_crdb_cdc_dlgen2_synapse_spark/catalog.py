@@ -1777,12 +1777,17 @@ def crossmodal_paraphrase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_content_hash(_t(spark, sf_dir, "documents")).select(
         "doc_id", "content_hash"
     )
-    b = lsh_bucket_signatures(emb, 6, 64, "embedding", "semdedup").select(
-        "vec_id", "bucket", "embedding"
+    # norm hoisted to one per ROW (same value the per-pair form computes;
+    # the interpreted-HOF norm lambda would otherwise run once per PAIR)
+    b = (
+        lsh_bucket_signatures(emb, 6, 64, "embedding", "semdedup")
+        .select("vec_id", "bucket", "embedding")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
     )
     a, c = b.alias("a"), b.alias("c")
     cos = _dot(F.col("a.embedding"), F.col("c.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("c.embedding"))
+        F.col("a.nrm") * F.col("c.nrm")
     )
     pairs = (
         a.join(
