@@ -1690,6 +1690,42 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_lm_quality",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 2),
+                                     i -> array_to_string(tk[i:i+1], ' '))) AS bigram
+        FROM toks WHERE len(tk) >= 2),
+    bg2 AS (
+        SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg),
+    c2 AS (SELECT bigram, count(*) AS n2 FROM bg2 GROUP BY 1),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg2 GROUP BY 1),
+    v AS (SELECT count(DISTINCT split_part(bigram, ' ', 2)) AS vsz FROM bg2),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(ln((c2.n2 + 1.0) / (c1.n1 + v.vsz)) AS DECIMAL(18,6)) AS logp
+        FROM bg2 b JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           -CAST(SUM(logp) AS DOUBLE) / count(*) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+    "X4,A3,J1",
+)
+def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filter (textops.lm_bigram_scores): a bigram
+    model trained on the corpus itself scores each document's mean negative
+    log-probability — the CCNet/Gopher-style signal for dropping improbable
+    text. Log-probs are pinned to the decimal grid so both engines land on
+    identical per-doc means regardless of sum order."""
+    return textops.lm_bigram_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "scd2_customer_history",
     """
     WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer)

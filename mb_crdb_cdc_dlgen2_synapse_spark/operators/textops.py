@@ -530,3 +530,61 @@ def dsir_importance(documents: DataFrame, target_source: str = "src0") -> DataFr
             ),
         )
     )
+
+
+def lm_bigram_scores(documents: DataFrame) -> DataFrame:
+    """Bigram language-model quality scoring (the CCNet/Gopher-style
+    perplexity filter, self-trained): add-one-smoothed bigram probabilities
+    P(w2|w1) trained on the corpus itself, every document scored by the
+    mean negative log-probability of its bigrams. High scores = improbable
+    text — the LM-filter signal used to drop boilerplate/garbage when no
+    external LM is available.
+
+    Scale shape: tokens via posexplode + lead window (codegen — NOTES rule
+    7), ONE bigram relation reused for model counts and scoring; context
+    counts and vocabulary are aggregates of that relation (the
+    vocabulary-sized joins are left to AQE, never a forced broadcast —
+    rule learned from tf_idf); the per-bigram log-prob is pinned to the
+    DECIMAL(18,6) grid once so the per-doc mean is accumulation-order
+    independent (rule 2, same recipe as dsir_importance).
+    """
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok", 1).over(w)
+    bg = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.concat_ws(" ", F.col("tok"), nxt).alias("bigram"),
+            nxt.alias("_n"),
+        )
+        .filter(F.col("_n").isNotNull())
+        .drop("_n")
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = bg.agg(
+        F.countDistinct(F.substring_index("bigram", " ", -1)).alias("vsz")
+    )
+    scored = (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .crossJoin(v)  # 1-row scalar totals, never collected
+        .select(
+            "doc_id",
+            F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("vsz")))
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+    )
