@@ -1689,6 +1689,53 @@ def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kll_rollup_quantiles(sk, [], [0.5, 0.9, 0.99])
 
 
+def _bq_word_sql(lo: int) -> str:
+    """Sign-bit packing for the binary-quantization oracle (mirrors
+    similarity.binary_quantize word layout)."""
+    return "(" + " + ".join(
+        f"(CASE WHEN embedding[{lo + i + 1}] > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(32)
+    ) + ")"
+
+
+@register(
+    "knn_hamming_binary",
+    f"""
+    WITH bq AS (
+        SELECT vec_id,
+               {_bq_word_sql(0)} AS b_lo,
+               {_bq_word_sql(32)} AS b_hi
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi
+          FROM bq WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(bit_count(xor(c.b_lo, q.q_lo))
+                    + bit_count(xor(c.b_hi, q.q_hi)) AS INT) AS hamming
+        FROM bq c CROSS JOIN q)
+    SELECT query_id, rk, vec_id, hamming FROM (
+        SELECT query_id, vec_id, hamming,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY hamming, vec_id) AS INT) AS rk
+        FROM scored)
+    WHERE rk <= 5
+    """,
+    "X3,P8,W4",
+)
+def knn_hamming_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (similarity.binary_quantize/knn_hamming_topk):
+    64 floats -> 8 bytes of sign bits, top-5 per query by XOR+popcount —
+    the compressed first-stage retrieval. Integer distances make this the
+    fully-oracled X3 entry (float ANN variants are rows-only)."""
+    from .operators.similarity import knn_hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_hamming_topk(emb, queries, k=5)
+
+
 @register(
     "doc_lm_quality",
     r"""

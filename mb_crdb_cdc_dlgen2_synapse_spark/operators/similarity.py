@@ -369,3 +369,49 @@ def brute_force_topk_arrow(
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "vec_id", "cosine")
     )
+
+
+def binary_quantize(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1-bit binary quantization: the sign bit of each of the 64 dimensions,
+    packed into two 32-bit words (``b_lo`` dims 0-31, ``b_hi`` dims 32-63 —
+    two words keep every packed value positive, no sign-bit edge case).
+    64 floats become 8 bytes: the compressed store for memory-resident ANN
+    at corpus scale; distance becomes XOR + popcount (codegen integer ops,
+    no float math at query time)."""
+    def word(lo: int) -> F.Column:
+        acc = F.lit(0).cast("bigint")
+        for i in range(32):
+            acc = acc + F.when(
+                F.element_at(F.col(vec_col), lo + i + 1) > 0,
+                F.lit(1 << i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        return acc
+
+    return embeddings.withColumn("b_lo", word(0)).withColumn("b_hi", word(32))
+
+
+def knn_hamming_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-k nearest neighbors under Hamming distance on the binary
+    quantization — the classic compressed first-stage retrieval (re-rank
+    survivors with exact cosine if needed). The corpus side carries 8 bytes
+    per vector; the (tiny) query side broadcasts; distance is
+    bit_count(xor) per word — exact integer arithmetic, which is why this
+    X3 path is fully DuckDB-oracle-able where float ANN is rows-only."""
+    corp = binary_quantize(embeddings, vec_col).select("vec_id", "b_lo", "b_hi")
+    q = binary_quantize(queries, vec_col).select(
+        F.col("query_id"), F.col("b_lo").alias("q_lo"), F.col("b_hi").alias("q_hi")
+    )
+    ham = F.bit_count(F.col("b_lo").bitwiseXOR(F.col("q_lo"))) + F.bit_count(
+        F.col("b_hi").bitwiseXOR(F.col("q_hi"))
+    )
+    scored = corp.join(F.broadcast(q)).select(
+        "query_id", "vec_id", ham.cast("int").alias("hamming")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "hamming")
+    )

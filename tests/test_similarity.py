@@ -145,3 +145,25 @@ def test_semantic_dedup_keep_policy(spark, emb):
             assert len(kept) == 1
             assert kept[0].cos_centroid == min(r.cos_centroid for r in dups)
     assert n_dup_buckets > 0  # fixture exercises the dedup branch
+
+
+def test_hamming_binary_self_zero_and_recall(spark, emb, queries):
+    """Binary-quantized Hamming retrieval: every query is its own distance-0
+    match, and hamming top-20 recalls a meaningful share of the exact
+    cosine top-5 (1-bit codes are a coarse first stage — recall >= 0.4 per
+    query on this corpus, >= 0.5 averaged)."""
+    from collections import defaultdict
+
+    h = similarity.knn_hamming_topk(emb, queries, k=20).collect()
+    c = similarity.brute_force_topk(emb, queries, k=5).collect()
+    hs, cs = defaultdict(set), defaultdict(set)
+    for r in h:
+        hs[r.query_id].add(r.vec_id)
+        if r.vec_id == r.query_id:
+            assert r.hamming == 0
+    for r in c:
+        cs[r.query_id].add(r.vec_id)
+    assert set(hs) == set(cs)
+    recalls = [len(hs[q] & cs[q]) / 5 for q in cs]
+    assert all(r >= 0.4 for r in recalls), recalls
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
