@@ -1737,6 +1737,81 @@ def knn_hamming_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_rerank_two_stage",
+    f"""
+    WITH bq AS (
+        SELECT vec_id, embedding,
+               {_bq_word_sql(0)} AS b_lo,
+               {_bq_word_sql(32)} AS b_hi
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, b_lo AS q_lo, b_hi AS q_hi
+          FROM bq WHERE vec_id < 3),
+    stage1 AS (
+        SELECT query_id, vec_id, q_vec, embedding,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY bit_count(xor(b_lo, q_lo)) + bit_count(xor(b_hi, q_hi)),
+                            vec_id) AS INT) AS h_rk
+        FROM bq c CROSS JOIN q),
+    cand AS (SELECT * FROM stage1 WHERE h_rk <= 50),
+    rerank AS (
+        SELECT query_id, vec_id,
+               round({_DOT_SQL.format(a='q_vec', b='embedding')}
+                     / ({_NORM_SQL.format(a='q_vec')}
+                        * {_NORM_SQL.format(a='embedding')}), 6) AS cosine
+        FROM cand)
+    SELECT query_id, rk, vec_id, cosine FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS INT) AS rk
+        FROM rerank)
+    WHERE rk <= 5
+    """,
+    "X3,W4,Q2",
+)
+def knn_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production retrieval shape: stage 1 prunes the corpus to 50
+    candidates per query on 8-byte binary codes (XOR+popcount — at corpus
+    scale this is the only pass that touches every vector, and it reads 8
+    bytes, not 256); stage 2 re-ranks ONLY the candidates with exact
+    cosine. Both stages are deterministic, so unlike float-first ANN the
+    whole pipeline hash-checks against the oracle."""
+    from pyspark.sql import Window as W
+
+    from .operators.similarity import _dot, _norm, binary_quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bq = binary_quantize(emb).select("vec_id", "embedding", "b_lo", "b_hi")
+    q = bq.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("b_lo").alias("q_lo"),
+        F.col("b_hi").alias("q_hi"),
+    )
+    ham = F.bit_count(F.col("b_lo").bitwiseXOR(F.col("q_lo"))) + F.bit_count(
+        F.col("b_hi").bitwiseXOR(F.col("q_hi"))
+    )
+    w1 = W.partitionBy("query_id").orderBy(ham.asc(), F.col("vec_id").asc())
+    cand = (
+        bq.join(F.broadcast(q))
+        .withColumn("h_rk", F.row_number().over(w1))
+        .filter(F.col("h_rk") <= 50)
+    )
+    cos = F.round(
+        _dot(F.col("q_vec"), F.col("embedding"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("embedding"))),
+        6,
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cand.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "rk", "vec_id", "cosine")
+    )
+
+
+@register(
     "doc_lm_quality",
     r"""
     WITH toks AS (
@@ -1924,6 +1999,52 @@ def stratified_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("source", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "streaming_session_window",
+    None,  # bounded-replay emission excludes sessions the final watermark
+    # never closes — batch equivalence on the CLOSED subset is asserted in
+    # tests/test_streaming_windows.py; rows-only here
+    "T5,T3,A6",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (streaming/windows.session_windows):
+    events replayed as a file stream, per-user sessions gap-merged in the
+    state store and emitted as the watermark closes them — the streaming
+    twin of the batch session_stats query. State per key tracks OPEN
+    sessions only; the gap+watermark bound is what keeps it finite on an
+    unbounded stream."""
+    from .streaming.windows import session_windows
+
+    tmp = _scratch("stream_sess")
+    src = os.path.join(tmp, "json")
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        "event_id", F.col("ts").cast("string").alias("ts"), "user_id", "value"
+    ).coalesce(4).write.mode("overwrite").json(src)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).json(src)
+    )
+    out = session_windows(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t5_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("t5_sessions")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
     )
 
 
