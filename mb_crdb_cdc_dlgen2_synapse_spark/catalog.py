@@ -1812,6 +1812,67 @@ def knn_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_temperature_mix",
+    """
+    WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(n_src) AS n_tot FROM c),
+    w AS (SELECT source, n_src, pow(n_src / n_tot, 0.7) AS w_raw FROM c CROSS JOIN tot),
+    sw AS (SELECT SUM(w_raw) AS w_sum FROM w),
+    tgt AS (
+        SELECT w.source, w.n_src,
+               least(w.n_src,
+                     CAST(round(0.4 * tot.n_tot * w.w_raw / sw.w_sum) AS BIGINT)
+               ) AS n_target
+        FROM w CROSS JOIN sw CROSS JOIN tot),
+    ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+    SELECT r.source, r.doc_id, CAST(r.rn AS BIGINT) AS rn
+    FROM ranked r JOIN tgt USING (source)
+    WHERE r.rn <= tgt.n_target
+    """,
+    "X4,A2,J2,W4",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-sampling recipe:
+    p_i^alpha renormalized, alpha=0.7 upweights small sources): per-source
+    budgets are DERIVED from the corpus's own size distribution, capped at
+    availability, for a 40%-of-corpus training budget; selection within a
+    source is the md5-ranked deterministic sample. Every stage is an
+    aggregate or a broadcast-sized join — the budget table has one row per
+    source; no RNG, so retries and engines agree doc-for-doc."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    tot = c.agg(F.sum("n_src").alias("n_tot"))
+    w = c.crossJoin(tot).select(
+        "source", "n_src", "n_tot",
+        F.pow(F.col("n_src") / F.col("n_tot"), 0.7).alias("w_raw"),
+    )
+    sw = w.agg(F.sum("w_raw").alias("w_sum"))
+    tgt = w.crossJoin(sw).select(
+        "source",
+        F.least(
+            F.col("n_src"),
+            F.round(0.4 * F.col("n_tot") * F.col("w_raw") / F.col("w_sum"))
+            .cast("bigint"),
+        ).alias("n_target"),
+    )
+    win = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source", "doc_id", F.row_number().over(win).cast("bigint").alias("rn")
+    )
+    return ranked.join(F.broadcast(tgt), "source").filter(
+        F.col("rn") <= F.col("n_target")
+    ).select("source", "doc_id", "rn")
+
+
+@register(
     "doc_lm_quality",
     r"""
     WITH toks AS (
