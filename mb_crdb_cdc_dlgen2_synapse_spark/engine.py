@@ -197,3 +197,42 @@ class Engine:
         from .operators.cdc import route_dead_letters
 
         return route_dead_letters(lines, after_schema, **kw)
+
+    # -- session-4 surface ---------------------------------------------------
+    def semantic_dedup(self, embeddings: DataFrame, **kw) -> DataFrame:
+        """SemDeDup-style centroid-cosine dedup over an embedding column
+        (operators.dedup.semantic_dedup)."""
+        from .operators.dedup import semantic_dedup
+
+        return semantic_dedup(embeddings, **kw)
+
+    def knn_compressed(self, embeddings: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+        """Binary-quantized Hamming top-k — the 8-bytes-per-vector first
+        stage (operators.similarity.knn_hamming_topk)."""
+        from .operators.similarity import knn_hamming_topk
+
+        return knn_hamming_topk(embeddings, queries, k=k)
+
+    def distinct_sketches(self, df: DataFrame, keys, value_col: str, **kw) -> DataFrame:
+        """Mergeable per-group HLL sketches (operators.sketches) — persist,
+        then re-aggregate any coarser grouping with sketch_rollup()."""
+        from .operators.sketches import hll_group_sketches
+
+        return hll_group_sketches(df, list(keys), value_col, **kw)
+
+    def sketch_rollup(self, sketches: DataFrame, keys, out_col: str = "approx_distinct") -> DataFrame:
+        from .operators.sketches import hll_rollup
+
+        return hll_rollup(sketches, list(keys), out_col)
+
+    def scd2(self, table, **kw) -> DataFrame:
+        """Type-2 SCD history from a TxTable's change feed (txlog.scd2_history)."""
+        from .txlog import scd2_history
+
+        return scd2_history(table, **kw)
+
+    def lm_quality_scores(self, documents: DataFrame) -> DataFrame:
+        """Self-trained bigram-LM perplexity scores (textops.lm_bigram_scores)."""
+        from .operators.textops import lm_bigram_scores
+
+        return lm_bigram_scores(documents)

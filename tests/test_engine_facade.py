@@ -111,3 +111,30 @@ def test_facade_round2_surface(spark, sf_dir):
         key="user_id", left_ts="ts", right_ts="ts", payload_cols=["v"],
     )
     assert "asof_v" in out.columns and out.count() == 50
+
+
+def test_facade_session4_surface(spark, sf_dir, tmp_path):
+    """The session-4 additions are reachable through the Engine facade."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.engine import Engine
+    from pyspark.sql import functions as F
+
+    e = Engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    sd = e.semantic_dedup(emb, threshold=0.55)
+    assert {"vec_id", "bucket", "cos_centroid", "is_kept"} <= set(sd.columns)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert e.knn_compressed(emb, q, k=3).count() == 6
+    orders = e.table("orders")
+    sk = e.distinct_sketches(orders, ["o_orderpriority"], "o_custkey")
+    assert e.sketch_rollup(sk, []).count() == 1
+    t = e.tx_table(str(tmp_path / "t"))
+    t.append(orders.limit(20).select("o_orderkey", "o_orderpriority"))
+    t.add_column("flag", "string")
+    hist = e.scd2(t)
+    assert {"valid_from", "valid_to"} <= set(hist.columns)
+    docs = e.table("documents")
+    assert {"doc_id", "n_bigrams", "avg_nll"} <= set(
+        e.lm_quality_scores(docs.limit(30)).columns
+    )
