@@ -1125,3 +1125,53 @@ def test_scd2_history_tracks_intervals_and_reinsert(spark, tmp_path):
         (2, "b", 0): 3,
         (2, "c", 3): None,
     }
+
+
+def test_scd2_history_randomized_matches_model(spark, tmp_path):
+    """Seeded random op sequence (append/update/delete/compact) vs a pure
+    Python interval model: scd2_history must reproduce the model's
+    (image, valid_from, valid_to) set exactly — compaction commits rewrite
+    files but net to zero change and must leave the history untouched."""
+    import random
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import scd2_history
+
+    rng = random.Random(77)
+    t = TxTable(spark, str(tmp_path / "t"))
+    live: dict[int, str] = {}          # k -> v currently live
+    intervals: list[list] = []         # [k, v, from, to|None]
+
+    def close(k, ver):
+        for iv in intervals:
+            if iv[0] == k and iv[3] is None:
+                iv[3] = ver
+
+    next_k = 0
+    for _step in range(10):
+        op = rng.choice(["append", "append", "update", "delete", "compact"])
+        if op == "append":
+            rows = [(next_k + i, f"s{_step}") for i in range(rng.randint(1, 3))]
+            next_k += len(rows)
+            ver = t.append(_df(spark, rows))
+            for k, v in rows:
+                live[k] = v
+                intervals.append([k, v, ver, None])
+        elif op == "update" and live:
+            k = rng.choice(sorted(live))
+            nv = f"u{_step}"
+            ver = t.update_where([("k", "==", k)], {"v": F.lit(nv)})["version"]
+            close(k, ver)
+            live[k] = nv
+            intervals.append([k, nv, ver, None])
+        elif op == "delete" and live:
+            k = rng.choice(sorted(live))
+            ver = t.delete_where([("k", "==", k)])["version"]
+            close(k, ver)
+            del live[k]
+        elif op == "compact" and t.version() >= 0:
+            t.compact(target_files=1)  # rewrite: must net out of the feed
+    got = sorted(
+        (r.k, r.v, r.valid_from, r.valid_to) for r in scd2_history(t).collect()
+    )
+    exp = sorted((k, v, f, to) for k, v, f, to in intervals)
+    assert got == exp
