@@ -1812,6 +1812,49 @@ def knn_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_profile_orders",
+    """
+    SELECT * FROM (
+        SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderstatus),
+               CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderpriority),
+               CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*),
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        FROM orders)
+    """,
+    "A3,A4,Q3",
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (relational.profile_table): row/null/
+    exact-distinct counts and min/max for four orders columns in ONE
+    aggregate job — one scan however many columns are profiled, unpivoted
+    via stack(). These are the stats that drive broadcast-vs-shuffle and
+    layout (Z-order) decisions."""
+    return relational.profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+
+
+@register(
     "corpus_temperature_mix",
     """
     WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),

@@ -531,3 +531,32 @@ def gap_fill_locf(
         *[F.col(c).isNull().alias(f"{c}_filled") for c in value_cols],
     )
     return filled
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style one-pass column profile: for each listed column, row
+    count, null count, exact distinct count, and min/max (as strings, so
+    every column type shares one output schema). ONE aggregate job computes
+    every column's stats — the scan happens once regardless of how many
+    columns are profiled (count-distinct planning is Spark's expand-based
+    multi-distinct, still a single pass over the data); the result is then
+    unpivoted driver-free via stack(). The stats feed broadcast-vs-shuffle
+    decisions and layout choices (which columns are worth Z-ordering)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
