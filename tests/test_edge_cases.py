@@ -273,3 +273,78 @@ def test_route_dead_letters_classes(spark):
         assert by_line[line] == want, line
     # empty string parses to all-null struct with corrupt capture
     assert by_line[""] in ("malformed_json", "missing_updated")
+
+
+def test_semantic_dedup_degenerate_corpora(spark):
+    """1-row corpus: trivially kept. Identical embeddings: all land in one
+    bucket at cosine 1.0, exactly one survives."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.dedup import semantic_dedup
+
+    one = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    got = semantic_dedup(one, threshold=0.5).collect()
+    assert len(got) == 1 and got[0].is_kept
+
+    same = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    rows = semantic_dedup(same, threshold=0.5).collect()
+    assert len(rows) == 5
+    assert all(r.cos_centroid == 1.0 for r in rows)
+    assert sum(r.is_kept for r in rows) == 1  # keep-one policy
+
+
+def test_hamming_topk_zero_vector(spark):
+    """A zero vector quantizes to all-zero words (no sign bit set) and still
+    ranks deterministically."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        binary_quantize,
+        knn_hamming_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [1.0] * 64), (2, [-1.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    bq = {r.vec_id: (r.b_lo, r.b_hi) for r in binary_quantize(emb).collect()}
+    assert bq[0] == (0, 0) and bq[2] == (0, 0)
+    assert bq[1] == (0xFFFFFFFF, 0xFFFFFFFF)
+    q = emb.filter("vec_id = 0").selectExpr("vec_id as query_id", "embedding")
+    top = knn_hamming_topk(emb, q, k=3).collect()
+    # 0 and 2 share the code (distance 0, id tiebreak), 1 is 64 away
+    assert [(r.rk, r.vec_id, r.hamming) for r in top] == [
+        (1, 0, 0), (2, 2, 0), (3, 1, 64),
+    ]
+
+
+def test_lm_bigram_single_token_docs_are_excluded(spark):
+    """Docs with <2 tokens contribute no bigrams and drop out of the score
+    relation (no divide-by-zero, no NULL rows)."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.textops import lm_bigram_scores
+
+    docs = spark.createDataFrame(
+        [(0, "single"), (1, "two tokens"), (2, "   "), (3, "a b a b a")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_bigrams for r in lm_bigram_scores(docs).collect()}
+    assert got == {1: 1, 3: 4}
+
+
+def test_profile_table_all_null_column(spark):
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.relational import profile_table
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "k int, v string"
+    )
+    got = {r.column_name: r for r in profile_table(df, ["k", "v"]).collect()}
+    assert got["v"].n_nulls == 2 and got["v"].n_distinct == 0
+    assert got["v"].min_value is None and got["v"].max_value is None
+    assert got["k"].n_distinct == 2
+
+
+def test_scd2_empty_table(spark, tmp_path):
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable, scd2_history
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    assert scd2_history(t).count() == 0

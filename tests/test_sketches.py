@@ -142,3 +142,54 @@ def test_streaming_sketch_state_equals_batch_sketch(spark, sf_dir, tmp_path):
     }
     for k, e in exact.items():
         assert abs(got[k] - e) <= max(2, 0.05 * e), (k, got[k], e)
+
+
+def test_streaming_sketch_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting the sketch-maintenance stream with the same checkpoint
+    must not double-merge (txn markers skip re-delivered batches; HLL union
+    is also idempotent, but the commit count proves batches landed once)."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.incremental import (
+        maintain_distinct_sketches,
+        read_distinct_estimates,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "json")
+    ev.select("event_id", "event_type", "user_id").coalesce(3).write.mode(
+        "overwrite"
+    ).json(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = maintain_distinct_sketches(
+            stream,
+            str(tmp_path / "sketches"),
+            ["event_type"],
+            "user_id",
+            str(tmp_path / "ckpt"),
+            app_id="t_restart",
+        )
+        q.awaitTermination()
+
+    run()
+    first = {
+        r["event_type"]: r["approx_distinct"]
+        for r in read_distinct_estimates(
+            spark, str(tmp_path / "sketches"), ["event_type"]
+        ).collect()
+    }
+    n_commits = len(TxTable(spark, str(tmp_path / "sketches")).history())
+    run()  # restart: same checkpoint, no new files
+    second = {
+        r["event_type"]: r["approx_distinct"]
+        for r in read_distinct_estimates(
+            spark, str(tmp_path / "sketches"), ["event_type"]
+        ).collect()
+    }
+    assert second == first
+    assert len(TxTable(spark, str(tmp_path / "sketches")).history()) == n_commits
