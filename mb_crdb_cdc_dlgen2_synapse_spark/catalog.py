@@ -1916,6 +1916,143 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation_v2",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+        FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 2),
+                                     i -> array_to_string(tk[i:i+1], ' '))) AS bigram
+        FROM toks WHERE len(tk) >= 2),
+    bg2 AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bg),
+    c2 AS (SELECT bigram, count(*) AS n2 FROM bg2 GROUP BY 1),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg2 GROUP BY 1),
+    vv AS (SELECT count(DISTINCT split_part(bigram, ' ', 2)) AS vsz FROM bg2),
+    lm AS (
+        SELECT b.doc_id,
+               -CAST(SUM(CAST(ln((c2.n2 + 1.0) / (c1.n1 + vv.vsz))
+                              AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_nll
+        FROM bg2 b JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN vv
+        GROUP BY b.doc_id),
+    lm_pass AS (SELECT doc_id FROM lm WHERE avg_nll <= 3.42),
+    bq AS (
+        SELECT vec_id, embedding, CAST({{bucket}} AS BIGINT) AS bucket
+        FROM embeddings),
+    cent AS (
+        SELECT bucket, list(m ORDER BY idx) AS centroid
+        FROM (SELECT bucket, idx, AVG(embedding[idx]::DOUBLE) AS m
+              FROM bq, UNNEST(generate_series(1, 64)) AS t(idx)
+              GROUP BY bucket, idx)
+        GROUP BY bucket),
+    sdscore AS (
+        SELECT bq.vec_id, bq.bucket,
+               round({{dot}} / ({{na}} * {{nc}}), 6) AS cos_centroid
+        FROM bq JOIN cent USING (bucket)),
+    sd AS (
+        SELECT vec_id, bucket, cos_centroid,
+               cos_centroid >= 0.55 AS is_dup,
+               row_number() OVER (PARTITION BY bucket, cos_centroid >= 0.55
+                                  ORDER BY cos_centroid, vec_id) AS rn
+        FROM sdscore),
+    sd_kept AS (SELECT vec_id FROM sd WHERE (NOT is_dup) OR rn = 1),
+    surv AS (
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d
+        JOIN lm_pass USING (doc_id)
+        JOIN sd_kept ON sd_kept.vec_id = d.doc_id),
+    cs AS (SELECT source, count(*) AS n_src FROM surv GROUP BY 1),
+    tot AS (SELECT SUM(n_src) AS n_tot FROM cs),
+    wgt AS (SELECT source, n_src, pow(n_src / n_tot, 0.7) AS w_raw
+            FROM cs CROSS JOIN tot),
+    sw AS (SELECT SUM(w_raw) AS w_sum FROM wgt),
+    tgt AS (
+        SELECT wgt.source,
+               least(wgt.n_src,
+                     CAST(round(0.4 * tot.n_tot * wgt.w_raw / sw.w_sum) AS BIGINT)
+               ) AS n_target
+        FROM wgt CROSS JOIN sw CROSS JOIN tot),
+    ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM surv)
+    SELECT r.source,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(SUM(CAST(r.n_chars AS DECIMAL(18,6))) AS DOUBLE) AS total_chars
+    FROM ranked r JOIN tgt USING (source)
+    WHERE r.rn <= tgt.n_target
+    GROUP BY r.source
+    """.format(
+        bucket=_SD_BUCKET_SQL,
+        dot=_DOT_SQL.format(a="bq.embedding", b="cent.centroid"),
+        na=_NORM_SQL.format(a="bq.embedding"),
+        nc=_NORM_SQL.format(a="cent.centroid"),
+    ),
+    "X2,X3,X4,A2,J1,W4,P9",
+)
+def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE lazy plan, fully oracle-checked:
+    bigram-LM quality gate (avg_nll <= 3.42) -> SemDeDup semantic-dup
+    removal (embedding buckets, doc_id==vec_id alignment) -> temperature
+    (p^0.7) per-source budgets over the SURVIVORS -> md5-ranked selection,
+    reported per source. Every stage is the already-certified operator;
+    the point is that they compose without materialization barriers and
+    the composition still hash-matches the oracle."""
+    from pyspark.sql import Window as W
+
+    from .operators.dedup import semantic_dedup
+    from .operators.textops import lm_bigram_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    lm_pass = (
+        lm_bigram_scores(docs).filter(F.col("avg_nll") <= 3.42).select("doc_id")
+    )
+    sd_kept = (
+        semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.55)
+        .filter(F.col("is_kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    surv = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(lm_pass, "doc_id")
+        .join(sd_kept, "doc_id")
+    )
+    cs = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    tot = cs.agg(F.sum("n_src").alias("n_tot"))
+    wgt = cs.crossJoin(tot).select(
+        "source", "n_src", "n_tot",
+        F.pow(F.col("n_src") / F.col("n_tot"), 0.7).alias("w_raw"),
+    )
+    sw = wgt.agg(F.sum("w_raw").alias("w_sum"))
+    tgt = wgt.crossJoin(sw).select(
+        "source",
+        F.least(
+            F.col("n_src"),
+            F.round(0.4 * F.col("n_tot") * F.col("w_raw") / F.col("w_sum"))
+            .cast("bigint"),
+        ).alias("n_target"),
+    )
+    win = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = surv.withColumn("rn", F.row_number().over(win))
+    from .functions.numeric import exact_sum
+
+    return (
+        ranked.join(F.broadcast(tgt), "source")
+        .filter(F.col("rn") <= F.col("n_target"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            exact_sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
     "doc_lm_quality",
     r"""
     WITH toks AS (
