@@ -2139,6 +2139,80 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_scd2_history",
+    """
+    WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+    SELECT c_custkey, c_name, c_acctbal,
+           CAST(0 AS INT) AS valid_from,
+           CASE WHEN c_custkey % 7 = 0 OR c_custkey % 50 = 0
+                THEN CAST(1 AS INT) END AS valid_to
+    FROM base
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal + 100.0, CAST(1 AS INT), CAST(NULL AS INT)
+    FROM base WHERE c_custkey % 7 = 0 AND c_custkey % 50 <> 0
+    """,
+    "J5,T1,T7,T8",
+)
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of scd2_customer_history: the dimension arrives as a
+    FILE STREAM — base image in run 1, a CDC-shaped change batch (updates +
+    NULL-balance tombstones) appended to the source dir and consumed by a
+    checkpointed run 2 — each micro-batch landing as a txlog commit
+    (append, then MERGE INTO). Versions are deterministic (v0 base, v1
+    merge), so the derived SCD2 history hash-checks against the SAME
+    oracle as the batch form: streaming ingestion is invisible in the
+    result, which is the exactly-once claim."""
+    from .txlog import TxTable, scd2_history
+
+    tmp = _scratch("stream_scd2")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src, exist_ok=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", (F.col("c_custkey") % 8).alias("bucket")
+    )
+    schema = "c_custkey long, c_name string, c_acctbal double, bucket long"
+    table_path = os.path.join(tmp, "table")
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        t = TxTable(batch.sparkSession, table_path)
+        if t.version() < 0:
+            t.append(batch, partition_by=["bucket"])
+        else:
+            t.merge_into(
+                batch, on=["c_custkey"], delete_when="c_acctbal IS NULL"
+            )
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            stream.writeStream.foreachBatch(land)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    cust.coalesce(2).write.mode("append").json(src)
+    run_once()  # v0: base image
+    changes = cust.filter(
+        (F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 50 == 0)
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 50 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal") + 100.0)
+        .alias("c_acctbal"),
+        "bucket",
+    )
+    changes.coalesce(1).write.mode("append").json(src)
+    run_once()  # v1: merge of the change batch
+    t = TxTable(spark, table_path)
+    return scd2_history(t, exclude_cols=["bucket"]).select(
+        "c_custkey", "c_name", "c_acctbal", "valid_from", "valid_to"
+    )
+
+
+@register(
     "crossmodal_paraphrase_pairs",
     f"""
     WITH b AS (
