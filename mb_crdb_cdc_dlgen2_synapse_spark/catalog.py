@@ -86,14 +86,13 @@ _DRIVER_PRIORITY: list[str] = [
     "q7_nation_volume",
     "q18_large_orders",
     "q22_wealthy_inactive_customers",
-    # projections / scalar functions (P1, P2, P5-P9)
+    # projections / scalar functions (P1, P2, P5-P9; json_props_extraction
+    # demoted — r01-green, P1/P2 co-certified by cdc_envelope_extraction +
+    # flagship; percentiles_by_status demoted — r01-green, A3 co-certified
+    # by q1_pricing_summary)
     "filter_project_lineitem",
-    "json_props_extraction",
     "string_funcs_projection",
     "array_ops_showcase",
-    # aggregations (A3-A5; agg_stats_orders recorded green in r01, now below
-    # the fold — percentiles_by_status keeps A3 in-window)
-    "percentiles_by_status",
     "distinct_customers_per_priority",
     "rollup_status_priority",
     # joins (J3, J4, J6; the anti-join half of J4 is below the fold —
@@ -146,6 +145,10 @@ _DRIVER_PRIORITY: list[str] = [
     "semantic_dedup_embeddings",
     "crossmodal_paraphrase_pairs",
     "tx_schema_evolution",
+    # the composed curation pipeline and the streaming SCD2 (both full
+    # oracle) — the session-4 headline capabilities
+    "corpus_curation_v2",
+    "streaming_scd2_history",
 ]
 
 
