@@ -70,6 +70,8 @@ HEADLINE = [
     "crossmodal_paraphrase_pairs", # bucketed pair join + text-hash filter
     "sketch_distinct_rollup",      # mergeable HLL sketch build + rollup
     "tx_schema_evolution",         # metadata-only DDL + conformed read
+    "knn_rerank_two_stage",        # hamming prefilter + cosine re-rank
+    "corpus_curation_v2",          # LM gate + semantic dedup + mix, one plan
 ]
 
 

@@ -568,6 +568,8 @@ def lm_bigram_scores(documents: DataFrame) -> DataFrame:
         .filter(F.col("_n").isNotNull())
         .drop("_n")
     )
+    # NOTE: bg feeds four consumers; measured localCheckpoint here — no win
+    # (exchange reuse already covers it), so the plan stays fully lazy.
     c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
     v = bg.agg(
