@@ -92,7 +92,8 @@ _DRIVER_PRIORITY: list[str] = [
     # by q1_pricing_summary)
     "filter_project_lineitem",
     "string_funcs_projection",
-    "array_ops_showcase",
+    # array_ops_showcase demoted — P8 co-certified in-window by
+    # semantic_dedup_embeddings (and r01-green embedding_centroids)
     "distinct_customers_per_priority",
     "rollup_status_priority",
     # joins (J3, J4, J6; the anti-join half of J4 is below the fold —
@@ -149,6 +150,8 @@ _DRIVER_PRIORITY: list[str] = [
     # oracle) — the session-4 headline capabilities
     "corpus_curation_v2",
     "streaming_scd2_history",
+    # X6's first FULL-oracle certification (deterministic Python UDTF)
+    "doc_chunks_udtf",
 ]
 
 
@@ -2052,6 +2055,50 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_selected"),
             exact_sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+@register(
+    "doc_chunks_udtf",
+    r"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(i - 1 AS INT) AS chunk_id,
+               substr(text, CAST((i - 1) * 256 + 1 AS INT), 256) AS chunk
+        FROM documents,
+             unnest(range(1, CAST(ceil(length(text) / 256.0) AS BIGINT) + 1)) u(i))
+    SELECT doc_id, chunk_id,
+           CAST(length(chunk) AS INT) AS chunk_len,
+           md5(chunk) AS chunk_hash
+    FROM c
+    """,
+    "X6,P5",
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF escape hatch (X6) with a FULL oracle: a table function
+    that explodes each document into fixed-size character chunks, invoked
+    through the SQL LATERAL surface. UDTFs are the row-generating sibling
+    of pandas_udf — this one is deliberately deterministic (pure function
+    of its arguments) so, unlike the Arrow/streaming X6 entries, the
+    driver can value-hash it against DuckDB. Chunking itself is the
+    context-window prep step of the RAG/training pipelines."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string")
+    class Chunker:
+        def eval(self, text: str, size: int):
+            for i in range(0, len(text or ""), size):
+                yield i // size, text[i : i + size]
+
+    spark.udtf.register("doc_chunker", Chunker)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_for_chunks")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id,
+               CAST(length(c.chunk) AS INT) AS chunk_len,
+               md5(c.chunk) AS chunk_hash
+        FROM __docs_for_chunks d, LATERAL doc_chunker(d.text, 256) c
+        """
     )
 
 
