@@ -744,6 +744,12 @@ class TxTable:
             relaxed = T.StructType(
                 [T.StructField(f.name, f.dataType, True) for f in logged.fields]
             )
+            # post-evolution candidates: files older than an add_column lack
+            # the field (project typed NULLs), files older than a
+            # drop_column carry an extra one (the select drops it)
+            for f in relaxed.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             df = df.select(*[f.name for f in relaxed.fields]).to(relaxed)
         out = transform(df)
         part_cols = [

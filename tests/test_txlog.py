@@ -1175,3 +1175,72 @@ def test_scd2_history_randomized_matches_model(spark, tmp_path):
     )
     exp = sorted((k, v, f, to) for k, v, f, to in intervals)
     assert got == exp
+
+
+def test_dml_and_merge_on_evolved_table(spark, tmp_path):
+    """DML/MERGE over files written BEFORE an add_column: candidate reads
+    conform to the logged schema (typed NULLs for the missing field), so
+    rewrites neither fail nor drop the column."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.add_column("score", "double")
+    t.merge_into(
+        spark.createDataFrame(
+            [(2, "B", 9.0), (3, "c", 1.0)], "k int, v string, score double"
+        ),
+        on=["k"],
+    )
+    rows = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("B", 9.0), 3: ("c", 1.0)}
+    # update_where across old and new generations
+    t.update_where([("k", "==", 1)], {"score": F.lit(5.0)})
+    rows = {r.k: r.score for r in t.read().collect()}
+    assert rows == {1: 5.0, 2: 9.0, 3: 1.0}
+    # delete_where on the evolved column (pre-evolution rows have NULL)
+    t.delete_where([("score", ">=", 6.0)])
+    assert sorted(r.k for r in t.read().collect()) == [1, 3]
+
+
+def test_schema_evolution_randomized_matches_model(spark, tmp_path):
+    """Seeded random DDL/append/DML sequence vs a dict model: reads always
+    conform to the logged schema regardless of file generations."""
+    import random
+
+    rng = random.Random(4242)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "v0")]))
+    cols: list[str] = []          # evolved extra columns, in order
+    rows: dict[int, dict] = {0: {"v": "v0"}}
+    next_k = 1
+    n_added = 0
+    for step in range(8):
+        op = rng.choice(["add", "drop", "append", "update"])
+        if op == "add" and len(cols) < 3:
+            name = f"c{n_added}"
+            n_added += 1
+            t.add_column(name, "int")
+            cols.append(name)
+        elif op == "drop" and cols:
+            name = cols.pop(rng.randrange(len(cols)))
+            t.drop_column(name)
+            for r in rows.values():
+                r.pop(name, None)
+        elif op == "append":
+            payload = {"v": f"s{step}", **{c: step for c in cols}}
+            schema = "k int, v string" + "".join(f", {c} int" for c in cols)
+            data = [(next_k, payload["v"], *[payload[c] for c in cols])]
+            t.append(spark.createDataFrame(data, schema))
+            rows[next_k] = dict(payload)
+            next_k += 1
+        elif op == "update" and cols:
+            c = rng.choice(cols)
+            t.update_where([("k", "==", 0)], {c: F.lit(99)})
+            rows[0][c] = 99
+    got = {
+        r["k"]: {c: r[c] for c in (["v"] + cols)} for r in t.read().collect()
+    }
+    exp = {
+        k: {c: v.get(c) for c in (["v"] + cols)} for k, v in rows.items()
+    }
+    assert got == exp
+    assert t.read().columns == ["k", "v"] + cols
