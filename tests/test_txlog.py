@@ -1244,3 +1244,26 @@ def test_schema_evolution_randomized_matches_model(spark, tmp_path):
     }
     assert got == exp
     assert t.read().columns == ["k", "v"] + cols
+
+
+def test_scd2_and_change_feed_across_evolution(spark, tmp_path):
+    """Change feed and SCD2 keep working across an add_column boundary:
+    pre-evolution images net with NULL for the new field, post-evolution
+    updates open intervals carrying it."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import scd2_history
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))                       # v0
+    t.add_column("score", "double")                        # v1 (no row change)
+    t.update_where([("k", "==", 1)], {"score": F.lit(7.0)})  # v2
+    hist = sorted(
+        ((r.k, r.v, r.score, r.valid_from, r.valid_to)
+         for r in scd2_history(t).collect()),
+        key=lambda x: (x[0], x[3]),
+    )
+    assert hist == [(1, "a", None, 0, 2), (1, "a", 7.0, 2, None)]
+    # the metadata-only DDL commit itself contributes no feed rows
+    versions = {
+        r["_commit_version"] for r in t.read_changes(-1).collect()
+    }
+    assert versions == {0, 2}
