@@ -4860,6 +4860,45 @@ def tx_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_delete_vectors",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           o_totalprice
+    FROM orders
+    WHERE NOT (o_totalprice >= 400000.0)
+      AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 10000.0)
+    """,
+    "S7,T8,P9",
+)
+def tx_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (txlog.delete_where
+    mode="dv"): two DV deletes hide the price tail and the cheap-urgent
+    rows WITHOUT rewriting a single data file — readers anti-join the
+    (file, row-position) pairs, the Delta-DV / Iceberg-positional-delete
+    design. At 100 TB a small delete writes kilobytes of vector instead of
+    rewriting gigabytes; compact() later makes it physical. The oracle
+    applies the same two predicates to the base table."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_dv")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderkey") % 8).alias("bucket"),
+    )
+    t.append(orders, partition_by=["bucket"])
+    t.delete_where([("o_totalprice", ">=", 400000.0)], mode="dv")
+    t.delete_where(
+        [("o_orderpriority", "==", "1-URGENT"), ("o_totalprice", "<", 10000.0)],
+        mode="dv",
+    )
+    return t.read().select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register(
     "tx_schema_evolution",
     """
     SELECT o_orderkey,

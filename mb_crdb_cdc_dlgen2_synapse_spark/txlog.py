@@ -46,6 +46,7 @@ from pyspark.sql import types as T
 
 _LOG_DIR = "_txlog"
 _STAGING = "_staging"
+_DV_DIR = "_dv"
 
 
 class TxConflictError(RuntimeError):
@@ -402,6 +403,7 @@ class TxTable:
         stats: dict[str, dict] | None = None,
         max_retries: int = 20,
         checks: dict[str, str] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Put-if-absent commit with optimistic retry. ``removed_fn`` maps the
         freshly re-read active file list -> files this commit removes (it is
@@ -422,6 +424,8 @@ class TxTable:
             }
             if checks is not None:
                 entry["checks"] = checks
+            if extra:
+                entry.update(extra)
             tmp = os.path.join(
                 self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}.json"
             )
@@ -549,7 +553,8 @@ class TxTable:
             return self.version()
         added, stats = self._stage(df, partition_by)
         return self._commit(
-            added, lambda active: list(active), df.schema.json(), txn, "overwrite", stats
+            added, lambda active: list(active), df.schema.json(), txn, "overwrite",
+            stats, extra={"dv_reset": []},  # every data file replaced
         )
 
     def overwrite_partitions(self, df: DataFrame, partition_by: list[str]) -> int:
@@ -620,10 +625,154 @@ class TxTable:
         df = df.localCheckpoint(eager=True)
         added, stats = self._stage(df, None)
         return self._commit(
-            added, lambda active: list(active), df.schema.json(), None, "compact", stats
+            added, lambda active: list(active), df.schema.json(), None, "compact",
+            stats, extra={"dv_reset": []},  # DV deletes become physical here
         )
 
     # -- read / maintenance --------------------------------------------------
+
+    # -- deletion vectors ----------------------------------------------------
+
+    def _active_dvs(self, as_of: int | None = None) -> list[str]:
+        """Active deletion-vector files (relpaths under ``_dv/``) at a
+        snapshot: commits accumulate ``dv_added``; a commit carrying
+        ``dv_reset`` (RESTORE) replaces the set wholesale. DV entries whose
+        data files were later rewritten are inert (their (file,pos) keys
+        match nothing) and are reclaimed by vacuum."""
+        dvs: list[str] = []
+        for c in self._commits():
+            if as_of is not None and c["version"] > as_of:
+                break
+            if "dv_reset" in c:
+                dvs = list(c["dv_reset"])
+            dvs.extend(c.get("dv_added", []))
+        return dvs
+
+    def _dv_counts(self, as_of: int | None = None) -> dict[str, int]:
+        """Deleted-row count per data file from active DVs (log metadata)."""
+        out: dict[str, int] = {}
+        for c in self._commits():
+            if as_of is not None and c["version"] > as_of:
+                break
+            if "dv_reset" in c:
+                out = {}
+                for f, n in c.get("dv_reset_counts", {}).items():
+                    out[f] = out.get(f, 0) + n
+            for f, n in c.get("dv_counts", {}).items():
+                out[f] = out.get(f, 0) + n
+        return out
+
+    def _rel_file_expr(self):
+        """``_metadata.file_path`` (file:/abs or file:///abs) -> relpath
+        under the table root — the DV join key."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        return F.regexp_replace(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            "^" + _re.escape(self.path + "/"),
+            "",
+        )
+
+    def _apply_dvs(self, df: DataFrame, dvs: list[str]) -> DataFrame:
+        """Merge-on-read: anti-join the (rel_file, row_index) pairs of the
+        active DVs. The DV side is the DELETED fraction — broadcast it; the
+        data side never shuffles. Must run on a df read directly from
+        parquet (``_metadata`` still resolvable)."""
+        if not dvs:
+            return df
+        from pyspark.sql import functions as F
+
+        dvdf = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in dvs]
+        ).select("rel_file", "row_index")
+        cols = df.columns
+        return (
+            df.withColumn("__rf", self._rel_file_expr())
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(dvdf),
+                (F.col("__rf") == F.col("rel_file"))
+                & (F.col("__ri") == F.col("row_index")),
+                "left_anti",
+            )
+            .select(*cols)
+        )
+
+    def _delete_dv(self, predicates: list[tuple]) -> dict:
+        """Merge-on-read DELETE: instead of rewriting candidate files (CoW),
+        record the matching rows' (file, position) pairs as a deletion
+        vector; readers anti-join them out. At 100 TB a small delete
+        touches kilobytes of DV instead of rewriting gigabytes of data —
+        the Delta deletion-vectors / Iceberg positional-deletes design.
+        Only VISIBLE rows are marked (existing DVs apply first), so
+        overlapping deletes never double-count. A later ``compact()``
+        physically drops the rows and retires the DVs."""
+        from pyspark.sql import functions as F
+
+        _v, active, _s = self.snapshot()
+        stats = self.file_stats()
+        cands = [
+            f
+            for f in active
+            if _file_may_match(stats.get(f), _partition_values(f), predicates)
+        ]
+        if not cands:
+            return {"dv_rows": 0, "version": self.version()}
+        reader = self.spark.read.option("basePath", self.path)
+        df = reader.parquet(*[os.path.join(self.path, f) for f in cands])
+        df = (
+            df.withColumn("__rf", self._rel_file_expr())
+            .withColumn("__ri", F.col("_metadata.row_index"))
+        )
+        dvs = self._active_dvs()
+        if dvs:
+            dvdf = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in dvs]
+            ).select("rel_file", "row_index")
+            df = df.join(
+                F.broadcast(dvdf),
+                (F.col("__rf") == F.col("rel_file"))
+                & (F.col("__ri") == F.col("row_index")),
+                "left_anti",
+            )
+        marked = (
+            df.filter(self._predicate_column(predicates))
+            .select(
+                F.col("__rf").alias("rel_file"), F.col("__ri").alias("row_index")
+            )
+            .localCheckpoint(eager=True)
+        )
+        counts = {
+            r["rel_file"]: r["n"]
+            for r in marked.groupBy("rel_file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_rows = sum(counts.values())
+        if n_rows == 0:
+            return {"dv_rows": 0, "version": self.version()}
+        stage = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
+        marked.coalesce(1).write.mode("overwrite").parquet(stage)
+        dv_rel: list[str] = []
+        dv_dir = os.path.join(self.path, _DV_DIR)
+        os.makedirs(dv_dir, exist_ok=True)
+        for name in os.listdir(stage):
+            if name.endswith(".parquet"):
+                rel = os.path.join(_DV_DIR, f"{uuid.uuid4().hex}.parquet")
+                os.rename(os.path.join(stage, name), os.path.join(self.path, rel))
+                dv_rel.append(rel)
+        shutil.rmtree(stage, ignore_errors=True)
+        version = self._commit(
+            [],
+            lambda active: [],
+            self.snapshot()[2],
+            None,
+            "delete_dv",
+            extra={"dv_added": dv_rel, "dv_counts": counts},
+        )
+        return {"dv_rows": n_rows, "version": version}
 
     def file_stats(self, as_of: int | None = None) -> dict[str, dict]:
         """Per-active-file footer stats as recorded in the log (data-skipping
@@ -684,6 +833,8 @@ class TxTable:
         df = reader.parquet(*paths)
         from pyspark.sql import functions as F
 
+        df = self._apply_dvs(df, self._active_dvs(as_of))
+
         if schema is not None:
             # conform to the LOGGED schema: a metadata-only add_column (or a
             # subset-producer append) leaves active files without the column —
@@ -734,6 +885,8 @@ class TxTable:
         paths = [os.path.join(self.path, f) for f in cands]
         reader = self.spark.read.option("basePath", self.path)
         df = reader.parquet(*paths)
+        # DV-deleted rows must not be resurrected by a copy-on-write rewrite
+        df = self._apply_dvs(df, self._active_dvs())
         # conform to the table's logged schema (nullable-relaxed): hive
         # partition columns come back TYPE-INFERRED from the path strings
         # (bucket=0 -> int, not the long the table logged), and committing
@@ -782,15 +935,21 @@ class TxTable:
         )
         return {"files_rewritten": len(cands), "version": version}
 
-    def delete_where(self, predicates: list[tuple]) -> dict:
-        """Copy-on-write DELETE of rows matching ALL ``predicates`` (the
-        ``read()`` triple vocabulary). Log-level stats + partition values
-        prune the candidate file set first: files whose min/max prove no
-        match are never opened, let alone rewritten — the Delta/Iceberg
-        DELETE shape (without deletion vectors; a false-positive candidate
-        is rewritten byte-equal, which is correct, just not free). A
-        predicate wholly outside the table's range is a commit-free no-op.
-        """
+    def delete_where(self, predicates: list[tuple], mode: str = "cow") -> dict:
+        """DELETE rows matching ALL ``predicates`` (the ``read()`` triple
+        vocabulary). Log-level stats + partition values prune the candidate
+        file set first: files whose min/max prove no match are never opened.
+
+        ``mode="cow"`` (default) rewrites candidate files without the
+        matching rows — read-optimal, write cost tracks candidate size.
+        ``mode="dv"`` records deletion vectors instead (merge-on-read): a
+        small delete against a huge table writes kilobytes, readers
+        anti-join the (file, position) pairs, and the next ``compact()``
+        makes it physical — the Delta DV / Iceberg positional-delete trade.
+        A predicate wholly outside the table's range is a commit-free no-op
+        in both modes."""
+        if mode == "dv":
+            return self._delete_dv(predicates)
         _v, active, _s = self.snapshot()
         stats = self.file_stats()
         cands = [
@@ -1009,6 +1168,43 @@ class TxTable:
                         "_commit_version", F.lit(c["version"])
                     )
                 )
+            if c.get("dv_added"):
+                # a merge-on-read delete moves no data files; its deleted row
+                # IMAGES come from joining the DV pairs back to their files
+                dvdf = self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in c["dv_added"]]
+                ).select("rel_file", "row_index")
+                data_files = sorted(c.get("dv_counts", {}))
+                missing = [
+                    f
+                    for f in data_files + list(c["dv_added"])
+                    if not os.path.exists(os.path.join(self.path, f))
+                ]
+                if missing:
+                    raise FileNotFoundError(
+                        f"change feed needs {len(missing)} file(s) already vacuumed "
+                        f"(e.g. {missing[0]!r}): consume changes before vacuum"
+                    )
+                ddf = self.spark.read.option("basePath", self.path).parquet(
+                    *[os.path.join(self.path, f) for f in data_files]
+                )
+                cols = ddf.columns
+                deleted = (
+                    ddf.withColumn("__rf", self._rel_file_expr())
+                    .withColumn("__ri", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(dvdf),
+                        (F.col("__rf") == F.col("rel_file"))
+                        & (F.col("__ri") == F.col("row_index")),
+                        "left_semi",
+                    )
+                    .select(*cols)
+                )
+                frames.append(
+                    deleted.withColumn("_change_type", F.lit("delete")).withColumn(
+                        "_commit_version", F.lit(c["version"])
+                    )
+                )
         if not frames:
             schema = self.snapshot(to_version)[2] if self._commits() else None
             st = (
@@ -1040,6 +1236,8 @@ class TxTable:
         _v, active, _s = self.snapshot()
         predicates = predicates or []
         stats = self.file_stats() if active else {}
+        dv_counts = self._dv_counts()
+        dvs = self._active_dvs()
         meta_total = 0
         ambiguous: list[str] = []
         for f in active:
@@ -1048,7 +1246,9 @@ class TxTable:
             if not _file_may_match(st, parts, predicates):
                 continue  # provably zero matching rows
             if st.get("rows") is not None and _file_all_match(st, parts, predicates):
-                meta_total += st["rows"]
+                # every live row matches; DV'd rows also matched, so the
+                # logged per-file DV count subtracts exactly (still metadata)
+                meta_total += st["rows"] - dv_counts.get(f, 0)
             else:
                 ambiguous.append(f)
         if ambiguous:
@@ -1057,6 +1257,7 @@ class TxTable:
             df = self.spark.read.option("basePath", self.path).parquet(
                 *[os.path.join(self.path, f) for f in ambiguous]
             )
+            df = self._apply_dvs(df, dvs)
             ops = {"==": "__eq__", ">=": "__ge__", ">": "__gt__", "<=": "__le__", "<": "__lt__"}
             for col, op, value in predicates:
                 if op == "in":
@@ -1086,7 +1287,11 @@ class TxTable:
         # restored one (re-adding a still-active file after only a partial
         # removal would duplicate it in the snapshot replay)
         return self._commit(
-            list(old_active), lambda active: list(active), old_schema, None, "restore"
+            list(old_active), lambda active: list(active), old_schema, None, "restore",
+            extra={
+                "dv_reset": self._active_dvs(version),
+                "dv_reset_counts": self._dv_counts(version),
+            },
         )
 
     def vacuum(self, retain_versions: int = 1) -> int:
@@ -1103,6 +1308,7 @@ class TxTable:
         keep: set[str] = set()
         for v in [c["version"] for c in self._commits()][-max(1, retain_versions):]:
             keep |= set(self.snapshot(v)[1])
+            keep |= set(self._active_dvs(v))  # retained snapshots' DVs too
         deleted = 0
         for dirpath, dirnames, filenames in os.walk(self.path):
             dirnames[:] = [d for d in dirnames if d not in (_LOG_DIR, _STAGING)]

@@ -1267,3 +1267,95 @@ def test_scd2_and_change_feed_across_evolution(spark, tmp_path):
         r["_commit_version"] for r in t.read_changes(-1).collect()
     }
     assert versions == {0, 2}
+
+
+def test_dv_delete_is_merge_on_read(spark, tmp_path):
+    """DV delete: no data file rewritten (mtimes identical), rows hidden by
+    the reader's anti-join, metadata COUNT subtracts the logged DV counts,
+    and overlapping re-deletes never double-count."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    _v, active, _s = t.snapshot()
+    mtimes = {f: os.path.getmtime(os.path.join(t.path, f)) for f in active}
+    res = t.delete_where([("k", ">=", 7)], mode="dv")
+    assert res["dv_rows"] == 3
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(t.path, f)) == m
+    assert sorted(r.k for r in t.read().collect()) == list(range(7))
+    assert t.count_rows() == 7  # metadata path, DV counts subtracted
+    # overlapping delete marks only still-visible rows
+    res2 = t.delete_where([("k", ">=", 5)], mode="dv")
+    assert res2["dv_rows"] == 2
+    assert t.count_rows() == 5
+    assert sorted(r.k for r in t.read().collect()) == list(range(5))
+
+
+def test_dv_then_compact_is_physical_and_equal(spark, tmp_path):
+    """compact() after DV deletes drops the rows physically and retires the
+    DVs; the visible content is unchanged."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "x") for i in range(8)]))
+    t.delete_where([("k", "==", 3)], mode="dv")
+    before = sorted(r.k for r in t.read().collect())
+    t.compact(target_files=1)
+    assert sorted(r.k for r in t.read().collect()) == before
+    assert t._active_dvs() == []
+    assert t.count_rows() == 7
+
+
+def test_dv_rows_do_not_resurrect_in_cow_rewrites(spark, tmp_path):
+    """A copy-on-write UPDATE touching a file with DV'd rows must not bring
+    the deleted rows back."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.delete_where([("k", "==", 2)], mode="dv")
+    t.update_where([("k", "==", 1)], {"v": F.lit("A")})
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows == {1: "A", 3: "c"}
+
+
+def test_dv_time_travel_and_restore(spark, tmp_path):
+    """Pre-DV snapshots show the rows; RESTORE to a pre-DV version clears
+    the vectors (dv_reset), and the restore itself is time-travelable."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))          # v0
+    t.delete_where([("k", "==", 2)], mode="dv")         # v1
+    assert sorted(r.k for r in t.read(as_of=0).collect()) == [1, 2]
+    assert [r.k for r in t.read(as_of=1).collect()] == [1]
+    t.restore(0)                                        # v2
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    assert t.count_rows() == 2
+    assert [r.k for r in t.read(as_of=1).collect()] == [1]
+
+
+def test_dv_change_feed_emits_deleted_images(spark, tmp_path):
+    """The change feed renders a DV delete as delete-typed rows carrying the
+    deleted row images, and SCD2 closes their intervals."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import scd2_history
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))          # v0
+    t.delete_where([("k", "==", 1)], mode="dv")         # v1
+    feed = t.read_changes(0).collect()
+    assert [(r.k, r.v, r._change_type, r._commit_version) for r in feed] == [
+        (1, "a", "delete", 1)
+    ]
+    hist = {(r.k, r.v): (r.valid_from, r.valid_to) for r in scd2_history(t).collect()}
+    assert hist == {(1, "a"): (0, 1), (2, "b"): (0, None)}
+
+
+def test_dv_vacuum_keeps_retained_and_reclaims_rest(spark, tmp_path):
+    """vacuum keeps DV files the retained snapshots reference; compaction
+    retires them and a later vacuum reclaims the dv parquet."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where([("k", "==", 2)], mode="dv")
+    dvs = t._active_dvs()
+    assert dvs
+    t.vacuum()  # current snapshot still references the DV
+    assert all(os.path.exists(os.path.join(t.path, f)) for f in dvs)
+    assert [r.k for r in t.read().collect()] == [1]
+    t.compact(target_files=1)
+    t.vacuum()
+    assert not any(os.path.exists(os.path.join(t.path, f)) for f in dvs)
+    assert [r.k for r in t.read().collect()] == [1]
