@@ -1359,3 +1359,35 @@ def test_dv_vacuum_keeps_retained_and_reclaims_rest(spark, tmp_path):
     t.vacuum()
     assert not any(os.path.exists(os.path.join(t.path, f)) for f in dvs)
     assert [r.k for r in t.read().collect()] == [1]
+
+
+def test_dv_update_marks_old_and_appends_new(spark, tmp_path):
+    """Merge-on-read UPDATE: old positions DV'd and updated copies appended
+    in ONE commit; original data files untouched; equals the CoW result."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    _v, active, _s = t.snapshot()
+    mtimes = {f: os.path.getmtime(os.path.join(t.path, f)) for f in active}
+    res = t.update_where([("k", "<=", 2)], {"v": F.expr("upper(v)")}, mode="dv")
+    assert res["dv_rows"] == 2
+    assert t.history()[-1]["op"] == "update_dv"
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(t.path, f)) == m
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows == {1: "A", 2: "B", 3: "c"}
+    assert t.count_rows() == 3  # metadata: +2 appended, -2 DV'd
+    # the change feed shows delete(old image) + insert(new image) at one version
+    feed = t.read_changes(0).collect()
+    got = sorted((r.k, r.v, r._change_type) for r in feed)
+    assert got == [
+        (1, "A", "insert"), (1, "a", "delete"),
+        (2, "B", "insert"), (2, "b", "delete"),
+    ]
+    # a later DV update on an already-updated row touches the APPENDED copy
+    t.update_where([("k", "==", 1)], {"v": F.lit("z")}, mode="dv")
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows == {1: "z", 2: "B", 3: "c"}
+    # compaction collapses everything physically
+    t.compact(target_files=1)
+    assert {r.k: r.v for r in t.read().collect()} == {1: "z", 2: "B", 3: "c"}
+    assert t._active_dvs() == []
