@@ -1084,6 +1084,7 @@ class TxTable:
         update: bool = True,
         insert: bool = True,
         partition_by: list[str] | None = None,
+        mode: str = "cow",
     ) -> dict:
         """Delta-style ``MERGE INTO`` keyed on the ``on`` columns:
 
@@ -1106,6 +1107,10 @@ class TxTable:
         ``operators.cdc.latest_state`` shape); duplicate source keys would
         fan out matched target rows, as in Delta's multiple-match error.
         Conflicts with concurrent commits abort (see ``_rewrite_files``).
+
+        ``mode="dv"`` merges on-read: matched rows are deletion-vectored
+        (updates additionally append the source image), so write cost is
+        O(changed + inserted rows) — candidate files are never rewritten.
         """
         from pyspark.sql import Column
         from pyspark.sql import functions as F
@@ -1179,6 +1184,11 @@ class TxTable:
             self.append(out, partition_by=layout or None, merge_schema=True)
             return {"files_rewritten": 0, "version": self.version()}
 
+        if mode == "dv":
+            return self._merge_dv(
+                src, on, cands, target_cols, conform, update, insert
+            )
+
         def transform(tdf: DataFrame) -> DataFrame:
             s_renamed = src.select(
                 *[F.col(k) for k in on],
@@ -1212,6 +1222,99 @@ class TxTable:
             return conform(result)
 
         return self._rewrite_files(cands, transform)
+
+    def _merge_dv(
+        self, src, on, cands, target_cols, conform, update, insert
+    ) -> dict:
+        """Merge-on-read MERGE core: matched rows' positions land in a
+        deletion vector (update matches additionally append the source
+        image; ``delete_when`` matches just vanish), unmatched source rows
+        append as inserts — ONE commit carries the vector and the new
+        files. Candidate files never get rewritten, so merge write cost is
+        O(changed + inserted rows), not O(candidate files)."""
+        from pyspark.sql import functions as F
+
+        reader = self.spark.read.option("basePath", self.path)
+        tdf = reader.parquet(*[os.path.join(self.path, f) for f in cands])
+        tdf = (
+            tdf.withColumn("__rf", self._rel_file_expr())
+            .withColumn("__ri", F.col("_metadata.row_index"))
+        )
+        dvs = self._active_dvs()
+        if dvs:
+            dvdf = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in dvs]
+            ).select("rel_file", "row_index")
+            tdf = tdf.join(
+                F.broadcast(dvdf),
+                (F.col("__rf") == F.col("rel_file"))
+                & (F.col("__ri") == F.col("row_index")),
+                "left_anti",
+            )
+        tdf = tdf.localCheckpoint(eager=True)
+        s_keys = src.select(*on, "__s_del")
+        joined = tdf.join(s_keys, on, "inner")
+        if not update:
+            joined = joined.filter(F.col("__s_del"))
+        marked = joined.select(
+            F.col("__rf").alias("rel_file"), F.col("__ri").alias("row_index")
+        ).localCheckpoint(eager=True)
+        counts = {
+            r["rel_file"]: r["n"]
+            for r in marked.groupBy("rel_file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        matched_keys = joined.select(*on)
+        new_rows = None
+        if update:
+            updated = (
+                src.filter(~F.col("__s_del"))
+                .join(matched_keys, on, "left_semi")
+                .select(*target_cols)
+            )
+            new_rows = updated
+        if insert:
+            inserts = (
+                src.filter(~F.col("__s_del"))
+                .join(tdf.select(*on), on, "left_anti")
+                .select(*target_cols)
+            )
+            new_rows = inserts if new_rows is None else new_rows.unionByName(inserts)
+        _v, active, schema_json = self.snapshot()
+        added: list[str] = []
+        add_stats: dict[str, dict] = {}
+        if new_rows is not None:
+            out = conform(new_rows)
+            layout = [k for k in _partition_values(cands[0]) if k in target_cols]
+            out = out.localCheckpoint(eager=True)
+            if out.count() > 0:
+                added, add_stats = self._stage(out, layout or None)
+        dv_rel: list[str] = []
+        if counts:
+            stage = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
+            marked.coalesce(1).write.mode("overwrite").parquet(stage)
+            os.makedirs(os.path.join(self.path, _DV_DIR), exist_ok=True)
+            for name in os.listdir(stage):
+                if name.endswith(".parquet"):
+                    rel = os.path.join(_DV_DIR, f"{uuid.uuid4().hex}.parquet")
+                    os.rename(
+                        os.path.join(stage, name), os.path.join(self.path, rel)
+                    )
+                    dv_rel.append(rel)
+            shutil.rmtree(stage, ignore_errors=True)
+        if not added and not dv_rel:
+            return {"dv_rows": 0, "version": self.version()}
+        version = self._commit(
+            added,
+            lambda active: [],
+            schema_json,
+            None,
+            "merge_dv",
+            add_stats,
+            extra={"dv_added": dv_rel, "dv_counts": counts},
+        )
+        return {"dv_rows": sum(counts.values()), "version": version}
 
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change Data Feed: every row-level change committed AFTER

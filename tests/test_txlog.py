@@ -1391,3 +1391,42 @@ def test_dv_update_marks_old_and_appends_new(spark, tmp_path):
     t.compact(target_files=1)
     assert {r.k: r.v for r in t.read().collect()} == {1: "z", 2: "B", 3: "c"}
     assert t._active_dvs() == []
+
+
+def test_dv_merge_matches_cow_merge(spark, tmp_path):
+    """merge_into(mode="dv") lands on the same visible content as the CoW
+    merge for the same source (upsert + tombstone + insert), without
+    touching candidate data files."""
+    src_rows = spark.createDataFrame(
+        [(2, "B2"), (3, None), (9, "new")], "k int, v string"
+    )
+
+    def build(mode):
+        t = TxTable(spark, str(tmp_path / mode))
+        t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        t.merge_into(
+            src_rows, on=["k"], delete_when="v IS NULL", mode=mode
+        )
+        return t
+
+    cow = build("cow")
+    dv = build("dv")
+    assert sorted((r.k, r.v) for r in dv.read().collect()) == sorted(
+        (r.k, r.v) for r in cow.read().collect()
+    ) == [(1, "a"), (2, "B2"), (9, "new")]
+    assert dv.history()[-1]["op"] == "merge_dv"
+    assert dv.count_rows() == 3
+    # the DV merge did not rewrite the original file(s)
+    first_commit_files = set(dv.history()[0]["added"])
+    _v, active, _s = dv.snapshot()
+    assert first_commit_files <= set(active)
+    # chained DV merge over the merged state
+    dv.merge_into(
+        spark.createDataFrame([(9, None), (1, "A")], "k int, v string"),
+        on=["k"], delete_when="v IS NULL", mode="dv",
+    )
+    assert sorted((r.k, r.v) for r in dv.read().collect()) == [(1, "A"), (2, "B2")]
+    # compaction folds vectors away with identical content
+    dv.compact(target_files=1)
+    assert sorted((r.k, r.v) for r in dv.read().collect()) == [(1, "A"), (2, "B2")]
+    assert dv._active_dvs() == []
