@@ -675,30 +675,68 @@ class TxTable:
             "",
         )
 
-    def _apply_dvs(self, df: DataFrame, dvs: list[str]) -> DataFrame:
-        """Merge-on-read: anti-join the (rel_file, row_index) pairs of the
-        active DVs. The DV side is the DELETED fraction — broadcast it; the
-        data side never shuffles. Must run on a df read directly from
-        parquet (``_metadata`` still resolvable)."""
-        if not dvs:
-            return df
+    def _scan_files(
+        self,
+        files: list[str],
+        dvs: list[str],
+        keep_pos: bool = False,
+        schema_json: str | None = None,
+    ) -> DataFrame:
+        """Scan a set of active data files correctly across PARTITION-LAYOUT
+        GENERATIONS: one ``spark.read.parquet`` call cannot span files with
+        different hive-partition signatures (rows silently vanish), so
+        files are grouped by the partition-key set of their path, each
+        group scanned with ``basePath``, and the groups unioned by name —
+        Iceberg-style partition evolution as a read-side property.
+
+        With ``schema_json`` the LOGGED schema is supplied to every group
+        scan (the Delta model: schema comes from the log, not footers) —
+        columns a generation's files lack read as NULLs, dropped columns
+        are ignored, and hive partition values are typed per the log
+        instead of path inference, all without footer sampling. Active
+        deletion vectors are anti-joined once over the union. With
+        ``keep_pos`` the (``__rf``, ``__ri``) file/position columns survive
+        for DV writers."""
+        from functools import reduce
+
         from pyspark.sql import functions as F
 
-        dvdf = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in dvs]
-        ).select("rel_file", "row_index")
-        cols = df.columns
-        return (
-            df.withColumn("__rf", self._rel_file_expr())
-            .withColumn("__ri", F.col("_metadata.row_index"))
-            .join(
+        read_schema = None
+        if schema_json:
+            logged = T.StructType.fromJson(json.loads(schema_json))
+            read_schema = T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in logged.fields]
+            )
+        groups: dict[frozenset, list[str]] = {}
+        for f in files:
+            groups.setdefault(frozenset(_partition_values(f)), []).append(f)
+        frames = []
+        for _sig, fs in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
+            reader = self.spark.read.option("basePath", self.path)
+            if read_schema is not None:
+                reader = reader.schema(read_schema)
+            df = reader.parquet(*[os.path.join(self.path, f) for f in fs])
+            frames.append(
+                df.withColumn("__rf", self._rel_file_expr()).withColumn(
+                    "__ri", F.col("_metadata.row_index")
+                )
+            )
+        out = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+        if dvs:
+            dvdf = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in dvs]
+            ).select("rel_file", "row_index")
+            out = out.join(
                 F.broadcast(dvdf),
                 (F.col("__rf") == F.col("rel_file"))
                 & (F.col("__ri") == F.col("row_index")),
                 "left_anti",
             )
-            .select(*cols)
-        )
+        if not keep_pos:
+            out = out.drop("__rf", "__ri")
+        return out
 
     def _delete_dv(self, predicates: list[tuple]) -> dict:
         """Merge-on-read DELETE: instead of rewriting candidate files (CoW),
@@ -720,23 +758,9 @@ class TxTable:
         ]
         if not cands:
             return {"dv_rows": 0, "version": self.version()}
-        reader = self.spark.read.option("basePath", self.path)
-        df = reader.parquet(*[os.path.join(self.path, f) for f in cands])
-        df = (
-            df.withColumn("__rf", self._rel_file_expr())
-            .withColumn("__ri", F.col("_metadata.row_index"))
+        df = self._scan_files(
+            cands, self._active_dvs(), keep_pos=True, schema_json=_s
         )
-        dvs = self._active_dvs()
-        if dvs:
-            dvdf = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in dvs]
-            ).select("rel_file", "row_index")
-            df = df.join(
-                F.broadcast(dvdf),
-                (F.col("__rf") == F.col("rel_file"))
-                & (F.col("__ri") == F.col("row_index")),
-                "left_anti",
-            )
         marked = (
             df.filter(self._predicate_column(predicates))
             .select(
@@ -816,24 +840,9 @@ class TxTable:
         if not active:
             st = T.StructType.fromJson(json.loads(schema)) if schema else T.StructType([])
             return self.spark.createDataFrame([], st)
-        paths = [os.path.join(self.path, f) for f in active]
-        reader = self.spark.read.option("basePath", self.path)
-        # evolved tables (ACTIVE files written under >1 schema) need footer
-        # merging; tables whose old schemas were fully overwritten don't
-        file_schema: dict[str, str | None] = {}
-        for c in self._commits():
-            if as_of is not None and c["version"] > as_of:
-                break
-            for f in c.get("removed", []):
-                file_schema.pop(f, None)
-            for f in c.get("added", []):
-                file_schema[f] = c.get("schema")
-        if len({file_schema.get(f) for f in active}) > 1:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*paths)
         from pyspark.sql import functions as F
 
-        df = self._apply_dvs(df, self._active_dvs(as_of))
+        df = self._scan_files(active, self._active_dvs(as_of), schema_json=schema)
 
         if schema is not None:
             # conform to the LOGGED schema: a metadata-only add_column (or a
@@ -882,16 +891,14 @@ class TxTable:
             return {"files_rewritten": 0, "version": self.version()}
         from pyspark.sql import functions as F
 
-        paths = [os.path.join(self.path, f) for f in cands]
-        reader = self.spark.read.option("basePath", self.path)
-        df = reader.parquet(*paths)
-        # DV-deleted rows must not be resurrected by a copy-on-write rewrite
-        df = self._apply_dvs(df, self._active_dvs())
+        _v0, _a0, schema_json = self.snapshot()
+        # layout-aware scan; DV-deleted rows must not be resurrected by a
+        # copy-on-write rewrite
+        df = self._scan_files(cands, self._active_dvs(), schema_json=schema_json)
         # conform to the table's logged schema (nullable-relaxed): hive
         # partition columns come back TYPE-INFERRED from the path strings
         # (bucket=0 -> int, not the long the table logged), and committing
         # that drift would make later strict appends fail the schema check
-        _v0, _a0, schema_json = self.snapshot()
         if schema_json:
             logged = T.StructType.fromJson(json.loads(schema_json))
             relaxed = T.StructType(
@@ -1009,23 +1016,9 @@ class TxTable:
         ]
         if not cands:
             return {"dv_rows": 0, "version": self.version()}
-        reader = self.spark.read.option("basePath", self.path)
-        df = reader.parquet(*[os.path.join(self.path, f) for f in cands])
-        df = (
-            df.withColumn("__rf", self._rel_file_expr())
-            .withColumn("__ri", F.col("_metadata.row_index"))
+        df = self._scan_files(
+            cands, self._active_dvs(), keep_pos=True, schema_json=schema_json
         )
-        dvs = self._active_dvs()
-        if dvs:
-            dvdf = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in dvs]
-            ).select("rel_file", "row_index")
-            df = df.join(
-                F.broadcast(dvdf),
-                (F.col("__rf") == F.col("rel_file"))
-                & (F.col("__ri") == F.col("row_index")),
-                "left_anti",
-            )
         matched = df.filter(self._predicate_column(predicates)).localCheckpoint(
             eager=True
         )
@@ -1234,24 +1227,10 @@ class TxTable:
         O(changed + inserted rows), not O(candidate files)."""
         from pyspark.sql import functions as F
 
-        reader = self.spark.read.option("basePath", self.path)
-        tdf = reader.parquet(*[os.path.join(self.path, f) for f in cands])
-        tdf = (
-            tdf.withColumn("__rf", self._rel_file_expr())
-            .withColumn("__ri", F.col("_metadata.row_index"))
-        )
-        dvs = self._active_dvs()
-        if dvs:
-            dvdf = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in dvs]
-            ).select("rel_file", "row_index")
-            tdf = tdf.join(
-                F.broadcast(dvdf),
-                (F.col("__rf") == F.col("rel_file"))
-                & (F.col("__ri") == F.col("row_index")),
-                "left_anti",
-            )
-        tdf = tdf.localCheckpoint(eager=True)
+        tdf = self._scan_files(
+            cands, self._active_dvs(), keep_pos=True,
+            schema_json=self.snapshot()[2],
+        ).localCheckpoint(eager=True)
         s_keys = src.select(*on, "__s_del")
         joined = tdf.join(s_keys, on, "inner")
         if not update:
@@ -1353,9 +1332,7 @@ class TxTable:
                         f"change feed needs {len(missing)} file(s) already vacuumed "
                         f"(e.g. {missing[0]!r}): consume changes before vacuum"
                     )
-                df = self.spark.read.option("basePath", self.path).parquet(
-                    *[os.path.join(self.path, f) for f in files]
-                )
+                df = self._scan_files(files, [], schema_json=c.get("schema"))
                 frames.append(
                     df.withColumn("_change_type", F.lit(change)).withColumn(
                         "_commit_version", F.lit(c["version"])
@@ -1378,14 +1355,12 @@ class TxTable:
                         f"change feed needs {len(missing)} file(s) already vacuumed "
                         f"(e.g. {missing[0]!r}): consume changes before vacuum"
                     )
-                ddf = self.spark.read.option("basePath", self.path).parquet(
-                    *[os.path.join(self.path, f) for f in data_files]
+                ddf = self._scan_files(
+                    data_files, [], keep_pos=True, schema_json=c.get("schema")
                 )
-                cols = ddf.columns
+                cols = [x for x in ddf.columns if x not in ("__rf", "__ri")]
                 deleted = (
-                    ddf.withColumn("__rf", self._rel_file_expr())
-                    .withColumn("__ri", F.col("_metadata.row_index"))
-                    .join(
+                    ddf.join(
                         F.broadcast(dvdf),
                         (F.col("__rf") == F.col("rel_file"))
                         & (F.col("__ri") == F.col("row_index")),
@@ -1447,10 +1422,7 @@ class TxTable:
         if ambiguous:
             from pyspark.sql import functions as F
 
-            df = self.spark.read.option("basePath", self.path).parquet(
-                *[os.path.join(self.path, f) for f in ambiguous]
-            )
-            df = self._apply_dvs(df, dvs)
+            df = self._scan_files(ambiguous, dvs, schema_json=_s)
             ops = {"==": "__eq__", ">=": "__ge__", ">": "__gt__", "<=": "__le__", "<": "__lt__"}
             for col, op, value in predicates:
                 if op == "in":

@@ -1430,3 +1430,31 @@ def test_dv_merge_matches_cow_merge(spark, tmp_path):
     dv.compact(target_files=1)
     assert sorted((r.k, r.v) for r in dv.read().collect()) == [(1, "A"), (2, "B2")]
     assert dv._active_dvs() == []
+
+
+def test_partition_layout_evolution(spark, tmp_path):
+    """Appends under DIFFERENT partition layouts coexist: per-layout scan
+    groups are unioned, so no generation's rows vanish (the single-read
+    mixed-layout silent-drop bug), predicates still prune, and DV deletes
+    span generations."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    part = spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", "p2")], "k int, v string, p string"
+    )
+    t.append(part, partition_by=["p"])                  # hive layout
+    t.append(
+        spark.createDataFrame([(3, "z", "p1")], "k int, v string, p string")
+    )                                                   # flat layout
+    got = sorted((r.k, r.v, r.p) for r in t.read().collect())
+    assert got == [(1, "x", "p1"), (2, "y", "p2"), (3, "z", "p1")]
+    assert t.count_rows() == 3
+    # partition-value pruning still correct across layouts
+    assert sorted(
+        r.k for r in t.read(predicates=[("p", "==", "p1")]).collect()
+    ) == [1, 3]
+    # DV delete spanning both generations
+    t.delete_where([("p", "==", "p1")], mode="dv")
+    assert sorted(r.k for r in t.read().collect()) == [2]
+    # compact unifies the layout physically, content unchanged
+    t.compact(target_files=1)
+    assert sorted((r.k, r.p) for r in t.read().collect()) == [(2, "p2")]
