@@ -1458,3 +1458,62 @@ def test_partition_layout_evolution(spark, tmp_path):
     # compact unifies the layout physically, content unchanged
     t.compact(target_files=1)
     assert sorted((r.k, r.p) for r in t.read().collect()) == [(2, "p2")]
+
+
+def test_randomized_dv_ops_match_model(spark, tmp_path):
+    """Seeded random mix of appends, CoW and DV deletes/updates, DV merges,
+    compaction, and vacuum vs a dict model — the protocol-level check that
+    merge-on-read and copy-on-write compose without losing, duplicating,
+    or resurrecting rows."""
+    import random
+
+    rng = random.Random(20260813)
+    t = TxTable(spark, str(tmp_path / "t"))
+    model: dict[int, str] = {}
+    next_id = 0
+    for step in range(14):
+        op = rng.choice(
+            ["append", "append", "dv_delete", "cow_delete", "dv_update",
+             "dv_merge", "compact", "vacuum"]
+        )
+        if op == "append":
+            rows = [(next_id + i, f"v{step}") for i in range(rng.randint(1, 3))]
+            next_id += len(rows)
+            t.append(_df(spark, rows))
+            model.update(dict(rows))
+        elif op == "dv_delete" and model:
+            k = rng.choice(sorted(model))
+            t.delete_where([("k", "==", k)], mode="dv")
+            del model[k]
+        elif op == "cow_delete" and model:
+            k = rng.choice(sorted(model))
+            t.delete_where([("k", "==", k)], mode="cow")
+            del model[k]
+        elif op == "dv_update" and model:
+            k = rng.choice(sorted(model))
+            t.update_where([("k", "==", k)], {"v": F.lit(f"u{step}")}, mode="dv")
+            model[k] = f"u{step}"
+        elif op == "dv_merge" and model:
+            ks = sorted(model)
+            upd = ks[: len(ks) // 2]
+            new_k = next_id
+            next_id += 1
+            src = [(k, f"m{step}") for k in upd] + [(new_k, f"m{step}")]
+            if upd:
+                src.append((upd[0], None))  # tombstone wins over its update
+                src = [r for r in src if r[0] != upd[0] or r[1] is None]
+            t.merge_into(
+                _df(spark, src), on=["k"], delete_when="v IS NULL", mode="dv"
+            )
+            for k, v in src:
+                if v is None:
+                    model.pop(k, None)
+                else:
+                    model[k] = v
+        elif op == "compact" and model:
+            t.compact(target_files=1)
+        elif op == "vacuum":
+            t.vacuum()
+        got = sorted((r.k, r.v) for r in t.read().collect())
+        assert got == sorted(model.items()), f"diverged at step {step} ({op})"
+        assert t.count_rows() == len(model), f"count diverged at {step} ({op})"
