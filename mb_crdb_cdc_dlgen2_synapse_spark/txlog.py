@@ -328,6 +328,33 @@ class TxTable:
         _v, _a, schema = self.snapshot()
         return self._commit([], lambda active: [], schema, None, "set_check", None, checks=checks)
 
+    def clustering(self) -> list[str]:
+        """Active clustering columns (carried commit-to-commit like checks)."""
+        out: list[str] = []
+        for c in self._commits():
+            if c.get("clustering") is not None:
+                out = list(c["clustering"])
+        return out
+
+    def set_clustering(self, cols: list[str]) -> int:
+        """Declare clustering columns in table METADATA (one O(1) commit —
+        the liquid-clustering idea): every later ``compact()`` /
+        auto-compaction Z-orders by them unless the call overrides, so
+        maintenance keeps the layout query-optimal without each caller
+        re-stating the policy. Pass ``[]`` to clear."""
+        _v, _a, schema = self.snapshot()
+        if schema is not None and cols:
+            known = set(
+                T.StructType.fromJson(json.loads(schema)).fieldNames()
+            )
+            unknown = [c for c in cols if c not in known]
+            if unknown:
+                raise ValueError(f"clustering columns not in schema: {unknown}")
+        return self._commit(
+            [], lambda active: [], schema, None, "set_clustering",
+            extra={"clustering": list(cols)},
+        )
+
     def _enforce_checks(self, added: list[str]) -> None:
         """Verify staged files against active checks BEFORE the commit link:
         an O(new files) columnar scan — the already-written table is never
@@ -587,7 +614,10 @@ class TxTable:
         a matched file's non-matching rows are carried into the rewrite
         unchanged (content is preserved exactly, only layout changes).
 
-        ``z_order``: numeric columns to cluster by Morton (Z-) order before
+        ``z_order`` defaults to the table's declared clustering columns
+        (``set_clustering``) so routine maintenance keeps the layout
+        query-optimal; pass an explicit list (or ``[]`` for plain
+        coalesce) to override. Z-order: numeric columns to cluster by Morton (Z-) order before
         the rewrite — each output file then covers a tight min/max range on
         EVERY listed column, so ``read(predicates=...)`` skips files for
         filters on any of them (a linear sort gives that for the first
@@ -596,6 +626,9 @@ class TxTable:
         trade Delta's OPTIMIZE ZORDER makes), then the interleaved-bit key
         feeds ``repartitionByRange`` + a per-partition sort: no global
         single-partition sort anywhere."""
+        if z_order is None:
+            z_order = self.clustering() or None  # declared clustering policy
+
         def relayout(df: DataFrame) -> DataFrame:
             if z_order:
                 return (

@@ -1517,3 +1517,39 @@ def test_randomized_dv_ops_match_model(spark, tmp_path):
         got = sorted((r.k, r.v) for r in t.read().collect())
         assert got == sorted(model.items()), f"diverged at step {step} ({op})"
         assert t.count_rows() == len(model), f"count diverged at {step} ({op})"
+
+
+def test_set_clustering_drives_compaction_layout(spark, tmp_path):
+    """Declared clustering columns are applied by plain compact() (and thus
+    auto-compaction): after OPTIMIZE, predicates on BOTH clustered columns
+    prune files — the liquid-clustering-lite contract."""
+    import random
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import (
+        _file_may_match,
+        _partition_values,
+    )
+
+    rng = random.Random(9)
+    t = TxTable(spark, str(tmp_path / "t"))
+    rows = [(rng.randrange(1000), rng.randrange(1000)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    t.append(df.repartition(8))
+    with pytest.raises(ValueError, match="not in schema"):
+        t.set_clustering(["nope"])
+    t.set_clustering(["a", "b"])
+    assert t.clustering() == ["a", "b"]
+    t.compact(target_files=8)  # no explicit z_order — policy applies
+    stats = t.file_stats()
+    _v, active, _s = t.snapshot()
+    for col in ("a", "b"):
+        pruned = [
+            f
+            for f in active
+            if not _file_may_match(
+                stats.get(f), _partition_values(f), [(col, "<=", 50)]
+            )
+        ]
+        assert pruned, f"no file pruned on {col} — compaction ignored clustering"
+    # content unchanged
+    assert t.read().count() == 4000
