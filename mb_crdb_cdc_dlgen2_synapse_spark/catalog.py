@@ -1818,6 +1818,41 @@ def knn_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k_anonymity_audit",
+    """
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+               count(*) AS group_size
+        FROM customer
+        GROUP BY 1, 2, 3)
+    SELECT c_nationkey, c_mktsegment, acctbal_band,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM cells
+    WHERE group_size < 5
+    """,
+    "A2,A3,P9",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy governance for training data: quasi-identifier cells
+    (nation x market segment x banded balance) whose group size is below
+    k=5 — the rows a k-anonymity policy would require generalizing or
+    suppressing before release. One hash aggregate over the
+    quasi-identifier tuple: the audit scales like any groupBy, and the
+    banding expression is where generalization hierarchies plug in."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("acctbal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+@register(
     "table_profile_orders",
     """
     SELECT * FROM (
