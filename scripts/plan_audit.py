@@ -51,9 +51,16 @@ for name, qd in sorted(catalog.registry().items()):
         "tfidf_top_terms",  # 1-row corpus-size aggregate broadcast
         "dedup_jaccard_dfcap",  # 1-row corpus-size aggregate broadcast
         "dsir_importance_weights",  # 1-row vocab-totals aggregate broadcast
+        "doc_lm_quality",  # 1-row vocabulary-size aggregate broadcast
+        "corpus_temperature_mix",  # 1-row corpus-total + weight-sum aggregates
+        "corpus_curation_v2",  # same scalar aggregates, composed pipeline
+        "knn_hamming_binary",  # tiny (3-row) query side broadcast
+        "knn_rerank_two_stage",  # same bounded query-side broadcast
     ):
         issues.append("BNLJ")
-    if "BatchEvalPython" in plan:
+    if "BatchEvalPython" in plan and name not in (
+        "doc_chunks_udtf",  # the X6 UDTF demo IS deliberately Python
+    ):
         issues.append("ROW_PYTHON_UDF")
     n_exchange = plan.count("Exchange")
     if issues:
