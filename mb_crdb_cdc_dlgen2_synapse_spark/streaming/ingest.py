@@ -302,6 +302,86 @@ def read_latest_state_tx(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def materialize_latest_state_dv(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_expr: str = "cast(key as string)",
+    available_now: bool = True,
+    n_buckets: int = 32,
+):
+    """Deletion-vector twin of ``materialize_latest_state_tx``: per batch,
+    reduce the batch to latest-per-key, keep only rows NEWER than the
+    current state (numeric-timestamp compare against a column-pruned scan
+    of the touched buckets' ``row_key``/``updated``), and land them as ONE
+    merge-on-read commit (``merge_into(mode="dv")``).
+
+    The cost profile this buys at 100 TB state: the bucket-overwrite form
+    rewrites every touched bucket's FULL rows each trigger; this form
+    reads only two thin columns of the touched buckets and writes only the
+    CHANGED rows plus kilobytes of deletion vector — per-batch write cost
+    tracks the batch, full stop. Tombstones stay as marker rows (after
+    NULL), exactly like the bucket form, so a late out-of-order update for
+    a deleted key cannot resurrect it; readers filter ``after IS NOT
+    NULL`` (``read_latest_state_tx``). Run ``compact()`` on a maintenance
+    cadence to fold vectors into data files."""
+    from ..txlog import TxTable
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        table = TxTable(spark, table_dir)
+        incoming = batch.select(
+            F.expr(key_expr).alias("row_key"),
+            F.col("updated"),
+            F.col("after"),
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("row_key"), F.lit(n_buckets)).cast("int")
+        )
+        incoming = latest_state(
+            incoming.withColumn("__ts", F.expr(_UPDATED_NUMERIC)),
+            ["row_key"],
+            "__ts",
+        ).drop("__ts")
+        touched = [r.bucket for r in incoming.select("bucket").distinct().collect()]
+        if not touched:
+            return
+        if table.version() >= 0:
+            cur = (
+                table.read(predicates=[("bucket", "in", touched)])
+                .select(
+                    "row_key",
+                    F.expr(_UPDATED_NUMERIC).alias("__cur_ts"),
+                )
+            )
+            newer = (
+                incoming.join(cur, "row_key", "left")
+                .filter(
+                    F.col("__cur_ts").isNull()
+                    | (F.expr(_UPDATED_NUMERIC) > F.col("__cur_ts"))
+                )
+                .drop("__cur_ts")
+            )
+            table.merge_into(
+                newer.localCheckpoint(eager=True),
+                on=["row_key"],
+                mode="dv",
+                partition_by=["bucket"],
+            )
+        else:
+            table.append(
+                incoming.localCheckpoint(eager=True), partition_by=["bucket"]
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_with_dlq(
     stream_lines: DataFrame,
     after_schema: T.StructType,

@@ -1553,3 +1553,82 @@ def test_set_clustering_drives_compaction_layout(spark, tmp_path):
         assert pruned, f"no file pruned on {col} — compaction ignored clustering"
     # content unchanged
     assert t.read().count() == 4000
+
+
+def test_dv_state_merge_matches_plain_merge(spark, fixture_dir_tx, tmp_path):
+    """The deletion-vector latest-state sink lands on the same final state
+    as the batch dedup (golden fixture: duplicates, out-of-order update,
+    tombstone), with merge-on-read commits instead of bucket rewrites."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.ingest import (
+        materialize_latest_state_dv,
+    )
+
+    landing, expected = fixture_dir_tx
+    table_dir = str(tmp_path / "state_dv")
+    q = materialize_latest_state_dv(
+        changefeed_stream(spark, landing, AFTER_SCHEMA),
+        table_dir,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        r["after"]["id"]: r["after"]["revenue"]
+        for r in read_latest_state_tx(spark, table_dir).collect()
+    }
+    assert got == expected
+    ops = {c["op"] for c in TxTable(spark, table_dir).history()}
+    assert "append" in ops  # bootstrap batch
+    # tombstoned key k3 persists as a marker row, invisible to readers
+    raw = TxTable(spark, table_dir).read()
+    markers = [r["row_key"] for r in raw.filter(F.col("after").isNull()).collect()]
+    assert any("k3" in m for m in markers)
+    # compaction folds any vectors; state unchanged
+    TxTable(spark, table_dir).compact(target_files=1)
+    got2 = {
+        r["after"]["id"]: r["after"]["revenue"]
+        for r in read_latest_state_tx(spark, table_dir).collect()
+    }
+    assert got2 == expected
+
+
+def test_dv_state_merge_ignores_late_older_updates(spark, tmp_path):
+    """A LATER batch carrying OLDER versions (late-arriving files) must not
+    regress live state nor resurrect a tombstoned key — the newer-filter +
+    marker-row design."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.ingest import (
+        materialize_latest_state_dv,
+    )
+
+    landing = str(tmp_path / "landing")
+    table_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = materialize_latest_state_dv(
+            changefeed_stream(spark, landing, AFTER_SCHEMA), table_dir, ckpt
+        )
+        q.awaitTermination()
+
+    _write_envelope_lines(
+        landing, "2023-01-01",
+        [
+            _env_line("k1", 9.0, "1000000000000000005.0000000000"),
+            _env_line("k2", 2.0, "1000000000000000004.0000000000"),
+            _env_line("k2", None, "1000000000000000006.0000000000", delete=True),
+        ],
+    )
+    run()
+    # batch 2: stale update for k1, stale pre-delete update for k2
+    _write_envelope_lines(
+        landing, "2023-01-02",
+        [
+            _env_line("k1", 1.0, "1000000000000000001.0000000000"),
+            _env_line("k2", 3.0, "1000000000000000002.0000000000"),
+        ],
+    )
+    run()
+    got = {
+        r["after"]["id"]: r["after"]["revenue"]
+        for r in read_latest_state_tx(spark, table_dir).collect()
+    }
+    assert got == {"k1": 9.0}  # k1 keeps the newer value; k2 stays deleted
