@@ -236,3 +236,13 @@ class Engine:
         from .operators.textops import lm_bigram_scores
 
         return lm_bigram_scores(documents)
+
+    def start_dv_ingestion(
+        self, stream, table_dir: str, checkpoint_dir: str, **kw
+    ):
+        """CDC latest-state via merge-on-read commits (streaming.ingest.
+        materialize_latest_state_dv): per-batch write cost tracks the
+        batch, not the touched buckets' state."""
+        from .streaming.ingest import materialize_latest_state_dv
+
+        return materialize_latest_state_dv(stream, table_dir, checkpoint_dir, **kw)
