@@ -1154,6 +1154,54 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
+    "streaming_latest_state_dv",
+    None,  # seeded-generator fixture; the bucket-merge twin
+    # (cdc_streaming_pipeline) consumes the same seed — identical recorded
+    # row counts; state equality golden-tested in tests/test_txlog.py
+    "T6,T7,T8,J5",
+)
+def streaming_latest_state_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC latest-state pipeline through the DELETION-VECTOR sink
+    (materialize_latest_state_dv): per-batch write cost tracks the batch —
+    changed rows plus kilobytes of vector — instead of rewriting touched
+    buckets. Consumes the SAME seeded changefeed as the bucket-merge twin
+    (cdc_streaming_pipeline), so the two recorded results must agree."""
+    from pyspark.sql import types as T
+
+    from .sources.changegen import generate_changefeed
+    from .streaming.ingest import (
+        changefeed_stream,
+        materialize_latest_state_dv,
+        read_latest_state_tx,
+    )
+
+    tmp = _scratch("cdc_stream_dv")
+    landing = os.path.join(tmp, "landing")
+    generate_changefeed(landing, n_rows=300, seed=42)
+    after_schema = T.StructType(
+        [
+            T.StructField("city", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("rider_id", T.StringType()),
+            T.StructField("revenue", T.DoubleType()),
+        ]
+    )
+    stream = changefeed_stream(spark, landing, after_schema)
+    table_dir = os.path.join(tmp, "state_dv")
+    q = materialize_latest_state_dv(stream, table_dir, os.path.join(tmp, "ckpt"))
+    q.awaitTermination()
+    return (
+        read_latest_state_tx(spark, table_dir)
+        .select(
+            "row_key",
+            F.col("after.city").alias("city"),
+            F.col("after.revenue").alias("revenue"),
+        )
+        .orderBy("row_key")
+    )
+
+
+@register(
     "cdc_streaming_pipeline",
     None,
     "S1,S2,S3,S8,A6,T1,T2,T3,T6,T7,T8,Q4",
