@@ -76,12 +76,11 @@ class IncrementalAggView:
     # -- state ---------------------------------------------------------------
 
     def refreshed_version(self) -> int:
-        """Base-table version the stored view reflects (-1 = never built)."""
-        for c in reversed(self.view.history()):
-            t = c.get("txn") or {}
-            if t.get("app") == self._app():
-                return t["batch"]
-        return -1
+        """Base-table version the stored view reflects (-1 = never built).
+        Read from the view log's per-app txn watermark (checkpoint-carried,
+        so it survives log pruning on the view table)."""
+        got = self.view._state()["txn"].get(self._app())
+        return -1 if got is None else got
 
     def _app(self) -> str:
         return f"mv:{os.path.basename(self.view.path)}"

@@ -360,9 +360,16 @@ def materialize_latest_state_dv(
                     | (F.expr(_UPDATED_NUMERIC) > F.col("__cur_ts"))
                 )
                 .drop("__cur_ts")
-            )
+            ).localCheckpoint(eager=True)
+            if newer.limit(1).count() == 0:
+                # every incoming row is stale (steady replay / out-of-order
+                # redelivery): merging an EMPTY source would produce empty
+                # key bounds, making every active file a merge candidate —
+                # a full-table scan for a no-op. Mirror the 'not touched'
+                # guard and skip the commit entirely.
+                return
             table.merge_into(
-                newer.localCheckpoint(eager=True),
+                newer,
                 on=["row_key"],
                 mode="dv",
                 partition_by=["bucket"],

@@ -31,6 +31,26 @@ renames (object stores: metadata copies). Partition-aware overwrite
 the transactional twin of dynamic partition overwrite used by the state
 merge. A production deployment swaps this for Delta/Iceberg unchanged in
 shape; every caller goes through ``append/overwrite/read``.
+
+**Metadata checkpoints** (the Delta ``_last_checkpoint`` design): every
+``CHECKPOINT_INTERVAL`` commits, the fully resolved table state (active
+files + stats, schema, checks, clustering, deletion-vector set, txn
+watermarks) is written as ``_txlog/<version>.checkpoint.json``. Snapshot
+resolution then reads ONE checkpoint plus the commit tail after it, so a
+streaming sink that has committed 10k micro-batches still resolves its
+table in O(interval) file reads instead of replaying 10k JSON commits on
+the driver — without this, log replay is the metadata bottleneck at the
+design target's commit volume. ``vacuum()`` additionally prunes log
+segments older than the retained window (after checkpointing the oldest
+retained version), so the log itself stays bounded; history/time-travel/
+change-feed reads past the pruned horizon fail loudly with the same
+"consume before vacuum" retention contract data files already have.
+
+Txn watermarks: checkpoints record, per writer app, the MAX batch id seen
+(Delta's ``setTransaction`` contract) — idempotent-replay detection
+therefore assumes batch ids are monotonically increasing per app, which
+both Structured Streaming epoch ids and the sync/matview version stamps
+guarantee.
 """
 
 from __future__ import annotations
@@ -47,6 +67,7 @@ from pyspark.sql import types as T
 _LOG_DIR = "_txlog"
 _STAGING = "_staging"
 _DV_DIR = "_dv"
+_CKPT_SUFFIX = ".checkpoint.json"
 
 
 class TxConflictError(RuntimeError):
@@ -241,67 +262,209 @@ class TxTable:
     """A transaction-logged parquet table rooted at ``path`` (local/posix
     paths; an object-store deployment maps these to FS-API calls)."""
 
+    #: write a metadata checkpoint every N commits (0/None disables).
+    #: Interval trades checkpoint-write amortization against tail length:
+    #: snapshot resolution reads 1 checkpoint + <= N commit files.
+    CHECKPOINT_INTERVAL = 20
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
         os.makedirs(os.path.join(self.path, _LOG_DIR), exist_ok=True)
+        # parsed-JSON cache: committed log files are immutable, so entries
+        # never go stale; keyed by absolute path, cleared on vacuum()
+        self._json_cache: dict[str, dict] = {}
 
     # -- log primitives ------------------------------------------------------
 
     def _log_path(self, version: int) -> str:
         return os.path.join(self.path, _LOG_DIR, f"{version:020d}.json")
 
-    def _commits(self) -> list[dict]:
+    def _list_log(self) -> tuple[dict[int, str], dict[int, str]]:
+        """ONE directory listing of ``_txlog`` ->
+        ({version: commit_path}, {version: checkpoint_path}). Tmp files from
+        in-flight/crashed commits never parse as either."""
         log_dir = os.path.join(self.path, _LOG_DIR)
-        out = []
-        for name in sorted(os.listdir(log_dir)):
-            # only canonical committed versions: 20 digits + .json — tmp
-            # files from in-flight/crashed commits never parse as commits
-            if name.endswith(".json") and name[:-5].isdigit():
-                with open(os.path.join(log_dir, name)) as f:
-                    out.append(json.load(f))
-        return out
+        commits: dict[int, str] = {}
+        ckpts: dict[int, str] = {}
+        for name in os.listdir(log_dir):
+            if name.endswith(_CKPT_SUFFIX) and name[: -len(_CKPT_SUFFIX)].isdigit():
+                ckpts[int(name[: -len(_CKPT_SUFFIX)])] = os.path.join(log_dir, name)
+            elif name.endswith(".json") and name[:-5].isdigit():
+                commits[int(name[:-5])] = os.path.join(log_dir, name)
+        return commits, ckpts
+
+    def _read_json(self, path: str) -> dict:
+        got = self._json_cache.get(path)
+        if got is None:
+            with open(path) as f:
+                got = json.load(f)
+            self._json_cache[path] = got
+        return got
+
+    def _commits(self) -> list[dict]:
+        """All AVAILABLE commits, oldest first (pruned segments excluded)."""
+        commits, _ = self._list_log()
+        return [self._read_json(p) for _v, p in sorted(commits.items())]
 
     def version(self) -> int:
-        """Latest committed version, -1 for an empty log."""
-        commits = self._commits()
-        return commits[-1]["version"] if commits else -1
+        """Latest committed version, -1 for an empty log. One listing, no
+        JSON parse."""
+        commits, ckpts = self._list_log()
+        return max(list(commits) + list(ckpts), default=-1)
 
     def history(self) -> list[dict]:
-        """All commits, oldest first (the audit log)."""
+        """Available commits, oldest first (the audit log). After a
+        ``vacuum()`` log-prune, history starts at the retained window."""
         return self._commits()
+
+    # -- resolved state (checkpoint + tail replay) ---------------------------
+
+    @staticmethod
+    def _empty_state() -> dict:
+        return {
+            "version": -1,
+            "active": [],
+            "schema": None,
+            "checks": {},
+            "clustering": [],
+            "stats": {},
+            "dvs": [],
+            "dv_counts": {},
+            "txn": {},
+        }
+
+    @staticmethod
+    def _apply_commit(state: dict, c: dict) -> None:
+        """Fold one commit into a resolved state dict (the single replay
+        rule shared by live resolution and checkpoint writing)."""
+        removed = set(c.get("removed", []))
+        if removed:
+            state["active"] = [f for f in state["active"] if f not in removed]
+            for f in removed:
+                state["stats"].pop(f, None)
+        for f in c.get("added", []):
+            state["active"].append(f)
+            state["stats"][f] = c.get("stats", {}).get(f, {})
+        if c.get("schema"):
+            state["schema"] = c["schema"]
+        if c.get("checks") is not None:
+            state["checks"] = dict(c["checks"])
+        if c.get("clustering") is not None:
+            state["clustering"] = list(c["clustering"])
+        if "dv_reset" in c:
+            state["dvs"] = list(c["dv_reset"])
+            state["dv_counts"] = {}
+            for f, n in (c.get("dv_reset_counts") or {}).items():
+                state["dv_counts"][f] = state["dv_counts"].get(f, 0) + n
+        state["dvs"] = state["dvs"] + list(c.get("dv_added", []))
+        for f, n in (c.get("dv_counts") or {}).items():
+            state["dv_counts"][f] = state["dv_counts"].get(f, 0) + n
+        t = c.get("txn")
+        if t and t.get("app") is not None:
+            prev = state["txn"].get(t["app"])
+            b = t.get("batch")
+            state["txn"][t["app"]] = b if prev is None else max(prev, b)
+        state["version"] = c["version"]
+
+    def _state(self, as_of: int | None = None) -> dict:
+        """Fully resolved table state at ``as_of`` (default head): the
+        newest checkpoint at-or-before the target plus the commit tail
+        after it — O(CHECKPOINT_INTERVAL) log-file reads regardless of
+        total commit count. Raises ``ValueError`` for a version outside
+        the log's range and ``FileNotFoundError`` when the needed commits
+        were pruned by ``vacuum()`` (the retention contract)."""
+        commits, ckpts = self._list_log()
+        head = max(list(commits) + list(ckpts), default=-1)
+        if head < 0:
+            if as_of is not None:
+                raise ValueError(f"version {as_of} not in log (empty)")
+            return self._empty_state()
+        target = head if as_of is None else as_of
+        if target < 0 or target > head:
+            raise ValueError(f"version {as_of} not in log (head is {head})")
+        base_v = max((v for v in ckpts if v <= target), default=-1)
+        missing = [
+            v for v in range(base_v + 1, target + 1) if v not in commits
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot resolve version {target}: commit(s) "
+                f"{missing[:3]}{'...' if len(missing) > 3 else ''} were pruned "
+                f"from the log by vacuum and no earlier checkpoint covers them"
+            )
+        if base_v >= 0:
+            ck = self._read_json(ckpts[base_v])
+            state = {
+                "version": ck["version"],
+                "active": list(ck["active"]),
+                "schema": ck.get("schema"),
+                "checks": dict(ck.get("checks") or {}),
+                "clustering": list(ck.get("clustering") or []),
+                "stats": dict(ck.get("stats") or {}),
+                "dvs": list(ck.get("dvs") or []),
+                "dv_counts": dict(ck.get("dv_counts") or {}),
+                "txn": dict(ck.get("txn") or {}),
+            }
+        else:
+            state = self._empty_state()
+        for v in range(base_v + 1, target + 1):
+            self._apply_commit(state, self._read_json(commits[v]))
+        return state
+
+    def write_checkpoint(self, version: int | None = None) -> str:
+        """Write the compacted snapshot manifest for ``version`` (default
+        head): active files + per-file stats + schema + checks + clustering
+        + deletion-vector set + per-app txn watermarks, as ONE JSON file a
+        later reader loads instead of replaying the commits it summarizes.
+        Idempotent under races: concurrent writers resolve identical state
+        for a given version, and the put-if-absent keeps the first."""
+        v = self.version() if version is None else version
+        s = self._state(v)
+        entry = {
+            "version": v,
+            "active": s["active"],
+            "schema": s["schema"],
+            "checks": s["checks"],
+            "clustering": s["clustering"],
+            "stats": s["stats"],
+            "dvs": s["dvs"],
+            "dv_counts": s["dv_counts"],
+            "txn": s["txn"],
+        }
+        target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
+        tmp = os.path.join(self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            pass  # a racer already checkpointed this version — same content
+        finally:
+            os.remove(tmp)
+        return target
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if not self.CHECKPOINT_INTERVAL or version <= 0:
+            return
+        if version % self.CHECKPOINT_INTERVAL == 0:
+            self.write_checkpoint(version)
 
     def snapshot(self, as_of: int | None = None) -> tuple[int, list[str], str | None]:
         """(version, active data files relative to root, latest schema json).
         Resolved ONCE per call — the reader's consistent view. ``as_of``
         replays the log only through that version (time travel): immutable
         data files + append-only log mean any historical snapshot is
-        reconstructible until ``vacuum()`` reclaims its files."""
-        active: list[str] = []
-        schema = None
-        commits = self._commits()
-        if as_of is not None:
-            commits = [c for c in commits if c["version"] <= as_of]
-            if not commits or commits[-1]["version"] != as_of:
-                raise ValueError(
-                    f"version {as_of} not in log (have "
-                    f"{[c['version'] for c in self._commits()] or 'empty'})"
-                )
-        for c in commits:
-            removed = set(c.get("removed", []))
-            active = [f for f in active if f not in removed]
-            active.extend(c.get("added", []))
-            schema = c.get("schema") or schema
-        return (commits[-1]["version"] if commits else -1), active, schema
+        reconstructible until ``vacuum()`` reclaims its files or prunes the
+        log segments that version needs. Resolution cost is one checkpoint
+        + the commit tail, never the whole log."""
+        s = self._state(as_of)
+        return s["version"], list(s["active"]), s["schema"]
 
     def checks(self) -> dict[str, str]:
         """Active CHECK constraints ({name: sql boolean expr}), carried
         forward commit-to-commit exactly like the schema."""
-        out: dict[str, str] = {}
-        for c in self._commits():
-            if c.get("checks") is not None:
-                out = dict(c["checks"])
-        return out
+        return dict(self._state()["checks"])
 
     def add_check(self, name: str, expr: str) -> int:
         """Delta-style CHECK constraint: validates the EXISTING table first
@@ -330,11 +493,7 @@ class TxTable:
 
     def clustering(self) -> list[str]:
         """Active clustering columns (carried commit-to-commit like checks)."""
-        out: list[str] = []
-        for c in self._commits():
-            if c.get("clustering") is not None:
-                out = list(c["clustering"])
-        return out
+        return list(self._state()["clustering"])
 
     def set_clustering(self, cols: list[str]) -> int:
         """Declare clustering columns in table METADATA (one O(1) commit —
@@ -381,13 +540,16 @@ class TxTable:
                 )
 
     def _txn_seen(self, txn: dict | None) -> bool:
+        """Idempotent-replay detection via the per-app txn WATERMARK (max
+        batch id seen — Delta's ``setTransaction`` contract): a batch at or
+        below the watermark was already committed. Assumes batch ids are
+        monotonically increasing per app, which Structured Streaming epoch
+        ids and the sync/matview version stamps guarantee; the watermark
+        survives log pruning because checkpoints carry it."""
         if not txn:
             return False
-        for c in self._commits():
-            t = c.get("txn")
-            if t and t.get("app") == txn["app"] and t.get("batch") == txn["batch"]:
-                return True
-        return False
+        latest = self._state()["txn"].get(txn["app"])
+        return latest is not None and txn["batch"] <= latest
 
     # -- staging -------------------------------------------------------------
 
@@ -461,6 +623,12 @@ class TxTable:
             target = self._log_path(version + 1)
             try:
                 os.link(tmp, target)  # atomic put-if-absent
+                try:
+                    self._maybe_checkpoint(version + 1)
+                except OSError:
+                    # the commit is already durable — a failed/raced
+                    # checkpoint write is non-fatal (next interval retries)
+                    pass
                 return version + 1
             except FileExistsError:
                 continue  # lost the race — re-read snapshot, retry
@@ -654,11 +822,25 @@ class TxTable:
             ]
             res = self._rewrite_files(scope, relayout, op="compact")
             return res["version"]
+        v0 = self.version()  # scan snapshot — DV commits after it conflict
         df = relayout(self.read())
         df = df.localCheckpoint(eager=True)
         added, stats = self._stage(df, None)
+
+        def removed(active: list[str]) -> list[str]:
+            # compact's commit resets the DV set wholesale; a DV committed
+            # after our scan would be silently wiped, resurrecting rows a
+            # COMMITTED delete removed — abort instead of resetting it
+            clash = self._dv_conflict_since(v0, None)
+            if clash:
+                raise TxConflictError(
+                    f"compact conflict: deletion vector committed on "
+                    f"{clash!r} after the compaction's scan"
+                )
+            return list(active)
+
         return self._commit(
-            added, lambda active: list(active), df.schema.json(), None, "compact",
+            added, removed, df.schema.json(), None, "compact",
             stats, extra={"dv_reset": []},  # DV deletes become physical here
         )
 
@@ -672,28 +854,49 @@ class TxTable:
         ``dv_reset`` (RESTORE) replaces the set wholesale. DV entries whose
         data files were later rewritten are inert (their (file,pos) keys
         match nothing) and are reclaimed by vacuum."""
-        dvs: list[str] = []
-        for c in self._commits():
-            if as_of is not None and c["version"] > as_of:
-                break
-            if "dv_reset" in c:
-                dvs = list(c["dv_reset"])
-            dvs.extend(c.get("dv_added", []))
-        return dvs
+        if as_of is not None and as_of < 0:
+            return []
+        return list(self._state(as_of)["dvs"])
 
     def _dv_counts(self, as_of: int | None = None) -> dict[str, int]:
         """Deleted-row count per data file from active DVs (log metadata)."""
-        out: dict[str, int] = {}
+        if as_of is not None and as_of < 0:
+            return {}
+        return dict(self._state(as_of)["dv_counts"])
+
+    def _dv_conflict_since(self, v0: int, files: set[str] | None) -> str | None:
+        """First data file proving a deletion-vector commit landed AFTER
+        version ``v0`` touching ``files`` (``None`` = any file) — the
+        write-write conflict a rewrite/compact that scanned at ``v0`` must
+        abort on instead of silently resurrecting (rewrite) or resetting
+        (compact) the concurrently committed delete. Log metadata only."""
         for c in self._commits():
-            if as_of is not None and c["version"] > as_of:
-                break
-            if "dv_reset" in c:
-                out = {}
-                for f, n in c.get("dv_reset_counts", {}).items():
-                    out[f] = out.get(f, 0) + n
-            for f, n in c.get("dv_counts", {}).items():
-                out[f] = out.get(f, 0) + n
-        return out
+            if c["version"] <= v0:
+                continue
+            for f in c.get("dv_counts", {}):
+                if files is None or f in files:
+                    return f
+        return None
+
+    def _dv_commit_removed_fn(self, dv_files: set[str]):
+        """``removed_fn`` for DV commits: re-validated against the freshly
+        read snapshot on every retry — if any data file the vector's
+        (file, pos) pairs reference left the active set (concurrent
+        compact/overwrite/rewrite), the delete would silently become inert,
+        so abort instead (the optimistic-concurrency check CoW rewrites
+        already have)."""
+
+        def removed(active: list[str]) -> list[str]:
+            gone = dv_files - set(active)
+            if gone:
+                raise TxConflictError(
+                    f"dv commit conflict: {len(gone)} referenced data file(s) "
+                    f"were replaced by a concurrent commit "
+                    f"(e.g. {next(iter(gone))!r})"
+                )
+            return []
+
+        return removed
 
     def _rel_file_expr(self):
         """``_metadata.file_path`` (file:/abs or file:///abs) -> relpath
@@ -708,12 +911,27 @@ class TxTable:
             "",
         )
 
+    #: above this many active DV (file, pos) pairs the reader stops
+    #: broadcasting the vector set and falls back to a shuffle anti-join —
+    #: DV size is O(deleted rows), and a huge merge-on-read delete must not
+    #: be forced through the broadcast limit / driver memory
+    DV_BROADCAST_MAX_ROWS = 4_000_000
+
+    #: a merge-on-read (``mode="dv"``) DELETE/UPDATE/MERGE marking more rows
+    #: than this auto-routes to the copy-on-write rewrite instead: DVs exist
+    #: for SMALL deltas against big files — a majority-of-table delete would
+    #: serialize every (file, pos) pair through the single-task vector
+    #: write and then tax every subsequent read with a huge anti-join,
+    #: while CoW pays one partition-parallel rewrite and is read-free after
+    DV_MAX_ROWS = 2_000_000
+
     def _scan_files(
         self,
         files: list[str],
         dvs: list[str],
         keep_pos: bool = False,
         schema_json: str | None = None,
+        dv_rows: int | None = None,
     ) -> DataFrame:
         """Scan a set of active data files correctly across PARTITION-LAYOUT
         GENERATIONS: one ``spark.read.parquet`` call cannot span files with
@@ -761,8 +979,13 @@ class TxTable:
             dvdf = self.spark.read.parquet(
                 *[os.path.join(self.path, f) for f in dvs]
             ).select("rel_file", "row_index")
+            # broadcast only while the LOGGED deleted-row total (metadata —
+            # no file I/O) stays under the cap; unknown counts default to
+            # broadcast (legacy commits without dv_counts are small)
+            if dv_rows is None or dv_rows <= self.DV_BROADCAST_MAX_ROWS:
+                dvdf = F.broadcast(dvdf)
             out = out.join(
-                F.broadcast(dvdf),
+                dvdf,
                 (F.col("__rf") == F.col("rel_file"))
                 & (F.col("__ri") == F.col("row_index")),
                 "left_anti",
@@ -810,6 +1033,11 @@ class TxTable:
         n_rows = sum(counts.values())
         if n_rows == 0:
             return {"dv_rows": 0, "version": self.version()}
+        if n_rows > self.DV_MAX_ROWS:
+            # guardrail: a delete this large is cheaper (and read-optimal)
+            # as a partition-parallel CoW rewrite of the candidate files
+            cond = self._predicate_column(predicates)
+            return self._rewrite_files(cands, lambda d: d.filter(~cond))
         stage = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
         marked.coalesce(1).write.mode("overwrite").parquet(stage)
         dv_rel: list[str] = []
@@ -823,7 +1051,7 @@ class TxTable:
         shutil.rmtree(stage, ignore_errors=True)
         version = self._commit(
             [],
-            lambda active: [],
+            self._dv_commit_removed_fn(set(counts)),
             self.snapshot()[2],
             None,
             "delete_dv",
@@ -834,15 +1062,7 @@ class TxTable:
     def file_stats(self, as_of: int | None = None) -> dict[str, dict]:
         """Per-active-file footer stats as recorded in the log (data-skipping
         index). Log-only metadata — no file I/O."""
-        out: dict[str, dict] = {}
-        for c in self._commits():
-            if as_of is not None and c["version"] > as_of:
-                break
-            for f in c.get("removed", []):
-                out.pop(f, None)
-            for f in c.get("added", []):
-                out[f] = c.get("stats", {}).get(f, {})
-        return out
+        return dict(self._state(as_of)["stats"])
 
     def read(
         self,
@@ -875,7 +1095,12 @@ class TxTable:
             return self.spark.createDataFrame([], st)
         from pyspark.sql import functions as F
 
-        df = self._scan_files(active, self._active_dvs(as_of), schema_json=schema)
+        df = self._scan_files(
+            active,
+            self._active_dvs(as_of),
+            schema_json=schema,
+            dv_rows=sum(self._dv_counts(as_of).values()),
+        )
 
         if schema is not None:
             # conform to the LOGGED schema: a metadata-only add_column (or a
@@ -967,6 +1192,15 @@ class TxTable:
                 raise TxConflictError(
                     f"rewrite conflict: {len(missing)} candidate file(s) were "
                     f"removed by a concurrent commit (e.g. {next(iter(missing))!r})"
+                )
+            # a DV committed on a candidate AFTER our scan would be silently
+            # undone (the rewrite's output still carries the rows, and
+            # removing the file makes the vector inert) — abort instead
+            clash = self._dv_conflict_since(_v0, cand_set)
+            if clash:
+                raise TxConflictError(
+                    f"rewrite conflict: deletion vector committed on "
+                    f"candidate file {clash!r} after the rewrite's scan"
                 )
             return list(cand_set)
 
@@ -1066,6 +1300,20 @@ class TxTable:
         }
         if not counts:
             return {"dv_rows": 0, "version": self.version()}
+        if sum(counts.values()) > self.DV_MAX_ROWS:
+            # guardrail: an update this large routes to the CoW rewrite
+            # (same trade as _delete_dv — see DV_MAX_ROWS)
+            cond = self._predicate_column(predicates)
+
+            def apply(d):
+                from pyspark.sql import Column as _C
+
+                for col, expr in assignments.items():
+                    new = expr if isinstance(expr, _C) else F.expr(expr)
+                    d = d.withColumn(col, F.when(cond, new).otherwise(F.col(col)))
+                return d
+
+            return self._rewrite_files(cands, apply)
         updated = matched.drop("__rf", "__ri")
         for col, expr in assignments.items():
             new = expr if isinstance(expr, Column) else F.expr(expr)
@@ -1093,7 +1341,7 @@ class TxTable:
         shutil.rmtree(stage, ignore_errors=True)
         version = self._commit(
             added,
-            lambda active: [],
+            self._dv_commit_removed_fn(set(counts)),
             schema_json,
             None,
             "update_dv",
@@ -1210,11 +1458,6 @@ class TxTable:
             self.append(out, partition_by=layout or None, merge_schema=True)
             return {"files_rewritten": 0, "version": self.version()}
 
-        if mode == "dv":
-            return self._merge_dv(
-                src, on, cands, target_cols, conform, update, insert
-            )
-
         def transform(tdf: DataFrame) -> DataFrame:
             s_renamed = src.select(
                 *[F.col(k) for k in on],
@@ -1247,6 +1490,14 @@ class TxTable:
                 result = result.unionByName(new_rows)
             return conform(result)
 
+        if mode == "dv":
+            res = self._merge_dv(
+                src, on, cands, target_cols, conform, update, insert
+            )
+            if res is not None:
+                return res
+            # marked-row volume exceeded DV_MAX_ROWS — CoW is the right
+            # physical strategy for a merge touching this much of the table
         return self._rewrite_files(cands, transform)
 
     def _merge_dv(
@@ -1257,7 +1508,9 @@ class TxTable:
         image; ``delete_when`` matches just vanish), unmatched source rows
         append as inserts — ONE commit carries the vector and the new
         files. Candidate files never get rewritten, so merge write cost is
-        O(changed + inserted rows), not O(candidate files)."""
+        O(changed + inserted rows), not O(candidate files). Returns ``None``
+        when the marked-row volume exceeds ``DV_MAX_ROWS`` — the caller
+        (``merge_into``) then runs the CoW transform instead."""
         from pyspark.sql import functions as F
 
         tdf = self._scan_files(
@@ -1277,6 +1530,8 @@ class TxTable:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        if sum(counts.values()) > self.DV_MAX_ROWS:
+            return None  # guardrail — merge_into falls back to CoW
         matched_keys = joined.select(*on)
         new_rows = None
         if update:
@@ -1319,7 +1574,7 @@ class TxTable:
             return {"dv_rows": 0, "version": self.version()}
         version = self._commit(
             added,
-            lambda active: [],
+            self._dv_commit_removed_fn(set(counts)),
             schema_json,
             None,
             "merge_dv",
@@ -1345,6 +1600,16 @@ class TxTable:
         """
         from pyspark.sql import functions as F
 
+        commits_map, _ckpts = self._list_log()
+        hi = self.version() if to_version is None else to_version
+        if hi > from_version:
+            oldest = min(commits_map, default=hi + 1)
+            if from_version + 1 < oldest:
+                raise FileNotFoundError(
+                    f"change feed needs commit(s) {from_version + 1}.."
+                    f"{oldest - 1} already pruned from the log by vacuum: "
+                    f"consume changes before vacuum"
+                )
         commits = [
             c
             for c in self._commits()
@@ -1357,15 +1622,35 @@ class TxTable:
                 files = [f for f in relpaths if f]
                 if not files:
                     continue
+                # Deletion vectors to apply when materializing this commit's
+                # row images — rows a DV already hid are NOT part of this
+                # commit's change:
+                # - removed files: the DVs active just BEFORE the commit
+                #   (v-1). A compact/CoW rewrite that removes a DV'd file
+                #   must not re-emit its DV-deleted rows as a second delete
+                #   (the rewritten added files correctly lack them, so the
+                #   pair would never cancel for net-style consumers).
+                # - added files: fresh files can't be DV'd (uuid names), so
+                #   none — EXCEPT a RESTORE, whose commit re-adds historical
+                #   files together with the restored snapshot's DV set
+                #   (carried in ``dv_reset``); applying it keeps rows the
+                #   restored snapshot had deleted from re-appearing as
+                #   phantom inserts.
+                if change == "delete":
+                    dvs = self._active_dvs(c["version"] - 1)
+                else:
+                    dvs = list(c.get("dv_reset") or [])
                 missing = [
-                    f for f in files if not os.path.exists(os.path.join(self.path, f))
+                    f
+                    for f in files + dvs
+                    if not os.path.exists(os.path.join(self.path, f))
                 ]
                 if missing:
                     raise FileNotFoundError(
                         f"change feed needs {len(missing)} file(s) already vacuumed "
                         f"(e.g. {missing[0]!r}): consume changes before vacuum"
                     )
-                df = self._scan_files(files, [], schema_json=c.get("schema"))
+                df = self._scan_files(files, dvs, schema_json=c.get("schema"))
                 frames.append(
                     df.withColumn("_change_type", F.lit(change)).withColumn(
                         "_commit_version", F.lit(c["version"])
@@ -1392,9 +1677,14 @@ class TxTable:
                     data_files, [], keep_pos=True, schema_json=c.get("schema")
                 )
                 cols = [x for x in ddf.columns if x not in ("__rf", "__ri")]
+                if (
+                    sum(c.get("dv_counts", {}).values())
+                    <= self.DV_BROADCAST_MAX_ROWS
+                ):
+                    dvdf = F.broadcast(dvdf)
                 deleted = (
                     ddf.join(
-                        F.broadcast(dvdf),
+                        dvdf,
                         (F.col("__rf") == F.col("rel_file"))
                         & (F.col("__ri") == F.col("row_index")),
                         "left_semi",
@@ -1455,7 +1745,10 @@ class TxTable:
         if ambiguous:
             from pyspark.sql import functions as F
 
-            df = self._scan_files(ambiguous, dvs, schema_json=_s)
+            df = self._scan_files(
+                ambiguous, dvs, schema_json=_s,
+                dv_rows=sum(dv_counts.values()),
+            )
             ops = {"==": "__eq__", ">=": "__ge__", ">": "__gt__", "<=": "__le__", "<": "__lt__"}
             for col, op, value in predicates:
                 if op == "in":
@@ -1472,7 +1765,10 @@ class TxTable:
         files dropped — so it is atomic, concurrent-reader-safe, and itself
         time-travelable (the rolled-back history stays in the log). Fails if
         the target snapshot's files were already vacuumed."""
-        old_v, old_active, old_schema = self.snapshot(version)
+        try:
+            old_v, old_active, old_schema = self.snapshot(version)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(f"cannot restore v{version}: {e}") from None
         missing = [
             f for f in old_active if not os.path.exists(os.path.join(self.path, f))
         ]
@@ -1492,19 +1788,32 @@ class TxTable:
             },
         )
 
-    def vacuum(self, retain_versions: int = 1) -> int:
+    def vacuum(self, retain_versions: int = 1, prune_log: bool = True) -> int:
         """Delete data files not referenced by any of the newest
         ``retain_versions`` snapshots (default 1 = current only, the
         original contract). A larger retention keeps time travel,
         ``read_changes``, RESTORE, and lagging matview/sync consumers
         working across the retained window — the txlog analog of Delta's
         retention period, expressed in versions rather than hours. Run only
-        when no reader older than the retained window is in flight."""
+        when no reader older than the retained window is in flight.
+
+        With ``prune_log`` (default), the log itself is bounded to the same
+        window: the oldest retained version is checkpointed, then every
+        commit it summarizes (and every older checkpoint) is deleted — so a
+        long-running streaming sink's log stays O(retained + interval)
+        files instead of growing one commit per micro-batch forever.
+        Reads past the pruned horizon fail loudly (``FileNotFoundError``),
+        the same consume-before-vacuum contract data files already have.
+        ``prune_log=False`` reclaims data files only (Delta's split between
+        VACUUM and metadata log cleanup)."""
         head = self.version()
         if head < 0:
             return 0
+        commits, ckpts = self._list_log()
+        all_versions = sorted(set(list(commits) + list(ckpts)))
+        retained = all_versions[-max(1, retain_versions):]
         keep: set[str] = set()
-        for v in [c["version"] for c in self._commits()][-max(1, retain_versions):]:
+        for v in retained:
             keep |= set(self.snapshot(v)[1])
             keep |= set(self._active_dvs(v))  # retained snapshots' DVs too
         deleted = 0
@@ -1517,6 +1826,18 @@ class TxTable:
                     os.remove(full)
                     deleted += 1
         shutil.rmtree(os.path.join(self.path, _STAGING), ignore_errors=True)
+        if prune_log and retained:
+            v_keep = retained[0]
+            # the checkpoint at v_keep REPLACES every commit <= v_keep:
+            # all retained versions stay resolvable as checkpoint + tail
+            self.write_checkpoint(v_keep)
+            for v, p in commits.items():
+                if v <= v_keep:
+                    os.remove(p)
+            for v, p in ckpts.items():
+                if v < v_keep:
+                    os.remove(p)
+            self._json_cache.clear()
         return deleted
 
 
@@ -1654,12 +1975,10 @@ def sync_changes(
     from pyspark.sql import functions as F
 
     marker = f"sync:{os.path.abspath(src.path)}"
-    from_v = -1
-    for c in reversed(dst._commits()):
-        t = c.get("txn") or {}
-        if t.get("app") == marker:
-            from_v = t["batch"]
-            break
+    # per-app txn watermark (checkpoint-carried — survives log pruning)
+    from_v = dst._state()["txn"].get(marker)
+    if from_v is None:
+        from_v = -1
     head = src.version()
     if head <= from_v:
         return {"from_version": from_v, "to_version": from_v, "rows": 0}

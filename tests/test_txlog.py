@@ -326,10 +326,10 @@ def test_time_travel_snapshot_survives_later_writes_until_vacuum(spark, tmp_path
     t.overwrite(_df(spark, [(2, "b")]))                    # v1
     # pre-vacuum: v0's files still on disk -> historical read works
     assert [r.k for r in t.read(as_of=0).collect()] == [1]
-    t.vacuum()
+    t.vacuum(prune_log=False)  # data-only vacuum: the log keeps the commit
     # post-vacuum the v0 files are gone; the log still has the commit, so
     # snapshot() resolves but the scan fails — same contract as Delta after
-    # VACUUM passes the retention window
+    # VACUUM passes the retention window (log cleanup is separate)
     _v, active, _s = t.snapshot(as_of=0)
     assert all(not os.path.exists(os.path.join(t.path, f)) for f in active)
 
@@ -1632,3 +1632,255 @@ def test_dv_state_merge_ignores_late_older_updates(spark, tmp_path):
         for r in read_latest_state_tx(spark, table_dir).collect()
     }
     assert got == {"k1": 9.0}  # k1 keeps the newer value; k2 stays deleted
+
+
+def _feed_net(t, from_version=-1):
+    """{(k, v): net +insert/-delete count} over the change feed."""
+    feed = t.read_changes(from_version)
+    rows = (
+        feed.groupBy("k", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .collect()
+    )
+    return {(r.k, r.v): r.net for r in rows if r.net != 0}
+
+
+def test_change_feed_nets_dv_delete_then_compact(spark, tmp_path):
+    """A compact() that removes DV'd files must not re-emit the DV-deleted
+    rows as a second delete: net over the feed equals (final - initial)
+    state exactly (the contract net-style CDF consumers rely on)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    rows = [(i, chr(ord("a") + i)) for i in range(10)]
+    t.append(_df(spark, rows))                      # v0: insert 0..9
+    t.delete_where([("k", ">=", 5)], mode="dv")     # v1: dv-delete 5..9
+    t.compact(target_files=1)                       # v2: physical rewrite
+    # net of changes AFTER v0: exactly one delete each for 5..9, zero for
+    # the carried rows 0..4 (compact's delete+insert pair cancels)
+    assert _feed_net(t, 0) == {
+        (k, v): -1 for k, v in rows if k >= 5
+    }
+    # full-history net reconstructs the final state
+    assert _feed_net(t, -1) == {(k, v): 1 for k, v in rows if k < 5}
+
+
+def test_change_feed_nets_dv_update_then_rewrite(spark, tmp_path):
+    """Same netting contract for update_dv followed by a CoW rewrite."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.update_where([("k", "==", 2)], {"v": F.lit("B")}, mode="dv")
+    # CoW delete of an unrelated row rewrites the original file, which
+    # still physically contains the old (2, "b") image under a DV
+    t.delete_where([("k", "==", 3)], mode="cow")
+    assert _feed_net(t, -1) == {(1, "a"): 1, (2, "B"): 1}
+
+
+def test_change_feed_restore_applies_restored_dvs(spark, tmp_path):
+    """RESTORE re-adds historical files together with their DV set: rows the
+    restored snapshot had deleted must not reappear as phantom inserts."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    rows = [(i, chr(ord("a") + i)) for i in range(6)]
+    t.append(_df(spark, rows))                      # v0
+    t.delete_where([("k", ">=", 3)], mode="dv")     # v1: dv-delete 3..5
+    t.compact(target_files=1)                       # v2: physical
+    t.restore(1)                                    # v3: back to v1 state
+    assert _feed_net(t, -1) == {(k, v): 1 for k, v in rows if k < 3}
+    # state equivalence: feed-net membership == actual table content
+    assert sorted((r.k, r.v) for r in t.read().collect()) == sorted(
+        (k, v) for k, v in rows if k < 3
+    )
+
+
+def test_dv_commit_aborts_when_referenced_file_rewritten(spark, tmp_path, monkeypatch):
+    """A DV commit racing a compact that replaced its referenced data files
+    must abort (the vector would be silently inert), mirroring the CoW
+    rewrite's conflict check."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxConflictError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "x") for i in range(10)]))
+    orig_commit = t._commit
+
+    def commit_with_race(added, removed_fn, schema, txn, op, *a, **kw):
+        if op == "delete_dv":
+            TxTable(spark, t.path).compact(target_files=1)  # concurrent writer
+        return orig_commit(added, removed_fn, schema, txn, op, *a, **kw)
+
+    monkeypatch.setattr(t, "_commit", commit_with_race)
+    with pytest.raises(TxConflictError, match="dv commit conflict"):
+        t.delete_where([("k", "==", 3)], mode="dv")
+    # the table reflects the compact; the aborted delete changed nothing
+    assert sorted(r.k for r in t.read().collect()) == list(range(10))
+
+
+def test_compact_aborts_on_concurrent_dv_commit(spark, tmp_path, monkeypatch):
+    """compact() resets the DV set; a DV committed between its scan and its
+    commit must make it abort instead of resurrecting the deleted rows."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxConflictError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "x") for i in range(10)]))
+    orig_stage = t._stage
+    fired = []
+
+    def stage_with_race(df, partition_by):
+        if not fired:
+            fired.append(1)
+            TxTable(spark, t.path).delete_where([("k", "==", 7)], mode="dv")
+        return orig_stage(df, partition_by)
+
+    monkeypatch.setattr(t, "_stage", stage_with_race)
+    with pytest.raises(TxConflictError, match="compact conflict"):
+        t.compact(target_files=1)
+    # the concurrent delete survived; nothing resurrected
+    assert sorted(r.k for r in t.read().collect()) == [i for i in range(10) if i != 7]
+
+
+def test_cow_rewrite_aborts_on_concurrent_dv_commit(spark, tmp_path, monkeypatch):
+    """A CoW rewrite whose candidate file received a DV between scan and
+    commit aborts; a DV on a NON-candidate file does not conflict."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxConflictError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "lo") for i in range(5)]).repartition(1))
+    t.append(_df(spark, [(i, "hi") for i in range(100, 105)]).repartition(1))
+    orig_stage = t._stage
+    fired = []
+
+    def stage_with_race(df, partition_by):
+        if not fired:
+            fired.append(1)
+            # concurrent DV delete inside the SAME low-key candidate file
+            TxTable(spark, t.path).delete_where([("k", "==", 2)], mode="dv")
+        return orig_stage(df, partition_by)
+
+    monkeypatch.setattr(t, "_stage", stage_with_race)
+    with pytest.raises(TxConflictError, match="deletion vector committed"):
+        t.update_where([("k", "==", 1)], {"v": F.lit("LO")})
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 3, 4, 100, 101, 102, 103, 104]
+
+    # non-candidate DV: delete k=103 (hi file) while rewriting the lo file
+    fired2 = []
+
+    def stage_with_disjoint_race(df, partition_by):
+        if not fired2:
+            fired2.append(1)
+            TxTable(spark, t.path).delete_where([("k", "==", 103)], mode="dv")
+        return orig_stage(df, partition_by)
+
+    monkeypatch.setattr(t, "_stage", stage_with_disjoint_race)
+    t.update_where([("k", "==", 1)], {"v": F.lit("LO")})
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[1] == "LO" and 103 not in rows and 2 not in rows
+
+
+def test_dv_guardrail_routes_large_dml_to_cow(spark, tmp_path):
+    """mode="dv" DML marking more rows than DV_MAX_ROWS auto-routes to the
+    copy-on-write rewrite: no deletion vector is written, no single-task
+    vector write serializes the marked positions."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.DV_MAX_ROWS = 5
+    t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    res = t.delete_where([("k", ">=", 10)], mode="dv")   # 10 > 5 marked
+    assert "files_rewritten" in res and res["files_rewritten"] >= 1
+    assert t._active_dvs() == []
+    assert sorted(r.k for r in t.read().collect()) == list(range(10))
+    assert t.history()[-1]["op"] == "rewrite"
+
+    # small delete still takes the merge-on-read path
+    res2 = t.delete_where([("k", "==", 0)], mode="dv")
+    assert res2.get("dv_rows") == 1 and t._active_dvs()
+
+    # large update also falls back
+    res3 = t.update_where([("k", ">=", 1)], {"v": F.lit("U")}, mode="dv")
+    assert "files_rewritten" in res3
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert all(v == "U" for v in rows.values()) and len(rows) == 9
+
+    # large merge falls back to the CoW transform with identical semantics
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.DV_MAX_ROWS = 3
+    t2.append(_df(spark, [(i, "old") for i in range(10)]))
+    src = _df(spark, [(i, "new") for i in range(8)])
+    res4 = t2.merge_into(src, on=["k"], mode="dv")
+    assert "files_rewritten" in res4
+    rows2 = {r.k: r.v for r in t2.read().collect()}
+    assert rows2 == {**{i: "new" for i in range(8)}, 8: "old", 9: "old"}
+    assert t2._active_dvs() == []
+
+
+def test_dv_broadcast_gated_on_logged_counts(spark, tmp_path):
+    """Above DV_BROADCAST_MAX_ROWS logged deleted rows, the reader's DV
+    anti-join stops broadcasting (shuffle join instead) — and the result is
+    unchanged."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.plans import explain_str
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"v{i}") for i in range(30)]))
+    t.delete_where([("k", ">=", 20)], mode="dv")
+    # isolate OUR hint from Catalyst's size-based auto-broadcast (which
+    # would kick in for any tiny test fixture regardless of the gate)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_small = explain_str(t.read())
+        assert "BroadcastHashJoin" in plan_small  # forced by the hint
+
+        t.DV_BROADCAST_MAX_ROWS = 0
+        plan_big = explain_str(t.read())
+        assert "BroadcastHashJoin" not in plan_big  # hint gated off
+        assert sorted(r.k for r in t.read().collect()) == list(range(20))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dv_state_merge_all_stale_batch_skips_merge_entirely(spark, tmp_path, monkeypatch):
+    """When every incoming row is stale, the sink must short-circuit BEFORE
+    merge_into: an empty merge source yields empty key bounds, every active
+    file becomes a candidate, and the 'no-op' costs a full-table scan —
+    exactly the steady replay case this sink exists for."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.ingest import (
+        materialize_latest_state_dv,
+    )
+
+    landing = str(tmp_path / "landing")
+    table_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = materialize_latest_state_dv(
+            changefeed_stream(spark, landing, AFTER_SCHEMA), table_dir, ckpt
+        )
+        q.awaitTermination()
+
+    _write_envelope_lines(
+        landing, "2023-01-01",
+        [
+            _env_line("k1", 9.0, "1000000000000000005.0000000000"),
+            _env_line("k2", 2.0, "1000000000000000004.0000000000"),
+        ],
+    )
+    run()
+    v_before = TxTable(spark, table_dir).version()
+
+    def boom(self, *a, **kw):
+        raise AssertionError("merge_into called for an all-stale batch")
+
+    monkeypatch.setattr(TxTable, "merge_into", boom)
+    _write_envelope_lines(
+        landing, "2023-01-02",
+        [
+            _env_line("k1", 1.0, "1000000000000000001.0000000000"),
+            _env_line("k2", 1.5, "1000000000000000002.0000000000"),
+        ],
+    )
+    run()  # would raise through foreachBatch if merge_into were called
+    assert TxTable(spark, table_dir).version() == v_before
+    got = {
+        r["after"]["id"]: r["after"]["revenue"]
+        for r in read_latest_state_tx(spark, table_dir).collect()
+    }
+    assert got == {"k1": 9.0, "k2": 2.0}

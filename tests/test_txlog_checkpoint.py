@@ -1,0 +1,180 @@
+"""Metadata checkpoints: O(1)-ish snapshot resolution (one checkpoint + the
+commit tail), log pruning in vacuum(), and the per-app txn watermark — the
+machinery that keeps a streaming sink's driver-side log replay bounded after
+tens of thousands of micro-batch commits."""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _count_log_reads(t):
+    """Wrap t._read_json with a counter (cache cleared first)."""
+    t._json_cache.clear()
+    reads = []
+    orig = t._read_json
+
+    def counting(path):
+        reads.append(path)
+        return orig(path)
+
+    t._read_json = counting
+    return reads
+
+
+def test_snapshot_reads_checkpoint_plus_tail_only(spark, tmp_path):
+    """After checkpoints exist on a many-commit table, snapshot resolution
+    opens one checkpoint + at most CHECKPOINT_INTERVAL commit files — never
+    the whole log."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 10
+    df = _df(spark, [(1, "x")]).coalesce(1).localCheckpoint(eager=True)
+    for _ in range(25):
+        t.append(df)
+    ckpts = glob.glob(os.path.join(t.path, "_txlog", "*.checkpoint.json"))
+    assert {
+        int(os.path.basename(p).split(".")[0]) for p in ckpts
+    } == {10, 20}
+
+    reader = TxTable(spark, t.path)  # fresh handle, cold cache
+    reads = _count_log_reads(reader)
+    v, active, schema = reader.snapshot()
+    assert v == 24 and len(active) == 25 and schema is not None
+    # 1 checkpoint (v20) + tail commits 21..24 = 5 log files, NOT 25
+    parsed = [p for p in reads if p.endswith(".json")]
+    assert len(parsed) <= reader.CHECKPOINT_INTERVAL + 1, parsed
+    assert any(p.endswith(".checkpoint.json") for p in parsed)
+    assert reader.read().count() == 25
+
+
+def test_checkpoint_state_equals_full_replay(spark, tmp_path):
+    """The checkpoint+tail resolution and a full log replay agree on every
+    state component (active files, stats, schema, checks, clustering, DVs,
+    txn watermarks) after a mixed workload."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 4
+    t.append(_df(spark, [(i, f"v{i}") for i in range(20)]))
+    t.add_check("k_nonneg", "k >= 0")
+    t.set_clustering(["k"])
+    t.delete_where([("k", "==", 3)], mode="dv")
+    t.append(_df(spark, [(100, "z")]), txn={"app": "w1", "batch": 7})
+    t.update_where([("k", "==", 5)], {"v": F.lit("U")})
+    t.compact(target_files=2)
+    t.append(_df(spark, [(101, "y")]), txn={"app": "w1", "batch": 8})
+    assert t.version() >= t.CHECKPOINT_INTERVAL  # crossed a boundary
+
+    resolved = t._state()
+    # full replay WITHOUT checkpoints: replay every commit from scratch
+    full = t._empty_state()
+    for c in t._commits():
+        t._apply_commit(full, c)
+    assert resolved == full
+    assert t.checks() == {"k_nonneg": "k >= 0"}
+    assert t.clustering() == ["k"]
+    assert t._state()["txn"] == {"w1": 8}
+
+
+def test_vacuum_prunes_log_to_retained_window(spark, tmp_path):
+    """vacuum(prune_log=True) bounds the log: a checkpoint replaces the
+    pruned commits, retained versions stay resolvable, older ones fail
+    loudly — and content is unchanged."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 5
+    df = _df(spark, [(1, "x")]).coalesce(1).localCheckpoint(eager=True)
+    for _ in range(12):
+        t.append(df)                         # v0..v11
+    before = t.read().count()
+    t.vacuum(retain_versions=3)              # keep v9..v11
+    commits, ckpts = t._list_log()
+    assert sorted(commits) == [10, 11]       # tail after the v9 checkpoint
+    assert 9 in ckpts and all(v >= 9 for v in ckpts)
+    # retained window resolvable
+    for v in (9, 10, 11):
+        assert t.snapshot(as_of=v)[0] == v
+    assert t.read().count() == before
+    # beyond the horizon: loud failure, not silent wrong answers
+    with pytest.raises(FileNotFoundError, match="pruned"):
+        t.snapshot(as_of=8)
+    with pytest.raises(FileNotFoundError, match="restore"):
+        t.restore(2)
+    # change feed across the pruned horizon refuses; inside the window works
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        t.read_changes(5)
+    assert t.read_changes(9).count() == 2    # v10, v11 appends
+    # the table keeps working and re-checkpointing afterwards
+    for _ in range(5):
+        t.append(df)
+    assert t.read().count() == before + 5
+
+
+def test_txn_watermark_survives_log_prune(spark, tmp_path):
+    """Exactly-once replay detection must survive pruning: the checkpoint
+    carries the per-app max-batch watermark."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 2
+    for b in range(4):
+        t.append(_df(spark, [(b, "x")]), txn={"app": "stream-a", "batch": b})
+    t.vacuum(retain_versions=1)              # prune everything but head
+    v = t.version()
+    # re-delivered batches are still recognized as seen
+    for b in range(4):
+        t.append(_df(spark, [(99, "dup")]), txn={"app": "stream-a", "batch": b})
+    assert t.version() == v
+    assert t.read().count() == 4
+    # a genuinely new batch lands
+    t.append(_df(spark, [(4, "x")]), txn={"app": "stream-a", "batch": 4})
+    assert t.read().count() == 5
+
+
+def test_randomized_ops_across_checkpoint_and_prune(spark, tmp_path):
+    """Random DML/compact/vacuum mix with a tiny checkpoint interval: the
+    table must always equal a dict model, across checkpoint boundaries and
+    log prunes."""
+    rng = random.Random(17)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 3
+    model: dict[int, str] = {}
+
+    def sync_check():
+        got = {r.k: r.v for r in t.read().collect()}
+        assert got == model
+
+    for step in range(18):
+        op = rng.choice(["append", "delete", "update", "dv_delete", "compact", "vacuum"])
+        if op == "append" or not model:
+            rows = [(rng.randrange(40), f"s{step}") for _ in range(rng.randint(1, 4))]
+            dedup = {k: v for k, v in rows}
+            dedup = {k: v for k, v in dedup.items() if k not in model}
+            if dedup:
+                t.append(_df(spark, list(dedup.items())))
+                model.update(dedup)
+        elif op in ("delete", "dv_delete"):
+            pivot = rng.randrange(40)
+            t.delete_where(
+                [("k", ">=", pivot), ("k", "<", pivot + 5)],
+                mode="dv" if op == "dv_delete" else "cow",
+            )
+            model = {k: v for k, v in model.items() if not (pivot <= k < pivot + 5)}
+        elif op == "update":
+            pivot = rng.randrange(40)
+            t.update_where([("k", "==", pivot)], {"v": F.lit(f"u{step}")})
+            if pivot in model:
+                model[pivot] = f"u{step}"
+        elif op == "compact":
+            t.compact(target_files=2)
+        elif op == "vacuum":
+            t.vacuum(retain_versions=rng.choice([1, 3]))
+        if step % 6 == 5:
+            sync_check()
+    sync_check()
