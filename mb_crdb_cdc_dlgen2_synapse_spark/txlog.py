@@ -74,6 +74,54 @@ class TxConflictError(RuntimeError):
     """Raised internally on a version race; commits retry automatically."""
 
 
+class LogStore:
+    """The ONE storage primitive txlog correctness reduces to: an atomic
+    put-if-absent of a small metadata file. Two writers racing the same
+    path must see exactly one winner, and a reader must never observe a
+    partially written file.
+
+    Backend mapping (the reference's lake is ADLS Gen2,
+    /root/reference/README.md:50-111):
+
+    - **POSIX / HDFS** (``PosixLogStore``, default): hard-link from a temp
+      file — ``link()`` fails with EEXIST if the target exists.
+    - **ADLS Gen2 / GCS / S3 (2024+ conditional writes)**: a single PUT
+      with ``If-None-Match: *`` — the store returns 412 Precondition
+      Failed when the object already exists. Implement ``write_if_absent``
+      as that request, mapping 412 to ``False``.
+    - **older S3** (no conditional PUT): an external compare-and-set
+      coordinator keyed by path (the published delta-rs / S3DynamoDBLogStore
+      design); the winner then writes the object.
+
+    Subclasses override ``write_if_absent`` only; everything else in the
+    table format (optimistic retry, snapshot isolation, checkpointing,
+    pruning) is backend-independent."""
+
+    def write_if_absent(self, target: str, data: str) -> bool:
+        """Atomically create ``target`` with ``data`` iff it does not
+        exist. True = this writer won; False = the path already existed."""
+        raise NotImplementedError
+
+
+class PosixLogStore(LogStore):
+    """Put-if-absent via ``os.link`` from an invisible temp file (atomic on
+    POSIX filesystems and NFS; the temp file never parses as a commit)."""
+
+    def write_if_absent(self, target: str, data: str) -> bool:
+        tmp = os.path.join(
+            os.path.dirname(target), f".tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as f:
+            f.write(data)
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+
 def _footer_stats(parquet_path: str) -> dict:
     """{"rows": n, "min": {col: v}, "max": {col: v}} from the file's own
     footer. Only top-level int/float/str columns with sound min/max are
@@ -267,9 +315,12 @@ class TxTable:
     #: snapshot resolution reads 1 checkpoint + <= N commit files.
     CHECKPOINT_INTERVAL = 20
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, log_store: LogStore | None = None
+    ):
         self.spark = spark
         self.path = os.path.abspath(path)
+        self.log_store = log_store or PosixLogStore()
         os.makedirs(os.path.join(self.path, _LOG_DIR), exist_ok=True)
         # parsed-JSON cache: committed log files are immutable, so entries
         # never go stale; keyed by absolute path, cleared on vacuum()
@@ -433,15 +484,9 @@ class TxTable:
             "txn": s["txn"],
         }
         target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
-        tmp = os.path.join(self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-        try:
-            os.link(tmp, target)
-        except FileExistsError:
-            pass  # a racer already checkpointed this version — same content
-        finally:
-            os.remove(tmp)
+        # a racer may already have checkpointed this version — same content,
+        # put-if-absent keeps the first
+        self.log_store.write_if_absent(target, json.dumps(entry))
         return target
 
     def _maybe_checkpoint(self, version: int) -> None:
@@ -615,14 +660,11 @@ class TxTable:
                 entry["checks"] = checks
             if extra:
                 entry.update(extra)
-            tmp = os.path.join(
-                self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}.json"
-            )
-            with open(tmp, "w") as f:
-                json.dump(entry, f)
             target = self._log_path(version + 1)
-            try:
-                os.link(tmp, target)  # atomic put-if-absent
+            # the commit becomes visible via ONE atomic put-if-absent —
+            # the LogStore seam an object-store backend implements with a
+            # conditional PUT (see LogStore)
+            if self.log_store.write_if_absent(target, json.dumps(entry)):
                 try:
                     self._maybe_checkpoint(version + 1)
                 except OSError:
@@ -630,10 +672,7 @@ class TxTable:
                     # checkpoint write is non-fatal (next interval retries)
                     pass
                 return version + 1
-            except FileExistsError:
-                continue  # lost the race — re-read snapshot, retry
-            finally:
-                os.remove(tmp)
+            continue  # lost the race — re-read snapshot, retry
         raise TxConflictError(f"gave up after {max_retries} commit races")
 
     # -- public write ops ----------------------------------------------------

@@ -178,3 +178,65 @@ def test_randomized_ops_across_checkpoint_and_prune(spark, tmp_path):
         if step % 6 == 5:
             sync_check()
     sync_check()
+
+
+# -- LogStore seam ------------------------------------------------------------
+
+
+def test_posix_log_store_put_if_absent_atomicity(tmp_path):
+    """Exactly one writer wins a path; the loser's data never lands."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import PosixLogStore
+
+    store = PosixLogStore()
+    target = str(tmp_path / "00000000000000000000.json")
+    assert store.write_if_absent(target, '{"w": 1}') is True
+    assert store.write_if_absent(target, '{"w": 2}') is False
+    with open(target) as f:
+        assert f.read() == '{"w": 1}'
+    # no temp residue
+    assert os.listdir(tmp_path) == ["00000000000000000000.json"]
+
+
+def test_all_commits_route_through_log_store(spark, tmp_path):
+    """Every commit AND checkpoint becomes visible via the LogStore seam —
+    the single primitive an object-store backend replaces."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import PosixLogStore
+
+    calls = []
+
+    class CountingStore(PosixLogStore):
+        def write_if_absent(self, target, data):
+            calls.append(os.path.basename(target))
+            return super().write_if_absent(target, data)
+
+    t = TxTable(spark, str(tmp_path / "t"), log_store=CountingStore())
+    t.CHECKPOINT_INTERVAL = 2
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.delete_where([("k", "==", 1)])
+    commits, ckpts = t._list_log()
+    assert len(calls) == len(commits) + len(ckpts)
+
+
+def test_log_store_race_retries_to_next_version(spark, tmp_path):
+    """A foreign writer winning the version race through the SAME interface
+    makes the loser retry at the next version — no lost or doubled rows."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import PosixLogStore
+
+    tdir = str(tmp_path / "t")
+
+    class ContendedStore(PosixLogStore):
+        fired = False
+
+        def write_if_absent(self, target, data):
+            if target.endswith("00000000000000000001.json") and not self.fired:
+                ContendedStore.fired = True
+                # foreign writer (default store) claims v1 first
+                TxTable(spark, tdir).append(_df(spark, [(99, "foreign")]))
+            return super().write_if_absent(target, data)
+
+    t = TxTable(spark, tdir, log_store=ContendedStore())
+    t.append(_df(spark, [(1, "a")]))        # v0
+    t.append(_df(spark, [(2, "b")]))        # loses v1, lands at v2
+    assert t.version() == 2
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 99]
