@@ -66,92 +66,74 @@ def register(name: str, oracle: str | None, survey_ref: str):
 # window remain declared and are verified locally (tests/test_oracle_parity.py
 # + scripts/driver_replica.py at sf0.01 and sf0.1).
 _DRIVER_PRIORITY: list[str] = [
-    # flagship + lake + CDC (S1-S6, P3, P4, A2, Q4, J5, T4-T8; rows-only T1-T3/S2)
+    # ---- ROUND-3 ROTATION (VERDICT r2 item 4/5): 15 keepers certify the
+    # ids only previously-recorded queries can (flagships, streaming/CDC
+    # semantics, the X-family anchors); the other 35 slots are queries
+    # NEVER driver-recorded in r1/r2 — including streaming_interval_join,
+    # giving T3 its first full hash-match row. Demoted queries are all
+    # r1/r2-green and their ids stay co-certified in-window (rotation
+    # ledger in NOTES.md).
+    # keepers — flagship + CDC/streaming semantics (S1-S4,S6,P1,P2,P4,S2,
+    # S8,T2,T4,T5,T6,T7,T8,J5,Q4-adjacent)
     "flagship_cdc_city_revenue",
     "flagship_silver_lake",
     "flagship_tx_lake",
-    "silver_partition_pruning",
-    "multi_day_glob_revenue",
     "cdc_envelope_extraction",
     "cdc_streaming_pipeline",
-    "cdc_dedup_counts",
     "cdc_latest_state_events",
     "cdc_tombstone_state",
     "daily_event_rollup",
     "session_stats",
-    # TPC-H-shaped analytics (S7, A1, J1, J2, Q1, Q2 + join-shape variety)
+    # keepers — A1/A3/S7 + the X-family anchors (X1,X2,X3,P8,X5,X6)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q7_nation_volume",
-    "q18_large_orders",
-    "q22_wealthy_inactive_customers",
-    # projections / scalar functions (P1, P2, P5-P9; json_props_extraction
-    # demoted — r01-green, P1/P2 co-certified by cdc_envelope_extraction +
-    # flagship; percentiles_by_status demoted — r01-green, A3 co-certified
-    # by q1_pricing_summary)
-    "filter_project_lineitem",
-    "string_funcs_projection",
-    # array_ops_showcase demoted — P8 co-certified in-window by
-    # semantic_dedup_embeddings (and r01-green embedding_centroids)
-    "distinct_customers_per_priority",
-    "rollup_status_priority",
-    # joins (J3, J4, J6; the anti-join half of J4 is below the fold —
-    # r01 already recorded customers_without_orders green)
-    "customer_order_counts",
-    "range_join_ship_window",
-    # windows (W1-W4, J5)
-    "latest_order_per_customer",
-    "window_rank_funcs",
-    "cumulative_daily_revenue",
-    "top_orders_per_segment",
-    # sorts / limits / set ops (Q1/Q2 co-certified in-window by
-    # q3_shipping_priority; Q3's union form by multi_day_glob_revenue;
-    # top_orders_global / union_hi_lo below the fold, both r01-green)
-    "intersect_except_customers",
-    # LLM-pipeline: dedup (X1, X2)
     "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "dedup_jaccard_dfcap",
-    # similarity (X3)
     "knn_cosine_bruteforce",
-    # text analysis (X4)
-    "doc_token_counts",
-    "doc_language_id",
-    "doc_quality_scores",
-    "tfidf_top_terms",
-    # multimodal (X5; X6 rows-only via media_features below the fold)
     "media_binary_stats",
-    # round-2 flagship additions: paragraph-level dedup, as-of join,
-    # decontamination (dedup_embedding_cosine / agg_stats_orders moved below
-    # the fold — their ids stay certified by in-window peers + r01 rows)
-    "paragraph_dedup_stats",
-    "last_click_before_error",
-    "benchmark_contamination",
-    # session-3 flagships: A6 gets its first FULL-oracle row in-window
-    # (incremental matview), T7/T8/J5 a transactional MERGE row, X2 the
-    # record-linkage extension. Demoted to below-the-fold (all r01-green,
-    # ids co-certified in-window): datetime_projection (P6: q7),
-    # math_projection (P7: filter_project_lineitem), customers_with_orders
-    # (J4: q22_wealthy_inactive_customers).
-    "incremental_matview_revenue",
-    "tx_merge_upsert",
-    "record_linkage_parts",
-    # session-4 flagships: SemDeDup semantic dedup + cross-modal paraphrase
-    # pairs (X2/X3 full-oracle) and metadata-only schema evolution over the
-    # txlog format (S7/T8). Demoted to below-the-fold (all r01-green, ids
-    # co-certified in-window): dedup_simhash (X2: minhash/jaccard/linkage),
-    # order_gap_days (W2: last_click_before_error), top_orders_global
-    # (Q1/Q2: q3_shipping_priority).
-    "semantic_dedup_embeddings",
-    "crossmodal_paraphrase_pairs",
-    "tx_schema_evolution",
-    # the composed curation pipeline and the streaming SCD2 (both full
-    # oracle) — the session-4 headline capabilities
-    "corpus_curation_v2",
-    "streaming_scd2_history",
-    # X6's first FULL-oracle certification (deterministic Python UDTF)
     "doc_chunks_udtf",
+    # never-recorded: streaming + transactional lake (T1,T3,J6,A6,T8,S7,
+    # J5,Q5,T2,Q4,S4,S6,W2,T7)
+    "streaming_interval_join",
+    "streaming_matview_refresh",
+    "scd2_customer_history",
+    "tx_dml_orders",
+    "tx_delete_vectors",
+    "tx_change_feed_net",
+    "tx_incremental_etl",
+    "cdc_streaming_dlq",
+    "cdc_dead_letter_stats",
+    # never-recorded: similarity / ANN (X3,P8,W4,Q2,S5 — incl. this
+    # round's bucketed-probe ANN)
+    "knn_hamming_binary",
+    "knn_rerank_two_stage",
+    "knn_hamming_bucketed",
+    # never-recorded: dedup + text analysis + corpus assembly (X1,X2,X4,
+    # P5,A2,A3,J2,W3,W4,P9,Q4)
+    "dedup_clusters",
+    "doc_text_profile",
+    "doc_lm_quality",
+    "doc_repetition_metrics",
+    "corpus_temperature_mix",
+    "stratified_sample_fixed_n",
+    "corpus_e2e_pipeline",
+    "paragraph_dedup_reassembled",
+    "k_anonymity_audit",
+    # never-recorded: relational breadth (A2-A5,J1-J4,P3,P6,P7,Q1-Q3,W1,
+    # W3,W4 via TPC-H analogs + windows/pivots/funnels)
+    "table_profile_orders",
+    "pivot_status_by_year",
+    "grouping_sets_status_priority",
+    "window_distribution_funcs",
+    "unpivot_lineitem_measures",
+    "price_histogram",
+    "gap_fill_daily_revenue",
+    "conversion_funnel",
+    "q2_cheapest_supplier_per_part",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_ratio",
+    "q16_supplier_part_counts",
+    "q20_heavy_shippers",
+    "q21_multi_supplier_last_ship",
 ]
 
 
@@ -5636,3 +5618,93 @@ def tx_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(8)
     ]
     return spark.createDataFrame(rows, "bucket long, n_rows long, n_high long")
+
+
+@register(
+    "knn_hamming_bucketed",
+    f"""
+    WITH bq AS (
+        SELECT vec_id,
+               {_bq_word_sql(0)} AS b_lo,
+               {_bq_word_sql(32)} AS b_hi
+        FROM embeddings),
+    bb AS (SELECT vec_id, b_lo, b_hi, b_lo & 15 AS bucket FROM bq),
+    q AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi,
+                 b_lo & 15 AS q_bucket
+          FROM bq WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(bit_count(xor(c.b_lo, q.q_lo))
+                    + bit_count(xor(c.b_hi, q.q_hi)) AS INT) AS hamming
+        FROM bb c CROSS JOIN q
+        WHERE bit_count(xor(c.bucket, q.q_bucket)) <= 1)
+    SELECT query_id, rk, vec_id, hamming FROM (
+        SELECT query_id, vec_id, hamming,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY hamming, vec_id) AS INT) AS rk
+        FROM scored)
+    WHERE rk <= 5
+    """,
+    "X3,W4,S5",
+)
+def knn_hamming_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed stage-1 ANN (similarity.materialize_binary_codes +
+    probed_hamming_topk): binary codes live in a txlog table partitioned by
+    a 4-bit LSH prefix; per query a radius-1 probe touches 5 of 16 bucket
+    partitions and the batch scans their union (log-level file pruning —
+    asserted in tests/test_similarity.py) instead of full-scanning the
+    corpus per query batch. The probe choice is deterministic integer
+    arithmetic, so unlike float-first ANN the whole pruned pipeline
+    hash-checks against the oracle's CROSS JOIN + prefix-distance filter."""
+    from .operators.similarity import materialize_binary_codes, probed_hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = _scratch("hamming_codes")
+    table = materialize_binary_codes(
+        emb, os.path.join(tmp, "codes"), prefix_bits=4
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return probed_hamming_topk(table, queries, k=5, prefix_bits=4, radius=1)
+
+
+@register(
+    "doc_text_profile",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               max(c) AS max_tc
+        FROM tc GROUP BY 1),
+    df AS (SELECT token, count(*) AS df FROM tc GROUP BY 1),
+    rarity AS (
+        SELECT tc.doc_id,
+               SUM(CAST(1.0 / df.df AS DECIMAL(18,12))) AS sum_inv_df
+        FROM tc JOIN df USING (token)
+        GROUP BY 1)
+    SELECT p.doc_id, p.n_tokens, p.n_distinct,
+           CAST(p.n_distinct AS DOUBLE) / p.n_tokens AS type_token_ratio,
+           CAST(p.max_tc AS DOUBLE) / p.n_tokens AS top_token_share,
+           CAST(r.sum_inv_df AS DOUBLE) / p.n_distinct AS mean_inv_df
+    FROM per_doc p JOIN rarity r USING (doc_id)
+    """,
+    "X4,A3,P5",
+)
+def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric text profile (textops.text_profile): tokenize/explode
+    ONCE, derive token count, distinct count, type/token ratio, top-token
+    share and mean inverse document frequency from the same per-(doc,
+    token) relation in one strictly linear plan (explode -> count ->
+    token-window df -> final per-doc aggregate; single Generate node,
+    plan-asserted in tests/test_plans.py) — corpus profiling pays the
+    explode once for all metrics instead of once per metric the way
+    separate tfidf/repetition/quality queries do."""
+    return textops.text_profile(_t(spark, sf_dir, "documents"))

@@ -415,3 +415,103 @@ def knn_hamming_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "vec_id", "hamming")
     )
+
+
+def materialize_binary_codes(
+    embeddings: DataFrame,
+    table_dir: str,
+    prefix_bits: int = 4,
+    vec_col: str = "embedding",
+):
+    """Stage-0 layout for Hamming ANN at corpus scale: the 8-byte binary
+    codes materialized as a txlog table hive-partitioned by a coarse LSH
+    prefix — the first ``prefix_bits`` sign bits of the code (the sign of
+    dimension *i* IS an axis-aligned hyperplane hash, the same family the
+    rest of this module uses). ``probed_hamming_topk`` then opens ONLY the
+    partitions within a Hamming radius of each query's prefix, so the
+    stage-1 scan cost drops from O(corpus) per query batch to
+    O(corpus x probed_buckets / 2^prefix_bits) — log-level partition
+    pruning doing for ANN what it does for date filters. Returns the
+    ``TxTable``."""
+    from ..txlog import TxTable
+
+    mask = (1 << prefix_bits) - 1
+    bq = (
+        binary_quantize(embeddings, vec_col)
+        .select("vec_id", "b_lo", "b_hi")
+        .withColumn(
+            "bucket", F.col("b_lo").bitwiseAND(F.lit(mask)).cast("int")
+        )
+    )
+    t = TxTable(embeddings.sparkSession, table_dir)
+    t.overwrite(bq, partition_by=["bucket"])
+    return t
+
+
+def prefix_probe_buckets(prefix: int, prefix_bits: int, radius: int) -> list[int]:
+    """All bucket ids within Hamming distance ``radius`` of ``prefix`` —
+    the multi-probe set (flip up to ``radius`` of the prefix bits). A
+    neighbor whose full-code distance is small can still differ in a few
+    PREFIX bits, so probing radius r bounds the recall loss to candidates
+    with >r of their bit errors concentrated in the prefix."""
+    from itertools import combinations
+
+    out = {prefix}
+    for r in range(1, radius + 1):
+        for bits in combinations(range(prefix_bits), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            out.add(prefix ^ m)
+    return sorted(out)
+
+
+def probed_hamming_topk(
+    codes_table,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_bits: int = 4,
+    radius: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stage-1 Hamming retrieval against a ``materialize_binary_codes``
+    table, scanning only the probed buckets: query prefixes are a bounded
+    driver-side read (at most 2^prefix_bits distinct buckets regardless of
+    query count — the same metadata-sized collect the IVF probe planner
+    makes), the probe set feeds a ``bucket in (...)`` predicate the txlog
+    prunes FILES with, and the XOR+popcount top-k runs over the surviving
+    partitions only. Approximate by design: recall vs the full scan is
+    bounded by the prefix-error argument on ``prefix_probe_buckets`` and
+    asserted in tests."""
+    mask = (1 << prefix_bits) - 1
+    q = binary_quantize(queries, vec_col).select(
+        F.col("query_id"),
+        F.col("b_lo").alias("q_lo"),
+        F.col("b_hi").alias("q_hi"),
+        F.col("b_lo").bitwiseAND(F.lit(mask)).cast("int").alias("q_bucket"),
+    ).localCheckpoint(eager=True)
+    probe: set[int] = set()
+    for r in q.select("q_bucket").distinct().collect():  # bounded: <=2^bits
+        probe.update(prefix_probe_buckets(r.q_bucket, prefix_bits, radius))
+    corp = codes_table.read(predicates=[("bucket", "in", sorted(probe))])
+    ham = F.bit_count(F.col("b_lo").bitwiseXOR(F.col("q_lo"))) + F.bit_count(
+        F.col("b_hi").bitwiseXOR(F.col("q_hi"))
+    )
+    # each query scores only rows in ITS probed buckets: prefix distance
+    # <= radius, an integer filter on the broadcast join — the file-level
+    # `in` predicate above is the UNION of probes, this is the per-query cut
+    scored = (
+        corp.join(F.broadcast(q))
+        .filter(
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) <= radius
+        )
+        .select("query_id", "vec_id", ham.cast("int").alias("hamming"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "hamming")
+    )

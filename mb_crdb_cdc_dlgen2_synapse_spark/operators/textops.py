@@ -590,3 +590,45 @@ def lm_bigram_scores(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         (-F.sum("logp").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
     )
+
+
+def text_profile(documents: DataFrame) -> DataFrame:
+    """Multi-metric per-document text profile over ONE token relation —
+    the reuse pattern for corpus profiling at scale: ``tfidf_top_terms``,
+    ``repetition_metrics`` and ``doc_lm_quality`` each re-explode the same
+    tokens; here the explode and the per-(doc, token) count happen once and
+    every metric derives from that relation. In the physical plan the
+    second consumer of the (doc_id, token) aggregate picks up its shuffle
+    as a ReusedExchange, so the corpus is tokenized and shuffled a single
+    time (plan-asserted in tests/test_plans.py) — at 100 TB the explode is
+    the dominant cost, and this shape pays it once for N metrics.
+
+    Metrics per doc: token count, distinct-token count, type/token ratio,
+    top-token share (Gopher-style repetition), and mean inverse document
+    frequency of its distinct tokens (rarity; per-term values pinned to
+    the decimal grid before summing so engines agree on the sum).
+
+    The plan is strictly LINEAR — explode -> (doc, token) count ->
+    document-frequency as a count over a token-partitioned window -> one
+    final per-doc aggregate — no self-joins, so the single explode is a
+    property of the plan's shape, not of exchange-reuse heuristics."""
+    from pyspark.sql import Window as W
+
+    toks = tokens(documents)
+    tc = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    # df(token) = rows in tc sharing the token (each row is a distinct doc)
+    tc = tc.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("token"))
+    )
+    return tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (
+            F.count(F.lit(1)).cast("double") / F.sum("c")
+        ).alias("type_token_ratio"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_token_share"),
+        (
+            F.sum((F.lit(1.0) / F.col("df")).cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_inv_df"),
+    )

@@ -168,3 +168,21 @@ def test_asof_join_single_exchange_no_join_explosion(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" in plan
+
+
+def test_text_profile_single_explode(spark, sf_dir):
+    """The multi-metric text profile derives >=3 per-doc metrics (and the
+    token document-frequency) from ONE tokenize/explode: exactly one
+    Generate node in the physical plan — the pay-the-explode-once reuse
+    pattern for corpus profiling."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import textops
+    from mb_crdb_cdc_dlgen2_synapse_spark.plans import explain_str
+
+    df = textops.text_profile(load_table(spark, sf_dir, "documents"))
+    plan = explain_str(df)
+    # formatted mode lists each node once as "(n) Generate"
+    import re
+
+    gens = re.findall(r"\(\d+\) Generate", plan)
+    assert len(gens) == 1, plan[:2000]
+    assert len(df.columns) == 6

@@ -167,3 +167,67 @@ def test_hamming_binary_self_zero_and_recall(spark, emb, queries):
     recalls = [len(hs[q] & cs[q]) / 5 for q in cs]
     assert all(r >= 0.4 for r in recalls), recalls
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_bucketed_hamming_prunes_files_and_bounds_recall(spark, emb, queries, tmp_path):
+    """The LSH-prefix-bucketed binary-code table: a radius-1 probe must (a)
+    open only the probed bucket partitions (log-level file pruning — the
+    scan cost argument), (b) keep every query's distance-0 self match (a
+    vector's prefix always matches its own bucket), and (c) recall a
+    meaningful share of the FULL Hamming scan's top-k."""
+    from collections import defaultdict
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import (
+        _file_may_match,
+        _partition_values,
+    )
+
+    table = similarity.materialize_binary_codes(
+        emb, str(tmp_path / "codes"), prefix_bits=4
+    )
+    # (a) pruning: per query the probe is 5 of 16 buckets; keep the BATCH
+    # small (2 queries) so the union stays a strict subset and the file
+    # pruning is observable
+    queries2 = queries.filter(F.col("query_id") < 2)
+    q_buckets = {
+        r.q_bucket
+        for r in similarity.binary_quantize(queries2)
+        .select(
+            F.col("b_lo").bitwiseAND(F.lit(15)).cast("int").alias("q_bucket")
+        )
+        .distinct()
+        .collect()
+    }
+    probe = set()
+    for b in q_buckets:
+        probe.update(similarity.prefix_probe_buckets(b, 4, 1))
+    _v, active, _s = table.snapshot()
+    stats = table.file_stats()
+    kept = [
+        f
+        for f in active
+        if _file_may_match(
+            stats.get(f), _partition_values(f), [("bucket", "in", sorted(probe))]
+        )
+    ]
+    assert kept and len(kept) < len(active), (len(kept), len(active))
+    assert all(int(_partition_values(f)["bucket"]) in probe for f in kept)
+
+    # (b)+(c): self-match and recall vs the unpruned Hamming scan (full
+    # 5-query batch — recall is per query, independent of the union)
+    got = similarity.probed_hamming_topk(
+        table, queries, k=10, prefix_bits=4, radius=1
+    ).collect()
+    full = similarity.knn_hamming_topk(emb, queries, k=10).collect()
+    gs, fs = defaultdict(set), defaultdict(set)
+    for r in got:
+        gs[r.query_id].add(r.vec_id)
+        if r.vec_id == r.query_id:
+            assert r.hamming == 0
+    for r in full:
+        fs[r.query_id].add(r.vec_id)
+    assert set(gs) == set(fs)
+    for q in fs:
+        assert q in gs[q] or any(r.vec_id == q for r in got if r.query_id == q)
+    recalls = [len(gs[q] & fs[q]) / 10 for q in fs]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
