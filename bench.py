@@ -72,6 +72,10 @@ HEADLINE = [
     "tx_schema_evolution",         # metadata-only DDL + conformed read
     "knn_rerank_two_stage",        # hamming prefilter + cosine re-rank
     "corpus_curation_v2",          # LM gate + semantic dedup + mix, one plan
+    # round-3 additions
+    "knn_hamming_bucketed",        # LSH-prefix-bucketed probe (pruned scan)
+    "doc_text_profile",            # 5 text metrics off one explode
+    "tx_checkpointed_stream",      # 13-commit ingest + checkpoint + log prune
 ]
 
 

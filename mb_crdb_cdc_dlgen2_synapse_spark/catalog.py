@@ -124,7 +124,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pivot_status_by_year",
     "grouping_sets_status_priority",
     "window_distribution_funcs",
-    "unpivot_lineitem_measures",
+    "tx_checkpointed_stream",
     "price_histogram",
     "gap_fill_daily_revenue",
     "conversion_funnel",
@@ -5708,3 +5708,59 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode once for all metrics instead of once per metric the way
     separate tfidf/repetition/quality queries do."""
     return textops.text_profile(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx_checkpointed_stream",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    "S7,T8,T1",
+)
+def tx_checkpointed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 metadata-checkpoint machinery, gate-visible end to end:
+    a micro-batched ingest commits 12 exactly-once versions into a txlog
+    table with CHECKPOINT_INTERVAL=5 (two checkpoints land mid-stream), a
+    re-delivered batch is recognized by the per-app txn WATERMARK after the
+    checkpoint, and a final vacuum(prune_log=True) bounds the log to
+    checkpoint+tail — the long-running streaming-sink lifecycle whose
+    driver-side metadata cost this round made O(interval). The read after
+    all of that must aggregate value-identically to the base table."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_ckpt_stream")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    t.CHECKPOINT_INTERVAL = 5
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    batched = orders.withColumn(
+        "b", (F.col("o_orderkey") % 12).cast("int")
+    ).localCheckpoint(eager=True)
+    for b in range(12):
+        t.append(
+            batched.filter(F.col("b") == b).drop("b"),
+            txn={"app": "gate-stream", "batch": b},
+        )
+    t.append(  # re-delivered batch: watermark (carried by the checkpoint)
+        batched.filter(F.col("b") == 3).drop("b"),
+        txn={"app": "gate-stream", "batch": 3},
+    )
+    assert t.version() == 11, t.version()
+    t.vacuum(retain_versions=2, prune_log=True)
+    commits, ckpts = t._list_log()
+    assert len(commits) <= 2 and ckpts, (len(commits), len(ckpts))
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

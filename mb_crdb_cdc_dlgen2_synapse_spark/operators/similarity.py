@@ -491,7 +491,8 @@ def probed_hamming_topk(
         F.col("b_lo").bitwiseAND(F.lit(mask)).cast("int").alias("q_bucket"),
     ).localCheckpoint(eager=True)
     probe: set[int] = set()
-    for r in q.select("q_bucket").distinct().collect():  # bounded: <=2^bits
+    rows = q.select("q_bucket").distinct().collect()  # plan-bounded: <=2^prefix_bits bucket ids, probe planning only
+    for r in rows:
         probe.update(prefix_probe_buckets(r.q_bucket, prefix_bits, radius))
     corp = codes_table.read(predicates=[("bucket", "in", sorted(probe))])
     ham = F.bit_count(F.col("b_lo").bitwiseXOR(F.col("q_lo"))) + F.bit_count(

@@ -908,11 +908,13 @@ class TxTable:
         version ``v0`` touching ``files`` (``None`` = any file) — the
         write-write conflict a rewrite/compact that scanned at ``v0`` must
         abort on instead of silently resurrecting (rewrite) or resetting
-        (compact) the concurrently committed delete. Log metadata only."""
-        for c in self._commits():
-            if c["version"] <= v0:
+        (compact) the concurrently committed delete. Log metadata only —
+        reads just the post-``v0`` commit tail."""
+        commits_map, _ = self._list_log()
+        for v in sorted(commits_map):
+            if v <= v0:
                 continue
-            for f in c.get("dv_counts", {}):
+            for f in self._read_json(commits_map[v]).get("dv_counts", {}):
                 if files is None or f in files:
                     return f
         return None
@@ -1649,11 +1651,13 @@ class TxTable:
                     f"{oldest - 1} already pruned from the log by vacuum: "
                     f"consume changes before vacuum"
                 )
+        # read ONLY the in-range commit files (one listing + O(range)
+        # parses): a lagging consumer on a long-lived table must not
+        # re-parse the whole log to pick up its tail
         commits = [
-            c
-            for c in self._commits()
-            if c["version"] > from_version
-            and (to_version is None or c["version"] <= to_version)
+            self._read_json(commits_map[v])
+            for v in sorted(commits_map)
+            if v > from_version and (to_version is None or v <= to_version)
         ]
         frames = []
         for c in commits:
