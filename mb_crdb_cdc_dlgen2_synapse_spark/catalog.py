@@ -5764,3 +5764,159 @@ def tx_checkpointed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "bloom_prefilter_dedup",
+    r"""
+    WITH hashed AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+        FROM documents),
+    a AS (SELECT * FROM hashed WHERE doc_id % 3 = 0),
+    b AS (SELECT * FROM hashed WHERE doc_id % 3 <> 0),
+    pos_a AS (
+        SELECT ('0x' || substr(md5(h || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+               % 262144 AS pos
+        FROM a, (SELECT unnest([0, 1, 2, 3]) AS i)),
+    bloom AS (
+        SELECT pos // 32 AS word,
+               bit_or((1::BIGINT) << (pos % 32)) AS bits
+        FROM pos_a GROUP BY 1),
+    probe AS (
+        SELECT b.doc_id, b.h,
+               ('0x' || substr(md5(b.h || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+               % 262144 AS pos
+        FROM b, (SELECT unnest([0, 1, 2, 3]) AS i)),
+    hits AS (
+        SELECT doc_id, h,
+               min(CASE WHEN bl.bits IS NOT NULL
+                         AND ((bl.bits >> (pos % 32)) & 1) = 1
+                        THEN 1 ELSE 0 END) AS all_hit
+        FROM probe LEFT JOIN bloom bl ON bl.word = pos // 32
+        GROUP BY 1, 2)
+    SELECT hits.doc_id,
+           all_hit = 1 AS maybe_seen,
+           (hits.h IN (SELECT h FROM a)) AS is_dup
+    FROM hits
+    """,
+    "X1,P7,Q4",
+)
+def bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter for dedup-on-ingest (operators/bloom.py): a
+    (word, bits) bloom relation built over the committed corpus's content
+    hashes (doc_id % 3 == 0) classifies every incoming doc — bloom miss is
+    PROOF the content is new (no exact check needed), bloom hit goes to
+    the exact verify. Output per incoming doc: the bloom verdict and the
+    exact-dup truth; md5-derived positions make both engines agree bit for
+    bit. Semantics guarantee visible in the result: is_dup -> maybe_seen
+    (no false negatives), and the maybe_seen excess over is_dup is the
+    bounded false-positive rate the sink's exact check absorbs."""
+    from .operators import bloom as B
+
+    hashed = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("h"),
+    )
+    a = hashed.filter(F.col("doc_id") % 3 == 0)
+    b = hashed.filter(F.col("doc_id") % 3 != 0)
+    bl = B.build_bloom(a, "h")
+    flagged = B.with_membership(b, "h", bl)
+    return flagged.join(
+        a.select("h").distinct().withColumn("__in_a", F.lit(1)),
+        "h",
+        "left",
+    ).select(
+        "doc_id",
+        "maybe_seen",
+        F.col("__in_a").isNotNull().alias("is_dup"),
+    )
+
+
+@register(
+    "knn_rerank_bucketed",
+    f"""
+    WITH bq AS (
+        SELECT vec_id, embedding,
+               {_bq_word_sql(0)} AS b_lo,
+               {_bq_word_sql(32)} AS b_hi
+        FROM embeddings),
+    bb AS (SELECT vec_id, embedding, b_lo, b_hi, b_lo & 15 AS bucket FROM bq),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, b_lo AS q_lo,
+                 b_hi AS q_hi, b_lo & 15 AS q_bucket
+          FROM bq WHERE vec_id < 3),
+    stage1 AS (
+        SELECT query_id, c.vec_id, q_vec, c.embedding,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY bit_count(xor(c.b_lo, q_lo)) + bit_count(xor(c.b_hi, q_hi)),
+                            c.vec_id) AS INT) AS h_rk
+        FROM bb c CROSS JOIN q
+        WHERE bit_count(xor(c.bucket, q.q_bucket)) <= 1),
+    cand AS (SELECT * FROM stage1 WHERE h_rk <= 50),
+    rerank AS (
+        SELECT query_id, vec_id,
+               round({_DOT_SQL.format(a='q_vec', b='embedding')}
+                     / ({_NORM_SQL.format(a='q_vec')}
+                        * {_NORM_SQL.format(a='embedding')}), 6) AS cosine
+        FROM cand)
+    SELECT query_id, rk, vec_id, cosine FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS INT) AS rk
+        FROM rerank)
+    WHERE rk <= 5
+    """,
+    "X3,W4,S5,Q2",
+)
+def knn_rerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full production retrieval stack, composed: bucket-pruned stage-1
+    Hamming scan (materialize_binary_codes + probed_hamming_topk — only
+    the probed LSH-prefix partitions are even OPENED) feeding exact-cosine
+    re-rank of the top-50 survivors. Per query the corpus cost is
+    5/16 of an 8-byte-per-vector scan, the float math touches <=50 rows —
+    and every stage stays integer/rounded-deterministic, so the whole
+    pruned pipeline hash-checks against the oracle."""
+    from pyspark.sql import Window as W
+
+    from .operators.similarity import (
+        _dot,
+        _norm,
+        materialize_binary_codes,
+        probed_hamming_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = _scratch("hamming_codes_rr")
+    table = materialize_binary_codes(
+        emb, os.path.join(tmp, "codes"), prefix_bits=4
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = probed_hamming_topk(
+        table, queries, k=50, prefix_bits=4, radius=1
+    ).select("query_id", "vec_id")
+    enriched = (
+        cand.join(emb, "vec_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    "query_id", F.col("embedding").alias("q_vec")
+                )
+            ),
+            "query_id",
+        )
+    )
+    cos = F.round(
+        _dot(F.col("q_vec"), F.col("embedding"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("embedding"))),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        enriched.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "rk", "vec_id", "cosine")
+    )

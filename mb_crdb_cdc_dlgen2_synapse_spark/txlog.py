@@ -1994,6 +1994,88 @@ def stream_dedup_to_tx_table(
     return writer.start()
 
 
+def stream_dedup_to_tx_table_bloom(
+    stream: DataFrame,
+    table_dir: str,
+    bloom_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+    available_now: bool = True,
+):
+    """``stream_dedup_to_tx_table`` with the bloom pre-filter its docstring
+    promises (operators/bloom.py): a txlog-persisted (word, bits) bloom
+    over committed content hashes splits each batch into definitely-new
+    keys (bloom miss — PROOF of absence, no exact check needed) and
+    candidates (bloom hit — true dups plus <fp-rate noise), and only the
+    candidates reach the exact anti-join against state. For mostly-new
+    corpora the expensive join's probe side shrinks from |batch| to
+    |dups + false positives|.
+
+    Crash-safety ordering: the bloom commit lands BEFORE the state append,
+    so the bloom is always a SUPERSET of committed state — a crash between
+    the two commits only creates extra candidates (exact-checked next
+    batch), never a missed duplicate. Both commits carry the batch txn
+    marker, so a re-delivered batch is a no-op on both tables."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators import bloom as B
+
+    bits = n_bits or B.DEFAULT_N_BITS
+    hashes = n_hashes or B.DEFAULT_N_HASHES
+    app_state = f"dedup-bloom-state:{os.path.abspath(checkpoint_dir)}"
+    app_bloom = f"dedup-bloom-filter:{os.path.abspath(checkpoint_dir)}"
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        state = TxTable(spark, table_dir)
+        bloom_t = TxTable(spark, bloom_dir)
+        hashed = batch.withColumn(
+            "content_hash",
+            F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        )
+        w = Window.partitionBy("content_hash").orderBy("doc_id")
+        firsts = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if bloom_t.version() >= 0 and state.version() >= 0:
+            flagged = B.with_membership(
+                firsts, "content_hash", bloom_t.read(), bits, hashes
+            ).localCheckpoint(eager=True)
+            sure_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            cands = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+            seen = state.read().select("content_hash")
+            survived = cands.join(seen, "content_hash", "left_anti")
+            newdocs = sure_new.unionByName(survived).select(*hashed.columns)
+        else:
+            newdocs = firsts.select(*hashed.columns)
+        newdocs = newdocs.localCheckpoint(eager=True)
+        batch_bloom = B.build_bloom(newdocs, "content_hash", bits, hashes)
+        merged = (
+            B.merge_blooms(bloom_t.read(), batch_bloom)
+            if bloom_t.version() >= 0
+            else batch_bloom
+        )
+        # bloom FIRST (superset invariant), then the state append
+        bloom_t.overwrite(
+            merged.coalesce(1), txn={"app": app_bloom, "batch": batch_id}
+        )
+        state.append(newdocs, txn={"app": app_state, "batch": batch_id})
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sync_changes(
     src: TxTable,
     dst: TxTable,

@@ -57,6 +57,7 @@ for name, qd in sorted(catalog.registry().items()):
         "knn_hamming_binary",  # tiny (3-row) query side broadcast
         "knn_rerank_two_stage",  # same bounded query-side broadcast
         "knn_hamming_bucketed",  # same bounded query-side broadcast, pruned scan
+        "knn_rerank_bucketed",  # same bounded query-side broadcast, pruned scan
     ):
         issues.append("BNLJ")
     if "BatchEvalPython" in plan and name not in (
