@@ -5920,3 +5920,95 @@ def knn_rerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "rk", "vec_id", "cosine")
     )
+
+
+@register(
+    "doc_quality_classifier",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM documents),
+    uni AS (SELECT doc_id, unnest(tk) AS feat FROM toks),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 2),
+                                     i -> array_to_string(tk[i:i+1], ' '))) AS feat
+        FROM toks WHERE len(tk) >= 2),
+    feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    wts AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(feat), 1, 8))::BIGINT % 262144) % 2001 - 1000 AS wm
+        FROM feats)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(wm) AS DOUBLE) / (1000.0 * count(*)) AS score,
+           sum(wm) > 0 AS keep
+    FROM wts GROUP BY doc_id
+    """,
+    "X4,P5,A1",
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (textops.quality_classifier_scores):
+    fastText-shaped linear inference as relational algebra — hashed
+    unigram+bigram features, per-bucket milli-weight, mean pooling, binary
+    keep label. Integer-exact all the way to one final double division, so
+    the classifier pipeline hash-checks against the oracle; real learned
+    weights slot in as a broadcast (bucket, weight) relation without
+    changing the plan."""
+    return textops.quality_classifier_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_data_card",
+    r"""
+    WITH hashed AS (
+        SELECT lang, source, n_chars,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                               t -> t <> '')) AS n_tokens
+        FROM documents)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique_contents,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS avg_chars
+    FROM hashed GROUP BY 1, 2
+    """,
+    "X4,A3,A4",
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data governance artifact: the per-(lang, source) data card
+    — doc/token counts, exact-duplicate load (distinct content hashes),
+    and length envelope — in ONE aggregate pass over the corpus (the
+    multi-distinct is Spark's expand-based single-scan plan). The numbers
+    a dataset release documents; the same groupBy scales to any slice
+    column. Decimal-pinned average keeps both engines bit-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("h"),
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+    return hashed.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("h").cast("long").alias("n_unique_contents"),
+        (F.count(F.lit(1)) - F.countDistinct("h"))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_chars"),
+    )

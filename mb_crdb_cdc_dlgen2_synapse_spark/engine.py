@@ -246,3 +246,69 @@ class Engine:
         from .streaming.ingest import materialize_latest_state_dv
 
         return materialize_latest_state_dv(stream, table_dir, checkpoint_dir, **kw)
+
+    def start_bloom_dedup_ingestion(
+        self, stream, table_dir: str, bloom_dir: str, checkpoint_dir: str, **kw
+    ):
+        """Dedup-on-ingest with the bloom pre-filter (txlog.
+        stream_dedup_to_tx_table_bloom): bloom misses skip the exact
+        anti-join; the bloom commits before the state append, so it stays a
+        superset of committed hashes across crashes."""
+        from .txlog import stream_dedup_to_tx_table_bloom
+
+        return stream_dedup_to_tx_table_bloom(
+            stream, table_dir, bloom_dir, checkpoint_dir, **kw
+        )
+
+    def knn_pruned(
+        self, codes_dir: str, embeddings: DataFrame, queries: DataFrame, k: int = 5, **kw
+    ) -> DataFrame:
+        """Bucket-pruned Hamming top-k: materialize (or reuse) the
+        LSH-prefix-partitioned binary-code table at ``codes_dir``, then
+        probe only the buckets within the Hamming radius of each query's
+        prefix (operators.similarity.materialize_binary_codes /
+        probed_hamming_topk)."""
+        from .operators.similarity import (
+            materialize_binary_codes,
+            probed_hamming_topk,
+        )
+        from .txlog import TxTable
+
+        table = TxTable(self.spark, codes_dir)
+        if table.version() < 0:
+            table = materialize_binary_codes(embeddings, codes_dir, **{
+                k_: v for k_, v in kw.items() if k_ in ("prefix_bits", "vec_col")
+            })
+        return probed_hamming_topk(
+            table, queries, k=k,
+            **{k_: v for k_, v in kw.items() if k_ in ("prefix_bits", "radius", "vec_col")},
+        )
+
+    def maintain(
+        self,
+        table_dir: str,
+        max_files: int = 64,
+        target_files: int = 8,
+        retain_versions: int = 2,
+        vacuum_now: bool = True,
+    ) -> dict:
+        """One-call table maintenance for a txlog table — the job a
+        production pipeline schedules on a cadence next to its streaming
+        sinks: compact when the active-file count passes ``max_files``
+        (Z-ordering by the table's declared clustering policy), then vacuum
+        data files AND prune log segments outside the retained window
+        (metadata checkpoints keep every retained version resolvable).
+        Returns what ran: {"compacted": bool, "files_deleted": int,
+        "version": int}."""
+        from .txlog import TxTable, maybe_autocompact
+
+        t = TxTable(self.spark, table_dir)
+        compacted = maybe_autocompact(t, max_files, target_files)
+        deleted = (
+            t.vacuum(retain_versions=retain_versions) if vacuum_now else 0
+        )
+        return {
+            "compacted": compacted,
+            "files_deleted": deleted,
+            "version": t.version(),
+        }

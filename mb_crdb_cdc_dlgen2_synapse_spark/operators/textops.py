@@ -632,3 +632,66 @@ def text_profile(documents: DataFrame) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_inv_df"),
     )
+
+
+def quality_classifier_scores(
+    documents: DataFrame, n_buckets: int = 1 << 18
+) -> DataFrame:
+    """FastText-style linear quality classifier — the INFERENCE shape used
+    to model-filter training corpora, expressed as pure relational algebra:
+    hashed unigram + bigram features (feature hashing into ``n_buckets``),
+    per-bucket weight lookup, mean pooling, linear score and keep/drop
+    label. At 100 TB linear-classifier inference IS a projection + one
+    hash aggregate per doc: one posexplode + lead window builds both
+    feature families (codegen), no UDF, no Python, no model server.
+
+    Weights here are a deterministic function of the bucket id in integer
+    milli-units (``bucket % 2001 - 1000``) — a stand-in for learned
+    parameters that keeps the whole pipeline integer-exact and therefore
+    oracle-checkable; swapping in real learned weights is a broadcast
+    (bucket, weight) join replacing the inline expression, same plan
+    shape. Score = sum(milli)/1000/n — one double division at the end,
+    accumulation-order independent because the sum is integral."""
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok", 1).over(w)
+    uni = toks.select("doc_id", F.col("tok").alias("feat"))
+    bi = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), nxt).alias("feat"),
+            nxt.alias("__n"),
+        )
+        .filter(F.col("__n").isNotNull())
+        .select("doc_id", "feat")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    wm = F.pmod(bucket, F.lit(2001)) - F.lit(1000)  # milli-weight, [-1000, 1000]
+    return (
+        uni.unionByName(bi)
+        .select("doc_id", wm.alias("wm"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("wm").cast("long").alias("sum_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            (
+                F.col("sum_milli").cast("double")
+                / (F.lit(1000.0) * F.col("n_features"))
+            ).alias("score"),
+            (F.col("sum_milli") > 0).alias("keep"),
+        )
+    )

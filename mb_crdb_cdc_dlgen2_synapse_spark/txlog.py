@@ -130,6 +130,7 @@ def _footer_stats(parquet_path: str) -> dict:
     simply never pruned on."""
     import pyarrow.parquet as pq
 
+    size_bytes = os.path.getsize(parquet_path)
     md = pq.ParquetFile(parquet_path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
@@ -170,7 +171,13 @@ def _footer_stats(parquet_path: str) -> dict:
                 continue
             mins[name] = st.min if name not in mins else min(mins[name], st.min)
             maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
-    return {"rows": md.num_rows, "min": mins, "max": maxs, "nulls": nulls}
+    return {
+        "rows": md.num_rows,
+        "bytes": size_bytes,
+        "min": mins,
+        "max": maxs,
+        "nulls": nulls,
+    }
 
 
 def _nullable_normalized(schema_json: str) -> str:
@@ -383,6 +390,7 @@ class TxTable:
             "dvs": [],
             "dv_counts": {},
             "txn": {},
+            "utc": None,
         }
 
     @staticmethod
@@ -417,6 +425,7 @@ class TxTable:
             b = t.get("batch")
             state["txn"][t["app"]] = b if prev is None else max(prev, b)
         state["version"] = c["version"]
+        state["utc"] = c.get("utc") or state.get("utc")
 
     def _state(self, as_of: int | None = None) -> dict:
         """Fully resolved table state at ``as_of`` (default head): the
@@ -456,6 +465,7 @@ class TxTable:
                 "dvs": list(ck.get("dvs") or []),
                 "dv_counts": dict(ck.get("dv_counts") or {}),
                 "txn": dict(ck.get("txn") or {}),
+                "utc": ck.get("utc"),
             }
         else:
             state = self._empty_state()
@@ -482,6 +492,7 @@ class TxTable:
             "dvs": s["dvs"],
             "dv_counts": s["dv_counts"],
             "txn": s["txn"],
+            "utc": s["utc"],
         }
         target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
         # a racer may already have checkpointed this version — same content,
@@ -494,6 +505,28 @@ class TxTable:
             return
         if version % self.CHECKPOINT_INTERVAL == 0:
             self.write_checkpoint(version)
+
+    def version_at(self, ts: str) -> int:
+        """Latest version committed at or before UTC timestamp ``ts``
+        (``YYYY-MM-DDTHH:MM:SSZ`` — lexicographic compare, Delta's
+        TIMESTAMP AS OF). Resolvable only within the retained log window:
+        commit times come from the available commit files plus the
+        checkpoint's carried timestamp; older history was pruned."""
+        commits_map, ckpts = self._list_log()
+        best = -1
+        for v in sorted(ckpts):
+            utc = self._read_json(ckpts[v]).get("utc")
+            if utc is not None and utc <= ts:
+                best = max(best, v)
+        for v in sorted(commits_map):
+            utc = self._read_json(commits_map[v]).get("utc")
+            if utc is not None and utc <= ts:
+                best = max(best, v)
+        if best < 0:
+            raise ValueError(
+                f"no commit at or before {ts!r} in the retained log window"
+            )
+        return best
 
     def snapshot(self, as_of: int | None = None) -> tuple[int, list[str], str | None]:
         """(version, active data files relative to root, latest schema json).
@@ -807,9 +840,10 @@ class TxTable:
 
     def compact(
         self,
-        target_files: int = 1,
+        target_files: int | None = 1,
         z_order: list[str] | None = None,
         predicates: list[tuple] | None = None,
+        target_mb: int | None = None,
     ) -> int:
         """Rewrite content into ``target_files`` files in ONE commit —
         the OPTIMIZE analog; concurrent readers keep their snapshot.
@@ -832,9 +866,29 @@ class TxTable:
         ``approxQuantile`` pass at compact time — maintenance cost, same
         trade Delta's OPTIMIZE ZORDER makes), then the interleaved-bit key
         feeds ``repartitionByRange`` + a per-partition sort: no global
-        single-partition sort anywhere."""
+        single-partition sort anywhere.
+
+        ``target_mb`` sizes the output from LOGGED bytes instead of a
+        hand-picked file count (the OPTIMIZE file-size knob): the commit
+        log records each file's size, so the target count is
+        ceil(total_bytes / target_mb) — pure metadata, no storage listing.
+        At 100 TB "compact to 128 MB files" is the policy you actually
+        state; a fixed count is only right for small reference tables."""
         if z_order is None:
             z_order = self.clustering() or None  # declared clustering policy
+        if target_mb is not None:
+            stats0 = self.file_stats()
+            scope0 = self.snapshot()[1]
+            if predicates:
+                scope0 = [
+                    f
+                    for f in scope0
+                    if _file_may_match(
+                        stats0.get(f), _partition_values(f), predicates
+                    )
+                ]
+            total = sum((stats0.get(f) or {}).get("bytes") or 0 for f in scope0)
+            target_files = max(1, -(-total // (target_mb * 1024 * 1024)))
 
         def relayout(df: DataFrame) -> DataFrame:
             if z_order:
@@ -1109,6 +1163,7 @@ class TxTable:
         self,
         as_of: int | None = None,
         predicates: list[tuple] | None = None,
+        as_of_ts: str | None = None,
     ) -> DataFrame:
         """DataFrame over a snapshot's files (partition columns recovered via
         basePath). Empty table -> empty DF with the last committed schema.
@@ -1121,7 +1176,13 @@ class TxTable:
         difference between listing-and-opening every object and touching
         only the relevant ones. The same predicates are then applied as real
         ``filter`` s, so the result equals ``read().filter(...)`` exactly.
+        ``as_of_ts``: TIMESTAMP AS OF — resolves to the latest version
+        committed at or before that UTC time (see ``version_at``).
         """
+        if as_of_ts is not None:
+            if as_of is not None:
+                raise ValueError("pass as_of OR as_of_ts, not both")
+            as_of = self.version_at(as_of_ts)
         _version, active, schema = self.snapshot(as_of)
         predicates = predicates or []
         if active and predicates:

@@ -138,3 +138,29 @@ def test_facade_session4_surface(spark, sf_dir, tmp_path):
     assert {"doc_id", "n_bigrams", "avg_nll"} <= set(
         e.lm_quality_scores(docs.limit(30)).columns
     )
+
+
+def test_maintain_compacts_vacuums_and_prunes_log(spark, tmp_path):
+    """engine.maintain(): one call bounds active files, reclaims
+    unreferenced data, and prunes the log to the retained window — the
+    maintenance cadence a long-running streaming pipeline schedules."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.engine import Engine
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    eng = Engine(spark)
+    tdir = str(tmp_path / "t")
+    t = TxTable(spark, tdir)
+    df = spark.createDataFrame([(1, "x")], "k int, v string").coalesce(1)
+    df = df.localCheckpoint(eager=True)
+    for _ in range(10):
+        t.append(df)
+    res = eng.maintain(tdir, max_files=4, target_files=1, retain_versions=1)
+    assert res["compacted"] is True
+    t2 = TxTable(spark, tdir)
+    assert len(t2.snapshot()[1]) == 1          # compacted to one file
+    commits, ckpts = t2._list_log()
+    assert len(commits) <= 1 and ckpts          # log pruned to ckpt+tail
+    assert t2.read().count() == 10
+    # idempotent second run: nothing left to compact
+    res2 = eng.maintain(tdir, max_files=4, target_files=1)
+    assert res2["compacted"] is False and t2.read().count() == 10

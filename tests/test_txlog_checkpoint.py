@@ -240,3 +240,70 @@ def test_log_store_race_retries_to_next_version(spark, tmp_path):
     t.append(_df(spark, [(2, "b")]))        # loses v1, lands at v2
     assert t.version() == 2
     assert sorted(r.k for r in t.read().collect()) == [1, 2, 99]
+
+
+def test_timestamp_time_travel(spark, tmp_path, monkeypatch):
+    """TIMESTAMP AS OF: read(as_of_ts=...) resolves the latest version
+    committed at or before the given UTC time — including when the
+    resolving metadata is a checkpoint (version time carried through the
+    log prune for the oldest retained version)."""
+    import time as _time
+
+    from mb_crdb_cdc_dlgen2_synapse_spark import txlog as _tx
+
+    # deterministic commit clock: one tick per commit
+    clock = iter(range(100))
+
+    def fake_strftime(fmt, t=None):
+        return f"2026-01-01T00:00:{next(clock):02d}Z"
+
+    monkeypatch.setattr(_tx.time, "strftime", fake_strftime)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 2
+    for i in range(5):                             # v0..v4 at :00..:04
+        t.append(_df(spark, [(i, "x")]))
+    assert t.version_at("2026-01-01T00:00:02Z") == 2
+    assert t.read(as_of_ts="2026-01-01T00:00:03Z").count() == 4
+    assert t.version_at("2026-01-01T00:59:59Z") == 4
+    with pytest.raises(ValueError, match="no commit at or before"):
+        t.version_at("2025-12-31T23:59:59Z")
+    with pytest.raises(ValueError, match="not both"):
+        t.read(as_of=1, as_of_ts="2026-01-01T00:00:01Z")
+    # after a log prune the checkpoint carries the retained version's time
+    t.vacuum(retain_versions=2)                    # keep v3, v4
+    assert t.version_at("2026-01-01T00:00:03Z") in (3,)
+    assert t.read(as_of_ts="2026-01-01T00:00:04Z").count() == 5
+    with pytest.raises(ValueError, match="no commit"):
+        t.version_at("2026-01-01T00:00:01Z")       # pruned horizon
+
+
+def test_compact_by_target_size_uses_logged_bytes(spark, tmp_path):
+    """compact(target_mb=...) derives the output file count from LOGGED
+    per-file sizes (metadata only): tiny table -> 1 file; a sub-file-size
+    target splits proportionally."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    for i in range(4):
+        t.append(df.filter(F.col("k") % 4 == i))
+    stats = t.file_stats()
+    total = sum(s.get("bytes") or 0 for s in stats.values())
+    assert total > 0 and all("bytes" in s for s in stats.values())
+    # target far above total -> exactly one output file
+    t.compact(target_mb=1024)
+    assert len(t.snapshot()[1]) == 1
+    assert t.count_rows() == 50_000
+    # re-split: target smaller than total/2 -> >= 2 files
+    per_file_mb = max(1, total // (1024 * 1024))
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    for i in range(4):
+        t2.append(df.filter(F.col("k") % 4 == i))
+    tiny_target = max(
+        1, sum(s.get("bytes") or 0 for s in t2.file_stats().values())
+        // (2 * 1024 * 1024),
+    )
+    if tiny_target >= 1:
+        t2.compact(target_mb=tiny_target)
+        assert len(t2.snapshot()[1]) >= 2 or tiny_target * 2 * 1024 * 1024 > total
+    assert t2.count_rows() == 50_000
