@@ -307,3 +307,46 @@ def test_compact_by_target_size_uses_logged_bytes(spark, tmp_path):
         t2.compact(target_mb=tiny_target)
         assert len(t2.snapshot()[1]) >= 2 or tiny_target * 2 * 1024 * 1024 > total
     assert t2.count_rows() == 50_000
+
+
+def test_concurrent_writers_race_checkpoint_writes(spark, tmp_path):
+    """Checkpoint-every-commit under multi-threaded writers: every commit
+    lands exactly once, checkpoint races resolve idempotently (same
+    content, first writer keeps the file), and the final state is exact."""
+    import threading
+
+    tdir = str(tmp_path / "t")
+    base = spark.createDataFrame([(0, "seed")], "k int, v string")
+    TxTable(spark, tdir).append(base)
+    errors = []
+
+    def writer(wid: int):
+        try:
+            t = TxTable(spark, tdir)
+            t.CHECKPOINT_INTERVAL = 1  # checkpoint after EVERY commit
+            for j in range(3):
+                t.append(
+                    spark.createDataFrame(
+                        [(100 * wid + j, f"w{wid}")], "k int, v string"
+                    )
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(1, 4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = TxTable(spark, tdir)
+    assert t.version() == 9  # 1 seed + 9 racing commits, all landed
+    got = sorted(r.k for r in t.read().collect())
+    assert got == sorted([0] + [100 * w + j for w in range(1, 4) for j in range(3)])
+    _commits, ckpts = t._list_log()
+    assert ckpts  # at least the raced checkpoints that won their link
+    # resolution through any checkpoint equals full replay
+    full = t._empty_state()
+    for c in t._commits():
+        t._apply_commit(full, c)
+    assert t._state() == full
