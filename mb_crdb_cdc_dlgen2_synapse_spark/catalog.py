@@ -998,6 +998,124 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+_INCOMING_SQL = """
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 1
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text || ' zz1 zz2 zz3' AS text
+        FROM documents WHERE doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id + 4000000 AS doc_id,
+               md5(text) || ' ' || md5(text || 'a') || ' ' ||
+               md5(text || 'b') || ' ' || md5(text || 'c') AS text
+        FROM documents WHERE doc_id % 10 = 7
+"""
+
+
+def _incoming_batch(documents: DataFrame) -> DataFrame:
+    """Deterministic synthetic 'new crawl': exact re-crawls (%10=1),
+    appended-boilerplate near-dups (%10=3), and genuinely novel docs
+    (%10=7, md5-derived tokens no corpus shingle can match)."""
+    d = documents.select("doc_id", "text")
+    t = F.col("text")
+    return (
+        d.filter(F.col("doc_id") % 10 == 1)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(t, F.lit(" zz1 zz2 zz3")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.md5(t),
+                    F.md5(F.concat(t, F.lit("a"))),
+                    F.md5(F.concat(t, F.lit("b"))),
+                    F.md5(F.concat(t, F.lit("c"))),
+                ).alias("text"),
+            )
+        )
+    )
+
+
+@register(
+    "cross_corpus_dedup",
+    rf"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    incoming AS ({_INCOMING_SQL}),
+    all_docs AS (
+        SELECT 0 AS side, doc_id, text FROM corpus
+        UNION ALL
+        SELECT 1 AS side, doc_id, text FROM incoming),
+    toks AS (
+        SELECT side, doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM all_docs),
+    sh AS (
+        SELECT side, doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 3, 0) + 2),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shingles
+        FROM toks WHERE len(tk) > 0),
+    expl AS (SELECT side, doc_id, unnest(shingles) AS s FROM sh),
+    basehash AS (
+        SELECT side, doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h
+        FROM expl),
+    hashes AS (
+        SELECT side, doc_id, seed, min((a * h + b) % 2147483647) AS mh
+        FROM basehash, ({_MINHASH_SEEDS_SQL}) seeds(seed, a, b)
+        GROUP BY side, doc_id, seed),
+    sigs AS (SELECT side, doc_id, list(mh ORDER BY seed) AS sig
+             FROM hashes GROUP BY side, doc_id),
+    bandkeys AS (
+        SELECT side, doc_id, b AS band_id,
+               array_to_string(sig[b*4+1 : b*4+4], '-') AS band_key
+        FROM sigs, (SELECT unnest(range(0, 4)) AS b) bands),
+    cands AS (
+        SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS cor_id
+        FROM bandkeys i JOIN bandkeys c
+          ON i.band_id = c.band_id AND i.band_key = c.band_key
+        WHERE i.side = 1 AND c.side = 0),
+    sizes AS (SELECT side, doc_id, len(shingles) AS n_sh FROM sh),
+    inter AS (
+        SELECT i.doc_id AS inc_id, c.doc_id AS cor_id, count(*) AS n_inter
+        FROM expl i
+        JOIN expl c ON i.s = c.s AND i.side = 1 AND c.side = 0
+        JOIN cands ON cands.inc_id = i.doc_id AND cands.cor_id = c.doc_id
+        GROUP BY 1, 2),
+    jac AS (
+        SELECT inc_id, count(*) AS n_dup_matches,
+               max(n_inter / (sa.n_sh + sb.n_sh - n_inter)) AS best_jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.inc_id AND sa.side = 1
+        JOIN sizes sb ON sb.doc_id = inter.cor_id AND sb.side = 0
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        GROUP BY 1)
+    SELECT i.doc_id, coalesce(jac.n_dup_matches, 0) AS n_dup_matches,
+           jac.best_jaccard, jac.n_dup_matches IS NULL AS is_novel
+    FROM incoming i LEFT JOIN jac ON jac.inc_id = i.doc_id
+    """,
+    "X2",
+)
+def cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a synthetic 'new crawl' batch (exact re-crawls,
+    boilerplate-appended near-dups, novel docs) anti-deduped against the
+    EXISTING documents corpus — banded-LSH candidates with the incoming
+    band keys broadcast, exact-Jaccard verify over candidate docs only
+    (operators/dedup.cross_corpus_dedup). The production shape of X2: the
+    corpus is never re-clustered; per-batch cost tracks the batch and its
+    bucket collisions. Reference analog: dedup of at-least-once CDC
+    re-deliveries generalized to content-level re-crawls
+    (/root/reference/README.md:135 — changefeeds are at-least-once)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.cross_corpus_dedup(
+        _incoming_batch(docs), docs.select("doc_id", "text")
+    )
+
+
 # ===========================================================================
 # Similarity search (X3) + array functions (P8)
 # ===========================================================================

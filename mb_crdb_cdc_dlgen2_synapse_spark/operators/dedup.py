@@ -361,6 +361,134 @@ def duplicate_clusters(
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def cross_corpus_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X2 as an INCREMENTAL pipeline: dedup an incoming batch against an
+    EXISTING corpus (the production shape — a new crawl lands against a
+    training set that was already deduped; re-clustering the whole corpus
+    per batch would be O(total), this is O(batch + collisions)).
+
+    Scale shape, stage by stage:
+    - corpus MinHash signatures are computed once per run here; a standing
+      pipeline materializes them in a txlog table at ingest time (the
+      signature relation is n_docs x n_hashes ints — tiny next to the text —
+      and this function accepts any (doc_id, sig) relation via
+      ``minhash_signatures``-shaped frames if precomputed upstream).
+    - candidate generation is the banded-LSH equi-join with the INCOMING
+      side's band keys broadcast: the corpus-side band relation streams
+      past it map-side — the corpus never shuffles for candidates.
+    - exact-Jaccard verify touches only candidate docs: both shingle
+      relations are semi-join-pruned to candidate ids before the
+      intersection join, so verify cost tracks candidate sizes, never
+      |batch| x |corpus|.
+
+    Jaccard is a ratio of exact integers (IEEE division is exactly
+    rounded), so the keep/drop decision is engine-portable without rounding.
+
+    Returns one row per incoming doc:
+    (doc_id, n_dup_matches, best_jaccard nullable, is_novel).
+    """
+    inc = incoming.select("doc_id", "text")
+    cor = corpus.select("doc_id", "text")
+
+    inc_bands = _band_entries(inc, n_hashes, bands, shingle_k).withColumnRenamed(
+        "doc_id", "inc_id"
+    )
+    cor_bands = _band_entries(cor, n_hashes, bands, shingle_k).withColumnRenamed(
+        "doc_id", "cor_id"
+    )
+    cands = (
+        cor_bands.join(
+            F.broadcast(inc_bands), ["band_id", "band_key"]
+        )
+        .select("inc_id", "cor_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by 3 downstream joins
+    )
+
+    inc_sh = shingle_rows(inc, k=shingle_k).withColumnRenamed("s", "shingle")
+    cor_sh = shingle_rows(cor, k=shingle_k).withColumnRenamed("s", "shingle")
+    # verify only candidate docs: prune both shingle relations first
+    cor_sh_c = cor_sh.join(
+        cands.select(F.col("cor_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    )
+    inc_sh_c = inc_sh.join(
+        cands.select(F.col("inc_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
+    )
+    inter = (
+        inc_sh_c.select(F.col("doc_id").alias("inc_id"), "shingle")
+        .join(cor_sh_c.select(F.col("doc_id").alias("cor_id"), "shingle"), "shingle")
+        .groupBy("inc_id", "cor_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(cands, ["inc_id", "cor_id"], "left_semi")  # candidate pairs only
+    )
+    sizes_inc = inc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_cor = cor_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    jac = (
+        inter.join(sizes_inc.withColumnRenamed("doc_id", "inc_id"), "inc_id")
+        .join(sizes_cor.withColumnRenamed("doc_id", "cor_id"), "cor_id")
+        .select(
+            "inc_id",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("inc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        inc.select("doc_id")
+        .join(jac.withColumnRenamed("inc_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dup_matches"), F.lit(0)).alias("n_dup_matches"),
+            "best_jaccard",
+            F.col("n_dup_matches").isNull().alias("is_novel"),
+        )
+    )
+
+
+def _band_entries(
+    documents: DataFrame, n_hashes: int, bands: int, shingle_k: int
+) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH band relation — the shared candidate
+    key of ``lsh_candidates`` (self-join) and ``cross_corpus_dedup``
+    (incoming-vs-corpus join)."""
+    rows = n_hashes // bands
+    sigs = minhash_signatures(documents, n_hashes, shingle_k)
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at("sig", b * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.8,
