@@ -5082,6 +5082,59 @@ def tx_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_zero_copy_clone",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE NOT (o_totalprice >= 400000.0))
+    SELECT 'source' AS side, o_orderkey, o_orderpriority, o_totalprice
+    FROM base WHERE NOT (o_orderpriority = '5-LOW')
+    UNION ALL
+    SELECT 'clone' AS side, o_orderkey, o_orderpriority,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice
+    FROM base
+    """,
+    "S7,T8",
+)
+def tx_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow CLONE over the txlog format (txlog.clone_to — the published
+    Delta CLONE semantics): orders land in a txlog table, a merge-on-read
+    DELETE hides the >=400k tail, then the table is cloned ZERO-COPY
+    (hard-linked files + one metadata commit carrying schema/stats/DV set).
+    The two tables then evolve independently — the clone raises urgent
+    prices 10% (CoW into its own directory), the source drops 5-LOW orders
+    — and the query returns both sides tagged, so the oracle certifies (a)
+    the carried deletion vectors apply in the clone and (b) neither side's
+    DML leaks into the other."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_clone")
+    src = TxTable(spark, os.path.join(tmp, "src"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderkey") % 8).alias("bucket"),
+    )
+    src.append(orders, partition_by=["bucket"])
+    src.delete_where([("o_totalprice", ">=", 400000.0)], mode="dv")
+    clone = src.clone_to(os.path.join(tmp, "clone"))
+    clone.update_where(
+        [("o_orderpriority", "==", "1-URGENT")],
+        {"o_totalprice": F.col("o_totalprice") * 1.1},
+    )
+    src.delete_where([("o_orderpriority", "==", "5-LOW")])
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    return (
+        src.read()
+        .select(F.lit("source").alias("side"), *cols)
+        .unionByName(clone.read().select(F.lit("clone").alias("side"), *cols))
+    )
+
+
+@register(
     "tx_schema_evolution",
     """
     SELECT o_orderkey,

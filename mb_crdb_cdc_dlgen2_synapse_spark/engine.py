@@ -284,6 +284,14 @@ class Engine:
             **{k_: v for k_, v in kw.items() if k_ in ("prefix_bits", "radius", "vec_col")},
         )
 
+    def clone_table(self, src_dir: str, dst_dir: str, as_of: int | None = None):
+        """Zero-copy shallow CLONE of a txlog table (txlog.TxTable.clone_to):
+        hard-linked data files + one metadata commit; the clone then evolves
+        independently (dev/test sandboxes, reproducible experiment pins)."""
+        from .txlog import TxTable
+
+        return TxTable(self.spark, src_dir).clone_to(dst_dir, as_of=as_of)
+
     def maintain(
         self,
         table_dir: str,

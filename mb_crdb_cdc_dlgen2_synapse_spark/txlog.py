@@ -1892,6 +1892,75 @@ class TxTable:
             },
         )
 
+    def clone_to(self, target_path: str, as_of: int | None = None) -> "TxTable":
+        """Zero-copy shallow CLONE (the published Delta CLONE semantics): a
+        NEW independent table at ``target_path`` whose first commit
+        references the source snapshot's data — no data rewritten, cost is
+        O(active files) metadata operations regardless of table size.
+
+        Mechanism: every active data file (and active deletion-vector file)
+        is HARD-LINKED into the clone under its existing relative path, then
+        one ``clone`` commit records the carried state (file list + per-file
+        stats, schema, CHECK constraints, clustering policy, DV set).
+        Preserving relative paths keeps everything that is keyed by them
+        valid unchanged — DV ``rel_file`` references, hive partition
+        layout(s), stats-based file pruning. Txn watermarks are NOT carried:
+        the clone is a new writer identity (re-pointing a streaming job at a
+        clone must not suppress its first batches).
+
+        Independence: links share inodes, so neither table can corrupt the
+        other (data files are immutable by design — every writer path
+        creates new files). DML on the clone copy-on-writes into the
+        clone's own directory; ``vacuum`` on either side only unlinks its
+        own name, and the shared inode survives until BOTH tables drop it —
+        so unlike a path-referencing shallow clone, vacuuming the source
+        can never break the clone.
+
+        Object-store mapping (no hard links): either server-side copy
+        (S3 ``CopyObject`` / ADLS copy — metadata-fast, the "deep clone
+        lite"), or absolute-path file references plus per-file base-URI
+        scanning, which is Delta's actual shallow-clone layout. On a
+        filesystem without cross-device links this falls back to a real
+        copy per file (correct, no longer zero-copy).
+
+        ``as_of`` clones a historical snapshot (CLONE ... VERSION AS OF).
+        The target must not already be a table.
+        """
+        if self.version() < 0:
+            raise ValueError(f"cannot clone {self.path!r}: not a table yet")
+        target = TxTable(self.spark, target_path, self.log_store)
+        if target.version() >= 0:
+            raise ValueError(
+                f"clone target {target_path!r} is already a table "
+                f"(v{target.version()})"
+            )
+        s = self._state(as_of)
+        for rel in list(s["active"]) + list(s["dvs"]):
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(target.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device fallback
+        target._commit(
+            list(s["active"]),
+            lambda active: [],
+            s["schema"],
+            None,
+            "clone",
+            stats=dict(s["stats"]),
+            checks=dict(s["checks"]),
+            extra={
+                "clustering": list(s["clustering"]),
+                "dv_added": list(s["dvs"]),
+                "dv_counts": dict(s["dv_counts"]),
+                "clone_source": self.path,
+                "clone_source_version": s["version"],
+            },
+        )
+        return target
+
     def vacuum(self, retain_versions: int = 1, prune_log: bool = True) -> int:
         """Delete data files not referenced by any of the newest
         ``retain_versions`` snapshots (default 1 = current only, the
