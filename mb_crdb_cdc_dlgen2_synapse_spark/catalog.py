@@ -5082,6 +5082,47 @@ def tx_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "planned_metadata_join",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "J2,A1,A2",
+)
+def planned_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven join planning (plans/planner.py — SURVEY §4.2's
+    custom-logic candidate): orders and customer land in txlog tables, the
+    planner sizes BOTH sides from logged per-file rows/bytes (zero file
+    I/O), decides to broadcast the customer side, and constructs the join
+    with the explicit hint — asserted in tests even with Catalyst's own
+    threshold disabled. The oracle is the plain SQL join; the planner must
+    never change results, only the physical shape."""
+    from .functions.numeric import exact_sum
+    from .plans.planner import planned_equi_join, tx_size_estimate
+    from .txlog import TxTable
+
+    tmp = _scratch("planned_join")
+    to = TxTable(spark, os.path.join(tmp, "orders"))
+    tc = TxTable(spark, os.path.join(tmp, "customer"))
+    to.append(_t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"))
+    tc.append(_t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    joined, _decision = planned_equi_join(
+        to.read(),
+        tc.read().withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        tx_size_estimate(to),
+        tx_size_estimate(tc),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice").alias("revenue"),
+    )
+
+
+@register(
     "tx_zero_copy_clone",
     """
     WITH base AS (

@@ -284,6 +284,19 @@ class Engine:
             **{k_: v for k_, v in kw.items() if k_ in ("prefix_bits", "radius", "vec_col")},
         )
 
+    def planned_join(self, left_dir: str, right_dir: str, on, **kw):
+        """Metadata-costed equi join of two txlog tables (plans/planner.py):
+        sides sized from logged per-file rows/bytes — zero file I/O — and
+        the broadcast decision applied as an explicit hint. Returns
+        (DataFrame, decision record)."""
+        from .plans.planner import planned_equi_join, tx_size_estimate
+        from .txlog import TxTable
+
+        lt, rt = TxTable(self.spark, left_dir), TxTable(self.spark, right_dir)
+        return planned_equi_join(
+            lt.read(), rt.read(), on, tx_size_estimate(lt), tx_size_estimate(rt), **kw
+        )
+
     def clone_table(self, src_dir: str, dst_dir: str, as_of: int | None = None):
         """Zero-copy shallow CLONE of a txlog table (txlog.TxTable.clone_to):
         hard-linked data files + one metadata commit; the clone then evolves
