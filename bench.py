@@ -110,24 +110,37 @@ def main() -> None:
     # warm the JVM/codegen once (untimed)
     run_noop(reg["flagship_cdc_city_revenue"].builder(spark, SF_DIR))
 
-    # best-of-2: this host's I/O throughput is erratic; a single slow pass
-    # would misreport plan quality. Pass 1 also serves as per-query warmup.
-    for name in HEADLINE:
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            run_noop(reg[name].builder(spark, SF_DIR))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+    # Protocol: best-of-2 with INTERLEAVED passes + adaptive re-runs.
+    # This host's I/O throughput stalls for multi-second windows; running a
+    # query's two passes back-to-back lets ONE stall window poison both
+    # samples. So pass 1 runs every query (also the per-query warmup), then
+    # pass 2 runs every query again — the two samples of each query are
+    # minutes apart and a stall can't cover both. If a query's two samples
+    # still disagree by >1.5x the measurement is unstable (a stall hit one
+    # of them): re-run up to 2 more times until the two smallest samples
+    # agree. Reported value stays the MINIMUM — plan cost, not host luck.
+    def build(name):
+        if name == "flagship_e2e_ndjson":
+            return revenue_by_city_from_lines(read_raw_lines(spark, lake))
+        return reg[name].builder(spark, SF_DIR)
 
-    best = None
-    for _ in range(2):
-        t0 = time.time()
-        run_noop(revenue_by_city_from_lines(read_raw_lines(spark, lake)))
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    times["flagship_e2e_ndjson"] = round(best, 3)
+    all_names = HEADLINE + ["flagship_e2e_ndjson"]
+    samples: dict[str, list[float]] = {n: [] for n in all_names}
+    for _pass in range(2):
+        for name in all_names:
+            t0 = time.time()
+            run_noop(build(name))
+            samples[name].append(time.time() - t0)
+    for name in all_names:
+        s = samples[name]
+        for _ in range(2):
+            lo = sorted(s)
+            if lo[1] <= lo[0] * 1.5:
+                break  # two smallest agree: stable
+            t0 = time.time()
+            run_noop(build(name))
+            s.append(time.time() - t0)
+        times[name] = round(min(s), 3)
     shutil.rmtree(lake, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

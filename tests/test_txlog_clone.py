@@ -121,6 +121,23 @@ def test_clone_as_of_is_the_historical_snapshot(spark, tmp_path):
     assert sorted(r.k for r in dst.read().collect()) == [1, 2]
 
 
+def test_clone_across_checkpoint_and_pruned_log(spark, tmp_path):
+    """Clone resolves its source state from checkpoint + tail: after many
+    commits, a mid-history checkpoint, and a log prune, the clone still
+    carries the exact current snapshot."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.CHECKPOINT_INTERVAL = 5
+    for i in range(7):
+        src.append(_df(spark, [(i, f"v{i}")]))
+    src.vacuum(retain_versions=2, prune_log=True)
+    dst = src.clone_to(str(tmp_path / "dst"))
+    assert sorted(r.k for r in dst.read().collect()) == list(range(7))
+    # the clone's own log is independent: prune the source completely
+    src.overwrite(_df(spark, [(99, "z")]))
+    src.vacuum(retain_versions=1, prune_log=True)
+    assert sorted(r.k for r in dst.read().collect()) == list(range(7))
+
+
 def test_clone_refuses_bad_endpoints(spark, tmp_path):
     empty = TxTable(spark, str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="not a table"):
