@@ -975,6 +975,66 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnowing_partial_dups",
+    r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 5000000 AS doc_id,
+               substr(text, 1, 200) || ' ' || md5(text) AS text
+        FROM documents WHERE doc_id % 15 = 2),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        FROM corpus),
+    sh AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(tk) - 3, 0) + 2),
+                   i -> struct_pack(pos := i - 1,
+                                    g := array_to_string(tk[i:i+2], ' '))) AS gr
+        FROM toks WHERE len(tk) > 0),
+    grams0 AS (SELECT doc_id, unnest(gr) AS u FROM sh),
+    grams AS (
+        SELECT doc_id, u.pos AS pos,
+               ('0x' || substr(md5(u.g), 1, 8))::BIGINT AS h
+        FROM grams0),
+    sel0 AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM grams),
+    fps AS (SELECT DISTINCT doc_id, fp FROM sel0 WHERE pos <= n - 4 OR pos = 0),
+    rare AS (
+        SELECT fp FROM (SELECT fp, count(*) AS nd FROM fps GROUP BY 1)
+        WHERE nd <= 20),
+    pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+    "X2,X4",
+)
+def winnowing_partial_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS — Schleimer et al., SIGMOD'03) finding
+    PARTIAL duplication: the corpus is documents plus synthetic
+    'plagiarized' twins (a 200-char prefix grafted onto novel md5 filler),
+    the exact case whole-document MinHash dilutes away. Window-minimum
+    selection over gram hashes, df-capped fingerprint equi-join, pairs
+    sharing >= 3 selected hashes (operators/textops.winnowing_*). Fully
+    integer-deterministic, oracle-replayed bit-for-bit."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = d.filter(F.col("doc_id") % 15 == 2).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, 200), F.lit(" "), F.md5(F.col("text"))
+        ).alias("text"),
+    )
+    return textops.winnowing_dup_candidates(d.unionByName(twins))
+
+
+@register(
     "dedup_simhash",
     r"""
     WITH toks AS (

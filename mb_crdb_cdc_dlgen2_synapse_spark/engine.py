@@ -284,6 +284,22 @@ class Engine:
             **{k_: v for k_, v in kw.items() if k_ in ("prefix_bits", "radius", "vec_col")},
         )
 
+    def fingerprint_documents(self, documents: DataFrame, **kw) -> DataFrame:
+        """Winnowing fingerprints (MOSS): detect PARTIAL/contained
+        duplication via window-minimum gram-hash selection
+        (operators/textops.winnowing_fingerprints)."""
+        from .operators.textops import winnowing_fingerprints
+
+        return winnowing_fingerprints(documents, **kw)
+
+    def dedup_against_corpus(self, incoming: DataFrame, corpus: DataFrame, **kw) -> DataFrame:
+        """Incremental dedup of a new batch vs an existing corpus
+        (operators/dedup.cross_corpus_dedup): broadcast-banded LSH
+        candidates + Jaccard verify; the corpus is never re-clustered."""
+        from .operators.dedup import cross_corpus_dedup
+
+        return cross_corpus_dedup(incoming, corpus, **kw)
+
     def planned_join(self, left_dir: str, right_dir: str, on, **kw):
         """Metadata-costed equi join of two txlog tables (plans/planner.py):
         sides sized from logged per-file rows/bytes — zero file I/O — and

@@ -10,7 +10,7 @@ aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 #: tiny embedded stopword list for quality scoring (deterministic, public)
@@ -123,6 +123,103 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 16), 16, 10).cast("decimal(38,0)").alias("fp64"),
+    )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 3, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints — the published MOSS algorithm
+    (Schleimer, Wilkerson, Aiken, SIGMOD'03): hash every k-token gram, slide
+    a window over ``window`` consecutive gram hashes, select each window's
+    MINIMUM hash. The selected set is the document's fingerprint, with the
+    winnowing guarantee: any shared token run of length >= window + k - 1
+    contributes at least one SHARED selected hash — so fingerprint overlap
+    detects PARTIAL/contained duplication (a copied paragraph inside an
+    otherwise-new doc) that whole-document similarity (MinHash) dilutes
+    away and exact hashing misses entirely.
+
+    Scale shape: positional grams via posexplode + ``lead`` (codegen — the
+    shingle_rows lesson), gram hash once, the window minimum as a frame
+    aggregate over the existing (doc_id, pos) shuffle, then DISTINCT
+    selected hashes. Density is ~2/(window+1) of grams before dedup, so the
+    fingerprint relation is a small fraction of the token relation. All
+    md5-integer arithmetic: the DuckDB oracle replays it bit-for-bit.
+
+    Docs shorter than window+k-1 tokens keep their first-window minimum so
+    every non-empty doc yields >= 1 fingerprint. Returns (doc_id, fp)
+    distinct rows.
+    """
+    from ..operators.dedup import _hash64, _spread
+
+    d = _spread(documents)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    wo = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(wo) for i in range(1, k)]
+    grams = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+            leads[-1].alias("_full"),
+        )
+        .filter(F.col("_full").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", "pos", _hash64(F.col("g")).alias("h"))
+    )
+    frame = wo.rowsBetween(0, window - 1)
+    n_grams = W.partitionBy("doc_id")
+    sel = (
+        grams.withColumn("fp", F.min("h").over(frame))
+        .withColumn("n", F.count(F.lit(1)).over(n_grams))
+        # complete windows only, except pos==0 for docs with < window grams
+        .filter(
+            (F.col("pos") <= F.col("n") - window) | (F.col("pos") == 0)
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return sel
+
+
+def winnowing_dup_candidates(
+    documents: DataFrame,
+    min_shared: int = 3,
+    max_fp_docs: int = 20,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Partial-duplication candidates from winnowing fingerprints: pairs of
+    docs sharing >= ``min_shared`` selected hashes. Fingerprints present in
+    more than ``max_fp_docs`` docs are dropped first (boilerplate runs —
+    the df-cap that bounds the hottest buckets, same rule as the
+    stop-shingle cap in MinHash-LSH), so the candidate equi-join cost
+    tracks real overlap, never the hottest common phrase. Returns
+    (doc_a, doc_b, n_shared)."""
+    fps = winnowing_fingerprints(documents, k=k, window=window).localCheckpoint(
+        eager=True
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= max_fp_docs)
+        .select("fp")
+    )
+    pruned = fps.join(rare, "fp", "left_semi")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 
