@@ -2268,6 +2268,13 @@ def corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", "n_chars")
         .join(lm_pass, "doc_id")
         .join(sd_kept, "doc_id")
+        # pin the survivor relation: it is n_docs x 3 narrow columns, but
+        # the subplan above it (bigram LM + semantic dedup) is the whole
+        # pipeline's cost, and FOUR consumers (budget aggregates + ranked
+        # selection) would otherwise re-execute it — ReusedExchange does
+        # not cover both the agg and window paths (measured 6.4 -> 4.6 s
+        # at sf0.1; the lsh_candidates signature-pinning rationale)
+        .localCheckpoint(eager=True)
     )
     cs = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
     tot = cs.agg(F.sum("n_src").alias("n_tot"))
