@@ -4711,6 +4711,75 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_neardedup_ingest",
+    None,  # foreachBatch + LSH-vs-committed-signatures — not SQL-expressible
+    "S1,T1,T8,X2,Q4",
+)
+def streaming_neardedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup dedup-on-ingest (txlog.stream_neardedup_to_tx_table): batch
+    1 lands 150 docs; batch 2 re-delivers every 10th exactly, every 15th
+    with appended boilerplate (a NEAR duplicate only shingle-Jaccard can
+    catch), plus genuinely novel md5-token docs. The sink verifies each
+    batch against the committed corpus via the signature table's
+    precomputed band keys — the corpus text is never re-hashed. Returns
+    the final state; rows-only for the driver, semantics differential-
+    tested against an independent Python model in
+    tests/test_neardedup_stream.py."""
+    import json as _json
+
+    from .txlog import TxTable, stream_neardedup_to_tx_table
+
+    tmp = _scratch("neardedup_ingest")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+        .collect()
+    )
+    with open(os.path.join(landing, "b1.ndjson"), "w") as f:
+        for r in docs:
+            f.write(_json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    with open(os.path.join(landing, "b2.ndjson"), "w") as f:
+        for r in docs:
+            if r.doc_id % 10 == 0:  # exact re-delivery under a new id
+                f.write(
+                    _json.dumps({"doc_id": r.doc_id + 100000, "text": r.text}) + "\n"
+                )
+            if r.doc_id % 15 == 0:  # near-dup: appended boilerplate
+                f.write(
+                    _json.dumps(
+                        {
+                            "doc_id": r.doc_id + 200000,
+                            "text": r.text + " zz1 zz2 zz3",
+                        }
+                    )
+                    + "\n"
+                )
+            if r.doc_id % 30 == 0:  # novel: md5-derived tokens
+                h = __import__("hashlib").md5(r.text.encode()).hexdigest()
+                f.write(
+                    _json.dumps(
+                        {"doc_id": r.doc_id + 300000, "text": f"{h} {h[::-1]}"}
+                    )
+                    + "\n"
+                )
+    stream = spark.readStream.schema("doc_id long, text string").json(landing)
+    table_dir = os.path.join(tmp, "table")
+    q = stream_neardedup_to_tx_table(
+        stream, table_dir, os.path.join(tmp, "sigs"), os.path.join(tmp, "ckpt")
+    )
+    q.awaitTermination()
+    return (
+        TxTable(spark, table_dir)
+        .read()
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "quality_filter_funnel",
     """
     SELECT

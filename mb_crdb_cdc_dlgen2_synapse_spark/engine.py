@@ -284,6 +284,20 @@ class Engine:
             **{k_: v for k_, v in kw.items() if k_ in ("prefix_bits", "radius", "vec_col")},
         )
 
+    def start_neardedup_ingestion(
+        self, stream, table_dir: str, sig_dir: str, checkpoint_dir: str, **kw
+    ):
+        """NEAR-dup dedup-on-ingest (txlog.stream_neardedup_to_tx_table):
+        per batch, within-batch Jaccard components then cross-corpus LSH
+        verify against the incrementally-maintained signature table; only
+        novel docs commit. Signature table commits first (superset
+        invariant) so a crash never loses a duplicate check."""
+        from .txlog import stream_neardedup_to_tx_table
+
+        return stream_neardedup_to_tx_table(
+            stream, table_dir, sig_dir, checkpoint_dir, **kw
+        )
+
     def fingerprint_documents(self, documents: DataFrame, **kw) -> DataFrame:
         """Winnowing fingerprints (MOSS): detect PARTIAL/contained
         duplication via window-minimum gram-hash selection

@@ -368,6 +368,7 @@ def cross_corpus_dedup(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """X2 as an INCREMENTAL pipeline: dedup an incoming batch against an
     EXISTING corpus (the production shape — a new crawl lands against a
@@ -375,11 +376,12 @@ def cross_corpus_dedup(
     per batch would be O(total), this is O(batch + collisions)).
 
     Scale shape, stage by stage:
-    - corpus MinHash signatures are computed once per run here; a standing
-      pipeline materializes them in a txlog table at ingest time (the
-      signature relation is n_docs x n_hashes ints — tiny next to the text —
-      and this function accepts any (doc_id, sig) relation via
-      ``minhash_signatures``-shaped frames if precomputed upstream).
+    - corpus MinHash band keys are computed once per run here, or supplied
+      precomputed via ``corpus_bands`` (a (doc_id, band_id, band_key)
+      relation — what ``txlog.stream_neardedup_to_tx_table`` maintains
+      incrementally in a txlog table so a standing pipeline NEVER re-hashes
+      the corpus; the band relation is n_docs x bands short rows, tiny next
+      to the text).
     - candidate generation is the banded-LSH equi-join with the INCOMING
       side's band keys broadcast: the corpus-side band relation streams
       past it map-side — the corpus never shuffles for candidates.
@@ -400,9 +402,11 @@ def cross_corpus_dedup(
     inc_bands = _band_entries(inc, n_hashes, bands, shingle_k).withColumnRenamed(
         "doc_id", "inc_id"
     )
-    cor_bands = _band_entries(cor, n_hashes, bands, shingle_k).withColumnRenamed(
-        "doc_id", "cor_id"
-    )
+    cor_bands = (
+        corpus_bands
+        if corpus_bands is not None
+        else _band_entries(cor, n_hashes, bands, shingle_k)
+    ).withColumnRenamed("doc_id", "cor_id")
     cands = (
         cor_bands.join(
             F.broadcast(inc_bands), ["band_id", "band_key"]

@@ -2206,6 +2206,119 @@ def stream_dedup_to_tx_table_bloom(
     return writer.start()
 
 
+def stream_neardedup_to_tx_table(
+    stream: DataFrame,
+    table_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """NEAR-duplicate dedup-on-ingest: the streaming form of
+    ``operators/dedup.cross_corpus_dedup`` — each micro-batch keeps only
+    docs that are novel against BOTH the batch itself and everything
+    already committed, where "duplicate" means shingle-Jaccard >=
+    ``threshold`` (not just byte equality, which ``stream_dedup_to_tx_table``
+    already handles).
+
+    Per batch:
+    1. exact within-batch dedup (first doc per content hash);
+    2. within-batch near-dedup: exact-Jaccard pairs -> connected components
+       (``duplicate_clusters`` — pairwise dropping would break a-b-c
+       chains), one representative per cluster (at crawl-scale batch sizes,
+       put ``lsh_candidates`` in front — the operators compose);
+    3. vs-corpus near-dedup via ``cross_corpus_dedup`` with the corpus band
+       keys read PRECOMPUTED from the signature table — the corpus text is
+       never re-hashed, per-batch cost tracks the batch and its bucket
+       collisions;
+    4. the novel docs' band keys append to the signature table, then the
+       docs append to the state table.
+
+    Crash-safety ordering mirrors the bloom sink, for the analogous reason:
+    the signature table commits FIRST, so it is always a SUPERSET of
+    committed state. A crash between the two commits leaves orphan
+    signatures; on replay those candidates find no state row to verify
+    against and drop out (the Jaccard verify joins state text), so the
+    re-delivered batch correctly re-appends to state while the signature
+    append is txn-skipped — never a missed duplicate, never a lost doc.
+    Both commits carry the batch txn marker.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import (
+        _band_entries,
+        cross_corpus_dedup,
+        duplicate_clusters,
+        jaccard_pairs,
+    )
+
+    app_state = f"neardedup-state:{os.path.abspath(checkpoint_dir)}"
+    app_sigs = f"neardedup-sigs:{os.path.abspath(checkpoint_dir)}"
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        state = TxTable(spark, table_dir)
+        sigs = TxTable(spark, sig_dir)
+        if text_col != "text":  # the shingle/band operators key on "text"
+            batch = batch.withColumnRenamed(text_col, "text")
+        hashed = batch.withColumn(
+            "content_hash",
+            F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+        )
+        w = Window.partitionBy("content_hash").orderBy("doc_id")
+        firsts = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .localCheckpoint(eager=True)
+        )
+        pairs = jaccard_pairs(firsts, shingle_k=shingle_k, threshold=threshold)
+        reps = (
+            duplicate_clusters(firsts, pairs)
+            .filter(F.col("doc_id") == F.col("cluster_id"))
+            .select("doc_id")
+        )
+        batch_reps = firsts.join(reps, "doc_id", "left_semi")
+        if state.version() >= 0 and sigs.version() >= 0:
+            verdict = cross_corpus_dedup(
+                batch_reps,
+                state.read(),
+                n_hashes=n_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                threshold=threshold,
+                corpus_bands=sigs.read(),
+            )
+            novel = batch_reps.join(
+                verdict.filter(F.col("is_novel")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        else:
+            novel = batch_reps
+        novel = novel.localCheckpoint(eager=True)
+        # signature table FIRST (superset invariant — see docstring)
+        sigs.append(
+            _band_entries(novel, n_hashes, bands, shingle_k),
+            txn={"app": app_sigs, "batch": batch_id},
+        )
+        state.append(novel, txn={"app": app_state, "batch": batch_id})
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sync_changes(
     src: TxTable,
     dst: TxTable,
