@@ -122,18 +122,24 @@ _DRIVER_PRIORITY: list[str] = [
     # W3,W4 via TPC-H analogs + windows/pivots/funnels)
     "table_profile_orders",
     "pivot_status_by_year",
-    "grouping_sets_status_priority",
     "window_distribution_funcs",
     "tx_checkpointed_stream",
-    "price_histogram",
     "gap_fill_daily_revenue",
     "conversion_funnel",
     "q2_cheapest_supplier_per_part",
     "q13_order_count_distribution",
-    "q14_promo_revenue_ratio",
     "q16_supplier_part_counts",
     "q20_heavy_shippers",
     "q21_multi_supplier_last_ship",
+    # ---- round-3 SESSION-2 swap-ins (never recorded; the session's new
+    # operators get driver-certified this round). Swapped out, all with
+    # their ids still co-certified in-window: q14_promo_revenue_ratio
+    # (J1/A1: q13/q16/q20/q21), price_histogram (P7/P9:
+    # k_anonymity_audit), grouping_sets_status_priority (A5:
+    # pivot_status_by_year).
+    "cross_corpus_dedup",      # X2 incremental batch-vs-corpus
+    "winnowing_partial_dups",  # X2/X4 partial-duplication fingerprints
+    "tx_zero_copy_clone",      # S7/T8 shallow clone + DV carry
 ]
 
 
