@@ -138,6 +138,64 @@ def test_clone_across_checkpoint_and_pruned_log(spark, tmp_path):
     assert sorted(r.k for r in dst.read().collect()) == list(range(7))
 
 
+def test_randomized_dml_with_clones_stays_independent(spark, tmp_path):
+    """Random DML/compact/vacuum on the source with clones taken at random
+    points: every clone must stay frozen at its creation-time model no
+    matter what the source does afterward (including DV deletes, CoW
+    rewrites, compaction, and retention vacuum), and the source must match
+    its own model throughout."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(23)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 3
+    model: dict[int, str] = {}
+    clones: list[tuple[TxTable, dict[int, str]]] = []
+
+    for step in range(16):
+        op = rng.choice(
+            ["append", "delete", "dv_delete", "update", "compact", "vacuum", "clone"]
+        )
+        if op == "append" or not model:
+            rows = {
+                k: f"s{step}"
+                for k in [rng.randrange(40) for _ in range(rng.randint(1, 4))]
+                if k not in model
+            }
+            if rows:
+                t.append(_df(spark, list(rows.items())))
+                model.update(rows)
+        elif op in ("delete", "dv_delete"):
+            pivot = rng.randrange(40)
+            t.delete_where(
+                [("k", ">=", pivot), ("k", "<", pivot + 5)],
+                mode="dv" if op == "dv_delete" else "cow",
+            )
+            model = {k: v for k, v in model.items() if not (pivot <= k < pivot + 5)}
+        elif op == "update":
+            pivot = rng.randrange(40)
+            t.update_where([("k", "==", pivot)], {"v": F.lit(f"u{step}")})
+            if pivot in model:
+                model[pivot] = f"u{step}"
+        elif op == "compact":
+            t.compact(target_files=2)
+        elif op == "vacuum":
+            t.vacuum(retain_versions=1)
+        elif op == "clone" and t.version() >= 0 and len(clones) < 3:
+            c = t.clone_to(str(tmp_path / f"clone{step}"))
+            clones.append((c, dict(model)))
+        if step % 5 == 4:
+            assert {r.k: r.v for r in t.read().collect()} == model
+            for c, frozen in clones:
+                assert {r.k: r.v for r in c.read().collect()} == frozen
+
+    assert {r.k: r.v for r in t.read().collect()} == model
+    for c, frozen in clones:
+        assert {r.k: r.v for r in c.read().collect()} == frozen
+
+
 def test_clone_refuses_bad_endpoints(spark, tmp_path):
     empty = TxTable(spark, str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="not a table"):
