@@ -5265,6 +5265,44 @@ def planned_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_replace_where",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, o_totalprice * 1.1 AS o_totalprice
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "S7,T8,P9",
+)
+def tx_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style replaceWhere over the txlog format: orders land
+    partitioned by priority, then the 1-URGENT region is atomically
+    replaced (ONE commit — carried files stats-pruned, other partitions
+    byte-untouched) with a repriced copy of itself. The Delta backfill
+    contract: re-landing a region is a single transactional statement
+    whose incoming rows are refused if they fall outside it. Oracle =
+    untouched regions UNION the repriced region."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_replace")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t.append(orders, partition_by=["o_orderpriority"])
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    t.replace_where(
+        urgent,
+        [("o_orderpriority", "==", "1-URGENT")],
+        partition_by=["o_orderpriority"],
+    )
+    return t.read().select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register(
     "tx_zero_copy_clone",
     """
     WITH base AS (

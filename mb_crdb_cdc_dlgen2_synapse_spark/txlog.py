@@ -1240,13 +1240,23 @@ class TxTable:
                 cond = cond & getattr(F.col(col), ops[op])(F.lit(value))
         return cond
 
-    def _rewrite_files(self, cands: list[str], transform, op: str = "rewrite") -> dict:
-        """Copy-on-write core shared by DELETE/UPDATE: read only ``cands``
-        (partition columns recovered via basePath), apply ``transform``
-        (DataFrame -> DataFrame), stage the result preserving the hive
-        partition layout, and commit one atomic version that removes exactly
-        the candidate files. Untouched files keep byte identity — at 100 TB
-        the rewrite cost tracks the pruned candidate set, not the table."""
+    def _rewrite_files(
+        self,
+        cands: list[str],
+        transform,
+        op: str = "rewrite",
+        extra_df: DataFrame | None = None,
+        extra_partition_by: list[str] | None = None,
+        txn: dict | None = None,
+    ) -> dict:
+        """Copy-on-write core shared by DELETE/UPDATE/REPLACE WHERE: read
+        only ``cands`` (partition columns recovered via basePath), apply
+        ``transform`` (DataFrame -> DataFrame), stage the result preserving
+        the hive partition layout, and commit one atomic version that
+        removes exactly the candidate files. ``extra_df`` stages additional
+        NEW files into the SAME commit (replace_where's incoming data).
+        Untouched files keep byte identity — at 100 TB the rewrite cost
+        tracks the pruned candidate set, not the table."""
         if not cands:
             return {"files_rewritten": 0, "version": self.version()}
         from pyspark.sql import functions as F
@@ -1282,6 +1292,10 @@ class TxTable:
             out = out.repartition(*[F.col(c) for c in part_cols])
         out = out.localCheckpoint(eager=True)
         added, stats = self._stage(out, part_cols or None)
+        if extra_df is not None:
+            added2, stats2 = self._stage(extra_df, extra_partition_by)
+            added = added + added2
+            stats = {**stats, **stats2}
         cand_set = set(cands)
 
         def removed(active: list[str]) -> list[str]:
@@ -1307,9 +1321,63 @@ class TxTable:
             return list(cand_set)
 
         version = self._commit(
-            added, removed, out.schema.json(), None, op, stats
+            added, removed, out.schema.json(), txn, op, stats
         )
         return {"files_rewritten": len(cands), "version": version}
+
+    def replace_where(
+        self,
+        df: DataFrame,
+        predicates: list[tuple],
+        partition_by: list[str] | None = None,
+        txn: dict | None = None,
+    ) -> dict:
+        """Delta's ``replaceWhere``: atomically replace exactly the rows
+        matching ``predicates`` with ``df`` — ONE commit, so readers never
+        observe the gap a delete-then-append pair exposes and a crash
+        between the two cannot lose the region. The idempotent-backfill
+        contract: re-landing one day/partition/key-range is a single
+        transactional statement, re-runnable with ``txn``.
+
+        Constraint (same as Delta): every incoming row must satisfy the
+        predicate — a backfill that writes outside its declared region is
+        refused before anything stages. Candidate files come from logged
+        stats/partition pruning, so replacing one region rewrites only the
+        files whose min/max overlap it; the carried (non-matching) rows of
+        those files are preserved with DVs applied. A region no current
+        file overlaps degenerates to a plain append — still one commit."""
+        from pyspark.sql import functions as F
+
+        if self._txn_seen(txn):
+            return {"files_rewritten": 0, "version": self.version()}
+        self._check_schema(df, False)
+        cond = self._predicate_column(predicates)
+        bad = df.filter(~F.coalesce(cond.cast("boolean"), F.lit(False))).limit(1)
+        if bad.count():
+            raise ValueError(
+                f"replace_where: incoming rows fall outside the replaced "
+                f"region {predicates!r} (Delta's replaceWhere constraint)"
+            )
+        _v, active, _s = self.snapshot()
+        stats = self.file_stats()
+        cands = [
+            f
+            for f in active
+            if _file_may_match(stats.get(f), _partition_values(f), predicates)
+        ]
+        if not cands:
+            version = self.append(df, partition_by=partition_by, txn=txn)
+            return {"files_rewritten": 0, "version": version}
+        # carried rows: same NOT(pred) convention as delete_where (null-pred
+        # rows drop, matching the SQL-oracle WHERE NOT(...) semantics)
+        return self._rewrite_files(
+            cands,
+            lambda d: d.filter(~cond),
+            op="replace_where",
+            extra_df=df,
+            extra_partition_by=partition_by,
+            txn=txn,
+        )
 
     def delete_where(self, predicates: list[tuple], mode: str = "cow") -> dict:
         """DELETE rows matching ALL ``predicates`` (the ``read()`` triple
