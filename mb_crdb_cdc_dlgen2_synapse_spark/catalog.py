@@ -5265,6 +5265,41 @@ def planned_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_generated_columns",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1
+                THEN CAST(year(o_orderdate) AS INTEGER) ELSE NULL END AS o_year
+    FROM orders
+    """,
+    "S7,T8,P6",
+)
+def tx_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns over the txlog format (txlog.set_generated_column
+    — Delta's GENERATED ALWAYS AS): even-keyed orders land under the base
+    schema; ONE metadata commit declares o_year = year(o_orderdate)
+    (schema evolves in the same commit, typed by analyzing the expression
+    — no data touched); odd-keyed orders then append WITHOUT the column
+    and the table fills it, partitioning by the derived year. Readers see
+    typed NULLs for pre-declaration rows and computed years after — the
+    declare-the-partition-key-once lake pattern. The oracle recreates both
+    generations with a CASE on key parity."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_gencol")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.set_generated_column("o_year", "year(o_orderdate)")
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1), partition_by=["o_year"]
+    )
+    return t.read().select("o_orderkey", "o_totalprice", "o_year")
+
+
+@register(
     "tx_replace_where",
     """
     SELECT o_orderkey, o_orderpriority, o_totalprice

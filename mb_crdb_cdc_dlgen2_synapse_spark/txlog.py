@@ -390,6 +390,7 @@ class TxTable:
             "dvs": [],
             "dv_counts": {},
             "txn": {},
+            "generated": {},
             "utc": None,
         }
 
@@ -411,6 +412,8 @@ class TxTable:
             state["checks"] = dict(c["checks"])
         if c.get("clustering") is not None:
             state["clustering"] = list(c["clustering"])
+        if c.get("generated") is not None:
+            state["generated"] = dict(c["generated"])
         if "dv_reset" in c:
             state["dvs"] = list(c["dv_reset"])
             state["dv_counts"] = {}
@@ -465,6 +468,7 @@ class TxTable:
                 "dvs": list(ck.get("dvs") or []),
                 "dv_counts": dict(ck.get("dv_counts") or {}),
                 "txn": dict(ck.get("txn") or {}),
+                "generated": dict(ck.get("generated") or {}),
                 "utc": ck.get("utc"),
             }
         else:
@@ -492,6 +496,7 @@ class TxTable:
             "dvs": s["dvs"],
             "dv_counts": s["dv_counts"],
             "txn": s["txn"],
+            "generated": s["generated"],
             "utc": s["utc"],
         }
         target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
@@ -591,6 +596,82 @@ class TxTable:
             [], lambda active: [], schema, None, "set_clustering",
             extra={"clustering": list(cols)},
         )
+
+    def generated_columns(self) -> dict[str, str]:
+        """Active generated-column definitions ({name: sql expr})."""
+        return dict(self._state()["generated"])
+
+    def set_generated_column(self, name: str, expr: str) -> int:
+        """Delta-style GENERATED ALWAYS AS: declare ``name`` as computed
+        from ``expr`` (SQL over the row's other columns) in one O(1)
+        metadata commit. Every later ``append``/``overwrite`` either FILLS
+        the column (writer omits it — the common case: derive the
+        partition key once, at the table, not in every producer) or
+        VALIDATES it (writer supplies it; any row where the supplied value
+        differs from the expression is refused — Delta's generated-column
+        write contract). The canonical lake use: ``ingest_date`` derived
+        from the event timestamp, declared once, every producer partitions
+        consistently."""
+        from pyspark.sql import functions as F
+
+        gen = self.generated_columns()
+        gen[name] = expr
+        _v, _a, schema = self.snapshot()
+        if schema is None:
+            raise ValueError(
+                "declare generated columns after the first write (the "
+                "expression's type is inferred against the table schema)"
+            )
+        st = T.StructType.fromJson(json.loads(schema))
+        if name not in st.fieldNames():
+            # the declaration IS the DDL: evolve the schema in the SAME
+            # metadata commit, typed by analyzing the expression against
+            # the current schema (no data touched; pre-declaration rows
+            # read as typed NULLs, exactly add_column's contract)
+            dtype = (
+                self.spark.createDataFrame([], st)
+                .select(F.expr(expr).alias(name))
+                .schema.fields[0]
+                .dataType
+            )
+            schema = T.StructType(
+                st.fields + [T.StructField(name, dtype, True)]
+            ).json()
+        return self._commit(
+            [], lambda active: [], schema, None, "set_generated",
+            extra={"generated": gen},
+        )
+
+    def drop_generated_column(self, name: str) -> int:
+        """Remove the generation rule (the column itself stays in the
+        schema — only the fill/validate contract ends)."""
+        gen = self.generated_columns()
+        gen.pop(name, None)
+        _v, _a, schema = self.snapshot()
+        return self._commit(
+            [], lambda active: [], schema, None, "set_generated",
+            extra={"generated": gen},
+        )
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Fill missing generated columns; validate supplied ones (null-safe
+        equality — a single differing row fails the write atomically)."""
+        from pyspark.sql import functions as F
+
+        gen = self._state()["generated"]
+        for name, expr in gen.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr))
+            else:
+                bad = df.filter(
+                    ~F.col(name).eqNullSafe(F.expr(expr))
+                ).limit(1)
+                if bad.count():
+                    raise ValueError(
+                        f"generated column {name!r} violated: supplied values "
+                        f"differ from GENERATED ALWAYS AS ({expr})"
+                    )
+        return df
 
     def _enforce_checks(self, added: list[str]) -> None:
         """Verify staged files against active checks BEFORE the commit link:
@@ -802,6 +883,7 @@ class TxTable:
         """Atomic append; with ``txn`` a re-delivered batch is a no-op."""
         if self._txn_seen(txn):
             return self.version()
+        df = self._apply_generated(df)
         self._check_schema(df, merge_schema)
         added, stats = self._stage(df, partition_by)
         return self._commit(
@@ -818,6 +900,7 @@ class TxTable:
         re-delivered overwrite (same app/batch id) is a no-op."""
         if self._txn_seen(txn):
             return self.version()
+        df = self._apply_generated(df)
         added, stats = self._stage(df, partition_by)
         return self._commit(
             added, lambda active: list(active), df.schema.json(), txn, "overwrite",
@@ -1350,6 +1433,7 @@ class TxTable:
 
         if self._txn_seen(txn):
             return {"files_rewritten": 0, "version": self.version()}
+        df = self._apply_generated(df)
         self._check_schema(df, False)
         cond = self._predicate_column(predicates)
         bad = df.filter(~F.coalesce(cond.cast("boolean"), F.lit(False))).limit(1)
@@ -2021,6 +2105,7 @@ class TxTable:
             checks=dict(s["checks"]),
             extra={
                 "clustering": list(s["clustering"]),
+                "generated": dict(s["generated"]),
                 "dv_added": list(s["dvs"]),
                 "dv_counts": dict(s["dv_counts"]),
                 "clone_source": self.path,

@@ -1,0 +1,74 @@
+"""Generated columns (txlog.set_generated_column): fill-on-write,
+validate-on-write, partition-key derivation, and survival through
+checkpoints and clones."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "id int, ts timestamp")
+
+
+def test_missing_generated_column_is_filled_and_partitions(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        _events(spark, [(0, __import__("datetime").datetime(2024, 1, 1, 5))])
+    )
+    t.set_generated_column("ingest_date", "to_date(ts)")
+    import datetime as dt
+
+    t.append(
+        _events(
+            spark,
+            [(1, dt.datetime(2024, 1, 2, 9)), (2, dt.datetime(2024, 1, 3, 9))],
+        ),
+        partition_by=["ingest_date"],
+    )
+    got = {r.id: r.ingest_date for r in t.read().collect()}
+    assert got[1] == dt.date(2024, 1, 2) and got[2] == dt.date(2024, 1, 3)
+    assert got[0] is None  # pre-declaration rows: typed NULL, no rewrite
+    # the filled column landed as a hive partition dir
+    assert any("ingest_date=2024-01-02" in f for f in t.snapshot()[1])
+
+
+def test_supplied_values_are_validated(spark, tmp_path):
+    import datetime as dt
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_events(spark, [(0, dt.datetime(2024, 1, 1))]))
+    t.set_generated_column("ingest_date", "to_date(ts)")
+    ok = _events(spark, [(1, dt.datetime(2024, 2, 1, 8))]).withColumn(
+        "ingest_date", F.to_date("ts")
+    )
+    t.append(ok)  # consistent supplied values pass
+    v1 = t.version()
+    bad = _events(spark, [(2, dt.datetime(2024, 3, 1, 8))]).withColumn(
+        "ingest_date", F.lit("1999-01-01").cast("date")
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        t.append(bad)
+    assert t.version() == v1
+    assert t.read().count() == 2
+
+
+def test_generation_rule_survives_checkpoint_prune_and_clone(spark, tmp_path):
+    import datetime as dt
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 2
+    t.append(_events(spark, [(0, dt.datetime(2024, 1, 1))]))
+    t.set_generated_column("ingest_date", "to_date(ts)")
+    for i in range(1, 5):
+        t.append(_events(spark, [(i, dt.datetime(2024, 1, 1 + i))]))
+    t.vacuum(retain_versions=2, prune_log=True)
+    assert t.generated_columns() == {"ingest_date": "to_date(ts)"}
+    c = t.clone_to(str(tmp_path / "c"))
+    assert c.generated_columns() == {"ingest_date": "to_date(ts)"}
+    c.append(_events(spark, [(99, dt.datetime(2024, 6, 6, 6))]))
+    got = {r.id: r.ingest_date for r in c.read().collect()}
+    assert got[99] == dt.date(2024, 6, 6)
