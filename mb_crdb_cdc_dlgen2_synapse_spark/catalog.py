@@ -981,6 +981,34 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_shuffle_shards",
+    """
+    WITH r AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS rk
+        FROM documents),
+    s AS (
+        SELECT doc_id, rk,
+               CAST(('0x' || substr(md5(rk), 1, 8))::BIGINT % 8 AS INTEGER) AS shard
+        FROM r)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+    "X4,W1,A2",
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible pre-training shuffle (operators/textops.shuffle_shards):
+    seeded md5 permutation assigns every doc a (shard, position) with NO
+    global sort — rank hash-partitions docs to shards, position is a
+    per-shard window, so shards are independently orderable by parallel
+    loaders and the same seed reproduces the exact order on any engine or
+    retry (per-epoch reshuffle = change the seed)."""
+    return textops.shuffle_shards(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "winnowing_partial_dups",
     r"""
     WITH corpus AS (

@@ -126,6 +126,37 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def shuffle_shards(
+    documents: DataFrame,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-data shuffle: assign every doc a (shard,
+    position) under a seeded md5 permutation — the reproducible
+    global-shuffle-before-training step. Changing ``seed`` re-shuffles
+    (per-epoch reshuffling); the same seed reproduces the exact order on
+    any cluster, engine, or retry.
+
+    Scale shape: NO global sort — the md5 rank hash-partitions docs into
+    shards (one shuffle), and position is a per-shard window. Each shard's
+    order is independent, which is exactly what a data loader consuming
+    shards in parallel needs; a global order would serialize on one sort.
+
+    Returns (id_col, shard, pos) — write partitioned by ``shard`` and the
+    loader streams each shard in ``pos`` order.
+    """
+    from .dedup import _hash64
+
+    rank = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + seed)))
+    shard = F.pmod(_hash64(rank), F.lit(n_shards)).cast("int")
+    d = documents.select(id_col, rank.alias("__rank"), shard.alias("shard"))
+    w = W.partitionBy("shard").orderBy(F.col("__rank"), F.col(id_col))
+    return d.select(
+        id_col, "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
 def winnowing_fingerprints(
     documents: DataFrame, k: int = 3, window: int = 4, text_col: str = "text"
 ) -> DataFrame:
