@@ -76,6 +76,12 @@ HEADLINE = [
     "knn_hamming_bucketed",        # LSH-prefix-bucketed probe (pruned scan)
     "doc_text_profile",            # 5 text metrics off one explode
     "tx_checkpointed_stream",      # 13-commit ingest + checkpoint + log prune
+    # round-3 session-2 additions
+    "cross_corpus_dedup",          # batch-vs-corpus LSH dedup + Jaccard verify
+    "winnowing_partial_dups",      # MOSS fingerprints, partial-dup pairs
+    "tx_replace_where",            # atomic region backfill (one commit)
+    "tx_generated_columns",        # declare-once derived column fills
+    "training_shuffle_shards",     # seeded shard-shuffle, no global sort
 ]
 
 

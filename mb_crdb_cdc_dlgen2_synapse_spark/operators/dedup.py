@@ -135,7 +135,10 @@ def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    documents: DataFrame, n_hashes: int = 16, shingle_k: int = 3
+    documents: DataFrame,
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """X2 step 1: MinHash signature per doc as array<bigint> of length
     ``n_hashes`` — min over shingles of an affine family over one base hash.
@@ -148,7 +151,7 @@ def minhash_signatures(
     ~50x slower on the same data, and shingle GENERATION itself now uses
     the codegen'd window form (shingle_rows) for the same reason.
     """
-    expl = shingle_rows(documents, k=shingle_k)
+    expl = shingles if shingles is not None else shingle_rows(documents, k=shingle_k)
     h = (_hash64(F.col("s")) % MINHASH_P).alias("h")
     return (
         expl.select("doc_id", h)
@@ -399,13 +402,33 @@ def cross_corpus_dedup(
     inc = incoming.select("doc_id", "text")
     cor = corpus.select("doc_id", "text")
 
-    inc_bands = _band_entries(inc, n_hashes, bands, shingle_k).withColumnRenamed(
-        "doc_id", "inc_id"
+    # ONE shingle pass per side, pinned: signatures, the Jaccard verify,
+    # and the set-size aggregates all consume the same (doc_id, shingle)
+    # relation — without the pin the corpus would be re-shingled three
+    # times (measured ~40% of query time at sf0.1)
+    inc_sh = (
+        shingle_rows(inc, k=shingle_k)
+        .withColumnRenamed("s", "shingle")
+        .localCheckpoint(eager=True)
     )
+    cor_sh = (
+        shingle_rows(cor, k=shingle_k)
+        .withColumnRenamed("s", "shingle")
+        .localCheckpoint(eager=True)
+        if corpus_bands is None
+        else shingle_rows(cor, k=shingle_k).withColumnRenamed("s", "shingle")
+    )
+    inc_bands = _band_entries(
+        inc, n_hashes, bands, shingle_k,
+        shingles=inc_sh.withColumnRenamed("shingle", "s"),
+    ).withColumnRenamed("doc_id", "inc_id")
     cor_bands = (
         corpus_bands
         if corpus_bands is not None
-        else _band_entries(cor, n_hashes, bands, shingle_k)
+        else _band_entries(
+            cor, n_hashes, bands, shingle_k,
+            shingles=cor_sh.withColumnRenamed("shingle", "s"),
+        )
     ).withColumnRenamed("doc_id", "cor_id")
     cands = (
         cor_bands.join(
@@ -415,9 +438,6 @@ def cross_corpus_dedup(
         .distinct()
         .localCheckpoint(eager=True)  # reused by 3 downstream joins
     )
-
-    inc_sh = shingle_rows(inc, k=shingle_k).withColumnRenamed("s", "shingle")
-    cor_sh = shingle_rows(cor, k=shingle_k).withColumnRenamed("s", "shingle")
     # verify only candidate docs: prune both shingle relations first
     cor_sh_c = cor_sh.join(
         cands.select(F.col("cor_id").alias("doc_id")).distinct(), "doc_id", "left_semi"
@@ -432,8 +452,11 @@ def cross_corpus_dedup(
         .agg(F.count(F.lit(1)).alias("n_inter"))
         .join(cands, ["inc_id", "cor_id"], "left_semi")  # candidate pairs only
     )
-    sizes_inc = inc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
-    sizes_cor = cor_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    # set sizes from the PRUNED relations: a semi-join keeps every shingle
+    # row of a surviving doc, so per-doc counts are exact — and docs with
+    # no candidate pair never pay a size aggregation (novel docs need none)
+    sizes_inc = inc_sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_cor = cor_sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
     jac = (
         inter.join(sizes_inc.withColumnRenamed("doc_id", "inc_id"), "inc_id")
         .join(sizes_cor.withColumnRenamed("doc_id", "cor_id"), "cor_id")
@@ -464,13 +487,17 @@ def cross_corpus_dedup(
 
 
 def _band_entries(
-    documents: DataFrame, n_hashes: int, bands: int, shingle_k: int
+    documents: DataFrame,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_id, band_key) LSH band relation — the shared candidate
     key of ``lsh_candidates`` (self-join) and ``cross_corpus_dedup``
     (incoming-vs-corpus join)."""
     rows = n_hashes // bands
-    sigs = minhash_signatures(documents, n_hashes, shingle_k)
+    sigs = minhash_signatures(documents, n_hashes, shingle_k, shingles=shingles)
     return sigs.select(
         "doc_id",
         F.explode(
