@@ -5293,6 +5293,47 @@ def planned_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_rename_column",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000.0
+                THEN o_totalprice * 1.05
+                ELSE o_totalprice END AS price
+    FROM orders
+    """,
+    "S7,T8",
+)
+def tx_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN via column mapping (txlog.rename_column — the Delta
+    column-mapping design): even-keyed orders land as o_totalprice, ONE
+    metadata commit renames it to price (physical names frozen at first
+    write — zero data files touched), odd-keyed orders then append under
+    the NEW name, and an UPDATE WHERE repriced the >=300k tail addressing
+    the renamed column. Every file — pre- and post-rename — carries the
+    FROZEN physical name (o_totalprice); writers translate logical->
+    physical at staging and readers project back, so all generations read
+    as one logical relation and stats pruning / rewrite candidates
+    translate through the mapping. The oracle applies the same update to
+    the source table."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_rename")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.rename_column("o_totalprice", "price")
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+            "o_totalprice", "price"
+        )
+    )
+    t.update_where(
+        [("price", ">=", 300000.0)], {"price": F.col("price") * 1.05}
+    )
+    return t.read().select("o_orderkey", "price")
+
+
+@register(
     "tx_generated_columns",
     """
     SELECT o_orderkey, o_totalprice,

@@ -391,6 +391,8 @@ class TxTable:
             "dv_counts": {},
             "txn": {},
             "generated": {},
+            "colmap": {},
+            "retired": [],
             "utc": None,
         }
 
@@ -414,6 +416,10 @@ class TxTable:
             state["clustering"] = list(c["clustering"])
         if c.get("generated") is not None:
             state["generated"] = dict(c["generated"])
+        if c.get("colmap") is not None:
+            state["colmap"] = dict(c["colmap"])
+        if c.get("retired") is not None:
+            state["retired"] = list(c["retired"])
         if "dv_reset" in c:
             state["dvs"] = list(c["dv_reset"])
             state["dv_counts"] = {}
@@ -469,6 +475,8 @@ class TxTable:
                 "dv_counts": dict(ck.get("dv_counts") or {}),
                 "txn": dict(ck.get("txn") or {}),
                 "generated": dict(ck.get("generated") or {}),
+                "colmap": dict(ck.get("colmap") or {}),
+                "retired": list(ck.get("retired") or []),
                 "utc": ck.get("utc"),
             }
         else:
@@ -497,6 +505,8 @@ class TxTable:
             "dv_counts": s["dv_counts"],
             "txn": s["txn"],
             "generated": s["generated"],
+            "colmap": s["colmap"],
+            "retired": s["retired"],
             "utc": s["utc"],
         }
         target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
@@ -614,14 +624,16 @@ class TxTable:
         consistently."""
         from pyspark.sql import functions as F
 
-        gen = self.generated_columns()
+        state = self._state()
+        gen = dict(state["generated"])
         gen[name] = expr
-        _v, _a, schema = self.snapshot()
+        schema = state["schema"]
         if schema is None:
             raise ValueError(
                 "declare generated columns after the first write (the "
                 "expression's type is inferred against the table schema)"
             )
+        extra = {"generated": gen}
         st = T.StructType.fromJson(json.loads(schema))
         if name not in st.fieldNames():
             # the declaration IS the DDL: evolve the schema in the SAME
@@ -637,9 +649,12 @@ class TxTable:
             schema = T.StructType(
                 st.fields + [T.StructField(name, dtype, True)]
             ).json()
+            if name in self._taken_physicals(state):
+                colmap = dict(state["colmap"])
+                colmap[name] = f"{name}__p{state['version'] + 1}"
+                extra["colmap"] = colmap
         return self._commit(
-            [], lambda active: [], schema, None, "set_generated",
-            extra={"generated": gen},
+            [], lambda active: [], schema, None, "set_generated", extra=extra
         )
 
     def drop_generated_column(self, name: str) -> int:
@@ -686,6 +701,10 @@ class TxTable:
         df = self.spark.read.option("basePath", self.path).parquet(
             *[os.path.join(self.path, f) for f in added]
         )
+        colmap = self._state()["colmap"]
+        if colmap:
+            inv = self._inv(colmap)  # staged files are physical; checks speak logical
+            df = df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
         for name, expr in checks.items():
             n_bad = df.filter(~F.expr(expr).cast("boolean")).limit(1).count()
             if n_bad:
@@ -719,7 +738,22 @@ class TxTable:
         root (immutable, invisible until committed), return (relpaths,
         per-file stats). Stats are harvested from the parquet footers the
         write already produced — a driver-side metadata read of O(new files),
-        no extra Spark job (the same write-time collection Delta does)."""
+        no extra Spark job (the same write-time collection Delta does).
+
+        Logical->physical column translation happens HERE (the single
+        write-side choke point): with an active column mapping the staged
+        files carry physical names, keeping every file ever written
+        consistent regardless of later renames."""
+        colmap = self._state()["colmap"]
+        if colmap:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+            )
+            partition_by = (
+                [colmap.get(c, c) for c in partition_by] if partition_by else None
+            )
         stage = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -844,7 +878,8 @@ class TxTable:
         the logged schema as nullable; files written before the evolution
         simply lack it and ``read()`` projects it as typed NULLs. Time
         travel to a pre-evolution version still shows the old schema."""
-        _v, _files, schema = self.snapshot()
+        state = self._state()
+        schema = state["schema"]
         if schema is None:
             raise ValueError("cannot add a column to a never-written table")
         st = T.StructType.fromJson(json.loads(schema))
@@ -852,15 +887,28 @@ class TxTable:
             raise ValueError(f"column {name!r} already exists")
         new_field = T.StructType.fromDDL(f"{name} {dtype}").fields[0]
         new_schema = T.StructType(st.fields + [new_field]).json()
-        return self._commit([], lambda active: [], new_schema, None, "add_column")
+        colmap = dict(state["colmap"])
+        if name in self._taken_physicals(state):
+            # the name was used physically before (dropped column, or it is
+            # some renamed column's physical): give the NEW column a fresh
+            # physical name so old files' bytes can never resurface under it
+            colmap[name] = f"{name}__p{state['version'] + 1}"
+        return self._commit(
+            [], lambda active: [], new_schema, None, "add_column",
+            extra={"colmap": colmap},
+        )
 
     def drop_column(self, name: str) -> int:
         """``ALTER TABLE DROP COLUMN`` as a METADATA-ONLY commit: the field
         leaves the logged schema, readers project it away, and the bytes in
         existing files are simply never read again (columnar scan — dropped
         columns cost nothing; the next full rewrite physically discards
-        them). Time travel to a pre-drop version still shows the column."""
-        _v, _files, schema = self.snapshot()
+        them). Time travel to a pre-drop version still shows the column.
+        The dropped column's PHYSICAL name is retired: a later
+        ``add_column`` with the same name gets a fresh physical name, so
+        the old files' bytes can never resurface under the new column."""
+        state = self._state()
+        schema = state["schema"]
         if schema is None:
             raise ValueError("cannot drop a column from a never-written table")
         st = T.StructType.fromJson(json.loads(schema))
@@ -868,10 +916,88 @@ class TxTable:
             raise ValueError(f"column {name!r} does not exist")
         if len(st.fields) == 1:
             raise ValueError("cannot drop the only column")
+        colmap = dict(state["colmap"])
+        retired = list(state["retired"])
+        retired.append(colmap.pop(name, name))
         new_schema = T.StructType(
             [f for f in st.fields if f.name != name]
         ).json()
-        return self._commit([], lambda active: [], new_schema, None, "drop_column")
+        return self._commit(
+            [], lambda active: [], new_schema, None, "drop_column",
+            extra={"colmap": colmap, "retired": retired},
+        )
+
+    # -- column mapping (rename without rewrite) -----------------------------
+
+    def column_mapping(self) -> dict[str, str]:
+        """{logical name: physical name} for columns whose names diverged
+        (renames, retired-name collisions). Identity entries are omitted."""
+        return dict(self._state()["colmap"])
+
+    @staticmethod
+    def _phys(colmap: dict[str, str], name: str) -> str:
+        return colmap.get(name, name)
+
+    @staticmethod
+    def _inv(colmap: dict[str, str]) -> dict[str, str]:
+        return {p: l for l, p in colmap.items()}
+
+    def _parts(self, rel: str, colmap: dict[str, str] | None = None) -> dict[str, str]:
+        """Hive partition values of a path with LOGICAL column keys (paths
+        carry physical names). ``colmap`` defaults to the current state's."""
+        parts = _partition_values(rel)
+        if colmap is None:
+            colmap = self._state()["colmap"]
+        if not colmap:
+            return parts
+        inv = self._inv(colmap)
+        return {inv.get(k, k): v for k, v in parts.items()}
+
+    def _taken_physicals(self, state: dict) -> set[str]:
+        """Physical names that may exist in data files: every current
+        column's physical plus retired (dropped) physicals."""
+        phys = set(state["retired"])
+        if state["schema"]:
+            st = T.StructType.fromJson(json.loads(state["schema"]))
+            for f in st.fields:
+                phys.add(state["colmap"].get(f.name, f.name))
+        return phys
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE RENAME COLUMN`` as a METADATA-ONLY commit — the
+        published Delta column-mapping design: a column's PHYSICAL name (the
+        name in parquet footers and partition paths) is frozen at first
+        write; renames only move its LOGICAL name, recorded in the table's
+        column mapping. Zero data files read or rewritten at any table
+        size; writers translate logical->physical when staging, readers
+        read physical and project back to logical; stats and partition
+        pruning translate the same way. Time travel to a pre-rename version
+        shows the old name (the mapping is versioned state like the
+        schema). The change feed refuses to cross a rename boundary (the
+        row-image schema would be ambiguous — Delta's CDF restriction)."""
+        state = self._state()
+        schema = state["schema"]
+        if schema is None:
+            raise ValueError("cannot rename a column on a never-written table")
+        st = T.StructType.fromJson(json.loads(schema))
+        if old not in st.fieldNames():
+            raise ValueError(f"column {old!r} does not exist")
+        if new in st.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        colmap = dict(state["colmap"])
+        phys = colmap.pop(old, old)
+        if new != phys:
+            colmap[new] = phys
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in st.fields
+            ]
+        ).json()
+        return self._commit(
+            [], lambda active: [], new_schema, None, "rename_column",
+            extra={"colmap": colmap},
+        )
 
     def append(
         self,
@@ -967,7 +1093,7 @@ class TxTable:
                     f
                     for f in scope0
                     if _file_may_match(
-                        stats0.get(f), _partition_values(f), predicates
+                        stats0.get(f), self._parts(f), predicates
                     )
                 ]
             total = sum((stats0.get(f) or {}).get("bytes") or 0 for f in scope0)
@@ -994,7 +1120,7 @@ class TxTable:
             scope = [
                 f
                 for f in active
-                if _file_may_match(stats0.get(f), _partition_values(f), predicates)
+                if _file_may_match(stats0.get(f), self._parts(f), predicates)
             ]
             res = self._rewrite_files(scope, relayout, op="compact")
             return res["version"]
@@ -1110,6 +1236,7 @@ class TxTable:
         keep_pos: bool = False,
         schema_json: str | None = None,
         dv_rows: int | None = None,
+        colmap: dict[str, str] | None = None,
     ) -> DataFrame:
         """Scan a set of active data files correctly across PARTITION-LAYOUT
         GENERATIONS: one ``spark.read.parquet`` call cannot span files with
@@ -1130,11 +1257,19 @@ class TxTable:
 
         from pyspark.sql import functions as F
 
+        if colmap is None:
+            colmap = self._state()["colmap"]
         read_schema = None
         if schema_json:
+            # files carry PHYSICAL column names (frozen at first write);
+            # the logged schema carries logical ones — read physical,
+            # project back to logical at the end
             logged = T.StructType.fromJson(json.loads(schema_json))
             read_schema = T.StructType(
-                [T.StructField(f.name, f.dataType, True) for f in logged.fields]
+                [
+                    T.StructField(colmap.get(f.name, f.name), f.dataType, True)
+                    for f in logged.fields
+                ]
             )
         groups: dict[frozenset, list[str]] = {}
         for f in files:
@@ -1170,6 +1305,14 @@ class TxTable:
             )
         if not keep_pos:
             out = out.drop("__rf", "__ri")
+        if colmap:
+            inv = self._inv(colmap)
+            out = out.select(
+                *[
+                    F.col(c).alias(inv.get(c, c)) if c not in ("__rf", "__ri") else F.col(c)
+                    for c in out.columns
+                ]
+            )
         return out
 
     def _delete_dv(self, predicates: list[tuple]) -> dict:
@@ -1188,7 +1331,7 @@ class TxTable:
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), _partition_values(f), predicates)
+            if _file_may_match(stats.get(f), self._parts(f), predicates)
         ]
         if not cands:
             return {"dv_rows": 0, "version": self.version()}
@@ -1238,9 +1381,26 @@ class TxTable:
         return {"dv_rows": n_rows, "version": version}
 
     def file_stats(self, as_of: int | None = None) -> dict[str, dict]:
-        """Per-active-file footer stats as recorded in the log (data-skipping
-        index). Log-only metadata — no file I/O."""
-        return dict(self._state(as_of)["stats"])
+        """Per-active-file footer stats with LOGICAL column keys
+        (data-skipping index). Stats are recorded under physical names at
+        write time (footers); this accessor translates through the column
+        mapping so every pruning consumer speaks logical names. Log-only
+        metadata — no file I/O."""
+        state = self._state(as_of)
+        stats = dict(state["stats"])
+        colmap = state["colmap"]
+        if not colmap:
+            return stats
+        inv = self._inv(colmap)
+
+        def remap(st: dict) -> dict:
+            out = dict(st)
+            for key in ("min", "max", "nulls"):
+                if st.get(key):
+                    out[key] = {inv.get(c, c): v for c, v in st[key].items()}
+            return out
+
+        return {f: remap(st or {}) for f, st in stats.items()}
 
     def read(
         self,
@@ -1266,14 +1426,16 @@ class TxTable:
             if as_of is not None:
                 raise ValueError("pass as_of OR as_of_ts, not both")
             as_of = self.version_at(as_of_ts)
-        _version, active, schema = self.snapshot(as_of)
+        state = self._state(as_of)
+        _version, active, schema = state["version"], list(state["active"]), state["schema"]
+        colmap = state["colmap"]
         predicates = predicates or []
         if active and predicates:
             stats = self.file_stats(as_of)
             active = [
                 f
                 for f in active
-                if _file_may_match(stats.get(f), _partition_values(f), predicates)
+                if _file_may_match(stats.get(f), self._parts(f, colmap), predicates)
             ]
         if not active:
             st = T.StructType.fromJson(json.loads(schema)) if schema else T.StructType([])
@@ -1285,6 +1447,7 @@ class TxTable:
             self._active_dvs(as_of),
             schema_json=schema,
             dv_rows=sum(self._dv_counts(as_of).values()),
+            colmap=colmap,
         )
 
         if schema is not None:
@@ -1366,7 +1529,7 @@ class TxTable:
             df = df.select(*[f.name for f in relaxed.fields]).to(relaxed)
         out = transform(df)
         part_cols = [
-            k for k in _partition_values(cands[0]) if k in out.columns
+            k for k in self._parts(cands[0]) if k in out.columns
         ]
         if part_cols:
             # one output file per rewritten partition dir instead of
@@ -1447,7 +1610,7 @@ class TxTable:
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), _partition_values(f), predicates)
+            if _file_may_match(stats.get(f), self._parts(f), predicates)
         ]
         if not cands:
             version = self.append(df, partition_by=partition_by, txn=txn)
@@ -1483,7 +1646,7 @@ class TxTable:
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), _partition_values(f), predicates)
+            if _file_may_match(stats.get(f), self._parts(f), predicates)
         ]
         cond = self._predicate_column(predicates)
         return self._rewrite_files(cands, lambda df: df.filter(~cond))
@@ -1510,7 +1673,7 @@ class TxTable:
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), _partition_values(f), predicates)
+            if _file_may_match(stats.get(f), self._parts(f), predicates)
         ]
         cond = self._predicate_column(predicates)
 
@@ -1533,7 +1696,7 @@ class TxTable:
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), _partition_values(f), predicates)
+            if _file_may_match(stats.get(f), self._parts(f), predicates)
         ]
         if not cands:
             return {"dv_rows": 0, "version": self.version()}
@@ -1675,7 +1838,7 @@ class TxTable:
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), _partition_values(f), preds)
+            if _file_may_match(stats.get(f), self._parts(f), preds)
         ]
 
         target_cols = self.read().columns
@@ -1872,6 +2035,14 @@ class TxTable:
             for v in sorted(commits_map)
             if v > from_version and (to_version is None or v <= to_version)
         ]
+        if any(c.get("op") == "rename_column" for c in commits):
+            # Delta's CDF restriction: row images across a rename boundary
+            # would mix logical schemas — consume the feed up to the rename,
+            # then restart from it
+            raise ValueError(
+                "change feed range crosses a column rename: read up to the "
+                "rename version and again after it"
+            )
         frames = []
         for c in commits:
             for relpaths, change in ((c.get("removed", []), "delete"), (c.get("added", []), "insert")):
@@ -1906,7 +2077,10 @@ class TxTable:
                         f"change feed needs {len(missing)} file(s) already vacuumed "
                         f"(e.g. {missing[0]!r}): consume changes before vacuum"
                     )
-                df = self._scan_files(files, dvs, schema_json=c.get("schema"))
+                df = self._scan_files(
+                    files, dvs, schema_json=c.get("schema"),
+                    colmap=self._state(c["version"])["colmap"],
+                )
                 frames.append(
                     df.withColumn("_change_type", F.lit(change)).withColumn(
                         "_commit_version", F.lit(c["version"])
@@ -1930,7 +2104,8 @@ class TxTable:
                         f"(e.g. {missing[0]!r}): consume changes before vacuum"
                     )
                 ddf = self._scan_files(
-                    data_files, [], keep_pos=True, schema_json=c.get("schema")
+                    data_files, [], keep_pos=True, schema_json=c.get("schema"),
+                    colmap=self._state(c["version"])["colmap"],
                 )
                 cols = [x for x in ddf.columns if x not in ("__rf", "__ri")]
                 if (
@@ -1989,7 +2164,7 @@ class TxTable:
         ambiguous: list[str] = []
         for f in active:
             st = stats.get(f) or {}
-            parts = _partition_values(f)
+            parts = self._parts(f)
             if not _file_may_match(st, parts, predicates):
                 continue  # provably zero matching rows
             if st.get("rows") is not None and _file_all_match(st, parts, predicates):
@@ -2106,6 +2281,8 @@ class TxTable:
             extra={
                 "clustering": list(s["clustering"]),
                 "generated": dict(s["generated"]),
+                "colmap": dict(s["colmap"]),
+                "retired": list(s["retired"]),
                 "dv_added": list(s["dvs"]),
                 "dv_counts": dict(s["dv_counts"]),
                 "clone_source": self.path,

@@ -1,0 +1,147 @@
+"""RENAME COLUMN via column mapping (txlog.rename_column): metadata-only
+renames with physical names frozen at first write — reads, writes, pruning,
+DML, partition columns, checks, time travel, clones, and the add-after-drop
+resurrection guard."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_rename_is_metadata_only_and_roundtrips(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    files = {
+        f: os.stat(os.path.join(t.path, f)).st_mtime_ns for f in t.snapshot()[1]
+    }
+    t.rename_column("v", "payload")
+    # zero data I/O
+    assert {
+        f: os.stat(os.path.join(t.path, f)).st_mtime_ns for f in t.snapshot()[1]
+    } == files
+    assert t.read().columns == ["k", "payload"]
+    assert {(r.k, r.payload) for r in t.read().collect()} == {(1, "a"), (2, "b")}
+    # writers now speak the NEW name; old and new files read together
+    t.append(_df(spark, [(3, "c")], "k int, payload string"))
+    assert {(r.k, r.payload) for r in t.read().collect()} == {
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    }
+    # the old name is gone from the write surface
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(_df(spark, [(4, "d")]))
+
+
+def test_pruning_and_dml_speak_the_new_name(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        _df(spark, [(i, f"v{i}", i % 4) for i in range(40)], "k int, v string, b int"),
+        partition_by=["b"],
+    )
+    t.rename_column("b", "bucket")
+    t.rename_column("k", "key")
+    # stats/partition pruning on the NEW names
+    got = sorted(r.key for r in t.read(predicates=[("bucket", "==", 2)]).collect())
+    assert got == [i for i in range(40) if i % 4 == 2]
+    assert t.count_rows([("bucket", "==", 2)]) == 10
+    # CoW DML on the new names; untouched partitions keep byte identity
+    before = {
+        f: os.stat(os.path.join(t.path, f)).st_mtime_ns
+        for f in t.snapshot()[1]
+        if "b=3" in f
+    }
+    t.delete_where([("bucket", "==", 2)])
+    t.update_where([("key", "==", 1)], {"v": F.lit("patched")})
+    after = {
+        f: os.stat(os.path.join(t.path, f)).st_mtime_ns
+        for f in t.snapshot()[1]
+        if "b=3" in f
+    }
+    assert before == after  # physical partition dir name unchanged, untouched
+    rows = {r.key: r.v for r in t.read().collect()}
+    assert len(rows) == 30 and rows[1] == "patched"
+    # merge-on-read delete too
+    t.delete_where([("key", ">=", 35)], mode="dv")
+    assert t.count_rows() == len([k for k in rows if k < 35])
+
+
+def test_rename_respects_time_travel_and_checks(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.add_check("k_pos", "k > 0")
+    v_before = t.version()
+    t.rename_column("v", "payload")
+    # pre-rename snapshot shows the OLD logical name
+    assert t.read(as_of=v_before).columns == ["k", "v"]
+    # checks survive (they reference unrenamed columns here)
+    with pytest.raises(ValueError, match="k_pos"):
+        t.append(_df(spark, [(-1, "x")], "k int, payload string"))
+    # rename the CHECKED column: expression updates are the caller's job,
+    # but enforcement on the renamed frame must not crash for valid rows
+    t.append(_df(spark, [(5, "y")], "k int, payload string"))
+    assert t.count_rows() == 2
+
+
+def test_rename_survives_checkpoint_prune_and_clone(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 3
+    t.append(_df(spark, [(1, "a")]))
+    t.rename_column("v", "payload")
+    for i in range(2, 6):
+        t.append(_df(spark, [(i, f"v{i}")], "k int, payload string"))
+    t.vacuum(retain_versions=2, prune_log=True)
+    assert t.column_mapping() == {"payload": "v"}
+    assert t.read().columns == ["k", "payload"]
+    c = t.clone_to(str(tmp_path / "c"))
+    assert c.column_mapping() == {"payload": "v"}
+    assert {r.k for r in c.read().collect()} == {1, 2, 3, 4, 5}
+
+
+def test_change_feed_refuses_to_cross_a_rename(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))  # v0
+    t.rename_column("v", "payload")  # v1
+    t.append(_df(spark, [(2, "b")], "k int, payload string"))  # v2
+    with pytest.raises(ValueError, match="rename"):
+        t.read_changes(-1)
+    # within a rename-free span the feed works, in NEW names
+    feed = t.read_changes(1)
+    assert {(r.k, r.payload, r._change_type) for r in feed.collect()} == {
+        (2, "b", "insert")
+    }
+
+
+def test_add_after_drop_never_resurrects_old_bytes(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "secret"), (2, "also-secret")]))
+    t.drop_column("v")
+    t.add_column("v", "string")  # same name, NEW physical
+    vals = [(r.k, r.v) for r in t.read().collect()]
+    assert sorted(vals) == [(1, None), (2, None)]  # dropped bytes stay dropped
+    t.append(_df(spark, [(3, "fresh")]))
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: "fresh"}
+
+
+def test_rename_collision_guards(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="does not exist"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("v", "k")
+    # rename back to the original physical drops the mapping entry
+    t.rename_column("v", "w")
+    t.rename_column("w", "v")
+    assert t.column_mapping() == {}
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a")}
