@@ -732,7 +732,10 @@ class TxTable:
     # -- staging -------------------------------------------------------------
 
     def _stage(
-        self, df: DataFrame, partition_by: list[str] | None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None,
+        colmap: dict[str, str] | None = None,
     ) -> tuple[list[str], dict[str, dict]]:
         """Write df's files into a staging dir, move them under the table
         root (immutable, invisible until committed), return (relpaths,
@@ -743,8 +746,12 @@ class TxTable:
         Logical->physical column translation happens HERE (the single
         write-side choke point): with an active column mapping the staged
         files carry physical names, keeping every file ever written
-        consistent regardless of later renames."""
-        colmap = self._state()["colmap"]
+        consistent regardless of later renames. ``colmap`` overrides the
+        current state's mapping for schema-introducing writes whose commit
+        will carry mapping additions (the staged files must already use
+        the about-to-be-committed physicals)."""
+        if colmap is None:
+            colmap = self._state()["colmap"]
         if colmap:
             from pyspark.sql import functions as F
 
@@ -963,6 +970,26 @@ class TxTable:
                 phys.add(state["colmap"].get(f.name, f.name))
         return phys
 
+    def _colmap_for_new_fields(
+        self, state: dict, new_names: list[str]
+    ) -> dict[str, str] | None:
+        """Mapping additions for schema-introducing writes (append with
+        merge_schema, overwrite with a new schema): a NEW logical column
+        whose name is a taken physical — retired by a drop, or serving as
+        some mapped column's physical — gets a fresh physical name, so it
+        can never read another column's bytes. Returns the extended colmap,
+        or None when nothing changed."""
+        taken = self._taken_physicals(state)
+        colmap = dict(state["colmap"])
+        changed = False
+        for n in new_names:
+            if n in colmap:
+                continue
+            if n in taken:
+                colmap[n] = f"{n}__p{state['version'] + 1}"
+                changed = True
+        return colmap if changed else None
+
     def rename_column(self, old: str, new: str) -> int:
         """``ALTER TABLE RENAME COLUMN`` as a METADATA-ONLY commit — the
         published Delta column-mapping design: a column's PHYSICAL name (the
@@ -1011,9 +1038,19 @@ class TxTable:
             return self.version()
         df = self._apply_generated(df)
         self._check_schema(df, merge_schema)
-        added, stats = self._stage(df, partition_by)
+        state = self._state()
+        have = (
+            set(T.StructType.fromJson(json.loads(state["schema"])).fieldNames())
+            if state["schema"]
+            else set()
+        )
+        new_colmap = self._colmap_for_new_fields(
+            state, [c for c in df.columns if c not in have]
+        )
+        added, stats = self._stage(df, partition_by, colmap=new_colmap)
         return self._commit(
-            added, lambda active: [], self._union_schema_json(df), txn, "append", stats
+            added, lambda active: [], self._union_schema_json(df), txn, "append", stats,
+            extra={"colmap": new_colmap} if new_colmap is not None else None,
         )
 
     def overwrite(
@@ -1023,14 +1060,35 @@ class TxTable:
         txn: dict | None = None,
     ) -> int:
         """Atomically replace the ENTIRE table content; with ``txn`` a
-        re-delivered overwrite (same app/batch id) is a no-op."""
+        re-delivered overwrite (same app/batch id) is a no-op. May define a
+        brand-new schema: mapping entries for logical names the new schema
+        keeps survive, entries for dropped names retire their physicals,
+        and new names colliding with a surviving or retired physical get a
+        fresh one (never two logical columns on one physical)."""
         if self._txn_seen(txn):
             return self.version()
         df = self._apply_generated(df)
-        added, stats = self._stage(df, partition_by)
+        state = self._state()
+        new_names = set(df.columns)
+        # the overwrite's files are the ONLY active files afterward, so the
+        # mapping reduces to: keep entries for logical names the new schema
+        # retains; a new name whose identity-physical collides with a kept
+        # entry's physical gets a fresh one (two logical columns must never
+        # share a physical within one snapshot). Retired physicals need no
+        # entry — no active file carries their bytes anymore, and
+        # time-travel/RESTORE resolve old snapshots under their own mapping.
+        colmap = {
+            l: p for l, p in state["colmap"].items() if l in new_names
+        }
+        kept_physicals = set(colmap.values())
+        for c in df.columns:
+            if c not in colmap and c in kept_physicals:
+                colmap[c] = f"{c}__p{state['version'] + 1}"
+        added, stats = self._stage(df, partition_by, colmap=colmap)
         return self._commit(
             added, lambda active: list(active), df.schema.json(), txn, "overwrite",
-            stats, extra={"dv_reset": []},  # every data file replaced
+            stats,
+            extra={"dv_reset": [], "colmap": colmap},
         )
 
     def overwrite_partitions(self, df: DataFrame, partition_by: list[str]) -> int:
@@ -2197,9 +2255,10 @@ class TxTable:
         time-travelable (the rolled-back history stays in the log). Fails if
         the target snapshot's files were already vacuumed."""
         try:
-            old_v, old_active, old_schema = self.snapshot(version)
+            old_state = self._state(version)
         except FileNotFoundError as e:
             raise FileNotFoundError(f"cannot restore v{version}: {e}") from None
+        old_active, old_schema = list(old_state["active"]), old_state["schema"]
         missing = [
             f for f in old_active if not os.path.exists(os.path.join(self.path, f))
         ]
@@ -2210,12 +2269,20 @@ class TxTable:
             )
         # overwrite-shaped commit: drop the whole current file list, add the
         # restored one (re-adding a still-active file after only a partial
-        # removal would duplicate it in the snapshot replay)
+        # removal would duplicate it in the snapshot replay). Column mapping
+        # and generated-column rules restore WITH the schema (they are
+        # schema-consistency state: a restored pre-rename schema must read
+        # under the pre-rename mapping); the retired-physical set stays
+        # current — it only ever grows, so no later column can ever collide
+        # with bytes in the (still on disk, still time-travelable) files of
+        # the rolled-back versions.
         return self._commit(
             list(old_active), lambda active: list(active), old_schema, None, "restore",
             extra={
                 "dv_reset": self._active_dvs(version),
                 "dv_reset_counts": self._dv_counts(version),
+                "colmap": dict(old_state["colmap"]),
+                "generated": dict(old_state["generated"]),
             },
         )
 

@@ -145,3 +145,48 @@ def test_rename_collision_guards(spark, tmp_path):
     t.rename_column("w", "v")
     assert t.column_mapping() == {}
     assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a")}
+
+
+def test_restore_restores_the_mapping_with_the_schema(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))  # v0
+    t.rename_column("v", "payload")  # v1
+    t.append(_df(spark, [(2, "b")], "k int, payload string"))  # v2
+    t.restore(0)
+    # pre-rename schema AND pre-rename mapping are current again
+    assert t.read().columns == ["k", "v"]
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a")}
+    assert t.column_mapping() == {}
+
+
+def test_merge_schema_append_of_dropped_name_gets_fresh_physical(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "secret")]))
+    t.drop_column("v")
+    # schema evolution via append re-introduces the dropped name
+    t.append(_df(spark, [(2, "fresh")]), merge_schema=True)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: None, 2: "fresh"}  # old bytes never resurface
+
+
+def test_overwrite_reusing_a_mapped_physical_stays_distinct(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.rename_column("v", "payload")  # payload's physical is 'v'
+    # new schema keeps payload AND introduces a new logical column 'v'
+    t.overwrite(
+        spark.createDataFrame(
+            [(10, "kept", "new")], "k int, payload string, v string"
+        )
+    )
+    r = t.read().collect()[0]
+    assert (r.k, r.payload, r.v) == (10, "kept", "new")
+    # two logical columns, two distinct physicals
+    cm = t.column_mapping()
+    assert cm["payload"] == "v" and cm["v"].startswith("v__p")
+    # and a plain same-schema overwrite on an unmapped table stays identity
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(_df(spark, [(1, "x")]))
+    t2.overwrite(_df(spark, [(2, "y")]))
+    assert t2.column_mapping() == {}
+    assert {(r.k, r.v) for r in t2.read().collect()} == {(2, "y")}
