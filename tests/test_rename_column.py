@@ -190,3 +190,62 @@ def test_overwrite_reusing_a_mapped_physical_stays_distinct(spark, tmp_path):
     t2.overwrite(_df(spark, [(2, "y")]))
     assert t2.column_mapping() == {}
     assert {(r.k, r.v) for r in t2.read().collect()} == {(2, "y")}
+
+
+def test_randomized_rename_dml_mix_matches_model(spark, tmp_path):
+    """Random interleaving of renames with append/CoW/DV DML, compaction,
+    vacuum, and checkpoints: the table must always equal a dict model read
+    under the CURRENT logical column name."""
+    import random
+
+    rng = random.Random(31)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 4
+    vcol = "v"
+    model: dict[int, str] = {}
+
+    def check():
+        rows = t.read().collect()
+        assert t.read().columns == ["k", vcol]
+        assert {r.k: getattr(r, vcol) for r in rows} == model
+
+    for step in range(22):
+        op = rng.choice(
+            ["append", "delete", "update", "rename", "dv_delete", "compact", "vacuum"]
+        )
+        if op == "append" or not model:
+            rows = {
+                k: f"s{step}"
+                for k in [rng.randrange(30) for _ in range(rng.randint(1, 4))]
+                if k not in model
+            }
+            if rows:
+                t.append(
+                    spark.createDataFrame(
+                        list(rows.items()), f"k int, {vcol} string"
+                    )
+                )
+                model.update(rows)
+        elif op in ("delete", "dv_delete"):
+            pivot = rng.randrange(30)
+            t.delete_where(
+                [("k", ">=", pivot), ("k", "<", pivot + 4)],
+                mode="dv" if op == "dv_delete" else "cow",
+            )
+            model = {k: v for k, v in model.items() if not (pivot <= k < pivot + 4)}
+        elif op == "update":
+            pivot = rng.randrange(30)
+            t.update_where([("k", "==", pivot)], {vcol: F.lit(f"u{step}")})
+            if pivot in model:
+                model[pivot] = f"u{step}"
+        elif op == "rename" and t.version() >= 0:
+            new = f"v{step}"
+            t.rename_column(vcol, new)
+            vcol = new
+        elif op == "compact":
+            t.compact(target_files=2)
+        elif op == "vacuum":
+            t.vacuum(retain_versions=rng.choice([1, 3]))
+        if step % 5 == 4:
+            check()
+    check()
