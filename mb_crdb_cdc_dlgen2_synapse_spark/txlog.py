@@ -1011,6 +1011,26 @@ class TxTable:
             raise ValueError(f"column {old!r} does not exist")
         if new in st.fieldNames():
             raise ValueError(f"column {new!r} already exists")
+        import re as _re
+
+        # a column referenced inside a CHECK constraint or another
+        # generated-column expression cannot be renamed without breaking
+        # the expression — refuse, like Delta's dependent-expression rule
+        # (drop or redefine the dependent first). Word-boundary match is
+        # conservative: a false positive refuses, never breaks.
+        pat = _re.compile(rf"\b{_re.escape(old)}\b")
+        for cname, cexpr in state["checks"].items():
+            if pat.search(cexpr):
+                raise ValueError(
+                    f"cannot rename {old!r}: CHECK constraint {cname!r} "
+                    f"references it ({cexpr}); drop or redefine it first"
+                )
+        for gname, gexpr in state["generated"].items():
+            if gname != old and pat.search(gexpr):
+                raise ValueError(
+                    f"cannot rename {old!r}: generated column {gname!r} "
+                    f"references it ({gexpr}); drop or redefine it first"
+                )
         colmap = dict(state["colmap"])
         phys = colmap.pop(old, old)
         if new != phys:
@@ -1021,9 +1041,18 @@ class TxTable:
                 for f in st.fields
             ]
         ).json()
+        extra: dict = {"colmap": colmap}
+        if old in state["generated"]:
+            # renaming a generated column moves its rule with it
+            gen = dict(state["generated"])
+            gen[new] = gen.pop(old)
+            extra["generated"] = gen
+        if state["clustering"] and old in state["clustering"]:
+            extra["clustering"] = [
+                new if c == old else c for c in state["clustering"]
+            ]
         return self._commit(
-            [], lambda active: [], new_schema, None, "rename_column",
-            extra={"colmap": colmap},
+            [], lambda active: [], new_schema, None, "rename_column", extra=extra
         )
 
     def append(

@@ -249,3 +249,54 @@ def test_randomized_rename_dml_mix_matches_model(spark, tmp_path):
         if step % 5 == 4:
             check()
     check()
+
+
+def test_merge_replace_and_generated_on_renamed_tables(spark, tmp_path):
+    """The other write paths speak logical names after a rename too:
+    MERGE INTO key-span pruning, replace_where regions, and generated
+    columns all translate through the mapping."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    t.rename_column("k", "key")
+    t.rename_column("v", "val")
+    # MERGE on the renamed key
+    src = spark.createDataFrame(
+        [(1, "upd"), (99, "new")], "key int, val string"
+    )
+    t.merge_into(src, on=["key"])
+    got = {r.key: r.val for r in t.read().collect()}
+    assert got[1] == "upd" and got[99] == "new" and len(got) == 11
+    # replace_where on the renamed column
+    t.replace_where(
+        spark.createDataFrame([(100, "r")], "key int, val string"),
+        [("key", ">=", 50)],
+    )
+    got = {r.key: r.val for r in t.read().collect()}
+    assert 99 not in got and got[100] == "r"
+    # generated column declared AFTER renames fills against logical names
+    t.set_generated_column("key_mod", "key % 3")
+    t.append(spark.createDataFrame([(200, "g")], "key int, val string"))
+    row = [r for r in t.read().collect() if r.key == 200][0]
+    assert row.key_mod == 200 % 3
+    # and the generated column itself can be renamed
+    t.rename_column("key_mod", "bucket3")
+    assert "bucket3" in t.read().columns
+
+
+def test_rename_migrates_rules_and_refuses_dependents(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_generated_column("k2", "k * 2")
+    t.add_check("v_nonempty", "length(v) > 0")
+    # renaming a column a CHECK references is refused
+    with pytest.raises(ValueError, match="v_nonempty"):
+        t.rename_column("v", "text")
+    # renaming a column a generated expr references is refused
+    with pytest.raises(ValueError, match="generated column 'k2'"):
+        t.rename_column("k", "key")
+    # renaming the GENERATED column itself moves its rule
+    t.rename_column("k2", "double_k")
+    t.append(_df(spark, [(5, "e")]))  # rule fills under the new name
+    got = {r.k: r.double_k for r in t.read().collect()}
+    assert got == {1: None, 5: 10}
+    assert t.generated_columns() == {"double_k": "k * 2"}
