@@ -38,6 +38,19 @@ class Engine:
         tables.register_views(self.spark, self.sf_dir)
         return self.spark.sql(query)
 
+    def sql_tx(self, query: str, tables_map: dict[str, str]) -> DataFrame:
+        """Spark SQL over txlog-table SNAPSHOTS: each {view: table_dir}
+        entry registers one snapshot-consistent temp view (resolved once,
+        at registration — concurrent commits don't shift results
+        mid-query), then the query runs over them. The serverless-SQL
+        analog pointed at the transactional lake zone instead of raw
+        files."""
+        from .txlog import TxTable
+
+        for name, d in tables_map.items():
+            TxTable(self.spark, d).read().createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     # -- lake surface (reference-compat) -----------------------------------
     def raw_lines(self, paths) -> DataFrame:
         """OPENROWSET-compatible whole-line scan (README.md:181-190)."""

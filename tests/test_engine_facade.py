@@ -164,3 +164,17 @@ def test_maintain_compacts_vacuums_and_prunes_log(spark, tmp_path):
     # idempotent second run: nothing left to compact
     res2 = eng.maintain(tdir, max_files=4, target_files=1)
     assert res2["compacted"] is False and t2.read().count() == 10
+
+
+def test_sql_tx_queries_snapshot_views(spark, tmp_path):
+    from mb_crdb_cdc_dlgen2_synapse_spark.engine import Engine
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    e = Engine(spark)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    df = e.sql_tx(
+        "SELECT count(*) AS n, max(k) AS mk FROM tx_t", {"tx_t": t.path}
+    )
+    r = df.collect()[0]
+    assert (r.n, r.mk) == (2, 2)
