@@ -332,6 +332,7 @@ class TxTable:
         # parsed-JSON cache: committed log files are immutable, so entries
         # never go stale; keyed by absolute path, cleared on vacuum()
         self._json_cache: dict[str, dict] = {}
+        self._manifest_cache: dict[str, dict] = {}
 
     # -- log primitives ------------------------------------------------------
 
@@ -464,15 +465,28 @@ class TxTable:
             )
         if base_v >= 0:
             ck = self._read_json(ckpts[base_v])
+            if ck.get("manifest"):
+                files = self._read_manifest(
+                    os.path.join(self.path, _LOG_DIR, ck["manifest"])
+                )
+            else:  # legacy inline-JSON checkpoint
+                files = {
+                    "active": list(ck.get("active") or []),
+                    "stats": dict(ck.get("stats") or {}),
+                    "dvs": list(ck.get("dvs") or []),
+                    "dv_counts": dict(ck.get("dv_counts") or {}),
+                }
             state = {
                 "version": ck["version"],
-                "active": list(ck["active"]),
+                # COPY the (possibly cached) manifest containers: the tail
+                # replay mutates them in place
+                "active": list(files["active"]),
                 "schema": ck.get("schema"),
                 "checks": dict(ck.get("checks") or {}),
                 "clustering": list(ck.get("clustering") or []),
-                "stats": dict(ck.get("stats") or {}),
-                "dvs": list(ck.get("dvs") or []),
-                "dv_counts": dict(ck.get("dv_counts") or {}),
+                "stats": dict(files["stats"]),
+                "dvs": list(files["dvs"]),
+                "dv_counts": dict(files["dv_counts"]),
                 "txn": dict(ck.get("txn") or {}),
                 "generated": dict(ck.get("generated") or {}),
                 "colmap": dict(ck.get("colmap") or {}),
@@ -485,24 +499,87 @@ class TxTable:
             self._apply_commit(state, self._read_json(commits[v]))
         return state
 
+    def _read_manifest(self, path: str) -> dict:
+        """Load a parquet checkpoint manifest -> {active, stats, dvs,
+        dv_counts}. Columnar + cached: the file list of a million-file
+        table parses as three arrow columns, not a gigabyte of JSON."""
+        got = self._manifest_cache.get(path)
+        if got is not None:
+            return got
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        kinds = tbl.column("kind").to_pylist()
+        paths = tbl.column("path").to_pylist()
+        payloads = tbl.column("payload").to_pylist()
+        out: dict = {"active": [], "stats": {}, "dvs": [], "dv_counts": {}}
+        for kind, p, payload in zip(kinds, paths, payloads):
+            if kind == "data":
+                out["active"].append(p)
+                out["stats"][p] = json.loads(payload) if payload else {}
+            elif kind == "dv":
+                out["dvs"].append(p)
+            elif kind == "dv_count":
+                out["dv_counts"][p] = int(payload)
+        self._manifest_cache[path] = out
+        return out
+
     def write_checkpoint(self, version: int | None = None) -> str:
         """Write the compacted snapshot manifest for ``version`` (default
-        head): active files + per-file stats + schema + checks + clustering
-        + deletion-vector set + per-app txn watermarks, as ONE JSON file a
-        later reader loads instead of replaying the commits it summarizes.
+        head). Two parts, the Delta parquet-checkpoint design:
+
+        - ``<v>.checkpoint.parquet`` — the FILE MANIFEST (active data
+          files + per-file stats as JSON strings, DV files, DV counts) in
+          columnar form. The manifest is the part that grows with table
+          size; at a million files it loads as arrow columns instead of a
+          gigabyte JSON parse (Delta stores checkpoint stats exactly this
+          way — a ``stats`` JSON-string column in a parquet checkpoint).
+        - ``<v>.checkpoint.json`` — the scalar state head (schema, checks,
+          clustering, generated, column mapping, txn watermarks) plus the
+          manifest pointer. Its visibility gates the whole checkpoint: the
+          manifest lands first, the head commits via the LogStore
+          put-if-absent, so a lost race leaves only an orphan manifest
+          (identical content, later pruned) — never a head without its
+          manifest.
+
         Idempotent under races: concurrent writers resolve identical state
-        for a given version, and the put-if-absent keeps the first."""
+        for a given version, and the put-if-absent keeps the first head."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         v = self.version() if version is None else version
         s = self._state(v)
+        manifest_name = f"{v:020d}.checkpoint.parquet"
+        manifest_path = os.path.join(self.path, _LOG_DIR, manifest_name)
+        if not os.path.exists(manifest_path):
+            kinds, paths, payloads = [], [], []
+            for f in s["active"]:
+                kinds.append("data")
+                paths.append(f)
+                payloads.append(json.dumps(s["stats"].get(f) or {}))
+            for f in s["dvs"]:
+                kinds.append("dv")
+                paths.append(f)
+                payloads.append(None)
+            for f, n in s["dv_counts"].items():
+                kinds.append("dv_count")
+                paths.append(f)
+                payloads.append(str(n))
+            tbl = pa.table(
+                {"kind": kinds, "path": paths, "payload": payloads},
+                schema=pa.schema(
+                    [("kind", pa.string()), ("path", pa.string()), ("payload", pa.string())]
+                ),
+            )
+            tmp = manifest_path + f".tmp{uuid.uuid4().hex}"
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, manifest_path)  # atomic; racers write identical bytes
         entry = {
             "version": v,
-            "active": s["active"],
+            "manifest": manifest_name,
             "schema": s["schema"],
             "checks": s["checks"],
             "clustering": s["clustering"],
-            "stats": s["stats"],
-            "dvs": s["dvs"],
-            "dv_counts": s["dv_counts"],
             "txn": s["txn"],
             "generated": s["generated"],
             "colmap": s["colmap"],
@@ -2436,7 +2513,11 @@ class TxTable:
             for v, p in ckpts.items():
                 if v < v_keep:
                     os.remove(p)
+                    sidecar = p[: -len(_CKPT_SUFFIX)] + ".checkpoint.parquet"
+                    if os.path.exists(sidecar):
+                        os.remove(sidecar)
             self._json_cache.clear()
+            self._manifest_cache.clear()
         return deleted
 
 

@@ -350,3 +350,52 @@ def test_concurrent_writers_race_checkpoint_writes(spark, tmp_path):
     for c in t._commits():
         t._apply_commit(full, c)
     assert t._state() == full
+
+
+def test_parquet_manifest_checkpoint_roundtrip_and_prune(spark, tmp_path):
+    """Checkpoints store the file manifest columnar (parquet sidecar) with
+    a JSON scalar head: state resolves identically through it, legacy
+    inline-JSON checkpoints stay readable, and vacuum prunes sidecars with
+    their heads."""
+    import glob
+    import json as _json
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 3
+    for i in range(7):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    t.delete_where([("k", "==", 1)], mode="dv")
+    t.append(_df(spark, [(100, "x")]))
+    t.write_checkpoint()
+    # resolved state via checkpoint+tail == ground truth
+    assert sorted(r.k for r in t.read().collect()) == [0, 2, 3, 4, 5, 6, 100]
+    sidecars = glob.glob(os.path.join(t.path, "_txlog", "*.checkpoint.parquet"))
+    heads = glob.glob(os.path.join(t.path, "_txlog", "*.checkpoint.json"))
+    assert sidecars and heads
+    head = _json.load(open(sorted(heads)[-1]))
+    assert head.get("manifest") and "active" not in head  # manifest externalized
+
+    # a LEGACY inline checkpoint (no manifest pointer) still resolves
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(_df(spark, [(1, "a"), (2, "b")]))
+    s = t2._state()
+    legacy = {
+        "version": s["version"], "active": s["active"], "schema": s["schema"],
+        "checks": {}, "clustering": [], "stats": s["stats"], "dvs": [],
+        "dv_counts": {}, "txn": {}, "utc": s["utc"],
+    }
+    lp = os.path.join(t2.path, "_txlog", f"{s['version']:020d}.checkpoint.json")
+    with open(lp, "w") as f:
+        _json.dump(legacy, f)
+    t2b = TxTable(spark, t2.path)  # fresh instance, cold caches
+    assert sorted(r.k for r in t2b.read().collect()) == [1, 2]
+
+    # vacuum prunes old sidecars together with their heads
+    for i in range(200, 206):
+        t.append(_df(spark, [(i, "y")]))
+    t.vacuum(retain_versions=1, prune_log=True)
+    left = glob.glob(os.path.join(t.path, "_txlog", "*.checkpoint.parquet"))
+    assert len(left) <= 2  # v_keep's (+ possibly a newer interval one)
+    assert sorted(r.k for r in t.read().collect()) == [
+        0, 2, 3, 4, 5, 6, 100, 200, 201, 202, 203, 204, 205,
+    ]
