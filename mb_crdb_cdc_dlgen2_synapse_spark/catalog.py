@@ -5293,6 +5293,50 @@ def planned_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_sql_analytics",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_totalprice >= 400000.0)
+    GROUP BY o_orderpriority
+    """,
+    "S7,T8,A1,A2,P9",
+)
+def tx_sql_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's serverless-SQL surface pointed at the TRANSACTIONAL
+    lake zone (engine.sql_tx — /root/reference/README.md:173-192's query
+    pattern over a table format instead of raw NDJSON): orders land in a
+    txlog table, a DV delete hides the price tail, and a plain Spark SQL
+    aggregate runs over the snapshot-consistent registered view — the
+    anti-joined deletion vectors and exact-decimal sums all arrive through
+    the SQL surface unchanged. Oracle applies the same delete + aggregate
+    to the source table."""
+    from .engine import Engine
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_sql")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    t.append(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+    )
+    t.delete_where([("o_totalprice", ">=", 400000.0)], mode="dv")
+    return Engine(spark).sql_tx(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue
+        FROM tx_orders GROUP BY o_orderpriority
+        """,
+        {"tx_orders": t.path},
+    )
+
+
+@register(
     "tx_rename_column",
     """
     SELECT o_orderkey,
