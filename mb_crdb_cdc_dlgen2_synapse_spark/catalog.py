@@ -2159,7 +2159,7 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked r JOIN tgt USING (source)
     WHERE r.rn <= tgt.n_target
     """,
-    "X4,A2,J2,W4",
+    "X4,A2,J2,W4,P7",  # P7: pow/round/least + ratio arithmetic, oracle-matched
 )
 def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based corpus mixing (the multilingual-sampling recipe:
