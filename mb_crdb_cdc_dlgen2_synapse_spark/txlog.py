@@ -1251,13 +1251,14 @@ class TxTable:
             z_order = self.clustering() or None  # declared clustering policy
         if target_mb is not None:
             stats0 = self.file_stats()
+            cm0 = self._state()["colmap"]
             scope0 = self.snapshot()[1]
             if predicates:
                 scope0 = [
                     f
                     for f in scope0
                     if _file_may_match(
-                        stats0.get(f), self._parts(f), predicates
+                        stats0.get(f), self._parts(f, cm0), predicates
                     )
                 ]
             total = sum((stats0.get(f) or {}).get("bytes") or 0 for f in scope0)
@@ -1281,10 +1282,11 @@ class TxTable:
             # conflicts with concurrent commits abort.
             _v, active, _s = self.snapshot()
             stats0 = self.file_stats()
+            cm0 = self._state()["colmap"]
             scope = [
                 f
                 for f in active
-                if _file_may_match(stats0.get(f), self._parts(f), predicates)
+                if _file_may_match(stats0.get(f), self._parts(f, cm0), predicates)
             ]
             res = self._rewrite_files(scope, relayout, op="compact")
             return res["version"]
@@ -1492,10 +1494,11 @@ class TxTable:
 
         _v, active, _s = self.snapshot()
         stats = self.file_stats()
+        cm = self._state()["colmap"]
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f), predicates)
+            if _file_may_match(stats.get(f), self._parts(f, cm), predicates)
         ]
         if not cands:
             return {"dv_rows": 0, "version": self.version()}
@@ -1771,10 +1774,11 @@ class TxTable:
             )
         _v, active, _s = self.snapshot()
         stats = self.file_stats()
+        cm = self._state()["colmap"]
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f), predicates)
+            if _file_may_match(stats.get(f), self._parts(f, cm), predicates)
         ]
         if not cands:
             version = self.append(df, partition_by=partition_by, txn=txn)
@@ -1807,10 +1811,11 @@ class TxTable:
             return self._delete_dv(predicates)
         _v, active, _s = self.snapshot()
         stats = self.file_stats()
+        cm = self._state()["colmap"]
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f), predicates)
+            if _file_may_match(stats.get(f), self._parts(f, cm), predicates)
         ]
         cond = self._predicate_column(predicates)
         return self._rewrite_files(cands, lambda df: df.filter(~cond))
@@ -1834,10 +1839,11 @@ class TxTable:
             return self._update_dv(predicates, assignments)
         _v, active, _s = self.snapshot()
         stats = self.file_stats()
+        cm = self._state()["colmap"]
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f), predicates)
+            if _file_may_match(stats.get(f), self._parts(f, cm), predicates)
         ]
         cond = self._predicate_column(predicates)
 
@@ -1857,10 +1863,11 @@ class TxTable:
 
         _v, active, schema_json = self.snapshot()
         stats = self.file_stats()
+        cm = self._state()["colmap"]
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f), predicates)
+            if _file_may_match(stats.get(f), self._parts(f, cm), predicates)
         ]
         if not cands:
             return {"dv_rows": 0, "version": self.version()}
@@ -1999,10 +2006,11 @@ class TxTable:
             if hi is not None:
                 preds.append((k, "<=", hi))
         stats = self.file_stats()
+        cm = self._state()["colmap"]
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f), preds)
+            if _file_may_match(stats.get(f), self._parts(f, cm), preds)
         ]
 
         target_cols = self.read().columns
@@ -2322,13 +2330,14 @@ class TxTable:
         _v, active, _s = self.snapshot()
         predicates = predicates or []
         stats = self.file_stats() if active else {}
+        cm = self._state()["colmap"]
         dv_counts = self._dv_counts()
         dvs = self._active_dvs()
         meta_total = 0
         ambiguous: list[str] = []
         for f in active:
             st = stats.get(f) or {}
-            parts = self._parts(f)
+            parts = self._parts(f, cm)
             if not _file_may_match(st, parts, predicates):
                 continue  # provably zero matching rows
             if st.get("rows") is not None and _file_all_match(st, parts, predicates):
