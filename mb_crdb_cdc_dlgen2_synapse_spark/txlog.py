@@ -333,6 +333,9 @@ class TxTable:
         # never go stale; keyed by absolute path, cleared on vacuum()
         self._json_cache: dict[str, dict] = {}
         self._manifest_cache: dict[str, dict] = {}
+        # resolved-state memo by version (committed states are immutable);
+        # bounded, cleared on vacuum
+        self._state_cache: dict[int, dict] = {}
 
     # -- log primitives ------------------------------------------------------
 
@@ -443,7 +446,16 @@ class TxTable:
         after it — O(CHECKPOINT_INTERVAL) log-file reads regardless of
         total commit count. Raises ``ValueError`` for a version outside
         the log's range and ``FileNotFoundError`` when the needed commits
-        were pruned by ``vacuum()`` (the retention contract)."""
+        were pruned by ``vacuum()`` (the retention contract).
+
+        Resolved states are MEMOIZED by version (a committed version's
+        state is immutable): one write operation resolves state several
+        times (mapping, generated rules, schema check, snapshot for the
+        commit), and without the cache each resolution re-folds the
+        checkpoint + tail — at a million active files that is the
+        dominant driver-side cost. Callers receive a copy with fresh
+        top-level containers (tail replay and DML helpers mutate them);
+        the per-file stats dicts are shared read-only."""
         commits, ckpts = self._list_log()
         head = max(list(commits) + list(ckpts), default=-1)
         if head < 0:
@@ -453,6 +465,9 @@ class TxTable:
         target = head if as_of is None else as_of
         if target < 0 or target > head:
             raise ValueError(f"version {as_of} not in log (head is {head})")
+        hit = self._state_cache.get(target)
+        if hit is not None:
+            return self._copy_state(hit)
         base_v = max((v for v in ckpts if v <= target), default=-1)
         missing = [
             v for v in range(base_v + 1, target + 1) if v not in commits
@@ -497,7 +512,29 @@ class TxTable:
             state = self._empty_state()
         for v in range(base_v + 1, target + 1):
             self._apply_commit(state, self._read_json(commits[v]))
-        return state
+        if len(self._state_cache) >= 8:  # bound memory on long histories
+            self._state_cache.pop(next(iter(self._state_cache)))
+        self._state_cache[target] = state
+        return self._copy_state(state)
+
+    @staticmethod
+    def _copy_state(s: dict) -> dict:
+        """Fresh top-level containers over shared immutable leaves."""
+        return {
+            "version": s["version"],
+            "active": list(s["active"]),
+            "schema": s["schema"],
+            "checks": dict(s["checks"]),
+            "clustering": list(s["clustering"]),
+            "stats": dict(s["stats"]),
+            "dvs": list(s["dvs"]),
+            "dv_counts": dict(s["dv_counts"]),
+            "txn": dict(s["txn"]),
+            "generated": dict(s["generated"]),
+            "colmap": dict(s["colmap"]),
+            "retired": list(s["retired"]),
+            "utc": s["utc"],
+        }
 
     def _read_manifest(self, path: str) -> dict:
         """Load a parquet checkpoint manifest -> {active, stats, dvs,
@@ -2527,6 +2564,7 @@ class TxTable:
                         os.remove(sidecar)
             self._json_cache.clear()
             self._manifest_cache.clear()
+        self._state_cache.clear()
         return deleted
 
 
