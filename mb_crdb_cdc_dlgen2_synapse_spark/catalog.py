@@ -981,6 +981,52 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cms_token_frequencies",
+    r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents),
+    exact AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY 1),
+    top AS (SELECT token, exact_n FROM exact
+            ORDER BY exact_n DESC, token LIMIT 30),
+    pos AS (
+        SELECT token, d,
+               ('0x' || substr(md5(token || ':' || d), 1, 8))::BIGINT % 1024 AS w
+        FROM toks, (SELECT unnest(range(0, 4)) AS d) ds),
+    cms AS (SELECT d, w, count(*) AS cnt FROM pos GROUP BY 1, 2),
+    probe AS (
+        SELECT t.token, t.exact_n, ds.d,
+               ('0x' || substr(md5(t.token || ':' || ds.d), 1, 8))::BIGINT % 1024 AS w
+        FROM top t, (SELECT unnest(range(0, 4)) AS d) ds)
+    SELECT p.token, p.exact_n,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_n
+    FROM probe p LEFT JOIN cms c ON c.d = p.d AND c.w = p.w
+    GROUP BY 1, 2
+    """,
+    "X4,A3",
+)
+def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a mergeable relation (operators/sketches.cms_* —
+    the published Cormode/Muthukrishnan sketch): token occurrences fold
+    into a 4x1024 counter grid (the shuffle carries at most depth*width
+    cells at ANY corpus size), and the 30 most frequent tokens are probed
+    back against it — est_n >= exact_n always (the CMS one-sided
+    guarantee, property-tested; merge == rebuild asserted exactly in
+    tests). md5-derived positions make the whole grid and every estimate
+    bit-reproducible in the DuckDB oracle."""
+    from .operators.sketches import cms_build, cms_estimate
+
+    toks = textops.tokens(_t(spark, sf_dir, "documents"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("token")).limit(30)
+    cms = cms_build(toks, "token")
+    return cms_estimate(cms, top.select("token"), "token").join(
+        top, "token"
+    ).select("token", "exact_n", "est_n")
+
+
+@register(
     "training_shuffle_shards",
     """
     WITH r AS (

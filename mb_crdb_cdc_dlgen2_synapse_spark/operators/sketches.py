@@ -82,3 +82,101 @@ def kll_rollup_quantiles(
     if keys:
         return sketches.groupBy(*keys).agg(*aggs)
     return sketches.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch as a RELATION (the published Cormode/Muthukrishnan CM
+# sketch): approximate per-key frequencies in sublinear space, with the
+# same relational-mergeability trick as operators/bloom.py — the sketch is
+# a (d, w, cnt) DataFrame (depth x width counter grid), built with one
+# hash aggregate, merged by cell-wise SUM (merge == rebuild over the
+# union, asserted exactly), and probed with a broadcast join + MIN over
+# the d rows per key. md5-derived positions keep every number
+# oracle-reproducible in DuckDB; estimates can only OVERcount (never
+# under — the CMS guarantee, property-tested).
+#
+# At 100 TB: exact per-key counts of a high-cardinality column shuffle the
+# whole key set; the CMS shuffles at most depth x width cells (a few
+# thousand rows at any input size) and still answers point frequency and
+# heavy-hitter queries within eps = e/width of the total count.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_pos(key_col, d: int, width: int):
+    """Row-``d`` counter index for a key: md5(key || ':' || d) mod width —
+    the same engine-portable arithmetic as the bloom positions."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(key_col, F.lit(f":{d}"))), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """(d, w, cnt) count-min sketch over ``df[key_col]`` occurrences: one
+    explode to ``depth`` rows per input row, one hash aggregate — partial
+    sums combine map-side, so the shuffle carries at most depth*width
+    cells regardless of input size."""
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cms_pos(F.col(key_col), d, width).alias("w"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("p")
+    return (
+        df.select(pos)
+        .select("p.d", "p.w")
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum — the CM sketch of the concatenated streams (merged ==
+    rebuilt exactly; linearity of the counter grid)."""
+    return (
+        a.unionByName(b).groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    out_col: str = "est_n",
+) -> DataFrame:
+    """``keys`` + ``out_col``: the CM estimate (min over the depth rows'
+    counters; missing cell = 0). The sketch side broadcasts (<= depth*width
+    rows); estimates are exact-or-over, never under."""
+    probe = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_pos(F.col(key_col), d, width).alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.d", "p.w")
+    return (
+        probe.join(F.broadcast(cms), ["d", "w"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )

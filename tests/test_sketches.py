@@ -193,3 +193,43 @@ def test_streaming_sketch_restart_is_exactly_once(spark, sf_dir, tmp_path):
     }
     assert second == first
     assert len(TxTable(spark, str(tmp_path / "sketches")).history()) == n_commits
+
+
+def test_cms_never_undercounts_and_merge_equals_rebuild(spark):
+    """The two CM-sketch contracts: estimates are exact-or-over (never
+    under), and cell-wise merge equals the sketch of the concatenated
+    stream EXACTLY (counter linearity)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rng = random.Random(5)
+    # skewed stream: heavy hitters + a long tail (collision pressure)
+    stream_a = [f"k{int(rng.paretovariate(1.2)) % 500}" for _ in range(4000)]
+    stream_b = [f"k{rng.randrange(2000)}" for _ in range(3000)]
+    df_a = spark.createDataFrame([(k,) for k in stream_a], "key string")
+    df_b = spark.createDataFrame([(k,) for k in stream_b], "key string")
+
+    cms_a = cms_build(df_a, "key")
+    merged = cms_merge(cms_a, cms_build(df_b, "key"))
+    rebuilt = cms_build(df_a.unionByName(df_b), "key")
+    assert merged.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(merged).count() == 0
+
+    from collections import Counter
+
+    exact = Counter(stream_a)
+    keys = spark.createDataFrame([(k,) for k in set(stream_a)], "key string")
+    got = {r.key: r.est_n for r in cms_estimate(cms_a, keys, "key").collect()}
+    assert all(got[k] >= n for k, n in exact.items())  # one-sided error
+    # and the total overestimate stays within the eps*N envelope for most keys
+    n_total = len(stream_a)
+    eps = 2.718 / 1024
+    within = sum(1 for k, n in exact.items() if got[k] - n <= eps * n_total)
+    assert within / len(exact) > 0.95
