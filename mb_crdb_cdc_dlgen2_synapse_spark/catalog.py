@@ -2145,26 +2145,26 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT * FROM (
         SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
-               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                count(DISTINCT o_orderkey) AS n_distinct,
                CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
                CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
         FROM orders
         UNION ALL
         SELECT 'o_orderstatus', count(*),
-               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_orderstatus),
                CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
         FROM orders
         UNION ALL
         SELECT 'o_orderpriority', count(*),
-               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_orderpriority),
                CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
         FROM orders
         UNION ALL
         SELECT 'o_custkey', count(*),
-               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_custkey),
                CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
         FROM orders)

@@ -4,7 +4,17 @@ does (its own SparkSession, no test fixtures), smoke entry(), then run every
 queries() entry at the given sf and hash-compare against oracle_sql() via
 DuckDB. Prints one summary line per query + a final JSON.
 
-Usage: python scripts/driver_replica.py [sf_dir] [query_name ...]
+Usage: python scripts/driver_replica.py [--window] [sf_dir] [query_name ...]
+
+``--window`` reproduces the driver's exact regime: ONLY the first 50
+registry-order entries, run in registry order in ONE SparkSession (the
+default mode runs every declared query, alphabetically). Round-3 lesson
+(table_profile_orders): the driver's red row came not from session state
+but from an oracle output TYPE — DuckDB SUM(CASE...) over integers is
+HUGEINT (int128), which pandas/arrow fetch paths render as float
+("0.0" != Spark's "0"). Both modes therefore LINT every oracle upfront:
+any HUGEINT/unsigned output column is an immediate failure, before any
+query runs.
 """
 
 from __future__ import annotations
@@ -20,8 +30,18 @@ import duckdb
 
 sys.path.insert(0, ".")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+argv = [a for a in sys.argv[1:]]
+WINDOW = "--window" in argv
+argv = [a for a in argv if a != "--window"]
+SF_DIR = argv[0] if argv else "/root/testdata/sf0.01"
+ONLY = set(argv[1:])
+
+# Oracle output types that common driver fetch paths (pandas/arrow) render
+# differently than Spark's collect() (int128 -> float64/Decimal, unsigned
+# widths). An oracle must never produce them — cast to BIGINT in the SQL.
+BANNED_ORACLE_TYPES = {
+    "HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+}
 
 from pyspark.sql import SparkSession  # noqa: E402
 
@@ -64,6 +84,22 @@ con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
+
+def lint_oracle_types(oracles: dict[str, str]) -> list[str]:
+    """DESCRIBE every oracle; return lint failures for banned output types."""
+    fails = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        except Exception as e:  # noqa: BLE001 — surfaced per-query below anyway
+            fails.append(f"{name}: DESCRIBE failed: {str(e)[:120]}")
+            continue
+        for cname, ctype, *_ in desc:
+            if ctype.split("(")[0].upper() in BANNED_ORACLE_TYPES:
+                fails.append(f"{name}: column {cname} has banned oracle type {ctype}")
+    return fails
+
+
 t0 = time.time()
 edf = entrymod.entry(spark)
 erows = edf.collect()
@@ -72,8 +108,21 @@ assert len(erows) > 0
 
 qs = entrymod.queries()
 oracles = entrymod.oracle_sql()
+
+lint = lint_oracle_types(oracles)
+for line in lint:
+    print(f"ORACLE-LINT FAIL {line}")
+if lint:
+    print(json.dumps({"oracle_lint_failures": lint}))
+    sys.exit(2)
+print(f"oracle lint: {len(oracles)} oracles, 0 banned-type columns")
+
+if WINDOW:
+    todo = list(qs.items())[:50]  # driver regime: first 50, registry order
+else:
+    todo = sorted(qs.items())
 results = {}
-for name, fn in sorted(qs.items()):
+for name, fn in todo:
     if ONLY and name not in ONLY:
         continue
     t0 = time.time()
