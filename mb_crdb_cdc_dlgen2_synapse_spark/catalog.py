@@ -66,80 +66,75 @@ def register(name: str, oracle: str | None, survey_ref: str):
 # window remain declared and are verified locally (tests/test_oracle_parity.py
 # + scripts/driver_replica.py at sf0.01 and sf0.1).
 _DRIVER_PRIORITY: list[str] = [
-    # ---- ROUND-3 ROTATION (VERDICT r2 item 4/5): 15 keepers certify the
+    # ---- ROUND-4 ROTATION (VERDICT r3 items 1+2): 18 keepers certify the
     # ids only previously-recorded queries can (flagships, streaming/CDC
-    # semantics, the X-family anchors); the other 35 slots are queries
-    # NEVER driver-recorded in r1/r2 — including streaming_interval_join,
-    # giving T3 its first full hash-match row. Demoted queries are all
-    # r1/r2-green and their ids stay co-certified in-window (rotation
-    # ledger in NOTES.md).
-    # keepers — flagship + CDC/streaming semantics (S1-S4,S6,P1,P2,P4,S2,
-    # S8,T2,T4,T5,T6,T7,T8,J5,Q4-adjacent)
-    "flagship_cdc_city_revenue",
-    "flagship_silver_lake",
-    "flagship_tx_lake",
-    "cdc_envelope_extraction",
-    "cdc_streaming_pipeline",
-    "cdc_latest_state_events",
-    "cdc_tombstone_state",
-    "daily_event_rollup",
-    "session_stats",
-    # keepers — A1/A3/S7 + the X-family anchors (X1,X2,X3,P8,X5,X6)
-    "q1_pricing_summary",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "knn_cosine_bruteforce",
-    "media_binary_stats",
-    "doc_chunks_udtf",
-    # never-recorded: streaming + transactional lake (T1,T3,J6,A6,T8,S7,
-    # J5,Q5,T2,Q4,S4,S6,W2,T7)
-    "streaming_interval_join",
-    "streaming_matview_refresh",
-    "scd2_customer_history",
-    "tx_dml_orders",
-    "tx_delete_vectors",
-    "tx_change_feed_net",
-    "tx_incremental_etl",
-    "cdc_streaming_dlq",
-    "cdc_dead_letter_stats",
-    # never-recorded: similarity / ANN (X3,P8,W4,Q2,S5 — incl. this
-    # round's bucketed-probe ANN)
-    "knn_hamming_binary",
-    "knn_rerank_two_stage",
-    "knn_hamming_bucketed",
-    # never-recorded: dedup + text analysis + corpus assembly (X1,X2,X4,
-    # P5,A2,A3,J2,W3,W4,P9,Q4)
-    "dedup_clusters",
-    "doc_text_profile",
-    "doc_lm_quality",
-    "doc_repetition_metrics",
-    "corpus_temperature_mix",
-    "stratified_sample_fixed_n",
-    "corpus_e2e_pipeline",
-    "paragraph_dedup_reassembled",
-    "k_anonymity_audit",
-    # never-recorded: relational breadth (A2-A5,J1-J4,P3,P6,P7,Q1-Q3,W1,
-    # W3,W4 via TPC-H analogs + windows/pivots/funnels)
-    "table_profile_orders",
-    "pivot_status_by_year",
-    "window_distribution_funcs",
-    "tx_checkpointed_stream",
-    "gap_fill_daily_revenue",
-    "conversion_funnel",
-    "q2_cheapest_supplier_per_part",
-    "q13_order_count_distribution",
-    "q16_supplier_part_counts",
-    "q20_heavy_shippers",
-    "q21_multi_supplier_last_ship",
-    # ---- round-3 SESSION-2 swap-ins (never recorded; the session's new
-    # operators get driver-certified this round). Swapped out, all with
-    # their ids still co-certified in-window: q14_promo_revenue_ratio
-    # (J1/A1: q13/q16/q20/q21), price_histogram (P7/P9:
-    # k_anonymity_audit), grouping_sets_status_priority (A5:
-    # pivot_status_by_year).
-    "cross_corpus_dedup",      # X2 incremental batch-vs-corpus
-    "winnowing_partial_dups",  # X2/X4 partial-duplication fingerprints
-    "tx_zero_copy_clone",      # S7/T8 shallow clone + DV carry
+    # semantics, the X5/X6 anchors) PLUS table_profile_orders — kept to
+    # prove the round-3 red row green (its oracle's SUM(CASE) is now CAST
+    # to BIGINT; DuckDB HUGEINT rendered as float in the driver's fetch
+    # path — the diagnosed cause). The other 32 slots are queries NEVER
+    # driver-recorded in r1-r3 (>=30 per the r3 brief): the session-2/3
+    # operators NOTES.md queued (tx_replace_where, tx_generated_columns,
+    # tx_rename_column, tx_sql_analytics, planned_metadata_join,
+    # training_shuffle_shards, cms/bloom, knn_rerank_bucketed,
+    # streaming_neardedup_ingest) plus TPC-H analogs q4-q19 and
+    # window/setop/text breadth. Demoted queries are all r-green and their
+    # ids stay co-certified in-window (rotation ledger in NOTES.md).
+    # keepers — flagship + CDC/streaming semantics
+    "flagship_cdc_city_revenue",   # S1,S4,P1-P3,A2
+    "flagship_silver_lake",        # S3,S6
+    "flagship_tx_lake",            # S3,T8
+    "cdc_envelope_extraction",     # P1,P2,P4
+    "cdc_streaming_pipeline",      # S2,S8 rows-only by design
+    "cdc_latest_state_events",     # T6,J5,W1
+    "cdc_tombstone_state",         # T7
+    "daily_event_rollup",          # T4
+    "session_stats",               # T5
+    "streaming_interval_join",     # J6,T3,T1
+    "streaming_matview_refresh",   # A6,T1
+    "scd2_customer_history",       # Q5,J5,W2,T7
+    "conversion_funnel",           # J3,T2,P6
+    # keepers — A1/A3/S7 + X-family anchors + the round-3 red row
+    "q1_pricing_summary",          # A1,A3,P9,S7
+    "knn_cosine_bruteforce",       # X3,P8
+    "media_binary_stats",          # X5
+    "doc_chunks_udtf",             # X6
+    "table_profile_orders",        # Q3,A3,A4 — r3's only red, fixed oracle
+    # never-recorded: transactional lake (S7,T8,P6,P9 + DDL surface)
+    "tx_replace_where",
+    "tx_generated_columns",
+    "tx_rename_column",
+    "tx_sql_analytics",
+    "planned_metadata_join",       # J2 via metadata-costed planner
+    # never-recorded: LLM-pipeline dedup/similarity/text/corpus
+    "training_shuffle_shards",     # X4,W1,A2
+    "cms_token_frequencies",       # X4,A3
+    "bloom_prefilter_dedup",       # X1,P7,Q4
+    "knn_rerank_bucketed",         # X3,W4,S5,Q2
+    "streaming_neardedup_ingest",  # rows-only S1,T1,T8,X2,Q4
+    "dedup_embedding_cosine",      # X2,X3
+    "doc_winnow_fingerprints",     # X4,X2
+    "corpus_data_card",            # X4,A3,A4
+    # never-recorded: windows / set ops / grouping breadth
+    "unpivot_lineitem_measures",   # Q3,P3 — Q3 co-certifier
+    "grouping_sets_status_priority",  # A5
+    "order_lead_lag_window",       # W2
+    "trailing_30d_revenue",        # W3
+    "sql_exists_high_value",       # J4,P9
+    "props_map_functions",         # P8,P1
+    "string_agg_nations",          # A2,P5
+    "time_functions",              # P6
+    # never-recorded: TPC-H analog breadth (J1,J2,J4,A1,Q1,Q2,P5,P6,P9)
+    "q4_priority_with_shipped_items",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_part_stock",
+    "q12_returnflag_priority_matrix",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
 ]
 
 

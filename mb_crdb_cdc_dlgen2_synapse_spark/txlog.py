@@ -911,10 +911,50 @@ class TxTable:
         """Put-if-absent commit with optimistic retry. ``removed_fn`` maps the
         freshly re-read active file list -> files this commit removes (it is
         re-evaluated on every retry, so overwrites stay correct under races).
-        """
+
+        Metadata races ABORT rather than retry: ``schema_json``/``extra``
+        were computed from the caller's pre-race snapshot, so if a commit
+        that lands between our first snapshot and the winning version
+        carries schema/colmap/generated/checks/clustering changes, retrying
+        would silently revert it with our stale copy (lost update). Delta
+        raises a metadata ConcurrentModificationException here; so do we.
+        Plain concurrent appends (same schema, no metadata keys) keep the
+        retry fast path."""
         self._enforce_checks(added)
+        meta_keys = ("colmap", "generated", "retired", "clustering", "checks")
+        base_version: int | None = None
+        base_schema: str | None = None
         for _ in range(max_retries):
-            version, active, _ = self.snapshot()
+            version, active, cur_schema = self.snapshot()
+            if base_version is None:
+                base_version, base_schema = version, cur_schema
+            else:
+                for v in range(base_version + 1, version + 1):
+                    try:
+                        c = self._read_json(self._log_path(v))
+                    except OSError:
+                        raise TxConflictError(
+                            f"commit race: intervening commit v{v} is "
+                            "unreadable (concurrent vacuum?); aborting "
+                            "rather than risk stale metadata"
+                        ) from None
+                    # did the TABLE's schema move since our snapshot?
+                    # (our own schema_json may legitimately differ — we
+                    # might be the evolving writer)
+                    schema_changed = (
+                        c.get("schema")
+                        and base_schema
+                        and _nullable_normalized(c["schema"])
+                        != _nullable_normalized(base_schema)
+                    )
+                    if schema_changed or any(k in c for k in meta_keys):
+                        raise TxConflictError(
+                            f"metadata conflict: commit v{v} "
+                            f"(op={c.get('op')!r}) changed table metadata "
+                            "after this writer's snapshot; re-read the "
+                            "table state and retry the operation"
+                        )
+                base_version, base_schema = version, cur_schema
             entry = {
                 "version": version + 1,
                 "op": op,
