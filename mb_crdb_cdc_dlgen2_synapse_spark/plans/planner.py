@@ -44,16 +44,23 @@ def tx_size_estimate(table, predicates: list[tuple] | None = None) -> dict:
     partition values may match (the same pruning rule reads use), so the
     estimate reflects what a pruned scan would actually touch. Rows are an
     upper bound under predicates (file granularity); DV-deleted rows are
-    subtracted exactly (logged per-file counts)."""
-    from ..txlog import _file_may_match, _partition_values
+    subtracted exactly (logged per-file counts).
+
+    Stats and partition values go through the table's LOGICAL-name
+    accessors (file_stats / _parts): predicates speak logical names, so on
+    a column-mapped (renamed) table the raw physical-keyed state would
+    silently prune nothing and inflate the estimate."""
+    from ..txlog import _file_may_match
 
     state = table._state()
-    stats = state["stats"]
+    stats = table.file_stats()  # logical-keyed per-file stats
     dv_counts = state["dv_counts"]
     rows = byts = files = 0
     for f in state["active"]:
         st = stats.get(f) or {}
-        if predicates and not _file_may_match(st, _partition_values(f), predicates):
+        if predicates and not _file_may_match(
+            st, table._parts(f, state["colmap"]), predicates
+        ):
             continue
         files += 1
         rows += (st.get("rows") or 0) - dv_counts.get(f, 0)

@@ -976,9 +976,11 @@ class TxTable:
             if self.log_store.write_if_absent(target, json.dumps(entry)):
                 try:
                     self._maybe_checkpoint(version + 1)
-                except OSError:
+                except Exception:  # noqa: BLE001 — checkpoint is best-effort
                     # the commit is already durable — a failed/raced
-                    # checkpoint write is non-fatal (next interval retries)
+                    # checkpoint write (OSError, or pyarrow errors from the
+                    # parquet manifest sidecar) must not make a successful
+                    # commit look failed; the next interval retries
                     pass
                 return version + 1
             continue  # lost the race — re-read snapshot, retry
@@ -1277,15 +1279,30 @@ class TxTable:
     def overwrite_partitions(self, df: DataFrame, partition_by: list[str]) -> int:
         """Transactional dynamic partition overwrite: replace exactly the
         partition directories present in ``df`` (other partitions' files are
-        untouched). The MERGE-shaped commit used by the CDC state sink."""
-        added, stats = self._stage(df, partition_by)
+        untouched). The MERGE-shaped commit used by the CDC state sink.
+
+        Applies the same GENERATED ALWAYS AS fill/validate and new-field
+        physical-name guard as append/overwrite — the CDC-sink write path
+        must not be a loophole around the declared-column contract."""
+        df = self._apply_generated(df)
+        state = self._state()
+        have = (
+            set(T.StructType.fromJson(json.loads(state["schema"])).fieldNames())
+            if state["schema"]
+            else set()
+        )
+        new_colmap = self._colmap_for_new_fields(
+            state, [c for c in df.columns if c not in have]
+        )
+        added, stats = self._stage(df, partition_by, colmap=new_colmap)
         touched_dirs = {os.path.dirname(rel) for rel in added}
 
         def removed(active: list[str]) -> list[str]:
             return [f for f in active if os.path.dirname(f) in touched_dirs]
 
         return self._commit(
-            added, removed, df.schema.json(), None, "overwrite_partitions", stats
+            added, removed, df.schema.json(), None, "overwrite_partitions", stats,
+            extra={"colmap": new_colmap} if new_colmap is not None else None,
         )
 
     def compact(
@@ -1992,7 +2009,10 @@ class TxTable:
                 if f.name not in updated.columns:
                     updated = updated.withColumn(f.name, F.lit(None).cast(f.dataType))
             updated = updated.select(*[f.name for f in relaxed.fields]).to(relaxed)
-        part_cols = [k for k in _partition_values(cands[0]) if k in updated.columns]
+        # logical partition keys (self._parts translates physical path keys
+        # through the column mapping — _partition_values would return the
+        # physical names and silently stage unpartitioned on renamed tables)
+        part_cols = [k for k in self._parts(cands[0]) if k in updated.columns]
         added, add_stats = self._stage(updated, part_cols or None)
         stage = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
         marked.coalesce(1).write.mode("overwrite").parquet(stage)
@@ -2054,7 +2074,10 @@ class TxTable:
         from pyspark.sql import Column
         from pyspark.sql import functions as F
 
-        src = source
+        # generated-column contract holds on the MERGE path too: fill a
+        # missing generated column from its rule, refuse contradicting
+        # supplied values (no-op when the table declares none)
+        src = self._apply_generated(source)
         if delete_when is not None:
             cond = delete_when if isinstance(delete_when, Column) else F.expr(delete_when)
             src = src.withColumn("__s_del", cond.cast("boolean"))
@@ -2219,7 +2242,8 @@ class TxTable:
         add_stats: dict[str, dict] = {}
         if new_rows is not None:
             out = conform(new_rows)
-            layout = [k for k in _partition_values(cands[0]) if k in target_cols]
+            # logical keys via the column mapping (see _update_dv)
+            layout = [k for k in self._parts(cands[0]) if k in target_cols]
             out = out.localCheckpoint(eager=True)
             if out.count() > 0:
                 added, add_stats = self._stage(out, layout or None)

@@ -72,3 +72,57 @@ def test_generation_rule_survives_checkpoint_prune_and_clone(spark, tmp_path):
     c.append(_events(spark, [(99, dt.datetime(2024, 6, 6, 6))]))
     got = {r.id: r.ingest_date for r in c.read().collect()}
     assert got[99] == dt.date(2024, 6, 6)
+
+
+def test_overwrite_partitions_fills_and_validates_generated(spark, tmp_path):
+    """overwrite_partitions (the CDC-sink write path) honors the
+    GENERATED ALWAYS AS contract like append/overwrite: missing columns
+    fill from the rule, contradicting values are refused."""
+    import datetime as dt
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_events(spark, [(0, dt.datetime(2024, 1, 1, 5))]))
+    t.set_generated_column("ingest_date", "to_date(ts)")
+    t.append(
+        _events(spark, [(1, dt.datetime(2024, 1, 2, 9))]),
+        partition_by=["ingest_date"],
+    )
+    # fill: producer omits the generated column entirely
+    t.overwrite_partitions(
+        _events(spark, [(7, dt.datetime(2024, 1, 2, 10))]),
+        partition_by=["ingest_date"],
+    )
+    got = {r.id: r.ingest_date for r in t.read().collect()}
+    assert got[7] == dt.date(2024, 1, 2)
+    assert 1 not in got  # its partition was replaced
+    # validate: contradicting supplied value is refused atomically
+    v = t.version()
+    bad = _events(spark, [(8, dt.datetime(2024, 2, 2))]).withColumn(
+        "ingest_date", F.lit("1999-01-01").cast("date")
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        t.overwrite_partitions(bad, partition_by=["ingest_date"])
+    assert t.version() == v
+
+
+def test_merge_into_fills_and_validates_generated(spark, tmp_path):
+    """MERGE sources fill/validate generated columns too — the merge path
+    is not a loophole around the declared rule."""
+    import datetime as dt
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_events(spark, [(0, dt.datetime(2024, 1, 1, 5))]))
+    t.set_generated_column("ingest_date", "to_date(ts)")
+    t.append(_events(spark, [(1, dt.datetime(2024, 1, 2, 9))]))
+    # fill: source omits the generated column
+    t.merge_into(_events(spark, [(1, dt.datetime(2024, 3, 3, 3)), (2, dt.datetime(2024, 4, 4, 4))]), on=["id"])
+    got = {r.id: r.ingest_date for r in t.read().collect()}
+    assert got[1] == dt.date(2024, 3, 3) and got[2] == dt.date(2024, 4, 4)
+    # validate: a contradicting supplied value refuses the merge
+    bad = _events(spark, [(9, dt.datetime(2024, 5, 5))]).withColumn(
+        "ingest_date", F.lit("1999-01-01").cast("date")
+    )
+    v = t.version()
+    with pytest.raises(ValueError, match="generated column"):
+        t.merge_into(bad, on=["id"])
+    assert t.version() == v

@@ -89,3 +89,16 @@ def test_operator_strategy_choosers(spark):
     assert choose_join_strategy({"bytes": 10}, {"bytes": 10**12})[
         "strategy"
     ] == "broadcast_left"
+
+
+def test_size_estimate_prunes_on_renamed_partition_column(spark, tmp_path):
+    """tx_size_estimate speaks LOGICAL names: after a partition-column
+    rename, predicates on the new name still prune files (the raw
+    physical-keyed stats would silently stop pruning and inflate the
+    estimate)."""
+    t = _mk(spark, str(tmp_path / "t"), 1000, part=True)
+    t.rename_column("part", "bucket")
+    full = tx_size_estimate(t)
+    pruned = tx_size_estimate(t, predicates=[("bucket", "==", 3)])
+    assert pruned["files"] < full["files"]
+    assert pruned["rows"] == t.read(predicates=[("bucket", "==", 3)]).count()

@@ -300,3 +300,44 @@ def test_rename_migrates_rules_and_refuses_dependents(spark, tmp_path):
     got = {r.k: r.double_k for r in t.read().collect()}
     assert got == {1: None, 5: 10}
     assert t.generated_columns() == {"double_k": "k * 2"}
+
+
+def test_dv_update_keeps_hive_layout_after_partition_rename(spark, tmp_path):
+    """_update_dv stages the updated-row copies under the PHYSICAL hive
+    dirs even when the partition column was renamed (logical keys via
+    self._parts — the raw physical path keys would intersect to nothing
+    and silently stage unpartitioned)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(10)], "k int, part int, v string"
+    )
+    t.append(df, partition_by=["part"])
+    t.rename_column("part", "segment")
+    t.update_where([("k", "==", 3)], {"v": "'upd'"}, mode="dv")
+    last = t.history()[-1]
+    assert last["op"] == "update_dv"
+    assert last["added"], "the updated copy must be appended"
+    # physical partition dir preserved on every staged copy
+    assert all(f.startswith("part=") for f in last["added"])
+    got = {r.k: (r.segment, r.v) for r in t.read().collect()}
+    assert got[3] == (1, "upd") and len(got) == 10
+
+
+def test_merge_dv_keeps_hive_layout_after_partition_rename(spark, tmp_path):
+    """merge_into's insert/update staging translates partition keys the
+    same way (logical keys, physical dirs)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(10)], "k int, part int, v string"
+    )
+    t.append(df, partition_by=["part"])
+    t.rename_column("part", "segment")
+    src = spark.createDataFrame(
+        [(3, 1, "merged"), (42, 0, "new")], "k int, segment int, v string"
+    )
+    t.merge_into(src, on=["k"], mode="dv")
+    merge_commits = [c for c in t.history() if c["op"] == "merge_dv"]
+    added = [f for c in merge_commits for f in c["added"]]
+    assert added and all(f.startswith("part=") for f in added)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[3] == "merged" and got[42] == "new" and len(got) == 11

@@ -72,6 +72,56 @@ def test_commit_race_retries_to_next_version(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [1, 2]
 
 
+def test_append_aborts_on_racing_ddl_commit(spark, tmp_path, monkeypatch):
+    """A writer that loses a commit race to a DDL (rename_column) must ABORT,
+    not retry: its schema/colmap were computed pre-race, and retrying would
+    silently revert the rename with stale metadata (Delta's metadata
+    ConcurrentModificationException contract)."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxConflictError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    orig = t.log_store.write_if_absent
+    fired = []
+
+    def race(target, payload):
+        if not fired:
+            fired.append(1)
+            TxTable(spark, t.path).rename_column("v", "label")  # rival DDL
+        return orig(target, payload)
+
+    monkeypatch.setattr(t.log_store, "write_if_absent", race)
+    with pytest.raises(TxConflictError, match="metadata conflict"):
+        t.append(_df(spark, [(2, "b")]))
+    # the rename survived; the aborted append changed nothing
+    t2 = TxTable(spark, t.path)
+    assert "label" in t2.read().columns
+    assert sorted(r.k for r in t2.read().collect()) == [1]
+
+
+def test_evolving_append_survives_benign_append_race(spark, tmp_path, monkeypatch):
+    """The conflict check compares the TABLE's schema at the base snapshot,
+    not the loser's own (possibly intentionally evolved) schema: a
+    merge_schema append racing a plain same-schema append retries and lands."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    orig = t.log_store.write_if_absent
+    fired = []
+
+    def race(target, payload):
+        if not fired:
+            fired.append(1)
+            TxTable(spark, t.path).append(_df(spark, [(9, "z")]))  # benign rival
+        return orig(target, payload)
+
+    monkeypatch.setattr(t.log_store, "write_if_absent", race)
+    wide = spark.createDataFrame([(2, "b", 1.5)], "k int, v string, score double")
+    t.append(wide, merge_schema=True)  # must NOT raise
+    t2 = TxTable(spark, t.path)
+    assert "score" in t2.read().columns
+    assert sorted(r.k for r in t2.read().collect()) == [1, 2, 9]
+
+
 def test_txn_marker_makes_append_idempotent(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "t"))
     txn = {"app": "job-1", "batch": 7}
