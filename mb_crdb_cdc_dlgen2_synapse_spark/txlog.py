@@ -122,6 +122,42 @@ class PosixLogStore(LogStore):
             os.remove(tmp)
 
 
+class InMemoryCASLogStore(LogStore):
+    """Contract-faithful SECOND implementation, proving the seam: models an
+    object store's conditional PUT (ADLS ``If-None-Match: *`` -> 412, GCS
+    ``ifGenerationMatch=0``, S3 2024+ ``If-None-Match``) where exclusivity
+    comes from the store's compare-and-set — NOT from POSIX ``link``
+    semantics. The object index is an in-process dict under a lock (the
+    emulated store's metadata CAS, one fake ETag per object); the CAS
+    winner then materializes the object for readers via temp-file +
+    ``os.replace`` (readers never observe partial content; losers never
+    touch storage at all — they got the 412 before writing a byte).
+
+    Like the real object store it emulates, all racing writers must share
+    ONE store instance (the dict IS the store). Pre-existing files written
+    by another store implementation are honored (absent from the dict but
+    present on disk -> treated as existing), so a table can be opened with
+    either backend. ``tests/test_logstore.py`` runs the racing-writer,
+    checkpoint, vacuum, and clone suites against BOTH implementations."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self._etags: dict[str, str] = {}
+
+    def write_if_absent(self, target: str, data: str) -> bool:
+        with self._lock:  # the conditional PUT: object exists -> 412 -> False
+            if target in self._etags or os.path.exists(target):
+                return False
+            self._etags[target] = uuid.uuid4().hex
+        tmp = f"{target}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, target)
+        return True
+
+
 def _footer_stats(parquet_path: str) -> dict:
     """{"rows": n, "min": {col: v}, "max": {col: v}} from the file's own
     footer. Only top-level int/float/str columns with sound min/max are
