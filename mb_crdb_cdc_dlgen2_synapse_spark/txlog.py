@@ -357,6 +357,10 @@ class TxTable:
     #: Interval trades checkpoint-write amortization against tail length:
     #: snapshot resolution reads 1 checkpoint + <= N commit files.
     CHECKPOINT_INTERVAL = 20
+    #: manifest rows per checkpoint parquet part; above this the manifest
+    #: splits into numbered parts (Delta's multi-part checkpoints — one
+    #: driver-side parquet write has a practical ceiling at ~10M files)
+    MANIFEST_PART_ROWS = 500_000
 
     def __init__(
         self, spark: SparkSession, path: str, log_store: LogStore | None = None
@@ -517,9 +521,18 @@ class TxTable:
         if base_v >= 0:
             ck = self._read_json(ckpts[base_v])
             if ck.get("manifest"):
-                files = self._read_manifest(
-                    os.path.join(self.path, _LOG_DIR, ck["manifest"])
-                )
+                names = ck["manifest"]
+                if isinstance(names, str):  # single-file manifest
+                    names = [names]
+                files = {"active": [], "stats": {}, "dvs": [], "dv_counts": {}}
+                for name in names:  # multi-part: concatenate in part order
+                    part = self._read_manifest(
+                        os.path.join(self.path, _LOG_DIR, name)
+                    )
+                    files["active"].extend(part["active"])
+                    files["stats"].update(part["stats"])
+                    files["dvs"].extend(part["dvs"])
+                    files["dv_counts"].update(part["dv_counts"])
             else:  # legacy inline-JSON checkpoint
                 files = {
                     "active": list(ck.get("active") or []),
@@ -622,24 +635,45 @@ class TxTable:
 
         v = self.version() if version is None else version
         s = self._state(v)
-        manifest_name = f"{v:020d}.checkpoint.parquet"
-        manifest_path = os.path.join(self.path, _LOG_DIR, manifest_name)
-        if not os.path.exists(manifest_path):
-            kinds, paths, payloads = [], [], []
-            for f in s["active"]:
-                kinds.append("data")
-                paths.append(f)
-                payloads.append(json.dumps(s["stats"].get(f) or {}))
-            for f in s["dvs"]:
-                kinds.append("dv")
-                paths.append(f)
-                payloads.append(None)
-            for f, n in s["dv_counts"].items():
-                kinds.append("dv_count")
-                paths.append(f)
-                payloads.append(str(n))
+        kinds, paths, payloads = [], [], []
+        for f in s["active"]:
+            kinds.append("data")
+            paths.append(f)
+            payloads.append(json.dumps(s["stats"].get(f) or {}))
+        for f in s["dvs"]:
+            kinds.append("dv")
+            paths.append(f)
+            payloads.append(None)
+        for f, n in s["dv_counts"].items():
+            kinds.append("dv_count")
+            paths.append(f)
+            payloads.append(str(n))
+        # Multi-part manifests (Delta's multi-part checkpoint design): the
+        # manifest is the part that grows with table size, and ONE parquet
+        # file has a practical ceiling (a single driver-side write/read of
+        # ~10M+ rows). Above MANIFEST_PART_ROWS the rows split into fixed
+        # -size parts written independently; the JSON head lists them, and
+        # its put-if-absent still gates visibility of the whole set.
+        part_rows = max(1, int(self.MANIFEST_PART_ROWS))
+        n_parts = max(1, -(-len(kinds) // part_rows))
+        if n_parts == 1:
+            manifest_names = [f"{v:020d}.checkpoint.parquet"]
+        else:
+            manifest_names = [
+                f"{v:020d}.checkpoint.{i + 1:05d}-of-{n_parts:05d}.parquet"
+                for i in range(n_parts)
+            ]
+        for i, manifest_name in enumerate(manifest_names):
+            manifest_path = os.path.join(self.path, _LOG_DIR, manifest_name)
+            if os.path.exists(manifest_path):
+                continue  # racers write identical bytes
+            lo, hi = i * part_rows, (i + 1) * part_rows
             tbl = pa.table(
-                {"kind": kinds, "path": paths, "payload": payloads},
+                {
+                    "kind": kinds[lo:hi],
+                    "path": paths[lo:hi],
+                    "payload": payloads[lo:hi],
+                },
                 schema=pa.schema(
                     [("kind", pa.string()), ("path", pa.string()), ("payload", pa.string())]
                 ),
@@ -649,7 +683,9 @@ class TxTable:
             os.rename(tmp, manifest_path)  # atomic; racers write identical bytes
         entry = {
             "version": v,
-            "manifest": manifest_name,
+            "manifest": (
+                manifest_names[0] if n_parts == 1 else manifest_names
+            ),
             "schema": s["schema"],
             "checks": s["checks"],
             "clustering": s["clustering"],
@@ -1198,6 +1234,17 @@ class TxTable:
         schema = state["schema"]
         if schema is None:
             raise ValueError("cannot rename a column on a never-written table")
+        if "." in old or "." in new:
+            # Nested-FIELD renames are explicitly unsupported: the column
+            # mapping tracks top-level physical names only (renaming a
+            # field inside a struct would need per-field physical ids in
+            # every reader/writer path — the later Delta protocol
+            # extension). Renaming a whole struct-typed COLUMN works.
+            raise ValueError(
+                "nested field renames are not supported: the column "
+                "mapping covers top-level columns only (a struct-typed "
+                "column can be renamed as a whole)"
+            )
         st = T.StructType.fromJson(json.loads(schema))
         if old not in st.fieldNames():
             raise ValueError(f"column {old!r} does not exist")
@@ -2656,12 +2703,16 @@ class TxTable:
             for v, p in commits.items():
                 if v <= v_keep:
                     os.remove(p)
+            log_dir = os.path.join(self.path, _LOG_DIR)
             for v, p in ckpts.items():
                 if v < v_keep:
                     os.remove(p)
-                    sidecar = p[: -len(_CKPT_SUFFIX)] + ".checkpoint.parquet"
-                    if os.path.exists(sidecar):
-                        os.remove(sidecar)
+                    # sidecars: single-file AND multi-part manifests share
+                    # the "<v>.checkpoint." prefix
+                    prefix = f"{v:020d}.checkpoint."
+                    for name in os.listdir(log_dir):
+                        if name.startswith(prefix) and name.endswith(".parquet"):
+                            os.remove(os.path.join(log_dir, name))
             self._json_cache.clear()
             self._manifest_cache.clear()
         self._state_cache.clear()

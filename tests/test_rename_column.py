@@ -341,3 +341,32 @@ def test_merge_dv_keeps_hive_layout_after_partition_rename(spark, tmp_path):
     assert added and all(f.startswith("part=") for f in added)
     got = {r.k: r.v for r in t.read().collect()}
     assert got[3] == "merged" and got[42] == "new" and len(got) == 11
+
+
+def test_nested_field_rename_refuses_struct_column_rename_works(spark, tmp_path):
+    """The documented nested-rename contract: renaming a FIELD inside a
+    struct refuses with a clear message (top-level-only column mapping,
+    the pre-extension Delta restriction); renaming the struct-typed
+    column itself is an ordinary metadata-only rename."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, ("a", 10)), (2, ("b", 20))],
+        "k int, props struct<name: string, qty: int>",
+    )
+    t.append(df)
+    with pytest.raises(ValueError, match="nested field renames"):
+        t.rename_column("props.name", "props.label")
+    with pytest.raises(ValueError, match="nested field renames"):
+        t.rename_column("props", "props.meta")
+    # whole-struct rename is metadata-only and round-trips
+    t.rename_column("props", "attrs")
+    assert t.read().columns == ["k", "attrs"]
+    got = {r.k: (r.attrs.name, r.attrs.qty) for r in t.read().collect()}
+    assert got == {1: ("a", 10), 2: ("b", 20)}
+    # writers speak the new name; nested data stays intact
+    t.append(
+        spark.createDataFrame(
+            [(3, ("c", 30))], "k int, attrs struct<name: string, qty: int>"
+        )
+    )
+    assert t.read().count() == 3

@@ -399,3 +399,60 @@ def test_parquet_manifest_checkpoint_roundtrip_and_prune(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [
         0, 2, 3, 4, 5, 6, 100, 200, 201, 202, 203, 204, 205,
     ]
+
+
+def test_multipart_manifest_roundtrip_and_prune(spark, tmp_path):
+    """Above MANIFEST_PART_ROWS the checkpoint manifest splits into
+    numbered parquet parts; resolution concatenates them, legacy
+    single-part checkpoints stay readable, and vacuum prunes every part."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.MANIFEST_PART_ROWS = 4  # force splitting at tiny counts
+    for i in range(6):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    t.write_checkpoint()
+    parts = glob.glob(os.path.join(t.path, "_txlog", "*.checkpoint.*-of-*.parquet"))
+    assert len(parts) >= 2  # 6 data rows / 4 per part
+    # a FRESH handle resolves purely from head-checkpoint + parts
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    fresh.MANIFEST_PART_ROWS = 4
+    assert sorted(r.k for r in fresh.read().collect()) == list(range(6))
+    # more commits + prune: old parts vanish, state stays correct
+    for i in range(6, 9):
+        fresh.append(_df(spark, [(i, f"v{i}")]))
+    fresh.vacuum(retain_versions=1, prune_log=True)
+    assert sorted(r.k for r in fresh.read().collect()) == list(range(9))
+    leftover = glob.glob(os.path.join(t.path, "_txlog", "*.checkpoint.*"))
+    versions = {os.path.basename(p).split(".")[0] for p in leftover}
+    assert len(versions) == 1  # only the fresh prune checkpoint's files remain
+
+
+def test_100k_file_manifest_resolves_in_parts(spark, tmp_path):
+    """The pinned large-table contract: a checkpoint over >=100k logged
+    files (synthetic stats — no physical files needed for metadata
+    resolution) writes MULTIPLE manifest parts and resolves back
+    losslessly via arrow columns, bounded by part size, not table size."""
+    import time as _time
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 0  # manual checkpointing only
+    t.MANIFEST_PART_ROWS = 40_000
+    t.append(_df(spark, [(0, "seed")]))
+    n_seed = len(t.snapshot()[1])
+    synthetic = [f"part=0/synth-{i:06d}.parquet" for i in range(100_000)]
+    stats = {
+        f: {"rows": 10, "bytes": 1000, "min": {"k": i}, "max": {"k": i + 9}}
+        for i, f in enumerate(synthetic)
+    }
+    t._commit(synthetic, lambda active: [], t.snapshot()[2], None, "append", stats)
+    t.write_checkpoint()
+    parts = glob.glob(os.path.join(t.path, "_txlog", "*.checkpoint.*-of-*.parquet"))
+    assert len(parts) == 3  # ceil((100_000 + n_seed) / 40_000)
+    t0 = _time.time()
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    v, active, _schema = fresh.snapshot()
+    elapsed = _time.time() - t0
+    assert len(active) == 100_000 + n_seed
+    # logical stats survive the split (spot-check pruning metadata)
+    fs = fresh.file_stats()
+    assert fs["part=0/synth-050000.parquet"]["min"] == {"k": 50000}
+    assert elapsed < 30, f"manifest resolution took {elapsed:.1f}s"
