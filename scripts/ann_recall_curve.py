@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Recall/latency measurement for the bucketed-probe Hamming ANN
+(operators/similarity.py) at realistic cardinality — the evidence behind
+plans/planner.py's ANN_MIN_ROWS crossover and the recall bound asserted in
+tests/test_ann_recall.py.
+
+Protocol:
+- corpus: N synthetic 64-dim vectors, fully deterministic (sin(id*p_j)
+  per dimension — no RNG, reproducible across runs/engines);
+- queries: NQ perturbed copies of corpus vectors (small additive noise,
+  flipping ~5% of sign bits — the near-neighbor regime ANN exists for);
+- ground truth: full-scan Hamming top-k over the SAME binary codes
+  (knn_hamming_topk);
+- measured: probed_hamming_topk over a materialize_binary_codes table for
+  each (prefix_bits, radius); recall@k = |probed ∩ truth| / k averaged
+  over queries, latency = wall time of the probed query (table build time
+  reported separately — it amortizes over the query stream).
+
+Usage: python scripts/ann_recall_curve.py [N ...]   (default 10k 100k 1M)
+Prints one JSON line per (N, prefix_bits, radius) + a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from mb_crdb_cdc_dlgen2_synapse_spark.operators import similarity  # noqa: E402
+
+K = 10
+NQ = 20
+
+spark = (
+    SparkSession.builder.master("local[16]")
+    .appName("ann_recall_curve")
+    .config("spark.driver.memory", "48g")  # 1M x 64 doubles in flight
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+PRIMES = [
+    2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61,
+    67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131, 137,
+    139, 149, 151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199, 211,
+    223, 227, 229, 233, 239, 241, 251, 257, 263, 269, 271, 277, 281, 283,
+    293, 307, 311,
+]
+
+
+def corpus(n: int):
+    """Deterministic pseudo-random 64-dim vectors, one codegen projection."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[F.sin(F.col("id") * F.lit(float(p)) + F.lit(j * 0.7)) for j, p in enumerate(PRIMES)]
+        ).alias("embedding"),
+    )
+
+
+def queries(n: int):
+    """NQ perturbed corpus vectors (ids spread through the corpus)."""
+    ids = [int(i * n / NQ) + 1 for i in range(NQ)]
+    base = spark.createDataFrame([(i, q) for q, i in enumerate(ids)], "vec_id long, query_id int")
+    return base.select(
+        "query_id",
+        F.array(
+            *[
+                (
+                    F.sin(F.col("vec_id") * F.lit(float(p)) + F.lit(j * 0.7))
+                    + 0.1 * F.sin(F.col("vec_id") * 31.0 + F.lit(j * 1.3))
+                )
+                for j, p in enumerate(PRIMES)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def run(n: int, results: list):
+    import tempfile
+
+    # the corpus is NOT pinned: it is a deterministic codegen projection
+    # (recompute beats caching 512 MB of arrays); only the tiny query side is
+    c = corpus(n)
+    q = queries(n).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    truth_df = similarity.knn_hamming_topk(c, q, k=K)
+    truth = {(r.query_id, r.vec_id) for r in truth_df.collect()}
+    brute_s = time.time() - t0
+
+    for prefix_bits in (4, 6, 8):
+        tdir = tempfile.mkdtemp(prefix=f"ann_codes_{n}_{prefix_bits}_")
+        t0 = time.time()
+        table = similarity.materialize_binary_codes(c, tdir, prefix_bits=prefix_bits)
+        build_s = time.time() - t0
+        for radius in (1, 2):
+            t0 = time.time()
+            got_df = similarity.probed_hamming_topk(
+                table, q, k=K, prefix_bits=prefix_bits, radius=radius
+            )
+            got = {(r.query_id, r.vec_id) for r in got_df.collect()}
+            probe_s = time.time() - t0
+            recall = len(got & truth) / len(truth)
+            n_probe = len(
+                similarity.prefix_probe_buckets(0, prefix_bits, radius)
+            )
+            rec = {
+                "n": n,
+                "prefix_bits": prefix_bits,
+                "radius": radius,
+                "probed_frac": round(n_probe / (1 << prefix_bits), 4),
+                "recall_at_k": round(recall, 4),
+                "brute_s": round(brute_s, 2),
+                "probe_s": round(probe_s, 2),
+                "build_s": round(build_s, 2),
+                "speedup_vs_brute": round(brute_s / probe_s, 2) if probe_s else None,
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    sizes = [int(float(a)) for a in sys.argv[1:]] or [10_000, 100_000, 1_000_000]
+    results: list = []
+    for n in sizes:
+        run(n, results)
+    # crossover: smallest N where the best >=0.9-recall probe beats brute
+    xover = None
+    for n in sizes:
+        best = [
+            r for r in results
+            if r["n"] == n and r["recall_at_k"] >= 0.9 and r["speedup_vs_brute"] and r["speedup_vs_brute"] > 1.0
+        ]
+        if best and xover is None:
+            xover = n
+    print(json.dumps({"summary": True, "sizes": sizes, "crossover_n": xover}))
