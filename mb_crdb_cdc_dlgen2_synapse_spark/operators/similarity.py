@@ -371,6 +371,56 @@ def brute_force_topk_arrow(
     )
 
 
+#: one small prime per dimension — the deterministic projection basis for
+#: synthetic_embeddings (no RNG: identical vectors on every run/engine)
+_SYNTH_PRIMES = [
+    2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61,
+    67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131, 137,
+    139, 149, 151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199, 211,
+    223, 227, 229, 233, 239, 241, 251, 257, 263, 269, 271, 277, 281, 283,
+    293, 307, 311,
+]
+
+
+def synthetic_embeddings(spark, n: int) -> DataFrame:
+    """``n`` deterministic pseudo-random 64-dim vectors as one codegen
+    projection (dim j of id i = sin(i*p_j + 0.7j), p_j prime) — the
+    cardinality harness behind the ANN recall/latency measurement
+    (scripts/ann_recall_curve.py) and the 1M-row recall-bound test. No
+    RNG, no driver-side materialization: generating 100M vectors is the
+    same one-stage plan as 10k."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.sin(F.col("id") * F.lit(float(p)) + F.lit(j * 0.7))
+                for j, p in enumerate(_SYNTH_PRIMES)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def perturbed_queries(spark, ids: list[int], noise: float = 0.1) -> DataFrame:
+    """Queries = corpus vectors for ``ids`` plus small deterministic
+    additive noise (flips ~5% of sign bits at noise=0.1) — the
+    near-neighbor regime ANN recall is measured in."""
+    base = spark.createDataFrame(
+        [(int(i), q) for q, i in enumerate(ids)], "vec_id long, query_id int"
+    )
+    return base.select(
+        "query_id",
+        F.array(
+            *[
+                (
+                    F.sin(F.col("vec_id") * F.lit(float(p)) + F.lit(j * 0.7))
+                    + noise * F.sin(F.col("vec_id") * 31.0 + F.lit(j * 1.3))
+                )
+                for j, p in enumerate(_SYNTH_PRIMES)
+            ]
+        ).alias("embedding"),
+    )
+
+
 def binary_quantize(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """1-bit binary quantization: the sign bit of each of the 64 dimensions,
     packed into two 32-bit words (``b_lo`` dims 0-31, ``b_hi`` dims 32-63 —

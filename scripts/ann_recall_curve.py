@@ -48,41 +48,14 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
-PRIMES = [
-    2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61,
-    67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127, 131, 137,
-    139, 149, 151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199, 211,
-    223, 227, 229, 233, 239, 241, 251, 257, 263, 269, 271, 277, 281, 283,
-    293, 307, 311,
-]
-
-
 def corpus(n: int):
-    """Deterministic pseudo-random 64-dim vectors, one codegen projection."""
-    return spark.range(n).select(
-        F.col("id").alias("vec_id"),
-        F.array(
-            *[F.sin(F.col("id") * F.lit(float(p)) + F.lit(j * 0.7)) for j, p in enumerate(PRIMES)]
-        ).alias("embedding"),
-    )
+    return similarity.synthetic_embeddings(spark, n)
 
 
 def queries(n: int):
     """NQ perturbed corpus vectors (ids spread through the corpus)."""
     ids = [int(i * n / NQ) + 1 for i in range(NQ)]
-    base = spark.createDataFrame([(i, q) for q, i in enumerate(ids)], "vec_id long, query_id int")
-    return base.select(
-        "query_id",
-        F.array(
-            *[
-                (
-                    F.sin(F.col("vec_id") * F.lit(float(p)) + F.lit(j * 0.7))
-                    + 0.1 * F.sin(F.col("vec_id") * 31.0 + F.lit(j * 1.3))
-                )
-                for j, p in enumerate(PRIMES)
-            ]
-        ).alias("embedding"),
-    )
+    return similarity.perturbed_queries(spark, ids)
 
 
 def run(n: int, results: list):
