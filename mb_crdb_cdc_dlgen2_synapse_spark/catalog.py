@@ -5545,6 +5545,56 @@ def tx_zero_copy_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_bloom_point_lookup",
+    """
+    SELECT o_orderkey,
+           concat('ord-', lpad(CAST(o_orderkey AS VARCHAR), 8, '0')) AS uid,
+           o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (7, 42, 731, 1203)
+    """,
+    "S7,S5,P9",
+)
+def tx_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping over the txlog format
+    (txlog.set_bloom_index — Delta's bloom filter index): orders land in
+    FOUR key-interleaved commits (every file's uid min/max range overlaps
+    every other's, so range stats prune NOTHING), with a per-file bloom
+    bitset on the high-cardinality ``uid`` built executor-side at write
+    time. The point lookup then opens only the files whose filter may
+    contain the probed ids — at 100 TB this is the needle-in-haystack id
+    lookup that range stats structurally cannot serve. Pruning is
+    asserted in tests/test_bloom_index.py; the oracle certifies exact
+    row results (bloom skips are false-positive-only by construction)."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_bloom")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(
+            F.lit("ord-"), F.lpad(F.col("o_orderkey").cast("string"), 8, "0")
+        ).alias("uid"),
+        "o_totalprice",
+    )
+    # schema-establishing seed (set_bloom_index needs a written schema);
+    # its row reappears in the residue-0 batch — deduped in the projection
+    t.append(orders.filter(F.col("o_orderkey") == 0).coalesce(1))
+    t.set_bloom_index(["uid"])
+    for residue in range(4):  # interleaved keys: ranges overlap fully
+        t.append(
+            orders.filter(F.col("o_orderkey") % 4 == residue).coalesce(1)
+        )
+    keys = [f"ord-{k:08d}" for k in (7, 42, 731, 1203)]
+    return (
+        t.read(predicates=[("uid", "in", keys)])
+        .filter(F.col("uid").isin(keys))
+        .select("o_orderkey", "uid", "o_totalprice")
+        .dropDuplicates(["o_orderkey"])
+    )
+
+
+@register(
     "tx_schema_evolution",
     """
     SELECT o_orderkey,

@@ -254,9 +254,39 @@ _OPS = {
 }
 
 
+def _bloom_positions(value, k: int, m: int) -> list[int]:
+    """The k bit positions of ``value`` — md5 of ``"<value>|<i>"`` exactly
+    as the Spark-side build computes it (md5(concat(cast(col as string),
+    '|<i>'))), so driver-side probing and executor-side building agree
+    bit-for-bit."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}|{i}".encode()).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
+def _bloom_maybe_contains(bl: dict, value) -> bool:
+    """Bloom membership test against a logged per-file filter
+    ({"m", "k", "b64"}). True = maybe present; False = PROVEN absent."""
+    import base64
+
+    if not isinstance(value, (str, int)) or isinstance(value, bool):
+        return True  # only canonically-stringable types are indexed
+    bits = base64.b64decode(bl["b64"])
+    for h in _bloom_positions(value, bl["k"], bl["m"]):
+        if not (bits[h >> 3] >> (h & 7)) & 1:
+            return False
+    return True
+
+
 def _file_may_match(stats: dict | None, parts: dict[str, str], predicates) -> bool:
     """False only when the file's stats PROVE no row satisfies every
-    predicate (conjunction). Missing stats for a column -> may match."""
+    predicate (conjunction). Missing stats for a column -> may match.
+    Point predicates (==, in) additionally consult the file's logged
+    bloom filter when the table declares one for the column — the skip
+    that works where every file's min/max RANGE overlaps the value."""
     for col, op, value in predicates:
         if op not in _OPS:
             raise ValueError(f"unsupported predicate op {op!r} (have {sorted(_OPS)})")
@@ -270,13 +300,20 @@ def _file_may_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
         if not stats:
             continue
         lo, hi = stats.get("min", {}).get(col), stats.get("max", {}).get(col)
-        if lo is None or hi is None:
-            continue
-        try:
-            if not _OPS[op](lo, hi, value):
+        if lo is not None and hi is not None:
+            try:
+                if not _OPS[op](lo, hi, value):
+                    return False
+            except TypeError:
+                pass  # incomparable predicate value vs stored stat — keep file
+        bl = (stats.get("bloom") or {}).get(col)
+        if bl is not None:
+            if op == "==" and not _bloom_maybe_contains(bl, value):
                 return False
-        except TypeError:
-            continue  # incomparable predicate value vs stored stat — keep file
+            if op == "in" and not any(
+                _bloom_maybe_contains(bl, v) for v in value
+            ):
+                return False
     return True
 
 
@@ -437,6 +474,7 @@ class TxTable:
             "generated": {},
             "colmap": {},
             "retired": [],
+            "bloom": {},
             "utc": None,
         }
 
@@ -464,6 +502,8 @@ class TxTable:
             state["colmap"] = dict(c["colmap"])
         if c.get("retired") is not None:
             state["retired"] = list(c["retired"])
+        if c.get("bloom") is not None:
+            state["bloom"] = dict(c["bloom"])
         if "dv_reset" in c:
             state["dvs"] = list(c["dv_reset"])
             state["dv_counts"] = {}
@@ -555,6 +595,7 @@ class TxTable:
                 "generated": dict(ck.get("generated") or {}),
                 "colmap": dict(ck.get("colmap") or {}),
                 "retired": list(ck.get("retired") or []),
+                "bloom": dict(ck.get("bloom") or {}),
                 "utc": ck.get("utc"),
             }
         else:
@@ -582,6 +623,7 @@ class TxTable:
             "generated": dict(s["generated"]),
             "colmap": dict(s["colmap"]),
             "retired": list(s["retired"]),
+            "bloom": dict(s["bloom"]),
             "utc": s["utc"],
         }
 
@@ -693,6 +735,7 @@ class TxTable:
             "generated": s["generated"],
             "colmap": s["colmap"],
             "retired": s["retired"],
+            "bloom": s["bloom"],
             "utc": s["utc"],
         }
         target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
@@ -792,6 +835,126 @@ class TxTable:
             [], lambda active: [], schema, None, "set_clustering",
             extra={"clustering": list(cols)},
         )
+
+    def bloom_index(self) -> dict[str, dict]:
+        """Active bloom-index config ({logical col: {"m": bits, "k": hashes}})."""
+        return dict(self._state()["bloom"])
+
+    def set_bloom_index(
+        self, cols: list[str], bits: int = 4096, hashes: int = 3
+    ) -> int:
+        """Declare a BLOOM FILTER file-skipping index on ``cols`` (Delta's
+        bloom filter index): one O(1) metadata commit; every LATER write
+        computes a per-file bloom bitset for each indexed column
+        (executor-side, one pass over the staged files) and logs it with
+        the file's stats. Point predicates (``==`` / ``in``) then skip
+        files the filter proves absent — the pruning that works where
+        every file's min/max RANGE overlaps the value (high-cardinality
+        ids appended over time: ranges interleave, blooms don't).
+        Existing files keep no filter (never skipped — correct, not yet
+        indexed; compact() rewrites them with filters). Pass ``[]`` to
+        clear. Only string/integral columns are indexable (their string
+        canonicalization is identical in the Spark build and the
+        driver-side probe); sizing: ~bits/8 bytes per file per column in
+        the log (default 512 B), false-positive rate ~(1-e^(-k*n/m))^k."""
+        _v, _a, schema = self.snapshot()
+        if schema is None and cols:
+            raise ValueError("declare the bloom index after the first write")
+        if cols:
+            fields = {
+                f.name: f.dataType
+                for f in T.StructType.fromJson(json.loads(schema)).fields
+            }
+            ok_types = (
+                T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+            )
+            for c in cols:
+                if c not in fields:
+                    raise ValueError(f"bloom column {c!r} not in schema")
+                if not isinstance(fields[c], ok_types):
+                    raise ValueError(
+                        f"bloom column {c!r} has type {fields[c].simpleString()}; "
+                        "only string/integral columns are indexable"
+                    )
+        cfg = {c: {"m": int(bits), "k": int(hashes)} for c in cols}
+        return self._commit(
+            [], lambda active: [], schema, None, "set_bloom_index",
+            extra={"bloom": cfg},
+        )
+
+    def _bloom_for_staged(
+        self, relpaths: list[str], stats: dict[str, dict], colmap: dict[str, str]
+    ) -> None:
+        """Attach per-file bloom bitsets to ``stats`` for every indexed
+        column present in the staged files. ONE distributed pass per
+        indexed column over the new files only (input_file_name groups
+        rows back to their file); the driver folds at most m distinct bit
+        positions per file — bounded by the filter size, not the row
+        count. Bitsets key by PHYSICAL column name like min/max stats;
+        ``file_stats`` remaps them to logical for pruning consumers."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        cfg = self._state()["bloom"]
+        if not cfg or not relpaths:
+            return
+        paths = [os.path.join(self.path, r) for r in relpaths]
+        df = self.spark.read.option("basePath", self.path).parquet(*paths)
+        for lcol, bc in cfg.items():
+            phys = colmap.get(lcol, lcol) if colmap else lcol
+            if phys not in df.columns:
+                continue  # partition column (exact path pruning) or absent
+            m, k = int(bc["m"]), int(bc["k"])
+            pos = [
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col(phys).cast("string"), F.lit(f"|{i}")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m
+                ).cast("int")
+                for i in range(k)
+            ]
+            rows = (
+                df.filter(F.col(phys).isNotNull())
+                .select(
+                    F.input_file_name().alias("__f"),
+                    F.explode(F.array(*pos)).alias("__pos"),
+                )
+                .distinct()
+                .groupBy("__f")
+                .agg(F.collect_set("__pos").alias("__ps"))
+                .collect()
+            )
+            by_rel: dict[str, list[int]] = {}
+            for r in rows:
+                p = r["__f"]  # indexing: __-attrs name-mangle inside a class
+                if p.startswith("file:"):
+                    p = p[len("file:") :]
+                    while p.startswith("//"):
+                        p = p[1:]
+                    p = "/" + p.lstrip("/")
+                by_rel[os.path.relpath(p, self.path)] = list(r["__ps"])
+            for rel in relpaths:
+                bits = bytearray(m // 8)
+                for h in by_rel.get(rel, []):  # absent = no non-null rows
+                    bits[h >> 3] |= 1 << (h & 7)
+                st = stats.setdefault(rel, {})
+                st.setdefault("bloom", {})[phys] = {
+                    "m": m,
+                    "k": k,
+                    "b64": base64.b64encode(bytes(bits)).decode(),
+                }
 
     def generated_columns(self) -> dict[str, str]:
         """Active generated-column definitions ({name: sql expr})."""
@@ -966,6 +1129,7 @@ class TxTable:
                 os.rename(src, dst)
                 moved.append(rel)
         shutil.rmtree(stage, ignore_errors=True)
+        self._bloom_for_staged(moved, stats, colmap)
         return moved, stats
 
     def _commit(
@@ -993,7 +1157,9 @@ class TxTable:
         Plain concurrent appends (same schema, no metadata keys) keep the
         retry fast path."""
         self._enforce_checks(added)
-        meta_keys = ("colmap", "generated", "retired", "clustering", "checks")
+        meta_keys = (
+            "colmap", "generated", "retired", "clustering", "checks", "bloom",
+        )
         base_version: int | None = None
         base_schema: str | None = None
         for _ in range(max_retries):
@@ -1157,9 +1323,13 @@ class TxTable:
         new_schema = T.StructType(
             [f for f in st.fields if f.name != name]
         ).json()
+        extra: dict = {"colmap": colmap, "retired": retired}
+        if name in state["bloom"]:
+            bl = dict(state["bloom"])
+            bl.pop(name)
+            extra["bloom"] = bl
         return self._commit(
-            [], lambda active: [], new_schema, None, "drop_column",
-            extra={"colmap": colmap, "retired": retired},
+            [], lambda active: [], new_schema, None, "drop_column", extra=extra,
         )
 
     # -- column mapping (rename without rewrite) -----------------------------
@@ -1290,6 +1460,12 @@ class TxTable:
             extra["clustering"] = [
                 new if c == old else c for c in state["clustering"]
             ]
+        if old in state["bloom"]:
+            # the bloom config migrates with the logical name; the logged
+            # bitsets stay physical-keyed and keep pruning via file_stats
+            bl = dict(state["bloom"])
+            bl[new] = bl.pop(old)
+            extra["bloom"] = bl
         return self._commit(
             [], lambda active: [], new_schema, None, "rename_column", extra=extra
         )
@@ -1739,7 +1915,7 @@ class TxTable:
 
         def remap(st: dict) -> dict:
             out = dict(st)
-            for key in ("min", "max", "nulls"):
+            for key in ("min", "max", "nulls", "bloom"):
                 if st.get(key):
                     out[key] = {inv.get(c, c): v for c, v in st[key].items()}
             return out
@@ -2582,6 +2758,7 @@ class TxTable:
                 "dv_reset_counts": self._dv_counts(version),
                 "colmap": dict(old_state["colmap"]),
                 "generated": dict(old_state["generated"]),
+                "bloom": dict(old_state["bloom"]),
             },
         )
 
@@ -2649,6 +2826,7 @@ class TxTable:
                 "generated": dict(s["generated"]),
                 "colmap": dict(s["colmap"]),
                 "retired": list(s["retired"]),
+                "bloom": dict(s["bloom"]),
                 "dv_added": list(s["dvs"]),
                 "dv_counts": dict(s["dv_counts"]),
                 "clone_source": self.path,

@@ -1,0 +1,148 @@
+"""Bloom-filter file skipping (txlog.set_bloom_index — Delta's bloom
+filter index): per-file bitsets built executor-side at write time, logged
+with the file's stats, and consulted by point predicates where min/max
+ranges cannot prune (high-cardinality ids interleaved across files).
+False POSITIVES only — a skipped file is PROVEN absent; every present
+value must always be found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable, _file_may_match
+
+
+def _cands(t: TxTable, preds) -> list[str]:
+    """The candidate file set read(predicates=...) would scan."""
+    stats = t.file_stats()
+    cm = t._state()["colmap"]
+    return [
+        f
+        for f in t.snapshot()[1]
+        if _file_may_match(stats.get(f), t._parts(f, cm), preds)
+    ]
+
+
+def _ids(spark, ks):
+    # uid interleaves across batches: every file's min/max range overlaps
+    return spark.createDataFrame(
+        [(k, f"uid-{k:05d}") for k in ks], "k int, uid string"
+    ).coalesce(1)
+
+
+def test_point_lookup_skips_overlapping_range_files(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_ids(spark, [0]))
+    t.set_bloom_index(["uid"])
+    t.append(_ids(spark, range(1, 100, 2)))  # odd uids
+    t.append(_ids(spark, range(2, 100, 2)))  # even uids — ranges overlap
+    evens = set(t.history()[-1]["added"])
+    # min/max cannot separate the two files; the bloom does
+    c = _cands(t, [("uid", "==", "uid-00003")])
+    assert not (set(c) & evens), "even-uid file must be bloom-skipped"
+    assert len(c) >= 1
+    got = t.read(predicates=[("uid", "==", "uid-00003")]).collect()
+    assert [(r.k, r.uid) for r in got if r.uid == "uid-00003"] == [(3, "uid-00003")]
+
+
+def test_no_false_negatives_every_value_found(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_ids(spark, [0]))
+    t.set_bloom_index(["uid", "k"])
+    t.append(_ids(spark, range(1, 60, 2)))
+    t.append(_ids(spark, range(2, 60, 2)))
+    for k in range(60):
+        got = t.read(predicates=[("uid", "==", f"uid-{k:05d}")]).collect()
+        assert {r.k for r in got if r.uid == f"uid-{k:05d}"} == {k}
+        got = t.read(predicates=[("k", "==", k)]).collect()
+        assert {r.k for r in got} >= {k}
+
+
+def test_in_predicate_and_integer_column(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_ids(spark, [0]))
+    t.set_bloom_index(["k"])
+    t.append(_ids(spark, range(1, 100, 2)))
+    t.append(_ids(spark, range(2, 100, 2)))
+    evens = set(t.history()[-1]["added"])
+    c = _cands(t, [("k", "in", [3, 7, 11])])  # all odd
+    assert not (set(c) & evens)
+    got = {r.k for r in t.read(predicates=[("k", "in", [3, 7, 11])]).collect()}
+    assert got >= {3, 7, 11}
+
+
+def test_pre_index_files_are_never_skipped(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_ids(spark, range(0, 50)))  # BEFORE the index declaration
+    t.set_bloom_index(["uid"])
+    pre = set(t.history()[0]["added"])
+    # value absent from the table entirely — unindexed files still scan
+    c = _cands(t, [("uid", "==", "uid-00007")])
+    assert pre <= set(c)
+
+
+def test_type_and_schema_validation(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 1.5, "a")], "k int, score double, v string")
+    t.append(df)
+    with pytest.raises(ValueError, match="not in schema"):
+        t.set_bloom_index(["nope"])
+    with pytest.raises(ValueError, match="only string/integral"):
+        t.set_bloom_index(["score"])
+    t.set_bloom_index(["k", "v"])
+    assert t.bloom_index() == {
+        "k": {"m": 4096, "k": 3},
+        "v": {"m": 4096, "k": 3},
+    }
+    t.set_bloom_index([])
+    assert t.bloom_index() == {}
+
+
+def test_survives_checkpoint_prune_clone_and_rename(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 2
+    t.append(_ids(spark, [0]))
+    t.set_bloom_index(["uid"])
+    t.append(_ids(spark, range(1, 40, 2)))
+    t.append(_ids(spark, range(2, 40, 2)))
+    t.vacuum(retain_versions=1, prune_log=True)
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert fresh.bloom_index() == {"uid": {"m": 4096, "k": 3}}
+    evens = {
+        f
+        for f in fresh.snapshot()[1]
+        if any(f"uid-{k:05d}" in str(fresh.file_stats()[f]) for k in (2,))
+    }
+    c = _cands(fresh, [("uid", "==", "uid-00003")])
+    assert len(c) < len(fresh.snapshot()[1])  # something was skipped
+    # clone carries config + logged bitsets
+    cl = fresh.clone_to(str(tmp_path / "c"))
+    assert cl.bloom_index() == {"uid": {"m": 4096, "k": 3}}
+    assert len(_cands(cl, [("uid", "==", "uid-00003")])) == len(c)
+    # rename migrates the config; predicates on the NEW name still prune
+    fresh.rename_column("uid", "user_id")
+    assert fresh.bloom_index() == {"user_id": {"m": 4096, "k": 3}}
+    c2 = _cands(fresh, [("user_id", "==", "uid-00003")])
+    assert len(c2) == len(c)
+    # and post-rename writes keep building filters (physical name 'uid')
+    fresh.append(
+        spark.createDataFrame([(999, "uid-00999")], "k int, user_id string").coalesce(1)
+    )
+    newest = fresh.history()[-1]["added"]
+    assert all(
+        "uid" in fresh._state()["stats"][f].get("bloom", {}) for f in newest
+    )
+
+
+def test_dml_rewrites_rebuild_filters(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_ids(spark, [0]))
+    t.set_bloom_index(["uid"])
+    t.append(_ids(spark, range(1, 30)))
+    t.compact(target_files=2)  # rewrite: fresh files get fresh filters
+    for f in t.history()[-1]["added"]:
+        assert "uid" in (t._state()["stats"][f].get("bloom") or {})
+    t.delete_where([("uid", "==", "uid-00005")])
+    got = {r.uid for r in t.read().collect()}
+    assert "uid-00005" not in got and "uid-00006" in got
