@@ -84,3 +84,45 @@ def test_prefix_probe_buckets_exact_ball(prefix_bits, prefix, radius):
     ]
     assert got == sorted(ball)
     assert len(got) == len(set(got))
+
+
+_bloom_vals = st.one_of(
+    st.integers(-1000, 1000),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+        min_size=0,
+        max_size=12,
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    present=st.lists(_bloom_vals, min_size=0, max_size=40),
+    probes=st.lists(_bloom_vals, min_size=1, max_size=10),
+    m=st.sampled_from([64, 512, 4096]),
+    k=st.integers(1, 4),
+)
+def test_bloom_filter_never_false_negative(present, probes, m, k):
+    """The pure bloom core pruning rests on: a value that was INSERTED must
+    always test maybe-present (false positives allowed, negatives never) —
+    checked across filter sizes, hash counts, and int/str value mixes using
+    the same build/probe position function production uses."""
+    import base64
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import (
+        _bloom_maybe_contains,
+        _bloom_positions,
+    )
+
+    bits = bytearray(m // 8)
+    for v in present:
+        for h in _bloom_positions(v, k, m):
+            bits[h >> 3] |= 1 << (h & 7)
+    bl = {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+    for v in present:
+        assert _bloom_maybe_contains(bl, v)
+    for v in probes:
+        # a pruned (False) probe must be PROVABLY absent
+        if not _bloom_maybe_contains(bl, v):
+            assert v not in present
