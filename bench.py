@@ -82,6 +82,8 @@ HEADLINE = [
     "tx_replace_where",            # atomic region backfill (one commit)
     "tx_generated_columns",        # declare-once derived column fills
     "training_shuffle_shards",     # seeded shard-shuffle, no global sort
+    # round-4 additions
+    "tx_bloom_point_lookup",       # bloom index build + pruned id lookup
 ]
 
 

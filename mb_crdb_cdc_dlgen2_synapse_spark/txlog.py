@@ -355,18 +355,47 @@ def _file_all_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
     return True
 
 
-def _zvalue(df: DataFrame, cols: list[str], bits: int = 6):
-    """Morton (Z-order) key column over numeric ``cols``: each column is
-    bucketed into 2^bits quantile buckets (boundaries from one sampled
-    ``approxQuantile`` pass — never a global sort), then the bucket ids'
-    bits are interleaved. Nulls sort first (bucket 0)."""
+def _string_quantile_cuts(df: DataFrame, col: str, n_buckets: int) -> list[str]:
+    """Approximate string quantile boundaries from a bounded sample —
+    the string analog of ``approxQuantile`` (which is numeric-only):
+    sample up to ~16k distinct values (driver-bounded, never a global
+    sort), sort them, take every len/n-th as a cut. Bucketing by binary
+    string compare then gives ~equal-frequency buckets, which is all
+    Z-order needs (Delta ZORDERs strings via the same
+    range-partition-id idea)."""
     from pyspark.sql import functions as F
+
+    sample = (
+        df.select(col)
+        .filter(F.col(col).isNotNull())
+        .distinct()
+        .limit(16384)
+        .collect()
+    )
+    vals = sorted(r[0] for r in sample)
+    if not vals:
+        return []
+    step = max(1, len(vals) // n_buckets)
+    return vals[step::step][: n_buckets - 1]
+
+
+def _zvalue(df: DataFrame, cols: list[str], bits: int = 6):
+    """Morton (Z-order) key column over ``cols``: each column is bucketed
+    into 2^bits quantile buckets (numeric boundaries from one sampled
+    ``approxQuantile`` pass; string boundaries from a bounded distinct
+    sample — never a global sort either way), then the bucket ids' bits
+    are interleaved. Nulls sort first (bucket 0)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as _T
 
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     z = F.lit(0).cast("long")
     for ci, col in enumerate(cols):
-        cuts = df.approxQuantile(col, probs, 1.0 / (4 * n_buckets))
+        if isinstance(df.schema[col].dataType, _T.StringType):
+            cuts = _string_quantile_cuts(df, col, n_buckets)
+        else:
+            cuts = df.approxQuantile(col, probs, 1.0 / (4 * n_buckets))
         # strictly increasing cut list (duplicates collapse low-cardinality
         # columns into fewer buckets — harmless)
         uniq: list[float] = []

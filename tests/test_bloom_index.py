@@ -109,11 +109,6 @@ def test_survives_checkpoint_prune_clone_and_rename(spark, tmp_path):
     t.vacuum(retain_versions=1, prune_log=True)
     fresh = TxTable(spark, str(tmp_path / "t"))
     assert fresh.bloom_index() == {"uid": {"m": 4096, "k": 3}}
-    evens = {
-        f
-        for f in fresh.snapshot()[1]
-        if any(f"uid-{k:05d}" in str(fresh.file_stats()[f]) for k in (2,))
-    }
     c = _cands(fresh, [("uid", "==", "uid-00003")])
     assert len(c) < len(fresh.snapshot()[1])  # something was skipped
     # clone carries config + logged bitsets

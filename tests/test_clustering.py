@@ -43,3 +43,33 @@ def test_every_vector_assigned_once(spark, emb):
     # re-assignment against returned centroids is stable
     re = assign_clusters(emb, cents)
     assert re.count() == emb.count()
+
+
+def test_zorder_on_string_column_prunes(spark, tmp_path):
+    """Z-order accepts STRING columns (sampled distinct cuts — the
+    numeric approxQuantile path is numeric-only): after compacting by a
+    string id, point/range predicates on it prune files via min/max."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, f"user-{i % 97:04d}") for i in range(2000)], "k int, uid string"
+    )
+    t.append(df.repartition(8))
+    t.compact(target_files=8, z_order=["uid"])
+    stats = t.file_stats()
+    active = t.snapshot()[1]
+    # range partitioning may leave a few empty ranges at low cardinality
+    assert 2 <= len(active) <= 8
+    # clustered layout: most files exclude any given uid by range
+    cands = [
+        f
+        for f in active
+        if stats[f]["min"]["uid"] <= "user-0050" <= stats[f]["max"]["uid"]
+    ]
+    assert len(cands) < len(active)
+    got = {r.k for r in t.read(predicates=[("uid", "==", "user-0050")]).collect()}
+    assert got >= {i for i in range(2000) if i % 97 == 50}
+    # mixed numeric + string z-order works too
+    t.compact(target_files=4, z_order=["k", "uid"])
+    assert t.read().count() == 2000

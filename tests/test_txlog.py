@@ -443,12 +443,18 @@ def test_data_skipping_on_hive_partition_values(spark, tmp_path):
 
 
 def test_data_skipping_never_drops_rows_randomized(spark, tmp_path):
-    """Property: for random predicates, pruned read == full read + filter."""
+    """Property: for random predicates, pruned read == full read + filter.
+    The table declares a BLOOM index on both columns, so every random ==
+    predicate also exercises bloom skipping (false negatives would show
+    up as dropped rows here)."""
     import random
 
     rng = random.Random(7)
     t = TxTable(spark, str(tmp_path / "t"))
-    for _ in range(4):
+    rows0 = [(rng.randrange(1000), rng.choice("abcde")) for _ in range(50)]
+    t.append(spark.createDataFrame(rows0, "k int, v string").coalesce(1))
+    t.set_bloom_index(["k", "v"], bits=256, hashes=2)
+    for _ in range(3):
         rows = [(rng.randrange(1000), rng.choice("abcde")) for _ in range(50)]
         t.append(spark.createDataFrame(rows, "k int, v string").coalesce(1))
     full = t.read()
