@@ -504,6 +504,7 @@ class TxTable:
             "colmap": {},
             "retired": [],
             "bloom": {},
+            "props": {},
             "utc": None,
         }
 
@@ -533,6 +534,8 @@ class TxTable:
             state["retired"] = list(c["retired"])
         if c.get("bloom") is not None:
             state["bloom"] = dict(c["bloom"])
+        if c.get("props") is not None:
+            state["props"] = dict(c["props"])
         if "dv_reset" in c:
             state["dvs"] = list(c["dv_reset"])
             state["dv_counts"] = {}
@@ -625,6 +628,7 @@ class TxTable:
                 "colmap": dict(ck.get("colmap") or {}),
                 "retired": list(ck.get("retired") or []),
                 "bloom": dict(ck.get("bloom") or {}),
+                "props": dict(ck.get("props") or {}),
                 "utc": ck.get("utc"),
             }
         else:
@@ -653,6 +657,7 @@ class TxTable:
             "colmap": dict(s["colmap"]),
             "retired": list(s["retired"]),
             "bloom": dict(s["bloom"]),
+            "props": dict(s["props"]),
             "utc": s["utc"],
         }
 
@@ -725,7 +730,9 @@ class TxTable:
         # ~10M+ rows). Above MANIFEST_PART_ROWS the rows split into fixed
         # -size parts written independently; the JSON head lists them, and
         # its put-if-absent still gates visibility of the whole set.
-        part_rows = max(1, int(self.MANIFEST_PART_ROWS))
+        part_rows = max(
+            1, self._prop_int("manifest.partRows", int(self.MANIFEST_PART_ROWS))
+        )
         n_parts = max(1, -(-len(kinds) // part_rows))
         if n_parts == 1:
             manifest_names = [f"{v:020d}.checkpoint.parquet"]
@@ -765,6 +772,7 @@ class TxTable:
             "colmap": s["colmap"],
             "retired": s["retired"],
             "bloom": s["bloom"],
+            "props": s["props"],
             "utc": s["utc"],
         }
         target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
@@ -774,9 +782,10 @@ class TxTable:
         return target
 
     def _maybe_checkpoint(self, version: int) -> None:
-        if not self.CHECKPOINT_INTERVAL or version <= 0:
+        interval = self._prop_int("checkpoint.interval", self.CHECKPOINT_INTERVAL)
+        if not interval or version <= 0:
             return
-        if version % self.CHECKPOINT_INTERVAL == 0:
+        if version % interval == 0:
             self.write_checkpoint(version)
 
     def version_at(self, ts: str) -> int:
@@ -864,6 +873,46 @@ class TxTable:
             [], lambda active: [], schema, None, "set_clustering",
             extra={"clustering": list(cols)},
         )
+
+    def properties(self) -> dict[str, str]:
+        """Active table properties ({key: value} strings — TBLPROPERTIES)."""
+        return dict(self._state()["props"])
+
+    def set_properties(self, props: dict[str, str | None]) -> int:
+        """``ALTER TABLE SET/UNSET TBLPROPERTIES``: merge ``props`` into the
+        table's property map in one O(1) metadata commit (``None`` value
+        removes a key). Properties persist in the log like every other
+        piece of table metadata — they survive checkpoints, log pruning,
+        and clones — so per-table POLICY lives with the table instead of
+        in every writer's code. Recognized policy keys:
+
+        - ``checkpoint.interval``  — commits between metadata checkpoints
+          (overrides the CHECKPOINT_INTERVAL class default);
+        - ``manifest.partRows``    — manifest rows per checkpoint parquet
+          part (multi-part checkpoint split threshold);
+        - ``autoCompact.maxFiles`` / ``autoCompact.targetFiles`` — the
+          maybe_autocompact policy, read by the streaming sinks.
+
+        Unrecognized keys are stored verbatim (annotations, ownership,
+        pipeline tags)."""
+        cur = self.properties()
+        for k, v in props.items():
+            if v is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = str(v)
+        _v, _a, schema = self.snapshot()
+        return self._commit(
+            [], lambda active: [], schema, None, "set_properties",
+            extra={"props": cur},
+        )
+
+    def _prop_int(self, key: str, default: int) -> int:
+        v = self._state()["props"].get(key)
+        try:
+            return int(v) if v is not None else default
+        except ValueError:
+            return default
 
     def bloom_index(self) -> dict[str, dict]:
         """Active bloom-index config ({logical col: {"m": bits, "k": hashes}})."""
@@ -1188,6 +1237,7 @@ class TxTable:
         self._enforce_checks(added)
         meta_keys = (
             "colmap", "generated", "retired", "clustering", "checks", "bloom",
+            "props",
         )
         base_version: int | None = None
         base_schema: str | None = None
@@ -2856,6 +2906,7 @@ class TxTable:
                 "colmap": dict(s["colmap"]),
                 "retired": list(s["retired"]),
                 "bloom": dict(s["bloom"]),
+                "props": dict(s["props"]),
                 "dv_added": list(s["dvs"]),
                 "dv_counts": dict(s["dv_counts"]),
                 "clone_source": self.path,
@@ -2926,10 +2977,15 @@ class TxTable:
         return deleted
 
 
-def maybe_autocompact(table: "TxTable", max_files: int, target_files: int = 4) -> bool:
+def maybe_autocompact(
+    table: "TxTable", max_files: int | None = None, target_files: int | None = None
+) -> bool:
     """Delta-style auto-compaction policy: when the ACTIVE file count
     exceeds ``max_files``, rewrite to ``target_files`` in one commit.
-    Returns whether a compaction ran.
+    Returns whether a compaction ran. With ``max_files=None`` the policy
+    comes from the TABLE's own properties (``autoCompact.maxFiles`` /
+    ``autoCompact.targetFiles`` — set once via set_properties, honored by
+    every writer); no property and no argument -> no-op.
 
     This is THE streaming-lakehouse failure mode: per-trigger appends write
     a file per batch per partition, and a month of 1-minute triggers is
@@ -2937,6 +2993,12 @@ def maybe_autocompact(table: "TxTable", max_files: int, target_files: int = 4) -
     files keeps reads O(target_files); snapshot isolation means concurrent
     readers are unaffected, and the file-count check is log metadata only
     (no storage listing)."""
+    if max_files is None:
+        max_files = table._prop_int("autoCompact.maxFiles", 0)
+        if not max_files:
+            return False
+    if target_files is None:
+        target_files = table._prop_int("autoCompact.targetFiles", 4)
     _v, active, _s = table.snapshot()
     if len(active) <= max_files:
         return False
@@ -2965,10 +3027,10 @@ def stream_to_tx_table(
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         table = TxTable(batch.sparkSession, table_dir)
         table.append(batch, partition_by=partition_by, txn={"app": app_id, "batch": batch_id})
-        if autocompact_max_files is not None:
-            # compaction is its own commit AFTER the append: a crash between
-            # them loses only the compaction (re-runs next batch), never data
-            maybe_autocompact(table, autocompact_max_files)
+        # compaction is its own commit AFTER the append: a crash between
+        # them loses only the compaction (re-runs next batch), never data.
+        # Policy: explicit arg, else the table's autoCompact.* properties.
+        maybe_autocompact(table, autocompact_max_files)
 
     writer = (
         stream.writeStream.foreachBatch(commit_batch)

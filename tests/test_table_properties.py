@@ -1,0 +1,65 @@
+"""Table properties (txlog.set_properties — TBLPROPERTIES): persisted
+per-table policy read by every writer, surviving checkpoints, log pruning,
+and clones. Recognized keys drive real behavior (checkpoint cadence,
+manifest part size, auto-compaction); unrecognized keys are annotations."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable, maybe_autocompact
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_set_unset_roundtrip_and_persistence(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_properties({"owner": "pipelines", "pii": "false"})
+    t.set_properties({"pii": None, "tier": "gold"})  # unset + add
+    assert t.properties() == {"owner": "pipelines", "tier": "gold"}
+    # values stringify; a fresh handle resolves from the log
+    t.set_properties({"autoCompact.maxFiles": 12})
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert fresh.properties()["autoCompact.maxFiles"] == "12"
+
+
+def test_checkpoint_interval_property_drives_cadence(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "seed")]))
+    t.set_properties({"checkpoint.interval": "3"})
+    for i in range(1, 8):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    ckpts = glob.glob(os.path.join(t.path, "_txlog", "*.checkpoint.json"))
+    versions = sorted(int(os.path.basename(p).split(".")[0]) for p in ckpts)
+    assert versions and all(v % 3 == 0 for v in versions)
+
+
+def test_autocompact_policy_from_properties(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "seed")]).coalesce(1))
+    # no policy anywhere: no-op
+    assert maybe_autocompact(t) is False
+    t.set_properties({"autoCompact.maxFiles": "5", "autoCompact.targetFiles": "2"})
+    for i in range(1, 8):
+        t.append(_df(spark, [(i, f"v{i}")]).coalesce(1))
+    assert len(t.snapshot()[1]) == 8
+    assert maybe_autocompact(t) is True  # policy read from the table
+    assert len(t.snapshot()[1]) == 2
+    assert t.read().count() == 8
+
+
+def test_properties_survive_prune_and_clone(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 2
+    t.append(_df(spark, [(1, "a")]))
+    t.set_properties({"tier": "gold"})
+    for i in range(2, 6):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    t.vacuum(retain_versions=1, prune_log=True)
+    assert TxTable(spark, str(tmp_path / "t")).properties() == {"tier": "gold"}
+    c = t.clone_to(str(tmp_path / "c"))
+    assert c.properties() == {"tier": "gold"}
