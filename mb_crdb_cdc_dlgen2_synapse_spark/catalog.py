@@ -5595,6 +5595,39 @@ def tx_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_properties_autocompact",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1200
+    """,
+    "S7,T8",
+)
+def tx_properties_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table properties as persisted policy (txlog.set_properties —
+    TBLPROPERTIES): the table declares ``autoCompact.maxFiles=6`` /
+    ``targetFiles=2`` ONCE, then eight small streaming-shaped appends land
+    and the policy-driven auto-compaction (maybe_autocompact with no
+    arguments — policy read from the table, the way every writer shares
+    it) rewrites the accumulated small files in one commit. The oracle
+    certifies compaction preserved content exactly; the file-count bound
+    is asserted in tests/test_table_properties.py."""
+    from .txlog import TxTable, maybe_autocompact
+
+    tmp = _scratch("tx_props")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.append(orders.filter(F.col("o_orderkey") < 150).coalesce(1))
+    t.set_properties({"autoCompact.maxFiles": "6", "autoCompact.targetFiles": "2"})
+    for i in range(1, 8):
+        t.append(
+            orders.filter(
+                (F.col("o_orderkey") >= i * 150) & (F.col("o_orderkey") < (i + 1) * 150)
+            ).coalesce(1)
+        )
+        maybe_autocompact(t)  # no args: policy comes from the table
+    return t.read().select("o_orderkey", "o_totalprice")
+
+
+@register(
     "tx_schema_evolution",
     """
     SELECT o_orderkey,
