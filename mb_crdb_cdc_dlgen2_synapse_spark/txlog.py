@@ -355,24 +355,46 @@ def _file_all_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
     return True
 
 
+def _uri_to_local_path(uri: str) -> str | None:
+    """``input_file_name()`` URI -> local filesystem path, or None for a
+    non-local scheme. URL-decodes percent-escapes (spaces, non-ASCII in
+    table paths) — a raw prefix-strip would leave ``%20`` in the path and
+    silently fail the relpath match."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        path = unquote(parsed.path) if parsed.scheme else unquote(uri)
+        return path or None
+    return None
+
+
 def _string_quantile_cuts(df: DataFrame, col: str, n_buckets: int) -> list[str]:
     """Approximate string quantile boundaries from a bounded sample —
     the string analog of ``approxQuantile`` (which is numeric-only):
-    sample up to ~16k distinct values (driver-bounded, never a global
-    sort), sort them, take every len/n-th as a cut. Bucketing by binary
-    string compare then gives ~equal-frequency buckets, which is all
-    Z-order needs (Delta ZORDERs strings via the same
-    range-partition-id idea)."""
+    RANDOM-sample ~16k rows (driver-bounded, never a global sort), sort
+    them, take every len/n-th as a cut. Bucketing by binary string compare
+    then gives ~equal-frequency buckets, which is all Z-order needs (Delta
+    ZORDERs strings via the same range-partition-id idea).
+
+    The sample must come BEFORE the distinct/limit: ``distinct().limit(n)``
+    returns whichever partitions finish first — on a high-cardinality
+    column every cut can land in one value range, collapsing the buckets.
+    A seeded random sample approximates the true distribution; the
+    sampling fraction is tuned by one cheap approximate count."""
     from pyspark.sql import functions as F
 
-    sample = (
-        df.select(col)
-        .filter(F.col(col).isNotNull())
-        .distinct()
-        .limit(16384)
-        .collect()
-    )
-    vals = sorted(r[0] for r in sample)
+    nn = df.select(col).filter(F.col(col).isNotNull())
+    target = 16384
+    cnt = nn.count()
+    if cnt > 2 * target:
+        nn = nn.sample(fraction=(2.0 * target) / cnt, seed=42)
+    # the limit is a safety valve only (expected sample size is ~2*target);
+    # because the rows are ALREADY a uniform random sample, a rare
+    # truncation stays unbiased — unlike limiting the unsampled distinct,
+    # which returns whichever partitions finish first
+    sample = nn.limit(8 * target).collect()
+    vals = sorted({r[0] for r in sample})
     if not vals:
         return []
     step = max(1, len(vals) // n_buckets)
@@ -840,16 +862,22 @@ class TxTable:
                 raise ValueError(
                     f"cannot add CHECK {name!r}: existing rows violate ({expr})"
                 )
-        checks = self.checks()
+        state = self._state()
+        checks = dict(state["checks"])
         checks[name] = expr
-        _v, _a, schema = self.snapshot()
-        return self._commit([], lambda active: [], schema, None, "set_check", None, checks=checks)
+        return self._commit(
+            [], lambda active: [], state["schema"], None, "set_check", None,
+            checks=checks, base=(state["version"], state["schema"]),
+        )
 
     def drop_check(self, name: str) -> int:
-        checks = self.checks()
+        state = self._state()
+        checks = dict(state["checks"])
         checks.pop(name, None)
-        _v, _a, schema = self.snapshot()
-        return self._commit([], lambda active: [], schema, None, "set_check", None, checks=checks)
+        return self._commit(
+            [], lambda active: [], state["schema"], None, "set_check", None,
+            checks=checks, base=(state["version"], state["schema"]),
+        )
 
     def clustering(self) -> list[str]:
         """Active clustering columns (carried commit-to-commit like checks)."""
@@ -861,7 +889,8 @@ class TxTable:
         auto-compaction Z-orders by them unless the call overrides, so
         maintenance keeps the layout query-optimal without each caller
         re-stating the policy. Pass ``[]`` to clear."""
-        _v, _a, schema = self.snapshot()
+        state = self._state()
+        schema = state["schema"]
         if schema is not None and cols:
             known = set(
                 T.StructType.fromJson(json.loads(schema)).fieldNames()
@@ -872,6 +901,7 @@ class TxTable:
         return self._commit(
             [], lambda active: [], schema, None, "set_clustering",
             extra={"clustering": list(cols)},
+            base=(state["version"], schema),
         )
 
     def properties(self) -> dict[str, str]:
@@ -895,16 +925,17 @@ class TxTable:
 
         Unrecognized keys are stored verbatim (annotations, ownership,
         pipeline tags)."""
-        cur = self.properties()
+        state = self._state()
+        cur = dict(state["props"])
         for k, v in props.items():
             if v is None:
                 cur.pop(k, None)
             else:
                 cur[k] = str(v)
-        _v, _a, schema = self.snapshot()
         return self._commit(
-            [], lambda active: [], schema, None, "set_properties",
+            [], lambda active: [], state["schema"], None, "set_properties",
             extra={"props": cur},
+            base=(state["version"], state["schema"]),
         )
 
     def _prop_int(self, key: str, default: int) -> int:
@@ -935,6 +966,17 @@ class TxTable:
         canonicalization is identical in the Spark build and the
         driver-side probe); sizing: ~bits/8 bytes per file per column in
         the log (default 512 B), false-positive rate ~(1-e^(-k*n/m))^k."""
+        if cols:
+            # validate at DECLARATION time: a bad size accepted here would
+            # otherwise crash the NEXT append's _bloom_for_staged (bits not
+            # a byte multiple -> short bytearray + IndexError; bits=0 ->
+            # division by zero in the position expression)
+            if not isinstance(bits, int) or bits <= 0 or bits % 8 != 0:
+                raise ValueError(
+                    f"bloom bits must be a positive multiple of 8, got {bits!r}"
+                )
+            if not isinstance(hashes, int) or hashes < 1:
+                raise ValueError(f"bloom hashes must be >= 1, got {hashes!r}")
         _v, _a, schema = self.snapshot()
         if schema is None and cols:
             raise ValueError("declare the bloom index after the first write")
@@ -957,7 +999,7 @@ class TxTable:
         cfg = {c: {"m": int(bits), "k": int(hashes)} for c in cols}
         return self._commit(
             [], lambda active: [], schema, None, "set_bloom_index",
-            extra={"bloom": cfg},
+            extra={"bloom": cfg}, base=(_v, schema),
         )
 
     def _bloom_for_staged(
@@ -1003,11 +1045,19 @@ class TxTable:
                 ).cast("int")
                 for i in range(k)
             ]
+            # explode_outer keeps a NULL position row for files whose every
+            # row is null in this column, so EVERY scanned file appears in
+            # by_rel — which lets us distinguish "no non-null rows" (valid
+            # all-zero filter) from "URI failed to normalize" (fail OPEN:
+            # attach no filter, the file is never bloom-pruned). An all-zero
+            # filter attached to an unmatched file would PROVE absence and
+            # silently drop matching rows.
             rows = (
-                df.filter(F.col(phys).isNotNull())
-                .select(
+                df.select(
                     F.input_file_name().alias("__f"),
-                    F.explode(F.array(*pos)).alias("__pos"),
+                    F.explode_outer(
+                        F.when(F.col(phys).isNotNull(), F.array(*pos))
+                    ).alias("__pos"),
                 )
                 .distinct()
                 .groupBy("__f")
@@ -1016,16 +1066,22 @@ class TxTable:
             )
             by_rel: dict[str, list[int]] = {}
             for r in rows:
-                p = r["__f"]  # indexing: __-attrs name-mangle inside a class
-                if p.startswith("file:"):
-                    p = p[len("file:") :]
-                    while p.startswith("//"):
-                        p = p[1:]
-                    p = "/" + p.lstrip("/")
-                by_rel[os.path.relpath(p, self.path)] = list(r["__ps"])
+                p = _uri_to_local_path(r["__f"])
+                if p is None:
+                    continue  # non-file scheme: fail open below
+                try:
+                    rel = os.path.relpath(p, self.path)
+                except ValueError:
+                    continue
+                by_rel[rel] = list(r["__ps"])
             for rel in relpaths:
+                if rel not in by_rel:
+                    # normalization failed to map this staged file back to a
+                    # scanned URI — fail OPEN (no bloom entry; min/max stats
+                    # still prune, the bloom just never skips this file)
+                    continue
                 bits = bytearray(m // 8)
-                for h in by_rel.get(rel, []):  # absent = no non-null rows
+                for h in by_rel[rel]:
                     bits[h >> 3] |= 1 << (h & 7)
                 st = stats.setdefault(rel, {})
                 st.setdefault("bloom", {})[phys] = {
@@ -1081,18 +1137,20 @@ class TxTable:
                 colmap[name] = f"{name}__p{state['version'] + 1}"
                 extra["colmap"] = colmap
         return self._commit(
-            [], lambda active: [], schema, None, "set_generated", extra=extra
+            [], lambda active: [], schema, None, "set_generated", extra=extra,
+            base=(state["version"], state["schema"]),
         )
 
     def drop_generated_column(self, name: str) -> int:
         """Remove the generation rule (the column itself stays in the
         schema — only the fill/validate contract ends)."""
-        gen = self.generated_columns()
+        state = self._state()
+        gen = dict(state["generated"])
         gen.pop(name, None)
-        _v, _a, schema = self.snapshot()
         return self._commit(
-            [], lambda active: [], schema, None, "set_generated",
+            [], lambda active: [], state["schema"], None, "set_generated",
             extra={"generated": gen},
+            base=(state["version"], state["schema"]),
         )
 
     def _apply_generated(self, df: DataFrame) -> DataFrame:
@@ -1221,6 +1279,7 @@ class TxTable:
         max_retries: int = 20,
         checks: dict[str, str] | None = None,
         extra: dict | None = None,
+        base: tuple[int, str | None] | None = None,
     ) -> int:
         """Put-if-absent commit with optimistic retry. ``removed_fn`` maps the
         freshly re-read active file list -> files this commit removes (it is
@@ -1233,7 +1292,15 @@ class TxTable:
         would silently revert it with our stale copy (lost update). Delta
         raises a metadata ConcurrentModificationException here; so do we.
         Plain concurrent appends (same schema, no metadata keys) keep the
-        retry fast path."""
+        retry fast path.
+
+        ``base`` is the (version, schema) the CALLER derived its payload
+        from. Metadata-writing callers MUST pass it: their state read
+        happens strictly before ``_commit``'s first ``snapshot()``, so
+        anchoring the intervening-commit scan here instead would miss a
+        metadata commit landing in that gap and silently overwrite it with
+        the stale merged map — exactly the lost update the abort exists to
+        prevent."""
         self._enforce_checks(added)
         meta_keys = (
             "colmap", "generated", "retired", "clustering", "checks", "bloom",
@@ -1241,6 +1308,8 @@ class TxTable:
         )
         base_version: int | None = None
         base_schema: str | None = None
+        if base is not None:
+            base_version, base_schema = base
         for _ in range(max_retries):
             version, active, cur_schema = self.snapshot()
             if base_version is None:
@@ -1375,7 +1444,7 @@ class TxTable:
             colmap[name] = f"{name}__p{state['version'] + 1}"
         return self._commit(
             [], lambda active: [], new_schema, None, "add_column",
-            extra={"colmap": colmap},
+            extra={"colmap": colmap}, base=(state["version"], state["schema"]),
         )
 
     def drop_column(self, name: str) -> int:
@@ -1409,6 +1478,7 @@ class TxTable:
             extra["bloom"] = bl
         return self._commit(
             [], lambda active: [], new_schema, None, "drop_column", extra=extra,
+            base=(state["version"], state["schema"]),
         )
 
     # -- column mapping (rename without rewrite) -----------------------------
@@ -1546,7 +1616,8 @@ class TxTable:
             bl[new] = bl.pop(old)
             extra["bloom"] = bl
         return self._commit(
-            [], lambda active: [], new_schema, None, "rename_column", extra=extra
+            [], lambda active: [], new_schema, None, "rename_column", extra=extra,
+            base=(state["version"], state["schema"]),
         )
 
     def append(
@@ -2838,6 +2909,11 @@ class TxTable:
                 "colmap": dict(old_state["colmap"]),
                 "generated": dict(old_state["generated"]),
                 "bloom": dict(old_state["bloom"]),
+                # properties roll back WITH the restore, like the Metadata
+                # action they live in (and like clone_to carries them) —
+                # a post-restore reader sees the target version's policy,
+                # not a newer set_properties that the restore rolled past
+                "props": dict(old_state["props"]),
             },
         )
 

@@ -141,3 +141,59 @@ def test_dml_rewrites_rebuild_filters(spark, tmp_path):
     t.delete_where([("uid", "==", "uid-00005")])
     got = {r.uid for r in t.read().collect()}
     assert "uid-00005" not in got and "uid-00006" in got
+
+
+def test_percent_encoded_table_path_still_builds_filters(spark, tmp_path):
+    """A table path needing URL-encoding (space) must still match staged
+    files back to input_file_name() URIs — the filter is BUILT (and prunes)
+    rather than silently absent or, worse, all-zero (which would prove
+    absence and drop matching rows)."""
+    t = TxTable(spark, str(tmp_path / "dir with space" / "t"))
+    t.append(_ids(spark, [0]))
+    t.set_bloom_index(["uid"])
+    t.append(_ids(spark, range(1, 100, 2)))
+    t.append(_ids(spark, range(2, 100, 2)))
+    # filters exist for the post-index files (URI normalization worked)
+    stats = t.file_stats()
+    indexed = [f for f, st in stats.items() if "bloom" in (st or {})]
+    assert len(indexed) >= 2
+    # correctness: every value found, and an absent value prunes to 0 rows
+    for k in (3, 42):
+        assert t.read(predicates=[("uid", "==", f"uid-{k:05d}")]).count() == 1
+    assert t.read(predicates=[("uid", "==", "uid-99999")]).count() == 0
+    # and pruning actually bites (overlapping ranges, bloom decides)
+    assert len(_cands(t, [("uid", "==", "uid-00003")])) < len(t.snapshot()[1])
+
+
+def test_all_null_file_gets_provable_all_zero_filter(spark, tmp_path):
+    """A staged file whose indexed column is entirely NULL gets a real
+    all-zero filter (provably no non-null values) — distinguished from the
+    fail-open unmatched-URI case, which attaches no filter at all."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_ids(spark, [0]))
+    t.set_bloom_index(["uid"])
+    t.append(
+        spark.createDataFrame([(1, None)], "k int, uid string").coalesce(1)
+    )
+    rel = t.history()[-1]["added"][0]
+    bl = t.file_stats()[rel]["bloom"]["uid"]
+    import base64
+
+    assert set(base64.b64decode(bl["b64"])) == {0}
+    # and that file is pruned for any point lookup
+    assert rel not in _cands(t, [("uid", "==", "uid-00000")])
+
+
+def test_set_bloom_index_validates_sizing(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_ids(spark, [0]))
+    with pytest.raises(ValueError, match="multiple of 8"):
+        t.set_bloom_index(["uid"], bits=12)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        t.set_bloom_index(["uid"], bits=0)
+    with pytest.raises(ValueError, match="hashes"):
+        t.set_bloom_index(["uid"], hashes=0)
+    # a valid config still goes through after the refusals
+    t.set_bloom_index(["uid"], bits=1024, hashes=2)
+    t.append(_ids(spark, [1]))
+    assert t.read(predicates=[("uid", "==", "uid-00001")]).count() == 1

@@ -73,3 +73,30 @@ def test_zorder_on_string_column_prunes(spark, tmp_path):
     # mixed numeric + string z-order works too
     t.compact(target_files=4, z_order=["k", "uid"])
     assert t.read().count() == 2000
+
+
+def test_string_quantile_cuts_span_distribution(spark):
+    """ADVICE r4: cuts must come from a SAMPLE of the distribution, not
+    distinct().limit() (which returns whichever partitions finish first —
+    on high-cardinality columns all cuts could land in one value range,
+    collapsing the Z-order buckets). With range-partitioned input whose
+    partitions are value-ordered, sampled cuts still span the full range."""
+    from pyspark.sql import functions as F
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import _string_quantile_cuts
+
+    n = 100_000
+    df = (
+        spark.range(n)
+        .repartitionByRange(16, "id")  # partition i holds the i-th value slice
+        .select(F.format_string("v%06d", F.col("id")).alias("s"))
+    )
+    cuts = _string_quantile_cuts(df, "s", 64)
+    assert len(cuts) >= 32
+    # cuts cover the low, middle, and high thirds of the value space
+    assert min(cuts) < "v033000"
+    assert any("v033000" < c < "v066000" for c in cuts)
+    assert max(cuts) > "v066000"
+    # and roughly equal-frequency: the median cut sits near the median value
+    mid = sorted(cuts)[len(cuts) // 2]
+    assert "v030000" < mid < "v070000"

@@ -63,3 +63,61 @@ def test_properties_survive_prune_and_clone(spark, tmp_path):
     assert TxTable(spark, str(tmp_path / "t")).properties() == {"tier": "gold"}
     c = t.clone_to(str(tmp_path / "c"))
     assert c.properties() == {"tier": "gold"}
+
+
+def test_metadata_race_between_read_and_commit_aborts(spark, tmp_path):
+    """ADVICE r4: a metadata commit landing BETWEEN set_properties' state
+    read and _commit's own first snapshot must abort, not be silently
+    overwritten by the stale merged map (lost update). The caller's read
+    version is now passed as _commit(base=...), anchoring the
+    intervening-commit scan at the read the payload was derived from."""
+    import pytest
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxConflictError
+
+    path = str(tmp_path / "t")
+    writer = TxTable(spark, path)
+    writer.append(_df(spark, [(1, "a")]))
+    racer = TxTable(spark, path)
+
+    orig_state = writer._state
+    fired = {"n": 0}
+
+    def racing_state(*a, **kw):
+        st = orig_state(*a, **kw)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            racer.set_properties({"owner": "racer"})
+        return st
+
+    writer._state = racing_state
+    try:
+        with pytest.raises(TxConflictError, match="metadata conflict"):
+            writer.set_properties({"pipeline": "etl"})
+    finally:
+        writer._state = orig_state
+    # the racer's write SURVIVED (that is the whole point)
+    fresh = TxTable(spark, path)
+    assert fresh.properties() == {"owner": "racer"}
+    # and a clean retry applies on top of it
+    writer.set_properties({"pipeline": "etl"})
+    assert TxTable(spark, path).properties() == {
+        "owner": "racer", "pipeline": "etl",
+    }
+
+
+def test_restore_rolls_properties_back(spark, tmp_path):
+    """Properties live in table metadata and roll back with RESTORE —
+    consistent with clone_to carrying them (and with Delta, where they
+    ride the Metadata action)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_properties({"tier": "bronze"})
+    v_bronze = t.version()
+    t.append(_df(spark, [(2, "b")]))
+    t.set_properties({"tier": "gold", "owner": "x"})
+    assert t.properties()["tier"] == "gold"
+    t.restore(v_bronze)
+    assert t.properties() == {"tier": "bronze"}
+    # restored properties keep driving policy and survive a reopen
+    assert TxTable(spark, str(tmp_path / "t")).properties() == {"tier": "bronze"}
