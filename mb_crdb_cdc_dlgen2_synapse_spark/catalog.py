@@ -66,76 +66,68 @@ def register(name: str, oracle: str | None, survey_ref: str):
 # window remain declared and are verified locally (tests/test_oracle_parity.py
 # + scripts/driver_replica.py at sf0.01 and sf0.1).
 _DRIVER_PRIORITY: list[str] = [
-    # ---- ROUND-4 ROTATION (VERDICT r3 items 1+2): 18 keepers certify the
-    # ids only previously-recorded queries can (flagships, streaming/CDC
-    # semantics, the X5/X6 anchors) PLUS table_profile_orders — kept to
-    # prove the round-3 red row green (its oracle's SUM(CASE) is now CAST
-    # to BIGINT; DuckDB HUGEINT rendered as float in the driver's fetch
-    # path — the diagnosed cause). The other 32 slots are queries NEVER
-    # driver-recorded in r1-r3 (>=30 per the r3 brief): the session-2/3
-    # operators NOTES.md queued (tx_replace_where, tx_generated_columns,
-    # tx_rename_column, tx_sql_analytics, planned_metadata_join,
-    # training_shuffle_shards, cms/bloom, knn_rerank_bucketed,
-    # streaming_neardedup_ingest) plus TPC-H analogs q4-q19 and
-    # window/setop/text breadth. Demoted queries are all r-green and their
-    # ids stay co-certified in-window (rotation ledger in NOTES.md).
-    # keepers — flagship + CDC/streaming semantics
-    "flagship_cdc_city_revenue",   # S1,S4,P1-P3,A2
+    # ---- ROUND-5 ROTATION (VERDICT r4 item 1): close the registry. The
+    # 36 queries never driver-recorded in r1-r4 (diffed CORRECTNESS_r01-r04
+    # against the registry) all enter the window; the other 14 slots are a
+    # minimal keeper set (computed by exact set cover over survey_ref ids)
+    # so every §2 id keeps a certifying row in-window — full-hash wherever
+    # an oracled query exists for the id; A6/T4/T5/X6 certify rows-only
+    # this round (their oracled certifiers are r1-r4 green and rotated
+    # out), S2/S8 rows-only by design as always.
+    # keepers (14) — minimal id cover
+    "flagship_cdc_city_revenue",   # S1,S4,P1,P2,P3,A2
     "flagship_silver_lake",        # S3,S6
-    "flagship_tx_lake",            # S3,T8
-    "cdc_envelope_extraction",     # P1,P2,P4
     "cdc_streaming_pipeline",      # S2,S8 rows-only by design
+    "cdc_envelope_extraction",     # P1,P2,P4
     "cdc_latest_state_events",     # T6,J5,W1
-    "cdc_tombstone_state",         # T7
-    "daily_event_rollup",          # T4
-    "session_stats",               # T5
-    "streaming_interval_join",     # J6,T3,T1
-    "streaming_matview_refresh",   # A6,T1
     "scd2_customer_history",       # Q5,J5,W2,T7
+    "streaming_interval_join",     # J6,T3,T1
     "conversion_funnel",           # J3,T2,P6
-    # keepers — A1/A3/S7 + X-family anchors + the round-3 red row
-    "q1_pricing_summary",          # A1,A3,P9,S7
-    "knn_cosine_bruteforce",       # X3,P8
-    "media_binary_stats",          # X5
-    "doc_chunks_udtf",             # X6
-    "table_profile_orders",        # Q3,A3,A4 — r3's only red, fixed oracle
-    # never-recorded: transactional lake (S7,T8,P6,P9 + DDL surface)
-    "tx_replace_where",
-    "tx_generated_columns",
-    "tx_rename_column",
-    "tx_sql_analytics",
-    "planned_metadata_join",       # J2 via metadata-costed planner
-    # never-recorded: LLM-pipeline dedup/similarity/text/corpus
-    "training_shuffle_shards",     # X4,W1,A2
-    "cms_token_frequencies",       # X4,A3
-    "bloom_prefilter_dedup",       # X1,P7,Q4
-    "knn_rerank_bucketed",         # X3,W4,S5,Q2
-    "streaming_neardedup_ingest",  # rows-only S1,T1,T8,X2,Q4
-    "dedup_embedding_cosine",      # X2,X3
-    "doc_winnow_fingerprints",     # X4,X2
-    "corpus_data_card",            # X4,A3,A4
-    # never-recorded: windows / set ops / grouping breadth
-    "unpivot_lineitem_measures",   # Q3,P3 — Q3 co-certifier
     "grouping_sets_status_priority",  # A5
-    "order_lead_lag_window",       # W2
-    "trailing_30d_revenue",        # W3
-    "sql_exists_high_value",       # J4,P9
-    "props_map_functions",         # P8,P1
-    "string_agg_nations",          # A2,P5
-    "time_functions",              # P6
-    # never-recorded: TPC-H analog breadth (J1,J2,J4,A1,Q1,Q2,P5,P6,P9)
-    "q4_priority_with_shipped_items",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_part_stock",
-    "q12_returnflag_priority_matrix",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier_revenue",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
+    "q21_multi_supplier_last_ship",   # J4,W4
+    "unpivot_lineitem_measures",   # Q3,P3
+    "dedup_embedding_cosine",      # X2,X3
+    "bloom_prefilter_dedup",       # X1,P7,Q4
+    "media_binary_stats",          # X5
+    # never-recorded (36) — the full r1-r4 certification residue
+    "tx_time_travel",              # S7,T8
+    "tx_metadata_counts",          # S7,P9,A3
+    "tx_bloom_point_lookup",       # S7,S5,P9
+    "tx_properties_autocompact",   # S7,T8
+    "case_when_bucketing",         # P9,A2
+    "salted_priority_stats",       # A1,A2
+    "nullsafe_grouping",           # P9,A2
+    "deterministic_sample",        # P9
+    "price_histogram",             # A2,P7
+    "regexp_extract_brand",        # P5,A2
+    "inline_lookup_join",          # J2,P9
+    "array_ops_showcase",          # P8
+    "props_variant_stats",         # P1,P8,A3
+    "approx_distinct_priority",    # A4 rows-only
+    "approx_percentiles_price",    # A3,A4 rows-only
+    "sketch_distinct_rollup",      # A4 rows-only
+    "sketch_price_quantiles",      # A3 rows-only
+    "doc_bigram_counts",           # X4
+    "doc_pii_redaction",           # X4,P5
+    "doc_quality_classifier",      # X4,P5,A1
+    "quality_filter_funnel",       # X4,A1,P9
+    "dsir_importance_weights",     # X4,A1,J1
+    "rag_overlap_chunks",          # X4,P5,P8
+    "corpus_source_mix",           # X4,P9,J2
+    "corpus_boilerplate_segments", # X4,A4,Q1,Q2
+    "train_val_test_split",        # X4,A3,P7
+    "training_sequence_packing",   # W3,A1,P6
+    "embedding_quantization",      # X3,P8
+    "knn_cosine_arrow",            # X3,X6 rows-only
+    "knn_ivf_probe",               # X3 rows-only
+    "kmeans_cluster_sizes",        # X3,X6 rows-only
+    "streaming_dedup_ingest",      # S1,T1,T8,X1,Q4 rows-only
+    "streaming_latest_state_dv",   # T6,T7,T8,J5 rows-only
+    "streaming_session_window",    # T5,T3,A6 rows-only
+    "streaming_tumbling_rollup",   # T4,A6,T1 rows-only
+    "streaming_distinct_sketch",   # A4,A6,T1,T8 rows-only
 ]
+
 
 
 def registry() -> dict[str, QueryDef]:
