@@ -117,6 +117,7 @@ def main() -> None:
 
     # warm the JVM/codegen once (untimed)
     run_noop(reg["flagship_cdc_city_revenue"].builder(spark, SF_DIR))
+    run_noop(spark.range(1_000_000).selectExpr("sum(id * 2654435761 % 1000000007) AS s"))
 
     # Protocol: best-of-2 with INTERLEAVED passes + adaptive re-runs.
     # This host's I/O throughput stalls for multi-second windows; running a
@@ -132,13 +133,42 @@ def main() -> None:
             return revenue_by_city_from_lines(read_raw_lines(spark, lake))
         return reg[name].builder(spark, SF_DIR)
 
+    # -- host-speed calibration (VERDICT r4 item 2): a fixed,
+    # engine-independent workload timed in the SAME process, sampled at the
+    # start, middle, and end of the measurement window. A uniform shift of
+    # every query that ALSO shifts the calibration row is host drift; a
+    # query shift against a stable calibration row is a plan regression.
+    # cpu: pure whole-stage-codegen arithmetic over spark.range (no I/O);
+    # io: a raw parquet scan+sum of a pinned table file (bypasses every
+    # engine code path — plain spark.read.parquet).
+    cal: dict[str, list[float]] = {"cpu": [], "io": []}
+    cal_io_path = os.path.join(SF_DIR, "lineitem.parquet")
+
+    def calibrate() -> None:
+        t0 = time.time()
+        run_noop(
+            spark.range(200_000_000).selectExpr(
+                "sum(id * 2654435761 % 1000000007) AS s"
+            )
+        )
+        cal["cpu"].append(round(time.time() - t0, 3))
+        t0 = time.time()
+        run_noop(
+            spark.read.parquet(cal_io_path).selectExpr(
+                "sum(l_extendedprice) AS s", "count(*) AS n"
+            )
+        )
+        cal["io"].append(round(time.time() - t0, 3))
+
     all_names = HEADLINE + ["flagship_e2e_ndjson"]
     samples: dict[str, list[float]] = {n: [] for n in all_names}
     for _pass in range(2):
+        calibrate()
         for name in all_names:
             t0 = time.time()
             run_noop(build(name))
             samples[name].append(time.time() - t0)
+    calibrate()
     for name in all_names:
         s = samples[name]
         for _ in range(2):
@@ -162,6 +192,15 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "calibration": {
+            "cpu_sec": min(cal["cpu"]),
+            "io_sec": min(cal["io"]),
+            "cpu_samples": cal["cpu"],
+            "io_samples": cal["io"],
+            "workload": "range(2e8) hash-sum (codegen CPU); raw parquet "
+            "scan+sum of lineitem (I/O) — engine-independent, sampled "
+            "start/middle/end of the window",
+        },
     }
     print(json.dumps(out))
 

@@ -93,14 +93,38 @@ class LogStore:
       coordinator keyed by path (the published delta-rs / S3DynamoDBLogStore
       design); the winner then writes the object.
 
-    Subclasses override ``write_if_absent`` only; everything else in the
-    table format (optimistic retry, snapshot isolation, checkpointing,
-    pruning) is backend-independent."""
+    Subclasses override ``write_if_absent`` plus the three log-plane I/O
+    hooks below (``list_dir``/``read_text``/``delete``); everything else
+    in the table format (optimistic retry, snapshot isolation,
+    checkpointing, pruning) is backend-independent. A real object-store
+    backend LISTS via a paginated prefix-List API call and READS via GET —
+    not a directory scan — which is why log resolution never touches the
+    filesystem directly. Data files and parquet checkpoint-manifest
+    sidecars stay on the data plane (they are referenced BY NAME from log
+    entries, never discovered by listing)."""
 
     def write_if_absent(self, target: str, data: str) -> bool:
         """Atomically create ``target`` with ``data`` iff it does not
         exist. True = this writer won; False = the path already existed."""
         raise NotImplementedError
+
+    def list_dir(self, path: str) -> list[str]:
+        """Entry NAMES under the log directory (object-store backend: one
+        paginated List call over the prefix). May be momentarily stale on
+        eventually-consistent stores — the commit protocol tolerates a
+        lagging listing (a stale head loses its CAS and retries), it never
+        produces a wrong winner."""
+        return os.listdir(path)
+
+    def read_text(self, path: str) -> str:
+        """Full contents of one committed log object (object-store GET)."""
+        with open(path) as f:
+            return f.read()
+
+    def delete(self, path: str) -> None:
+        """Remove one log object (vacuum's log pruning). Must make the
+        object disappear from later ``list_dir`` results."""
+        os.remove(path)
 
 
 class PosixLogStore(LogStore):
@@ -138,17 +162,33 @@ class InMemoryCASLogStore(LogStore):
     by another store implementation are honored (absent from the dict but
     present on disk -> treated as existing), so a table can be opened with
     either backend. ``tests/test_logstore.py`` runs the racing-writer,
-    checkpoint, vacuum, and clone suites against BOTH implementations."""
+    checkpoint, vacuum, and clone suites against BOTH implementations.
+
+    Listing comes from the store's OWN object index (the dict), unioned
+    with a disk scan for objects another backend wrote — the List API of
+    the emulated store, not a directory scan. ``lag_listing()`` hides an
+    object from ``list_dir`` to emulate the eventual-consistency shape
+    older S3 exhibits (object readable, List not yet caught up); a FAILED
+    conditional PUT heals the lag for that path, because the CAS
+    coordinator (DynamoDB in the published S3 commit-service design) is
+    strongly consistent — once a writer's PUT is refused, that writer
+    provably knows the object exists and must see it on its next listing,
+    otherwise its commit retry would spin on the same stale head."""
 
     def __init__(self) -> None:
         import threading
 
         self._lock = threading.Lock()
         self._etags: dict[str, str] = {}
+        self._listing_lag: set[str] = set()
 
     def write_if_absent(self, target: str, data: str) -> bool:
         with self._lock:  # the conditional PUT: object exists -> 412 -> False
             if target in self._etags or os.path.exists(target):
+                # negative CAS = proof of existence: index it and heal any
+                # simulated listing lag (read-after-CAS consistency)
+                self._etags.setdefault(target, uuid.uuid4().hex)
+                self._listing_lag.discard(target)
                 return False
             self._etags[target] = uuid.uuid4().hex
         tmp = f"{target}.tmp-{uuid.uuid4().hex}"
@@ -156,6 +196,57 @@ class InMemoryCASLogStore(LogStore):
             f.write(data)
         os.replace(tmp, target)
         return True
+
+    def lag_listing(self, target: str) -> None:
+        """Test hook: emulate an eventually-consistent List that has not
+        yet caught up with a successful PUT of ``target``."""
+        with self._lock:
+            self._listing_lag.add(target)
+
+    def list_dir(self, path: str) -> list[str]:
+        names: set[str] = set()
+        try:
+            names |= set(os.listdir(path))
+        except FileNotFoundError:
+            pass
+        prefix = path.rstrip(os.sep) + os.sep
+        with self._lock:
+            names |= {
+                t[len(prefix):]
+                for t in self._etags
+                if t.startswith(prefix) and os.sep not in t[len(prefix):]
+            }
+            hidden = {
+                t[len(prefix):] for t in self._listing_lag
+                if t.startswith(prefix)
+            }
+        return sorted(names - hidden)
+
+    def read_text(self, path: str) -> str:
+        # an object can be indexed (CAS won) microseconds before its
+        # materialization lands; a real store's GET never sees that window,
+        # so spin briefly rather than surface the emulation artifact
+        for _ in range(50):
+            try:
+                with open(path) as f:
+                    return f.read()
+            except FileNotFoundError:
+                with self._lock:
+                    known = path in self._etags
+                if not known:
+                    raise
+                time.sleep(0.002)
+        with open(path) as f:
+            return f.read()
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._etags.pop(path, None)
+            self._listing_lag.discard(path)
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
 
 def _footer_stats(parquet_path: str) -> dict:
@@ -471,13 +562,14 @@ class TxTable:
         return os.path.join(self.path, _LOG_DIR, f"{version:020d}.json")
 
     def _list_log(self) -> tuple[dict[int, str], dict[int, str]]:
-        """ONE directory listing of ``_txlog`` ->
+        """ONE log listing (through the LogStore's List hook — an object
+        store lists via API, not a directory scan) ->
         ({version: commit_path}, {version: checkpoint_path}). Tmp files from
         in-flight/crashed commits never parse as either."""
         log_dir = os.path.join(self.path, _LOG_DIR)
         commits: dict[int, str] = {}
         ckpts: dict[int, str] = {}
-        for name in os.listdir(log_dir):
+        for name in self.log_store.list_dir(log_dir):
             if name.endswith(_CKPT_SUFFIX) and name[: -len(_CKPT_SUFFIX)].isdigit():
                 ckpts[int(name[: -len(_CKPT_SUFFIX)])] = os.path.join(log_dir, name)
             elif name.endswith(".json") and name[:-5].isdigit():
@@ -487,8 +579,7 @@ class TxTable:
     def _read_json(self, path: str) -> dict:
         got = self._json_cache.get(path)
         if got is None:
-            with open(path) as f:
-                got = json.load(f)
+            got = json.loads(self.log_store.read_text(path))
             self._json_cache[path] = got
         return got
 
@@ -3034,19 +3125,21 @@ class TxTable:
             # the checkpoint at v_keep REPLACES every commit <= v_keep:
             # all retained versions stay resolvable as checkpoint + tail
             self.write_checkpoint(v_keep)
+            # log-object deletes go through the store so its listing index
+            # stays consistent (an object-store backend deletes via API)
             for v, p in commits.items():
                 if v <= v_keep:
-                    os.remove(p)
+                    self.log_store.delete(p)
             log_dir = os.path.join(self.path, _LOG_DIR)
             for v, p in ckpts.items():
                 if v < v_keep:
-                    os.remove(p)
+                    self.log_store.delete(p)
                     # sidecars: single-file AND multi-part manifests share
                     # the "<v>.checkpoint." prefix
                     prefix = f"{v:020d}.checkpoint."
-                    for name in os.listdir(log_dir):
+                    for name in self.log_store.list_dir(log_dir):
                         if name.startswith(prefix) and name.endswith(".parquet"):
-                            os.remove(os.path.join(log_dir, name))
+                            self.log_store.delete(os.path.join(log_dir, name))
             self._json_cache.clear()
             self._manifest_cache.clear()
         self._state_cache.clear()
