@@ -113,8 +113,9 @@ class LogStore:
         paginated List call over the prefix). May be momentarily stale on
         eventually-consistent stores — the commit protocol tolerates a
         lagging listing (a stale head loses its CAS and retries), it never
-        produces a wrong winner."""
-        return os.listdir(path)
+        produces a wrong winner. Sorted, like a real List API (object
+        stores return keys in lexicographic order)."""
+        return sorted(os.listdir(path))
 
     def read_text(self, path: str) -> str:
         """Full contents of one committed log object (object-store GET)."""

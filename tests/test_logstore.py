@@ -138,3 +138,106 @@ def test_dml_and_clone_roundtrip(spark, tmp_path, store):
     assert {r.k: r.v for r in c.read().collect()} == got
     c.append(_df(spark, [(99, "z")]))
     assert t.read().count() == 9  # clone writes never leak back
+
+
+def test_list_and_read_route_through_store_contract(tmp_path, store):
+    """The store's List/GET hooks exist and agree with what was PUT —
+    the minimal contract an object-store backend implements with a
+    paginated prefix-List and a GET."""
+    log = tmp_path / "t" / "_txlog"
+    os.makedirs(log, exist_ok=True)
+    p1 = str(log / "00000000000000000000.json")
+    p2 = str(log / "00000000000000000001.json")
+    assert store.write_if_absent(p1, '{"version": 0}')
+    assert store.write_if_absent(p2, '{"version": 1}')
+    assert store.list_dir(str(log)) == [
+        "00000000000000000000.json", "00000000000000000001.json",
+    ]
+    assert json.loads(store.read_text(p2)) == {"version": 1}
+    store.delete(p1)
+    assert store.list_dir(str(log)) == ["00000000000000000001.json"]
+
+
+def test_log_resolution_uses_store_listing_not_directory_scan(spark, tmp_path):
+    """Hiding a committed object from the store's List (eventual
+    consistency, older-S3 shape) must change the resolver's view even
+    though the file IS on disk — proof that _list_log asks the store, not
+    the filesystem. The stale view is a consistent old snapshot (safe),
+    never an error."""
+    store = InMemoryCASLogStore()
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path, store)
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    v1_path = t._log_path(1)
+    assert os.path.exists(v1_path)  # the object is fully durable...
+    store.lag_listing(v1_path)      # ...but List hasn't caught up
+    lagged = TxTable(spark, path, store)
+    assert lagged.version() == 0           # consistent stale head
+    assert lagged.read().count() == 1      # v0 snapshot, not an error
+
+
+def test_lagging_listing_commit_retry_heals_and_lands(spark, tmp_path):
+    """A writer on a lagged listing computes a stale head, loses the
+    conditional PUT for the occupied version, and the FAILED CAS heals the
+    listing (the coordinator is strongly consistent) — the retry then sees
+    the true head and lands on top of it. No commit is lost, no version
+    skipped."""
+    store = InMemoryCASLogStore()
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path, store)
+    t.append(_df(spark, [(1, "a")]))   # v0
+    t.append(_df(spark, [(2, "b")]))   # v1
+    store.lag_listing(t._log_path(1))
+    lagged = TxTable(spark, path, store)
+    assert lagged.version() == 0
+    v = lagged.append(_df(spark, [(3, "c")]))
+    assert v == 2                       # landed after the healed head
+    fresh = TxTable(spark, path, store)
+    assert fresh.version() == 2
+    assert sorted(r["k"] for r in fresh.read().collect()) == [1, 2, 3]
+
+
+def test_log_reads_route_through_store(spark, tmp_path):
+    """A store whose GET refuses one commit path must make resolution of
+    that version fail — proof _read_json asks the store, not open()."""
+
+    class RefusingStore(PosixLogStore):
+        def __init__(self):
+            self.refuse: set[str] = set()
+
+        def read_text(self, path: str) -> str:
+            if path in self.refuse:
+                raise OSError(f"simulated GET failure for {path}")
+            return super().read_text(path)
+
+    store = RefusingStore()
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path, store)
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    store.refuse.add(t._log_path(1))
+    fresh = TxTable(spark, path, store)
+    with pytest.raises(OSError, match="simulated GET"):
+        fresh.read().collect()
+
+
+def test_vacuum_log_pruning_keeps_store_index_consistent(spark, tmp_path):
+    """vacuum(prune_log=True) deletes log objects THROUGH the store: the
+    CAS index must forget them, or the store's listing would advertise
+    objects whose reads fail forever after."""
+    store = InMemoryCASLogStore()
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path, store)
+    for i in range(6):
+        t.append(_df(spark, [(i, "x")]))
+    t.vacuum(retain_versions=2, prune_log=True)
+    fresh = TxTable(spark, path, store)
+    assert fresh.read().count() == 6
+    listed = store.list_dir(os.path.join(path, "_txlog"))
+    # every listed commit/checkpoint-head object must be readable
+    for name in listed:
+        if name.endswith(".json"):
+            store.read_text(os.path.join(path, "_txlog", name))
+    # and the pruned commits are gone from the listing
+    assert "00000000000000000000.json" not in listed
