@@ -5411,6 +5411,60 @@ def tx_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_nested_rename",
+    f"""
+    SELECT o_orderkey,
+           list_extract({_CITY_LIST_SQL}, CAST(o_orderkey % 9 + 1 AS INT)) AS town,
+           o_totalprice AS amount
+    FROM orders
+    """,
+    "S7,T8",
+)
+def tx_nested_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-field rename via dotted-path column mapping
+    (txlog.rename_column("after.city", "town")): the engine's own
+    canonical shape — the CDC envelope is a struct
+    (/root/reference/README.md:174-178) — renamed WITHOUT rewriting a
+    file. Even-keyed orders land as after struct<city, amount>; ONE
+    metadata commit renames after.city -> after.town (physical field
+    names frozen at first write; writers CAST the struct to its
+    physically-named type when staging — positional, null-preserving —
+    and readers cast back); odd-keyed orders then append under the NEW
+    nested name. Both generations read as one logical relation. The
+    oracle flattens the same envelope straight from orders."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_nested_rename")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    env = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.element_at(
+                F.array(*[F.lit(c) for c in CITIES]),
+                (F.col("o_orderkey") % 9 + 1).cast("int"),
+            ).alias("city"),
+            F.col("o_totalprice").alias("amount"),
+        ).alias("after"),
+    )
+    t.append(env.filter(F.col("o_orderkey") % 2 == 0))
+    t.rename_column("after.city", "town")
+    t.append(
+        env.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            F.struct(
+                F.col("after.city").alias("town"),
+                F.col("after.amount").alias("amount"),
+            ).alias("after"),
+        )
+    )
+    return t.read().select(
+        "o_orderkey",
+        F.col("after.town").alias("town"),
+        F.col("after.amount").alias("amount"),
+    )
+
+
+@register(
     "tx_generated_columns",
     """
     SELECT o_orderkey, o_totalprice,

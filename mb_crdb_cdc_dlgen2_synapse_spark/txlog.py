@@ -447,6 +447,64 @@ def _file_all_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
     return True
 
 
+def _phys_path(colmap: dict[str, str], lpath: str) -> str:
+    """Logical dotted path -> physical dotted path under ``colmap``.
+    Each segment resolves independently: the mapping's nested keys are
+    logical paths (migrated on ancestor renames), its values physical
+    paths (frozen at first write); unmapped segments are identity."""
+    segs = lpath.split(".")
+    out = []
+    for i in range(len(segs)):
+        pv = colmap.get(".".join(segs[: i + 1]))
+        out.append(pv.rsplit(".", 1)[-1] if pv else segs[i])
+    return ".".join(out)
+
+
+def _to_physical_type(dtype, lprefix: str, colmap: dict[str, str]):
+    """Rename struct field names logical->physical at every depth (types
+    and order unchanged — renames are order-preserving, and nested schema
+    evolution never reaches the logged schema). Structs inside arrays/maps
+    are left as-is: renames into them are refused at declaration time."""
+    if isinstance(dtype, T.StructType):
+        fields = []
+        for f in dtype.fields:
+            lchild = f"{lprefix}.{f.name}" if lprefix else f.name
+            pv = colmap.get(lchild)
+            pname = pv.rsplit(".", 1)[-1] if pv else f.name
+            fields.append(
+                T.StructField(
+                    pname, _to_physical_type(f.dataType, lchild, colmap), f.nullable
+                )
+            )
+        return T.StructType(fields)
+    return dtype
+
+
+def _has_nested_map(colmap: dict[str, str], top: str) -> bool:
+    prefix = top + "."
+    return any(k.startswith(prefix) for k in colmap)
+
+
+def _all_nullable(dtype):
+    """Recursively relax nullability — cast targets must not carry NOT
+    NULL fields (Spark refuses a nullable->non-nullable struct cast, and
+    the format never enforces nullability flags anyway)."""
+    if isinstance(dtype, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _all_nullable(f.dataType), True)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(_all_nullable(dtype.elementType), True)
+    if isinstance(dtype, T.MapType):
+        return T.MapType(
+            _all_nullable(dtype.keyType), _all_nullable(dtype.valueType), True
+        )
+    return dtype
+
+
 def _uri_to_local_path(uri: str) -> str | None:
     """``input_file_name()`` URI -> local filesystem path, or None for a
     non-local scheme. URL-decodes percent-escapes (spaces, non-ASCII in
@@ -1278,10 +1336,26 @@ class TxTable:
         df = self.spark.read.option("basePath", self.path).parquet(
             *[os.path.join(self.path, f) for f in added]
         )
-        colmap = self._state()["colmap"]
+        state = self._state()
+        colmap = state["colmap"]
         if colmap:
-            inv = self._inv(colmap)  # staged files are physical; checks speak logical
-            df = df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+            # staged files are physical; checks speak logical
+            inv = self._inv({l: p for l, p in colmap.items() if "." not in l})
+            ltypes = {}
+            if state["schema"]:
+                ltypes = {
+                    f.name: f.dataType
+                    for f in T.StructType.fromJson(json.loads(state["schema"])).fields
+                }
+
+            def to_logical(c: str):
+                lname = inv.get(c, c)
+                expr = F.col(c)
+                if _has_nested_map(colmap, lname) and lname in ltypes:
+                    expr = expr.cast(_all_nullable(ltypes[lname]))
+                return expr.alias(lname)
+
+            df = df.select(*[to_logical(c) for c in df.columns])
         for name, expr in checks.items():
             n_bad = df.filter(~F.expr(expr).cast("boolean")).limit(1).count()
             if n_bad:
@@ -1332,9 +1406,20 @@ class TxTable:
         if colmap:
             from pyspark.sql import functions as F
 
-            df = df.select(
-                *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
-            )
+            def to_phys(c: str):
+                expr = F.col(c)
+                if _has_nested_map(colmap, c):
+                    # nested renames: CAST to the physically-named struct
+                    # type — struct casts are positional (names are free),
+                    # null-preserving, and types are unchanged by design
+                    expr = expr.cast(
+                        _all_nullable(
+                            _to_physical_type(df.schema[c].dataType, c, colmap)
+                        )
+                    )
+                return expr.alias(colmap.get(c, c))
+
+            df = df.select(*[to_phys(c) for c in df.columns])
             partition_by = (
                 [colmap.get(c, c) for c in partition_by] if partition_by else None
             )
@@ -1560,6 +1645,8 @@ class TxTable:
         colmap = dict(state["colmap"])
         retired = list(state["retired"])
         retired.append(colmap.pop(name, name))
+        for k in [k for k in colmap if k.startswith(name + ".")]:
+            colmap.pop(k)  # nested entries die with their column
         new_schema = T.StructType(
             [f for f in st.fields if f.name != name]
         ).json()
@@ -1640,21 +1727,31 @@ class TxTable:
         pruning translate the same way. Time travel to a pre-rename version
         shows the old name (the mapping is versioned state like the
         schema). The change feed refuses to cross a rename boundary (the
-        row-image schema would be ambiguous — Delta's CDF restriction)."""
+        row-image schema would be ambiguous — Delta's CDF restriction).
+
+        NESTED struct fields rename via dotted paths —
+        ``rename_column("envelope.city", "town")`` (or
+        ``"envelope.town"``; a dotted ``new`` must share ``old``'s
+        parent). The mapping records the logical dotted path against the
+        frozen physical dotted path; writers CAST the parent column to its
+        physically-named struct type when staging (struct casts are
+        positional and null-preserving; types and field order never
+        change), readers cast back. Paths through arrays/maps are refused
+        (per-element renames would need the later Delta protocol
+        extension); expressions referencing the field (CHECKs, generated
+        columns) refuse the rename conservatively — note the word-boundary
+        scan sees ``parent.child`` spelled with a dot, not
+        ``getField``-style access."""
         state = self._state()
         schema = state["schema"]
         if schema is None:
             raise ValueError("cannot rename a column on a never-written table")
-        if "." in old or "." in new:
-            # Nested-FIELD renames are explicitly unsupported: the column
-            # mapping tracks top-level physical names only (renaming a
-            # field inside a struct would need per-field physical ids in
-            # every reader/writer path — the later Delta protocol
-            # extension). Renaming a whole struct-typed COLUMN works.
+        if "." in old:
+            return self._rename_nested(state, old, new)
+        if "." in new:
             raise ValueError(
-                "nested field renames are not supported: the column "
-                "mapping covers top-level columns only (a struct-typed "
-                "column can be renamed as a whole)"
+                f"new name {new!r} is a dotted path but {old!r} is a "
+                "top-level column"
             )
         st = T.StructType.fromJson(json.loads(schema))
         if old not in st.fieldNames():
@@ -1685,6 +1782,10 @@ class TxTable:
         phys = colmap.pop(old, old)
         if new != phys:
             colmap[new] = phys
+        # nested mapping keys are LOGICAL paths: an ancestor rename
+        # migrates their prefix (values stay frozen-physical)
+        for k in [k for k in colmap if k.startswith(old + ".")]:
+            colmap[new + k[len(old):]] = colmap.pop(k)
         new_schema = T.StructType(
             [
                 T.StructField(new, f.dataType, f.nullable) if f.name == old else f
@@ -1709,6 +1810,87 @@ class TxTable:
             extra["bloom"] = bl
         return self._commit(
             [], lambda active: [], new_schema, None, "rename_column", extra=extra,
+            base=(state["version"], state["schema"]),
+        )
+
+    def _rename_nested(self, state: dict, old: str, new: str) -> int:
+        """Dotted-path nested-field rename (see ``rename_column``): one
+        metadata commit rewriting the logged schema's field name at depth
+        and recording logical-path -> frozen-physical-path in the column
+        mapping. Field ORDER and TYPE never change, which is what makes
+        the write/read translation a positional struct cast."""
+        schema = state["schema"]
+        parent_path, old_leaf = old.rsplit(".", 1)
+        if "." in new:
+            new_parent, new_leaf = new.rsplit(".", 1)
+            if new_parent != parent_path:
+                raise ValueError(
+                    f"cannot rename {old!r} to {new!r}: a rename cannot "
+                    "move a field to a different parent"
+                )
+        else:
+            new_leaf = new
+        new_path = f"{parent_path}.{new_leaf}"
+
+        # navigate the LOGICAL schema to the parent struct, refusing paths
+        # through arrays/maps
+        st = T.StructType.fromJson(json.loads(schema))
+        dtype = st
+        for seg in parent_path.split("."):
+            if not isinstance(dtype, T.StructType) or seg not in dtype.fieldNames():
+                raise ValueError(f"path {old!r}: no struct field {seg!r}")
+            dtype = dtype[seg].dataType
+        if not isinstance(dtype, T.StructType):
+            raise ValueError(
+                f"cannot rename {old!r}: {parent_path!r} is not a struct "
+                "(fields inside arrays/maps cannot be renamed)"
+            )
+        if old_leaf not in dtype.fieldNames():
+            raise ValueError(f"field {old!r} does not exist")
+        if new_leaf in dtype.fieldNames():
+            raise ValueError(f"field {new_path!r} already exists")
+
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(old)}\b")
+        for cname, cexpr in state["checks"].items():
+            if pat.search(cexpr):
+                raise ValueError(
+                    f"cannot rename {old!r}: CHECK constraint {cname!r} "
+                    f"references it ({cexpr}); drop or redefine it first"
+                )
+        for gname, gexpr in state["generated"].items():
+            if pat.search(gexpr):
+                raise ValueError(
+                    f"cannot rename {old!r}: generated column {gname!r} "
+                    f"references it ({gexpr}); drop or redefine it first"
+                )
+
+        colmap = dict(state["colmap"])
+        phys = colmap.pop(old, None) or _phys_path(colmap, old)
+        # descendant keys (the renamed field may itself hold renamed
+        # children): migrate their logical prefix, values stay physical
+        for k in [k for k in colmap if k.startswith(old + ".")]:
+            colmap[new_path + k[len(old):]] = colmap.pop(k)
+        if _phys_path(colmap, new_path) != phys:
+            colmap[new_path] = phys
+
+        def rebuild(dtype, path: str):
+            if not isinstance(dtype, T.StructType):
+                return dtype
+            fields = []
+            for f in dtype.fields:
+                child = f"{path}.{f.name}" if path else f.name
+                name = new_leaf if child == old else f.name
+                fields.append(
+                    T.StructField(name, rebuild(f.dataType, child), f.nullable)
+                )
+            return T.StructType(fields)
+
+        new_schema = rebuild(st, "").json()
+        return self._commit(
+            [], lambda active: [], new_schema, None, "rename_column",
+            extra={"colmap": colmap},
             base=(state["version"], state["schema"]),
         )
 
@@ -2021,14 +2203,20 @@ class TxTable:
         if colmap is None:
             colmap = self._state()["colmap"]
         read_schema = None
+        logical_types: dict[str, object] = {}
         if schema_json:
             # files carry PHYSICAL column names (frozen at first write);
-            # the logged schema carries logical ones — read physical,
-            # project back to logical at the end
+            # the logged schema carries logical ones — read physical (at
+            # every struct depth), project back to logical at the end
             logged = T.StructType.fromJson(json.loads(schema_json))
+            logical_types = {f.name: f.dataType for f in logged.fields}
             read_schema = T.StructType(
                 [
-                    T.StructField(colmap.get(f.name, f.name), f.dataType, True)
+                    T.StructField(
+                        colmap.get(f.name, f.name),
+                        _to_physical_type(f.dataType, f.name, colmap),
+                        True,
+                    )
                     for f in logged.fields
                 ]
             )
@@ -2067,13 +2255,20 @@ class TxTable:
         if not keep_pos:
             out = out.drop("__rf", "__ri")
         if colmap:
-            inv = self._inv(colmap)
-            out = out.select(
-                *[
-                    F.col(c).alias(inv.get(c, c)) if c not in ("__rf", "__ri") else F.col(c)
-                    for c in out.columns
-                ]
-            )
+            inv = self._inv({l: p for l, p in colmap.items() if "." not in l})
+
+            def to_logical(c: str):
+                if c in ("__rf", "__ri"):
+                    return F.col(c)
+                lname = inv.get(c, c)
+                expr = F.col(c)
+                if _has_nested_map(colmap, lname) and lname in logical_types:
+                    # inverse of the write-side cast: positional struct
+                    # cast back to the logically-named type
+                    expr = expr.cast(_all_nullable(logical_types[lname]))
+                return expr.alias(lname)
+
+            out = out.select(*[to_logical(c) for c in out.columns])
         return out
 
     def _delete_dv(self, predicates: list[tuple]) -> dict:

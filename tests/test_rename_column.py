@@ -343,30 +343,183 @@ def test_merge_dv_keeps_hive_layout_after_partition_rename(spark, tmp_path):
     assert got[3] == "merged" and got[42] == "new" and len(got) == 11
 
 
-def test_nested_field_rename_refuses_struct_column_rename_works(spark, tmp_path):
-    """The documented nested-rename contract: renaming a FIELD inside a
-    struct refuses with a clear message (top-level-only column mapping,
-    the pre-extension Delta restriction); renaming the struct-typed
-    column itself is an ordinary metadata-only rename."""
+def test_nested_field_rename_metadata_only_roundtrip(spark, tmp_path):
+    """Dotted-path nested rename (the CDC envelope is itself a struct —
+    reference README.md:174-178): metadata-only, zero files rewritten;
+    post-rename reads speak the new field name, pre-rename files still
+    resolve, new writers speak the new name, and NULL structs stay NULL
+    (the write/read translation is a null-preserving positional cast)."""
     t = TxTable(spark, str(tmp_path / "t"))
     df = spark.createDataFrame(
-        [(1, ("a", 10)), (2, ("b", 20))],
+        [(1, ("a", 10)), (2, ("b", 20)), (3, None)],
         "k int, props struct<name: string, qty: int>",
     )
     t.append(df)
-    with pytest.raises(ValueError, match="nested field renames"):
-        t.rename_column("props.name", "props.label")
-    with pytest.raises(ValueError, match="nested field renames"):
-        t.rename_column("props", "props.meta")
-    # whole-struct rename is metadata-only and round-trips
-    t.rename_column("props", "attrs")
-    assert t.read().columns == ["k", "attrs"]
-    got = {r.k: (r.attrs.name, r.attrs.qty) for r in t.read().collect()}
-    assert got == {1: ("a", 10), 2: ("b", 20)}
-    # writers speak the new name; nested data stays intact
+    files_before = set(t.snapshot()[1])
+    t.rename_column("props.name", "label")
+    assert set(t.snapshot()[1]) == files_before  # metadata-only
+    got = {r.k: r.props for r in t.read().collect()}
+    assert got[1].label == "a" and got[1].qty == 10
+    assert got[3] is None  # null struct survives the cast
+    # writers speak the new name; old + new files read uniformly
     t.append(
         spark.createDataFrame(
-            [(3, ("c", 30))], "k int, attrs struct<name: string, qty: int>"
+            [(4, ("d", 40))], "k int, props struct<label: string, qty: int>"
         )
     )
-    assert t.read().count() == 3
+    got = {r.k: r.props for r in t.read().collect()}
+    assert got[4].label == "d" and got[2].label == "b" and len(got) == 4
+    # time travel shows the pre-rename name
+    assert "name" in t.read(as_of=0).schema["props"].dataType.fieldNames()
+    # dotted new form and rename-back both work
+    t.rename_column("props.label", "props.name")
+    assert {f for f in t.read().schema["props"].dataType.fieldNames()} == {
+        "name", "qty",
+    }
+    assert t.column_mapping() == {}  # rename-back collapses to identity
+
+
+def test_nested_rename_guards_and_struct_column_rename(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, ("a", 10), [("x", 1)])],
+            "k int, props struct<name: string, qty: int>, "
+            "tags array<struct<tag: string, w: int>>",
+        )
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("props.name", "qty")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.rename_column("props.nope", "x")
+    with pytest.raises(ValueError, match="arrays/maps"):
+        t.rename_column("tags.tag", "t")
+    with pytest.raises(ValueError, match="different parent"):
+        t.rename_column("props.name", "other.name")
+    with pytest.raises(ValueError, match="dotted path"):
+        t.rename_column("props", "props.meta")
+    t.add_check("qty_pos", "props.qty > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.rename_column("props.qty", "amount")
+    t.drop_check("qty_pos")
+    # renaming the nested field, then the parent column: both mappings
+    # compose (logical keys migrate, physical stays frozen)
+    t.rename_column("props.name", "label")
+    t.rename_column("props", "attrs")
+    got = t.read().collect()[0]
+    assert got.attrs.label == "a" and got.attrs.qty == 10
+    # writers under the composed mapping
+    t.append(
+        spark.createDataFrame(
+            [(2, ("b", 20), None)],
+            "k int, attrs struct<label: string, qty: int>, "
+            "tags array<struct<tag: string, w: int>>",
+        )
+    )
+    assert {r.attrs.label for r in t.read().collect()} == {"a", "b"}
+
+
+def test_nested_rename_survives_checkpoint_prune_clone_restore(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, ("a", 10))], "k int, props struct<name: string, qty: int>"
+        )
+    )
+    t.rename_column("props.name", "label")
+    v_renamed = t.version()
+    for i in range(2, 6):
+        t.append(
+            spark.createDataFrame(
+                [(i, (f"v{i}", i))], "k int, props struct<label: string, qty: int>"
+            )
+        )
+    # restore BEFORE the log is pruned: mapping rolls back with the schema
+    t.restore(v_renamed)
+    assert {r.props.label for r in t.read().collect()} == {"a"}
+    t.append(
+        spark.createDataFrame(
+            [(9, ("z", 90))], "k int, props struct<label: string, qty: int>"
+        )
+    )
+    t.write_checkpoint()
+    t.vacuum(retain_versions=2, prune_log=True)
+    fresh = TxTable(spark, str(tmp_path / "t"))
+    assert {r.props.label for r in fresh.read().collect()} == {"a", "z"}
+    clone = t.clone_to(str(tmp_path / "c"))
+    assert {r.props.label for r in clone.read().collect()} == {"a", "z"}
+    clone.append(
+        spark.createDataFrame(
+            [(7, ("q", 70))], "k int, props struct<label: string, qty: int>"
+        )
+    )
+    assert {r.props.label for r in clone.read().collect()} == {"a", "z", "q"}
+
+
+def test_randomized_nested_rename_dml_mix_matches_model(spark, tmp_path):
+    """The flat-rename fuzz, at depth: random interleaving of nested-field
+    renames, parent-column renames, append/CoW/DV DML, compaction, vacuum,
+    and checkpoints — the table must always equal a dict model read under
+    the CURRENT logical names at both levels."""
+    import random
+
+    rng = random.Random(47)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 4
+    parent, leaf = "props", "a"
+    model: dict[int, tuple[str, int]] = {}
+
+    def schema():
+        return f"k int, {parent} struct<{leaf}: string, b: int>"
+
+    def check():
+        rows = t.read().collect()
+        assert t.read().columns == ["k", parent]
+        got = {
+            r.k: (getattr(getattr(r, parent), leaf), getattr(r, parent).b)
+            for r in rows
+        }
+        assert got == model
+
+    for step in range(22):
+        op = rng.choice(
+            [
+                "append", "delete", "dv_delete", "rename_leaf",
+                "rename_parent", "compact", "vacuum",
+            ]
+        )
+        if op == "append" or not model:
+            rows = {
+                k: (f"s{step}", k * 10)
+                for k in [rng.randrange(30) for _ in range(rng.randint(1, 4))]
+                if k not in model
+            }
+            if rows:
+                t.append(
+                    spark.createDataFrame(
+                        [(k, v) for k, v in rows.items()], schema()
+                    )
+                )
+                model.update(rows)
+        elif op in ("delete", "dv_delete"):
+            pivot = rng.randrange(30)
+            t.delete_where(
+                [("k", ">=", pivot), ("k", "<", pivot + 4)],
+                mode="dv" if op == "dv_delete" else "cow",
+            )
+            model = {k: v for k, v in model.items() if not (pivot <= k < pivot + 4)}
+        elif op == "rename_leaf" and t.version() >= 0:
+            new = f"a{step}"
+            t.rename_column(f"{parent}.{leaf}", new)
+            leaf = new
+        elif op == "rename_parent" and t.version() >= 0:
+            new = f"p{step}"
+            t.rename_column(parent, new)
+            parent = new
+        elif op == "compact":
+            t.compact(target_files=2)
+        elif op == "vacuum":
+            t.vacuum(retain_versions=rng.choice([1, 3]))
+        if step % 5 == 4:
+            check()
+    check()
