@@ -421,6 +421,62 @@ def perturbed_queries(spark, ids: list[int], noise: float = 0.1) -> DataFrame:
     )
 
 
+def boundary_queries(
+    spark, ids: list[int], prefix_bits: int, eps: float = 0.02
+) -> DataFrame:
+    """ADVERSARIAL ANN recall regime: corpus vectors whose PREFIX
+    dimensions — the hyperplane cuts the bucket id hashes on — are driven
+    onto the margin (|value| ~ ``eps``, sign scrambled deterministically),
+    while the other 64-prefix_bits dimensions stay the perturbed-neighbor
+    regime. The true nearest neighbor still agrees on every non-prefix
+    bit, but the query's bucket id is ~uniform over the prefix space, so
+    a radius-r probe finds the neighbor only when <= r prefix bits
+    disagree — the worst case for bucketed multi-probe, and the regime
+    where the easy perturbed-neighbor measurement (recall 1.0 by
+    construction) says nothing."""
+    base = spark.createDataFrame(
+        [(int(i), q) for q, i in enumerate(ids)], "vec_id long, query_id int"
+    )
+    return base.select(
+        "query_id",
+        F.array(
+            *[
+                (
+                    # margin-pinned prefix dim: tiny magnitude, scrambled sign
+                    F.lit(eps) * F.sin(F.col("vec_id") * 57.0 + F.lit(j * 2.13))
+                    if j < prefix_bits
+                    else F.sin(F.col("vec_id") * F.lit(float(p)) + F.lit(j * 0.7))
+                    + 0.1 * F.sin(F.col("vec_id") * 31.0 + F.lit(j * 1.3))
+                )
+                for j, p in enumerate(_SYNTH_PRIMES)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def clustered_embeddings(
+    spark, n: int, prefix_bits: int, bias: float = 1.2
+) -> DataFrame:
+    """Non-uniform corpus for the ANN skew measurement: the prefix
+    dimensions carry a positive ``bias``, so nearly every vector's prefix
+    sign bits agree and the corpus collapses into one hot bucket. Bucketed
+    probing stays CORRECT here (the neighbor shares the hot bucket) but
+    stops paying: the probe reads ~the whole corpus, speedup -> 1x —
+    the failure curve a 100 TB retrieval user needs alongside recall."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.sin(F.col("id") * F.lit(float(p)) + F.lit(j * 0.7))
+                    + (F.lit(bias) if j < prefix_bits else F.lit(0.0))
+                )
+                for j, p in enumerate(_SYNTH_PRIMES)
+            ]
+        ).alias("embedding"),
+    )
+
+
 def binary_quantize(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """1-bit binary quantization: the sign bit of each of the 64 dimensions,
     packed into two 32-bit words (``b_lo`` dims 0-31, ``b_hi`` dims 32-63 —

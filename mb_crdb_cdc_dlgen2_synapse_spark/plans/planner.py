@@ -140,11 +140,41 @@ def choose_dedup_strategy(corpus_est: dict, threshold_rows: int = LSH_MIN_ROWS) 
     }
 
 
+def ann_recall_floor(prefix_bits: int, radius: int) -> float:
+    """WORST-CASE recall of the bucketed Hamming probe — the
+    radius-vs-recall trade stated with numbers. A query whose prefix
+    dimensions sit ON the hyperplane margins has a ~uniform prefix
+    relative to its true neighbor, so the neighbor is found only when
+    <= radius of the prefix_bits coin-flips disagree:
+
+        floor = sum_{i<=radius} C(prefix_bits, i) / 2^prefix_bits
+
+    which equals the probed bucket fraction — in the adversarial regime
+    you buy recall LINEARLY in scan fraction. MEASURED
+    (scripts/ann_recall_curve.py, boundary regime, 10k-100k rows):
+    p4/r1 0.25-0.40 (floor 0.3125), p4/r2 0.60-0.80 (floor 0.6875),
+    p6/r1 0.10-0.20 (floor 0.1094), p6/r2 0.30-0.45 (floor 0.3438),
+    p8/r1 0.05 (floor 0.0352), p8/r2 0.14-0.15 (floor 0.1445) — the
+    binomial model tracks the measurement within query-sample noise.
+    Near-neighbor-distributed queries (the perturbed regime, and what
+    embedding retrieval usually serves) measure recall 1.0 at every
+    setting; use the floor when the query stream is NOT guaranteed
+    neighbor-like: p4/r2 is the smallest config whose worst case stays
+    above 2/3."""
+    from math import comb
+
+    return sum(comb(prefix_bits, i) for i in range(radius + 1)) / (
+        1 << prefix_bits
+    )
+
+
 def choose_knn_strategy(corpus_est: dict, threshold_rows: int = ANN_MIN_ROWS) -> dict:
     """X3 retrieval path by corpus size: brute-force cosine (exact, one
     corpus pass) until the corpus outgrows it, then the bucketed-probe
     Hamming pipeline (binary codes in an LSH-prefix-partitioned table,
-    file-pruned probes + exact re-rank — operators/similarity.py)."""
+    file-pruned probes + exact re-rank — operators/similarity.py).
+    Recall guidance under adversarial query streams: ``ann_recall_floor``
+    (measured + analytic)."""
     n = corpus_est.get("rows") or 0
     if n < threshold_rows:
         return {
@@ -154,6 +184,10 @@ def choose_knn_strategy(corpus_est: dict, threshold_rows: int = ANN_MIN_ROWS) ->
         }
     return {
         "strategy": "hamming_bucketed",
+        "prefix_bits": 4,
+        "radius": 2,
         "reason": f"{n} rows >= {threshold_rows}: probe bucket-pruned "
-        f"binary codes, re-rank survivors exactly",
+        f"binary codes, re-rank survivors exactly; p4/r2 keeps the "
+        f"adversarial recall floor at {ann_recall_floor(4, 2):.2f} "
+        f"(near-neighbor queries measure 1.0)",
     }

@@ -615,6 +615,60 @@ class TxTable:
         # bounded, cleared on vacuum
         self._state_cache: dict[int, dict] = {}
 
+    #: Protocol feature gate (the published Delta reader/writer-feature
+    #: design): commits that USE a semantics-changing capability stamp it
+    #: into the table's protocol; a snapshot's feature set is the union of
+    #: what its history used. Readers REFUSE tables carrying reader
+    #: features they do not understand (silently mis-reading a
+    #: column-mapped or DV-carrying table returns wrong rows, not an
+    #: error); writers refuse writer features likewise. Old snapshots
+    #: taken before a feature was introduced resolve without it, so time
+    #: travel across a feature boundary still works for an old reader.
+    READER_FEATURES = frozenset(
+        {"column-mapping", "nested-column-mapping", "deletion-vectors"}
+    )
+    WRITER_FEATURES = READER_FEATURES | frozenset(
+        {"generated-columns", "bloom-index", "check-constraints"}
+    )
+
+    def _check_reader_features(self, state: dict) -> None:
+        unknown = set(state["protocol"]["reader"]) - self.READER_FEATURES
+        if unknown:
+            raise ValueError(
+                f"table at {self.path!r} requires reader feature(s) "
+                f"{sorted(unknown)} this reader does not support; upgrade "
+                "the engine (reading anyway would silently return wrong "
+                "rows, not an error)"
+            )
+
+    def protocol(self, as_of: int | None = None) -> dict:
+        """The snapshot's required {"reader": [...], "writer": [...]}
+        feature sets."""
+        p = self._state(as_of)["protocol"]
+        return {"reader": list(p["reader"]), "writer": list(p["writer"])}
+
+    def describe(self) -> dict:
+        """One-call table summary: version, schema, feature/property/
+        policy surface — log metadata only, zero data I/O."""
+        s = self._state()
+        return {
+            "path": self.path,
+            "version": s["version"],
+            "schema": s["schema"],
+            "n_active_files": len(s["active"]),
+            "n_dv_files": len(s["dvs"]),
+            "column_mapping": dict(s["colmap"]),
+            "generated_columns": dict(s["generated"]),
+            "checks": dict(s["checks"]),
+            "clustering": list(s["clustering"]),
+            "bloom_index": dict(s["bloom"]),
+            "properties": dict(s["props"]),
+            "protocol": {
+                "reader": list(s["protocol"]["reader"]),
+                "writer": list(s["protocol"]["writer"]),
+            },
+        }
+
     # -- log primitives ------------------------------------------------------
 
     def _log_path(self, version: int) -> str:
@@ -677,6 +731,7 @@ class TxTable:
             "retired": [],
             "bloom": {},
             "props": {},
+            "protocol": {"reader": [], "writer": []},
             "utc": None,
         }
 
@@ -708,6 +763,14 @@ class TxTable:
             state["bloom"] = dict(c["bloom"])
         if c.get("props") is not None:
             state["props"] = dict(c["props"])
+        if c.get("protocol"):
+            # feature sets only ever GROW (monotone union): readers of old
+            # snapshots see only the features those snapshots used
+            for side in ("reader", "writer"):
+                state["protocol"][side] = sorted(
+                    set(state["protocol"][side])
+                    | set(c["protocol"].get(side, []))
+                )
         if "dv_reset" in c:
             state["dvs"] = list(c["dv_reset"])
             state["dv_counts"] = {}
@@ -751,6 +814,7 @@ class TxTable:
             raise ValueError(f"version {as_of} not in log (head is {head})")
         hit = self._state_cache.get(target)
         if hit is not None:
+            self._check_reader_features(hit)
             return self._copy_state(hit)
         base_v = max((v for v in ckpts if v <= target), default=-1)
         missing = [
@@ -801,6 +865,10 @@ class TxTable:
                 "retired": list(ck.get("retired") or []),
                 "bloom": dict(ck.get("bloom") or {}),
                 "props": dict(ck.get("props") or {}),
+                "protocol": {
+                    "reader": list((ck.get("protocol") or {}).get("reader", [])),
+                    "writer": list((ck.get("protocol") or {}).get("writer", [])),
+                },
                 "utc": ck.get("utc"),
             }
         else:
@@ -810,6 +878,7 @@ class TxTable:
         if len(self._state_cache) >= 8:  # bound memory on long histories
             self._state_cache.pop(next(iter(self._state_cache)))
         self._state_cache[target] = state
+        self._check_reader_features(state)
         return self._copy_state(state)
 
     @staticmethod
@@ -830,6 +899,10 @@ class TxTable:
             "retired": list(s["retired"]),
             "bloom": dict(s["bloom"]),
             "props": dict(s["props"]),
+            "protocol": {
+                "reader": list(s["protocol"]["reader"]),
+                "writer": list(s["protocol"]["writer"]),
+            },
             "utc": s["utc"],
         }
 
@@ -945,6 +1018,7 @@ class TxTable:
             "retired": s["retired"],
             "bloom": s["bloom"],
             "props": s["props"],
+            "protocol": s["protocol"],
             "utc": s["utc"],
         }
         target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
@@ -1483,12 +1557,40 @@ class TxTable:
             "colmap", "generated", "retired", "clustering", "checks", "bloom",
             "props",
         )
+        feats_r: set[str] = set()
+        feats_w: set[str] = set()
+        if extra:
+            cm = extra.get("colmap")
+            if cm:
+                feats_r.add("column-mapping")
+                if any("." in k for k in cm):
+                    feats_r.add("nested-column-mapping")
+            if extra.get("dv_added") or extra.get("dv_reset"):
+                feats_r.add("deletion-vectors")
+            if extra.get("generated"):
+                feats_w.add("generated-columns")
+            if extra.get("bloom"):
+                feats_w.add("bloom-index")
+        if checks:
+            feats_w.add("check-constraints")
+        feats_w |= feats_r  # every reader feature binds writers too
         base_version: int | None = None
         base_schema: str | None = None
         if base is not None:
             base_version, base_schema = base
         for _ in range(max_retries):
-            version, active, cur_schema = self.snapshot()
+            st_now = self._state()
+            version, active, cur_schema = (
+                st_now["version"], list(st_now["active"]), st_now["schema"],
+            )
+            unknown_w = set(st_now["protocol"]["writer"]) - self.WRITER_FEATURES
+            if unknown_w:
+                raise ValueError(
+                    f"table at {self.path!r} requires writer feature(s) "
+                    f"{sorted(unknown_w)} this writer does not support; "
+                    "writing anyway could corrupt invariants those "
+                    "features maintain"
+                )
             if base_version is None:
                 base_version, base_schema = version, cur_schema
             else:
@@ -1532,6 +1634,10 @@ class TxTable:
                 entry["checks"] = checks
             if extra:
                 entry.update(extra)
+            if feats_r or feats_w:
+                entry["protocol"] = {
+                    "reader": sorted(feats_r), "writer": sorted(feats_w),
+                }
             target = self._log_path(version + 1)
             # the commit becomes visible via ONE atomic put-if-absent —
             # the LogStore seam an object-store backend implements with a
@@ -3278,14 +3384,29 @@ class TxTable:
         )
         return target
 
-    def vacuum(self, retain_versions: int = 1, prune_log: bool = True) -> int:
+    def vacuum(
+        self,
+        retain_versions: int = 1,
+        prune_log: bool = True,
+        retain_hours: float | None = None,
+    ) -> int:
         """Delete data files not referenced by any of the newest
         ``retain_versions`` snapshots (default 1 = current only, the
         original contract). A larger retention keeps time travel,
         ``read_changes``, RESTORE, and lagging matview/sync consumers
         working across the retained window — the txlog analog of Delta's
-        retention period, expressed in versions rather than hours. Run only
-        when no reader older than the retained window is in flight.
+        retention period. Run only when no reader older than the retained
+        window is in flight.
+
+        ``retain_hours`` is the WALL-CLOCK retention Delta's
+        ``VACUUM ... RETAIN n HOURS`` contract expresses: every version
+        COMMITTED within the last ``retain_hours`` (per the commit's
+        logged UTC timestamp) is additionally retained, however many
+        versions that is — version counts drift with commit cadence (a
+        busy streaming sink writes thousands of versions an hour; a batch
+        table three a day), so operational retention is set in hours. The
+        two modes COMBINE as a union: a reader pinned at ``as_of`` any
+        version inside either window never loses files.
 
         With ``prune_log`` (default), the log itself is bounded to the same
         window: the oldest retained version is checkpointed, then every
@@ -3302,6 +3423,24 @@ class TxTable:
         commits, ckpts = self._list_log()
         all_versions = sorted(set(list(commits) + list(ckpts)))
         retained = all_versions[-max(1, retain_versions):]
+        if retain_hours is not None:
+            cutoff = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime(time.time() - retain_hours * 3600)
+            )
+            horizon = retained[0]
+            for v in all_versions:
+                if v >= horizon:
+                    break  # already retained by the version window
+                utc = None
+                if v in commits:
+                    utc = self._read_json(commits[v]).get("utc")
+                elif v in ckpts:
+                    utc = self._read_json(ckpts[v]).get("utc")
+                # ISO-8601 UTC strings compare lexicographically; a commit
+                # missing its timestamp (legacy) is conservatively KEPT
+                if utc is None or utc >= cutoff:
+                    retained = sorted(set(range(v, horizon)) & set(all_versions)) + retained
+                    break
         keep: set[str] = set()
         for v in retained:
             keep |= set(self.snapshot(v)[1])

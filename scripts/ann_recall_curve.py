@@ -58,48 +58,114 @@ def queries(n: int):
     return similarity.perturbed_queries(spark, ids)
 
 
+def _clustered_queries(n: int, prefix_bits: int):
+    """Perturbed copies of CLUSTERED corpus vectors (the hot-bucket
+    regime's query stream)."""
+    ids = [int(i * n / NQ) + 1 for i in range(NQ)]
+    base = similarity.clustered_embeddings(spark, n, prefix_bits).filter(
+        F.col("vec_id").isin(ids)
+    )
+    qid = F.array_position(
+        F.array(*[F.lit(i) for i in ids]), F.col("vec_id")
+    ).cast("int") - 1
+    return base.select(
+        qid.alias("query_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            + 0.1 * F.sin(F.col("vec_id") * 31.0 + i.cast("double") * 1.3),
+        ).alias("embedding"),
+    )
+
+
 def run(n: int, results: list):
     import tempfile
 
-    # the corpus is NOT pinned: it is a deterministic codegen projection
-    # (recompute beats caching 512 MB of arrays); only the tiny query side is
-    c = corpus(n)
-    q = queries(n).localCheckpoint(eager=True)
-
-    t0 = time.time()
-    truth_df = similarity.knn_hamming_topk(c, q, k=K)
-    truth = {(r.query_id, r.vec_id) for r in truth_df.collect()}
-    brute_s = time.time() - t0
-
+    # Three regimes (VERDICT r4 item 4): "easy" — perturbed near-neighbor
+    # queries on the uniform corpus (recall ~1 by construction: the
+    # harness check); "boundary" — queries pinned onto the prefix
+    # hyperplane margins (the adversarial case multi-probe actually
+    # loses); "clustered" — uniform queries on a hot-bucket corpus
+    # (recall holds, SPEEDUP collapses — the skew failure mode).
     for prefix_bits in (4, 6, 8):
-        tdir = tempfile.mkdtemp(prefix=f"ann_codes_{n}_{prefix_bits}_")
-        t0 = time.time()
-        table = similarity.materialize_binary_codes(c, tdir, prefix_bits=prefix_bits)
-        build_s = time.time() - t0
-        for radius in (1, 2):
+        regimes = {
+            "easy": (corpus(n), queries(n)),
+            "boundary": (
+                corpus(n),
+                similarity.boundary_queries(
+                    spark, [int(i * n / NQ) + 1 for i in range(NQ)], prefix_bits
+                ),
+            ),
+            "clustered": (
+                similarity.clustered_embeddings(spark, n, prefix_bits),
+                _clustered_queries(n, prefix_bits),
+            ),
+        }
+        for regime, (c, q_df) in regimes.items():
+            q = q_df.localCheckpoint(eager=True)
             t0 = time.time()
-            got_df = similarity.probed_hamming_topk(
-                table, q, k=K, prefix_bits=prefix_bits, radius=radius
+            truth_df = similarity.knn_hamming_topk(c, q, k=K)
+            truth = {(r.query_id, r.vec_id) for r in truth_df.collect()}
+            brute_s = time.time() - t0
+            tdir = tempfile.mkdtemp(prefix=f"ann_{regime}_{n}_{prefix_bits}_")
+            t0 = time.time()
+            table = similarity.materialize_binary_codes(
+                c, tdir, prefix_bits=prefix_bits
             )
-            got = {(r.query_id, r.vec_id) for r in got_df.collect()}
-            probe_s = time.time() - t0
-            recall = len(got & truth) / len(truth)
-            n_probe = len(
-                similarity.prefix_probe_buckets(0, prefix_bits, radius)
-            )
-            rec = {
-                "n": n,
-                "prefix_bits": prefix_bits,
-                "radius": radius,
-                "probed_frac": round(n_probe / (1 << prefix_bits), 4),
-                "recall_at_k": round(recall, 4),
-                "brute_s": round(brute_s, 2),
-                "probe_s": round(probe_s, 2),
-                "build_s": round(build_s, 2),
-                "speedup_vs_brute": round(brute_s / probe_s, 2) if probe_s else None,
+            build_s = time.time() - t0
+            # bucket occupancy + query buckets -> the fraction of corpus
+            # ROWS the probe actually scans (probed_frac counts buckets;
+            # under skew the two diverge — that divergence IS the
+            # clustered-regime finding)
+            mask = (1 << prefix_bits) - 1
+            hist = {
+                r.bucket: r.cnt
+                for r in table.read()
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
             }
-            results.append(rec)
-            print(json.dumps(rec), flush=True)
+            qbuckets = {
+                r.b
+                for r in similarity.binary_quantize(q)
+                .select(
+                    F.col("b_lo").bitwiseAND(F.lit(mask)).cast("int").alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+            for radius in (1, 2):
+                probe_set: set = set()
+                for b in qbuckets:
+                    probe_set.update(
+                        similarity.prefix_probe_buckets(b, prefix_bits, radius)
+                    )
+                scanned_frac = sum(hist.get(b, 0) for b in probe_set) / n
+                t0 = time.time()
+                got_df = similarity.probed_hamming_topk(
+                    table, q, k=K, prefix_bits=prefix_bits, radius=radius
+                )
+                got = {(r.query_id, r.vec_id) for r in got_df.collect()}
+                probe_s = time.time() - t0
+                recall = len(got & truth) / len(truth)
+                n_probe = len(
+                    similarity.prefix_probe_buckets(0, prefix_bits, radius)
+                )
+                rec = {
+                    "n": n,
+                    "regime": regime,
+                    "prefix_bits": prefix_bits,
+                    "radius": radius,
+                    "probed_frac": round(n_probe / (1 << prefix_bits), 4),
+                    "scanned_frac": round(scanned_frac, 4),
+                    "recall_at_k": round(recall, 4),
+                    "brute_s": round(brute_s, 2),
+                    "probe_s": round(probe_s, 2),
+                    "build_s": round(build_s, 2),
+                    "speedup_vs_brute": round(brute_s / probe_s, 2) if probe_s else None,
+                }
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
@@ -112,8 +178,27 @@ if __name__ == "__main__":
     for n in sizes:
         best = [
             r for r in results
-            if r["n"] == n and r["recall_at_k"] >= 0.9 and r["speedup_vs_brute"] and r["speedup_vs_brute"] > 1.0
+            if r["n"] == n and r["regime"] == "easy" and r["recall_at_k"] >= 0.9
+            and r["speedup_vs_brute"] and r["speedup_vs_brute"] > 1.0
         ]
         if best and xover is None:
             xover = n
-    print(json.dumps({"summary": True, "sizes": sizes, "crossover_n": xover}))
+    worst_boundary = {}
+    for r in results:
+        if r["regime"] == "boundary":
+            key = (r["prefix_bits"], r["radius"])
+            worst_boundary[key] = min(
+                worst_boundary.get(key, 1.0), r["recall_at_k"]
+            )
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "sizes": sizes,
+                "crossover_n": xover,
+                "boundary_worst_recall": {
+                    f"p{p}_r{r}": v for (p, r), v in sorted(worst_boundary.items())
+                },
+            }
+        )
+    )

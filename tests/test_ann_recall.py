@@ -78,3 +78,44 @@ def test_planner_threshold_matches_measurement():
     assert (
         choose_knn_strategy({"rows": 150_000})["strategy"] == "hamming_bucketed"
     )
+
+
+def test_boundary_adversarial_recall_tracks_binomial_floor(spark, tmp_path):
+    """VERDICT r4 item 4: the regime where the method actually BREAKS.
+    Queries with margin-pinned prefix dimensions have ~uniform prefixes
+    relative to their true neighbors, so recall collapses to the probed
+    bucket fraction (ann_recall_floor's binomial). Pins: (a) the curve
+    records a regime with recall < 1, (b) radius buys recall back, and
+    (c) the measurement stays within sampling noise of the analytic
+    floor the planner's advice cites."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.plans.planner import ann_recall_floor
+
+    n, nq, prefix_bits = 50_000, 20, 4
+    c = similarity.synthetic_embeddings(spark, n)
+    ids = [int(i * n / nq) + 1 for i in range(nq)]
+    q = similarity.boundary_queries(
+        spark, ids, prefix_bits
+    ).localCheckpoint(eager=True)
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.knn_hamming_topk(c, q, k=K).collect()
+    }
+    table = similarity.materialize_binary_codes(
+        c, str(tmp_path / "codes"), prefix_bits=prefix_bits
+    )
+    recalls = {}
+    for radius in (1, 2):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in similarity.probed_hamming_topk(
+                table, q, k=K, prefix_bits=prefix_bits, radius=radius
+            ).collect()
+        }
+        recalls[radius] = len(got & truth) / len(truth)
+    assert recalls[1] < 0.7          # the failure regime is real
+    assert recalls[2] > recalls[1]   # radius buys recall back
+    for radius in (1, 2):
+        floor = ann_recall_floor(prefix_bits, radius)
+        assert abs(recalls[radius] - floor) < 0.25  # binomial model holds
+    # analytic floor sanity: probing every bucket is exact
+    assert ann_recall_floor(prefix_bits, prefix_bits) == 1.0

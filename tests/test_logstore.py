@@ -241,3 +241,87 @@ def test_vacuum_log_pruning_keeps_store_index_consistent(spark, tmp_path):
             store.read_text(os.path.join(path, "_txlog", name))
     # and the pruned commits are gone from the listing
     assert "00000000000000000000.json" not in listed
+
+
+def _backdate(t: TxTable, versions, hours_ago: float) -> None:
+    """Test setup: rewrite logged commit timestamps in place (the log is
+    immutable in production; this emulates commits made in the past)."""
+    import time as _time
+
+    old = _time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", _time.gmtime(_time.time() - hours_ago * 3600)
+    )
+    for v in versions:
+        p = t._log_path(v)
+        with open(p) as fh:
+            c = json.load(fh)
+        c["utc"] = old
+        with open(p, "w") as fh:
+            json.dump(c, fh)
+
+
+@pytest.mark.parametrize("prune_log", [False, True])
+def test_vacuum_retain_hours_keeps_recent_versions(
+    spark, tmp_path, store, prune_log
+):
+    """Delta's VACUUM RETAIN n HOURS contract: every version committed
+    inside the wall-clock window survives (however many versions that is),
+    and a reader pinned at as_of within the window never loses files —
+    even when retain_versions alone would have reclaimed them."""
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path, store)
+    for i in range(6):  # overwrites: each version has its OWN files
+        t.overwrite(_df(spark, [(i, f"v{i}")]))
+    _backdate(t, range(0, 3), hours_ago=48)
+    fresh = TxTable(spark, path, store)  # caches must not hide the backdate
+    fresh.vacuum(retain_versions=1, retain_hours=24, prune_log=prune_log)
+    reader = TxTable(spark, path, store)
+    # versions committed within 24h (v3..v5) all still read
+    for v in (3, 4, 5):
+        assert {r.v for r in reader.read(as_of=v).collect()} == {f"v{v}"}
+    # the 48h-old versions' exclusive files were reclaimed
+    live = {
+        os.path.relpath(os.path.join(dp, f), path)
+        for dp, dn, fn in os.walk(path)
+        if "_txlog" not in dp and "_staging" not in dp
+        for f in fn
+        if f.endswith(".parquet")
+    }
+    for v in (0, 1, 2):
+        assert not (set(reader_files(t, v)) & live)
+
+
+def reader_files(t: TxTable, v: int) -> list[str]:
+    try:
+        return t.snapshot(v)[1]
+    except FileNotFoundError:
+        return []
+
+
+def test_vacuum_retain_hours_zero_equals_version_window(spark, tmp_path, store):
+    """retain_hours=0 adds nothing: only the version window is kept —
+    and untimestamped (legacy) commits are conservatively retained."""
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path, store)
+    for i in range(4):
+        t.overwrite(_df(spark, [(i, f"v{i}")]))
+    _backdate(t, range(0, 4), hours_ago=1)  # all recent, but...
+    fresh = TxTable(spark, path, store)
+    fresh.vacuum(retain_versions=1, retain_hours=0, prune_log=False)
+    reader = TxTable(spark, path, store)
+    assert {r.v for r in reader.read().collect()} == {"v3"}
+    with pytest.raises(Exception):
+        reader.read(as_of=0).collect()
+    # legacy commit without utc: never reclaimed by the time window
+    t2 = TxTable(spark, str(tmp_path / "t2"), store)
+    t2.overwrite(_df(spark, [(1, "a")]))
+    t2.overwrite(_df(spark, [(2, "b")]))
+    p = t2._log_path(0)
+    with open(p) as fh:
+        c = json.load(fh)
+    del c["utc"]
+    with open(p, "w") as fh:
+        json.dump(c, fh)
+    fresh2 = TxTable(spark, str(tmp_path / "t2"), store)
+    fresh2.vacuum(retain_versions=1, retain_hours=0.001, prune_log=False)
+    assert {r.v for r in TxTable(spark, str(tmp_path / "t2"), store).read(as_of=0).collect()} == {"a"}
