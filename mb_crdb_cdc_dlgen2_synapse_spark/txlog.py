@@ -485,6 +485,31 @@ def _has_nested_map(colmap: dict[str, str], top: str) -> bool:
     return any(k.startswith(prefix) for k in colmap)
 
 
+def _rename_struct_expr(col_expr, phys_type, logical_type):
+    """Expression converting a physically-named struct VALUE to its
+    logically-named type: null-preserving (a NULL struct stays NULL, not
+    a struct of NULLs) and — unlike a struct cast — PRUNABLE: Catalyst
+    pushes GetStructField through the field-wise rebuild, so a query
+    touching one nested field of a renamed struct still scans only that
+    field's bytes (a cast forces the whole struct into the ReadSchema).
+    Field order and types are identical by construction (renames are
+    order-preserving and nested schema evolution never reaches the log),
+    so the positional zip is exact."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(logical_type, T.StructType):
+        return col_expr
+    rebuilt = F.struct(
+        *[
+            _rename_struct_expr(
+                col_expr.getField(pf.name), pf.dataType, lf.dataType
+            ).alias(lf.name)
+            for pf, lf in zip(phys_type.fields, logical_type.fields)
+        ]
+    )
+    return F.when(col_expr.isNotNull(), rebuilt)
+
+
 def _all_nullable(dtype):
     """Recursively relax nullability — cast targets must not carry NOT
     NULL fields (Spark refuses a nullable->non-nullable struct cast, and
@@ -1426,7 +1451,10 @@ class TxTable:
                 lname = inv.get(c, c)
                 expr = F.col(c)
                 if _has_nested_map(colmap, lname) and lname in ltypes:
-                    expr = expr.cast(_all_nullable(ltypes[lname]))
+                    lt = ltypes[lname]
+                    expr = _rename_struct_expr(
+                        expr, _to_physical_type(lt, lname, colmap), lt
+                    )
                 return expr.alias(lname)
 
             df = df.select(*[to_logical(c) for c in df.columns])
@@ -2369,9 +2397,12 @@ class TxTable:
                 lname = inv.get(c, c)
                 expr = F.col(c)
                 if _has_nested_map(colmap, lname) and lname in logical_types:
-                    # inverse of the write-side cast: positional struct
-                    # cast back to the logically-named type
-                    expr = expr.cast(_all_nullable(logical_types[lname]))
+                    # inverse of the write-side cast: field-wise rebuild to
+                    # the logically-named type (prunable, null-preserving)
+                    ltype = logical_types[lname]
+                    expr = _rename_struct_expr(
+                        expr, _to_physical_type(ltype, lname, colmap), ltype
+                    )
                 return expr.alias(lname)
 
             out = out.select(*[to_logical(c) for c in out.columns])

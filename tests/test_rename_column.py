@@ -523,3 +523,30 @@ def test_randomized_nested_rename_dml_mix_matches_model(spark, tmp_path):
         if step % 5 == 4:
             check()
     check()
+
+
+def test_nested_rename_read_still_prunes_nested_columns(spark, tmp_path):
+    """The logical projection over a renamed struct must stay PRUNABLE: a
+    query touching one nested field reads only that field's bytes
+    (ReadSchema), not the whole struct — the field-wise rebuild, where a
+    struct cast would force a full-struct scan. At 100 TB with a wide CDC
+    envelope this is the difference between scanning one column chunk and
+    scanning them all."""
+    import re
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, ("a", 10, "padpad"))],
+            "k int, props struct<name: string, qty: int, extra: string>",
+        )
+    )
+    t.rename_column("props.name", "label")
+    df = t.read().select("k", F.col("props.qty"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m, plan
+    read_schema = m.group(1)
+    assert "qty" in read_schema
+    assert "name" not in read_schema and "extra" not in read_schema, read_schema
+    assert df.collect()[0]["qty"] == 10
