@@ -1860,8 +1860,9 @@ class TxTable:
         read physical and project back to logical; stats and partition
         pruning translate the same way. Time travel to a pre-rename version
         shows the old name (the mapping is versioned state like the
-        schema). The change feed refuses to cross a rename boundary (the
-        row-image schema would be ambiguous — Delta's CDF restriction).
+        schema). The change feed renders row images across a rename
+        boundary under the range-end logical names (frozen physicals make
+        every era readable under the current mapping).
 
         NESTED struct fields rename via dotted paths —
         ``rename_column("envelope.city", "town")`` (or
@@ -3119,7 +3120,11 @@ class TxTable:
         feed never scans the unchanged table. Files already reclaimed by
         ``vacuum`` raise (same retention contract as the matview refresher);
         an update-in-place rewrite yields a delete of the old row image and
-        an insert of the new one.
+        an insert of the new one. Row images are rendered under the
+        RANGE-END logical schema even across column renames (frozen
+        physical names make every era's files readable under the end
+        mapping — column-mapping-mode CDF): a consumer always sees one
+        consistent vocabulary, the one current at ``to_version``.
         """
         from pyspark.sql import functions as F
 
@@ -3141,14 +3146,15 @@ class TxTable:
             for v in sorted(commits_map)
             if v > from_version and (to_version is None or v <= to_version)
         ]
-        if any(c.get("op") == "rename_column" for c in commits):
-            # Delta's CDF restriction: row images across a rename boundary
-            # would mix logical schemas — consume the feed up to the rename,
-            # then restart from it
-            raise ValueError(
-                "change feed range crosses a column rename: read up to the "
-                "rename version and again after it"
-            )
+        # Renames inside the range are fine: every era's files carry FROZEN
+        # physical names, so scanning each commit under the RANGE-END
+        # schema + mapping renders all row images in one consistent
+        # (end-era) logical vocabulary — the column-mapping-mode CDF
+        # behavior. Columns added after a commit's era read as typed
+        # NULLs; columns dropped before the end are projected away; a
+        # dropped-then-readded name never resurrects old bytes (the new
+        # logical column maps to a fresh physical).
+        end_state = self._state(hi)
         frames = []
         for c in commits:
             for relpaths, change in ((c.get("removed", []), "delete"), (c.get("added", []), "insert")):
@@ -3184,8 +3190,8 @@ class TxTable:
                         f"(e.g. {missing[0]!r}): consume changes before vacuum"
                     )
                 df = self._scan_files(
-                    files, dvs, schema_json=c.get("schema"),
-                    colmap=self._state(c["version"])["colmap"],
+                    files, dvs, schema_json=end_state["schema"],
+                    colmap=end_state["colmap"],
                 )
                 frames.append(
                     df.withColumn("_change_type", F.lit(change)).withColumn(
@@ -3210,8 +3216,8 @@ class TxTable:
                         f"(e.g. {missing[0]!r}): consume changes before vacuum"
                     )
                 ddf = self._scan_files(
-                    data_files, [], keep_pos=True, schema_json=c.get("schema"),
-                    colmap=self._state(c["version"])["colmap"],
+                    data_files, [], keep_pos=True,
+                    schema_json=end_state["schema"], colmap=end_state["colmap"],
                 )
                 cols = [x for x in ddf.columns if x not in ("__rf", "__ri")]
                 if (

@@ -107,17 +107,49 @@ def test_rename_survives_checkpoint_prune_and_clone(spark, tmp_path):
     assert {r.k for r in c.read().collect()} == {1, 2, 3, 4, 5}
 
 
-def test_change_feed_refuses_to_cross_a_rename(spark, tmp_path):
+def test_change_feed_crosses_renames_in_end_schema(spark, tmp_path):
+    """Column-mapping-mode CDF: a feed range spanning a rename renders
+    EVERY era's row images under the range-end logical names (frozen
+    physicals make old files readable under the current mapping) — one
+    consistent vocabulary for the consumer, no restart at the boundary."""
     t = TxTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, [(1, "a")]))  # v0
     t.rename_column("v", "payload")  # v1
     t.append(_df(spark, [(2, "b")], "k int, payload string"))  # v2
-    with pytest.raises(ValueError, match="rename"):
-        t.read_changes(-1)
-    # within a rename-free span the feed works, in NEW names
-    feed = t.read_changes(1)
+    feed = t.read_changes(-1)
     assert {(r.k, r.payload, r._change_type) for r in feed.collect()} == {
-        (2, "b", "insert")
+        (1, "a", "insert"),
+        (2, "b", "insert"),
+    }
+    # nested renames too: the envelope era mixes, the images do not
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(
+        spark.createDataFrame(
+            [(1, ("x", 5))], "k int, props struct<name: string, qty: int>"
+        )
+    )
+    t2.rename_column("props.name", "label")
+    t2.append(
+        spark.createDataFrame(
+            [(2, ("y", 6))], "k int, props struct<label: string, qty: int>"
+        )
+    )
+    feed2 = t2.read_changes(-1)
+    assert {
+        (r.k, r.props.label, r.props.qty, r._change_type)
+        for r in feed2.collect()
+    } == {(1, "x", 5, "insert"), (2, "y", 6, "insert")}
+    # pinning to_version renders under THAT era's names: up to v0 the
+    # column is still called v
+    assert {
+        (r.k, r.v) for r in t.read_changes(-1, to_version=0).collect()
+    } == {(1, "a")}
+    # a rewrite after the rename emits delete+insert pairs in end names
+    t.update_where([("k", "==", 1)], {"payload": F.lit("patched")})
+    tail = t.read_changes(2)
+    assert {(r.k, r.payload, r._change_type) for r in tail.collect()} == {
+        (1, "a", "delete"),
+        (1, "patched", "insert"),
     }
 
 
