@@ -84,6 +84,8 @@ HEADLINE = [
     "training_shuffle_shards",     # seeded shard-shuffle, no global sort
     # round-4 additions
     "tx_bloom_point_lookup",       # bloom index build + pruned id lookup
+    # round-5 additions
+    "tx_nested_rename",            # dotted-path column mapping, cast staging
 ]
 
 
