@@ -523,34 +523,82 @@ def knn_hamming_topk(
     )
 
 
+def _prefix_bucket_expr(dims: list[int], lo: str = "b_lo", hi: str = "b_hi"):
+    """Bucket id from the sign bits of ``dims`` (bit *pos* of the bucket =
+    dimension ``dims[pos]``'s sign bit) — one integer expression, codegen
+    all the way."""
+    terms = []
+    for pos, d in enumerate(dims):
+        word = lo if d < 32 else hi
+        terms.append(f"(({word} >> {d % 32}) & 1) * {1 << pos}")
+    return F.expr(f"CAST({' + '.join(terms)} AS INT)")
+
+
+def choose_balanced_prefix_dims(
+    embeddings: DataFrame, prefix_bits: int, vec_col: str = "embedding"
+) -> list[int]:
+    """Balance-aware prefix-dimension selection — the fix for the
+    measured clustered-skew failure (scripts/ann_recall_curve.py regime
+    ``clustered``: biased prefix dims collapse the corpus into one hot
+    bucket, recall stays 1.0 but file pruning stops paying). One
+    aggregation pass scores every dimension's sign-bit balance
+    (|P(bit=1) - 0.5|, smaller = splits the corpus more evenly) and the
+    ``prefix_bits`` most balanced dims become the bucket hash — maximal
+    bucket entropy without per-vector state, the axis-aligned analog of
+    choosing balanced hyperplanes."""
+    bq = binary_quantize(embeddings, vec_col)
+    aggs = []
+    for d in range(64):
+        word = "b_lo" if d < 32 else "b_hi"
+        aggs.append(
+            F.avg(F.expr(f"({word} >> {d % 32}) & 1")).alias(f"p{d}")
+        )
+    row = bq.agg(*aggs).first()
+    scored = sorted(
+        range(64), key=lambda d: (abs((row[f"p{d}"] or 0.0) - 0.5), d)
+    )
+    return sorted(scored[:prefix_bits])
+
+
 def materialize_binary_codes(
     embeddings: DataFrame,
     table_dir: str,
     prefix_bits: int = 4,
     vec_col: str = "embedding",
+    auto_bits: bool = False,
 ):
     """Stage-0 layout for Hamming ANN at corpus scale: the 8-byte binary
     codes materialized as a txlog table hive-partitioned by a coarse LSH
-    prefix — the first ``prefix_bits`` sign bits of the code (the sign of
-    dimension *i* IS an axis-aligned hyperplane hash, the same family the
-    rest of this module uses). ``probed_hamming_topk`` then opens ONLY the
+    prefix — ``prefix_bits`` sign bits of the code (the sign of dimension
+    *i* IS an axis-aligned hyperplane hash, the same family the rest of
+    this module uses). ``probed_hamming_topk`` then opens ONLY the
     partitions within a Hamming radius of each query's prefix, so the
     stage-1 scan cost drops from O(corpus) per query batch to
     O(corpus x probed_buckets / 2^prefix_bits) — log-level partition
-    pruning doing for ANN what it does for date filters. Returns the
-    ``TxTable``."""
+    pruning doing for ANN what it does for date filters.
+
+    ``auto_bits`` selects the prefix dimensions by measured sign-bit
+    BALANCE instead of taking dims 0..prefix_bits-1 (see
+    ``choose_balanced_prefix_dims``) and persists the choice in the
+    table's own properties (``ann.prefixDims`` — TBLPROPERTIES as the
+    index's policy store), so every later probe derives query buckets
+    from the same dims with no side channel. Returns the ``TxTable``."""
     from ..txlog import TxTable
 
-    mask = (1 << prefix_bits) - 1
+    dims = (
+        choose_balanced_prefix_dims(embeddings, prefix_bits, vec_col)
+        if auto_bits
+        else list(range(prefix_bits))
+    )
     bq = (
         binary_quantize(embeddings, vec_col)
         .select("vec_id", "b_lo", "b_hi")
-        .withColumn(
-            "bucket", F.col("b_lo").bitwiseAND(F.lit(mask)).cast("int")
-        )
+        .withColumn("bucket", _prefix_bucket_expr(dims))
     )
     t = TxTable(embeddings.sparkSession, table_dir)
     t.overwrite(bq, partition_by=["bucket"])
+    if dims != list(range(prefix_bits)):
+        t.set_properties({"ann.prefixDims": ",".join(str(d) for d in dims)})
     return t
 
 
@@ -588,13 +636,24 @@ def probed_hamming_topk(
     prunes FILES with, and the XOR+popcount top-k runs over the surviving
     partitions only. Approximate by design: recall vs the full scan is
     bounded by the prefix-error argument on ``prefix_probe_buckets`` and
-    asserted in tests."""
-    mask = (1 << prefix_bits) - 1
+    asserted in tests.
+
+    The bucket hash is read from the TABLE's own policy: a build with
+    ``auto_bits`` logged its balanced prefix dims as the
+    ``ann.prefixDims`` property, and the probe derives query buckets from
+    exactly those dims — index layout and probe can never disagree."""
+    prop = codes_table.properties().get("ann.prefixDims")
+    dims = (
+        [int(x) for x in prop.split(",")]
+        if prop
+        else list(range(prefix_bits))
+    )
+    prefix_bits = len(dims)  # the logged layout always wins
     q = binary_quantize(queries, vec_col).select(
         F.col("query_id"),
         F.col("b_lo").alias("q_lo"),
         F.col("b_hi").alias("q_hi"),
-        F.col("b_lo").bitwiseAND(F.lit(mask)).cast("int").alias("q_bucket"),
+        _prefix_bucket_expr(dims).alias("q_bucket"),
     ).localCheckpoint(eager=True)
     probe: set[int] = set()
     rows = q.select("q_bucket").distinct().collect()  # plan-bounded: <=2^prefix_bits bucket ids, probe planning only

@@ -100,6 +100,12 @@ def run(n: int, results: list):
                 similarity.clustered_embeddings(spark, n, prefix_bits),
                 _clustered_queries(n, prefix_bits),
             ),
+            # the fix for the clustered failure: balance-aware prefix dims
+            # (persisted as the table's ann.prefixDims property)
+            "clustered_auto": (
+                similarity.clustered_embeddings(spark, n, prefix_bits),
+                _clustered_queries(n, prefix_bits),
+            ),
         }
         for regime, (c, q_df) in regimes.items():
             q = q_df.localCheckpoint(eager=True)
@@ -110,14 +116,14 @@ def run(n: int, results: list):
             tdir = tempfile.mkdtemp(prefix=f"ann_{regime}_{n}_{prefix_bits}_")
             t0 = time.time()
             table = similarity.materialize_binary_codes(
-                c, tdir, prefix_bits=prefix_bits
+                c, tdir, prefix_bits=prefix_bits,
+                auto_bits=(regime == "clustered_auto"),
             )
             build_s = time.time() - t0
             # bucket occupancy + query buckets -> the fraction of corpus
             # ROWS the probe actually scans (probed_frac counts buckets;
             # under skew the two diverge — that divergence IS the
             # clustered-regime finding)
-            mask = (1 << prefix_bits) - 1
             hist = {
                 r.bucket: r.cnt
                 for r in table.read()
@@ -125,12 +131,16 @@ def run(n: int, results: list):
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .collect()
             }
+            prop = table.properties().get("ann.prefixDims")
+            dims = (
+                [int(x) for x in prop.split(",")]
+                if prop
+                else list(range(prefix_bits))
+            )
             qbuckets = {
                 r.b
                 for r in similarity.binary_quantize(q)
-                .select(
-                    F.col("b_lo").bitwiseAND(F.lit(mask)).cast("int").alias("b")
-                )
+                .select(similarity._prefix_bucket_expr(dims).alias("b"))
                 .distinct()
                 .collect()
             }
