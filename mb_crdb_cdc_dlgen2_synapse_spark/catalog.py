@@ -5411,6 +5411,43 @@ def tx_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_sql_ddl",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey < 7500 THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS price
+    FROM orders
+    WHERE o_totalprice >= 50000.0
+    """,
+    "S7,T8,P9",
+)
+def tx_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL DDL/maintenance surface end-to-end (engine.Engine.ddl /
+    sql_ddl.execute_ddl): a table is managed entirely through statements
+    a SQL user types — RENAME COLUMN via column mapping, a predicate
+    DELETE (stats-pruned like the Python call), an expression UPDATE,
+    TBLPROPERTIES, OPTIMIZE — then read back through sql_tx's snapshot
+    view. The oracle replays the same mutations as one SELECT."""
+    from .engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    tmp = _scratch("tx_sql_ddl")
+    tabs = {"t": os.path.join(tmp, "table")}
+    from .txlog import TxTable
+
+    t = TxTable(spark, tabs["t"])
+    t.append(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
+    eng.ddl("ALTER TABLE t RENAME COLUMN o_totalprice TO price", tabs)
+    eng.ddl("ALTER TABLE t SET TBLPROPERTIES ('pipeline' = 'ddl-gate')", tabs)
+    eng.ddl("DELETE FROM t WHERE price < 50000.0", tabs)
+    eng.ddl("UPDATE t SET price = price * 1.1 WHERE o_orderkey < 7500", tabs)
+    eng.ddl("OPTIMIZE t", tabs)
+    return eng.sql_tx("SELECT o_orderkey, price FROM t", tabs)
+
+
+@register(
     "tx_nested_rename",
     f"""
     SELECT o_orderkey,

@@ -51,6 +51,17 @@ class Engine:
             TxTable(self.spark, d).read().createOrReplaceTempView(name)
         return self.spark.sql(query)
 
+    def ddl(self, statement: str, tables_map: dict[str, str]):
+        """SQL DDL/maintenance over txlog tables (sql_ddl.execute_ddl):
+        ALTER TABLE RENAME/ADD/DROP COLUMN (dotted nested paths included),
+        SET/UNSET TBLPROPERTIES, ADD/DROP CONSTRAINT, OPTIMIZE [ZORDER],
+        VACUUM [RETAIN n HOURS], RESTORE TO VERSION AS OF, DESCRIBE
+        DETAIL/HISTORY, DELETE/UPDATE ... WHERE — the day-2 statement
+        surface, so a SQL-speaking user never drops to the Python API."""
+        from .sql_ddl import execute_ddl
+
+        return execute_ddl(self.spark, statement, tables_map)
+
     # -- lake surface (reference-compat) -----------------------------------
     def raw_lines(self, paths) -> DataFrame:
         """OPENROWSET-compatible whole-line scan (README.md:181-190)."""

@@ -1,0 +1,250 @@
+"""SQL DDL/utility surface over txlog tables — the statement vocabulary a
+lakehouse user types (published Delta SQL forms), mapped onto the engine's
+metadata commits. The reference's users speak SQL at every layer
+(/root/reference/README.md:131-192: CREATE CHANGEFEED, OPENROWSET,
+JSON_VALUE); this closes the gap for the table-maintenance side so a
+switcher never needs the Python API for day-2 operations:
+
+    ALTER TABLE t RENAME COLUMN after.city TO town
+    ALTER TABLE t ADD COLUMN score double
+    ALTER TABLE t DROP COLUMN score
+    ALTER TABLE t SET TBLPROPERTIES ('checkpoint.interval' = '8')
+    ALTER TABLE t UNSET TBLPROPERTIES ('checkpoint.interval')
+    ALTER TABLE t ADD CONSTRAINT positive CHECK (qty > 0)
+    ALTER TABLE t DROP CONSTRAINT positive
+    OPTIMIZE t [ZORDER BY (c1, c2)]
+    VACUUM t [RETAIN 168 HOURS]
+    RESTORE t TO VERSION AS OF 3
+    DESCRIBE DETAIL t
+    DESCRIBE HISTORY t
+    DELETE FROM t WHERE k >= 10 AND k < 20
+    UPDATE t SET v = <sql expr> WHERE k = 3
+
+Statements parse with a deliberately small, anchored grammar (one
+statement per call, conjunctive comparison predicates for DML — the same
+triple vocabulary ``read(predicates=)`` and file pruning speak, so a SQL
+DELETE prunes files exactly like the Python call). Anything outside the
+grammar raises with the supported forms listed; SELECT belongs to
+``Engine.sql_tx`` (full Spark SQL over snapshot views)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_PATH_IDENT = rf"{_IDENT}(?:\.{_IDENT})*"
+
+
+def _parse_predicates(where: str) -> list[tuple]:
+    """Conjunctive ``col op literal`` triples — the pruning vocabulary.
+    Literals: numbers and single-quoted strings."""
+    preds: list[tuple] = []
+    for clause in re.split(r"(?i)\s+AND\s+", where.strip()):
+        m = re.fullmatch(
+            rf"\s*({_PATH_IDENT})\s*(==|=|>=|<=|>|<)\s*"
+            r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*",
+            clause,
+        )
+        if not m:
+            raise ValueError(
+                f"unsupported WHERE clause {clause!r}: use conjunctive "
+                "`col <op> literal` comparisons (=, ==, >, >=, <, <=)"
+            )
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        if op == "=":
+            op = "=="
+        value: object
+        if lit.startswith("'"):
+            value = lit[1:-1].replace("''", "'")
+        elif re.fullmatch(r"-?\d+", lit):
+            value = int(lit)
+        else:
+            value = float(lit)
+        preds.append((col, op, value))
+    return preds
+
+
+def _split_quoted_list(body: str) -> list[str]:
+    """Comma-split a TBLPROPERTIES/constraint argument list, respecting
+    single quotes."""
+    parts, buf, inq = [], [], False
+    for ch in body:
+        if ch == "'":
+            inq = not inq
+            buf.append(ch)
+        elif ch == "," and not inq:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return s[1:-1].replace("''", "'")
+    return s
+
+
+def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
+    """Run ONE DDL/maintenance statement against txlog tables.
+
+    ``tables`` maps SQL table names to table directories (the same
+    resolution ``Engine.sql_tx`` uses). Returns a DataFrame for DESCRIBE
+    forms, a result dict for DML/maintenance, and the new version (int)
+    for metadata DDL."""
+    from .txlog import TxTable
+
+    stmt = statement.strip().rstrip(";").strip()
+
+    def t(name: str) -> "TxTable":
+        if name not in tables:
+            raise ValueError(
+                f"unknown table {name!r}: known tables are {sorted(tables)}"
+            )
+        return TxTable(spark, tables[name])
+
+    # -- ALTER TABLE ... RENAME COLUMN (incl. dotted nested paths) ---------
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
+        rf"({_PATH_IDENT})\s+TO\s+({_PATH_IDENT})",
+        stmt,
+    )
+    if m:
+        return t(m.group(1)).rename_column(m.group(2), m.group(3))
+
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s+\(?\s*"
+        rf"({_IDENT})\s+([A-Za-z0-9_()<>, ]+?)\s*\)?",
+        stmt,
+    )
+    if m:
+        return t(m.group(1)).add_column(m.group(2), m.group(3).strip())
+
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})", stmt
+    )
+    if m:
+        return t(m.group(1)).drop_column(m.group(2))
+
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*\((.*)\)",
+        stmt,
+    )
+    if m:
+        props: dict[str, str | None] = {}
+        for item in _split_quoted_list(m.group(2)):
+            km = re.fullmatch(r"(?s)\s*(.+?)\s*=\s*(.+?)\s*", item)
+            if not km:
+                raise ValueError(f"bad TBLPROPERTIES item {item!r}")
+            props[_unquote(km.group(1))] = _unquote(km.group(2))
+        return t(m.group(1)).set_properties(props)
+
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*\((.*)\)",
+        stmt,
+    )
+    if m:
+        return t(m.group(1)).set_properties(
+            {_unquote(k): None for k in _split_quoted_list(m.group(2))}
+        )
+
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+({_IDENT})\s+"
+        r"CHECK\s*\((.*)\)",
+        stmt,
+    )
+    if m:
+        return t(m.group(1)).add_check(m.group(2), m.group(3).strip())
+
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+({_IDENT})",
+        stmt,
+    )
+    if m:
+        return t(m.group(1)).drop_check(m.group(2))
+
+    # -- maintenance -------------------------------------------------------
+    m = re.fullmatch(
+        rf"(?is)OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?", stmt
+    )
+    if m:
+        z = (
+            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        )
+        v = t(m.group(1)).compact(z_order=z)
+        return {"version": v}
+
+    m = re.fullmatch(
+        rf"(?is)VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?",
+        stmt,
+    )
+    if m:
+        tbl = t(m.group(1))
+        hours = float(m.group(2)) if m.group(2) else None
+        deleted = tbl.vacuum(retain_versions=1, retain_hours=hours)
+        return {"deleted_files": deleted}
+
+    m = re.fullmatch(
+        rf"(?is)RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)",
+        stmt,
+    )
+    if m:
+        return t(m.group(1)).restore(int(m.group(2)))
+
+    m = re.fullmatch(rf"(?is)DESCRIBE\s+DETAIL\s+({_IDENT})", stmt)
+    if m:
+        d = t(m.group(1)).describe()
+        import json as _json
+
+        return spark.createDataFrame(
+            [(k, _json.dumps(v)) for k, v in d.items()], "item string, value string"
+        )
+
+    m = re.fullmatch(rf"(?is)DESCRIBE\s+HISTORY\s+({_IDENT})", stmt)
+    if m:
+        hist = t(m.group(1)).history()
+        return spark.createDataFrame(
+            [
+                (
+                    int(c["version"]),
+                    str(c.get("op")),
+                    str(c.get("utc")),
+                    len(c.get("added") or []),
+                    len(c.get("removed") or []),
+                )
+                for c in hist
+            ],
+            "version int, op string, utc string, n_added int, n_removed int",
+        )
+
+    # -- DML ---------------------------------------------------------------
+    m = re.fullmatch(
+        rf"(?is)DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.*)", stmt
+    )
+    if m:
+        return t(m.group(1)).delete_where(_parse_predicates(m.group(2)))
+
+    m = re.fullmatch(
+        rf"(?is)UPDATE\s+({_IDENT})\s+SET\s+({_IDENT})\s*=\s*(.+?)\s+WHERE\s+(.*)",
+        stmt,
+    )
+    if m:
+        return t(m.group(1)).update_where(
+            _parse_predicates(m.group(4)), {m.group(2): F.expr(m.group(3))}
+        )
+
+    raise ValueError(
+        f"unsupported statement: {stmt[:80]!r}. Supported: ALTER TABLE "
+        "(RENAME/ADD/DROP COLUMN, SET/UNSET TBLPROPERTIES, ADD/DROP "
+        "CONSTRAINT), OPTIMIZE [ZORDER BY], VACUUM [RETAIN n HOURS], "
+        "RESTORE TO VERSION AS OF, DESCRIBE DETAIL/HISTORY, DELETE FROM "
+        "... WHERE, UPDATE ... SET ... WHERE. SELECT goes through "
+        "Engine.sql_tx."
+    )

@@ -1,0 +1,99 @@
+"""SQL DDL surface (sql_ddl.execute_ddl via Engine.ddl): the published
+Delta statement forms mapped onto txlog metadata commits — rename (flat
+and nested), properties, constraints, optimize/vacuum/restore, describe,
+and predicate DML, all through strings a SQL user would type."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.engine import Engine
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+
+@pytest.fixture
+def eng(spark):
+    return Engine(spark)
+
+
+def _mk(spark, path, rows="k int, v string"):
+    t = TxTable(spark, path)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (30, "c")], rows))
+    return t
+
+
+def test_alter_rename_flat_and_nested(spark, eng, tmp_path):
+    tabs = {"t": str(tmp_path / "t")}
+    _mk(spark, tabs["t"])
+    eng.ddl("ALTER TABLE t RENAME COLUMN v TO payload", tabs)
+    t2 = TxTable(spark, str(tmp_path / "n"))
+    t2.append(
+        spark.createDataFrame(
+            [(1, ("x", 5))], "k int, after struct<city: string, amt: int>"
+        )
+    )
+    tabs["n"] = str(tmp_path / "n")
+    eng.ddl("ALTER TABLE n RENAME COLUMN after.city TO town", tabs)
+    got = eng.sql_tx("SELECT k, payload FROM t ORDER BY k", tabs).collect()
+    assert [r.payload for r in got] == ["a", "b", "c"]
+    r = eng.sql_tx("SELECT after.town AS town FROM n", tabs).collect()[0]
+    assert r.town == "x"
+
+
+def test_properties_constraints_and_errors(spark, eng, tmp_path):
+    tabs = {"t": str(tmp_path / "t")}
+    t = _mk(spark, tabs["t"])
+    eng.ddl(
+        "ALTER TABLE t SET TBLPROPERTIES ('checkpoint.interval' = '7', "
+        "'owner' = 'data-eng')",
+        tabs,
+    )
+    assert t.properties() == {"checkpoint.interval": "7", "owner": "data-eng"}
+    eng.ddl("ALTER TABLE t UNSET TBLPROPERTIES ('owner')", tabs)
+    assert t.properties() == {"checkpoint.interval": "7"}
+    eng.ddl("ALTER TABLE t ADD CONSTRAINT k_pos CHECK (k > 0)", tabs)
+    with pytest.raises(ValueError, match="k_pos"):
+        t.append(spark.createDataFrame([(-1, "x")], "k int, v string"))
+    eng.ddl("ALTER TABLE t DROP CONSTRAINT k_pos", tabs)
+    t.append(spark.createDataFrame([(-1, "x")], "k int, v string"))
+    with pytest.raises(ValueError, match="unknown table"):
+        eng.ddl("VACUUM nope", tabs)
+    with pytest.raises(ValueError, match="unsupported statement"):
+        eng.ddl("MERGE INTO t USING u ON 1=1", tabs)
+
+
+def test_dml_optimize_vacuum_restore_describe(spark, eng, tmp_path):
+    tabs = {"t": str(tmp_path / "t")}
+    t = _mk(spark, tabs["t"])
+    v_before = t.version()
+    res = eng.ddl("DELETE FROM t WHERE k >= 10 AND k < 40", tabs)
+    assert res["version"] > v_before
+    assert {r.k for r in t.read().collect()} == {1, 2}
+    eng.ddl("UPDATE t SET v = upper(v) WHERE k = 2", tabs)
+    assert {r.v for r in t.read().collect()} == {"a", "B"}
+    # string literal predicate (quote escaping)
+    eng.ddl("DELETE FROM t WHERE v = 'B'", tabs)
+    assert {r.v for r in t.read().collect()} == {"a"}
+    eng.ddl("OPTIMIZE t", tabs)
+    eng.ddl("VACUUM t RETAIN 0 HOURS", tabs)
+    assert t.read().count() == 1
+    eng.ddl(f"RESTORE t TO VERSION AS OF {t.version()}", tabs)  # no-op restore
+    hist = eng.ddl("DESCRIBE HISTORY t", tabs)
+    assert hist.filter(F.col("op") == "compact").count() == 1
+    detail = {
+        r.item: r.value for r in eng.ddl("DESCRIBE DETAIL t", tabs).collect()
+    }
+    assert '"version"' not in detail  # keys are bare
+    assert "protocol" in detail and "properties" in detail
+
+
+def test_vacuum_retain_hours_sql_form(spark, eng, tmp_path):
+    tabs = {"t": str(tmp_path / "t")}
+    t = TxTable(spark, tabs["t"])
+    for i in range(4):
+        t.overwrite(spark.createDataFrame([(i, f"v{i}")], "k int, v string"))
+    eng.ddl("VACUUM t RETAIN 168 HOURS", tabs)
+    # everything committed within a week survives: all versions still read
+    for v in range(4):
+        assert TxTable(spark, tabs["t"]).read(as_of=v).count() == 1
