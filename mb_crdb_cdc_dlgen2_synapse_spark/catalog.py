@@ -5411,6 +5411,47 @@ def tx_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_row_tracking",
+    """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2.0
+                ELSE o_totalprice END AS price
+    FROM orders
+    """,
+    "S7,T8",
+)
+def tx_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking end-to-end (txlog.enable_row_tracking — the Delta
+    row-tracking design): orders land in insertion order (one sorted
+    file, so row ids are the insertion ranks), tracking is enabled (a
+    metadata-only backfill), an UPDATE rewrites every tenth row and a
+    compact() relayouts everything — and each row's ``_row_id`` SURVIVES
+    both rewrites (carried as a materialized column). The oracle can
+    therefore reproduce the ids as row_number()-1: if any rewrite
+    re-minted identities, the hash would diverge."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_row_tracking")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    t.append(
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    t.enable_row_tracking()
+    t.update_where(
+        [("o_orderkey", ">=", 0)],
+        {"price": F.when(F.col("o_orderkey") % 10 == 0, F.col("price") * 2.0).otherwise(F.col("price"))},
+    )
+    t.compact(target_files=4, z_order=["o_orderkey"])
+    return t.read(row_ids=True).select(
+        "o_orderkey", F.col("_row_id").alias("row_id"), "price"
+    )
+
+
+@register(
     "tx_sql_ddl",
     """
     SELECT o_orderkey,

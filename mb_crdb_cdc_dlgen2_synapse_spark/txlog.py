@@ -653,7 +653,8 @@ class TxTable:
         {"column-mapping", "nested-column-mapping", "deletion-vectors"}
     )
     WRITER_FEATURES = READER_FEATURES | frozenset(
-        {"generated-columns", "bloom-index", "check-constraints"}
+        {"generated-columns", "bloom-index", "check-constraints",
+         "row-tracking"}
     )
 
     def _check_reader_features(self, state: dict) -> None:
@@ -757,6 +758,7 @@ class TxTable:
             "bloom": {},
             "props": {},
             "protocol": {"reader": [], "writer": []},
+            "rowtrack": {"enabled": False, "hwm": 0},
             "utc": None,
         }
 
@@ -796,6 +798,14 @@ class TxTable:
                     set(state["protocol"][side])
                     | set(c["protocol"].get(side, []))
                 )
+        if c.get("rowtrack"):
+            state["rowtrack"] = dict(c["rowtrack"])
+        for rel, b in (c.get("rowid_assign") or {}).items():
+            # enable-time backfill: existing active files get their base
+            # row ids without being re-added
+            state["stats"][rel] = {
+                **(state["stats"].get(rel) or {}), "base_row_id": b,
+            }
         if "dv_reset" in c:
             state["dvs"] = list(c["dv_reset"])
             state["dv_counts"] = {}
@@ -894,6 +904,9 @@ class TxTable:
                     "reader": list((ck.get("protocol") or {}).get("reader", [])),
                     "writer": list((ck.get("protocol") or {}).get("writer", [])),
                 },
+                "rowtrack": dict(
+                    ck.get("rowtrack") or {"enabled": False, "hwm": 0}
+                ),
                 "utc": ck.get("utc"),
             }
         else:
@@ -928,6 +941,7 @@ class TxTable:
                 "reader": list(s["protocol"]["reader"]),
                 "writer": list(s["protocol"]["writer"]),
             },
+            "rowtrack": dict(s["rowtrack"]),
             "utc": s["utc"],
         }
 
@@ -1044,6 +1058,7 @@ class TxTable:
             "bloom": s["bloom"],
             "props": s["props"],
             "protocol": s["protocol"],
+            "rowtrack": s["rowtrack"],
             "utc": s["utc"],
         }
         target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
@@ -1601,7 +1616,17 @@ class TxTable:
                 feats_w.add("bloom-index")
         if checks:
             feats_w.add("check-constraints")
+        if extra and (extra.get("rowtrack") or {}).get("enabled"):
+            feats_w.add("row-tracking")
         feats_w |= feats_r  # every reader feature binds writers too
+        # files needing base row ids (tracking on, file lacks one —
+        # restored/cloned/materialized files keep theirs); recomputed per
+        # retry because the base comes from the CURRENT high-water mark
+        rowid_rels = (
+            [r for r in sorted(added) if stats and "base_row_id" not in (stats.get(r) or {})]
+            if added and stats
+            else []
+        )
         base_version: int | None = None
         base_schema: str | None = None
         if base is not None:
@@ -1619,6 +1644,17 @@ class TxTable:
                     "writing anyway could corrupt invariants those "
                     "features maintain"
                 )
+            rowtrack_entry = None
+            if st_now["rowtrack"].get("enabled") and rowid_rels:
+                # allocate base row ids from the snapshot's high-water
+                # mark: fresh rows get (base + position) identities, the
+                # commit advances the mark; a lost race re-allocates from
+                # the winner's mark, so ids are unique without coordination
+                hwm = int(st_now["rowtrack"]["hwm"])
+                for rel in rowid_rels:
+                    stats[rel]["base_row_id"] = hwm
+                    hwm += int(stats[rel].get("rows") or 0)
+                rowtrack_entry = {"enabled": True, "hwm": hwm}
             if base_version is None:
                 base_version, base_schema = version, cur_schema
             else:
@@ -1662,9 +1698,12 @@ class TxTable:
                 entry["checks"] = checks
             if extra:
                 entry.update(extra)
-            if feats_r or feats_w:
+            if rowtrack_entry:
+                entry["rowtrack"] = rowtrack_entry
+            fw = set(feats_w) | ({"row-tracking"} if rowtrack_entry else set())
+            if feats_r or fw:
                 entry["protocol"] = {
-                    "reader": sorted(feats_r), "writer": sorted(feats_w),
+                    "reader": sorted(feats_r), "writer": sorted(fw),
                 }
             target = self._log_path(version + 1)
             # the commit becomes visible via ONE atomic put-if-absent —
@@ -2203,7 +2242,14 @@ class TxTable:
             res = self._rewrite_files(scope, relayout, op="compact")
             return res["version"]
         v0 = self.version()  # scan snapshot — DV commits after it conflict
-        df = relayout(self.read())
+        if self._state()["rowtrack"].get("enabled"):
+            # compaction must not re-mint identities: carry each row's id
+            # as a materialized column through the relayout
+            df = relayout(
+                self.read(row_ids=True).withColumnRenamed("_row_id", "__row_id")
+            )
+        else:
+            df = relayout(self.read())
         df = df.localCheckpoint(eager=True)
         added, stats = self._stage(df, None)
 
@@ -2219,8 +2265,11 @@ class TxTable:
                 )
             return list(active)
 
+        logged_out = T.StructType(
+            [f for f in df.schema.fields if f.name != "__row_id"]
+        )
         return self._commit(
-            added, removed, df.schema.json(), None, "compact",
+            added, removed, logged_out.json(), None, "compact",
             stats, extra={"dv_reset": []},  # DV deletes become physical here
         )
 
@@ -2315,6 +2364,7 @@ class TxTable:
         schema_json: str | None = None,
         dv_rows: int | None = None,
         colmap: dict[str, str] | None = None,
+        rowid_col: bool = False,
     ) -> DataFrame:
         """Scan a set of active data files correctly across PARTITION-LAYOUT
         GENERATIONS: one ``spark.read.parquet`` call cannot span files with
@@ -2355,6 +2405,14 @@ class TxTable:
                     for f in logged.fields
                 ]
             )
+            if rowid_col:
+                # materialized row ids (rewritten files carry the column;
+                # fresh files lack it and read as NULL — the reader
+                # coalesces with base + position)
+                read_schema = T.StructType(
+                    read_schema.fields
+                    + [T.StructField("__row_id", T.LongType(), True)]
+                )
         groups: dict[frozenset, list[str]] = {}
         for f in files:
             groups.setdefault(frozenset(_partition_values(f)), []).append(f)
@@ -2393,7 +2451,7 @@ class TxTable:
             inv = self._inv({l: p for l, p in colmap.items() if "." not in l})
 
             def to_logical(c: str):
-                if c in ("__rf", "__ri"):
+                if c in ("__rf", "__ri", "__row_id"):
                     return F.col(c)
                 lname = inv.get(c, c)
                 expr = F.col(c)
@@ -2497,14 +2555,80 @@ class TxTable:
 
         return {f: remap(st or {}) for f, st in stats.items()}
 
+    # -- row tracking --------------------------------------------------------
+
+    def enable_row_tracking(self) -> int:
+        """Stable row identities (the published Delta row-tracking design):
+        ONE metadata commit backfills a ``base_row_id`` for every active
+        file (id of row *i* of a fresh file = base + i, pure metadata);
+        every later commit allocates bases for its added files from a
+        logged high-water mark, and every REWRITE (compact, CoW
+        DELETE/UPDATE, merge-on-read update copies) carries each row's id
+        forward by materializing a ``__row_id`` column in the rewritten
+        files. ``read(row_ids=True)`` exposes ``_row_id`` =
+        coalesce(materialized, base + position): a row keeps its identity
+        for life — across compaction, Z-ordering, updates, restores, and
+        clones — which is what lets incremental consumers correlate row
+        versions without a key. Ids are unique forever (the mark never
+        rewinds; overwrite allocates fresh ids — those are new rows).
+        Writer feature ``row-tracking``; readers need nothing (the extra
+        physical column is invisible to schema-projected reads)."""
+        state = self._state()
+        if state["schema"] is None:
+            raise ValueError("enable row tracking after the first write")
+        if state["rowtrack"].get("enabled"):
+            return state["version"]
+        hwm = 0
+        assign: dict[str, int] = {}
+        for rel in sorted(state["active"]):
+            st = state["stats"].get(rel) or {}
+            if "base_row_id" in st:
+                continue
+            assign[rel] = hwm
+            hwm += int(st.get("rows") or 0)
+        return self._commit(
+            [], lambda active: [], state["schema"], None, "enable_row_tracking",
+            extra={
+                "rowtrack": {"enabled": True, "hwm": hwm},
+                "rowid_assign": assign,
+            },
+            base=(state["version"], state["schema"]),
+        )
+
+    def _attach_row_ids(self, df: DataFrame, state: dict) -> DataFrame:
+        """Resolve ``__row_id`` for a position-carrying scan: the
+        materialized column where a rewrite wrote one, else base +
+        position from the file's logged base (a broadcast of O(files)
+        (rel, base) pairs — metadata-sized)."""
+        from pyspark.sql import functions as F
+
+        pairs = [
+            (rel, int((state["stats"].get(rel) or {}).get("base_row_id")))
+            for rel in state["active"]
+            if (state["stats"].get(rel) or {}).get("base_row_id") is not None
+        ]
+        bdf = self.spark.createDataFrame(
+            pairs or [], "___rel string, ___base long"
+        )
+        out = df.join(
+            F.broadcast(bdf), F.col("__rf") == F.col("___rel"), "left"
+        )
+        return out.withColumn(
+            "__row_id",
+            F.coalesce(F.col("__row_id"), F.col("___base") + F.col("__ri")),
+        ).drop("___rel", "___base")
+
     def read(
         self,
         as_of: int | None = None,
         predicates: list[tuple] | None = None,
         as_of_ts: str | None = None,
+        row_ids: bool = False,
     ) -> DataFrame:
         """DataFrame over a snapshot's files (partition columns recovered via
         basePath). Empty table -> empty DF with the last committed schema.
+        ``row_ids`` (requires ``enable_row_tracking``) appends ``_row_id``
+        — the row's stable lifetime identity.
 
         ``as_of``: time travel — read the table exactly as of that version.
         ``predicates``: conjunctive ``(col, op, value)`` triples (ops
@@ -2532,8 +2656,16 @@ class TxTable:
                 for f in active
                 if _file_may_match(stats.get(f), self._parts(f, colmap), predicates)
             ]
+        if row_ids and not state["rowtrack"].get("enabled"):
+            raise ValueError(
+                "row_ids=True requires enable_row_tracking() on this table"
+            )
         if not active:
             st = T.StructType.fromJson(json.loads(schema)) if schema else T.StructType([])
+            if row_ids:
+                st = T.StructType(
+                    list(st.fields) + [T.StructField("_row_id", T.LongType())]
+                )
             return self.spark.createDataFrame([], st)
         from pyspark.sql import functions as F
 
@@ -2543,7 +2675,13 @@ class TxTable:
             schema_json=schema,
             dv_rows=sum(self._dv_counts(as_of).values()),
             colmap=colmap,
+            keep_pos=row_ids,
+            rowid_col=row_ids,
         )
+        if row_ids:
+            df = self._attach_row_ids(df, state).withColumnRenamed(
+                "__row_id", "_row_id"
+            ).drop("__rf", "__ri")
 
         if schema is not None:
             # conform to the LOGGED schema: a metadata-only add_column (or a
@@ -2552,11 +2690,12 @@ class TxTable:
             # files WITH the column — project it away (columnar scans never
             # read the dropped bytes); and restore the logged column order
             logged = T.StructType.fromJson(json.loads(schema))
-            if df.columns != logged.fieldNames():
+            want = logged.fieldNames() + (["_row_id"] if row_ids else [])
+            if df.columns != want:
                 for f in logged.fields:
                     if f.name not in df.columns:
                         df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-                df = df.select(*logged.fieldNames())
+                df = df.select(*want)
 
         ops = {"==": "__eq__", ">=": "__ge__", ">": "__gt__", "<=": "__le__", "<": "__lt__"}
         for col, op, value in predicates:
@@ -2602,10 +2741,19 @@ class TxTable:
             return {"files_rewritten": 0, "version": self.version()}
         from pyspark.sql import functions as F
 
-        _v0, _a0, schema_json = self.snapshot()
+        state0 = self._state()
+        _v0, schema_json = state0["version"], state0["schema"]
+        track = bool(state0["rowtrack"].get("enabled"))
         # layout-aware scan; DV-deleted rows must not be resurrected by a
-        # copy-on-write rewrite
-        df = self._scan_files(cands, self._active_dvs(), schema_json=schema_json)
+        # copy-on-write rewrite. With row tracking on, each row's id rides
+        # the rewrite as a materialized __row_id column (identity survives
+        # the file replacement — the row-tracking contract).
+        df = self._scan_files(
+            cands, self._active_dvs(), schema_json=schema_json,
+            keep_pos=track, rowid_col=track,
+        )
+        if track:
+            df = self._attach_row_ids(df, state0).drop("__rf", "__ri")
         # conform to the table's logged schema (nullable-relaxed): hive
         # partition columns come back TYPE-INFERRED from the path strings
         # (bucket=0 -> int, not the long the table logged), and committing
@@ -2621,7 +2769,14 @@ class TxTable:
             for f in relaxed.fields:
                 if f.name not in df.columns:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-            df = df.select(*[f.name for f in relaxed.fields]).to(relaxed)
+            names = [f.name for f in relaxed.fields]
+            to_schema = relaxed
+            if track:
+                names = names + ["__row_id"]
+                to_schema = T.StructType(
+                    relaxed.fields + [T.StructField("__row_id", T.LongType(), True)]
+                )
+            df = df.select(*names).to(to_schema)
         out = transform(df)
         part_cols = [
             k for k in self._parts(cands[0]) if k in out.columns
@@ -2661,8 +2816,11 @@ class TxTable:
                 )
             return list(cand_set)
 
+        out_schema = T.StructType(
+            [f for f in out.schema.fields if f.name != "__row_id"]
+        )
         version = self._commit(
-            added, removed, out.schema.json(), txn, op, stats
+            added, removed, out_schema.json(), txn, op, stats
         )
         return {"files_rewritten": len(cands), "version": version}
 
@@ -2799,8 +2957,10 @@ class TxTable:
         ]
         if not cands:
             return {"dv_rows": 0, "version": self.version()}
+        track = bool(self._state()["rowtrack"].get("enabled"))
         df = self._scan_files(
-            cands, self._active_dvs(), keep_pos=True, schema_json=schema_json
+            cands, self._active_dvs(), keep_pos=True, schema_json=schema_json,
+            rowid_col=track,
         )
         matched = df.filter(self._predicate_column(predicates)).localCheckpoint(
             eager=True
@@ -2830,6 +2990,10 @@ class TxTable:
                 return d
 
             return self._rewrite_files(cands, apply)
+        if track:
+            # a merge-on-read UPDATE recreates the row in a new file; its
+            # identity rides along materialized (the old position is DV-hidden)
+            matched = self._attach_row_ids(matched, self._state())
         updated = matched.drop("__rf", "__ri")
         for col, expr in assignments.items():
             new = expr if isinstance(expr, Column) else F.expr(expr)
@@ -2842,7 +3006,14 @@ class TxTable:
             for f in relaxed.fields:
                 if f.name not in updated.columns:
                     updated = updated.withColumn(f.name, F.lit(None).cast(f.dataType))
-            updated = updated.select(*[f.name for f in relaxed.fields]).to(relaxed)
+            names = [f.name for f in relaxed.fields]
+            to_schema = relaxed
+            if track:
+                names = names + ["__row_id"]
+                to_schema = T.StructType(
+                    relaxed.fields + [T.StructField("__row_id", T.LongType(), True)]
+                )
+            updated = updated.select(*names).to(to_schema)
         # logical partition keys (self._parts translates physical path keys
         # through the column mapping — _partition_values would return the
         # physical names and silently stage unpartitioned on renamed tables)
@@ -2963,8 +3134,17 @@ class TxTable:
         )
 
         def conform(df: DataFrame) -> DataFrame:
-            df = df.select(*target_cols)
-            return df.to(target_schema) if target_schema is not None else df
+            extra = ["__row_id"] if "__row_id" in df.columns else []
+            df = df.select(*target_cols, *extra)
+            if target_schema is None:
+                return df
+            to_schema = target_schema
+            if extra:
+                to_schema = T.StructType(
+                    target_schema.fields
+                    + [T.StructField("__row_id", T.LongType(), True)]
+                )
+            return df.to(to_schema)
 
         if not cands:
             # pruning PROVES no target file holds a source key: every
@@ -3003,6 +3183,9 @@ class TxTable:
                     )
                 else:
                     cols.append(F.col(c))
+            track_ids = "__row_id" in tdf.columns
+            if track_ids:
+                cols.append(F.col("__row_id"))
             result = kept.select(*cols)
             if insert:
                 new_rows = (
@@ -3010,6 +3193,12 @@ class TxTable:
                     .join(tdf.select(*on), on, "left_anti")
                     .select(*target_cols)
                 )
+                if track_ids:
+                    # inserts are NEW rows: NULL here, the reader resolves
+                    # base + position of the staged file
+                    new_rows = new_rows.withColumn(
+                        "__row_id", F.lit(None).cast("long")
+                    )
                 result = result.unionByName(new_rows)
             return conform(result)
 
@@ -3036,10 +3225,14 @@ class TxTable:
         (``merge_into``) then runs the CoW transform instead."""
         from pyspark.sql import functions as F
 
+        track = bool(self._state()["rowtrack"].get("enabled"))
         tdf = self._scan_files(
             cands, self._active_dvs(), keep_pos=True,
-            schema_json=self.snapshot()[2],
-        ).localCheckpoint(eager=True)
+            schema_json=self.snapshot()[2], rowid_col=track,
+        )
+        if track:
+            tdf = self._attach_row_ids(tdf, self._state())
+        tdf = tdf.localCheckpoint(eager=True)
         s_keys = src.select(*on, "__s_del")
         joined = tdf.join(s_keys, on, "inner")
         if not update:
@@ -3063,6 +3256,11 @@ class TxTable:
                 .join(matched_keys, on, "left_semi")
                 .select(*target_cols)
             )
+            if track:
+                # the update RECREATES the row in a new file under the same
+                # identity (min over multi-matches keeps it deterministic)
+                tids = tdf.groupBy(*on).agg(F.min("__row_id").alias("__row_id"))
+                updated = updated.join(tids, on, "left")
             new_rows = updated
         if insert:
             inserts = (
@@ -3070,6 +3268,8 @@ class TxTable:
                 .join(tdf.select(*on), on, "left_anti")
                 .select(*target_cols)
             )
+            if track:
+                inserts = inserts.withColumn("__row_id", F.lit(None).cast("long"))
             new_rows = inserts if new_rows is None else new_rows.unionByName(inserts)
         _v, active, schema_json = self.snapshot()
         added: list[str] = []
@@ -3107,7 +3307,12 @@ class TxTable:
         )
         return {"dv_rows": sum(counts.values()), "version": version}
 
-    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        row_ids: bool = False,
+    ) -> DataFrame:
         """Change Data Feed: every row-level change committed AFTER
         ``from_version`` up to ``to_version`` (default head), tagged with
         ``_change_type`` (``insert``/``delete``) and ``_commit_version``.
@@ -3125,6 +3330,10 @@ class TxTable:
         physical names make every era's files readable under the end
         mapping — column-mapping-mode CDF): a consumer always sees one
         consistent vocabulary, the one current at ``to_version``.
+        ``row_ids`` (requires row tracking) adds ``_row_id``: a delete and
+        an insert at one version sharing a ``_row_id`` ARE an update of
+        that row (Delta's pre/post-image pairing), which is what lets a
+        downstream consumer apply the feed keylessly.
         """
         from pyspark.sql import functions as F
 
@@ -3154,7 +3363,11 @@ class TxTable:
         # NULLs; columns dropped before the end are projected away; a
         # dropped-then-readded name never resurrects old bytes (the new
         # logical column maps to a fresh physical).
-        end_state = self._state(hi)
+        end_state = self._state(hi) if hi >= 0 else self._empty_state()
+        if row_ids and not end_state["rowtrack"].get("enabled"):
+            raise ValueError(
+                "row_ids=True requires enable_row_tracking() on this table"
+            )
         frames = []
         for c in commits:
             for relpaths, change in ((c.get("removed", []), "delete"), (c.get("added", []), "insert")):
@@ -3192,7 +3405,18 @@ class TxTable:
                 df = self._scan_files(
                     files, dvs, schema_json=end_state["schema"],
                     colmap=end_state["colmap"],
+                    keep_pos=row_ids, rowid_col=row_ids,
                 )
+                if row_ids:
+                    # bases resolve under the state where these files were
+                    # ACTIVE: the commit itself for added, its predecessor
+                    # for removed
+                    at = c["version"] if change == "insert" else c["version"] - 1
+                    df = (
+                        self._attach_row_ids(df, self._state(at))
+                        .withColumnRenamed("__row_id", "_row_id")
+                        .drop("__rf", "__ri")
+                    )
                 frames.append(
                     df.withColumn("_change_type", F.lit(change)).withColumn(
                         "_commit_version", F.lit(c["version"])
@@ -3218,7 +3442,12 @@ class TxTable:
                 ddf = self._scan_files(
                     data_files, [], keep_pos=True,
                     schema_json=end_state["schema"], colmap=end_state["colmap"],
+                    rowid_col=row_ids,
                 )
+                if row_ids:
+                    ddf = self._attach_row_ids(
+                        ddf, self._state(c["version"] - 1)
+                    ).withColumnRenamed("__row_id", "_row_id")
                 cols = [x for x in ddf.columns if x not in ("__rf", "__ri")]
                 if (
                     sum(c.get("dv_counts", {}).values())
@@ -3248,6 +3477,7 @@ class TxTable:
             )
             st = T.StructType(
                 list(st.fields)
+                + ([T.StructField("_row_id", T.LongType())] if row_ids else [])
                 + [
                     T.StructField("_change_type", T.StringType()),
                     T.StructField("_commit_version", T.IntegerType()),
@@ -3333,6 +3563,10 @@ class TxTable:
         # the rolled-back versions.
         return self._commit(
             list(old_active), lambda active: list(active), old_schema, None, "restore",
+            # the restored files' logged stats come back with them: data
+            # skipping keeps working, and base row ids survive the restore
+            # (a re-allocation would change row identities)
+            stats=dict(old_state["stats"]),
             extra={
                 "dv_reset": self._active_dvs(version),
                 "dv_reset_counts": self._dv_counts(version),
@@ -3413,6 +3647,7 @@ class TxTable:
                 "retired": list(s["retired"]),
                 "bloom": dict(s["bloom"]),
                 "props": dict(s["props"]),
+                "rowtrack": dict(s["rowtrack"]),
                 "dv_added": list(s["dvs"]),
                 "dv_counts": dict(s["dv_counts"]),
                 "clone_source": self.path,
