@@ -172,13 +172,17 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
 
     # -- maintenance -------------------------------------------------------
     m = re.fullmatch(
-        rf"(?is)OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?", stmt
+        rf"(?is)OPTIMIZE\s+({_IDENT})"
+        r"(?:\s+WHERE\s+(.*?))?"
+        r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?",
+        stmt,
     )
     if m:
         z = (
-            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+            [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
         )
-        v = t(m.group(1)).compact(z_order=z)
+        preds = _parse_predicates(m.group(2)) if m.group(2) else None
+        v = t(m.group(1)).compact(z_order=z, predicates=preds)
         return {"version": v}
 
     m = re.fullmatch(

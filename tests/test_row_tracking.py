@@ -192,3 +192,62 @@ def test_change_feed_row_ids_pair_updates(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="enable_row_tracking"):
         t2.read_changes(-1, row_ids=True)
+
+
+def test_randomized_dml_mix_preserves_identity_invariants(spark, tmp_path):
+    """Fuzz the identity contract: across a random interleaving of
+    appends, CoW/DV deletes and updates, merges, compactions, and
+    checkpoints — (a) a surviving row NEVER changes its id, (b) a new
+    row NEVER reuses any id ever seen, (c) ids stay unique."""
+    import random
+
+    rng = random.Random(53)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.CHECKPOINT_INTERVAL = 4
+    t.append(_df(spark, [(k, f"s0-{k}") for k in range(6)]))
+    t.enable_row_tracking()
+    prev = _ids(t)
+    ever_seen = set(prev.values())
+    for step in range(16):
+        op = rng.choice(
+            ["append", "delete", "dv_delete", "update", "dv_update",
+             "merge", "compact"]
+        )
+        before = _ids(t)
+        if op == "append":
+            rows = {
+                k: f"s{step}"
+                for k in [rng.randrange(40) for _ in range(rng.randint(1, 3))]
+                if k not in before
+            }
+            if rows:
+                t.append(_df(spark, list(rows.items())))
+        elif op in ("delete", "dv_delete"):
+            pivot = rng.randrange(40)
+            t.delete_where(
+                [("k", ">=", pivot), ("k", "<", pivot + 5)],
+                mode="dv" if op == "dv_delete" else "cow",
+            )
+        elif op in ("update", "dv_update"):
+            pivot = rng.randrange(40)
+            t.update_where(
+                [("k", "==", pivot)], {"v": F.lit(f"u{step}")},
+                mode="dv" if op == "dv_update" else "cow",
+            )
+        elif op == "merge":
+            ks = [rng.randrange(40) for _ in range(2)]
+            t.merge_into(
+                _df(spark, [(k, f"m{step}") for k in set(ks)]),
+                on=["k"], mode=rng.choice(["cow", "dv"]),
+            )
+        elif op == "compact":
+            t.compact(target_files=rng.choice([1, 2]))
+        cur = _ids(t)
+        surviving = set(before) & set(cur)
+        assert {k: cur[k] for k in surviving} == {
+            k: before[k] for k in surviving
+        }, f"step {step} op {op}: surviving row changed identity"
+        fresh = {cur[k] for k in set(cur) - set(before)}
+        assert not (fresh & ever_seen), f"step {step} op {op}: id reuse"
+        assert len(set(cur.values())) == len(cur), f"step {step}: collision"
+        ever_seen |= set(cur.values())

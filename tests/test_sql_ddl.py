@@ -99,3 +99,31 @@ def test_vacuum_retain_hours_sql_form(spark, eng, tmp_path):
     # everything committed within a week survives: all versions still read
     for v in range(4):
         assert TxTable(spark, tabs["t"]).read(as_of=v).count() == 1
+
+
+def test_optimize_where_scopes_the_rewrite(spark, eng, tmp_path):
+    """OPTIMIZE ... WHERE only rewrites files the predicates may touch —
+    the hot-partition maintenance statement; untouched partitions keep
+    byte identity."""
+    import os as _os
+
+    tabs = {"t": str(tmp_path / "t")}
+    t = TxTable(spark, tabs["t"])
+    df = spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(20)], "k int, part int, v string"
+    )
+    t.append(df.repartition(4), partition_by=["part"])
+    before = {
+        f: _os.stat(_os.path.join(t.path, f)).st_mtime_ns
+        for f in t.snapshot()[1]
+        if "part=0" in f
+    }
+    eng.ddl("OPTIMIZE t WHERE part = 1 ZORDER BY (k)", tabs)
+    after = {
+        f: _os.stat(_os.path.join(t.path, f)).st_mtime_ns
+        for f in t.snapshot()[1]
+        if "part=0" in f
+    }
+    assert before == after  # the part=0 files were never touched
+    assert t.read().count() == 20
+    assert len([f for f in t.snapshot()[1] if "part=1" in f]) == 1
