@@ -3489,6 +3489,36 @@ class TxTable:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
+    def read_update_pairs(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """The change feed in Delta CDF's four-way ``_change_type``
+        vocabulary — ``insert`` / ``delete`` / ``update_preimage`` /
+        ``update_postimage`` — using ROW IDENTITY (requires row tracking)
+        to pair each update's two images: a delete and an insert at one
+        commit sharing a ``_row_id`` ARE one row's update. This is the
+        keyless form of the correlation every CDC consumer otherwise
+        rebuilds with a primary key; rewrite-carried rows whose values
+        did not change are classified as updates too (their file moved) —
+        filter ``update_preimage != update_postimage`` pairs downstream
+        if only value changes matter."""
+        from pyspark.sql import functions as F
+
+        feed = self.read_changes(from_version, to_version, row_ids=True)
+        dels = feed.filter(F.col("_change_type") == "delete")
+        ins = feed.filter(F.col("_change_type") == "insert")
+        pair_keys = ["_row_id", "_commit_version"]
+        keys_df = dels.select(*pair_keys).intersect(ins.select(*pair_keys))
+        pre = dels.join(keys_df, pair_keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = ins.join(keys_df, pair_keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        pure_del = dels.join(keys_df, pair_keys, "left_anti")
+        pure_ins = ins.join(keys_df, pair_keys, "left_anti")
+        return pure_ins.unionByName(pure_del).unionByName(pre).unionByName(post)
+
     def count_rows(self, predicates: list[tuple] | None = None) -> int:
         """Metadata-only COUNT(*) when the log can answer it exactly: with no
         predicates, the sum of logged per-file row counts (zero file I/O —

@@ -251,3 +251,31 @@ def test_randomized_dml_mix_preserves_identity_invariants(spark, tmp_path):
         assert not (fresh & ever_seen), f"step {step} op {op}: id reuse"
         assert len(set(cur.values())) == len(cur), f"step {step}: collision"
         ever_seen |= set(cur.values())
+
+
+def test_read_update_pairs_four_way_vocabulary(spark, tmp_path):
+    """Delta CDF's insert/delete/update_preimage/update_postimage split,
+    derived keylessly from row identity."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    t.enable_row_tracking()
+    ids = _ids(t)
+    v0 = t.version()
+    t.update_where([("k", "==", 2)], {"v": F.lit("b2")})   # rewrite: 1,2,3 move
+    t.delete_where([("k", "==", 3)], mode="dv")            # pure delete
+    t.append(_df(spark, [(9, "z")]))                       # pure insert
+    feed = t.read_update_pairs(v0).collect()
+    by = {}
+    for r in feed:
+        by.setdefault(r._change_type, []).append(r)
+    # the rewrite moved all three rows: all are update pairs (carried rows
+    # included, values unchanged), split into pre/post by identity
+    assert {r._row_id for r in by["update_preimage"]} == set(ids.values())
+    assert {r._row_id for r in by["update_postimage"]} == set(ids.values())
+    post = {r._row_id: r.v for r in by["update_postimage"]}
+    pre = {r._row_id: r.v for r in by["update_preimage"]}
+    changed = {rid for rid in post if post[rid] != pre[rid]}
+    assert changed == {ids[2]} and post[ids[2]] == "b2"
+    # the dv delete and the append stay pure
+    assert [(r.k, r._row_id) for r in by["delete"]] == [(3, ids[3])]
+    assert [r.k for r in by["insert"]] == [9]
