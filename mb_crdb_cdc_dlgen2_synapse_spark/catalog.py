@@ -5411,6 +5411,40 @@ def tx_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_generated_partition_pruning",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+    """,
+    "S7,P6,P9",
+)
+def tx_generated_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated-column partition-filter derivation (the published Delta
+    optimization): the table is partitioned by o_year GENERATED ALWAYS AS
+    year(o_orderdate); the query filters on RAW o_orderdate only, and the
+    engine derives the implied o_year >= 1997 partition predicate from
+    the monotone expression — year-partition files before the bound are
+    never opened (pruning asserted in tests/test_generated_columns.py;
+    this gate pins result correctness through the pruned path)."""
+    from .txlog import TxTable
+
+    import datetime
+
+    tmp = _scratch("tx_gen_prune")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate")
+    )
+    t.append(orders.limit(1))
+    t.set_generated_column("o_year", "year(o_orderdate)")
+    t.overwrite(orders, partition_by=["o_year"])
+    return t.read(
+        predicates=[("o_orderdate", ">=", datetime.date(1997, 1, 1))]
+    ).select("o_orderkey", "o_orderdate")
+
+
+@register(
     "tx_row_tracking",
     """
     SELECT o_orderkey,

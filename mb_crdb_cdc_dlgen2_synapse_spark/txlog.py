@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -373,12 +374,90 @@ def _bloom_maybe_contains(bl: dict, value) -> bool:
     return True
 
 
+#: generated-column expression shapes that are MONOTONE NONDECREASING in
+#: their source column — the set Delta derives partition filters from.
+#: (month()/day() are NOT monotone over timestamps and never qualify.)
+_MONOTONE_GEN = [
+    re.compile(r"(?is)^\s*year\s*\(\s*(\w+)\s*\)\s*$"),
+    re.compile(r"(?is)^\s*(?:to_date|date)\s*\(\s*(\w+)\s*\)\s*$"),
+    re.compile(r"(?is)^\s*cast\s*\(\s*(\w+)\s+as\s+date\s*\)\s*$"),
+    re.compile(
+        r"(?is)^\s*(?:cast\s*\(\s*)?date_trunc\s*\(\s*'(?:year|month|week|day)'\s*,"
+        r"\s*(\w+)\s*\)(?:\s*as\s+date\s*\))?\s*$"
+    ),
+    re.compile(r"(?is)^\s*substr(?:ing)?\s*\(\s*(\w+)\s*,\s*1\s*,\s*\d+\s*\)\s*$"),
+]
+
+
+def _monotone_gen_source(expr: str) -> str | None:
+    """The source column of a monotone generated-column expression, or
+    None when the shape is not provably monotone."""
+    for pat in _MONOTONE_GEN:
+        m = pat.match(expr)
+        if m:
+            return m.group(1)
+    return None
+
+
+def _part_cmp_pair(pv: str, value):
+    """(partition-path value, predicate value) as a comparable typed pair,
+    or None when coercion is unsafe. Ints/floats parse; dates compare as
+    ISO strings (Spark writes date partition values zero-padded ISO);
+    plain strings compare raw. Anything else — including datetimes, whose
+    path rendering is escaped — refuses (fail OPEN: no pruning)."""
+    import datetime
+
+    try:
+        if isinstance(value, bool) or value is None:
+            return None
+        if isinstance(value, int):
+            return int(pv), value
+        if isinstance(value, float):
+            return float(pv), value
+        if isinstance(value, datetime.datetime):
+            return None
+        if isinstance(value, datetime.date):
+            return pv, value.isoformat()
+        if isinstance(value, str):
+            return pv, value
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+def _part_range_excludes(pv: str, op: str, value) -> bool:
+    """True when the partition value PROVABLY fails ``op value`` — the
+    range form of partition pruning (min == max == the path value)."""
+    pair = _part_cmp_pair(pv, value)
+    if pair is None:
+        return False
+    tv, v = pair
+    try:
+        return not _OPS[op](tv, tv, v)
+    except (TypeError, KeyError):
+        return False
+
+
+def _part_range_proves(pv: str, op: str, value) -> bool:
+    """True when the partition value PROVES every row passes ``op value``."""
+    pair = _part_cmp_pair(pv, value)
+    if pair is None:
+        return False
+    tv, v = pair
+    try:
+        return bool(_ALL_OPS[op](tv, tv, v))
+    except (TypeError, KeyError):
+        return False
+
+
 def _file_may_match(stats: dict | None, parts: dict[str, str], predicates) -> bool:
     """False only when the file's stats PROVE no row satisfies every
     predicate (conjunction). Missing stats for a column -> may match.
     Point predicates (==, in) additionally consult the file's logged
     bloom filter when the table declares one for the column — the skip
     that works where every file's min/max RANGE overlaps the value."""
+    if stats and stats.get("rows") == 0:
+        return False  # zero logged rows: provably nothing to match
     for col, op, value in predicates:
         if op not in _OPS:
             raise ValueError(f"unsupported predicate op {op!r} (have {sorted(_OPS)})")
@@ -387,6 +466,10 @@ def _file_may_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
             if op == "==" and str(value) != parts[col]:
                 return False
             if op == "in" and parts[col] not in {str(v) for v in value}:
+                return False
+            if op in (">=", ">", "<=", "<") and _part_range_excludes(
+                parts[col], op, value
+            ):
                 return False
             continue
         if not stats:
@@ -431,6 +514,10 @@ def _file_all_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
             if op == "==" and str(value) == parts[col]:
                 continue
             if op == "in" and parts[col] in {str(v) for v in value}:
+                continue
+            if op in (">=", ">", "<=", "<") and _part_range_proves(
+                parts[col], op, value
+            ):
                 continue
             return False
         if not stats:
@@ -2618,6 +2705,66 @@ class TxTable:
             F.coalesce(F.col("__row_id"), F.col("___base") + F.col("__ri")),
         ).drop("___rel", "___base")
 
+    def _derived_predicates(
+        self, state: dict, predicates: list[tuple]
+    ) -> list[tuple]:
+        """Partition filters DERIVED from generated columns (the published
+        Delta optimization): with ``ingest_date GENERATED ALWAYS AS
+        to_date(ts)`` partitioning the table, a predicate on raw ``ts``
+        implies one on ``ingest_date`` — monotone expressions map range
+        bounds (strict ops relax to their inclusive forms: conservative,
+        never wrong), equality/IN map pointwise. The derived triples are
+        used for FILE PRUNING only; row filtering stays the caller's
+        original predicates. Evaluation of f(bound) runs the expression on
+        a one-row literal — driver-side, per (expr, value), no table I/O.
+        Any failure falls open (no derivation, no pruning lost beyond
+        status quo)."""
+        gens = state["generated"]
+        if not gens or not predicates:
+            return []
+        from pyspark.sql import functions as F
+
+        schema = state["schema"]
+        fields = (
+            {
+                f.name: f.dataType
+                for f in T.StructType.fromJson(json.loads(schema)).fields
+            }
+            if schema
+            else {}
+        )
+        relax = {"==": "==", ">=": ">=", "<=": "<=", ">": ">=", "<": "<=", "in": "in"}
+
+        def feval(expr: str, src: str, v):
+            try:
+                row = (
+                    self.spark.range(1)
+                    .select(F.lit(v).cast(fields[src]).alias(src))
+                    .select(F.expr(expr).alias("__fv"))
+                    .first()
+                )
+                return row["__fv"]
+            except Exception:  # noqa: BLE001 — fail open, never block the scan
+                return None
+
+        derived: list[tuple] = []
+        for gcol, gexpr in gens.items():
+            src = _monotone_gen_source(gexpr)
+            if src is None or src not in fields:
+                continue
+            for col, op, value in predicates:
+                if col != src or op not in relax:
+                    continue
+                if op == "in":
+                    fvs = [feval(gexpr, src, v) for v in value]
+                    if all(fv is not None for fv in fvs):
+                        derived.append((gcol, "in", fvs))
+                else:
+                    fv = feval(gexpr, src, value)
+                    if fv is not None:
+                        derived.append((gcol, relax[op], fv))
+        return derived
+
     def read(
         self,
         as_of: int | None = None,
@@ -2651,10 +2798,11 @@ class TxTable:
         predicates = predicates or []
         if active and predicates:
             stats = self.file_stats(as_of)
+            prune_preds = predicates + self._derived_predicates(state, predicates)
             active = [
                 f
                 for f in active
-                if _file_may_match(stats.get(f), self._parts(f, colmap), predicates)
+                if _file_may_match(stats.get(f), self._parts(f, colmap), prune_preds)
             ]
         if row_ids and not state["rowtrack"].get("enabled"):
             raise ValueError(
@@ -3530,15 +3678,22 @@ class TxTable:
         _v, active, _s = self.snapshot()
         predicates = predicates or []
         stats = self.file_stats() if active else {}
-        cm = self._state()["colmap"]
+        state = self._state()
+        cm = state["colmap"]
         dv_counts = self._dv_counts()
         dvs = self._active_dvs()
+        # derived (generated-column) predicates are sound for EXCLUSION
+        # (original implies derived, so derived-impossible => zero rows);
+        # the all-match proof keeps the caller's originals only
+        prune_preds = predicates + (
+            self._derived_predicates(state, predicates) if predicates else []
+        )
         meta_total = 0
         ambiguous: list[str] = []
         for f in active:
             st = stats.get(f) or {}
             parts = self._parts(f, cm)
-            if not _file_may_match(st, parts, predicates):
+            if not _file_may_match(st, parts, prune_preds):
                 continue  # provably zero matching rows
             if st.get("rows") is not None and _file_all_match(st, parts, predicates):
                 # every live row matches; DV'd rows also matched, so the
