@@ -2289,14 +2289,16 @@ class TxTable:
             z_order = self.clustering() or None  # declared clustering policy
         if target_mb is not None:
             stats0 = self.file_stats()
-            cm0 = self._state()["colmap"]
+            st_pr = self._state()
+            cm0 = st_pr["colmap"]
             scope0 = self.snapshot()[1]
             if predicates:
+                pr0 = predicates + self._derived_predicates(st_pr, predicates)
                 scope0 = [
                     f
                     for f in scope0
                     if _file_may_match(
-                        stats0.get(f), self._parts(f, cm0), predicates
+                        stats0.get(f), self._parts(f, cm0), pr0
                     )
                 ]
             total = sum((stats0.get(f) or {}).get("bytes") or 0 for f in scope0)
@@ -2320,11 +2322,13 @@ class TxTable:
             # conflicts with concurrent commits abort.
             _v, active, _s = self.snapshot()
             stats0 = self.file_stats()
-            cm0 = self._state()["colmap"]
+            st_pr = self._state()
+            cm0 = st_pr["colmap"]
+            pr0 = predicates + self._derived_predicates(st_pr, predicates)
             scope = [
                 f
                 for f in active
-                if _file_may_match(stats0.get(f), self._parts(f, cm0), predicates)
+                if _file_may_match(stats0.get(f), self._parts(f, cm0), pr0)
             ]
             res = self._rewrite_files(scope, relayout, op="compact")
             return res["version"]
@@ -2567,11 +2571,16 @@ class TxTable:
 
         _v, active, _s = self.snapshot()
         stats = self.file_stats()
-        cm = self._state()["colmap"]
+        state_pr = self._state()
+        cm = state_pr["colmap"]
+        # derived (generated-column) predicates are implication-sound for
+        # candidate EXCLUSION: a file provably empty under the derived
+        # triple holds no row matching the original predicate either
+        prune_preds = predicates + self._derived_predicates(state_pr, predicates)
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f, cm), predicates)
+            if _file_may_match(stats.get(f), self._parts(f, cm), prune_preds)
         ]
         if not cands:
             return {"dv_rows": 0, "version": self.version()}
@@ -3008,11 +3017,16 @@ class TxTable:
             )
         _v, active, _s = self.snapshot()
         stats = self.file_stats()
-        cm = self._state()["colmap"]
+        state_pr = self._state()
+        cm = state_pr["colmap"]
+        # derived (generated-column) predicates are implication-sound for
+        # candidate EXCLUSION: a file provably empty under the derived
+        # triple holds no row matching the original predicate either
+        prune_preds = predicates + self._derived_predicates(state_pr, predicates)
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f, cm), predicates)
+            if _file_may_match(stats.get(f), self._parts(f, cm), prune_preds)
         ]
         if not cands:
             version = self.append(df, partition_by=partition_by, txn=txn)
@@ -3045,11 +3059,16 @@ class TxTable:
             return self._delete_dv(predicates)
         _v, active, _s = self.snapshot()
         stats = self.file_stats()
-        cm = self._state()["colmap"]
+        state_pr = self._state()
+        cm = state_pr["colmap"]
+        # derived (generated-column) predicates are implication-sound for
+        # candidate EXCLUSION: a file provably empty under the derived
+        # triple holds no row matching the original predicate either
+        prune_preds = predicates + self._derived_predicates(state_pr, predicates)
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f, cm), predicates)
+            if _file_may_match(stats.get(f), self._parts(f, cm), prune_preds)
         ]
         cond = self._predicate_column(predicates)
         return self._rewrite_files(cands, lambda df: df.filter(~cond))
@@ -3073,11 +3092,16 @@ class TxTable:
             return self._update_dv(predicates, assignments)
         _v, active, _s = self.snapshot()
         stats = self.file_stats()
-        cm = self._state()["colmap"]
+        state_pr = self._state()
+        cm = state_pr["colmap"]
+        # derived (generated-column) predicates are implication-sound for
+        # candidate EXCLUSION: a file provably empty under the derived
+        # triple holds no row matching the original predicate either
+        prune_preds = predicates + self._derived_predicates(state_pr, predicates)
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f, cm), predicates)
+            if _file_may_match(stats.get(f), self._parts(f, cm), prune_preds)
         ]
         cond = self._predicate_column(predicates)
 
@@ -3097,11 +3121,16 @@ class TxTable:
 
         _v, active, schema_json = self.snapshot()
         stats = self.file_stats()
-        cm = self._state()["colmap"]
+        state_pr = self._state()
+        cm = state_pr["colmap"]
+        # derived (generated-column) predicates are implication-sound for
+        # candidate EXCLUSION: a file provably empty under the derived
+        # triple holds no row matching the original predicate either
+        prune_preds = predicates + self._derived_predicates(state_pr, predicates)
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f, cm), predicates)
+            if _file_may_match(stats.get(f), self._parts(f, cm), prune_preds)
         ]
         if not cands:
             return {"dv_rows": 0, "version": self.version()}
@@ -3259,11 +3288,13 @@ class TxTable:
             if hi is not None:
                 preds.append((k, "<=", hi))
         stats = self.file_stats()
-        cm = self._state()["colmap"]
+        state_pr = self._state()
+        cm = state_pr["colmap"]
+        preds_pr = preds + self._derived_predicates(state_pr, preds)
         cands = [
             f
             for f in active
-            if _file_may_match(stats.get(f), self._parts(f, cm), preds)
+            if _file_may_match(stats.get(f), self._parts(f, cm), preds_pr)
         ]
 
         target_cols = self.read().columns

@@ -216,3 +216,40 @@ def test_partition_range_pruning_on_typed_values(spark, tmp_path):
     assert _monotone_gen_source("month(ts)") is None
     assert _monotone_gen_source("day(ts)") is None
     assert _monotone_gen_source("k * 2") is None
+
+
+def test_dml_candidates_prune_via_derived_predicates(spark, tmp_path):
+    """DML candidate selection derives too: a CoW DELETE on raw ts only
+    rewrites the date partitions the derived bound may touch — untouched
+    partitions keep byte identity."""
+    import datetime
+    import os as _os
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    rows = [
+        (k, datetime.datetime(2024, 1, 1 + d, 12, 0, 0), f"v{k}")
+        for d, base in ((0, 0), (5, 100), (10, 200))
+        for k in range(base, base + 5)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v string")
+    t.append(df.limit(0))
+    t.set_generated_column("ingest_date", "to_date(ts)")
+    t.append(df, partition_by=["ingest_date"])
+    before = {
+        f: _os.stat(_os.path.join(t.path, f)).st_mtime_ns
+        for f in t.snapshot()[1]
+        if "ingest_date=2024-01-01" in f or "ingest_date=2024-01-06" in f
+    }
+    assert before
+    t.delete_where([("ts", ">=", datetime.datetime(2024, 1, 8))])
+    after = {
+        f: _os.stat(_os.path.join(t.path, f)).st_mtime_ns
+        for f in t.snapshot()[1]
+        if "ingest_date=2024-01-01" in f or "ingest_date=2024-01-06" in f
+    }
+    assert before == after  # early partitions never rewritten
+    assert {r.k for r in t.read().collect()} == set(range(0, 5)) | set(
+        range(100, 105)
+    )
