@@ -38,17 +38,34 @@ class Engine:
         tables.register_views(self.spark, self.sf_dir)
         return self.spark.sql(query)
 
-    def sql_tx(self, query: str, tables_map: dict[str, str]) -> DataFrame:
+    def sql_tx(
+        self,
+        query: str,
+        tables_map: dict[str, str],
+        as_of: dict[str, int | str] | None = None,
+    ) -> DataFrame:
         """Spark SQL over txlog-table SNAPSHOTS: each {view: table_dir}
         entry registers one snapshot-consistent temp view (resolved once,
         at registration — concurrent commits don't shift results
         mid-query), then the query runs over them. The serverless-SQL
         analog pointed at the transactional lake zone instead of raw
-        files."""
+        files. ``as_of`` pins named views to a VERSION (int) or a UTC
+        TIMESTAMP string (``"2026-01-01T00:00:00Z"``) — SQL time travel,
+        Delta's ``VERSION AS OF`` / ``TIMESTAMP AS OF``."""
         from .txlog import TxTable
 
+        as_of = as_of or {}
         for name, d in tables_map.items():
-            TxTable(self.spark, d).read().createOrReplaceTempView(name)
+            pin = as_of.get(name)
+            t = TxTable(self.spark, d)
+            df = (
+                t.read()
+                if pin is None
+                else t.read(as_of=pin)
+                if isinstance(pin, int)
+                else t.read(as_of_ts=pin)
+            )
+            df.createOrReplaceTempView(name)
         return self.spark.sql(query)
 
     def ddl(self, statement: str, tables_map: dict[str, str]):

@@ -127,3 +127,26 @@ def test_optimize_where_scopes_the_rewrite(spark, eng, tmp_path):
     assert before == after  # the part=0 files were never touched
     assert t.read().count() == 20
     assert len([f for f in t.snapshot()[1] if "part=1" in f]) == 1
+
+
+def test_sql_tx_time_travel_pins(spark, eng, tmp_path):
+    """sql_tx(as_of=...) — VERSION AS OF / TIMESTAMP AS OF through the
+    SQL surface; different views can pin different versions in one query."""
+    tabs = {"t": str(tmp_path / "t")}
+    t = TxTable(spark, tabs["t"])
+    t.overwrite(spark.createDataFrame([(1, "old")], "k int, v string"))  # v0
+    t.overwrite(spark.createDataFrame([(1, "new")], "k int, v string"))  # v1
+    assert eng.sql_tx("SELECT v FROM t", tabs).collect()[0].v == "new"
+    assert (
+        eng.sql_tx("SELECT v FROM t", tabs, as_of={"t": 0}).collect()[0].v
+        == "old"
+    )
+    # TIMESTAMP AS OF resolves to the latest version committed at-or-
+    # before the instant (second-granular: both commits above may share a
+    # second, so pin with a far-future instant = head)
+    assert (
+        eng.sql_tx(
+            "SELECT v FROM t", tabs, as_of={"t": "2099-01-01T00:00:00Z"}
+        ).collect()[0].v
+        == "new"
+    )
