@@ -5411,6 +5411,60 @@ def tx_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_cdf_update_pairs",
+    """
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS rid,
+               o_totalprice AS price
+        FROM orders
+    )
+    SELECT o_orderkey, rid, price, 'update_preimage' AS change FROM base
+    UNION ALL
+    SELECT o_orderkey, rid,
+           CASE WHEN o_orderkey % 7 = 0 THEN price * 1.1 ELSE price END,
+           'update_postimage'
+    FROM base
+    """,
+    "S2,T7,S7",
+)
+def tx_cdf_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed in Delta CDF's four-way vocabulary, paired KEYLESSLY by
+    row identity (txlog.read_update_pairs): orders land as one sorted
+    file (row ids = insertion ranks), row tracking is enabled, and an
+    UPDATE rewrites the file — every row's pre/post image pairs on its
+    stable _row_id. The oracle reconstructs both images per row (the
+    whole file moved, so every row classifies as an update pair; the
+    value change marks the %7 rows)."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_cdf_pairs")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    t.append(
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    t.enable_row_tracking()
+    v0 = t.version()
+    t.update_where(
+        [("o_orderkey", ">=", 0)],
+        {
+            "price": F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("price") * 1.1
+            ).otherwise(F.col("price"))
+        },
+    )
+    return t.read_update_pairs(v0).select(
+        "o_orderkey",
+        F.col("_row_id").alias("rid"),
+        "price",
+        F.col("_change_type").alias("change"),
+    )
+
+
+@register(
     "tx_generated_partition_pruning",
     """
     SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate

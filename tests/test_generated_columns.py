@@ -253,3 +253,62 @@ def test_dml_candidates_prune_via_derived_predicates(spark, tmp_path):
     assert {r.k for r in t.read().collect()} == set(range(0, 5)) | set(
         range(100, 105)
     )
+
+
+def test_randomized_derived_pruning_matches_full_scan(spark, tmp_path):
+    """Differential safety net for the derived-predicate pruning: across
+    random predicate mixes on raw ts / k / the generated date column,
+    read(predicates=) must equal the unpruned full scan + filter exactly
+    (a pruning bug is a silent wrong answer — this is the test that
+    catches it)."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    rng = random.Random(61)
+    t = TxTable(spark, str(tmp_path / "t"))
+    rows = [
+        (
+            k,
+            datetime.datetime(2024, 1 + (k % 6), 1 + (k % 27), k % 24, 0, 0),
+            f"v{k}",
+        )
+        for k in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v string")
+    t.append(df.limit(0))
+    t.set_generated_column("ingest_date", "to_date(ts)")
+    t.set_generated_column("ingest_year", "year(ts)")
+    t.append(df, partition_by=["ingest_date"])
+
+    ops = [">=", ">", "<=", "<", "=="]
+    for trial in range(12):
+        preds = []
+        for _ in range(rng.randint(1, 3)):
+            dim = rng.choice(["ts", "k", "ingest_year"])
+            op = rng.choice(ops)
+            if dim == "ts":
+                val = datetime.datetime(
+                    2024, rng.randint(1, 6), rng.randint(1, 27),
+                    rng.randint(0, 23), 0, 0,
+                )
+            elif dim == "k":
+                val = rng.randint(0, 199)
+            else:
+                val = 2024
+            preds.append((dim, op, val))
+        cond = None
+        for c, op, v in preds:
+            cmp = {
+                ">=": F.col(c) >= F.lit(v), ">": F.col(c) > F.lit(v),
+                "<=": F.col(c) <= F.lit(v), "<": F.col(c) < F.lit(v),
+                "==": F.col(c) == F.lit(v),
+            }[op]
+            cond = cmp if cond is None else (cond & cmp)
+        want = {r.k for r in t.read().filter(cond).collect()}
+        got = {r.k for r in t.read(predicates=preds).collect()}
+        assert got == want, f"trial {trial}: {preds}"
+        assert t.count_rows(preds) == len(want), f"trial {trial}: {preds}"
