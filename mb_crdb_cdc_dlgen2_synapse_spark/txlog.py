@@ -722,6 +722,10 @@ class TxTable:
         # parsed-JSON cache: committed log files are immutable, so entries
         # never go stale; keyed by absolute path, cleared on vacuum()
         self._json_cache: dict[str, dict] = {}
+        # f(bound) memo for generated-column predicate derivation — each
+        # evaluation is a one-row driver action, and DML paths re-derive
+        # the same (expr, value) pairs
+        self._gen_eval_cache: dict[tuple, object] = {}
         self._manifest_cache: dict[str, dict] = {}
         # resolved-state memo by version (committed states are immutable);
         # bounded, cleared on vacuum
@@ -2745,6 +2749,9 @@ class TxTable:
         relax = {"==": "==", ">=": ">=", "<=": "<=", ">": ">=", "<": "<=", "in": "in"}
 
         def feval(expr: str, src: str, v):
+            key = (expr, src, repr(v))
+            if key in self._gen_eval_cache:
+                return self._gen_eval_cache[key]
             try:
                 row = (
                     self.spark.range(1)
@@ -2752,9 +2759,11 @@ class TxTable:
                     .select(F.expr(expr).alias("__fv"))
                     .first()
                 )
-                return row["__fv"]
+                out = row["__fv"]
             except Exception:  # noqa: BLE001 — fail open, never block the scan
-                return None
+                out = None
+            self._gen_eval_cache[key] = out
+            return out
 
         derived: list[tuple] = []
         for gcol, gexpr in gens.items():

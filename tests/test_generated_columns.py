@@ -312,3 +312,29 @@ def test_randomized_derived_pruning_matches_full_scan(spark, tmp_path):
         got = {r.k for r in t.read(predicates=preds).collect()}
         assert got == want, f"trial {trial}: {preds}"
         assert t.count_rows(preds) == len(want), f"trial {trial}: {preds}"
+
+
+def test_prefix_substring_generated_column_prunes_string_ranges(spark, tmp_path):
+    """The string shape: shard GENERATED ALWAYS AS substring(name, 1, 1)
+    partitions the table; a raw-name range predicate derives a prefix
+    bound and prunes shard partitions."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable, _file_may_match
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    rows = [(i, w + f"{i:03d}") for i, w in enumerate(["apple", "mango", "zebra"] * 5)]
+    df = spark.createDataFrame(rows, "k int, name string")
+    t.append(df.limit(0))
+    t.set_generated_column("shard", "substring(name, 1, 1)")
+    t.append(df, partition_by=["shard"])
+    preds = [("name", ">=", "m")]
+    derived = t._derived_predicates(t._state(), preds)
+    assert ("shard", ">=", "m") in derived
+    stats = t.file_stats()
+    cands = [
+        f
+        for f in t.snapshot()[1]
+        if _file_may_match(stats.get(f), t._parts(f), preds + derived)
+    ]
+    assert cands and all("shard=a" not in f for f in cands)
+    got = {r.name[0] for r in t.read(predicates=preds).collect()}
+    assert got == {"m", "z"}
