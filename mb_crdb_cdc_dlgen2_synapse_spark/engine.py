@@ -383,6 +383,7 @@ class Engine:
         target_files: int = 8,
         retain_versions: int = 2,
         vacuum_now: bool = True,
+        retain_hours: float | None = None,
     ) -> dict:
         """One-call table maintenance for a txlog table — the job a
         production pipeline schedules on a cadence next to its streaming
@@ -390,14 +391,25 @@ class Engine:
         (Z-ordering by the table's declared clustering policy), then vacuum
         data files AND prune log segments outside the retained window
         (metadata checkpoints keep every retained version resolvable).
-        Returns what ran: {"compacted": bool, "files_deleted": int,
+        Wall-clock retention defaults to the TABLE's own
+        ``vacuum.retainHours`` property when set — the operational policy
+        lives with the table, not in every maintenance caller. Returns
+        what ran: {"compacted": bool, "files_deleted": int,
         "version": int}."""
         from .txlog import TxTable, maybe_autocompact
 
         t = TxTable(self.spark, table_dir)
         compacted = maybe_autocompact(t, max_files, target_files)
+        if retain_hours is None:
+            prop = t.properties().get("vacuum.retainHours")
+            try:
+                retain_hours = float(prop) if prop is not None else None
+            except ValueError:
+                retain_hours = None
         deleted = (
-            t.vacuum(retain_versions=retain_versions) if vacuum_now else 0
+            t.vacuum(retain_versions=retain_versions, retain_hours=retain_hours)
+            if vacuum_now
+            else 0
         )
         return {
             "compacted": compacted,

@@ -121,3 +121,30 @@ def test_restore_rolls_properties_back(spark, tmp_path):
     assert t.properties() == {"tier": "bronze"}
     # restored properties keep driving policy and survive a reopen
     assert TxTable(spark, str(tmp_path / "t")).properties() == {"tier": "bronze"}
+
+
+def test_vacuum_retain_hours_property_drives_maintain(spark, tmp_path):
+    """The wall-clock retention policy lives with the TABLE
+    (vacuum.retainHours TBLPROPERTY): Engine.maintain picks it up without
+    the caller stating it, so every version inside the window survives
+    maintenance."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.engine import Engine
+
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path)
+    for i in range(5):
+        t.overwrite(_df(spark, [(i, f"v{i}")]))
+    t.set_properties({"vacuum.retainHours": "168"})
+    Engine(spark).maintain(path, retain_versions=1)
+    # a week of wall-clock retention: every version still readable
+    for v in range(5):
+        assert TxTable(spark, path).read(as_of=v).count() == 1
+    # drop the policy: version-count retention alone reclaims history
+    t.set_properties({"vacuum.retainHours": None})
+    Engine(spark).maintain(path, retain_versions=1)
+    fresh = TxTable(spark, path)
+    assert fresh.read().count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        fresh.read(as_of=0).collect()
