@@ -279,3 +279,37 @@ def test_read_update_pairs_four_way_vocabulary(spark, tmp_path):
     # the dv delete and the append stay pure
     assert [(r.k, r._row_id) for r in by["delete"]] == [(3, ids[3])]
     assert [r.k for r in by["insert"]] == [9]
+
+
+def test_racing_writers_never_collide_ids(spark, tmp_path):
+    """Two writers racing appends on one table: the loser re-allocates
+    its base row ids from the winner's advanced high-water mark on retry,
+    so ids stay globally unique with no coordinator."""
+    import threading
+
+    path = str(tmp_path / "t")
+    t0 = TxTable(spark, path)
+    t0.append(_df(spark, [(0, "seed")]))
+    t0.enable_row_tracking()
+    errs = []
+
+    def writer(tag: int):
+        try:
+            t = TxTable(spark, path)
+            for j in range(3):
+                t.append(_df(spark, [(100 * tag + j, f"w{tag}-{j}")]))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    ids = _ids(TxTable(spark, path))
+    assert len(ids) == 7
+    assert len(set(ids.values())) == 7  # no collisions across racers
+    # and the logged high-water mark is past every allocated id
+    st = TxTable(spark, path)._state()
+    assert st["rowtrack"]["hwm"] > max(ids.values())
