@@ -186,14 +186,19 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
         return {"version": v}
 
     m = re.fullmatch(
-        rf"(?is)VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?",
+        rf"(?is)VACUUM\s+({_IDENT})"
+        r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?",
         stmt,
     )
     if m:
         tbl = t(m.group(1))
         hours = float(m.group(2)) if m.group(2) else None
-        deleted = tbl.vacuum(retain_versions=1, retain_hours=hours)
-        return {"deleted_files": deleted}
+        dry = bool(m.group(3))
+        deleted = tbl.vacuum(
+            retain_versions=1, retain_hours=hours, dry_run=dry,
+            prune_log=not dry,
+        )
+        return {("would_delete_files" if dry else "deleted_files"): deleted}
 
     m = re.fullmatch(
         rf"(?is)RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)",

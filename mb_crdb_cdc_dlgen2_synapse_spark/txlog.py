@@ -3886,6 +3886,7 @@ class TxTable:
         retain_versions: int = 1,
         prune_log: bool = True,
         retain_hours: float | None = None,
+        dry_run: bool = False,
     ) -> int:
         """Delete data files not referenced by any of the newest
         ``retain_versions`` snapshots (default 1 = current only, the
@@ -3913,7 +3914,10 @@ class TxTable:
         Reads past the pruned horizon fail loudly (``FileNotFoundError``),
         the same consume-before-vacuum contract data files already have.
         ``prune_log=False`` reclaims data files only (Delta's split between
-        VACUUM and metadata log cleanup)."""
+        VACUUM and metadata log cleanup). ``dry_run`` deletes NOTHING and
+        touches no log state — it returns the count of files a real run
+        would reclaim (Delta's ``VACUUM ... DRY RUN``), the audit an
+        operator runs before an irreversible retention change."""
         head = self.version()
         if head < 0:
             return 0
@@ -3949,8 +3953,11 @@ class TxTable:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.path)
                 if name.endswith(".parquet") and rel not in keep:
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     deleted += 1
+        if dry_run:
+            return deleted
         shutil.rmtree(os.path.join(self.path, _STAGING), ignore_errors=True)
         if prune_log and retained:
             v_keep = retained[0]

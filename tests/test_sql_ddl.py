@@ -150,3 +150,19 @@ def test_sql_tx_time_travel_pins(spark, eng, tmp_path):
         ).collect()[0].v
         == "new"
     )
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, eng, tmp_path):
+    tabs = {"t": str(tmp_path / "t")}
+    t = TxTable(spark, tabs["t"])
+    for i in range(3):
+        t.overwrite(spark.createDataFrame([(i, f"v{i}")], "k int, v string"))
+    res = eng.ddl("VACUUM t DRY RUN", tabs)
+    assert res["would_delete_files"] > 0
+    # nothing was touched: every version still reads
+    for v in range(3):
+        assert TxTable(spark, tabs["t"]).read(as_of=v).count() == 1
+    res2 = eng.ddl("VACUUM t", tabs)
+    # the audit predicted the real run exactly
+    assert res2["deleted_files"] == res["would_delete_files"]
+    assert TxTable(spark, tabs["t"]).read().count() == 1
