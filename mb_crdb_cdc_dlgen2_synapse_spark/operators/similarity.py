@@ -596,9 +596,16 @@ def materialize_binary_codes(
         .withColumn("bucket", _prefix_bucket_expr(dims))
     )
     t = TxTable(embeddings.sparkSession, table_dir)
-    t.overwrite(bq, partition_by=["bucket"])
-    if dims != list(range(prefix_bits)):
-        t.set_properties({"ann.prefixDims": ",".join(str(d) for d in dims)})
+    # ALWAYS publish the layout property, in the SAME commit as the data:
+    # writing it only-when-non-default left a stale ann.prefixDims behind a
+    # rebuild back to the default layout (probes would open the wrong
+    # partitions), and a separate set_properties commit left a window where
+    # a concurrent probe saw the new layout under the old policy.
+    t.overwrite(
+        bq,
+        partition_by=["bucket"],
+        props={"ann.prefixDims": ",".join(str(d) for d in dims)},
+    )
     return t
 
 

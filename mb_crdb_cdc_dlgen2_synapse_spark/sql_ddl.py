@@ -194,9 +194,26 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
         tbl = t(m.group(1))
         hours = float(m.group(2)) if m.group(2) else None
         dry = bool(m.group(3))
+        explicit = hours is not None
+        if hours is None:
+            # Bare `VACUUM t` must behave like the Delta statement it
+            # imitates: default to the table's own vacuum.retainHours
+            # policy, else the conservative 168h (7-day) default — NOT
+            # delete-everything-but-current. A user typing the familiar
+            # statement keeps a week of time travel/CDF/RESTORE history.
+            prop = tbl.properties().get("vacuum.retainHours")
+            try:
+                hours = float(prop) if prop is not None else 168.0
+            except ValueError:
+                hours = 168.0
         deleted = tbl.vacuum(
             retain_versions=1, retain_hours=hours, dry_run=dry,
-            prune_log=not dry,
+            # log pruning is a separate, more destructive decision (it ends
+            # time travel past the horizon even for retained-window
+            # readers of old logs); only an explicit RETAIN clause — the
+            # operator stating a policy — opts in. Delta's bare VACUUM
+            # never touches the log.
+            prune_log=explicit and not dry,
         )
         return {("would_delete_files" if dry else "deleted_files"): deleted}
 

@@ -327,12 +327,21 @@ def _nullable_normalized(schema_json: str) -> str:
 
 def _partition_values(relpath: str) -> dict[str, str]:
     """``key=value`` directory segments of a staged file path (hive layout).
-    Values are the raw path strings — equality-comparable only."""
+    Values are UNESCAPED back to the stored value: Spark percent-encodes
+    special characters when rendering partition directories (Hive's
+    escapePathName: space -> %20, colon -> %3A, '%' itself -> %25, ...),
+    so comparing the raw path rendering against a predicate literal is
+    wrong for any value containing one of those characters — 'a b' <= 'a!'
+    is true but 'a%20b' <= 'a!' is false, which would wrongly EXCLUDE a
+    file holding matching rows. ``unquote`` is escapePathName's inverse
+    for values Spark wrote (it escapes '%' too, so round-trip is exact)."""
+    from urllib.parse import unquote
+
     out: dict[str, str] = {}
     for seg in relpath.split(os.sep)[:-1]:
         if "=" in seg:
             k, _, v = seg.partition("=")
-            out[k] = v
+            out[k] = unquote(v)
     return out
 
 
@@ -1473,7 +1482,30 @@ class TxTable:
             )
         extra = {"generated": gen}
         st = T.StructType.fromJson(json.loads(schema))
-        if name not in st.fieldNames():
+        if name in st.fieldNames():
+            # Declaring a rule over an EXISTING column: _derived_predicates
+            # immediately trusts the rule to derive partition/file pruning
+            # for reads and DML, so pre-declaration rows that violate the
+            # expression would be silently pruned (wrong results). Mirror
+            # add_check's backfill validation: scan the active table once
+            # and refuse if any stored value differs from the expression.
+            # (Delta sidesteps this by only allowing generated columns at
+            # table creation; validating here keeps declare-late ergonomics
+            # without the correctness hole.)
+            if self.version() >= 0:
+                bad = (
+                    self.read()
+                    .filter(~F.col(name).eqNullSafe(F.expr(expr)))
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    raise ValueError(
+                        f"cannot declare generated column {name!r}: existing "
+                        f"rows differ from GENERATED ALWAYS AS ({expr}); "
+                        "rewrite the column first or declare before data"
+                    )
+        else:
             # the declaration IS the DDL: evolve the schema in the SAME
             # metadata commit, typed by analyzing the expression against
             # the current schema (no data touched; pre-declaration rows
@@ -1665,6 +1697,7 @@ class TxTable:
         checks: dict[str, str] | None = None,
         extra: dict | None = None,
         base: tuple[int, str | None] | None = None,
+        abort_on_files: bool = False,
     ) -> int:
         """Put-if-absent commit with optimistic retry. ``removed_fn`` maps the
         freshly re-read active file list -> files this commit removes (it is
@@ -1773,6 +1806,18 @@ class TxTable:
                             f"(op={c.get('op')!r}) changed table metadata "
                             "after this writer's snapshot; re-read the "
                             "table state and retry the operation"
+                        )
+                    # callers whose payload enumerates the ACTIVE FILE SET
+                    # (enable_row_tracking's per-file assign map) must also
+                    # abort on plain file-adding/removing commits — a race
+                    # a schema/meta scan cannot see (the appended file
+                    # would silently miss its payload entry forever)
+                    if abort_on_files and (c.get("added") or c.get("removed")):
+                        raise TxConflictError(
+                            f"file-set conflict: commit v{v} "
+                            f"(op={c.get('op')!r}) changed the active file "
+                            "set after this writer's snapshot; recompute "
+                            "the file-derived payload and retry"
                         )
                 base_version, base_schema = version, cur_schema
             entry = {
@@ -2191,13 +2236,20 @@ class TxTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         txn: dict | None = None,
+        props: dict[str, str | None] | None = None,
     ) -> int:
         """Atomically replace the ENTIRE table content; with ``txn`` a
         re-delivered overwrite (same app/batch id) is a no-op. May define a
         brand-new schema: mapping entries for logical names the new schema
         keeps survive, entries for dropped names retire their physicals,
         and new names colliding with a surviving or retired physical get a
-        fresh one (never two logical columns on one physical)."""
+        fresh one (never two logical columns on one physical).
+
+        ``props`` merges into the table's property map IN THE SAME commit
+        (``None`` value unsets a key) — for layout-describing properties
+        (e.g. the ANN index's ``ann.prefixDims``) a separate
+        ``set_properties`` call would leave a window where readers see the
+        new layout under the old policy."""
         if self._txn_seen(txn):
             return self.version()
         df = self._apply_generated(df)
@@ -2218,10 +2270,22 @@ class TxTable:
             if c not in colmap and c in kept_physicals:
                 colmap[c] = f"{c}__p{state['version'] + 1}"
         added, stats = self._stage(df, partition_by, colmap=colmap)
+        extra: dict = {"dv_reset": [], "colmap": colmap}
+        if props is not None:
+            cur = dict(state["props"])
+            for k, v in props.items():
+                if v is None:
+                    cur.pop(k, None)
+                else:
+                    cur[k] = str(v)
+            extra["props"] = cur
         return self._commit(
             added, lambda active: list(active), df.schema.json(), txn, "overwrite",
             stats,
-            extra={"dv_reset": [], "colmap": colmap},
+            extra=extra,
+            # carrying props makes this a metadata write: anchor the
+            # conflict scan at the snapshot the merged map came from
+            base=(state["version"], state["schema"]) if props is not None else None,
         )
 
     def overwrite_partitions(self, df: DataFrame, partition_by: list[str]) -> int:
@@ -2673,26 +2737,43 @@ class TxTable:
         rewinds; overwrite allocates fresh ids — those are new rows).
         Writer feature ``row-tracking``; readers need nothing (the extra
         physical column is invisible to schema-projected reads)."""
-        state = self._state()
-        if state["schema"] is None:
-            raise ValueError("enable row tracking after the first write")
-        if state["rowtrack"].get("enabled"):
-            return state["version"]
-        hwm = 0
-        assign: dict[str, int] = {}
-        for rel in sorted(state["active"]):
-            st = state["stats"].get(rel) or {}
-            if "base_row_id" in st:
+        last_err: Exception | None = None
+        for _ in range(20):
+            state = self._state()
+            if state["schema"] is None:
+                raise ValueError("enable row tracking after the first write")
+            if state["rowtrack"].get("enabled"):
+                return state["version"]
+            hwm = 0
+            assign: dict[str, int] = {}
+            for rel in sorted(state["active"]):
+                st = state["stats"].get(rel) or {}
+                if "base_row_id" in st:
+                    continue
+                assign[rel] = hwm
+                hwm += int(st.get("rows") or 0)
+            try:
+                return self._commit(
+                    [], lambda active: [], state["schema"], None,
+                    "enable_row_tracking",
+                    extra={
+                        "rowtrack": {"enabled": True, "hwm": hwm},
+                        "rowid_assign": assign,
+                    },
+                    base=(state["version"], state["schema"]),
+                    # the assign map ENUMERATES the snapshot's active files:
+                    # a plain append landing between our snapshot and the
+                    # commit carries no metadata (rowtrack isn't on yet for
+                    # that writer) — without this, the appended file would
+                    # have no base_row_id and read _row_id NULL forever.
+                    # Recompute the map from the winner's state and retry.
+                    abort_on_files=True,
+                )
+            except TxConflictError as e:
+                last_err = e
                 continue
-            assign[rel] = hwm
-            hwm += int(st.get("rows") or 0)
-        return self._commit(
-            [], lambda active: [], state["schema"], None, "enable_row_tracking",
-            extra={
-                "rowtrack": {"enabled": True, "hwm": hwm},
-                "rowid_assign": assign,
-            },
-            base=(state["version"], state["schema"]),
+        raise TxConflictError(
+            f"enable_row_tracking kept losing commit races: {last_err}"
         )
 
     def _attach_row_ids(self, df: DataFrame, state: dict) -> DataFrame:

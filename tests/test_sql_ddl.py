@@ -157,12 +157,35 @@ def test_vacuum_dry_run_deletes_nothing(spark, eng, tmp_path):
     t = TxTable(spark, tabs["t"])
     for i in range(3):
         t.overwrite(spark.createDataFrame([(i, f"v{i}")], "k int, v string"))
-    res = eng.ddl("VACUUM t DRY RUN", tabs)
+    res = eng.ddl("VACUUM t RETAIN 0 HOURS DRY RUN", tabs)
     assert res["would_delete_files"] > 0
     # nothing was touched: every version still reads
     for v in range(3):
         assert TxTable(spark, tabs["t"]).read(as_of=v).count() == 1
-    res2 = eng.ddl("VACUUM t", tabs)
+    res2 = eng.ddl("VACUUM t RETAIN 0 HOURS", tabs)
     # the audit predicted the real run exactly
     assert res2["deleted_files"] == res["would_delete_files"]
     assert TxTable(spark, tabs["t"]).read().count() == 1
+
+
+def test_bare_vacuum_is_conservative(spark, eng, tmp_path):
+    """Bare `VACUUM t` follows the Delta statement it imitates: 7-day
+    default retention (or the table's vacuum.retainHours property) and NO
+    log pruning — a user typing the familiar statement must not destroy
+    all time travel/CDF/RESTORE history."""
+    tabs = {"t": str(tmp_path / "t")}
+    t = TxTable(spark, tabs["t"])
+    for i in range(3):
+        t.overwrite(spark.createDataFrame([(i, f"v{i}")], "k int, v string"))
+    res = eng.ddl("VACUUM t", tabs)
+    # every commit is minutes old -> inside the 168h default window
+    assert res["deleted_files"] == 0
+    for v in range(3):
+        assert TxTable(spark, tabs["t"]).read(as_of=v).count() == 1
+    # the table's own policy property drives the bare statement
+    t.set_properties({"vacuum.retainHours": "0"})
+    res2 = eng.ddl("VACUUM t", tabs)
+    assert res2["deleted_files"] > 0
+    # but bare VACUUM never prunes the log: history still lists v0
+    hist = eng.ddl("DESCRIBE HISTORY t", tabs)
+    assert hist.filter(F.col("version") == 0).count() == 1
