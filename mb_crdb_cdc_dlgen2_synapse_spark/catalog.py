@@ -66,14 +66,20 @@ def register(name: str, oracle: str | None, survey_ref: str):
 # window remain declared and are verified locally (tests/test_oracle_parity.py
 # + scripts/driver_replica.py at sf0.01 and sf0.1).
 _DRIVER_PRIORITY: list[str] = [
-    # ---- ROUND-5 ROTATION (VERDICT r4 item 1): close the registry. The
-    # 36 queries never driver-recorded in r1-r4 (diffed CORRECTNESS_r01-r04
-    # against the registry) all enter the window; the other 14 slots are a
-    # minimal keeper set (computed by exact set cover over survey_ref ids)
-    # so every §2 id keeps a certifying row in-window — full-hash wherever
-    # an oracled query exists for the id; A6/T4/T5/X6 certify rows-only
-    # this round (their oracled certifiers are r1-r4 green and rotated
-    # out), S2/S8 rows-only by design as always.
+    # ---- ROUND-6 ROTATION (VERDICT r5 items 1+2): complete the registry
+    # certification. The 5 round-5 queries that landed after the r5 window
+    # closed (tx_row_tracking, tx_sql_ddl, tx_nested_rename,
+    # tx_cdf_update_pairs, tx_generated_partition_pruning) enter, plus
+    # doc_chunks_udtf so X6 is hash-certified in-window again; 6 entries
+    # demoted (all r1-r5 driver-recorded: the legitimately-rows-only
+    # approx/float family approx_distinct_priority, sketch_distinct_rollup,
+    # sketch_price_quantiles, knn_ivf_probe, kmeans_cluster_sizes,
+    # knn_cosine_arrow — their ids keep full-hash co-certifiers in-window,
+    # checked by set cover). Additionally this round the four streaming
+    # twins (tumbling/session/dedup/latest-state-dv) and tx_time_travel
+    # carry NEW full DuckDB oracles (VERDICT item 2), so A6/T4/T5 certify
+    # full-hash in-window for the first time; S2/S8 stay rows-only by
+    # design as always (cdc_streaming_pipeline).
     # keepers (14) — minimal id cover
     "flagship_cdc_city_revenue",   # S1,S4,P1,P2,P3,A2
     "flagship_silver_lake",        # S3,S6
@@ -103,10 +109,7 @@ _DRIVER_PRIORITY: list[str] = [
     "inline_lookup_join",          # J2,P9
     "array_ops_showcase",          # P8
     "props_variant_stats",         # P1,P8,A3
-    "approx_distinct_priority",    # A4 rows-only
     "approx_percentiles_price",    # A3,A4 rows-only
-    "sketch_distinct_rollup",      # A4 rows-only
-    "sketch_price_quantiles",      # A3 rows-only
     "doc_bigram_counts",           # X4
     "doc_pii_redaction",           # X4,P5
     "doc_quality_classifier",      # X4,P5,A1
@@ -118,14 +121,18 @@ _DRIVER_PRIORITY: list[str] = [
     "train_val_test_split",        # X4,A3,P7
     "training_sequence_packing",   # W3,A1,P6
     "embedding_quantization",      # X3,P8
-    "knn_cosine_arrow",            # X3,X6 rows-only
-    "knn_ivf_probe",               # X3 rows-only
-    "kmeans_cluster_sizes",        # X3,X6 rows-only
-    "streaming_dedup_ingest",      # S1,T1,T8,X1,Q4 rows-only
-    "streaming_latest_state_dv",   # T6,T7,T8,J5 rows-only
-    "streaming_session_window",    # T5,T3,A6 rows-only
-    "streaming_tumbling_rollup",   # T4,A6,T1 rows-only
+    "streaming_dedup_ingest",      # S1,T1,T8,X1,Q4 — NEW full oracle
+    "streaming_latest_state_dv",   # T6,T7,T8,J5 — NEW full oracle
+    "streaming_session_window",    # T5,T3,A6 — NEW full oracle
+    "streaming_tumbling_rollup",   # T4,A6,T1 — NEW full oracle
     "streaming_distinct_sketch",   # A4,A6,T1,T8 rows-only
+    # round-6 promotions — the last never-driver-recorded queries
+    "tx_row_tracking",             # S7,T8
+    "tx_sql_ddl",                  # S7,T8,P9
+    "tx_nested_rename",            # S7,T8
+    "tx_cdf_update_pairs",         # S2,T7,S7
+    "tx_generated_partition_pruning",  # S7,P6,P9
+    "doc_chunks_udtf",             # X6,P5 — X6 hash-certified in-window
 ]
 
 
@@ -1382,20 +1389,43 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_latest_state_dv",
-    None,  # seeded-generator fixture; the bucket-merge twin
-    # (cdc_streaming_pipeline) consumes the same seed — identical recorded
-    # row counts; state equality golden-tested in tests/test_txlog.py
+    # Full oracle: the changefeed is DERIVED from the events table (one
+    # envelope per event, per-key `updated` = the row's rank within its
+    # user — strictly increasing, collision-free), tombstone when
+    # event_type = 'error'. The DV sink's final state is therefore exactly
+    # "latest event per user, minus tombstoned users" — plain window SQL
+    # over the same parquet. (The Python-RNG changegen fixture moved to
+    # cdc_streaming_pipeline only, which stays rows-only by design: S8.)
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    SELECT '[' || CAST(user_id AS VARCHAR) || ']' AS row_key,
+           event_type AS city, value AS revenue
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY row_key
+    """,
     "T6,T7,T8,J5",
 )
 def streaming_latest_state_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC latest-state pipeline through the DELETION-VECTOR sink
     (materialize_latest_state_dv): per-batch write cost tracks the batch —
     changed rows plus kilobytes of vector — instead of rewriting touched
-    buckets. Consumes the SAME seeded changefeed as the bucket-merge twin
-    (cdc_streaming_pipeline), so the two recorded results must agree."""
+    buckets.
+
+    The changefeed is derived 1:1 from the events table: every event is an
+    upsert envelope for its user (event_type = 'error' emits the tombstone
+    ``after: null``, the same convention as cdc_tombstone_state), and the
+    per-key ``updated`` clock is the row's rank within its user ordered by
+    (ts, event_id) — strictly increasing per key with no ties, which is
+    the changefeed per-key ordering contract and what makes the merged
+    state deterministic and SQL-oracle-able."""
+    from pyspark.sql import Window as PW
     from pyspark.sql import types as T
 
-    from .sources.changegen import generate_changefeed
     from .streaming.ingest import (
         changefeed_stream,
         materialize_latest_state_dv,
@@ -1404,7 +1434,35 @@ def streaming_latest_state_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = _scratch("cdc_stream_dv")
     landing = os.path.join(tmp, "landing")
-    generate_changefeed(landing, n_rows=300, seed=42)
+    ddir = os.path.join(landing, "2022-12-12")
+    ev = _t(spark, sf_dir, "events")
+    w = PW.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    env = ev.withColumn("__rank", F.row_number().over(w)).select(
+        F.to_json(
+            F.struct(
+                F.when(
+                    F.col("event_type") != "error",
+                    F.struct(
+                        F.col("event_type").alias("city"),
+                        F.col("user_id").cast("string").alias("id"),
+                        F.col("event_id").cast("string").alias("rider_id"),
+                        F.col("value").alias("revenue"),
+                    ),
+                ).alias("after"),
+                F.array(F.col("user_id").cast("string")).alias("key"),
+                F.concat(
+                    F.col("__rank").cast("string"), F.lit(".0000000000")
+                ).alias("updated"),
+            )
+        ).alias("value")
+    )
+    env.coalesce(4).write.mode("overwrite").text(ddir)
+    # changefeed_stream's landing contract globs *.ndjson under date dirs
+    for fn in os.listdir(ddir):
+        if fn.startswith("part-") and not fn.endswith(".ndjson"):
+            os.rename(
+                os.path.join(ddir, fn), os.path.join(ddir, fn + ".ndjson")
+            )
     after_schema = T.StructType(
         [
             T.StructField("city", T.StringType()),
@@ -2686,9 +2744,37 @@ def stratified_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_session_window",
-    None,  # bounded-replay emission excludes sessions the final watermark
-    # never closes — batch equivalence on the CLOSED subset is asserted in
-    # tests/test_streaming_windows.py; rows-only here
+    # Deterministic full oracle: all real events land in ONE availableNow
+    # batch (nothing is ever late), and a sentinel event 2h past max(ts)
+    # advances the final watermark beyond every real session's end+gap, so
+    # APPEND mode emits exactly the complete batch sessionization — the
+    # streaming==batch equivalence tests/test_streaming_windows.py asserts,
+    # lifted into the driver gate. New-session boundary is Spark's
+    # half-open [start, last+gap): a gap of exactly 30min starts a new
+    # session (>=), though the events fixture has no exact-boundary gaps
+    # at any SF (verified).
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         >= 1800 * 1000000 THEN 1
+                    WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    numbered AS (
+        SELECT user_id,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged),
+    per_session AS (
+        SELECT user_id, session_seq, count(*) AS n
+        FROM numbered GROUP BY 1, 2)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM per_session GROUP BY user_id
+    """,
     "T5,T3,A6",
 )
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2697,7 +2783,16 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store and emitted as the watermark closes them — the streaming
     twin of the batch session_stats query. State per key tracks OPEN
     sessions only; the gap+watermark bound is what keeps it finite on an
-    unbounded stream."""
+    unbounded stream.
+
+    A sentinel event (user_id = -1) 2 hours past the corpus max(ts) drives
+    the final watermark past every real session end, so the bounded replay
+    CLOSES (and append-mode emits) every real session — the operational
+    trick a production pipeline's heartbeat topic performs, and what makes
+    the result equal the batch sessionization exactly."""
+    import json as _json
+    import uuid
+
     from .streaming.windows import session_windows
 
     tmp = _scratch("stream_sess")
@@ -2706,21 +2801,36 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.select(
         "event_id", F.col("ts").cast("string").alias("ts"), "user_id", "value"
     ).coalesce(4).write.mode("overwrite").json(src)
+    # sentinel AFTER the bulk write: one far-future event whose arrival
+    # pushes the watermark past every real session's end (its own session
+    # never closes and user -1 is filtered out regardless)
+    max_ts = ev.agg(F.max(F.col("ts").cast("string")).alias("m")).first()["m"]
+    import datetime as _dt
+
+    m = _dt.datetime.fromisoformat(max_ts)
+    sentinel_ts = (m + _dt.timedelta(hours=2)).strftime("%Y-%m-%d %H:%M:%S")
+    with open(os.path.join(src, "zz_sentinel.json"), "w") as f:
+        f.write(
+            _json.dumps(
+                {"event_id": -1, "ts": sentinel_ts, "user_id": -1, "value": 0.0}
+            )
+            + "\n"
+        )
     schema = "event_id long, ts timestamp, user_id long, value double"
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).json(src)
-    )
+    stream = spark.readStream.schema(schema).json(src)
     out = session_windows(stream)
+    qname = f"t5_sessions_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
-        .queryName("t5_sessions")
+        .queryName(qname)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return (
-        spark.table("t5_sessions")
+        spark.table(qname)
+        .filter(F.col("user_id") >= 0)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
@@ -3394,7 +3504,18 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_tumbling_rollup",
-    None,  # runs an actual Structured Streaming query — not SQL-expressible
+    # The streaming computation IS deterministic here: availableNow with no
+    # maxFilesPerTrigger consumes the whole bounded fixture in ONE batch
+    # (no row is ever late vs the initial watermark) and complete mode
+    # emits every window — so the batch-equivalent SQL over the same base
+    # parquet is a legitimate oracle (the equivalence the suite asserts in
+    # tests/test_streaming_windows.py, lifted into the driver gate).
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+    FROM events GROUP BY 1, 2
+    """,
     "T4,A6,T1",
 )
 def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4734,15 +4855,30 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_dedup_ingest",
-    None,  # foreachBatch + txlog anti-join — not SQL-expressible
+    # Deterministic full oracle: the sink's survivor rule is "first doc_id
+    # wins" both within a batch (row_number over content_hash ordered by
+    # doc_id) and across batches (anti-join vs committed state, original
+    # files land before the re-delivery file), and the re-delivered ids
+    # are original+100000 — so the final state is exactly min(doc_id) per
+    # normalized content hash over the first 200 docs, however the file
+    # source splits batches.
+    r"""
+    WITH src AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash
+        FROM documents WHERE doc_id < 200)
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, content_hash
+    FROM src GROUP BY content_hash
+    ORDER BY doc_id
+    """,
     "S1,T1,T8,X1,Q4",
 )
 def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-on-ingest pipeline: a document stream (first 200 docs, with
     every 10th re-delivered in a later file to simulate at-least-once
     duplicates) lands in a txlog table; each micro-batch drops content
-    hashes already committed. Returns the final deduplicated table —
-    rows-only for the driver; exactness covered by tests/test_txlog.py."""
+    hashes already committed. Returns the final deduplicated table;
+    exactness also covered by tests/test_txlog.py."""
     import json as _json
 
     from .txlog import TxTable, stream_dedup_to_tx_table
@@ -5069,16 +5205,37 @@ def rag_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx_time_travel",
-    None,  # reads txlog commit versions — not SQL-expressible over the views
+    # The 3-commit fixture is fully deterministic (append evens, append
+    # odds, overwrite bucket 0 with doubled price), so each version's
+    # expected state is literal SQL over the orders view — time travel
+    # itself gets a hard value oracle.
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderkey % 4 AS bucket FROM orders)
+    SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+    FROM base WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 1, CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+    FROM base
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           CAST(SUM(CAST(CASE WHEN bucket = 0 THEN o_totalprice * 2
+                              ELSE o_totalprice END AS DECIMAL(30,6)))
+                AS DOUBLE)
+    FROM base
+    ORDER BY version
+    """,
     "S7,T8",
 )
 def tx_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over the txlog table format: three commits (append,
     append, partition overwrite), then every historical version read back
     via read(as_of=) — returns one row per version with its row count and
-    revenue sum, plus the delete-vector-free invariant that v_n row counts
-    match the log's own per-file stats. Rows-only for the driver; exact
-    semantics covered in tests/test_txlog.py."""
+    revenue sum. Each version's expected state is deterministic, so the
+    DuckDB oracle pins the VALUES, not just row counts; semantics also
+    covered in tests/test_txlog.py."""
     from .txlog import TxTable
 
     tmp = _scratch("tx_time_travel")

