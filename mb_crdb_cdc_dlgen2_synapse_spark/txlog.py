@@ -251,6 +251,134 @@ class InMemoryCASLogStore(LogStore):
             pass
 
 
+class LocalObjectStore(LogStore):
+    """Directory-backed OBJECT-STORE emulation that exercises the full
+    seam shape a real ADLS/S3/GCS client implements — the drop-in proof
+    the format never leans on POSIX semantics:
+
+    - **conditional PUT**: the object body is first materialized fully as
+      an internal blob (the store's storage layer — blobs are NOT
+      addressable objects and never appear in listings), then committed
+      with one atomic create-exclusive of the object name. Losers get the
+      412 path without having written an object; readers' GET only ever
+      sees complete bodies (a real PUT is all-or-nothing).
+    - **paginated List**: ``list_dir`` drives repeated ``_list_page``
+      calls with a continuation key and a small page size — the
+      ListObjectsV2 / ADLS list-paths shape — never one directory scan.
+      ``pages_served`` exposes the call count so tests can pin that
+      pagination actually happened.
+    - **listing lag**: ``lag_listing(path)`` hides a durable object from
+      List until a FAILED conditional PUT for that path heals it
+      (read-after-CAS consistency, same model as InMemoryCASLogStore), or
+      ``lag_listing(path, listings=k)`` heals after k List calls — the
+      time-heal shape of older S3.
+    - **GET / DELETE**: ``read_text`` resolves the committed object;
+      ``delete`` removes the object AND its blob.
+    """
+
+    _BLOB_PREFIX = ".blob-"
+
+    def __init__(self, page_size: int = 5) -> None:
+        import threading
+
+        self.page_size = int(page_size)
+        self.pages_served = 0
+        self._lock = threading.Lock()
+        # path -> remaining List calls before heal (None = heal on failed
+        # conditional PUT only)
+        self._lagged: dict[str, int | None] = {}
+
+    def write_if_absent(self, target: str, data: str) -> bool:
+        blob = os.path.join(
+            os.path.dirname(target), f"{self._BLOB_PREFIX}{uuid.uuid4().hex}"
+        )
+        with open(blob, "w") as f:
+            f.write(data)
+        try:
+            # the store's compare-and-set: create-exclusive of the object
+            # NAME, pointing at the already-complete body
+            os.symlink(os.path.basename(blob), target)
+        except FileExistsError:
+            os.remove(blob)
+            with self._lock:
+                # negative CAS is proof of existence: the coordinator is
+                # strongly consistent, so this writer's next List sees it
+                self._lagged.pop(target, None)
+            return False
+        return True
+
+    def lag_listing(self, target: str, listings: int | None = None) -> None:
+        """Test hook: emulate an eventually-consistent List that has not
+        caught up with a successful PUT. Heals on a failed conditional PUT
+        for the path, or after ``listings`` further List calls."""
+        with self._lock:
+            self._lagged[target] = listings
+
+    def _list_page(self, path: str, start_after: str) -> list[str]:
+        """One List request: up to ``page_size`` object names after the
+        continuation key, lexicographic (every object store's contract)."""
+        import bisect
+
+        self.pages_served += 1
+        try:
+            names = sorted(
+                n
+                for n in os.listdir(path)
+                if not n.startswith(self._BLOB_PREFIX)
+                and not n.startswith(".tmp")
+            )
+        except FileNotFoundError:
+            names = []
+        i = bisect.bisect_right(names, start_after) if start_after else 0
+        return names[i : i + self.page_size]
+
+    def list_dir(self, path: str) -> list[str]:
+        names: list[str] = []
+        token = ""
+        while True:
+            page = self._list_page(path, token)
+            names.extend(page)
+            if len(page) < self.page_size:
+                break
+            token = page[-1]
+        prefix = path.rstrip(os.sep) + os.sep
+        with self._lock:
+            hidden = set()
+            for t, ttl in list(self._lagged.items()):
+                if not t.startswith(prefix):
+                    continue
+                hidden.add(t[len(prefix):])
+                if ttl is not None:
+                    if ttl <= 1:
+                        del self._lagged[t]
+                    else:
+                        self._lagged[t] = ttl - 1
+        return [n for n in names if n not in hidden]
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:  # resolves the object name to its body
+            return f.read()
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._lagged.pop(path, None)
+        blob = None
+        try:
+            link = os.readlink(path)
+            blob = os.path.join(os.path.dirname(path), link)
+        except OSError:
+            pass  # object written by another backend: plain file
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        if blob is not None:
+            try:
+                os.remove(blob)
+            except FileNotFoundError:
+                pass
+
+
 def _footer_stats(parquet_path: str) -> dict:
     """{"rows": n, "min": {col: v}, "max": {col: v}} from the file's own
     footer. Only top-level int/float/str columns with sound min/max are
@@ -4137,6 +4265,7 @@ def stream_dedup_to_tx_table(
     checkpoint_dir: str,
     text_col: str = "text",
     available_now: bool = True,
+    log_store: LogStore | None = None,
 ):
     """Dedup-on-ingest (X1 as a streaming pipeline): each micro-batch keeps
     only documents whose normalized content hash is new — first doc_id wins
@@ -4157,7 +4286,7 @@ def stream_dedup_to_tx_table(
     app_id = os.path.abspath(checkpoint_dir)
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
-        table = TxTable(batch.sparkSession, table_dir)
+        table = TxTable(batch.sparkSession, table_dir, log_store)
         hashed = batch.withColumn(
             "content_hash",
             F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),

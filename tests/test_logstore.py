@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from mb_crdb_cdc_dlgen2_synapse_spark.txlog import (
     InMemoryCASLogStore,
+    LocalObjectStore,
     PosixLogStore,
     TxTable,
 )
@@ -25,6 +26,7 @@ from mb_crdb_cdc_dlgen2_synapse_spark.txlog import (
 STORES = {
     "posix": PosixLogStore,
     "cas": InMemoryCASLogStore,
+    "objstore": lambda: LocalObjectStore(page_size=3),
 }
 
 
@@ -325,3 +327,95 @@ def test_vacuum_retain_hours_zero_equals_version_window(spark, tmp_path, store):
     fresh2 = TxTable(spark, str(tmp_path / "t2"), store)
     fresh2.vacuum(retain_versions=1, retain_hours=0.001, prune_log=False)
     assert {r.v for r in TxTable(spark, str(tmp_path / "t2"), store).read(as_of=0).collect()} == {"a"}
+
+
+# ---------------------------------------------------------------------------
+# LocalObjectStore specifics: pagination, lag+heal, streaming ingest
+
+
+def test_objstore_list_is_paginated(tmp_path):
+    """With page_size=3 and 10 objects, list_dir must issue multiple List
+    requests (continuation-token protocol) and still return everything in
+    lexicographic order."""
+    store = LocalObjectStore(page_size=3)
+    log = tmp_path / "log"
+    os.makedirs(log)
+    names = [f"{i:020d}.json" for i in range(10)]
+    for n in names:
+        assert store.write_if_absent(str(log / n), "{}")
+    before = store.pages_served
+    assert store.list_dir(str(log)) == names
+    assert store.pages_served - before >= 4  # ceil(10/3) pages
+    # blobs (the store's internal storage) are never listed as objects
+    assert not any(n.startswith(".blob-") for n in store.list_dir(str(log)))
+
+
+def test_objstore_lag_stale_snapshot_and_cas_heal(spark, tmp_path):
+    """Same eventual-consistency model the CAS store proves, through the
+    object-store emulation: a lagged List yields a consistent stale
+    snapshot, and a failed conditional PUT heals the lag so the writer's
+    retry lands at the true head."""
+    store = LocalObjectStore(page_size=2)
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path, store)
+    t.append(_df(spark, [(1, "a")]))   # v0
+    t.append(_df(spark, [(2, "b")]))   # v1
+    store.lag_listing(t._log_path(1))
+    lagged = TxTable(spark, path, store)
+    assert lagged.version() == 0       # consistent stale head, no error
+    assert lagged.read().count() == 1
+    v = lagged.append(_df(spark, [(3, "c")]))
+    assert v == 2                      # failed CAS healed, retry landed
+    fresh = TxTable(spark, path, store)
+    assert sorted(r.k for r in fresh.read().collect()) == [1, 2, 3]
+
+
+def test_objstore_lag_heals_after_k_listings(spark, tmp_path):
+    """The older-S3 time-heal shape: a lagged object reappears in List
+    after k further List calls even with no CAS activity."""
+    store = LocalObjectStore(page_size=2)
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path, store)
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    log_dir = os.path.join(path, "_txlog")
+    store.lag_listing(t._log_path(1), listings=2)
+    first = store.list_dir(log_dir)
+    assert "00000000000000000001.json" not in first
+    store.list_dir(log_dir)  # second lagged listing
+    healed = store.list_dir(log_dir)
+    assert "00000000000000000001.json" in healed
+    assert TxTable(spark, path, store).version() == 1
+
+
+def test_objstore_end_to_end_streaming_ingest(spark, tmp_path):
+    """One real Structured Streaming pipeline committing exactly-once
+    through the object-store seam: the dedup-on-ingest sink, duplicates
+    across micro-batches, txn markers — all through conditional PUT +
+    paginated List."""
+    import json as _json
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import stream_dedup_to_tx_table
+
+    store = LocalObjectStore(page_size=3)
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    with open(landing / "b1.ndjson", "w") as f:
+        for i in range(20):
+            f.write(_json.dumps({"doc_id": i, "text": f"doc number {i}"}) + "\n")
+    with open(landing / "b2.ndjson", "w") as f:
+        for i in range(0, 20, 5):  # re-delivered content, new ids
+            f.write(_json.dumps({"doc_id": i + 1000, "text": f"doc number {i}"}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(landing))
+    q = stream_dedup_to_tx_table(
+        stream, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        log_store=store,
+    )
+    q.awaitTermination()
+    t = TxTable(spark, str(tmp_path / "table"), store)
+    got = sorted(r.doc_id for r in t.read().collect())
+    assert got == list(range(20))  # every duplicate dropped, originals kept
+    assert t.version() >= 1        # multiple micro-batch commits landed
+    assert store.pages_served > 0  # resolution went through the List API
