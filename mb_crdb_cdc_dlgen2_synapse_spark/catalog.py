@@ -5573,26 +5573,41 @@ def tx_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT o_orderkey,
                CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS rid,
-               o_totalprice AS price
-        FROM orders
-    )
-    SELECT o_orderkey, rid, price, 'update_preimage' AS change FROM base
-    UNION ALL
-    SELECT o_orderkey, rid,
-           CASE WHEN o_orderkey % 7 = 0 THEN price * 1.1 ELSE price END,
-           'update_postimage'
-    FROM base
+               o_totalprice AS p0
+        FROM orders),
+    s AS (
+        SELECT o_orderkey, rid, p0,
+               CASE WHEN o_orderkey % 7 = 0 THEN p0 * 1.1 ELSE p0 END AS p1
+        FROM base),
+    s2 AS (
+        SELECT o_orderkey, rid, p0, p1,
+               CASE WHEN o_orderkey % 5 = 0 THEN p1 * 1.2 ELSE p1 END AS p2
+        FROM s)
+    SELECT o_orderkey, rid, 1 AS step, p0 AS price,
+           'update_preimage' AS change, (o_orderkey % 7 <> 0) AS unchanged
+    FROM s2
+    UNION ALL SELECT o_orderkey, rid, 1, p1, 'update_postimage',
+           (o_orderkey % 7 <> 0) FROM s2
+    UNION ALL SELECT o_orderkey, rid, 2, p1, 'update_preimage', TRUE FROM s2
+    UNION ALL SELECT o_orderkey, rid, 2, p1, 'update_postimage', TRUE FROM s2
+    UNION ALL SELECT o_orderkey, rid, 3, p1, 'update_preimage',
+           (o_orderkey % 5 <> 0) FROM s2
+    UNION ALL SELECT o_orderkey, rid, 3, p2, 'update_postimage',
+           (o_orderkey % 5 <> 0) FROM s2
     """,
     "S2,T7,S7",
 )
 def tx_cdf_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed in Delta CDF's four-way vocabulary, paired KEYLESSLY by
     row identity (txlog.read_update_pairs): orders land as one sorted
-    file (row ids = insertion ranks), row tracking is enabled, and an
-    UPDATE rewrites the file — every row's pre/post image pairs on its
-    stable _row_id. The oracle reconstructs both images per row (the
-    whole file moved, so every row classifies as an update pair; the
-    value change marks the %7 rows)."""
+    file (row ids = insertion ranks), row tracking is enabled, then an
+    UPDATE (%7 rows), a COMPACT, and a second UPDATE (%5 rows) each
+    rewrite the file. Every row's pre/post image pairs on its stable
+    _row_id across all three commits, and the feed is SELF-DESCRIBING
+    about carried rows: ``_change_unchanged`` is true exactly where the
+    pair's values are equal — all of step 2 (the compact), and the
+    non-multiple rows of steps 1 and 3. The oracle reconstructs images
+    and flags per row per step."""
     from .txlog import TxTable
 
     tmp = _scratch("tx_cdf_pairs")
@@ -5613,11 +5628,22 @@ def tx_cdf_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("price"))
         },
     )
+    t.compact()
+    t.update_where(
+        [("o_orderkey", ">=", 0)],
+        {
+            "price": F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("price") * 1.2
+            ).otherwise(F.col("price"))
+        },
+    )
     return t.read_update_pairs(v0).select(
         "o_orderkey",
         F.col("_row_id").alias("rid"),
+        (F.col("_commit_version") - v0).cast("int").alias("step"),
         "price",
         F.col("_change_type").alias("change"),
+        F.col("_change_unchanged").alias("unchanged"),
     )
 
 

@@ -3895,10 +3895,17 @@ class TxTable:
         to pair each update's two images: a delete and an insert at one
         commit sharing a ``_row_id`` ARE one row's update. This is the
         keyless form of the correlation every CDC consumer otherwise
-        rebuilds with a primary key; rewrite-carried rows whose values
-        did not change are classified as updates too (their file moved) —
-        filter ``update_preimage != update_postimage`` pairs downstream
-        if only value changes matter."""
+        rebuilds with a primary key.
+
+        Rewrite-carried rows whose values did not change (compactions,
+        CoW rewrites touching co-located rows) classify as update pairs
+        too — their file moved — so the feed is SELF-DESCRIBING about it:
+        ``_change_unchanged`` is true on both images of a pair whose data
+        columns are null-safe-equal, false on value-changing pairs and on
+        pure inserts/deletes. Consumers who only want value changes filter
+        ``NOT _change_unchanged`` instead of re-deriving the comparison."""
+        from functools import reduce
+
         from pyspark.sql import functions as F
 
         feed = self.read_changes(from_version, to_version, row_ids=True)
@@ -3906,14 +3913,42 @@ class TxTable:
         ins = feed.filter(F.col("_change_type") == "insert")
         pair_keys = ["_row_id", "_commit_version"]
         keys_df = dels.select(*pair_keys).intersect(ins.select(*pair_keys))
-        pre = dels.join(keys_df, pair_keys, "left_semi").withColumn(
+        data_cols = [c for c in feed.columns if not c.startswith("_")]
+        pre_rows = dels.join(keys_df, pair_keys, "left_semi")
+        post_rows = ins.join(keys_df, pair_keys, "left_semi")
+        same = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__pre_{c}").eqNullSafe(F.col(f"__post_{c}"))
+                for c in data_cols
+            ],
+            F.lit(True),
+        )
+        flags = (
+            pre_rows.select(
+                *pair_keys, *[F.col(c).alias(f"__pre_{c}") for c in data_cols]
+            )
+            .join(
+                post_rows.select(
+                    *pair_keys,
+                    *[F.col(c).alias(f"__post_{c}") for c in data_cols],
+                ),
+                pair_keys,
+            )
+            .select(*pair_keys, same.alias("_change_unchanged"))
+        )
+        pre = pre_rows.join(flags, pair_keys).withColumn(
             "_change_type", F.lit("update_preimage")
         )
-        post = ins.join(keys_df, pair_keys, "left_semi").withColumn(
+        post = post_rows.join(flags, pair_keys).withColumn(
             "_change_type", F.lit("update_postimage")
         )
-        pure_del = dels.join(keys_df, pair_keys, "left_anti")
-        pure_ins = ins.join(keys_df, pair_keys, "left_anti")
+        pure_del = dels.join(keys_df, pair_keys, "left_anti").withColumn(
+            "_change_unchanged", F.lit(False)
+        )
+        pure_ins = ins.join(keys_df, pair_keys, "left_anti").withColumn(
+            "_change_unchanged", F.lit(False)
+        )
         return pure_ins.unionByName(pure_del).unionByName(pre).unionByName(post)
 
     def count_rows(self, predicates: list[tuple] | None = None) -> int:
