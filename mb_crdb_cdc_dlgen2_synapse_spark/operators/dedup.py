@@ -170,12 +170,29 @@ def minhash_signatures(
 
 
 def lsh_candidates(
-    documents: DataFrame, n_hashes: int = 16, bands: int = 4, shingle_k: int = 3
+    documents: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """X2 step 2: banded LSH — docs sharing any band of the signature become
     candidate pairs. Equi-join on (band_id, band_key): cost tracks bucket
     sizes, never n². Returns (doc_a, doc_b, n_shared_bands), doc_a < doc_b.
-    """
+
+    ``max_bucket`` is the SKEW GUARD: one band key shared by B docs emits
+    ~B²/2 pairs from its bucket, so a single near-universal key (massed
+    boilerplate, templated or near-empty docs collapsing to one signature
+    band) turns the equi-join quadratic — the measured adversarial case in
+    SCALING.md. Buckets above the cap are dropped BEFORE the self-join
+    (window count over the same (band_id, band_key) shuffle the join uses
+    — no extra exchange), bounding per-bucket cost at max_bucket² while
+    leaving every natural bucket untouched (corpus buckets measure orders
+    of magnitude below the default; the oracled dedup queries are
+    unchanged by the cap). Members of a dropped bucket are near-identical
+    mass duplicates — exact dedup (content hash) still catches the
+    identical ones, and docs sharing a second, cooler band keep their
+    candidacy. ``None`` disables the guard."""
     rows = n_hashes // bands
     # materialize signatures ONCE before the self-join: the two join sides
     # are otherwise separate plans, and Spark's ReusedExchange does not fire
@@ -204,6 +221,15 @@ def lsh_candidates(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+    if max_bucket is not None:
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("band_id", "band_key")
+        band_entries = (
+            band_entries.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     return (

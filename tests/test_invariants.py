@@ -149,3 +149,65 @@ def test_sequence_packing_invariants(spark, sf_dir):
         F.max(F.col("seq_id") * B + F.col("seq_offset") + F.col("n_tokens")).alias("end"),
     )
     assert ends.filter(F.col("total") != F.col("end")).count() == 0
+
+
+def test_lsh_df_cap_default_is_invisible_on_natural_corpus(spark, sf_dir):
+    """The max_bucket=4096 skew guard (SCALING.md round-6 measurement:
+    natural buckets max out at ~5) must leave a natural corpus's
+    candidate set byte-identical — only adversarial massed-boilerplate
+    buckets are ever dropped."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import dedup
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    capped = {tuple(r) for r in dedup.lsh_candidates(docs).collect()}
+    uncapped = {
+        tuple(r) for r in dedup.lsh_candidates(docs, max_bucket=None).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_lsh_df_cap_bounds_hot_bucket_and_keeps_cool_bands(spark):
+    """Adversarial fixture: a hot band bucket above the cap is dropped
+    (its quadratic pair volume never reaches the join), while a pair
+    sharing a COOL band keeps its candidacy through that band."""
+    from pyspark.sql import functions as F
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import dedup
+
+    hot, n = 300, 400
+    boiler = "click here to accept cookies and continue to the site"
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < hot, F.lit(boiler))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit(f"|{i}")))
+                    for i in range(8)
+                ],
+            )
+        )
+        .alias("text"),
+    )
+    # two extra duplicate docs: identical text -> identical signature ->
+    # they share EVERY band in a bucket of size 2 (cool), far below the cap
+    extra = spark.createDataFrame(
+        [
+            (10_001, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (10_002, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(extra)
+    capped = dedup.lsh_candidates(corpus, max_bucket=100)
+    pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # no pair from the hot boilerplate bucket survived...
+    assert not any(a < hot and b < hot for a, b in pairs)
+    # ...but the cool-band near-dup pair did
+    assert (10_001, 10_002) in pairs
+    # and uncapped on the same corpus contains the quadratic hot volume
+    unc = dedup.lsh_candidates(corpus, max_bucket=None)
+    n_hot = unc.filter((F.col("doc_a") < hot) & (F.col("doc_b") < hot)).count()
+    assert n_hot == hot * (hot - 1) // 2
