@@ -338,3 +338,42 @@ def test_prefix_substring_generated_column_prunes_string_ranges(spark, tmp_path)
     assert cands and all("shard=a" not in f for f in cands)
     got = {r.name[0] for r in t.read(predicates=preds).collect()}
     assert got == {"m", "z"}
+
+
+def test_dml_candidate_file_count_is_pruned_by_derived_partition(spark, tmp_path):
+    """VERDICT r5 item 7: the plan-level pin. A DELETE with ONLY a raw
+    timestamp predicate must select candidate files from the derived
+    date partitions alone — the commit's removed list (the CoW candidate
+    set: every candidate is rewritten) counts exactly the covered
+    partitions' files, strictly fewer than the table's."""
+    import datetime
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    days = 10
+    rows = [
+        (d * 100 + i, datetime.datetime(2024, 3, 1 + d, 12, 0, 0), f"v{d}-{i}")
+        for d in range(days)
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v string")
+    t.append(df.limit(0))
+    t.set_generated_column("ingest_date", "to_date(ts)")
+    t.append(df.repartition(1), partition_by=["ingest_date"])
+    total_files = len(t.snapshot()[1])
+    assert total_files >= days  # one+ file per date partition
+    # raw-ts predicate covering the last 2 days only
+    t.delete_where([("ts", ">=", datetime.datetime(2024, 3, 9))])
+    commit = t.history()[-1]
+    assert commit["op"] == "rewrite"  # the CoW DML commit
+    removed = commit["removed"]
+    # candidate set == files of the 2 derived partitions, nothing else
+    assert 0 < len(removed) < total_files
+    assert all(
+        "ingest_date=2024-03-09" in f or "ingest_date=2024-03-10" in f
+        for f in removed
+    ), removed
+    assert {r.k for r in t.read().collect()} == {
+        d * 100 + i for d in range(8) for i in range(4)
+    }
