@@ -184,15 +184,17 @@ def lsh_candidates(
     ~B²/2 pairs from its bucket, so a single near-universal key (massed
     boilerplate, templated or near-empty docs collapsing to one signature
     band) turns the equi-join quadratic — the measured adversarial case in
-    SCALING.md. Buckets above the cap are dropped BEFORE the self-join
-    (window count over the same (band_id, band_key) shuffle the join uses
-    — no extra exchange), bounding per-bucket cost at max_bucket² while
-    leaving every natural bucket untouched (corpus buckets measure orders
-    of magnitude below the default; the oracled dedup queries are
-    unchanged by the cap). Members of a dropped bucket are near-identical
-    mass duplicates — exact dedup (content hash) still catches the
-    identical ones, and docs sharing a second, cooler band keep their
-    candidacy. ``None`` disables the guard."""
+    SCALING.md. HOT keys (bucket size > cap) are found with one map-side-
+    combined count aggregate — at most corpus/max_bucket of them can
+    exist, so the hot-key relation is tiny by construction — and removed
+    from the band entries with a BROADCAST anti-join (no extra shuffle of
+    the entries). Per-bucket join cost is bounded at max_bucket² while
+    every natural bucket is untouched (corpus buckets measure orders of
+    magnitude below the default; the oracled dedup queries are unchanged
+    by the cap). Members of a dropped bucket are near-identical mass
+    duplicates — exact dedup (content hash) still catches the identical
+    ones, and docs sharing a second, cooler band keep their candidacy.
+    ``None`` disables the guard."""
     rows = n_hashes // bands
     # materialize signatures ONCE before the self-join: the two join sides
     # are otherwise separate plans, and Spark's ReusedExchange does not fire
@@ -222,13 +224,14 @@ def lsh_candidates(
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
     if max_bucket is not None:
-        from pyspark.sql import Window as _W
-
-        w = _W.partitionBy("band_id", "band_key")
-        band_entries = (
-            band_entries.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
+        hot = (
+            band_entries.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket)
+            .select("band_id", "band_key")
+        )
+        band_entries = band_entries.join(
+            F.broadcast(hot), ["band_id", "band_key"], "left_anti"
         )
     a = band_entries.alias("a")
     b = band_entries.alias("b")

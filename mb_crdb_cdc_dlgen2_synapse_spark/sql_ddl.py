@@ -19,6 +19,10 @@ switcher never needs the Python API for day-2 operations:
     DESCRIBE HISTORY t
     DELETE FROM t WHERE k >= 10 AND k < 20
     UPDATE t SET v = <sql expr> WHERE k = 3
+    MERGE INTO t USING u ON k
+        [WHEN MATCHED AND (<src cond>) THEN DELETE]
+        [WHEN MATCHED THEN UPDATE SET *]
+        [WHEN NOT MATCHED THEN INSERT *]
 
 Statements parse with a deliberately small, anchored grammar (one
 statement per call, conjunctive comparison predicates for DML — the same
@@ -252,6 +256,62 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
 
     # -- DML ---------------------------------------------------------------
     m = re.fullmatch(
+        rf"(?is)MERGE\s+INTO\s+({_IDENT})\s+USING\s+({_IDENT})\s+ON\s+"
+        r"(.+?)"
+        r"(\s+WHEN\s+MATCHED\s+AND\s+\((.+?)\)\s+THEN\s+DELETE)?"
+        r"(\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*)?"
+        r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?",
+        stmt,
+    )
+    if m:
+        # key list: `k1, k2` or `t.k = s.k [AND ...]` (equi-keys only —
+        # merge_into's contract; the whole-row UPDATE SET * / INSERT *
+        # forms are Delta's star shorthand, which is exactly the replace-
+        # matched-row semantics the engine's merge implements)
+        keys: list[str] = []
+        on_clause = m.group(3).strip()
+        for part in re.split(r"(?i)\s+AND\s+|,", on_clause):
+            part = part.strip()
+            if not part:
+                continue
+            km = re.fullmatch(
+                rf"(?:{_IDENT}\.)?({_IDENT})\s*=\s*(?:{_IDENT}\.)?({_IDENT})",
+                part,
+            )
+            if km:
+                if km.group(1) != km.group(2):
+                    raise ValueError(
+                        f"MERGE ON must equate the SAME column name on both "
+                        f"sides (got {part!r}); rename the source column first"
+                    )
+                keys.append(km.group(1))
+            elif re.fullmatch(_IDENT, part):
+                keys.append(part)
+            else:
+                raise ValueError(
+                    f"unsupported MERGE ON term {part!r}: use `key` or "
+                    "`t.key = s.key` conjunctions"
+                )
+        if not keys:
+            raise ValueError("MERGE ON clause has no key columns")
+        delete_when = F.expr(m.group(5)) if m.group(5) else None
+        do_update = bool(m.group(6))
+        do_insert = bool(m.group(7))
+        if not (do_update or do_insert or delete_when is not None):
+            raise ValueError(
+                "MERGE needs at least one WHEN clause: WHEN MATCHED "
+                "[AND (...) THEN DELETE | THEN UPDATE SET *] / "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        return t(m.group(1)).merge_into(
+            t(m.group(2)).read(),
+            on=keys,
+            delete_when=delete_when,
+            update=do_update,
+            insert=do_insert,
+        )
+
+    m = re.fullmatch(
         rf"(?is)DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.*)", stmt
     )
     if m:
@@ -271,6 +331,7 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
         "(RENAME/ADD/DROP COLUMN, SET/UNSET TBLPROPERTIES, ADD/DROP "
         "CONSTRAINT), OPTIMIZE [ZORDER BY], VACUUM [RETAIN n HOURS], "
         "RESTORE TO VERSION AS OF, DESCRIBE DETAIL/HISTORY, DELETE FROM "
-        "... WHERE, UPDATE ... SET ... WHERE. SELECT goes through "
-        "Engine.sql_tx."
+        "... WHERE, UPDATE ... SET ... WHERE, MERGE INTO ... USING ... ON "
+        "... WHEN [NOT] MATCHED (SET */INSERT */DELETE forms). SELECT "
+        "goes through Engine.sql_tx."
     )

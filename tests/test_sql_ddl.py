@@ -59,8 +59,10 @@ def test_properties_constraints_and_errors(spark, eng, tmp_path):
     t.append(spark.createDataFrame([(-1, "x")], "k int, v string"))
     with pytest.raises(ValueError, match="unknown table"):
         eng.ddl("VACUUM nope", tabs)
+    with pytest.raises(ValueError, match="unsupported MERGE ON term"):
+        eng.ddl("MERGE INTO t USING t ON 1=1 WHEN MATCHED THEN UPDATE SET *", tabs)
     with pytest.raises(ValueError, match="unsupported statement"):
-        eng.ddl("MERGE INTO t USING u ON 1=1", tabs)
+        eng.ddl("TRUNCATE TABLE t", tabs)
 
 
 def test_dml_optimize_vacuum_restore_describe(spark, eng, tmp_path):
@@ -152,11 +154,31 @@ def test_sql_tx_time_travel_pins(spark, eng, tmp_path):
     )
 
 
+def _backdate_commits(t, versions, hours_ago: float = 2.0) -> None:
+    """RETAIN-0 tests need commits strictly OLDER than the second-granular
+    cutoff: a commit written in the same second as the vacuum is retained
+    (utc >= cutoff), making the assertion timing-flaky."""
+    import json as _json
+    import time as _time
+
+    old = _time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", _time.gmtime(_time.time() - hours_ago * 3600)
+    )
+    for v in versions:
+        p = t._log_path(v)
+        with open(p) as fh:
+            c = _json.load(fh)
+        c["utc"] = old
+        with open(p, "w") as fh:
+            _json.dump(c, fh)
+
+
 def test_vacuum_dry_run_deletes_nothing(spark, eng, tmp_path):
     tabs = {"t": str(tmp_path / "t")}
     t = TxTable(spark, tabs["t"])
     for i in range(3):
         t.overwrite(spark.createDataFrame([(i, f"v{i}")], "k int, v string"))
+    _backdate_commits(t, range(3))
     res = eng.ddl("VACUUM t RETAIN 0 HOURS DRY RUN", tabs)
     assert res["would_delete_files"] > 0
     # nothing was touched: every version still reads
@@ -184,8 +206,57 @@ def test_bare_vacuum_is_conservative(spark, eng, tmp_path):
         assert TxTable(spark, tabs["t"]).read(as_of=v).count() == 1
     # the table's own policy property drives the bare statement
     t.set_properties({"vacuum.retainHours": "0"})
+    _backdate_commits(t, range(3))
     res2 = eng.ddl("VACUUM t", tabs)
     assert res2["deleted_files"] > 0
     # but bare VACUUM never prunes the log: history still lists v0
     hist = eng.ddl("DESCRIBE HISTORY t", tabs)
     assert hist.filter(F.col("version") == 0).count() == 1
+
+
+def test_merge_into_sql_forms(spark, eng, tmp_path):
+    """MERGE INTO through the SQL surface: star update/insert forms map to
+    the engine's replace-matched-row merge; WHEN MATCHED AND (...) THEN
+    DELETE maps to delete_when over source columns."""
+    tabs = {"t": str(tmp_path / "t"), "u": str(tmp_path / "u")}
+    t = TxTable(spark, tabs["t"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
+    u = TxTable(spark, tabs["u"])
+    u.append(spark.createDataFrame([(2, "B"), (4, "D")], "k int, v string"))
+    res = eng.ddl(
+        "MERGE INTO t USING u ON k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tabs,
+    )
+    assert isinstance(res, dict)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+    # qualified ON form + source-condition delete
+    u2_path = str(tmp_path / "u2")
+    tabs["u2"] = u2_path
+    u2 = TxTable(spark, u2_path)
+    u2.append(spark.createDataFrame([(1, "DEL"), (4, "keep")], "k int, v string"))
+    eng.ddl(
+        "MERGE INTO t USING u2 ON t.k = u2.k "
+        "WHEN MATCHED AND (v = 'DEL') THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET *",
+        tabs,
+    )
+    got2 = {r.k: r.v for r in t.read().collect()}
+    assert got2 == {2: "B", 3: "c", 4: "keep"}
+    # insert-only merge leaves matched rows untouched
+    eng.ddl(
+        "MERGE INTO t USING u ON k WHEN NOT MATCHED THEN INSERT *", tabs
+    )
+    got3 = {r.k: r.v for r in t.read().collect()}
+    assert got3 == {2: "B", 3: "c", 4: "keep"}  # k=2,4 matched: unchanged
+    # no WHEN clause at all is an error
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        eng.ddl("MERGE INTO t USING u ON k", tabs)
+    # mismatched column names on the two sides refuse
+    with pytest.raises(ValueError, match="SAME column"):
+        eng.ddl(
+            "MERGE INTO t USING u ON t.k = u.j WHEN MATCHED THEN UPDATE SET *",
+            tabs,
+        )
