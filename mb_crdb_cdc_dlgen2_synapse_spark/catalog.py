@@ -5725,37 +5725,56 @@ def tx_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tx_sql_ddl",
     """
-    SELECT o_orderkey,
-           CASE WHEN o_orderkey < 7500 THEN o_totalprice * 1.1
-                ELSE o_totalprice END AS price
-    FROM orders
-    WHERE o_totalprice >= 50000.0
+    WITH after_dml AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey < 7500 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_totalprice >= 50000.0)
+    SELECT o_orderkey, 1.0 AS price
+    FROM orders WHERE o_orderkey % 1000 = 0
+    UNION ALL
+    SELECT o_orderkey, price FROM after_dml WHERE o_orderkey % 1000 <> 0
     """,
     "S7,T8,P9",
 )
 def tx_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL DDL/maintenance surface end-to-end (engine.Engine.ddl /
+    """The SQL DDL/DML/maintenance surface end-to-end (engine.Engine.ddl /
     sql_ddl.execute_ddl): a table is managed entirely through statements
     a SQL user types — RENAME COLUMN via column mapping, a predicate
     DELETE (stats-pruned like the Python call), an expression UPDATE,
-    TBLPROPERTIES, OPTIMIZE — then read back through sql_tx's snapshot
-    view. The oracle replays the same mutations as one SELECT."""
+    TBLPROPERTIES, OPTIMIZE, then a MERGE INTO whose source upserts the
+    %1000 keys to price 1.0 (updating survivors and re-inserting keys
+    the DELETE removed) — read back through sql_tx's snapshot view. The
+    oracle replays the same mutations as one SELECT."""
     from .engine import Engine
 
     eng = Engine(spark, sf_dir)
     tmp = _scratch("tx_sql_ddl")
-    tabs = {"t": os.path.join(tmp, "table")}
+    tabs = {"t": os.path.join(tmp, "table"), "u": os.path.join(tmp, "upserts")}
     from .txlog import TxTable
 
     t = TxTable(spark, tabs["t"])
     t.append(
         _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     )
+    u = TxTable(spark, tabs["u"])
+    u.append(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select("o_orderkey", F.lit(1.0).alias("price"))
+    )
     eng.ddl("ALTER TABLE t RENAME COLUMN o_totalprice TO price", tabs)
     eng.ddl("ALTER TABLE t SET TBLPROPERTIES ('pipeline' = 'ddl-gate')", tabs)
     eng.ddl("DELETE FROM t WHERE price < 50000.0", tabs)
     eng.ddl("UPDATE t SET price = price * 1.1 WHERE o_orderkey < 7500", tabs)
     eng.ddl("OPTIMIZE t", tabs)
+    eng.ddl(
+        "MERGE INTO t USING u ON o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tabs,
+    )
     return eng.sql_tx("SELECT o_orderkey, price FROM t", tabs)
 
 
