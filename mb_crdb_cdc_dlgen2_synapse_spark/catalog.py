@@ -1383,6 +1383,41 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "media_png_decode",
+    """
+    WITH xs AS (SELECT x FROM generate_series(0, 16) t(x)),
+         ys AS (SELECT y FROM generate_series(0, 10) t(y)),
+    g AS (
+        SELECT d.doc_id, xs.x, ys.y
+        FROM documents d CROSS JOIN xs CROSS JOIN ys
+        WHERE d.doc_id < 300
+          AND xs.x < d.doc_id % 13 + 4 AND ys.y < d.doc_id % 7 + 4)
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 13 + 4 AS INT) AS width,
+           CAST(doc_id % 7 + 4 AS INT) AS height,
+           1 AS channels,
+           AVG(CAST((x + y + doc_id) % 251 AS DOUBLE)) AS mean_px,
+           CAST(MAX((x + y + doc_id) % 251) AS INT) AS max_px
+    FROM g GROUP BY doc_id
+    """,
+    "X5,X6",
+)
+def media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-oracled: synthetic PNGs (pixel(y, x) =
+    (x + y + doc_id) % 251, the row filter cycling over all five PNG
+    filter types) are ENCODED and then DECODED by the pure stdlib+numpy
+    codec (operators/codecs.py — zlib inflate + unfilter) inside
+    Arrow-batched mapInPandas stages, and the decoded shape + pixel
+    statistics must equal the closed form the oracle aggregates directly.
+    Integer pixel sums are exact in float64, so mean_px is bit-equal in
+    both engines. The formerly-stubbed X5 decode boundary is now real for
+    PNG; only exotic codecs (JPEG/H.264) remain external."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_png_media(docs, limit=300)
+    return multimodal.decode_image_real(media)
+
+
 # ===========================================================================
 # Streaming pipeline (T1-T8) — rows-only: the driver can't oracle streams
 # ===========================================================================

@@ -2,12 +2,15 @@
 opaque ``binary`` columns with typed metadata, plus the Pandas-UDF plumbing
 for decode / feature-extract stages.
 
-The decode step itself is STUBBED (media libraries are not available in this
-container): ``decode_image_features`` ships a deterministic fake keyed on the
-payload hash, and ``decode_image_real`` raises NotImplementedError at the
-exact point a real codec call would go.  Everything Spark-side — schema,
-Arrow batch shape, ``mapInPandas`` signature, partition behavior — is real
-and tested.
+Decode status (round 6): PNG and WAV decode are REAL — pure
+stdlib+numpy codecs (operators/codecs.py: zlib inflate + all five PNG
+row filters; RIFF walk + PCM16), value-oracled through
+``synthetic_png_media`` -> ``decode_image_real``. Formats that genuinely
+need an external library (JPEG, H.264, ...) still raise
+NotImplementedError at the exact per-batch point the codec call would
+go, and ``decode_image_features`` keeps the deterministic fake for
+plumbing tests. Everything Spark-side — schema, Arrow batch shape,
+``mapInPandas`` signature, partition behavior — is real and tested.
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -110,19 +114,156 @@ def decode_image_features(media: DataFrame, max_partitions: int | None = None) -
     return src.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+        T.StructField("max_px", T.IntegerType(), True),
+    ]
+)
+
+
 def decode_image_real(media: DataFrame) -> DataFrame:
-    """Real decode entry point — requires an image library (not in this
-    container). The guard is per-partition so a cluster with the dependency
-    installed runs it unchanged."""
+    """REAL image decode — no longer a stub for PNG: the pure-stdlib codec
+    (operators/codecs.decode_png — zlib + numpy, all five row filters)
+    decodes ``image/png`` payloads inside the Arrow-batched
+    ``mapInPandas`` stage and emits shape + pixel statistics. The mean is
+    exact-in-float64 (integer pixel sums < 2^53), so it is value-oracle-
+    able against a closed-form SQL twin. Non-PNG mimes raise
+    NotImplementedError at the same per-batch point a JPEG/H.264 codec
+    call would go — the honest boundary moved from "no decode at all" to
+    "PNG/WAV real, exotic codecs absent"."""
+    from . import codecs
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv; not available in this container. "
-            "Use decode_image_features (deterministic fake) for plumbing tests."
-        )
-        yield  # pragma: no cover
+        for pdf in it:
+            rows = []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                if mime != "image/png":
+                    raise NotImplementedError(
+                        f"decode for mime {mime!r} needs an external codec "
+                        "(PIL/ffmpeg); only image/png decodes stdlib-pure"
+                    )
+                arr = codecs.decode_png(bytes(payload))
+                rows.append(
+                    (
+                        mid,
+                        arr.shape[1],
+                        arr.shape[0],
+                        arr.shape[2],
+                        float(arr.astype("int64").sum())
+                        / float(arr.size),
+                        int(arr.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "mean_px", "max_px",
+                ],
+            )
 
-    return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+    return media.select("media_id", "payload", "mime").mapInPandas(
+        batches, IMAGE_DECODE_SCHEMA
+    )
+
+
+AUDIO_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_audio_real(media: DataFrame) -> DataFrame:
+    """REAL audio decode for ``audio/wav`` PCM16 payloads (RIFF walk +
+    numpy frombuffer — operators/codecs.decode_wav): sample rate, length,
+    duration, integer peak. Same Arrow batch shape as the image stage."""
+    from . import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                if mime != "audio/wav":
+                    raise NotImplementedError(
+                        f"decode for mime {mime!r} needs an external codec"
+                    )
+                rate, samples = codecs.decode_wav(bytes(payload))
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        int(samples.shape[0]),
+                        int(samples.shape[0] * 1000 // rate),
+                        int(np.abs(samples.astype("int32")).max())
+                        if samples.size
+                        else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "duration_ms", "peak",
+                ],
+            )
+
+    return media.select("media_id", "payload", "mime").mapInPandas(
+        batches, AUDIO_DECODE_SCHEMA
+    )
+
+
+def synthetic_png_media(documents: DataFrame, limit: int = 300) -> DataFrame:
+    """Deterministic PNG fixture derived from the documents table: doc_id
+    keys a (h, w) grayscale image with pixel(y, x) = (x + y + doc_id) %
+    251 — a closed form BOTH engines can aggregate, which is what makes
+    the decode stage value-oracle-able (mean over exact integer sums).
+    Encoding runs in the same Arrow-batched stage shape as decoding, with
+    the PNG row filter cycling over all five types by doc_id so the
+    decoder's every unfilter path is exercised in the gate itself."""
+    from . import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                w = int(did) % 13 + 4
+                h = int(did) % 7 + 4
+                y, x = np.mgrid[0:h, 0:w]
+                arr = ((x + y + int(did)) % 251).astype(np.uint8)
+                payloads.append(
+                    codecs.encode_png(arr, filter_type=int(did) % 5)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/png",
+                }
+            )
+
+    src = documents.select("doc_id").filter(F.col("doc_id") < limit)
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+        ]
+    )
+    return src.mapInPandas(batches, out_schema)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
