@@ -2290,7 +2290,14 @@ class TxTable:
 
         import re as _re
 
-        pat = _re.compile(rf"\b{_re.escape(old)}\b")
+        # dotted spelling (after.city) AND the SQL bracket form
+        # (after['city'] / after["city"]) — both are how a CHECK or
+        # generated expression can reach the field; either refuses.
+        pat = _re.compile(
+            rf"\b{_re.escape(old)}\b"
+            rf"|\b{_re.escape(parent_path)}\s*\[\s*['\"]"
+            rf"{_re.escape(old_leaf)}['\"]\s*\]"
+        )
         for cname, cexpr in state["checks"].items():
             if pat.search(cexpr):
                 raise ValueError(

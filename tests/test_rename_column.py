@@ -582,3 +582,29 @@ def test_nested_rename_read_still_prunes_nested_columns(spark, tmp_path):
     assert "qty" in read_schema
     assert "name" not in read_schema and "extra" not in read_schema, read_schema
     assert df.collect()[0]["qty"] == 10
+
+
+def test_nested_rename_refuses_bracket_form_references(spark, tmp_path):
+    """A CHECK (or generated rule) reaching the nested field through the
+    SQL bracket form (after['city']) must refuse the rename exactly like
+    the dotted spelling — previously only `after.city` was detected."""
+    import pytest
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, ("amsterdam", 5.0))],
+            "k int, after struct<city: string, revenue: double>",
+        )
+    )
+    t.add_check("city_set", "after['city'] IS NOT NULL")
+    with pytest.raises(ValueError, match="city_set"):
+        t.rename_column("after.city", "town")
+    # unrelated field renames fine despite the bracket check existing
+    t.rename_column("after.revenue", "amount")
+    t.drop_check("city_set")
+    t.rename_column("after.city", "town")
+    row = t.read().collect()[0]
+    assert row.after.town == "amsterdam" and row.after.amount == 5.0
