@@ -17,6 +17,9 @@ switcher never needs the Python API for day-2 operations:
     RESTORE t TO VERSION AS OF 3
     DESCRIBE DETAIL t
     DESCRIBE HISTORY t
+    CREATE TABLE t AS SELECT ...            (views over the tables map)
+    INSERT INTO t SELECT ... | VALUES (...) (positional, cast to schema)
+    RESTORE t TO TIMESTAMP AS OF '2026-01-01T00:00:00Z'
     DELETE FROM t WHERE k >= 10 AND k < 20
     UPDATE t SET v = <sql expr> WHERE k = 3
     MERGE INTO t USING u ON k
@@ -228,6 +231,15 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
     if m:
         return t(m.group(1)).restore(int(m.group(2)))
 
+    m = re.fullmatch(
+        rf"(?is)RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+TIMESTAMP\s+AS\s+OF\s+"
+        r"'([^']+)'",
+        stmt,
+    )
+    if m:
+        tbl = t(m.group(1))
+        return tbl.restore(tbl.version_at(m.group(2)))
+
     m = re.fullmatch(rf"(?is)DESCRIBE\s+DETAIL\s+({_IDENT})", stmt)
     if m:
         d = t(m.group(1)).describe()
@@ -253,6 +265,63 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
             ],
             "version int, op string, utc string, n_added int, n_removed int",
         )
+
+    # -- lifecycle: INSERT INTO / CREATE TABLE AS --------------------------
+    def _register_views() -> None:
+        # snapshot-consistent temp views over every known table, the
+        # sql_tx registration — resolved once, so a self-referencing
+        # INSERT INTO t SELECT ... FROM t reads the pre-insert snapshot
+        from .txlog import TxTable as _T
+
+        for vname, d in tables.items():
+            tv = _T(spark, d)
+            if tv.version() >= 0:
+                tv.read().createOrReplaceTempView(vname)
+
+    m = re.fullmatch(
+        rf"(?is)INSERT\s+INTO\s+({_IDENT})\s+(SELECT\s+.*|VALUES\s*\(.*)",
+        stmt,
+    )
+    if m:
+        target = t(m.group(1))
+        body = m.group(2)
+        if re.match(r"(?is)SELECT", body):
+            _register_views()
+        df = spark.sql(body)
+        # SQL INSERT is POSITIONAL: align the produced columns to the
+        # target schema by position and cast (both SELECT and VALUES
+        # forms — `INSERT INTO t SELECT k+10, v FROM t` must not require
+        # the caller to alias `k+10` back to the target name)
+        import json as _json
+
+        from pyspark.sql import types as _T
+
+        schema = target.snapshot()[2]
+        if schema is not None:
+            st = _T.StructType.fromJson(_json.loads(schema))
+            names = st.fieldNames()
+            if len(df.columns) != len(names):
+                raise ValueError(
+                    f"INSERT INTO {m.group(1)}: {len(df.columns)} values "
+                    f"per row, table has {len(names)} columns"
+                )
+            df = df.toDF(*names).select(
+                *[F.col(n).cast(f.dataType) for n, f in zip(names, st.fields)]
+            )
+        return {"version": target.append(df)}
+
+    m = re.fullmatch(
+        rf"(?is)CREATE\s+TABLE\s+({_IDENT})\s+AS\s+(SELECT\s+.*)", stmt
+    )
+    if m:
+        target = t(m.group(1))
+        if target.version() >= 0:
+            raise ValueError(
+                f"CREATE TABLE {m.group(1)}: already a table "
+                f"(v{target.version()}); use INSERT INTO or DROP it first"
+            )
+        _register_views()
+        return {"version": target.overwrite(spark.sql(m.group(2)))}
 
     # -- DML ---------------------------------------------------------------
     m = re.fullmatch(
@@ -330,8 +399,9 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
         f"unsupported statement: {stmt[:80]!r}. Supported: ALTER TABLE "
         "(RENAME/ADD/DROP COLUMN, SET/UNSET TBLPROPERTIES, ADD/DROP "
         "CONSTRAINT), OPTIMIZE [ZORDER BY], VACUUM [RETAIN n HOURS], "
-        "RESTORE TO VERSION AS OF, DESCRIBE DETAIL/HISTORY, DELETE FROM "
-        "... WHERE, UPDATE ... SET ... WHERE, MERGE INTO ... USING ... ON "
-        "... WHEN [NOT] MATCHED (SET */INSERT */DELETE forms). SELECT "
-        "goes through Engine.sql_tx."
+        "RESTORE TO VERSION/TIMESTAMP AS OF, DESCRIBE DETAIL/HISTORY, "
+        "CREATE TABLE ... AS SELECT, INSERT INTO ... SELECT/VALUES, "
+        "DELETE FROM ... WHERE, UPDATE ... SET ... WHERE, MERGE INTO ... "
+        "USING ... ON ... WHEN [NOT] MATCHED (SET */INSERT */DELETE "
+        "forms). Standalone SELECT goes through Engine.sql_tx."
     )

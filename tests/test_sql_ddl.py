@@ -260,3 +260,40 @@ def test_merge_into_sql_forms(spark, eng, tmp_path):
             "MERGE INTO t USING u ON t.k = u.j WHEN MATCHED THEN UPDATE SET *",
             tabs,
         )
+
+
+def test_create_table_as_and_insert_into(spark, eng, tmp_path):
+    """The SQL lifecycle statements: CTAS over snapshot views, INSERT
+    INTO ... SELECT (self-referencing reads the pre-insert snapshot),
+    INSERT INTO ... VALUES (positional, cast to the table schema)."""
+    tabs = {"src": str(tmp_path / "src"), "t": str(tmp_path / "t")}
+    src = TxTable(spark, tabs["src"])
+    src.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    )
+    res = eng.ddl("CREATE TABLE t AS SELECT k, upper(v) AS v FROM src WHERE k < 3", tabs)
+    assert res["version"] == 0
+    t = TxTable(spark, tabs["t"])
+    assert {r.v for r in t.read().collect()} == {"A", "B"}
+    # CTAS on an existing table refuses
+    with pytest.raises(ValueError, match="already a table"):
+        eng.ddl("CREATE TABLE t AS SELECT * FROM src", tabs)
+    # self-referencing insert: doubles the rows (reads pre-insert snapshot)
+    eng.ddl("INSERT INTO t SELECT k + 10, v FROM t", tabs)
+    assert t.read().count() == 4
+    # VALUES form, positional + cast (ints become the table's int type)
+    eng.ddl("INSERT INTO t VALUES (100, 'z'), (101, 'y')", tabs)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[100] == "z" and got[101] == "y" and len(got) == 6
+    with pytest.raises(ValueError, match="values"):
+        eng.ddl("INSERT INTO t VALUES (1, 'a', 'extra')", tabs)
+
+
+def test_restore_to_timestamp_sql_form(spark, eng, tmp_path):
+    tabs = {"t": str(tmp_path / "t")}
+    t = TxTable(spark, tabs["t"])
+    t.overwrite(spark.createDataFrame([(1, "old")], "k int, v string"))
+    t.overwrite(spark.createDataFrame([(1, "new")], "k int, v string"))
+    # pin with a far-future instant == head; restore is then a no-op
+    eng.ddl("RESTORE t TO TIMESTAMP AS OF '2099-01-01T00:00:00Z'", tabs)
+    assert t.read().collect()[0].v == "new"
