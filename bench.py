@@ -86,6 +86,10 @@ HEADLINE = [
     "tx_bloom_point_lookup",       # bloom index build + pruned id lookup
     # round-5 additions
     "tx_nested_rename",            # dotted-path column mapping, cast staging
+    # round-6 additions
+    "tx_row_tracking",             # row-id allocation + rewrite carry
+    "tx_sql_ddl",                  # SQL lifecycle incl. MERGE INTO
+    "media_png_decode",            # real PNG encode+decode round trip
 ]
 
 

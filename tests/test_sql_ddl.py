@@ -297,3 +297,54 @@ def test_restore_to_timestamp_sql_form(spark, eng, tmp_path):
     # pin with a far-future instant == head; restore is then a no-op
     eng.ddl("RESTORE t TO TIMESTAMP AS OF '2099-01-01T00:00:00Z'", tabs)
     assert t.read().collect()[0].v == "new"
+
+
+def test_sql_dml_differential_vs_python_api(spark, eng, tmp_path):
+    """Seeded differential: random conjunctive predicates executed twice —
+    once as a SQL DELETE/UPDATE string through the parser, once through
+    the Python API on a clone — must leave identical tables. Hardens
+    _parse_predicates (quote forms, int/float literals, operator map)."""
+    import random
+
+    rng = random.Random(606)
+    rows = [
+        (i, float(i) * 1.5, ["red", "gre'en", "blue", "x y"][i % 4])
+        for i in range(200)
+    ]
+    base = TxTable(spark, str(tmp_path / "base"))
+    base.append(spark.createDataFrame(rows, "k int, price double, color string"))
+    for trial in range(6):
+        a_path = str(tmp_path / f"a{trial}")
+        b_path = str(tmp_path / f"b{trial}")
+        base.clone_to(a_path)
+        base.clone_to(b_path)
+        a, b = TxTable(spark, a_path), TxTable(spark, b_path)
+        preds = []
+        clauses = []
+        for _ in range(rng.randint(1, 3)):
+            col = rng.choice(["k", "price", "color"])
+            if col == "color":
+                val = rng.choice(["red", "gre'en", "x y"])
+                preds.append((col, "==", val))
+                clauses.append(f"color = '{val.replace(chr(39), chr(39)*2)}'")
+            elif col == "price":
+                v = round(rng.uniform(0, 300), 1)
+                op = rng.choice([">=", "<", ">"])
+                preds.append((col, op, v))
+                clauses.append(f"price {op} {v}")
+            else:
+                v = rng.randint(0, 200)
+                op = rng.choice(["==", "<=", ">"])
+                preds.append((col, op, v))
+                clauses.append(f"k {'=' if op == '==' else op} {v}")
+        where = " AND ".join(clauses)
+        tabs = {"t": a_path}
+        if trial % 2 == 0:
+            eng.ddl(f"DELETE FROM t WHERE {where}", tabs)
+            b.delete_where(preds)
+        else:
+            eng.ddl(f"UPDATE t SET price = price * 2 WHERE {where}", tabs)
+            b.update_where(preds, {"price": F.col("price") * 2})
+        got_a = sorted(map(tuple, a.read().collect()))
+        got_b = sorted(map(tuple, b.read().collect()))
+        assert got_a == got_b, f"trial {trial}: SQL vs API diverged ({where})"
