@@ -168,3 +168,41 @@ def test_enable_row_tracking_races_plain_append(spark, tmp_path):
     ids = [r._row_id for r in rows]
     assert None not in ids, "racing append's file lost its base_row_id"
     assert len(set(ids)) == len(ids) == 3
+
+
+def test_enable_row_tracking_true_thread_race(spark, tmp_path):
+    """Unscripted race: appends keep landing WHILE another thread enables
+    row tracking. Whatever interleaving happens, the invariants must
+    hold: every row has a non-NULL _row_id and ids are globally unique."""
+    import threading
+
+    path = str(tmp_path / "t")
+    t0 = TxTable(spark, path)
+    t0.append(_df(spark, [(0, "seed")]))
+    stop = threading.Event()
+    errors = []
+
+    def appender():
+        try:
+            t = TxTable(spark, path)
+            i = 1
+            while not stop.is_set() and i <= 6:
+                t.append(_df(spark, [(i, f"v{i}")]).coalesce(1))
+                i += 1
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    th = threading.Thread(target=appender)
+    th.start()
+    try:
+        TxTable(spark, path).enable_row_tracking()
+    finally:
+        stop.set()
+        th.join()
+    assert not errors
+    rows = TxTable(spark, path).read(row_ids=True).select("k", "_row_id").collect()
+    ids = [r._row_id for r in rows]
+    # rows appended BEFORE/DURING the enable snapshot got backfilled bases;
+    # rows after it got allocator bases — nobody is NULL, nobody collides
+    assert None not in ids
+    assert len(set(ids)) == len(ids)
