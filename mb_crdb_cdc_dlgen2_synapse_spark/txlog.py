@@ -359,6 +359,35 @@ class LocalObjectStore(LogStore):
         with open(path) as f:  # resolves the object name to its body
             return f.read()
 
+    def sweep_orphan_blobs(self, path: str) -> int:
+        """GC for the one leak a hard-killed writer can leave: a blob
+        written but never committed (the crash happened between body
+        write and the create-exclusive). Removes blobs no object links
+        to; returns the count. Safe concurrently with writers only if
+        none is mid-PUT in this directory (run it like vacuum — with no
+        in-flight writers), the same contract a real store's multipart-
+        upload reaper has."""
+        try:
+            names = os.listdir(path)
+        except FileNotFoundError:
+            return 0
+        referenced = set()
+        for n in names:
+            p = os.path.join(path, n)
+            try:
+                referenced.add(os.readlink(p))
+            except OSError:
+                continue
+        removed = 0
+        for n in names:
+            if n.startswith(self._BLOB_PREFIX) and n not in referenced:
+                try:
+                    os.remove(os.path.join(path, n))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        return removed
+
     def delete(self, path: str) -> None:
         with self._lock:
             self._lagged.pop(path, None)

@@ -419,3 +419,22 @@ def test_objstore_end_to_end_streaming_ingest(spark, tmp_path):
     assert got == list(range(20))  # every duplicate dropped, originals kept
     assert t.version() >= 1        # multiple micro-batch commits landed
     assert store.pages_served > 0  # resolution went through the List API
+
+
+def test_objstore_orphan_blob_sweep(tmp_path):
+    """A hard-killed writer can leave a blob with no committed object
+    (crash between body write and create-exclusive); the sweep removes
+    exactly those, never a committed object's body."""
+    store = LocalObjectStore(page_size=3)
+    log = tmp_path / "log"
+    os.makedirs(log)
+    assert store.write_if_absent(str(log / "a.json"), '{"v": 1}')
+    assert store.write_if_absent(str(log / "b.json"), '{"v": 2}')
+    # simulate the crash leak: a blob nobody links to
+    with open(log / ".blob-deadbeef", "w") as f:
+        f.write("orphan")
+    assert store.sweep_orphan_blobs(str(log)) == 1
+    # committed objects still read their bodies
+    assert json.loads(store.read_text(str(log / "a.json"))) == {"v": 1}
+    assert json.loads(store.read_text(str(log / "b.json"))) == {"v": 2}
+    assert store.sweep_orphan_blobs(str(log)) == 0
