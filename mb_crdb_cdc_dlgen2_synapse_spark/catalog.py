@@ -3088,6 +3088,29 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, nprobe=3)
 
 
+@register(
+    "knn_pq_adc",
+    None,  # float ADC scores from trained codebooks — recall + exactness
+    # invariants asserted in tests/test_pq.py; rows-only like the IVF probe
+    "X3",
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py — the published IVF-PQ
+    compression, Jégou et al.): per-subspace k-means codebooks over an
+    md5-ranked sample, vectors packed to 8-byte nibble codes (32×
+    compression), queries scored by asymmetric-distance LUT lookups —
+    zero float multiplies per candidate at query time."""
+    from .operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq.train_pq_codebooks(emb, m=8, k=16, n_iter=2, sample=1024)
+    codes = pq.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq.pq_adc_topk(codes, queries, books, k=5)
+
+
 # ===========================================================================
 # Deeper TPC-H-shaped relational coverage
 # ===========================================================================

@@ -1,0 +1,160 @@
+"""Product quantization (X3): the canonical billion-scale compressed-ANN
+method (IVF-PQ family — Jégou et al., "Product Quantization for Nearest
+Neighbor Search", and the FAISS default) expressed Spark-first.
+
+Design:
+
+- **Train** (``train_pq_codebooks``): split the d-dim space into ``m``
+  subspaces of d/m dims; per subspace, run the engine's deterministic
+  Lloyd k-means (operators/clustering.py) over a bounded md5-ranked
+  sample. The model is m × k × (d/m) floats — a few KB, driver-side by
+  design (exactly like the IVF centroid table).
+- **Encode** (``pq_encode``): per subspace, the argmin-centroid id; the
+  m 4-bit codes pack into ONE bigint per vector (k ≤ 16 → nibbles).
+  64 floats (256 bytes) become 8 bytes — 32× compression, 4× smaller
+  than even the int8 store. The argmin is literal-expression codegen
+  (m·k·(d/m) multiply-adds per row, no Python, no shuffle).
+- **Search** (``pq_adc_topk``): asymmetric distance computation — each
+  query precomputes its LUT[j][c] = ||q_j − centroid_{j,c}||² (m·k
+  doubles, computed as literal expressions on the tiny query side), the
+  query+LUT broadcast, and a candidate's distance is m array lookups on
+  its unpacked nibbles: ``Σ_j LUT[j][code_j]``. The corpus side touches
+  8 bytes per vector and does NO float multiply at query time.
+
+Determinism: sampling is md5-ranked, k-means init is lowest-vec-id,
+distance ties break to the lowest centroid id — encode is bit-stable
+across runs and partitionings. Scores are float sums over per-query
+LUTs, so the driver gate records rows-only (like the IVF probe); the
+suite pins determinism, the exact-degenerate case (corpus ⊆ codebook →
+ADC distance IS the true distance and top-k equals brute force), and a
+measured recall floor vs brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _sub_slice(vec, j: int, sub: int):
+    """Subvector j (1-based slice) of an array column."""
+    return F.slice(vec, j * sub + 1, sub)
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 3,
+    sample: int = 4096,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """m per-subspace codebooks of k centroids each, trained with the
+    deterministic k-means over an md5-ranked sample of ``sample`` rows
+    (seeded-sample device shared with stratified_sample / Z-order cuts).
+    Returns driver-side nested lists (the model: m·k·(d/m) floats)."""
+    from .clustering import kmeans
+
+    dims = int(embeddings.select(F.size(vec_col).alias("n")).first()["n"])
+    if dims % m:
+        raise ValueError(f"vector dim {dims} not divisible by m={m}")
+    if k > 16:
+        raise ValueError("k > 16 does not fit the nibble packing")
+    sub = dims // m
+    sampled = (
+        embeddings.select("vec_id", vec_col)
+        .withColumn("__r", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__r")
+        .limit(sample)
+        .drop("__r")
+        .localCheckpoint(eager=True)
+    )
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub_df = sampled.select(
+            "vec_id", _sub_slice(F.col(vec_col), j, sub).alias("embedding")
+        )
+        centroids, _ = kmeans(sub_df, k=k, n_iter=n_iter)
+        rows = {r["cid"]: list(r["c_vec"]) for r in centroids.collect()}
+        # kmeans cids are 1-based and contiguous; an empty cluster would
+        # drop out — re-point missing slots at the first centroid so the
+        # codebook always has k rows (harmless: nothing encodes to them)
+        first = rows[min(rows)]
+        books.append([rows.get(c, first) for c in range(1, k + 1)])
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, pq_code): per-subspace argmin centroid, packed as m
+    nibbles in one bigint. Pure literal-expression codegen."""
+    m, k = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    code = F.lit(0).cast("bigint")
+    for j in range(m):
+        dists = []
+        for c in range(k):
+            cent = codebooks[j][c]
+            d = F.lit(0.0)
+            for t in range(sub):
+                x = F.element_at(F.col(vec_col), j * sub + t + 1).cast(
+                    "double"
+                ) - F.lit(float(cent[t]))
+                d = d + x * x
+            dists.append(d)
+        arr = F.array(*dists)
+        # first index of the minimum -> ties to the LOWEST centroid id
+        cid = (F.array_position(arr, F.array_min(arr)) - 1).cast("bigint")
+        code = code + F.shiftleft(cid, 4 * j)
+    return embeddings.select("vec_id", code.alias("pq_code"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by asymmetric PQ distance: the query side computes its
+    m×k LUT (literal expressions over the codebook), broadcasts, and
+    each corpus code pays m array lookups — zero float multiplies per
+    candidate. Returns (query_id, rk, vec_id, adc_dist)."""
+    m, kk = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    luts = []
+    for j in range(m):
+        row = []
+        for c in range(kk):
+            cent = codebooks[j][c]
+            d = F.lit(0.0)
+            for t in range(sub):
+                x = F.element_at(F.col(vec_col), j * sub + t + 1).cast(
+                    "double"
+                ) - F.lit(float(cent[t]))
+                d = d + x * x
+            row.append(d)
+        luts.append(F.array(*row))
+    q = queries.select(
+        "query_id", F.array(*luts).alias("__lut")
+    ).localCheckpoint(eager=True)
+    dist = F.lit(0.0)
+    for j in range(m):
+        nib = F.shiftright(F.col("pq_code"), 4 * j).bitwiseAND(F.lit(15))
+        dist = dist + F.element_at(
+            F.element_at(F.col("__lut"), j + 1), (nib + 1).cast("int")
+        )
+    scored = codes.join(F.broadcast(q)).select(
+        "query_id", "vec_id", dist.alias("adc_dist")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "adc_dist")
+    )
