@@ -106,17 +106,24 @@ def test_frame_sample_plan_fanout(spark):
     assert by_id[2] == [0]
 
 
-def test_decode_image_real_is_stubbed(spark):
+def test_decode_image_real_boundaries(spark):
+    """Round 6: decode_image_real is REAL for image/png (pure stdlib
+    codec) — malformed PNG bytes fail with the codec's own error, and
+    externally-coded mimes (JPEG) still hit the explicit refusal."""
     from mb_crdb_cdc_dlgen2_synapse_spark.operators import multimodal
 
-    media = spark.createDataFrame(
-        [(1, b"xx", "image/png", (None, None, None))], multimodal.MEDIA_SCHEMA
-    )
-    df = multimodal.decode_image_real(media)
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="NotImplementedError|image decode"):
-        df.collect()
+    bad_png = spark.createDataFrame(
+        [(1, b"xx", "image/png", (None, None, None))], multimodal.MEDIA_SCHEMA
+    )
+    with _pytest.raises(Exception, match="bad signature|not a PNG"):
+        multimodal.decode_image_real(bad_png).collect()
+    jpeg = spark.createDataFrame(
+        [(1, b"xx", "image/jpeg", (None, None, None))], multimodal.MEDIA_SCHEMA
+    )
+    with _pytest.raises(Exception, match="external codec|NotImplementedError"):
+        multimodal.decode_image_real(jpeg).collect()
 
 
 def test_duplicate_clusters_resolves_chains_and_singletons(spark):
