@@ -1,3 +1,21 @@
-from . import cdc, dedup, multimodal, relational, similarity, textops
+from . import (
+    cdc,
+    codecs,
+    dedup,
+    multimodal,
+    pq,
+    relational,
+    similarity,
+    textops,
+)
 
-__all__ = ["cdc", "dedup", "multimodal", "relational", "similarity", "textops"]
+__all__ = [
+    "cdc",
+    "codecs",
+    "dedup",
+    "multimodal",
+    "pq",
+    "relational",
+    "similarity",
+    "textops",
+]
