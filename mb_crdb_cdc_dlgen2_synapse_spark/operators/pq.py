@@ -112,17 +112,14 @@ def pq_encode(
     return embeddings.select("vec_id", code.alias("pq_code"))
 
 
-def pq_adc_topk(
-    codes: DataFrame,
+def _pq_lut(
     queries: DataFrame,
     codebooks: list[list[list[float]]],
-    k: int = 5,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Top-k by asymmetric PQ distance: the query side computes its
-    m×k LUT (literal expressions over the codebook), broadcasts, and
-    each corpus code pays m array lookups — zero float multiplies per
-    candidate. Returns (query_id, rk, vec_id, adc_dist)."""
+    """(query_id, __lut): the per-query ADC lookup table — m arrays of k
+    squared subdistances, computed as literal expressions on the (tiny)
+    query side and pinned so the corpus join reuses it."""
     m, kk = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
     luts = []
@@ -138,18 +135,23 @@ def pq_adc_topk(
                 d = d + x * x
             row.append(d)
         luts.append(F.array(*row))
-    q = queries.select(
-        "query_id", F.array(*luts).alias("__lut")
+    return queries.select(
+        "query_id", F.col(vec_col), F.array(*luts).alias("__lut")
     ).localCheckpoint(eager=True)
+
+
+def _adc_dist(m: int) -> F.Column:
+    """Σ_j LUT[j][code_j] over the packed nibbles — m array lookups."""
     dist = F.lit(0.0)
     for j in range(m):
         nib = F.shiftright(F.col("pq_code"), 4 * j).bitwiseAND(F.lit(15))
         dist = dist + F.element_at(
             F.element_at(F.col("__lut"), j + 1), (nib + 1).cast("int")
         )
-    scored = codes.join(F.broadcast(q)).select(
-        "query_id", "vec_id", dist.alias("adc_dist")
-    )
+    return dist
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
@@ -158,3 +160,86 @@ def pq_adc_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "vec_id", "adc_dist")
     )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by asymmetric PQ distance over the FULL code table: the
+    query side computes its m×k LUT (literal expressions over the
+    codebook), broadcasts, and each corpus code pays m array lookups —
+    zero float multiplies per candidate. Returns
+    (query_id, rk, vec_id, adc_dist)."""
+    q = _pq_lut(queries, codebooks, vec_col).drop(vec_col)
+    scored = codes.join(F.broadcast(q)).select(
+        "query_id", "vec_id", _adc_dist(len(codebooks)).alias("adc_dist")
+    )
+    return _topk(scored, k)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    kq: int = 16,
+    n_iter: int = 2,
+    sample: int = 4096,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVF-PQ retrieval architecture (the FAISS default at
+    billion scale), composed from the engine's own pieces: a k-means
+    COARSE quantizer partitions the corpus into inverted lists
+    (operators/clustering.py), vectors store as 8-byte PQ codes, and a
+    query ADC-scores ONLY the ``nprobe`` nearest lists — scan cost drops
+    from O(corpus) to ~O(corpus · nprobe / n_lists) per query batch, on
+    top of PQ's 32× compression. Both the probe relation (query_id ×
+    nprobe list ids) and the LUT broadcast; the corpus side is one
+    filtered pass over (cid, pq_code) — at 1000 executors the probed
+    lists shard like any other partition-pruned scan. Approximate on two
+    axes by design (probe recall × PQ quantization); the suite measures
+    the floor vs brute force."""
+    from .clustering import kmeans
+
+    centroids, assigned = kmeans(
+        embeddings, k=n_lists, n_iter=n_iter, vec_col=vec_col
+    )
+    books = train_pq_codebooks(
+        embeddings, m=m, k=kq, n_iter=n_iter, sample=sample, vec_col=vec_col
+    )
+    codes = pq_encode(embeddings, books).join(
+        assigned.select("vec_id", "cid"), "vec_id"
+    )
+    q_lut = _pq_lut(queries, codebooks=books, vec_col=vec_col)
+    # nprobe nearest coarse centroids per query: tiny × tiny broadcast
+    # join, ranked — the probe plan, metadata-sized like the IVF probe
+    from .clustering import _sq_dist
+
+    probed = (
+        q_lut.select("query_id", vec_col)
+        .join(F.broadcast(centroids))
+        .select(
+            "query_id", "cid",
+            _sq_dist(F.col(vec_col), F.col("c_vec")).alias("__d"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cid").asc())
+    probed = (
+        probed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "cid")
+    )
+    scored = (
+        codes.join(F.broadcast(probed), "cid")
+        .join(F.broadcast(q_lut.drop(vec_col)), "query_id")
+        .select(
+            "query_id", "vec_id", _adc_dist(m).alias("adc_dist")
+        )
+    )
+    return _topk(scored, k)

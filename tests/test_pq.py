@@ -85,3 +85,37 @@ def test_pq_model_validation(spark):
         pq.train_pq_codebooks(emb, m=7)
     with pytest.raises(ValueError, match="nibble"):
         pq.train_pq_codebooks(emb, m=8, k=32)
+
+
+def test_ivfpq_recall_and_probe_restriction(spark):
+    """IVF-PQ composition: nprobe = n_lists (probe everything) must equal
+    plain PQ ADC top-k exactly (probing is a pure candidate restriction),
+    and a narrow probe keeps a measured recall floor vs brute force."""
+    n, nq = 4_000, 5
+    emb = similarity.synthetic_embeddings(spark, n).localCheckpoint(eager=True)
+    ids = [int(i * n / nq) + 1 for i in range(nq)]
+    q = similarity.perturbed_queries(spark, ids).localCheckpoint(eager=True)
+    books = pq.train_pq_codebooks(emb, m=8, k=16, n_iter=2, sample=1024)
+    codes = pq.pq_encode(emb, books).localCheckpoint(eager=True)
+    full_pq = {
+        (r.query_id, r.vec_id)
+        for r in pq.pq_adc_topk(codes, q, books, k=10).collect()
+    }
+    # probing every list == no restriction (same codebooks via same seed)
+    all_lists = {
+        (r.query_id, r.vec_id)
+        for r in pq.ivfpq_topk(
+            emb, q, k=10, n_lists=4, nprobe=4, m=8, kq=16, sample=1024
+        ).collect()
+    }
+    assert all_lists == full_pq
+    # narrow probe: recall floor vs true L2 neighbors
+    probed = {
+        (r.query_id, r.vec_id)
+        for r in pq.ivfpq_topk(
+            emb, q, k=10, n_lists=8, nprobe=3, m=8, kq=16, sample=1024
+        ).collect()
+    }
+    truth = {(r.query_id, r.vec_id) for r in _brute_l2_topk(emb, q, 10).collect()}
+    recall = len(probed & truth) / len(truth)
+    assert recall >= 0.4, f"IVF-PQ recall@10 = {recall:.2f}"
