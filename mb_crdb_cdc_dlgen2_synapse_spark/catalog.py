@@ -7148,3 +7148,120 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_chars"),
     )
+
+
+# --- substring-level (span) dedup: Lee et al. 2021 ExactSubstr re-expressed
+# distributed (operators/dedup.py gram/island/coverage section). L = 8 words
+# (the paper's 50-BPE-token threshold scaled to this corpus's ~55-token docs).
+
+_SUBSTR_GRAMS_CTE = """
+    grams AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               md5(array_to_string(list_slice(toks, CAST(i + 1 AS BIGINT),
+                                              CAST(i + 8 AS BIGINT)), ' '))
+                 AS gram_hash
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             LATERAL (SELECT unnest(range(len(toks) - 7)) AS i)),
+    docc AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram_hash
+                                  ORDER BY doc_id, pos) AS rn,
+               COUNT(*) OVER (PARTITION BY gram_hash) AS occ_n
+        FROM grams),
+    dup AS (SELECT doc_id, pos, (rn = 1) AS is_keeper
+            FROM docc WHERE occ_n >= 2),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM dup))
+"""
+
+
+@register(
+    "substring_dup_spans",
+    f"""
+    WITH {_SUBSTR_GRAMS_CTE}
+    SELECT doc_id,
+           CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + 7 AS INT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, island
+    """,
+    "X1,X4,W2",
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans (>= 8-token repeats anywhere in
+    the corpus, within-doc repeats included): the distributed re-expression
+    of suffix-array ExactSubstr dedup — duplicated-gram occurrences merged
+    into maximal token intervals by a gaps-and-islands window."""
+    return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), gram_words=8)
+
+
+@register(
+    "substring_dedup_stats",
+    f"""
+    WITH {_SUBSTR_GRAMS_CTE},
+    isl2 AS (SELECT doc_id, island, MAX(pos) - MIN(pos) + 8 AS covered,
+                    COUNT(*) AS g
+             FROM isl GROUP BY 1, 2),
+    perdoc AS (SELECT doc_id, SUM(covered) AS dup_tokens,
+                      SUM(g) AS n_dup_grams
+               FROM isl2 GROUP BY 1),
+    base AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+             FROM documents)
+    SELECT b.doc_id, b.n_tokens,
+           CAST(greatest(b.n_tokens - 7, 0) AS INT) AS n_grams,
+           CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           COALESCE(p.dup_tokens, 0) / b.n_tokens AS dup_fraction
+    FROM base b LEFT JOIN perdoc p USING (doc_id)
+    """,
+    "X1,X4,A1",
+)
+def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring load: tokens covered by >= 8-token
+    corpus-duplicated spans (union of coverage, not occurrences x L) and
+    the fraction a curation filter would threshold on."""
+    return dedup.substring_dedup_stats(_t(spark, sf_dir, "documents"), gram_words=8)
+
+
+@register(
+    "substring_dedup_trimmed",
+    f"""
+    WITH {_SUBSTR_GRAMS_CTE},
+    toks AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               toks[CAST(i + 1 AS BIGINT)] AS tok,
+               CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             LATERAL (SELECT unnest(range(len(toks))) AS i)),
+    flags AS (
+        SELECT t.doc_id, t.pos, t.tok, t.n_tokens,
+               MAX(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov_dup,
+               MAX(CASE WHEN d.is_keeper THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov_keep
+        FROM toks t LEFT JOIN dup d ON t.doc_id = d.doc_id AND t.pos = d.pos)
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY pos) AS trimmed_text,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_tokens) - COUNT(*) AS BIGINT) AS n_removed
+    FROM flags
+    WHERE cov_dup = 0 OR cov_keep = 1
+    GROUP BY doc_id
+    """,
+    "X1,X4,Q4",
+)
+def substring_dedup_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr-trimmed corpus: every duplicated >= 8-token span
+    removed except where protected by its gram's global first occurrence —
+    one canonical copy survives (the paper's leave-one policy at gram
+    granularity), rebuilt text per document."""
+    return dedup.substring_dedup_trim(_t(spark, sf_dir, "documents"), gram_words=8)

@@ -621,3 +621,202 @@ def semantic_dedup(
             (~F.col("is_dup") | (F.col("rn") == 1)).alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (span) dedup — Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" (ExactSubstr). The paper dedups 50-BPE
+# -token substrings with a suffix array; a suffix array is inherently a
+# shared-memory structure, so the distributed re-expression is the standard
+# one: fixed-length L-token gram occurrences, a global duplicated-gram
+# relation, and interval algebra over gram-start positions. Any duplicated
+# substring of length >= L contains a duplicated L-gram at every start
+# offset, so the union of duplicated-gram coverage equals the union of
+# >=L-token duplicated substrings — the approximation is exact at the span
+# level (only sub-L duplicates are invisible, by design, same as the paper's
+# threshold).
+#
+# Scale shape (the reason this beats a suffix array at 100 TB):
+# - the token stream shuffles ONCE on doc_id (lead-window gram construction,
+#   coverage-frame windows, and text rebuild all reuse that partitioning);
+# - the duplicated-gram aggregate shuffles 16-byte md5 keys with map-side
+#   combine — never the text, never O(corpus^2);
+# - coverage is computed with ROWS-frame window maxima over the dense token
+#   stream (rowsBetween(-(L-1), 0)) instead of exploding each gram into its
+#   L covered positions — no xL row blowup;
+# - spans come from the gaps-and-islands rewrite (lag + running sum), one
+#   more window over the already-partitioned stream.
+# ---------------------------------------------------------------------------
+
+
+def gram_occurrences(
+    documents: DataFrame, gram_words: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Every full L-token gram occurrence: (doc_id, pos, gram_hash).
+
+    Tokenization is a plain single-space split (matching the paragraph-dedup
+    family and its DuckDB oracle twin: string_split(text, ' ')). Docs
+    shorter than L tokens contribute nothing — sub-L duplication is below
+    the dedup threshold by definition.
+    """
+    d = _spread(documents)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, gram_words)]
+    return (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("_gram"),
+            leads[-1].alias("_full"),
+        )
+        .filter(F.col("_full").isNotNull())
+        .select("doc_id", "pos", F.md5("_gram").alias("gram_hash"))
+    )
+
+
+def _dup_starts(occ: DataFrame) -> DataFrame:
+    """Gram occurrences whose hash occurs >= 2 times corpus-wide (including
+    within-document repeats — a doc repeating its own sentence is training
+    -data duplication too), flagged with whether this occurrence is the
+    global keeper (first by (doc_id, pos)) for its gram."""
+    stats = occ.groupBy("gram_hash").agg(
+        F.count(F.lit(1)).alias("occ_n"),
+        F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+    )
+    return (
+        occ.join(stats.filter(F.col("occ_n") >= 2), "gram_hash")
+        .select(
+            "doc_id",
+            "pos",
+            (
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("pos") == F.col("first_occ.pos"))
+            ).alias("is_keeper"),
+        )
+    )
+
+
+def duplicate_spans(documents: DataFrame, gram_words: int = 8) -> DataFrame:
+    """Maximal duplicated-token spans per document.
+
+    A span is a maximal run of tokens covered by duplicated L-grams
+    (gram starts merge while contiguous coverage holds: next_pos - prev_pos
+    <= L). -> (doc_id, span_start, span_end, span_tokens, n_grams), token
+    positions 0-based inclusive.
+    """
+    L = gram_words
+    d = _dup_starts(gram_occurrences(documents, L)).select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > L),
+        1,
+    ).otherwise(0)
+    island = F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        d.withColumn("island", island)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + F.lit(L)).cast("bigint").alias(
+                "span_tokens"
+            ),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("island")
+    )
+
+
+def substring_dedup_stats(documents: DataFrame, gram_words: int = 8) -> DataFrame:
+    """Per-document substring-duplication accounting over the whole corpus:
+    -> (doc_id, n_tokens, n_grams, n_dup_grams, dup_tokens, dup_fraction).
+
+    dup_tokens is the size of the UNION of duplicated-gram coverage (merged
+    spans, not occurrences x L); dup_fraction = dup_tokens / n_tokens (pure
+    IEEE division, identical in any engine). Every document appears, zeros
+    included — this is the relation a curation pipeline filters on
+    ("drop docs that are > 40% duplicated text").
+    """
+    L = gram_words
+    d = _spread(documents)
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    ).withColumn(
+        "n_grams",
+        F.greatest(F.col("n_tokens") - F.lit(L - 1), F.lit(0)),
+    )
+    spans = duplicate_spans(documents, L).groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.sum("n_grams").alias("n_dup_grams"),
+    )
+    return (
+        base.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("bigint").alias(
+                "n_dup_grams"
+            ),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            (
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.col("n_tokens")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def substring_dedup_trim(documents: DataFrame, gram_words: int = 8) -> DataFrame:
+    """The trimmed corpus: duplicated spans removed everywhere EXCEPT where
+    protected by their gram's global keeper occurrence (first by (doc_id,
+    pos)) — one canonical copy of each duplicated substring survives, the
+    paper's "leave one occurrence" policy re-expressed at gram granularity.
+
+    A token survives iff it is not covered by any duplicated gram, or is
+    covered by a keeper occurrence. Coverage is a ROWS-frame window max over
+    the dense token stream (token t is covered by a gram starting at any
+    p in [t-L+1, t]) — no explosion. -> (doc_id, trimmed_text, n_tokens,
+    n_removed); documents trimmed to nothing vanish (as in paragraph_dedup).
+    """
+    L = gram_words
+    d = _spread(documents)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    starts = _dup_starts(gram_occurrences(documents, L)).select(
+        "doc_id",
+        "pos",
+        F.lit(1).alias("ds"),
+        F.col("is_keeper").cast("int").alias("ks"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    cover = w.rowsBetween(-(L - 1), 0)
+    flagged = (
+        toks.join(starts, ["doc_id", "pos"], "left")
+        .select(
+            "doc_id",
+            "pos",
+            "tok",
+            F.max(F.coalesce(F.col("ds"), F.lit(0))).over(cover).alias("cov_dup"),
+            F.max(F.coalesce(F.col("ks"), F.lit(0))).over(cover).alias("cov_keep"),
+            F.count(F.lit(1)).over(
+                w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ).alias("n_tokens"),
+        )
+    )
+    kept = flagged.filter((F.col("cov_dup") == 0) | (F.col("cov_keep") == 1))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(ordered, " ").alias("trimmed_text"),
+        F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.max("n_tokens") - F.count(F.lit(1))).cast("bigint").alias("n_removed"),
+    )
