@@ -7265,3 +7265,60 @@ def substring_dedup_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     one canonical copy survives (the paper's leave-one policy at gram
     granularity), rebuilt text per document."""
     return dedup.substring_dedup_trim(_t(spark, sf_dir, "documents"), gram_words=8)
+
+
+@register(
+    "tx_identity_defaults",
+    """
+    WITH ranked AS (
+        SELECT o_orderkey,
+               o_orderkey % 2 AS par,
+               row_number() OVER (PARTITION BY o_orderkey % 2
+                                  ORDER BY o_orderkey) - 1 AS r
+        FROM orders),
+    n1 AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(1000 + 2 * (r + CASE WHEN par = 1
+                                     THEN (SELECT c FROM n1) ELSE 0 END)
+                AS BIGINT) AS uid,
+           CASE WHEN par = 1 THEN 'late' END AS src
+    FROM ranked
+    """,
+    "S7,T8",
+)
+def tx_identity_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns + column DEFAULTs + type widening (three published
+    Delta features) in one lifecycle: even orderkeys land first (one
+    sorted file), then — all metadata-only commits — a GENERATED ALWAYS
+    AS IDENTITY column (start 1000, step 2; backfill ids = insertion
+    ranks via the row-tracking affine map), a ``src`` column with DEFAULT
+    'late' (pre-declaration rows stay NULL), and o_orderkey widened
+    int -> bigint (old files upcast natively, zero I/O). The odd-key
+    batch then appends (narrow int producer upcast at the boundary;
+    omitted ``src`` fills; identity continues from the high-water mark)
+    and a compact() relayouts everything — identities and fills must
+    survive the rewrite for the hash to match the oracle's closed-form
+    row_number() arithmetic."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_identity_defaults")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey")
+    )
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    t.set_identity_column("uid", start=1000, step=2)
+    t.add_column("src", "string")
+    t.set_column_default("src", "'late'")
+    t.widen_column_type("o_orderkey", "bigint")
+    t.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    t.compact(target_files=2)
+    return t.read().select("o_orderkey", "uid", "src")

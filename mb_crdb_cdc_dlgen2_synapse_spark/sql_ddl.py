@@ -12,6 +12,11 @@ switcher never needs the Python API for day-2 operations:
     ALTER TABLE t UNSET TBLPROPERTIES ('checkpoint.interval')
     ALTER TABLE t ADD CONSTRAINT positive CHECK (qty > 0)
     ALTER TABLE t DROP CONSTRAINT positive
+    ALTER TABLE t ALTER COLUMN src SET DEFAULT 'crawl'
+    ALTER TABLE t ALTER COLUMN src DROP DEFAULT
+    ALTER TABLE t ALTER COLUMN k TYPE bigint        (type widening)
+    ALTER TABLE t ADD COLUMN uid BIGINT GENERATED ALWAYS AS IDENTITY
+        (START WITH 100 INCREMENT BY 5)
     OPTIMIZE t [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN 168 HOURS]
     RESTORE t TO VERSION AS OF 3
@@ -126,6 +131,24 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
     if m:
         return t(m.group(1)).rename_column(m.group(2), m.group(3))
 
+    # identity declaration must parse BEFORE the generic ADD COLUMN (whose
+    # dtype charclass would otherwise swallow the GENERATED clause)
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s+\(?\s*"
+        rf"({_IDENT})\s+(?:BIGINT|LONG)\s+GENERATED\s+"
+        r"(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+        r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)"
+        r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*\)?",
+        stmt,
+    )
+    if m:
+        return t(m.group(1)).set_identity_column(
+            m.group(2),
+            start=int(m.group(4) or 1),
+            step=int(m.group(5) or 1),
+            always=m.group(3).strip().upper() == "ALWAYS",
+        )
+
     m = re.fullmatch(
         rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s+\(?\s*"
         rf"({_IDENT})\s+([A-Za-z0-9_()<>, ]+?)\s*\)?",
@@ -133,6 +156,30 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
     )
     if m:
         return t(m.group(1)).add_column(m.group(2), m.group(3).strip())
+
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+        r"SET\s+DEFAULT\s+(.+)",
+        stmt,
+    )
+    if m:
+        return t(m.group(1)).set_column_default(m.group(2), m.group(3).strip())
+
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+        r"DROP\s+DEFAULT",
+        stmt,
+    )
+    if m:
+        return t(m.group(1)).drop_column_default(m.group(2))
+
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+        r"TYPE\s+([A-Za-z0-9_(), ]+)",
+        stmt,
+    )
+    if m:
+        return t(m.group(1)).widen_column_type(m.group(2), m.group(3).strip())
 
     m = re.fullmatch(
         rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})", stmt
@@ -397,8 +444,10 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
 
     raise ValueError(
         f"unsupported statement: {stmt[:80]!r}. Supported: ALTER TABLE "
-        "(RENAME/ADD/DROP COLUMN, SET/UNSET TBLPROPERTIES, ADD/DROP "
-        "CONSTRAINT), OPTIMIZE [ZORDER BY], VACUUM [RETAIN n HOURS], "
+        "(RENAME/ADD/DROP COLUMN, ALTER COLUMN SET/DROP DEFAULT, ALTER "
+        "COLUMN TYPE, ADD COLUMN ... GENERATED AS IDENTITY, SET/UNSET "
+        "TBLPROPERTIES, ADD/DROP CONSTRAINT), OPTIMIZE [ZORDER BY], "
+        "VACUUM [RETAIN n HOURS], "
         "RESTORE TO VERSION/TIMESTAMP AS OF, DESCRIBE DETAIL/HISTORY, "
         "CREATE TABLE ... AS SELECT, INSERT INTO ... SELECT/VALUES, "
         "DELETE FROM ... WHERE, UPDATE ... SET ... WHERE, MERGE INTO ... "

@@ -482,6 +482,45 @@ def _nullable_normalized(schema_json: str) -> str:
     return json.dumps(relax(json.loads(schema_json)), sort_keys=True)
 
 
+#: digits needed to hold each integer type losslessly in a decimal
+_INT_DIGITS = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+#: integer widening chains (each type may widen to anything later in line)
+_INT_CHAIN = ["byte", "short", "integer", "long"]
+
+
+def _type_widens(src, dst) -> bool:
+    """The published Delta type-widening matrix (``typeWidening`` table
+    feature), restricted to conversions parquet readers perform losslessly
+    on files that physically carry the narrow type:
+
+    - integer chain: byte -> short -> int -> long
+    - byte/short/int -> double  (exact in an IEEE double)
+    - float -> double
+    - any integer -> decimal(p, s) with p - s >= the type's digits
+    - decimal(p, s) -> decimal(p', s') with s' >= s and p' - s' >= p - s
+    - date -> timestamp_ntz (midnight)
+    """
+    if src == dst:
+        return False
+    sname, dname = src.typeName(), dst.typeName()
+    if sname in _INT_CHAIN and dname in _INT_CHAIN:
+        return _INT_CHAIN.index(sname) < _INT_CHAIN.index(dname)
+    if sname in ("byte", "short", "integer") and dname == "double":
+        return True
+    if sname == "float" and dname == "double":
+        return True
+    if sname in _INT_DIGITS and dname == "decimal":
+        return dst.precision - dst.scale >= _INT_DIGITS[sname]
+    if sname == "decimal" and dname == "decimal":
+        return (
+            dst.scale >= src.scale
+            and dst.precision - dst.scale >= src.precision - src.scale
+        )
+    if sname == "date" and dname == "timestamp_ntz":
+        return True
+    return False
+
+
 def _partition_values(relpath: str) -> dict[str, str]:
     """``key=value`` directory segments of a staged file path (hive layout).
     Values are UNESCAPED back to the stored value: Spark percent-encodes
@@ -907,11 +946,12 @@ class TxTable:
     #: taken before a feature was introduced resolve without it, so time
     #: travel across a feature boundary still works for an old reader.
     READER_FEATURES = frozenset(
-        {"column-mapping", "nested-column-mapping", "deletion-vectors"}
+        {"column-mapping", "nested-column-mapping", "deletion-vectors",
+         "type-widening"}
     )
     WRITER_FEATURES = READER_FEATURES | frozenset(
         {"generated-columns", "bloom-index", "check-constraints",
-         "row-tracking"}
+         "row-tracking", "default-columns", "identity-columns"}
     )
 
     def _check_reader_features(self, state: dict) -> None:
@@ -1016,6 +1056,8 @@ class TxTable:
             "props": {},
             "protocol": {"reader": [], "writer": []},
             "rowtrack": {"enabled": False, "hwm": 0},
+            "defaults": {},
+            "identity": {},
             "utc": None,
         }
 
@@ -1057,6 +1099,10 @@ class TxTable:
                 )
         if c.get("rowtrack"):
             state["rowtrack"] = dict(c["rowtrack"])
+        if c.get("defaults") is not None:
+            state["defaults"] = dict(c["defaults"])
+        if c.get("identity") is not None:
+            state["identity"] = {k: dict(v) for k, v in c["identity"].items()}
         for rel, b in (c.get("rowid_assign") or {}).items():
             # enable-time backfill: existing active files get their base
             # row ids without being re-added
@@ -1164,6 +1210,10 @@ class TxTable:
                 "rowtrack": dict(
                     ck.get("rowtrack") or {"enabled": False, "hwm": 0}
                 ),
+                "defaults": dict(ck.get("defaults") or {}),
+                "identity": {
+                    k: dict(v) for k, v in (ck.get("identity") or {}).items()
+                },
                 "utc": ck.get("utc"),
             }
         else:
@@ -1199,6 +1249,8 @@ class TxTable:
                 "writer": list(s["protocol"]["writer"]),
             },
             "rowtrack": dict(s["rowtrack"]),
+            "defaults": dict(s["defaults"]),
+            "identity": {k: dict(v) for k, v in s["identity"].items()},
             "utc": s["utc"],
         }
 
@@ -1316,6 +1368,8 @@ class TxTable:
             "props": s["props"],
             "protocol": s["protocol"],
             "rowtrack": s["rowtrack"],
+            "defaults": s["defaults"],
+            "identity": s["identity"],
             "utc": s["utc"],
         }
         target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
@@ -1717,6 +1771,266 @@ class TxTable:
                     )
         return df
 
+    # -- column defaults / identity / type widening --------------------------
+
+    def column_defaults(self) -> dict[str, str]:
+        return dict(self._state()["defaults"])
+
+    def set_column_default(self, name: str, expr: str) -> int:
+        """``ALTER TABLE .. ALTER COLUMN .. SET DEFAULT`` (the published
+        Delta ``allowColumnDefaults`` writer feature): a metadata-only
+        commit declaring that FUTURE writes which omit ``name`` fill it
+        with ``expr`` evaluated at write time. Existing rows are untouched
+        (they keep reading NULL — the SQL-standard/Delta split: defaults
+        are a write-time contract, not a backfill). The expression must be
+        constant-foldable (no column references) — the same restriction
+        Delta enforces, because a row-dependent default is a generated
+        column, which is its own feature (``set_generated_column``)."""
+        from pyspark.sql import functions as F
+
+        state = self._state()
+        if state["schema"] is None:
+            raise ValueError("set defaults after the first write")
+        st = T.StructType.fromJson(json.loads(state["schema"]))
+        if name not in st.fieldNames():
+            raise ValueError(f"column {name!r} does not exist")
+        if name in state["generated"]:
+            raise ValueError(
+                f"column {name!r} is GENERATED ALWAYS AS — a generated "
+                "column fills itself; it cannot also carry a DEFAULT"
+            )
+        if name in state["identity"]:
+            raise ValueError(f"column {name!r} is an identity column")
+        try:
+            # analyzing against a ZERO-column relation proves the
+            # expression references no table columns (constant-foldable)
+            self.spark.createDataFrame([], T.StructType([])).select(
+                F.expr(expr).cast(st[name].dataType).alias(name)
+            )
+        except Exception as e:
+            raise ValueError(
+                f"DEFAULT for {name!r} must be a constant-foldable "
+                f"expression castable to {st[name].dataType.simpleString()}:"
+                f" {e}"
+            ) from None
+        defaults = dict(state["defaults"])
+        defaults[name] = expr
+        return self._commit(
+            [], lambda active: [], state["schema"], None, "set_default",
+            extra={"defaults": defaults},
+            base=(state["version"], state["schema"]),
+        )
+
+    def drop_column_default(self, name: str) -> int:
+        """``ALTER COLUMN .. DROP DEFAULT``: the fill contract ends; the
+        column and already-written values stay."""
+        state = self._state()
+        defaults = dict(state["defaults"])
+        defaults.pop(name, None)
+        return self._commit(
+            [], lambda active: [], state["schema"], None, "set_default",
+            extra={"defaults": defaults},
+            base=(state["version"], state["schema"]),
+        )
+
+    def _apply_defaults(self, df: DataFrame) -> DataFrame:
+        """Fill declared defaults for columns the writer omitted (cast to
+        the logged column type). Supplied columns — even explicit NULLs —
+        are taken as-is: DEFAULT applies to *missing* columns, the
+        INSERT-without-column-list contract."""
+        from pyspark.sql import functions as F
+
+        state = self._state()
+        defaults = state["defaults"]
+        if not defaults or state["schema"] is None:
+            return df
+        st = T.StructType.fromJson(json.loads(state["schema"]))
+        for name, expr in defaults.items():
+            if name not in df.columns and name in st.fieldNames():
+                df = df.withColumn(
+                    name, F.expr(expr).cast(st[name].dataType)
+                )
+        return df
+
+    def widen_column_type(self, name: str, dtype: str) -> int:
+        """``ALTER TABLE .. ALTER COLUMN .. TYPE`` (the published Delta
+        ``typeWidening`` feature): change a column to a WIDER type in one
+        metadata-only commit — zero data I/O at any table size. Existing
+        files keep their narrow physical type; scans supply the logged
+        (wide) schema and the parquet reader upcasts per file (verified
+        native in Spark 4's vectorized reader for the whole matrix:
+        integer chain, float->double, int->double, int/decimal->decimal
+        widening, date->timestamp_ntz). Narrow-typed producers keep
+        working — ``append`` upcasts their rows at the write boundary.
+        Stamps the ``type-widening`` READER feature: a reader that trusted
+        footer types would mis-type the scan. Time travel to pre-widening
+        versions still reads the narrow type. Hive-partition columns
+        refuse (their values are path strings typed by the logged schema;
+        widening them would re-type pruning comparisons under old paths)."""
+        state = self._state()
+        if state["schema"] is None:
+            raise ValueError("widen after the first write")
+        if "." in name:
+            raise ValueError(
+                "nested-field widening is not supported; widen the "
+                "top-level column or rewrite"
+            )
+        st = T.StructType.fromJson(json.loads(state["schema"]))
+        if name not in st.fieldNames():
+            raise ValueError(f"column {name!r} does not exist")
+        old = st[name].dataType
+        new = T.StructType.fromDDL(f"x {dtype}").fields[0].dataType
+        if not _type_widens(old, new):
+            raise ValueError(
+                f"cannot widen {name!r}: {old.simpleString()} -> "
+                f"{new.simpleString()} is not in the lossless widening "
+                "matrix (integer chain, float->double, int->double, "
+                "->decimal growth, date->timestamp_ntz)"
+            )
+        colmap = state["colmap"]
+        phys = colmap.get(name, name)
+        for rel in state["active"]:
+            if phys in _partition_values(rel):
+                raise ValueError(
+                    f"column {name!r} is a hive partition column of "
+                    "active files; widening partition path typing is not "
+                    "supported — rewrite (compact) first"
+                )
+        new_schema = T.StructType(
+            [
+                T.StructField(name, new, f.nullable) if f.name == name else f
+                for f in st.fields
+            ]
+        ).json()
+        return self._commit(
+            [], lambda active: [], new_schema, None, "widen_column",
+            extra={
+                "widen": {
+                    "col": name,
+                    "from": old.simpleString(),
+                    "to": new.simpleString(),
+                }
+            },
+            base=(state["version"], state["schema"]),
+        )
+
+    def _widen_incoming(self, df: DataFrame) -> DataFrame:
+        """Upcast incoming columns whose type is strictly NARROWER than the
+        logged type (and widenable): after ``widen_column_type`` the
+        pre-widening producers keep appending int data to a now-long
+        column — accepted and upcast at the write boundary so every new
+        file carries the wide type. Gated on the table actually carrying
+        the ``type-widening`` feature: un-widened tables keep the strict
+        type-exact write contract (a narrow write there is a producer bug,
+        not a compatibility case)."""
+        from pyspark.sql import functions as F
+
+        state = self._state()
+        schema = state["schema"]
+        if schema is None or "type-widening" not in state["protocol"]["reader"]:
+            return df
+        ltypes = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(schema)).fields
+        }
+        out = []
+        changed = False
+        for f in df.schema.fields:
+            lt = ltypes.get(f.name)
+            if lt is not None and _type_widens(f.dataType, lt):
+                out.append(F.col(f.name).cast(lt).alias(f.name))
+                changed = True
+            else:
+                out.append(F.col(f.name))
+        return df.select(*out) if changed else df
+
+    def identity_columns(self) -> dict[str, dict]:
+        return {k: dict(v) for k, v in self._state()["identity"].items()}
+
+    def set_identity_column(
+        self, name: str, start: int = 1, step: int = 1, always: bool = True
+    ) -> int:
+        """Delta's ``GENERATED {ALWAYS | BY DEFAULT} AS IDENTITY``: declare
+        a NEW bigint column whose value is assigned by the table, unique
+        and increasing in insertion order, stable for the row's lifetime.
+
+        Spark-first mechanics: the value IS an affine map of the row-
+        tracking id — ``start + step * _row_id`` — so assignment reuses
+        the race-safe commit-time base allocation row tracking already
+        does (per-file bases from a logged high-water mark inside the
+        commit retry loop: no coordinator, no write-path shuffle, unique
+        under concurrent writers by construction). Reads resolve
+        ``coalesce(stored, start + step * _row_id)``; rewrites stay
+        stable because they materialize ``__row_id``. Values are unique
+        and increasing but NOT gap-free across deletes/overwrites —
+        exactly Delta's published identity contract.
+
+        ``always=True`` refuses writer-supplied values (GENERATED ALWAYS);
+        ``always=False`` (BY DEFAULT) stores supplied values physically —
+        uniqueness against assigned ids is then the writer's problem, as
+        in Delta. Row tracking is enabled implicitly (separate commit)."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        state = self._state()
+        if state["schema"] is None:
+            raise ValueError("declare identity columns after the first write")
+        if not state["rowtrack"].get("enabled"):
+            self.enable_row_tracking()
+            state = self._state()
+        st = T.StructType.fromJson(json.loads(state["schema"]))
+        if name in st.fieldNames():
+            raise ValueError(
+                f"column {name!r} already exists; identity declares a NEW "
+                "column (existing values would collide with assignment)"
+            )
+        new_schema = T.StructType(
+            st.fields + [T.StructField(name, T.LongType(), True)]
+        ).json()
+        extra: dict = {
+            "identity": {
+                **{k: dict(v) for k, v in state["identity"].items()},
+                name: {"start": int(start), "step": int(step),
+                       "always": bool(always)},
+            }
+        }
+        if name in self._taken_physicals(state):
+            colmap = dict(state["colmap"])
+            colmap[name] = f"{name}__p{state['version'] + 1}"
+            extra["colmap"] = colmap
+        return self._commit(
+            [], lambda active: [], new_schema, None, "set_identity",
+            extra=extra, base=(state["version"], state["schema"]),
+        )
+
+    def _refuse_always_identity(self, df: DataFrame, what: str) -> None:
+        ident = self._state()["identity"]
+        for name, rule in ident.items():
+            if rule.get("always") and name in df.columns:
+                raise ValueError(
+                    f"column {name!r} is GENERATED ALWAYS AS IDENTITY: "
+                    f"{what} may not supply it (declare BY DEFAULT to "
+                    "allow explicit values)"
+                )
+
+    def _resolve_identity(self, df: DataFrame, state: dict) -> DataFrame:
+        """coalesce(stored, start + step * _row_id) for each declared
+        identity column (``_row_id`` must already be attached)."""
+        from pyspark.sql import functions as F
+
+        for name, rule in state["identity"].items():
+            if name in df.columns:
+                df = df.withColumn(
+                    name,
+                    F.coalesce(
+                        F.col(name),
+                        (
+                            F.lit(int(rule["start"]))
+                            + F.lit(int(rule["step"])) * F.col("_row_id")
+                        ).cast("long"),
+                    ),
+                )
+        return df
+
     def _enforce_checks(self, added: list[str]) -> None:
         """Verify staged files against active checks BEFORE the commit link:
         an O(new files) columnar scan — the already-written table is never
@@ -1879,7 +2193,7 @@ class TxTable:
         self._enforce_checks(added)
         meta_keys = (
             "colmap", "generated", "retired", "clustering", "checks", "bloom",
-            "props",
+            "props", "defaults", "identity", "widen",
         )
         feats_r: set[str] = set()
         feats_w: set[str] = set()
@@ -1895,6 +2209,14 @@ class TxTable:
                 feats_w.add("generated-columns")
             if extra.get("bloom"):
                 feats_w.add("bloom-index")
+            if extra.get("defaults"):
+                feats_w.add("default-columns")
+            if extra.get("identity"):
+                feats_w.add("identity-columns")
+            if extra.get("widen"):
+                # old readers trusting footer types would mis-type the
+                # upcast scan: widening binds READERS, not just writers
+                feats_r.add("type-widening")
         if checks:
             feats_w.add("check-constraints")
         if extra and (extra.get("rowtrack") or {}).get("enabled"):
@@ -1985,7 +2307,15 @@ class TxTable:
                 "schema": schema_json,
                 "txn": txn,
                 "stats": stats or {},
-                "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                # clamp to the previous commit's timestamp: wall clocks can
+                # step backwards (NTP, host migration) and TIMESTAMP AS OF
+                # / RETAIN-hours retention assume commit times never
+                # decrease with version (Delta's in-commit-timestamp
+                # monotonicity rule)
+                "utc": max(
+                    time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    st_now.get("utc") or "",
+                ),
             }
             if checks is not None:
                 entry["checks"] = checks
@@ -2121,6 +2451,14 @@ class TxTable:
             bl = dict(state["bloom"])
             bl.pop(name)
             extra["bloom"] = bl
+        if name in state["defaults"]:
+            d = dict(state["defaults"])
+            d.pop(name)
+            extra["defaults"] = d
+        if name in state["identity"]:
+            ident = {k: dict(v) for k, v in state["identity"].items()}
+            ident.pop(name)
+            extra["identity"] = ident
         return self._commit(
             [], lambda active: [], new_schema, None, "drop_column", extra=extra,
             base=(state["version"], state["schema"]),
@@ -2378,7 +2716,10 @@ class TxTable:
         """Atomic append; with ``txn`` a re-delivered batch is a no-op."""
         if self._txn_seen(txn):
             return self.version()
+        self._refuse_always_identity(df, "append")
+        df = self._apply_defaults(df)
         df = self._apply_generated(df)
+        df = self._widen_incoming(df)
         self._check_schema(df, merge_schema)
         state = self._state()
         have = (
@@ -2416,6 +2757,7 @@ class TxTable:
         new layout under the old policy."""
         if self._txn_seen(txn):
             return self.version()
+        self._refuse_always_identity(df, "overwrite")
         df = self._apply_generated(df)
         state = self._state()
         new_names = set(df.columns)
@@ -2443,13 +2785,27 @@ class TxTable:
                 else:
                     cur[k] = str(v)
             extra["props"] = cur
+        # an overwrite that DROPS a column from the schema ends that
+        # column's default/identity contract with it (a later add_column
+        # of the same name is a NEW column and must not inherit the rule)
+        if any(k not in new_names for k in state["defaults"]):
+            extra["defaults"] = {
+                k: v for k, v in state["defaults"].items() if k in new_names
+            }
+        if any(k not in new_names for k in state["identity"]):
+            extra["identity"] = {
+                k: dict(v)
+                for k, v in state["identity"].items()
+                if k in new_names
+            }
+        meta_write = props is not None or "defaults" in extra or "identity" in extra
         return self._commit(
             added, lambda active: list(active), df.schema.json(), txn, "overwrite",
             stats,
             extra=extra,
-            # carrying props makes this a metadata write: anchor the
-            # conflict scan at the snapshot the merged map came from
-            base=(state["version"], state["schema"]) if props is not None else None,
+            # carrying props/rule prunes makes this a metadata write: anchor
+            # the conflict scan at the snapshot the merged maps came from
+            base=(state["version"], state["schema"]) if meta_write else None,
         )
 
     def overwrite_partitions(self, df: DataFrame, partition_by: list[str]) -> int:
@@ -3071,6 +3427,18 @@ class TxTable:
             raise ValueError(
                 "row_ids=True requires enable_row_tracking() on this table"
             )
+        logged_names = (
+            set(T.StructType.fromJson(json.loads(schema)).fieldNames())
+            if schema
+            else set()
+        )
+        # declared identity columns resolve from the row-tracking id
+        # (coalesce(stored, start + step * _row_id)) — their presence
+        # forces the position-carrying scan even without row_ids=True
+        identity = {
+            k: v for k, v in state["identity"].items() if k in logged_names
+        }
+        need_ids = row_ids or bool(identity)
         if not active:
             st = T.StructType.fromJson(json.loads(schema)) if schema else T.StructType([])
             if row_ids:
@@ -3086,10 +3454,10 @@ class TxTable:
             schema_json=schema,
             dv_rows=sum(self._dv_counts(as_of).values()),
             colmap=colmap,
-            keep_pos=row_ids,
-            rowid_col=row_ids,
+            keep_pos=need_ids,
+            rowid_col=need_ids,
         )
-        if row_ids:
+        if need_ids:
             df = self._attach_row_ids(df, state).withColumnRenamed(
                 "__row_id", "_row_id"
             ).drop("__rf", "__ri")
@@ -3101,12 +3469,16 @@ class TxTable:
             # files WITH the column — project it away (columnar scans never
             # read the dropped bytes); and restore the logged column order
             logged = T.StructType.fromJson(json.loads(schema))
-            want = logged.fieldNames() + (["_row_id"] if row_ids else [])
+            want = logged.fieldNames() + (["_row_id"] if need_ids else [])
             if df.columns != want:
                 for f in logged.fields:
                     if f.name not in df.columns:
                         df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
                 df = df.select(*want)
+        if identity:
+            df = self._resolve_identity(df, state)
+        if need_ids and not row_ids:
+            df = df.drop("_row_id")
 
         ops = {"==": "__eq__", ">=": "__ge__", ">": "__gt__", "<=": "__le__", "<": "__lt__"}
         for col, op, value in predicates:
@@ -3342,6 +3714,13 @@ class TxTable:
         from pyspark.sql import Column
         from pyspark.sql import functions as F
 
+        ident = self._state()["identity"]
+        for col in assignments:
+            if (ident.get(col) or {}).get("always"):
+                raise ValueError(
+                    f"column {col!r} is GENERATED ALWAYS AS IDENTITY: "
+                    "UPDATE may not assign it"
+                )
         if mode == "dv":
             return self._update_dv(predicates, assignments)
         _v, active, _s = self.snapshot()
@@ -3510,6 +3889,15 @@ class TxTable:
         from pyspark.sql import Column
         from pyspark.sql import functions as F
 
+        for name, rule in self._state()["identity"].items():
+            if rule.get("always"):
+                raise ValueError(
+                    f"MERGE INTO a table with GENERATED ALWAYS AS IDENTITY "
+                    f"column {name!r} is not supported (the source must "
+                    "carry every target column, which ALWAYS forbids — "
+                    "the same restriction Delta documents); declare BY "
+                    "DEFAULT or use append/update_where"
+                )
         # generated-column contract holds on the MERGE path too: fill a
         # missing generated column from its rule, refuse contradicting
         # supplied values (no-op when the table declares none)

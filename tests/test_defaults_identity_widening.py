@@ -1,0 +1,284 @@
+"""Three published Delta features on txlog, all metadata-only declarations:
+
+- column DEFAULTs (``allowColumnDefaults``): write-time fill for omitted
+  columns, existing rows untouched;
+- identity columns (``GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY``): values
+  are an affine map of the row-tracking id — race-safe commit-time
+  allocation, no write-path shuffle, stable across rewrites;
+- type widening (``typeWidening``): ALTER COLUMN TYPE to a wider type with
+  zero data I/O; the parquet reader upcasts old files natively.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable, TxConflictError
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# -- column defaults ---------------------------------------------------------
+
+
+def test_default_fills_omitted_column_only_future_writes(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.add_column("src", "string")
+    t.append(spark.createDataFrame([(2, "b", "explicit")], "k int, v string, src string"))
+    t.set_column_default("src", "'crawl'")
+    # pre-declaration rows untouched (NULL), supplied values win, omitted fills
+    t.append(_df(spark, [(3, "c")]))
+    t.append(spark.createDataFrame([(4, "d", None)], "k int, v string, src string"))
+    got = {r.k: r.src for r in t.read().collect()}
+    assert got == {1: None, 2: "explicit", 3: "crawl", 4: None}
+    assert "default-columns" in t.protocol()["writer"]
+    assert t.column_defaults() == {"src": "'crawl'"}
+
+
+def test_default_casts_to_column_type_and_survives_checkpoint(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 1.5)], "k int, w double"))
+    t.set_column_default("w", "2")  # int literal -> cast double
+    for i in range(2, 25):  # cross a checkpoint boundary
+        t.append(spark.createDataFrame([(i,)], "k int"))
+    assert t.read().filter("k = 24").collect()[0].w == 2.0
+    t2 = TxTable(spark, t.path)  # fresh handle resolves via checkpoint
+    assert t2.column_defaults() == {"w": "2"}
+
+
+def test_default_refuses_column_refs_and_missing_and_generated(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="constant-foldable"):
+        t.set_column_default("v", "k + 1")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.set_column_default("nope", "'x'")
+    t.set_generated_column("klabel", "concat('k', k)")
+    with pytest.raises(ValueError, match="GENERATED"):
+        t.set_column_default("klabel", "'x'")
+
+
+def test_drop_default_ends_fill(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_column_default("v", "'dflt'")
+    t.drop_column_default("v")
+    t.append(spark.createDataFrame([(2,)], "k int"))
+    assert t.read().filter("k = 2").collect()[0].v is None
+
+
+def test_overwrite_dropping_column_prunes_default(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_column_default("v", "'dflt'")
+    t.overwrite(spark.createDataFrame([(1, 9)], "k int, n int"))
+    assert t.column_defaults() == {}
+    t.add_column("v", "string")  # re-added column must NOT inherit the rule
+    t.append(spark.createDataFrame([(2, 1)], "k int, n int"))
+    assert t.read().filter("k = 2").collect()[0].v is None
+
+
+def test_racing_default_declaration_aborts_not_clobbers(spark, tmp_path):
+    """A default declared by ANOTHER writer between this writer's state
+    read and its commit must abort (the merged defaults map was computed
+    from a stale snapshot — retrying would silently drop the racer's
+    rule), mirroring the _commit(base=) lost-update contract."""
+    path = str(tmp_path / "t")
+    t = TxTable(spark, path)
+    t.append(spark.createDataFrame([(1, "a", "b")], "k int, v string, w string"))
+    racer = TxTable(spark, path)
+
+    orig_state = t._state
+    fired = {"n": 0}
+
+    def racing_state(*a, **kw):
+        st = orig_state(*a, **kw)
+        if fired["n"] == 0:
+            fired["n"] = 1
+            racer.set_column_default("w", "'theirs'")
+        return st
+
+    t._state = racing_state
+    try:
+        with pytest.raises(TxConflictError):
+            t.set_column_default("v", "'mine'")
+    finally:
+        t._state = orig_state
+    # the racer's rule survived
+    assert TxTable(spark, path).column_defaults() == {"w": "'theirs'"}
+
+
+# -- identity columns --------------------------------------------------------
+
+
+def test_identity_always_assigns_insertion_order(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(10, "a"), (11, "b")]).coalesce(1).sortWithinPartitions("k"))
+    t.set_identity_column("uid", start=100, step=5)
+    got = {r.k: r.uid for r in t.read().collect()}
+    # backfill: ids are start + step * row_id (row ids 0,1 in file order)
+    assert sorted(got.values()) == [100, 105]
+    t.append(_df(spark, [(12, "c")]))
+    got = {r.k: r.uid for r in t.read().collect()}
+    assert got[12] == 110  # next hwm slot
+    assert len(set(got.values())) == 3
+    assert "identity-columns" in t.protocol()["writer"]
+
+
+def test_identity_always_refuses_supplied_values(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_identity_column("uid")
+    with pytest.raises(ValueError, match="ALWAYS"):
+        t.append(spark.createDataFrame([(2, "b", 7)], "k int, v string, uid long"))
+    with pytest.raises(ValueError, match="ALWAYS"):
+        t.update_where([("k", "==", 1)], {"uid": "99"})
+    with pytest.raises(ValueError, match="ALWAYS"):
+        t.merge_into(_df(spark, [(1, "z")]), on=["k"])
+
+
+def test_identity_stable_across_update_and_compact(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]))
+    t.set_identity_column("uid")
+    before = {r.k: r.uid for r in t.read().collect()}
+    t.update_where([("k", "==", 3)], {"v": "'patched'"})
+    t.compact(target_files=1)
+    after = {r.k: r.uid for r in t.read().collect()}
+    assert after == before
+    assert t.read().filter("k = 3").collect()[0].v == "patched"
+    # deletes leave gaps, never reuse
+    t.delete_where([("k", "==", 0)])
+    t.append(_df(spark, [(20, "new")]))
+    final = {r.k: r.uid for r in t.read().collect()}
+    assert before[0] not in final.values()
+    assert final[20] not in before.values()
+
+
+def test_identity_by_default_allows_explicit(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_identity_column("uid", always=False)
+    t.append(spark.createDataFrame([(2, "b", 777)], "k int, v string, uid long"))
+    t.append(_df(spark, [(3, "c")]))
+    got = {r.k: r.uid for r in t.read().collect()}
+    assert got[2] == 777           # explicit value stored
+    assert got[3] is not None      # omitted value assigned
+    assert got[3] != 777
+
+
+def test_identity_time_travel_and_row_ids_compose(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    v0 = t.version()
+    t.set_identity_column("uid", start=0, step=1)
+    # pre-declaration snapshot has no uid column
+    assert "uid" not in t.read(as_of=v0).columns
+    df = t.read(row_ids=True)
+    assert {"uid", "_row_id"} <= set(df.columns)
+    r = df.collect()[0]
+    assert r.uid == r._row_id  # start=0 step=1 is the identity map
+
+
+def test_identity_refuses_existing_column_and_zero_step(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="already exists"):
+        t.set_identity_column("v")
+    with pytest.raises(ValueError, match="non-zero"):
+        t.set_identity_column("uid", step=0)
+
+
+# -- type widening -----------------------------------------------------------
+
+
+def test_widen_int_to_long_zero_io(spark, tmp_path):
+    import os
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    files_before = {
+        f: os.path.getmtime(os.path.join(t.path, f))
+        for f in t.snapshot()[1]
+    }
+    t.widen_column_type("k", "bigint")
+    # metadata-only: no file touched
+    assert {
+        f: os.path.getmtime(os.path.join(t.path, f)) for f in t.snapshot()[1]
+    } == files_before
+    df = t.read()
+    assert dict(df.dtypes)["k"] == "bigint"
+    assert sorted(r.k for r in df.collect()) == [1, 2]
+    assert "type-widening" in t.protocol()["reader"]
+    # narrow producer keeps working, upcast at the boundary
+    t.append(_df(spark, [(3, "c")]))
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    # wide values now fit
+    t.append(spark.createDataFrame([(2**40, "big")], "k long, v string"))
+    assert t.read().filter(F.col("k") > 2**39).count() == 1
+
+
+def test_widen_matrix_refusals(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 1.5, "x")], "k long, f float, v string"))
+    with pytest.raises(ValueError, match="not in the lossless widening"):
+        t.widen_column_type("k", "int")     # narrowing
+    with pytest.raises(ValueError, match="not in the lossless widening"):
+        t.widen_column_type("v", "binary")  # not in matrix
+    t.widen_column_type("f", "double")      # allowed
+    assert dict(t.read().dtypes)["f"] == "double"
+
+
+def test_widen_decimal_and_predicates_still_prune(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(10).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("decimal(5,2)").alias("d"),
+        )
+    )
+    t.widen_column_type("d", "decimal(12,4)")
+    assert dict(t.read().dtypes)["d"] == "decimal(12,4)"
+    # footer stats recorded under the narrow type still skip correctly
+    assert t.read(predicates=[("k", "==", 3)]).count() == 1
+    assert t.count_rows([("k", "<", 5)]) == 5
+
+
+def test_widen_survives_time_travel_and_dml(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v_narrow = t.version()
+    t.widen_column_type("k", "bigint")
+    assert dict(t.read(as_of=v_narrow).dtypes)["k"] == "int"
+    t.update_where([("k", "==", 1)], {"v": "'upd'"})
+    t.compact(target_files=1)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: "upd", 2: "b"}
+    assert dict(t.read().dtypes)["k"] == "bigint"
+
+
+def test_widen_partition_column_refused(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]), partition_by=["k"])
+    with pytest.raises(ValueError, match="partition column"):
+        t.widen_column_type("k", "bigint")
+
+
+def test_commit_utc_never_decreases(spark, tmp_path, monkeypatch):
+    import time as time_mod
+
+    from mb_crdb_cdc_dlgen2_synapse_spark import txlog as txlog_mod
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    real = t._read_json(t._log_path(0))["utc"]
+    # wall clock steps BACKWARDS (NTP correction): the next commit clamps
+    epoch0 = time_mod.gmtime(0)
+    monkeypatch.setattr(txlog_mod.time, "gmtime", lambda *a: epoch0)
+    t.append(_df(spark, [(2, "b")]))
+    assert t._read_json(t._log_path(1))["utc"] == real  # clamped, not 1970
+    assert t.version_at(real) == 1

@@ -348,3 +348,47 @@ def test_sql_dml_differential_vs_python_api(spark, eng, tmp_path):
         got_a = sorted(map(tuple, a.read().collect()))
         got_b = sorted(map(tuple, b.read().collect()))
         assert got_a == got_b, f"trial {trial}: SQL vs API diverged ({where})"
+
+
+def test_alter_column_default_type_identity_sql_forms(spark, eng, tmp_path):
+    """The round-6 ALTER COLUMN vocabulary end to end through SQL strings:
+    SET/DROP DEFAULT, TYPE widening, and GENERATED AS IDENTITY."""
+    tabs = {"t": str(tmp_path / "t")}
+    t = _mk(spark, tabs["t"])
+
+    eng.ddl("ALTER TABLE t ALTER COLUMN v SET DEFAULT 'dflt'", tabs)
+    t.append(spark.createDataFrame([(4,)], "k int"))
+    assert t.read().filter("k = 4").collect()[0].v == "dflt"
+    eng.ddl("ALTER TABLE t ALTER COLUMN v DROP DEFAULT", tabs)
+    t.append(spark.createDataFrame([(5,)], "k int"))
+    assert t.read().filter("k = 5").collect()[0].v is None
+
+    eng.ddl("ALTER TABLE t ALTER COLUMN k TYPE bigint", tabs)
+    assert dict(t.read().dtypes)["k"] == "bigint"
+    with pytest.raises(ValueError, match="widening"):
+        eng.ddl("ALTER TABLE t ALTER COLUMN k TYPE int", tabs)
+
+    eng.ddl(
+        "ALTER TABLE t ADD COLUMN uid BIGINT GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 100 INCREMENT BY 5)",
+        tabs,
+    )
+    uids = [r.uid for r in t.read().collect()]
+    assert len(set(uids)) == len(uids)
+    assert all(u >= 100 and (u - 100) % 5 == 0 for u in uids)
+    with pytest.raises(ValueError, match="ALWAYS"):
+        t.append(
+            spark.createDataFrame([(9, "z", 1)], "k long, v string, uid long")
+        )
+
+    # BY DEFAULT spelling parses too
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    tabs["t2"] = str(tmp_path / "t2")
+    eng.ddl(
+        "ALTER TABLE t2 ADD COLUMN uid BIGINT GENERATED BY DEFAULT AS IDENTITY",
+        tabs,
+    )
+    t2.append(spark.createDataFrame([(2, "b", 77)], "k int, v string, uid long"))
+    got = {r.k: r.uid for r in t2.read().collect()}
+    assert got[2] == 77 and got[1] is not None
