@@ -982,6 +982,10 @@ class TxTable:
             "n_dv_files": len(s["dvs"]),
             "column_mapping": dict(s["colmap"]),
             "generated_columns": dict(s["generated"]),
+            "column_defaults": dict(s["defaults"]),
+            "identity_columns": {
+                k: dict(v) for k, v in s["identity"].items()
+            },
             "checks": dict(s["checks"]),
             "clustering": list(s["clustering"]),
             "bloom_index": dict(s["bloom"]),
@@ -4466,6 +4470,14 @@ class TxTable:
                 "colmap": dict(old_state["colmap"]),
                 "generated": dict(old_state["generated"]),
                 "bloom": dict(old_state["bloom"]),
+                # defaults/identity are schema-consistency state too: a
+                # restore past their declaration must not leave a rule
+                # over a column the restored schema lacks (a later
+                # add_column of that name would silently inherit it)
+                "defaults": dict(old_state["defaults"]),
+                "identity": {
+                    k: dict(v) for k, v in old_state["identity"].items()
+                },
                 # properties roll back WITH the restore, like the Metadata
                 # action they live in (and like clone_to carries them) —
                 # a post-restore reader sees the target version's policy,
@@ -4541,6 +4553,8 @@ class TxTable:
                 "bloom": dict(s["bloom"]),
                 "props": dict(s["props"]),
                 "rowtrack": dict(s["rowtrack"]),
+                "defaults": dict(s["defaults"]),
+                "identity": {k: dict(v) for k, v in s["identity"].items()},
                 "dv_added": list(s["dvs"]),
                 "dv_counts": dict(s["dv_counts"]),
                 "clone_source": self.path,

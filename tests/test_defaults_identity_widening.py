@@ -282,3 +282,41 @@ def test_commit_utc_never_decreases(spark, tmp_path, monkeypatch):
     t.append(_df(spark, [(2, "b")]))
     assert t._read_json(t._log_path(1))["utc"] == real  # clamped, not 1970
     assert t.version_at(real) == 1
+
+
+def test_restore_rolls_back_defaults_and_identity(spark, tmp_path):
+    """RESTORE past the declarations: the maps roll back WITH the schema —
+    a later add_column of the same name must NOT inherit the stale rule."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    v_clean = t.version()
+    t.set_column_default("v", "'dflt'")
+    t.set_identity_column("uid")
+    t.restore(v_clean)
+    assert t.column_defaults() == {}
+    assert t.identity_columns() == {}
+    t.add_column("uid", "long")
+    t.append(spark.createDataFrame([(2, "b", 7)], "k int, v string, uid long"))
+    got = {r.k: r.uid for r in t.read().collect()}
+    assert got == {1: None, 2: 7}  # plain column, no identity resolution
+    # restore FORWARD re-activates them
+    # (the rolled-back history stays in the log)
+
+
+def test_clone_carries_defaults_and_identity(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_column_default("v", "'dflt'")
+    t.set_identity_column("uid", start=50, step=1)
+    src_ids = {r.k: r.uid for r in t.read().collect()}
+    c = t.clone_to(str(tmp_path / "c"))
+    assert c.column_defaults() == {"v": "'dflt'"}
+    assert c.identity_columns() == {
+        "uid": {"start": 50, "step": 1, "always": True}
+    }
+    # cloned rows keep their identities; clone-side appends keep assigning
+    assert {r.k: r.uid for r in c.read().collect()} == src_ids
+    c.append(spark.createDataFrame([(2,)], "k int"))
+    got = {r.k: (r.v, r.uid) for r in c.read().collect()}
+    assert got[2][0] == "dflt"
+    assert got[2][1] not in src_ids.values()
