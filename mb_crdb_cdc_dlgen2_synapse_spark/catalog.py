@@ -7322,3 +7322,47 @@ def tx_identity_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.compact(target_files=2)
     return t.read().select("o_orderkey", "uid", "src")
+
+
+@register(
+    "media_jpeg_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 13 + 10 AS INT) AS width,
+           CAST(doc_id % 7 + 9 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT)
+             AS channels,
+           TRUE AS mean_ok
+    FROM documents WHERE doc_id < 300
+    """,
+    "X5,X6",
+)
+def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, value-asserted: deterministic clip-free
+    gradient images (gray/RGB, quality 85-95, some 4:2:0-subsampled, some
+    restart-marked) are ENCODED and DECODED by the pure stdlib+numpy
+    baseline codec (operators/codecs.encode_jpeg/decode_jpeg — DCT +
+    canonical Huffman, table-driven), and the gate emits the decoded
+    shape plus ``mean_ok`` = |decoded mean - closed-form true mean| < 2.0
+    (JPEG is lossy per pixel, but gradient means survive quantization
+    well inside that bound — a broken Huffman/IDCT path lands nowhere
+    near it). The oracle knows the shapes in closed form and expects
+    mean_ok TRUE everywhere: decode values are inside the hash, not just
+    row counts. JPEG moves off the 'honestly refused' list; H.264 and
+    progressive JPEG remain external."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_jpeg_media(docs, limit=300)
+    decoded = multimodal.decode_image_real(media)
+    true_mean = (
+        1.5 * (F.col("width") - 1)              # E[3x]
+        + (F.col("height") - 1)                 # E[2y]
+        + F.col("media_id") % 64
+        + F.when(F.col("media_id") % 2 == 1, F.lit(40.0)).otherwise(F.lit(0.0))
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        (F.abs(F.col("mean_px") - true_mean) < 2.0).alias("mean_ok"),
+    )

@@ -2,14 +2,16 @@
 opaque ``binary`` columns with typed metadata, plus the Pandas-UDF plumbing
 for decode / feature-extract stages.
 
-Decode status (round 6): PNG and WAV decode are REAL — pure
-stdlib+numpy codecs (operators/codecs.py: zlib inflate + all five PNG
-row filters; RIFF walk + PCM16), value-oracled through
-``synthetic_png_media`` -> ``decode_image_real``. Formats that genuinely
-need an external library (JPEG, H.264, ...) still raise
-NotImplementedError at the exact per-batch point the codec call would
-go, and ``decode_image_features`` keeps the deterministic fake for
-plumbing tests. Everything Spark-side — schema, Arrow batch shape,
+Decode status (round 6): PNG, baseline JPEG, and WAV decode are REAL —
+pure stdlib+numpy codecs (operators/codecs.py: zlib inflate + all five
+PNG row filters; baseline-DCT JPEG with table-driven Huffman, any
+sampling factors, restart markers; RIFF walk + PCM16), value-oracled
+through ``synthetic_png_media``/``synthetic_jpeg_media`` ->
+``decode_image_real``. Formats that genuinely need an external library
+(H.264, progressive JPEG, ...) still raise NotImplementedError at the
+exact per-batch point the codec call would go, and
+``decode_image_features`` keeps the deterministic fake for plumbing
+tests. Everything Spark-side — schema, Arrow batch shape,
 ``mapInPandas`` signature, partition behavior — is real and tested.
 """
 
@@ -127,15 +129,17 @@ IMAGE_DECODE_SCHEMA = T.StructType(
 
 
 def decode_image_real(media: DataFrame) -> DataFrame:
-    """REAL image decode — no longer a stub for PNG: the pure-stdlib codec
-    (operators/codecs.decode_png — zlib + numpy, all five row filters)
-    decodes ``image/png`` payloads inside the Arrow-batched
-    ``mapInPandas`` stage and emits shape + pixel statistics. The mean is
-    exact-in-float64 (integer pixel sums < 2^53), so it is value-oracle-
-    able against a closed-form SQL twin. Non-PNG mimes raise
-    NotImplementedError at the same per-batch point a JPEG/H.264 codec
-    call would go — the honest boundary moved from "no decode at all" to
-    "PNG/WAV real, exotic codecs absent"."""
+    """REAL image decode — no longer a stub for PNG or baseline JPEG: the
+    pure-stdlib codecs (operators/codecs.decode_png — zlib + numpy, all
+    five row filters; operators/codecs.decode_jpeg — table-driven baseline
+    Huffman + IDCT, any sampling factors, restart markers) decode
+    ``image/png`` / ``image/jpeg`` payloads inside the Arrow-batched
+    ``mapInPandas`` stage and emit shape + pixel statistics. PNG means are
+    exact-in-float64 (lossless codec, integer pixel sums < 2^53) and
+    value-oracle-able against a closed-form SQL twin; JPEG shape is exact
+    and means land within the quantization error bound the gate asserts.
+    Other mimes (H.264, progressive JPEG, ...) raise NotImplementedError
+    at the same per-batch point — the honest boundary."""
     from . import codecs
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,12 +148,16 @@ def decode_image_real(media: DataFrame) -> DataFrame:
             for mid, payload, mime in zip(
                 pdf["media_id"], pdf["payload"], pdf["mime"]
             ):
-                if mime != "image/png":
+                if mime == "image/png":
+                    arr = codecs.decode_png(bytes(payload))
+                elif mime == "image/jpeg":
+                    arr = codecs.decode_jpeg(bytes(payload))
+                else:
                     raise NotImplementedError(
                         f"decode for mime {mime!r} needs an external codec "
-                        "(PIL/ffmpeg); only image/png decodes stdlib-pure"
+                        "(PIL/ffmpeg); image/png and baseline image/jpeg "
+                        "decode stdlib-pure"
                     )
-                arr = codecs.decode_png(bytes(payload))
                 rows.append(
                     (
                         mid,
@@ -278,3 +286,56 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), duration, F.lit(every_ms).cast("long"))
         ).alias("frame_ts_ms"),
     )
+
+
+def synthetic_jpeg_media(documents: DataFrame, limit: int = 300) -> DataFrame:
+    """Deterministic baseline-JPEG fixture keyed by doc_id: a clip-free
+    linear gradient (gray for even ids, RGB with +40/+80 channel offsets
+    for odd), so the TRUE pixel mean is closed-form SQL — which is what
+    lets the decode gate assert VALUE accuracy (|decoded - true| under
+    the quantization bound) with a DuckDB oracle, not just shapes.
+    Quality cycles 85/90/95; every third image is 4:2:0 subsampled and
+    every fifth carries restart markers, so the gate exercises the
+    decoder's upsampling and RST paths in every run."""
+    from . import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % 13 + 10
+                h = did % 7 + 9
+                y, x = np.mgrid[0:h, 0:w]
+                base = (3 * x + 2 * y + did % 64).astype(np.uint8)
+                if did % 2 == 0:
+                    arr = base
+                else:
+                    arr = np.stack(
+                        [base, base + 40, base + 80], axis=2
+                    ).astype(np.uint8)
+                payloads.append(
+                    codecs.encode_jpeg(
+                        arr,
+                        quality=(85, 90, 95)[did % 3],
+                        subsample=did % 3 == 0 and did % 2 == 1,
+                        restart_interval=2 if did % 5 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                }
+            )
+
+    src = documents.select("doc_id").filter(F.col("doc_id") < limit)
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+        ]
+    )
+    return src.mapInPandas(batches, out_schema)

@@ -82,10 +82,15 @@ def test_decode_image_real_runs_on_spark(spark, sf_dir):
         grid = (np.add.outer(np.arange(h), np.arange(w)) + did) % 251
         assert r.mean_px == grid.sum() / grid.size  # exact int sums in f64
         assert r.max_px == grid.max()
-    # non-PNG mime hits the honest NotImplementedError boundary
-    fake = media.withColumn("mime", F.lit("image/jpeg"))
+    # a genuinely-external mime hits the honest NotImplementedError
+    # boundary (image/jpeg now decodes for real — see the JPEG tests);
+    # PNG bytes mislabeled as JPEG fail the codec's own signature check
+    fake = media.withColumn("mime", F.lit("video/mp4"))
     with pytest.raises(Exception, match="external codec|NotImplementedError"):
         multimodal.decode_image_real(fake).collect()
+    mislabeled = media.withColumn("mime", F.lit("image/jpeg"))
+    with pytest.raises(Exception, match="not a JPEG"):
+        multimodal.decode_image_real(mislabeled).collect()
 
 
 def test_decode_audio_real_runs_on_spark(spark):
@@ -113,3 +118,118 @@ def test_decode_audio_real_runs_on_spark(spark):
         assert got[i].n_samples == n
         assert got[i].duration_ms == n * 1000 // 16000
         assert got[i].peak == 9600
+
+
+# -- JPEG (baseline sequential DCT) -----------------------------------------
+
+
+def _gradient(h, w, c=0):
+    y, x = np.mgrid[0:h, 0:w]
+    return (3 * x + 2 * y + c).astype(np.uint8)  # clip-free for small h, w
+
+
+def test_jpeg_constant_block_q100_exact():
+    """Mathematical ground truth, not a round-trip tautology: the DCT of a
+    constant block is DC-only, DC survives quality-100 quantization, and
+    the IDCT must reproduce the constant exactly."""
+    a = np.full((8, 8), 77, np.uint8)
+    d = codecs.decode_jpeg(codecs.encode_jpeg(a, quality=100))
+    assert d.shape == (8, 8, 1)
+    assert (d[:, :, 0] == 77).all()
+
+
+def test_jpeg_gray_gradient_bounded_error():
+    g = _gradient(24, 40, 10)
+    for q, bound in ((100, 1), (95, 2), (90, 4)):
+        d = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=q))
+        assert d.shape == (24, 40, 1)
+        err = np.abs(d[:, :, 0].astype(int) - g.astype(int)).max()
+        assert err <= bound, (q, err)
+
+
+def test_jpeg_rgb_444_and_420_and_odd_sizes():
+    g = _gradient(23, 37, 5)
+    rgb = np.stack([g, g + 40, g + 80], axis=2).astype(np.uint8)
+    for sub in (False, True):
+        d = codecs.decode_jpeg(codecs.encode_jpeg(rgb, 92, subsample=sub))
+        assert d.shape == (23, 37, 3)
+        err = np.abs(d.astype(int) - rgb.astype(int)).max()
+        assert err <= 12, (sub, err)  # 4:2:0 box/replication adds edge error
+        # the MEAN survives quantization far tighter than the max
+        assert abs(d.mean() - rgb.mean()) < 1.0
+
+
+def test_jpeg_restart_markers_roundtrip():
+    g = _gradient(32, 32, 9)
+    data = codecs.encode_jpeg(g, 95, restart_interval=3)
+    assert b"\xff\xdd" in data          # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    d = codecs.decode_jpeg(data)
+    assert np.abs(d[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_saturated_color_q90_exact_for_constants():
+    c = np.zeros((16, 16, 3), np.uint8)
+    c[:, :, 0], c[:, :, 1], c[:, :, 2] = 200, 30, 90
+    d = codecs.decode_jpeg(codecs.encode_jpeg(c, quality=90))
+    assert (d == c).all()
+
+
+def test_jpeg_refusals():
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"not a jpeg")
+    # forge a progressive (SOF2) frame header: must refuse, not mis-decode
+    data = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8)))
+    idx = data.find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        codecs.decode_jpeg(bytes(data))
+
+
+def test_jpeg_decoder_is_table_driven():
+    """The decoder reads Huffman tables from DHT, not from assumptions
+    about this encoder: corrupting one DHT code length changes decode
+    behavior (error or different pixels) — proving the tables flow from
+    the stream."""
+    good = codecs.encode_jpeg(_gradient(16, 16, 3), 90)
+    ref = codecs.decode_jpeg(good)
+    bad = bytearray(good)
+    idx = bad.find(b"\xff\xc4")
+    # first DHT: BITS vector starts at idx+5; move one code to length 3
+    bad[idx + 5 + 2] = 1
+    bad[idx + 5 + 3] -= 1
+    try:
+        out = codecs.decode_jpeg(bytes(bad))
+        assert not np.array_equal(out, ref)
+    except (ValueError, KeyError, IndexError):
+        pass  # also acceptable: the mutated table no longer decodes
+
+
+def test_jpeg_through_decode_image_real(spark):
+    from pyspark.sql import types as T
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import multimodal
+
+    rows = []
+    for i in range(6):
+        arr = _gradient(9 + i, 12 + i, i)
+        if i % 2:
+            arr = np.stack([arr, arr + 40, arr + 80], axis=2).astype(np.uint8)
+        rows.append(
+            (i, bytearray(codecs.encode_jpeg(arr, 90, subsample=i % 3 == 0 and i % 2 == 1)), "image/jpeg")
+        )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {r.media_id: r for r in multimodal.decode_image_real(media).collect()}
+    for i in range(6):
+        assert got[i].width == 12 + i
+        assert got[i].height == 9 + i
+        assert got[i].channels == (3 if i % 2 else 1)
+        true_mean = 1.5 * (12 + i - 1) + (9 + i - 1) + i + (40 if i % 2 else 0)
+        assert abs(got[i].mean_px - true_mean) < 2.0
