@@ -7366,3 +7366,49 @@ def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         (F.abs(F.col("mean_px") - true_mean) < 2.0).alias("mean_ok"),
     )
+
+
+@register(
+    "bpe_tokenize_invariants",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                + 4 * len(string_split(text, ' ')) AS BIGINT)
+             AS total_token_chars,
+           TRUE AS valid
+    FROM documents
+    """,
+    "X4,X6",
+)
+def bpe_tokenize_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE tokenization end to end (operators/bpe.py — Sennrich et
+    al. 2016, the two-phase shape: distributed word counting + Zipf-head
+    merge learning, then fully-distributed Arrow-batched encoding with
+    broadcast ranks). The oracle checks the algebra a correct BPE cannot
+    break: merges only concatenate, so the total character mass of a
+    document's tokens equals its non-space characters plus one 4-char
+    EOW sentinel per word, and the token count lands between n_words
+    (full merging) and that character total (no merging) — ``valid``
+    must come back TRUE for every document with actually-learned merges
+    applied, or the hash diverges. The learned rules themselves are
+    pinned in tests/test_bpe.py against the paper's worked example."""
+    from .operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=60)
+    enc = bpe.bpe_encode(docs, merges)
+    total = F.expr("aggregate(tokens, 0L, (a, x) -> a + length(x))")
+    return enc.select(
+        "doc_id",
+        F.expr("size(filter(tokens, t -> t like '%</w>' or t = '</w>'))")
+        .cast("int")
+        .alias("n_words"),
+        total.alias("total_token_chars"),
+        (
+            (F.col("n_tokens") >= F.expr(
+                "size(filter(tokens, t -> t like '%</w>' or t = '</w>'))"
+            ))
+            & (F.col("n_tokens").cast("bigint") <= total)
+        ).alias("valid"),
+    )

@@ -1,4 +1,5 @@
 from . import (
+    bpe,
     cdc,
     codecs,
     dedup,
@@ -10,6 +11,7 @@ from . import (
 )
 
 __all__ = [
+    "bpe",
     "cdc",
     "codecs",
     "dedup",

@@ -1524,6 +1524,21 @@ class TxTable:
         except ValueError:
             return default
 
+    def _refuse_if_append_only(self, what: str) -> None:
+        """Delta's ``appendOnly`` table property: a table declared
+        append-only refuses every operation that removes or rewrites
+        existing rows (DELETE/UPDATE/MERGE-with-changes/overwrite/
+        replaceWhere). Row-preserving maintenance — compact/Z-order,
+        checkpoints, vacuum of already-unreferenced files — stays allowed,
+        as in Delta. The audit-log/CDC-sink contract: history can only
+        grow."""
+        if str(self._state()["props"].get("appendOnly", "")).lower() == "true":
+            raise ValueError(
+                f"table at {self.path!r} has appendOnly=true: {what} "
+                "would remove or rewrite existing rows; unset the "
+                "property first if this table is not an audit log"
+            )
+
     def bloom_index(self) -> dict[str, dict]:
         """Active bloom-index config ({logical col: {"m": bits, "k": hashes}})."""
         return dict(self._state()["bloom"])
@@ -2761,6 +2776,7 @@ class TxTable:
         new layout under the old policy."""
         if self._txn_seen(txn):
             return self.version()
+        self._refuse_if_append_only("overwrite")
         self._refuse_always_identity(df, "overwrite")
         df = self._apply_generated(df)
         state = self._state()
@@ -2817,10 +2833,15 @@ class TxTable:
         partition directories present in ``df`` (other partitions' files are
         untouched). The MERGE-shaped commit used by the CDC state sink.
 
-        Applies the same GENERATED ALWAYS AS fill/validate and new-field
-        physical-name guard as append/overwrite — the CDC-sink write path
-        must not be a loophole around the declared-column contract."""
+        Applies the same GENERATED ALWAYS AS fill/validate, DEFAULT fill,
+        identity refusal, widening upcast, and new-field physical-name
+        guard as append/overwrite — the CDC-sink write path must not be a
+        loophole around the declared-column contracts."""
+        self._refuse_if_append_only("overwrite_partitions")
+        self._refuse_always_identity(df, "overwrite_partitions")
+        df = self._apply_defaults(df)
         df = self._apply_generated(df)
+        df = self._widen_incoming(df)
         state = self._state()
         have = (
             set(T.StructType.fromJson(json.loads(state["schema"])).fieldNames())
@@ -3636,7 +3657,11 @@ class TxTable:
 
         if self._txn_seen(txn):
             return {"files_rewritten": 0, "version": self.version()}
+        self._refuse_if_append_only("replaceWhere")
+        self._refuse_always_identity(df, "replace_where")
+        df = self._apply_defaults(df)
         df = self._apply_generated(df)
+        df = self._widen_incoming(df)
         self._check_schema(df, False)
         cond = self._predicate_column(predicates)
         bad = df.filter(~F.coalesce(cond.cast("boolean"), F.lit(False))).limit(1)
@@ -3685,6 +3710,7 @@ class TxTable:
         makes it physical — the Delta DV / Iceberg positional-delete trade.
         A predicate wholly outside the table's range is a commit-free no-op
         in both modes."""
+        self._refuse_if_append_only("DELETE")
         if mode == "dv":
             return self._delete_dv(predicates)
         _v, active, _s = self.snapshot()
@@ -3718,6 +3744,7 @@ class TxTable:
         from pyspark.sql import Column
         from pyspark.sql import functions as F
 
+        self._refuse_if_append_only("UPDATE")
         ident = self._state()["identity"]
         for col in assignments:
             if (ident.get(col) or {}).get("always"):
@@ -3902,6 +3929,9 @@ class TxTable:
                     "the same restriction Delta documents); declare BY "
                     "DEFAULT or use append/update_where"
                 )
+        if update or delete_when is not None:
+            # insert-only merges only touch new rows and stay legal
+            self._refuse_if_append_only("MERGE with update/delete clauses")
         # generated-column contract holds on the MERGE path too: fill a
         # missing generated column from its rule, refuse contradicting
         # supplied values (no-op when the table declares none)

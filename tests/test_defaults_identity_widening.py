@@ -320,3 +320,38 @@ def test_clone_carries_defaults_and_identity(spark, tmp_path):
     got = {r.k: (r.v, r.uid) for r in c.read().collect()}
     assert got[2][0] == "dflt"
     assert got[2][1] not in src_ids.values()
+
+
+# -- appendOnly table property ------------------------------------------------
+
+
+def test_append_only_property_blocks_mutation(spark, tmp_path):
+    """Delta's ``appendOnly``: DELETE/UPDATE/overwrite/replaceWhere/MERGE-
+    with-changes refuse; append, insert-only merge, and row-preserving
+    maintenance (compact) stay legal; unsetting re-enables DML."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.set_properties({"appendOnly": "true"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.delete_where([("k", "==", 1)])
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.delete_where([("k", "==", 1)], mode="dv")
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.update_where([("k", "==", 1)], {"v": "'x'"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.overwrite(_df(spark, [(9, "z")]))
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.replace_where(_df(spark, [(1, "z")]), [("k", "==", 1)])
+    with pytest.raises(ValueError, match="appendOnly"):
+        t.merge_into(_df(spark, [(1, "z")]), on=["k"])
+    # legal: plain append, insert-only merge, compaction
+    t.append(_df(spark, [(3, "c")]))
+    t.merge_into(
+        _df(spark, [(3, "c"), (4, "d")]), on=["k"], update=False
+    )
+    t.compact(target_files=1)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
+    t.set_properties({"appendOnly": None})
+    t.delete_where([("k", "==", 1)])
+    assert sorted(r.k for r in t.read().collect()) == [2, 3, 4]

@@ -107,9 +107,10 @@ def test_frame_sample_plan_fanout(spark):
 
 
 def test_decode_image_real_boundaries(spark):
-    """Round 6: decode_image_real is REAL for image/png (pure stdlib
-    codec) — malformed PNG bytes fail with the codec's own error, and
-    externally-coded mimes (JPEG) still hit the explicit refusal."""
+    """Round 6: decode_image_real is REAL for image/png and image/jpeg
+    (pure stdlib codecs) — malformed bytes fail with each codec's own
+    error, and externally-coded mimes (H.264) still hit the explicit
+    refusal."""
     from mb_crdb_cdc_dlgen2_synapse_spark.operators import multimodal
 
     import pytest as _pytest
@@ -119,11 +120,16 @@ def test_decode_image_real_boundaries(spark):
     )
     with _pytest.raises(Exception, match="bad signature|not a PNG"):
         multimodal.decode_image_real(bad_png).collect()
-    jpeg = spark.createDataFrame(
+    bad_jpeg = spark.createDataFrame(
         [(1, b"xx", "image/jpeg", (None, None, None))], multimodal.MEDIA_SCHEMA
     )
+    with _pytest.raises(Exception, match="not a JPEG"):
+        multimodal.decode_image_real(bad_jpeg).collect()
+    video = spark.createDataFrame(
+        [(1, b"xx", "video/h264", (None, None, None))], multimodal.MEDIA_SCHEMA
+    )
     with _pytest.raises(Exception, match="external codec|NotImplementedError"):
-        multimodal.decode_image_real(jpeg).collect()
+        multimodal.decode_image_real(video).collect()
 
 
 def test_duplicate_clusters_resolves_chains_and_singletons(spark):
