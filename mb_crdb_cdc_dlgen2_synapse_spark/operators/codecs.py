@@ -37,6 +37,37 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
+def _filter_scanlines(
+    byte_rows: np.ndarray, bpp: int, filter_type: int
+) -> bytes:
+    """Apply one PNG row filter to every scanline of an (h, stride) uint8
+    array. Filtering is BYTE-level per the spec (bpp = bytes per pixel),
+    so the same code serves 8-bit, 16-bit, and palette images."""
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"PNG filter type must be 0..4, got {filter_type}")
+    h, stride = byte_rows.shape
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        flat = byte_rows[y].astype(np.int16)
+        left = np.concatenate([np.zeros(bpp, np.int16), flat[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        if filter_type == 0:
+            enc = flat
+        elif filter_type == 1:
+            enc = flat - left
+        elif filter_type == 2:
+            enc = flat - prev
+        elif filter_type == 3:
+            enc = flat - (left + prev) // 2
+        else:  # Paeth
+            enc = flat - _paeth(left, prev, upleft)
+        raw.append(filter_type)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = flat
+    return bytes(raw)
+
+
 def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     """8-bit PNG from a (h, w) grayscale or (h, w, c) array, c in
     {1, 2, 3, 4}. ``filter_type`` applies one of the five PNG row filters
@@ -47,39 +78,57 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         a = a[:, :, None]
     h, w, c = a.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    bpp = c  # bytes per pixel at bit depth 8
-    if not 0 <= filter_type <= 4:
-        raise ValueError(f"PNG filter type must be 0..4, got {filter_type}")
-    raw = bytearray()
-    prev = np.zeros((w, c), dtype=np.uint8)
-    for y in range(h):
-        row = a[y]
-        flat = row.reshape(-1).astype(np.int16)
-        left = np.concatenate(
-            [np.zeros(bpp, np.int16), flat[:-bpp]]
-        )
-        up = prev.reshape(-1).astype(np.int16)
-        upleft = np.concatenate([np.zeros(bpp, np.int16), up[:-bpp]])
-        if filter_type == 0:
-            enc = flat
-        elif filter_type == 1:
-            enc = flat - left
-        elif filter_type == 2:
-            enc = flat - up
-        elif filter_type == 3:
-            enc = flat - (left + up) // 2
-        else:  # Paeth
-            enc = flat - _paeth(left, up, upleft)
-        raw.append(filter_type)
-        raw.extend((enc % 256).astype(np.uint8).tobytes())
-        prev = row
+    raw = _filter_scanlines(a.reshape(h, w * c), c, filter_type)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IDAT", zlib.compress(raw))
         + _chunk(b"IEND", b"")
     )
+
+
+def encode_png16(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """16-bit PNG from a (h, w) or (h, w, c) uint16 array (c in 1..4) —
+    big-endian sample bytes, byte-level filtering (bpp = 2c)."""
+    a = np.asarray(arr, dtype=np.uint16)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    be = np.stack([(a >> 8).astype(np.uint8), (a & 0xFF).astype(np.uint8)],
+                  axis=3)
+    raw = _filter_scanlines(be.reshape(h, w * c * 2), c * 2, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    filter_type: int = 0,
+) -> bytes:
+    """Palette (color type 3) PNG from (h, w) uint8 indices into a
+    (n, 3) uint8 palette, with optional per-entry tRNS alpha."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+        raise ValueError("palette must be (n<=256, 3) uint8")
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    raw = _filter_scanlines(idx.reshape(h, w), 1, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    out = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", np.asarray(trns, np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
 
 
 def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
@@ -92,15 +141,20 @@ def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to a (h, w, c) uint8 array.
-    Handles all five row filters. Raises ValueError on non-PNG bytes and
-    NotImplementedError on the unsupported corners (16-bit, palette,
-    interlace) — the honest boundary of the stdlib codec."""
+    """Decode a non-interlaced PNG to a (h, w, c) array. 8-bit images
+    (gray/GA/RGB/RGBA and PALETTE with optional tRNS alpha) come back
+    uint8; 16-bit images come back uint16. Handles all five row filters
+    (unfiltering is byte-level per the spec, so the same loop serves
+    every depth). Raises ValueError on non-PNG bytes and
+    NotImplementedError on the remaining corners (sub-8-bit palette
+    depths, interlace) — the honest boundary of the stdlib codec."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, w = 8, None
     idat = bytearray()
-    h = ctype = None
+    h = ctype = depth = None
+    palette = None
+    trns = None
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
@@ -110,25 +164,38 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
-            if ctype not in _CHANNELS:
+            if ctype == 3:
+                if depth != 8:
+                    raise NotImplementedError(
+                        f"palette PNG bit depth {depth} (only 8)"
+                    )
+            elif ctype in _CHANNELS:
+                if depth not in (8, 16):
+                    raise NotImplementedError(
+                        f"PNG bit depth {depth} (only 8/16)"
+                    )
+            else:
                 raise NotImplementedError(f"PNG color type {ctype}")
             if interlace:
                 raise NotImplementedError("interlaced PNG")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS" and ctype == 3:
+            trns = np.frombuffer(body, np.uint8)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
             break
     if w is None or not idat:
         raise ValueError("truncated PNG: missing IHDR/IDAT")
-    c = _CHANNELS[ctype]
+    c = 1 if ctype == 3 else _CHANNELS[ctype]
+    nbytes = 1 if (depth == 8 or ctype == 3) else 2
     raw = zlib.decompress(bytes(idat))
-    stride = w * c
+    stride = w * c * nbytes
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = c
+    bpp = c * nbytes
     for y in range(h):
         ft = raw[y * (stride + 1)]
         row = np.frombuffer(
@@ -159,6 +226,19 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = cur.astype(np.uint8)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        idx = out.reshape(h, w)
+        rgb = palette[idx]  # (h, w, 3) lookup
+        if trns is not None:
+            alpha = np.full(len(palette), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if nbytes == 2:  # 16-bit: big-endian byte pairs -> uint16 samples
+        u16 = out.reshape(h, w, c, 2).astype(np.uint16)
+        return (u16[..., 0] << 8) | u16[..., 1]
     return out.reshape(h, w, c)
 
 

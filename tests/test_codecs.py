@@ -41,18 +41,19 @@ def test_png_tiny_and_gradient_images():
 def test_png_refusals():
     with pytest.raises(ValueError, match="signature"):
         codecs.decode_png(b"GIF89a not a png")
-    # 16-bit depth refused honestly, not mis-decoded
+    # 16-bit decodes for real now (see the 16-bit tests); interlace is
+    # the remaining honest refusal
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7 flag
     fake = (
         b"\x89PNG\r\n\x1a\n"
         + codecs._chunk(b"IHDR", ihdr)
-        + codecs._chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + codecs._chunk(b"IDAT", zlib.compress(b"\x00" * 6))
         + codecs._chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="bit depth"):
+    with pytest.raises(NotImplementedError, match="interlaced"):
         codecs.decode_png(fake)
 
 
@@ -233,3 +234,51 @@ def test_jpeg_through_decode_image_real(spark):
         assert got[i].channels == (3 if i % 2 else 1)
         true_mean = 1.5 * (12 + i - 1) + (9 + i - 1) + i + (40 if i % 2 else 0)
         assert abs(got[i].mean_px - true_mean) < 2.0
+
+
+# -- PNG palette + 16-bit (round-6 session-2 extensions) ---------------------
+
+
+def test_png_palette_roundtrip_all_filters():
+    rng_idx = (np.add.outer(np.arange(9), np.arange(13)) % 5).astype(np.uint8)
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9], [250, 251, 252]],
+        np.uint8,
+    )
+    for ft in range(5):
+        d = codecs.decode_png(codecs.encode_png_palette(rng_idx, pal, filter_type=ft))
+        assert d.shape == (9, 13, 3)
+        assert (d == pal[rng_idx]).all()
+
+
+def test_png_palette_trns_alpha():
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    pal = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90]], np.uint8)
+    d = codecs.decode_png(codecs.encode_png_palette(idx, pal, trns=np.array([0, 128], np.uint8)))
+    assert d.shape == (2, 2, 4)
+    # entries past the tRNS array default to opaque
+    assert d[0, 0, 3] == 0 and d[0, 1, 3] == 128 and d[1, 0, 3] == 255
+    assert (d[1, 1, :3] == pal[0]).all()
+
+
+def test_png_16bit_roundtrip_all_filters():
+    y, x = np.mgrid[0:7, 0:11]
+    a16 = (x * 4099 + y * 257).astype(np.uint16)  # values above 255
+    for ft in range(5):
+        d = codecs.decode_png(codecs.encode_png16(a16, filter_type=ft))
+        assert d.dtype == np.uint16
+        assert d.shape == (7, 11, 1)
+        assert (d[:, :, 0] == a16).all()
+    rgb16 = np.stack([a16, a16 * 3, 65535 - a16], axis=2).astype(np.uint16)
+    d = codecs.decode_png(codecs.encode_png16(rgb16, filter_type=4))
+    assert (d == rgb16).all()
+
+
+def test_png_remaining_refusals():
+    # sub-8-bit palette depth still refuses (forge depth 4 into the header)
+    data = bytearray(codecs.encode_png_palette(
+        np.zeros((2, 2), np.uint8), np.zeros((1, 3), np.uint8)))
+    assert data[24] == 8  # IHDR depth byte
+    data[24] = 4
+    with pytest.raises(NotImplementedError, match="palette PNG bit depth"):
+        codecs.decode_png(bytes(data))
