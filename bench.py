@@ -90,6 +90,10 @@ HEADLINE = [
     "tx_row_tracking",             # row-id allocation + rewrite carry
     "tx_sql_ddl",                  # SQL lifecycle incl. MERGE INTO
     "media_png_decode",            # real PNG encode+decode round trip
+    "media_jpeg_decode",           # real baseline-JPEG encode+decode
+    "tx_identity_defaults",        # identity + defaults + type widening
+    "substring_dedup_stats",       # ExactSubstr-style span coverage
+    "bpe_tokenize_invariants",     # learned-BPE train + distributed encode
 ]
 
 
