@@ -58,6 +58,8 @@ for name, qd in sorted(catalog.registry().items()):
         "knn_rerank_two_stage",  # same bounded query-side broadcast
         "knn_hamming_bucketed",  # same bounded query-side broadcast, pruned scan
         "knn_rerank_bucketed",  # same bounded query-side broadcast, pruned scan
+        "knn_pq_adc",  # 1-row query-LUT broadcast onto the code relation
+        "knn_ivf_pq",  # same LUT broadcast + tiny probed-list broadcast
     ):
         issues.append("BNLJ")
     if "BatchEvalPython" in plan and name not in (
