@@ -355,3 +355,97 @@ def test_append_only_property_blocks_mutation(spark, tmp_path):
     t.set_properties({"appendOnly": None})
     t.delete_where([("k", "==", 1)])
     assert sorted(r.k for r in t.read().collect()) == [2, 3, 4]
+
+
+def test_identity_concurrent_appenders_unique(spark, tmp_path):
+    """Two threads append to an ALWAYS-identity table concurrently: the
+    commit-retry base allocation must hand every row a unique identity
+    value whatever the interleaving (no coordinator, no locks)."""
+    import threading
+
+    path = str(tmp_path / "t")
+    t0 = TxTable(spark, path)
+    t0.append(_df(spark, [(0, "seed")]))
+    t0.set_identity_column("uid", start=10, step=3)
+    errors = []
+
+    def appender(base):
+        try:
+            t = TxTable(spark, path)
+            for i in range(4):
+                t.append(
+                    _df(spark, [(base + i, f"v{base + i}")]).coalesce(1)
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(100,)),
+        threading.Thread(target=appender, args=(200,)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    rows = TxTable(spark, path).read().select("k", "uid").collect()
+    uids = [r.uid for r in rows]
+    assert None not in uids
+    assert len(set(uids)) == len(uids) == 9
+    assert all((u - 10) % 3 == 0 and u >= 10 for u in uids)
+
+
+def test_identity_invariants_random_dml_fuzz(spark, tmp_path):
+    """Randomized DML mix (append / BY DEFAULT explicit append / CoW
+    update / DV delete / compact / restore boundary): assigned identities
+    are unique forever, never reassigned to a different business key, and
+    explicit BY DEFAULT values pass through untouched."""
+    import random
+
+    rng = random.Random(61)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "seed")]))
+    t.set_identity_column("uid", start=0, step=1, always=False)
+    next_k = 1
+    explicit = {}
+    seen: dict[int, int] = {}  # k -> uid at first sight
+
+    def snapshot():
+        return {r.k: r.uid for r in t.read().collect()}
+
+    for step in range(18):
+        op = rng.choice(["append", "explicit", "update", "delete", "compact"])
+        if op == "append":
+            ks = [next_k + i for i in range(rng.randint(1, 3))]
+            next_k += len(ks)
+            t.append(_df(spark, [(k, f"v{k}") for k in ks]).coalesce(1))
+        elif op == "explicit":
+            k = next_k
+            next_k += 1
+            uid = 10_000 + k  # disjoint from assigned space
+            explicit[k] = uid
+            t.append(
+                spark.createDataFrame(
+                    [(k, f"e{k}", uid)], "k int, v string, uid long"
+                )
+            )
+        elif op == "update":
+            k = rng.randrange(next_k)
+            t.update_where([("k", "==", k)], {"v": f"'u{step}'"})
+        elif op == "delete":
+            k = rng.randrange(next_k)
+            t.delete_where([("k", "==", k)], mode=rng.choice(["cow", "dv"]))
+        else:
+            t.compact(target_files=2)
+        snap = snapshot()
+        uids = list(snap.values())
+        assert None not in uids
+        assert len(set(uids)) == len(uids), f"duplicate uid at step {step}"
+        for k, uid in snap.items():
+            if k in seen:
+                assert seen[k] == uid, f"identity changed for k={k}"
+            else:
+                seen[k] = uid
+        for k, uid in explicit.items():
+            if k in snap:
+                assert snap[k] == uid
