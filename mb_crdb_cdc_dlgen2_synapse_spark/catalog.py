@@ -7412,3 +7412,38 @@ def bpe_tokenize_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens").cast("bigint") <= total)
         ).alias("valid"),
     )
+
+
+@register(
+    "tx_trigram_substring_search",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE position('table window' IN text) > 0
+    """,
+    "S7,P5,P9",
+)
+def tx_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through the TRIGRAM bloom file-skipping index (the
+    published ClickHouse ngrambf_v1 / pg_trgm design on the txlog):
+    documents land in four doc_id-range files under a
+    ``set_bloom_index(mode="trigram")`` declaration, and the
+    ``(text, "contains", needle)`` predicate prunes files where any
+    trigram of the needle is provably absent before filtering rows —
+    the index for ``LIKE '%needle%'`` over a text lake where min/max
+    and value blooms are both useless. The oracle is the plain
+    substring filter; a false-positive-free skip must return exactly
+    its rows (never-false-negative is separately property-tested in
+    tests/test_bloom_index.py)."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_trigram")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t.append(docs.limit(1))
+    t.set_bloom_index(["text"], bits=65536, hashes=3, mode="trigram")
+    t.overwrite(docs.filter(F.col("doc_id") % 4 == 0))
+    for m in (1, 2, 3):
+        t.append(docs.filter(F.col("doc_id") % 4 == m))
+    return t.read(predicates=[("text", "contains", "table window")]).select(
+        "doc_id", "source"
+    )

@@ -52,9 +52,20 @@ _PATH_IDENT = rf"{_IDENT}(?:\.{_IDENT})*"
 
 def _parse_predicates(where: str) -> list[tuple]:
     """Conjunctive ``col op literal`` triples — the pruning vocabulary.
-    Literals: numbers and single-quoted strings."""
+    Literals: numbers and single-quoted strings. ``col LIKE '%needle%'``
+    (both wildcards, none inside) maps to the ``contains`` triple so a
+    trigram bloom index can skip files for it."""
     preds: list[tuple] = []
     for clause in re.split(r"(?i)\s+AND\s+", where.strip()):
+        lk = re.fullmatch(
+            rf"\s*({_PATH_IDENT})\s+(?i:LIKE)\s+'%((?:[^'%]|'')+)%'\s*",
+            clause,
+        )
+        if lk:
+            preds.append(
+                (lk.group(1), "contains", lk.group(2).replace("''", "'"))
+            )
+            continue
         m = re.fullmatch(
             rf"\s*({_PATH_IDENT})\s*(==|=|>=|<=|>|<)\s*"
             r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*",
@@ -63,7 +74,8 @@ def _parse_predicates(where: str) -> list[tuple]:
         if not m:
             raise ValueError(
                 f"unsupported WHERE clause {clause!r}: use conjunctive "
-                "`col <op> literal` comparisons (=, ==, >, >=, <, <=)"
+                "`col <op> literal` comparisons (=, ==, >, >=, <, <=) or "
+                "col LIKE '%needle%'"
             )
         col, op, lit = m.group(1), m.group(2), m.group(3)
         if op == "=":

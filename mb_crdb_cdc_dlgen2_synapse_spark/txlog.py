@@ -549,7 +549,15 @@ _OPS = {
     "<=": lambda lo, hi, v: not (lo > v),
     "<": lambda lo, hi, v: not (lo >= v),
     "in": lambda lo, hi, vs: any(not (v < lo or v > hi) for v in vs),
+    # substring containment: a min/max RANGE can never prove a substring
+    # absent, so the range check keeps the file — skipping comes from the
+    # trigram bloom index (and exact partition values) in _file_may_match
+    "contains": lambda lo, hi, v: True,
 }
+
+
+def _trigrams(needle: str) -> list[str]:
+    return [needle[i : i + 3] for i in range(len(needle) - 2)]
 
 
 def _bloom_positions(value, k: int, m: int) -> list[int]:
@@ -672,6 +680,8 @@ def _file_may_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
                 return False
             if op == "in" and parts[col] not in {str(v) for v in value}:
                 return False
+            if op == "contains" and str(value) not in parts[col]:
+                return False
             if op in (">=", ">", "<=", "<") and _part_range_excludes(
                 parts[col], op, value
             ):
@@ -688,12 +698,20 @@ def _file_may_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
                 pass  # incomparable predicate value vs stored stat — keep file
         bl = (stats.get("bloom") or {}).get(col)
         if bl is not None:
-            if op == "==" and not _bloom_maybe_contains(bl, value):
+            trigram = bl.get("mode") == "trigram"
+            if op == "==" and not trigram and not _bloom_maybe_contains(bl, value):
                 return False
-            if op == "in" and not any(
+            if op == "in" and not trigram and not any(
                 _bloom_maybe_contains(bl, v) for v in value
             ):
                 return False
+            if op == "contains" and trigram:
+                # every trigram of the needle must be maybe-present; a
+                # needle under 3 chars has no trigram and never skips
+                # (the ClickHouse ngrambf contract)
+                for t in _trigrams(str(value)):
+                    if not _bloom_maybe_contains(bl, t):
+                        return False
     return True
 
 
@@ -705,6 +723,8 @@ _ALL_OPS = {
     "<=": lambda lo, hi, v: hi <= v,
     "<": lambda lo, hi, v: hi < v,
     "in": lambda lo, hi, vs: lo == hi and lo in set(vs),
+    # provable only for single-valued files whose value holds the needle
+    "contains": lambda lo, hi, v: lo == hi and str(v) in str(lo),
 }
 
 
@@ -719,6 +739,8 @@ def _file_all_match(stats: dict | None, parts: dict[str, str], predicates) -> bo
             if op == "==" and str(value) == parts[col]:
                 continue
             if op == "in" and parts[col] in {str(v) for v in value}:
+                continue
+            if op == "contains" and str(value) in parts[col]:
                 continue
             if op in (">=", ">", "<=", "<") and _part_range_proves(
                 parts[col], op, value
@@ -1544,14 +1566,15 @@ class TxTable:
         return dict(self._state()["bloom"])
 
     def set_bloom_index(
-        self, cols: list[str], bits: int = 4096, hashes: int = 3
+        self, cols: list[str], bits: int = 4096, hashes: int = 3,
+        mode: str = "value",
     ) -> int:
         """Declare a BLOOM FILTER file-skipping index on ``cols`` (Delta's
         bloom filter index): one O(1) metadata commit; every LATER write
         computes a per-file bloom bitset for each indexed column
         (executor-side, one pass over the staged files) and logs it with
         the file's stats. Point predicates (``==`` / ``in``) then skip
-        files the filter proves absent — the pruning that works where
+        files the filter proves absent — the skip that works where
         every file's min/max RANGE overlaps the value (high-cardinality
         ids appended over time: ranges interleave, blooms don't).
         Existing files keep no filter (never skipped — correct, not yet
@@ -1559,7 +1582,16 @@ class TxTable:
         clear. Only string/integral columns are indexable (their string
         canonicalization is identical in the Spark build and the
         driver-side probe); sizing: ~bits/8 bytes per file per column in
-        the log (default 512 B), false-positive rate ~(1-e^(-k*n/m))^k."""
+        the log (default 512 B), false-positive rate ~(1-e^(-k*n/m))^k.
+
+        ``mode="trigram"`` (string columns only) builds the filter over
+        the 3-grams of each value instead of whole values — the published
+        ClickHouse ``ngrambf_v1`` / pg_trgm design. A SUBSTRING predicate
+        ``(col, "contains", needle)`` then skips files where any trigram
+        of the needle is provably absent (every trigram of a contained
+        substring must occur in the file); needles under 3 chars never
+        skip. This is the index for ``LIKE '%needle%'`` over a 100 TB
+        text lake, where min/max and value blooms are both useless."""
         if cols:
             # validate at DECLARATION time: a bad size accepted here would
             # otherwise crash the NEXT append's _bloom_for_staged (bits not
@@ -1571,6 +1603,8 @@ class TxTable:
                 )
             if not isinstance(hashes, int) or hashes < 1:
                 raise ValueError(f"bloom hashes must be >= 1, got {hashes!r}")
+        if mode not in ("value", "trigram"):
+            raise ValueError(f"bloom mode must be value|trigram, got {mode!r}")
         _v, _a, schema = self.snapshot()
         if schema is None and cols:
             raise ValueError("declare the bloom index after the first write")
@@ -1580,7 +1614,12 @@ class TxTable:
                 for f in T.StructType.fromJson(json.loads(schema)).fields
             }
             ok_types = (
-                T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                (T.StringType,)
+                if mode == "trigram"
+                else (
+                    T.StringType, T.IntegerType, T.LongType, T.ShortType,
+                    T.ByteType,
+                )
             )
             for c in cols:
                 if c not in fields:
@@ -1588,9 +1627,12 @@ class TxTable:
                 if not isinstance(fields[c], ok_types):
                     raise ValueError(
                         f"bloom column {c!r} has type {fields[c].simpleString()}; "
-                        "only string/integral columns are indexable"
+                        f"only {'string' if mode == 'trigram' else 'string/integral'} "
+                        "columns are indexable"
                     )
-        cfg = {c: {"m": int(bits), "k": int(hashes)} for c in cols}
+        cfg = {
+            c: {"m": int(bits), "k": int(hashes), "mode": mode} for c in cols
+        }
         return self._commit(
             [], lambda active: [], schema, None, "set_bloom_index",
             extra={"bloom": cfg}, base=(_v, schema),
@@ -1620,15 +1662,27 @@ class TxTable:
             if phys not in df.columns:
                 continue  # partition column (exact path pruning) or absent
             m, k = int(bc["m"]), int(bc["k"])
+            if bc.get("mode") == "trigram":
+                # hash every 3-gram of the value instead of the value:
+                # one extra explode per row (codegen substring transform),
+                # same bounded driver fold afterwards
+                key = F.explode_outer(
+                    F.when(
+                        F.col(phys).isNotNull(),
+                        F.expr(
+                            f"transform(sequence(1, greatest(length({phys}) "
+                            f"- 2, 0)), i -> substring({phys}, i, 3))"
+                        ),
+                    )
+                ).alias("__key")
+            else:
+                key = F.col(phys).cast("string").alias("__key")
+            keyed = df.select(F.input_file_name().alias("__f"), key)
             pos = [
                 (
                     F.conv(
                         F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.col(phys).cast("string"), F.lit(f"|{i}")
-                                )
-                            ),
+                            F.md5(F.concat(F.col("__key"), F.lit(f"|{i}"))),
                             1,
                             8,
                         ),
@@ -1640,17 +1694,18 @@ class TxTable:
                 for i in range(k)
             ]
             # explode_outer keeps a NULL position row for files whose every
-            # row is null in this column, so EVERY scanned file appears in
-            # by_rel — which lets us distinguish "no non-null rows" (valid
-            # all-zero filter) from "URI failed to normalize" (fail OPEN:
-            # attach no filter, the file is never bloom-pruned). An all-zero
-            # filter attached to an unmatched file would PROVE absence and
-            # silently drop matching rows.
+            # row is null (or, trigram mode, shorter than 3 chars) in this
+            # column, so EVERY scanned file appears in by_rel — which lets
+            # us distinguish "no hashable content" (valid all-zero filter)
+            # from "URI failed to normalize" (fail OPEN: attach no filter,
+            # the file is never bloom-pruned). An all-zero filter attached
+            # to an unmatched file would PROVE absence and silently drop
+            # matching rows.
             rows = (
-                df.select(
-                    F.input_file_name().alias("__f"),
+                keyed.select(
+                    "__f",
                     F.explode_outer(
-                        F.when(F.col(phys).isNotNull(), F.array(*pos))
+                        F.when(F.col("__key").isNotNull(), F.array(*pos))
                     ).alias("__pos"),
                 )
                 .distinct()
@@ -1678,11 +1733,17 @@ class TxTable:
                 for h in by_rel[rel]:
                     bits[h >> 3] |= 1 << (h & 7)
                 st = stats.setdefault(rel, {})
-                st.setdefault("bloom", {})[phys] = {
+                entry = {
                     "m": m,
                     "k": k,
                     "b64": base64.b64encode(bytes(bits)).decode(),
                 }
+                if bc.get("mode") == "trigram":
+                    # the per-file entry is self-describing so the pruning
+                    # probe needs no config lookup (and an == predicate can
+                    # never mis-consult a trigram filter's key space)
+                    entry["mode"] = "trigram"
+                st.setdefault("bloom", {})[phys] = entry
 
     def generated_columns(self) -> dict[str, str]:
         """Active generated-column definitions ({name: sql expr})."""
@@ -3509,6 +3570,8 @@ class TxTable:
         for col, op, value in predicates:
             if op == "in":
                 df = df.filter(F.col(col).isin(list(value)))
+            elif op == "contains":
+                df = df.filter(F.col(col).contains(F.lit(value)))
             else:
                 df = df.filter(getattr(F.col(col), ops[op])(F.lit(value)))
         return df
@@ -3524,6 +3587,8 @@ class TxTable:
         for col, op, value in predicates:
             if op == "in":
                 cond = cond & F.col(col).isin(list(value))
+            elif op == "contains":
+                cond = cond & F.col(col).contains(F.lit(value))
             else:
                 cond = cond & getattr(F.col(col), ops[op])(F.lit(value))
         return cond

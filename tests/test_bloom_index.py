@@ -92,8 +92,8 @@ def test_type_and_schema_validation(spark, tmp_path):
         t.set_bloom_index(["score"])
     t.set_bloom_index(["k", "v"])
     assert t.bloom_index() == {
-        "k": {"m": 4096, "k": 3},
-        "v": {"m": 4096, "k": 3},
+        "k": {"m": 4096, "k": 3, "mode": "value"},
+        "v": {"m": 4096, "k": 3, "mode": "value"},
     }
     t.set_bloom_index([])
     assert t.bloom_index() == {}
@@ -108,16 +108,16 @@ def test_survives_checkpoint_prune_clone_and_rename(spark, tmp_path):
     t.append(_ids(spark, range(2, 40, 2)))
     t.vacuum(retain_versions=1, prune_log=True)
     fresh = TxTable(spark, str(tmp_path / "t"))
-    assert fresh.bloom_index() == {"uid": {"m": 4096, "k": 3}}
+    assert fresh.bloom_index() == {"uid": {"m": 4096, "k": 3, "mode": "value"}}
     c = _cands(fresh, [("uid", "==", "uid-00003")])
     assert len(c) < len(fresh.snapshot()[1])  # something was skipped
     # clone carries config + logged bitsets
     cl = fresh.clone_to(str(tmp_path / "c"))
-    assert cl.bloom_index() == {"uid": {"m": 4096, "k": 3}}
+    assert cl.bloom_index() == {"uid": {"m": 4096, "k": 3, "mode": "value"}}
     assert len(_cands(cl, [("uid", "==", "uid-00003")])) == len(c)
     # rename migrates the config; predicates on the NEW name still prune
     fresh.rename_column("uid", "user_id")
-    assert fresh.bloom_index() == {"user_id": {"m": 4096, "k": 3}}
+    assert fresh.bloom_index() == {"user_id": {"m": 4096, "k": 3, "mode": "value"}}
     c2 = _cands(fresh, [("user_id", "==", "uid-00003")])
     assert len(c2) == len(c)
     # and post-rename writes keep building filters (physical name 'uid')
@@ -197,3 +197,99 @@ def test_set_bloom_index_validates_sizing(spark, tmp_path):
     t.set_bloom_index(["uid"], bits=1024, hashes=2)
     t.append(_ids(spark, [1]))
     assert t.read(predicates=[("uid", "==", "uid-00001")]).count() == 1
+
+
+# -- trigram (substring) mode: the ngrambf_v1 / pg_trgm design ---------------
+
+
+def _texts(spark, rows):
+    return spark.createDataFrame(rows, "k int, body string").coalesce(1)
+
+
+def test_trigram_contains_skips_files_without_needle(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_texts(spark, [(0, "seed row before index")]))
+    t.set_bloom_index(["body"], bits=8192, hashes=3, mode="trigram")
+    t.append(_texts(spark, [(1, "the quick brown fox"), (2, "jumps over")]))
+    t.append(_texts(spark, [(3, "pack my box with"), (4, "five dozen jugs")]))
+    t.append(_texts(spark, [(5, "sphinx of black quartz")]))
+    # needle present only in batch 3's file
+    preds = [("body", "contains", "quartz")]
+    cands = _cands(t, preds)
+    files = t.snapshot()[1]
+    assert len(cands) < len(files)
+    # the pre-index file is never skipped (no filter), the match is found
+    got = t.read(predicates=preds).collect()
+    assert [r.k for r in got] == [5]
+    # row filtering matches a plain read().filter(contains)
+    assert (
+        t.read().filter(F.col("body").contains("quartz")).count() == 1
+    )
+
+
+def test_trigram_never_false_negative(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_texts(spark, [(0, "seed")]))
+    t.set_bloom_index(["body"], bits=4096, hashes=3, mode="trigram")
+    bodies = [
+        (i, f"document number {i:04d} talks about topic-{i % 7}")
+        for i in range(1, 40)
+    ]
+    for lo in range(1, 40, 8):
+        t.append(_texts(spark, [b for b in bodies if lo <= b[0] < lo + 8]))
+    for k, body in bodies:
+        for needle in (f"{k:04d}", f"topic-{k % 7}", body[8:20]):
+            got = t.read(predicates=[("body", "contains", needle)]).collect()
+            assert any(r.k == k for r in got), (k, needle)
+
+
+def test_trigram_short_needle_and_value_mode_isolation(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_texts(spark, [(0, "seed")]))
+    t.set_bloom_index(["body"], bits=4096, hashes=3, mode="trigram")
+    t.append(_texts(spark, [(1, "alpha beta"), (2, "gamma delta")]))
+    # needles under 3 chars have no trigram: no skipping, correct results
+    assert {r.k for r in t.read(predicates=[("body", "contains", "ga")]).collect()} == {2}
+    assert len(_cands(t, [("body", "contains", "xy")])) == len(t.snapshot()[1])
+    # an == predicate must NOT consult the trigram filter's key space
+    assert {r.k for r in t.read(predicates=[("body", "==", "alpha beta")]).collect()} == {1}
+    # and a contains predicate must not consult a VALUE-mode filter
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(_texts(spark, [(0, "seed")]))
+    t2.set_bloom_index(["body"], bits=4096, hashes=3)
+    t2.append(_texts(spark, [(1, "alpha beta")]))
+    assert {r.k for r in t2.read(predicates=[("body", "contains", "pha be")]).collect()} == {1}
+    assert len(_cands(t2, [("body", "contains", "zzz")])) == len(t2.snapshot()[1])
+
+
+def test_trigram_mode_validates_and_sql_like_routes(spark, tmp_path):
+    from mb_crdb_cdc_dlgen2_synapse_spark.engine import Engine
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "hello world")], "k int, body string")
+    )
+    with pytest.raises(ValueError, match="only string"):
+        t.set_bloom_index(["k"], mode="trigram")
+    with pytest.raises(ValueError, match="value|trigram"):
+        t.set_bloom_index(["body"], mode="fuzzy")
+    t.set_bloom_index(["body"], mode="trigram")
+    t.append(
+        spark.createDataFrame([(2, "goodbye moon")], "k int, body string")
+    )
+    eng = Engine(spark)
+    tabs = {"t": str(tmp_path / "t")}
+    res = eng.ddl("DELETE FROM t WHERE body LIKE '%moon%'", tabs)
+    assert res["version"] >= 0
+    assert [r.k for r in t.read().collect()] == [1]
+
+
+def test_trigram_all_short_file_is_provably_skippable(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_texts(spark, [(0, "seed text long enough")]))
+    t.set_bloom_index(["body"], bits=4096, hashes=3, mode="trigram")
+    t.append(_texts(spark, [(1, "ab"), (2, "x")]))  # no trigrams at all
+    t.append(_texts(spark, [(3, "a long enough body")]))
+    cands = _cands(t, [("body", "contains", "enough")])
+    # the all-short file has a valid all-zero filter -> provably skipped
+    assert len(cands) == len(t.snapshot()[1]) - 1
