@@ -7447,3 +7447,40 @@ def tx_trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(predicates=[("text", "contains", "table window")]).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "tx_hilbert_clustering",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey >= 50 AND o_custkey < 120
+    """,
+    "S7,Q1,P9",
+)
+def tx_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering end to end (compact(curve="hilbert") —
+    Skilling's transform, the curve Delta's liquid clustering uses):
+    orders land unclustered, the table declares clustering columns and
+    `clustering.curve=hilbert`, routine compact() relayouts by Hilbert
+    key (sampled-quantile buckets -> numpy Skilling transform in an
+    Arrow-batched maintenance stage -> repartitionByRange), and a range
+    predicate on the SECOND clustered column reads through stats-pruned
+    files. The oracle is the plain filter: clustering must be
+    layout-only. Curve locality (every step one bucket, tighter per-file
+    ranges than Morton) is pinned in tests/test_hilbert.py."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_hilbert")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    t.append(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+    )
+    t.set_clustering(["o_orderkey", "o_custkey"])
+    t.set_properties({"clustering.curve": "hilbert"})
+    t.compact(target_files=8)
+    return t.read(
+        predicates=[("o_custkey", ">=", 50), ("o_custkey", "<", 120)]
+    )

@@ -890,33 +890,40 @@ def _string_quantile_cuts(df: DataFrame, col: str, n_buckets: int) -> list[str]:
     return vals[step::step][: n_buckets - 1]
 
 
-def _zvalue(df: DataFrame, cols: list[str], bits: int = 6):
-    """Morton (Z-order) key column over ``cols``: each column is bucketed
-    into 2^bits quantile buckets (numeric boundaries from one sampled
-    ``approxQuantile`` pass; string boundaries from a bounded distinct
-    sample — never a global sort either way), then the bucket ids' bits
-    are interleaved. Nulls sort first (bucket 0)."""
+def _bucket_expr(df: DataFrame, col: str, bits: int):
+    """Quantile-bucket id Column for one column: 2^bits buckets from one
+    sampled ``approxQuantile`` pass (string boundaries from a bounded
+    distinct sample — never a global sort either way). Nulls sort first
+    (bucket 0). Shared by the Z-order and Hilbert keys."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as _T
 
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    if isinstance(df.schema[col].dataType, _T.StringType):
+        cuts = _string_quantile_cuts(df, col, n_buckets)
+    else:
+        cuts = df.approxQuantile(col, probs, 1.0 / (4 * n_buckets))
+    # strictly increasing cut list (duplicates collapse low-cardinality
+    # columns into fewer buckets — harmless)
+    uniq: list = []
+    for c in cuts:
+        if not uniq or c > uniq[-1]:
+            uniq.append(c)
+    bucket = F.lit(0)
+    for c in uniq:
+        bucket = bucket + F.when(F.col(col) > F.lit(c), 1).otherwise(0)
+    return F.coalesce(bucket, F.lit(0)).cast("long")
+
+
+def _zvalue(df: DataFrame, cols: list[str], bits: int = 6):
+    """Morton (Z-order) key column over ``cols``: quantile-bucket each
+    column (``_bucket_expr``), then interleave the bucket ids' bits."""
+    from pyspark.sql import functions as F
+
     z = F.lit(0).cast("long")
     for ci, col in enumerate(cols):
-        if isinstance(df.schema[col].dataType, _T.StringType):
-            cuts = _string_quantile_cuts(df, col, n_buckets)
-        else:
-            cuts = df.approxQuantile(col, probs, 1.0 / (4 * n_buckets))
-        # strictly increasing cut list (duplicates collapse low-cardinality
-        # columns into fewer buckets — harmless)
-        uniq: list[float] = []
-        for c in cuts:
-            if not uniq or c > uniq[-1]:
-                uniq.append(c)
-        bucket = F.lit(0)
-        for c in uniq:
-            bucket = bucket + F.when(F.col(col) > F.lit(c), 1).otherwise(0)
-        bucket = F.coalesce(bucket, F.lit(0)).cast("long")
+        bucket = _bucket_expr(df, col, bits)
         # spread bucket bits to every len(cols)-th position, offset ci
         for b in range(bits):
             z = z + (
@@ -924,6 +931,74 @@ def _zvalue(df: DataFrame, cols: list[str], bits: int = 6):
                 * F.lit(1 << (b * len(cols) + ci)).cast("long")
             )
     return z
+
+
+def _hilbert_index_np(X, bits: int):
+    """Skilling's axes -> Hilbert-index transform ("Programming the
+    Hilbert curve", AIP CP707, 2004 — the published algorithm Delta's
+    liquid clustering uses), vectorized over rows with numpy. ``X`` is a
+    (rows, n) int64 array of bucket ids in [0, 2^bits); returns the
+    (rows,) int64 Hilbert indexes. Unlike Morton interleaving, every
+    consecutive pair of indexes differs in exactly ONE bucket step —
+    the locality property that keeps per-file min/max ranges tight on
+    every clustered column at once."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.int64).copy()
+    rows, n = X.shape
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:  # inverse undo excess work
+        P = Q - 1
+        for i in range(n):
+            hasq = (X[:, i] & Q) != 0
+            X[hasq, 0] ^= P  # invert
+            low = ~hasq      # exchange
+            t = (X[low, i] ^ X[low, 0]) & P
+            X[low, i] ^= t
+            X[low, 0] ^= t
+        Q >>= 1
+    for i in range(1, n):  # Gray encode
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(rows, np.int64)
+    Q = M
+    while Q > 1:
+        m = (X[:, n - 1] & Q) != 0
+        t[m] ^= Q - 1
+        Q >>= 1
+    X ^= t[:, None]
+    # transpose format -> index: bit q of dim i lands at q*n + (n-1-i)
+    H = np.zeros(rows, np.int64)
+    for q in range(bits):
+        for i in range(n):
+            H |= ((X[:, i] >> q) & 1) << (q * n + (n - 1 - i))
+    return H
+
+
+def _hilbert_value(df: DataFrame, cols: list[str], bits: int = 6):
+    """Hilbert-curve key column over ``cols``: the same sampled-quantile
+    bucketing as ``_zvalue``, mapped through Skilling's transform in an
+    Arrow-batched ``pandas_udf`` (the transform is a per-bit-plane loop
+    with data-dependent swaps — numpy vectorizes it over rows, while a
+    Catalyst expression tree would blow up exponentially because the
+    5*n dependent rewrite steps share no subtrees). Maintenance-path
+    Python: compact() only, never a query path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    buckets = F.array(*[_bucket_expr(df, c, bits) for c in cols])
+
+    def hidx(b):
+        X = np.stack(b.to_numpy()).astype(np.int64)
+        return pd.Series(_hilbert_index_np(X, bits))
+
+    # annotations set as REAL class objects: this module's
+    # `from __future__ import annotations` would stringify inline hints,
+    # and pandas_udf's get_type_hints could not resolve 'pd.Series'
+    # against module globals (pandas is imported function-locally here)
+    hidx.__annotations__ = {"b": pd.Series, "return": pd.Series}
+    return F.pandas_udf(hidx, "long")(buckets)
 
 
 class TxTable:
@@ -2929,6 +3004,7 @@ class TxTable:
         z_order: list[str] | None = None,
         predicates: list[tuple] | None = None,
         target_mb: int | None = None,
+        curve: str | None = None,
     ) -> int:
         """Rewrite content into ``target_files`` files in ONE commit —
         the OPTIMIZE analog; concurrent readers keep their snapshot.
@@ -2958,9 +3034,21 @@ class TxTable:
         log records each file's size, so the target count is
         ceil(total_bytes / target_mb) — pure metadata, no storage listing.
         At 100 TB "compact to 128 MB files" is the policy you actually
-        state; a fixed count is only right for small reference tables."""
+        state; a fixed count is only right for small reference tables.
+
+        ``curve`` picks the space-filling curve for the multi-column key:
+        ``"z"`` (Morton interleave, default) or ``"hilbert"`` (Skilling's
+        transform — the curve Delta's liquid clustering moved to: every
+        consecutive key step moves ONE bucket in ONE dimension, so range
+        locality is strictly better than Morton's diagonal jumps).
+        Defaults to the table's ``clustering.curve`` property, else Z."""
         if z_order is None:
             z_order = self.clustering() or None  # declared clustering policy
+        if curve is None:
+            curve = self._state()["props"].get("clustering.curve", "z")
+        if curve not in ("z", "hilbert"):
+            raise ValueError(f"curve must be z|hilbert, got {curve!r}")
+        keyfn = _hilbert_value if curve == "hilbert" else _zvalue
         if target_mb is not None:
             stats0 = self.file_stats()
             st_pr = self._state()
@@ -2981,7 +3069,7 @@ class TxTable:
         def relayout(df: DataFrame) -> DataFrame:
             if z_order:
                 return (
-                    df.withColumn("__z", _zvalue(df, z_order))
+                    df.withColumn("__z", keyfn(df, z_order))
                     .repartitionByRange(target_files, "__z")
                     .sortWithinPartitions("__z")
                     .drop("__z")
