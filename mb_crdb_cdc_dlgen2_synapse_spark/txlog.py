@@ -1738,21 +1738,60 @@ class TxTable:
                 continue  # partition column (exact path pruning) or absent
             m, k = int(bc["m"]), int(bc["k"])
             if bc.get("mode") == "trigram":
-                # hash every 3-gram of the value instead of the value:
-                # one extra explode per row (codegen substring transform),
-                # same bounded driver fold afterwards
-                key = F.explode_outer(
-                    F.when(
-                        F.col(phys).isNotNull(),
-                        F.expr(
-                            f"transform(sequence(1, greatest(length({phys}) "
-                            f"- 2, 0)), i -> substring({phys}, i, 3))"
-                        ),
+                # hash the DISTINCT 3-grams of each file, not every
+                # occurrence. Two-level explode keeps the generated rows
+                # NARROW: exploding trigram positions directly against the
+                # value column materializes the full value per trigram row
+                # (a 2 KB document x every position = GBs per staged file —
+                # measured 100x the plain-append cost), so the value first
+                # splits into 64-char chunks overlapping by 2 (boundary
+                # trigrams preserved), and positions explode against the
+                # 64-byte chunk. The early (file, trigram) distinct then
+                # collapses occurrence volume to each file's trigram
+                # DIVERSITY (alphabet-bounded) before any hashing.
+                chunks = df.select(
+                    F.input_file_name().alias("__f"),
+                    F.explode_outer(
+                        # length guard, twice over: a value under 3 chars
+                        # has no trigram, and Spark's sequence(1, 0)
+                        # counts DOWN, fabricating bogus sub-3 keys
+                        F.when(
+                            F.col(phys).isNotNull()
+                            & (F.length(F.col(phys)) >= 3),
+                            F.expr(
+                                f"transform(sequence(0, CAST(ceil((length({phys})"
+                                f" - 2) / 62) AS INT) - 1),"
+                                f" j -> substring({phys}, j * 62 + 1, 64))"
+                            ),
+                        )
+                    ).alias("__c"),
+                )
+                keyed = (
+                    chunks.select(
+                        "__f",
+                        F.explode_outer(
+                            F.when(
+                                F.col("__c").isNotNull()
+                                & (F.length("__c") >= 3),
+                                F.sequence(F.lit(1), F.length("__c") - 2),
+                            )
+                        ).alias("__i"),
+                        "__c",
                     )
-                ).alias("__key")
+                    .select(
+                        "__f",
+                        F.when(
+                            F.col("__i").isNotNull(),
+                            F.expr("substring(__c, __i, 3)"),
+                        ).alias("__key"),
+                    )
+                    .distinct()
+                )
             else:
-                key = F.col(phys).cast("string").alias("__key")
-            keyed = df.select(F.input_file_name().alias("__f"), key)
+                keyed = df.select(
+                    F.input_file_name().alias("__f"),
+                    F.col(phys).cast("string").alias("__key"),
+                ).distinct()
             pos = [
                 (
                     F.conv(
