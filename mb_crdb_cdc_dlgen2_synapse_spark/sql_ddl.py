@@ -18,6 +18,8 @@ switcher never needs the Python API for day-2 operations:
     ALTER TABLE t ADD COLUMN uid BIGINT GENERATED ALWAYS AS IDENTITY
         (START WITH 100 INCREMENT BY 5)
     OPTIMIZE t [ZORDER BY (c1, c2)]
+    FSCK REPAIR TABLE t [DRY RUN]
+    COPY INTO t FROM '/loads/*.parquet' [FILEFORMAT = PARQUET|NDJSON]
     VACUUM t [RETAIN 168 HOURS]
     RESTORE t TO VERSION AS OF 3
     DESCRIBE DETAIL t
@@ -235,6 +237,26 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
     )
     if m:
         return t(m.group(1)).drop_check(m.group(2))
+
+    m = re.fullmatch(
+        rf"(?is)FSCK\s+REPAIR\s+TABLE\s+({_IDENT})(\s+DRY\s+RUN)?", stmt
+    )
+    if m:
+        return t(m.group(1)).fsck(dry_run=bool(m.group(2)))
+
+    m = re.fullmatch(
+        rf"(?is)COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'"
+        r"(?:\s+FILEFORMAT\s*=\s*(PARQUET|NDJSON|JSON))?",
+        stmt,
+    )
+    if m:
+        import glob as _glob
+
+        files = sorted(_glob.glob(m.group(2)))
+        fmt = (m.group(3) or "PARQUET").upper()
+        return t(m.group(1)).copy_into(
+            files, fmt="parquet" if fmt == "PARQUET" else "ndjson"
+        )
 
     # -- maintenance -------------------------------------------------------
     m = re.fullmatch(
@@ -459,7 +481,7 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
         "(RENAME/ADD/DROP COLUMN, ALTER COLUMN SET/DROP DEFAULT, ALTER "
         "COLUMN TYPE, ADD COLUMN ... GENERATED AS IDENTITY, SET/UNSET "
         "TBLPROPERTIES, ADD/DROP CONSTRAINT), OPTIMIZE [ZORDER BY], "
-        "VACUUM [RETAIN n HOURS], "
+        "FSCK REPAIR TABLE, COPY INTO ... FROM, VACUUM [RETAIN n HOURS], "
         "RESTORE TO VERSION/TIMESTAMP AS OF, DESCRIBE DETAIL/HISTORY, "
         "CREATE TABLE ... AS SELECT, INSERT INTO ... SELECT/VALUES, "
         "DELETE FROM ... WHERE, UPDATE ... SET ... WHERE, MERGE INTO ... "

@@ -1159,6 +1159,7 @@ class TxTable:
             "rowtrack": {"enabled": False, "hwm": 0},
             "defaults": {},
             "identity": {},
+            "copied": [],
             "utc": None,
         }
 
@@ -1204,6 +1205,10 @@ class TxTable:
             state["defaults"] = dict(c["defaults"])
         if c.get("identity") is not None:
             state["identity"] = {k: dict(v) for k, v in c["identity"].items()}
+        if c.get("copied_add"):
+            state["copied"] = state["copied"] + [
+                f for f in c["copied_add"] if f not in set(state["copied"])
+            ]
         for rel, b in (c.get("rowid_assign") or {}).items():
             # enable-time backfill: existing active files get their base
             # row ids without being re-added
@@ -1315,6 +1320,7 @@ class TxTable:
                 "identity": {
                     k: dict(v) for k, v in (ck.get("identity") or {}).items()
                 },
+                "copied": list(ck.get("copied") or []),
                 "utc": ck.get("utc"),
             }
         else:
@@ -1352,6 +1358,7 @@ class TxTable:
             "rowtrack": dict(s["rowtrack"]),
             "defaults": dict(s["defaults"]),
             "identity": {k: dict(v) for k, v in s["identity"].items()},
+            "copied": list(s["copied"]),
             "utc": s["utc"],
         }
 
@@ -1471,6 +1478,7 @@ class TxTable:
             "rowtrack": s["rowtrack"],
             "defaults": s["defaults"],
             "identity": s["identity"],
+            "copied": s["copied"],
             "utc": s["utc"],
         }
         target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
@@ -2387,7 +2395,7 @@ class TxTable:
         self._enforce_checks(added)
         meta_keys = (
             "colmap", "generated", "retired", "clustering", "checks", "bloom",
-            "props", "defaults", "identity", "widen",
+            "props", "defaults", "identity", "widen", "copied_add",
         )
         feats_r: set[str] = set()
         feats_w: set[str] = set()
@@ -4784,6 +4792,104 @@ class TxTable:
             },
         )
         return target
+
+    def fsck(self, dry_run: bool = False) -> dict:
+        """``FSCK REPAIR TABLE`` (the published Delta recovery statement):
+        drop log references to data/DV files that no longer exist on
+        storage (manually deleted, lost bucket object, botched restore of
+        a partial backup). One metadata commit; the table becomes
+        readable again at the cost of the missing files' rows — which are
+        already gone; FSCK just makes the log agree with reality.
+        ``dry_run`` reports what would be dropped without committing.
+        O(active files) existence checks, zero data I/O."""
+        state = self._state()
+        missing = [
+            f
+            for f in state["active"]
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        missing_dvs = [
+            f
+            for f in state["dvs"]
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        out = {
+            "missing_files": missing,
+            "missing_dv_files": missing_dvs,
+            "version": state["version"],
+        }
+        if dry_run or not (missing or missing_dvs):
+            return out
+        extra: dict = {}
+        if missing_dvs:
+            keep = [f for f in state["dvs"] if f not in set(missing_dvs)]
+            extra["dv_reset"] = keep
+            extra["dv_reset_counts"] = {
+                f: n
+                for f, n in state["dv_counts"].items()
+                if f in set(keep)
+            }
+        gone = set(missing)
+        out["version"] = self._commit(
+            [], lambda active: [f for f in active if f in gone],
+            state["schema"], None, "fsck", extra=extra or None,
+            base=(state["version"], state["schema"]),
+        )
+        return out
+
+    def copy_into(
+        self,
+        paths: list[str],
+        fmt: str = "parquet",
+        merge_schema: bool = False,
+    ) -> dict:
+        """Delta's ``COPY INTO``: idempotent bulk file loading — each
+        SOURCE file is ingested exactly once however many times the
+        statement re-runs (the retryable-backfill contract). Loaded file
+        identities persist in the log (and through checkpoints), so a
+        re-run's files anti-join driver-side against the loaded set and
+        only genuinely new files are read — O(new data) per run, never
+        O(all data ever loaded). ``fmt``: ``parquet`` or ``ndjson``.
+        Concurrent COPY INTOs of overlapping file sets are safe: the
+        commit aborts when a racing commit moved the loaded set
+        (``copied_add`` is a metadata key) and the retry re-reads it —
+        the raced file loads exactly once."""
+        if fmt not in ("parquet", "ndjson"):
+            raise ValueError(f"copy_into fmt must be parquet|ndjson, got {fmt!r}")
+        last_err: Exception | None = None
+        for _ in range(10):
+            state = self._state()
+            seen = set(state["copied"])
+            new = sorted({os.path.abspath(p) for p in paths} - seen)
+            if not new:
+                return {"loaded_files": 0, "version": state["version"]}
+            if fmt == "parquet":
+                df = self.spark.read.parquet(*new)
+            else:
+                df = self.spark.read.json(*new)
+            self._refuse_always_identity(df, "copy_into")
+            df = self._apply_defaults(df)
+            df = self._apply_generated(df)
+            df = self._widen_incoming(df)
+            self._check_schema(df, merge_schema)
+            added, stats = self._stage(df, None)
+            try:
+                v = self._commit(
+                    added, lambda active: [], self._union_schema_json(df),
+                    None, "copy_into", stats,
+                    extra={"copied_add": new},
+                    base=(state["version"], state["schema"]),
+                )
+                return {"loaded_files": len(new), "version": v}
+            except TxConflictError as e:
+                last_err = e
+                for rel in added:  # unstage the aborted attempt's files
+                    try:
+                        os.remove(os.path.join(self.path, rel))
+                    except OSError:
+                        pass
+                continue
+        raise TxConflictError(f"copy_into kept losing races: {last_err}")
 
     def vacuum(
         self,

@@ -449,3 +449,47 @@ def test_identity_invariants_random_dml_fuzz(spark, tmp_path):
         for k, uid in explicit.items():
             if k in snap:
                 assert snap[k] == uid
+
+
+def test_widening_chain_with_interleaved_writes(spark, tmp_path):
+    """A full widening chain — smallint -> int -> long -> decimal(22,2) ->
+    decimal(25,4) — with an append at every narrowness level: the final
+    read must equal every batch upcast to the final type (files keep
+    their era's physical type; the reader and the write boundary upcast),
+    and time travel replays each era under its own type."""
+    from decimal import Decimal
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 10)], "k int, v smallint"))
+    types_seen = {}
+    chain = [
+        ("int", [(2, 1000)]),
+        ("bigint", [(3, 2**40)]),
+        ("decimal(22,2)", [(4, Decimal(2**40 + 1))]),
+        ("decimal(25,4)", [(5, Decimal(7))]),
+    ]
+    for dtype, rows in chain:
+        types_seen[t.version()] = dict(t.read().dtypes)["v"]
+        t.widen_column_type("v", dtype)
+        # a producer speaking the new era's type (the narrow-producer
+        # upcast is covered by test_widen_int_to_long_zero_io)
+        t.append(
+            spark.createDataFrame(rows, f"k int, v {dtype}")
+        )
+    assert dict(t.read().dtypes)["v"] == "decimal(25,4)"
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {
+        1: Decimal("10.0000"),
+        2: Decimal("1000.0000"),
+        3: Decimal(2**40).quantize(Decimal("0.0001")),
+        4: Decimal(2**40 + 1).quantize(Decimal("0.0001")),
+        5: Decimal("7.0000"),
+    }
+    # every era time-travels under its own logged type
+    for v, dt in types_seen.items():
+        assert dict(t.read(as_of=v).dtypes)["v"] == dt
+    # DML + compact across the fully-mixed physical layouts
+    t.update_where([("k", "==", 1)], {"v": "CAST(11 AS DECIMAL(25,4))"})
+    t.compact(target_files=1)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[1] == Decimal("11.0000") and len(got) == 5

@@ -1,0 +1,124 @@
+"""FSCK REPAIR TABLE + COPY INTO (two published Delta operational
+statements on txlog): log-vs-storage repair and idempotent bulk file
+loading with a log-persisted loaded-file set."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+
+def _df(spark, rows, schema="k int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# -- FSCK --------------------------------------------------------------------
+
+
+def test_fsck_repairs_manually_deleted_file(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]).coalesce(1))
+    t.append(_df(spark, [(2, "b")]).coalesce(1))
+    t.append(_df(spark, [(3, "c")]).coalesce(1))
+    victim = sorted(t.snapshot()[1])[1]
+    os.remove(os.path.join(t.path, victim))
+    with pytest.raises(Exception):
+        t.read().collect()  # log references a gone file: unreadable
+    rep = t.fsck(dry_run=True)
+    assert rep["missing_files"] == [victim]
+    with pytest.raises(Exception):
+        t.read().collect()  # dry run changed nothing
+    rep = t.fsck()
+    assert rep["missing_files"] == [victim]
+    ks = sorted(r.k for r in t.read().collect())
+    assert len(ks) == 2 and t.history()[-1]["op"] == "fsck"
+    assert t.fsck() == {
+        "missing_files": [], "missing_dv_files": [], "version": t.version()
+    }
+
+
+def test_fsck_drops_missing_dv_file(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]).coalesce(1))
+    t.delete_where([("k", "==", 3)], mode="dv")
+    dvs = t._active_dvs()
+    os.remove(os.path.join(t.path, dvs[0]))
+    rep = t.fsck()
+    assert rep["missing_dv_files"] == dvs
+    # the DV's deletions resurface (the vector is gone) — table readable
+    assert sorted(r.k for r in t.read().collect()) == list(range(10))
+
+
+# -- COPY INTO ---------------------------------------------------------------
+
+
+def _write_src(spark, path, ks):
+    _df(spark, [(k, f"v{k}") for k in ks]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+
+
+def test_copy_into_idempotent_across_reruns(spark, tmp_path):
+    src1 = _write_src(spark, str(tmp_path / "src1"), [1, 2])
+    src2 = _write_src(spark, str(tmp_path / "src2"), [3])
+    t = TxTable(spark, str(tmp_path / "t"))
+    r = t.copy_into(src1)
+    assert r["loaded_files"] == len(src1)
+    assert t.copy_into(src1)["loaded_files"] == 0  # re-run: no-op
+    r = t.copy_into(src1 + src2)  # only the NEW file loads
+    assert r["loaded_files"] == len(src2)
+    assert sorted(x.k for x in t.read().collect()) == [1, 2, 3]
+    # the loaded set survives a fresh handle + checkpoint
+    t.write_checkpoint()
+    t2 = TxTable(spark, t.path)
+    assert t2.copy_into(src1 + src2)["loaded_files"] == 0
+
+
+def test_copy_into_applies_write_contracts(spark, tmp_path):
+    src = _write_src(spark, str(tmp_path / "src"), [5])
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.add_column("tag", "string")
+    t.set_column_default("tag", "'copied'")
+    t.copy_into(src)
+    got = {r.k: r.tag for r in t.read().collect()}
+    assert got == {1: None, 5: "copied"}
+    with pytest.raises(ValueError, match="parquet\\|ndjson"):
+        t.copy_into(src, fmt="csv")
+
+
+def test_copy_into_sql_and_fsck_sql(spark, tmp_path):
+    from mb_crdb_cdc_dlgen2_synapse_spark.engine import Engine
+
+    nd = str(tmp_path / "nd")
+    os.makedirs(nd)
+    with open(os.path.join(nd, "a.json"), "w") as f:
+        f.write('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+    t = TxTable(spark, str(tmp_path / "t"))
+    eng = Engine(spark)
+    tabs = {"t": str(tmp_path / "t")}
+    r = eng.ddl(
+        f"COPY INTO t FROM '{nd}/*.json' FILEFORMAT = NDJSON", tabs
+    )
+    assert r["loaded_files"] == 1
+    r = eng.ddl(
+        f"COPY INTO t FROM '{nd}/*.json' FILEFORMAT = NDJSON", tabs
+    )
+    assert r["loaded_files"] == 0
+    assert t.count_rows() == 2
+    victim = t.snapshot()[1][0]
+    os.remove(os.path.join(t.path, victim))
+    rep = eng.ddl("FSCK REPAIR TABLE t DRY RUN", tabs)
+    assert rep["missing_files"] == [victim]
+    rep = eng.ddl("FSCK REPAIR TABLE t", tabs)
+    assert rep["missing_files"] == [victim]
+    assert t.count_rows() == 0
