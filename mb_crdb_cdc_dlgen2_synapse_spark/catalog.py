@@ -7484,3 +7484,48 @@ def tx_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(
         predicates=[("o_custkey", ">=", 50), ("o_custkey", "<", 120)]
     )
+
+
+@register(
+    "tx_copy_into_idempotent",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey % 3 = 0 OR o_orderkey % 3 = 1
+    """,
+    "S7,T8",
+)
+def tx_copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO end to end (the published Delta statement): two source
+    parquet drops (orderkey%3==0, then %3==1) load through
+    ``copy_into``; the first drop is then RE-COPIED alongside the second
+    — the log-persisted loaded-file set must make the re-run a provable
+    no-op (loaded_files == 0 asserted in-query: a double load would
+    double the rows and break the hash). A final FSCK dry-run confirms
+    log/storage agreement. The oracle is the plain union of both
+    slices — exactly-once loading is the thing being hashed."""
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_copy_into")
+    src = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    p1, p2 = os.path.join(tmp, "drop1"), os.path.join(tmp, "drop2")
+    src.filter(F.col("o_orderkey") % 3 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p1)
+    src.filter(F.col("o_orderkey") % 3 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p2)
+
+    def parts(p):
+        return [
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        ]
+
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    r1 = t.copy_into(parts(p1))
+    assert r1["loaded_files"] >= 1
+    r2 = t.copy_into(parts(p1) + parts(p2))
+    assert r2["loaded_files"] == len(parts(p2)), "re-copy must skip drop1"
+    r3 = t.copy_into(parts(p1) + parts(p2))
+    assert r3["loaded_files"] == 0, "full re-run must be a no-op"
+    assert t.fsck(dry_run=True)["missing_files"] == []
+    return t.read()
