@@ -94,6 +94,9 @@ HEADLINE = [
     "tx_identity_defaults",        # identity + defaults + type widening
     "substring_dedup_stats",       # ExactSubstr-style span coverage
     "bpe_tokenize_invariants",     # learned-BPE train + distributed encode
+    "tx_trigram_substring_search", # ngrambf substring file skipping
+    "tx_hilbert_clustering",       # Hilbert-curve compact + pruned read
+    "tx_copy_into_idempotent",     # COPY INTO exactly-once loading
 ]
 
 
