@@ -2815,6 +2815,18 @@ class TxTable:
             bl = dict(state["bloom"])
             bl[new] = bl.pop(old)
             extra["bloom"] = bl
+        if old in state["defaults"]:
+            # the fill contract follows the logical name (a stale key
+            # would silently stop filling after the rename)
+            d = dict(state["defaults"])
+            d[new] = d.pop(old)
+            extra["defaults"] = d
+        if old in state["identity"]:
+            # identity resolution follows too — a stale key would make
+            # virtual rows read NULL (the rule filters on schema names)
+            ident = {k: dict(v) for k, v in state["identity"].items()}
+            ident[new] = ident.pop(old)
+            extra["identity"] = ident
         return self._commit(
             [], lambda active: [], new_schema, None, "rename_column", extra=extra,
             base=(state["version"], state["schema"]),

@@ -493,3 +493,28 @@ def test_widening_chain_with_interleaved_writes(spark, tmp_path):
     t.compact(target_files=1)
     got = {r.k: r.v for r in t.read().collect()}
     assert got[1] == Decimal("11.0000") and len(got) == 5
+
+
+def test_rename_migrates_default_and_identity_rules(spark, tmp_path):
+    """The cross-feature interaction the interleave fuzz hunts, pinned
+    directly: renaming a defaulted column moves the fill contract, and
+    renaming an identity column keeps its virtual resolution working —
+    stale map keys would silently drop both."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_column_default("v", "'dflt'")
+    t.set_identity_column("uid", start=5, step=1)
+    before = {r.k: r.uid for r in t.read().collect()}
+    t.rename_column("v", "payload")
+    t.rename_column("uid", "row_uid")
+    assert t.column_defaults() == {"payload": "'dflt'"}
+    assert "row_uid" in t.identity_columns()
+    t.append(spark.createDataFrame([(2,)], "k int"))
+    got = {r.k: (r.payload, r.row_uid) for r in t.read().collect()}
+    assert got[2][0] == "dflt"          # fill survived the rename
+    assert got[1][1] == before[1]       # existing identity stable
+    assert got[2][1] not in before.values() and got[2][1] is not None
+    with pytest.raises(ValueError, match="ALWAYS"):
+        t.append(
+            spark.createDataFrame([(3, "x", 9)], "k int, payload string, row_uid long")
+        )
