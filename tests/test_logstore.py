@@ -438,3 +438,34 @@ def test_objstore_orphan_blob_sweep(tmp_path):
     assert json.loads(store.read_text(str(log / "a.json"))) == {"v": 1}
     assert json.loads(store.read_text(str(log / "b.json"))) == {"v": 2}
     assert store.sweep_orphan_blobs(str(log)) == 0
+
+
+def test_round6_features_through_every_store(spark, tmp_path, store):
+    """Session-2 metadata features route through the LogStore seam like
+    everything else: defaults + identity + widening + COPY INTO + FSCK
+    over each backend, with a checkpoint crossing in the middle."""
+    import os
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "t"), log_store=store)
+    t.append(_df(spark, [(1, "a")]))
+    t.set_column_default("v", "'dflt'")
+    t.set_identity_column("uid", start=10, step=2)
+    t.widen_column_type("k", "bigint")
+    src = str(tmp_path / "src")
+    _df(spark, [(2, "b")]).coalesce(1).write.mode("overwrite").parquet(src)
+    parts = [
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    ]
+    assert t.copy_into(parts)["loaded_files"] == 1
+    t.write_checkpoint()
+    t2 = TxTable(spark, t.path, log_store=store)
+    assert t2.copy_into(parts)["loaded_files"] == 0  # loaded set survived
+    assert t2.column_defaults() == {"v": "'dflt'"}
+    t2.append(spark.createDataFrame([(3,)], "k long"))
+    got = {r.k: (r.v, r.uid) for r in t2.read().collect()}
+    assert got[3][0] == "dflt"
+    uids = [u for _v, u in got.values()]
+    assert None not in uids and len(set(uids)) == 3
+    assert t2.fsck(dry_run=True)["missing_files"] == []
