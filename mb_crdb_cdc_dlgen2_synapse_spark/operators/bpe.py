@@ -19,8 +19,9 @@ Why this split is the 100 TB design:
   nothing driver-side scales with the data.
 
 Determinism: merge selection breaks count ties lexicographically, so the
-same corpus always learns the same rules; the classic ``aaabdaaabac``
-fixture in tests pins the hand-computed merge sequence.
+same corpus always learns the same rules; tests pin the paper's worked
+example ({low:5, lower:2, newest:6, widest:3} -> (e,s), (es,t),
+(est,</w>), ...) and a hand-computed tie-break case.
 """
 
 from __future__ import annotations
