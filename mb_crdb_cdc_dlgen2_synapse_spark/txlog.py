@@ -4849,6 +4849,76 @@ class TxTable:
         )
         return out
 
+    def orphan_sweep(
+        self, dry_run: bool = False, grace_seconds: float = 3600.0
+    ) -> dict:
+        """The storage-side dual of ``fsck``: delete DATA/DV files on disk
+        that NO resolvable snapshot references (residue of crashed writers
+        — a process killed between staging its files under the table root
+        and winning the commit leaves them forever; vacuum never touches
+        them because vacuum reasons from the log). Never a log operation:
+        the log is already correct, storage has extra bytes.
+
+        Safety is the ``grace_seconds`` mtime window (Delta VACUUM's
+        uncommitted-file rule): a file younger than the grace period may
+        belong to an IN-FLIGHT write whose commit hasn't landed yet —
+        deleting it would corrupt that commit — so young orphans are
+        reported but kept. Referenced = the union over every resolvable
+        version (oldest checkpoint through head), so time travel is
+        untouched. The in-progress ``_staging`` area and the log dir are
+        never scanned."""
+        import time as _time
+
+        commits, ckpts = self._list_log()
+        versions = sorted(set(commits) | set(ckpts))
+        referenced: set[str] = set()
+        base = min(ckpts) if ckpts else 0
+        for v in versions:
+            if v < base:
+                continue
+            try:
+                s = self._state(v)
+            except (FileNotFoundError, ValueError):
+                continue
+            referenced |= set(s["active"])
+            referenced |= set(s["dvs"])
+        now = _time.time()
+        orphans: list[str] = []
+        young: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(self.path):
+            rel_dir = os.path.relpath(dirpath, self.path)
+            top = rel_dir.split(os.sep)[0]
+            if top in (_LOG_DIR, _STAGING):
+                dirnames[:] = []
+                continue
+            for name in filenames:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.normpath(os.path.join(rel_dir, name))
+                if rel.startswith("." + os.sep):
+                    rel = rel[2:]
+                if rel in referenced:
+                    continue
+                full = os.path.join(dirpath, name)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue  # vanished concurrently
+                if age < grace_seconds:
+                    young.append(rel)
+                    continue
+                orphans.append(rel)
+                if not dry_run:
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
+        return {
+            "removed" if not dry_run else "would_remove": sorted(orphans),
+            "kept_in_grace": sorted(young),
+            "referenced": len(referenced),
+        }
+
     def copy_into(
         self,
         paths: list[str],

@@ -122,3 +122,56 @@ def test_copy_into_sql_and_fsck_sql(spark, tmp_path):
     rep = eng.ddl("FSCK REPAIR TABLE t", tabs)
     assert rep["missing_files"] == [victim]
     assert t.count_rows() == 0
+
+
+# -- orphan sweep (the storage-side dual) ------------------------------------
+
+
+def test_orphan_sweep_removes_crash_residue_only(spark, tmp_path):
+    import shutil
+    import time
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]).coalesce(1))
+    v0_files = set(t.snapshot()[1])
+    t.append(_df(spark, [(2, "b")]).coalesce(1))
+    # simulate a crashed writer: a staged-then-abandoned file under the
+    # table root (old mtime) and a FRESH one (in-flight, must be kept)
+    old_orphan = os.path.join(t.path, "part-dead-beef.c000.parquet")
+    shutil.copy(
+        os.path.join(t.path, sorted(t.snapshot()[1])[0]), old_orphan
+    )
+    os.utime(old_orphan, (time.time() - 7200, time.time() - 7200))
+    fresh_orphan = os.path.join(t.path, "part-fresh-0000.c000.parquet")
+    shutil.copy(
+        os.path.join(t.path, sorted(t.snapshot()[1])[0]), fresh_orphan
+    )
+    rep = t.orphan_sweep(dry_run=True)
+    assert rep["would_remove"] == ["part-dead-beef.c000.parquet"]
+    assert rep["kept_in_grace"] == ["part-fresh-0000.c000.parquet"]
+    assert os.path.exists(old_orphan)  # dry run deleted nothing
+    rep = t.orphan_sweep()
+    assert rep["removed"] == ["part-dead-beef.c000.parquet"]
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(fresh_orphan)  # grace window protected it
+    # every referenced file of every version survived: time travel intact
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    assert sorted(r.k for r in t.read(as_of=0).collect()) == [1]
+    assert v0_files <= set(t.snapshot()[1]) | v0_files
+
+
+def test_orphan_sweep_respects_historical_snapshots(spark, tmp_path):
+    import time
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]).coalesce(1))
+    t.overwrite(_df(spark, [(2, "b")]).coalesce(1))
+    # the overwritten v0 file is UNREFERENCED by head but referenced by
+    # v0 — the sweep must keep it (vacuum, not the sweep, reclaims it)
+    for dirpath, _d, files in os.walk(t.path):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            os.utime(p, (time.time() - 7200, time.time() - 7200))
+    rep = t.orphan_sweep()
+    assert rep["removed"] == []
+    assert sorted(r.k for r in t.read(as_of=0).collect()) == [1]
