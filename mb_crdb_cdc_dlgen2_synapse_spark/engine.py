@@ -384,6 +384,7 @@ class Engine:
         retain_versions: int = 2,
         vacuum_now: bool = True,
         retain_hours: float | None = None,
+        sweep_orphans: bool = False,
     ) -> dict:
         """One-call table maintenance for a txlog table — the job a
         production pipeline schedules on a cadence next to its streaming
@@ -411,8 +412,13 @@ class Engine:
             if vacuum_now
             else 0
         )
-        return {
+        out = {
             "compacted": compacted,
             "files_deleted": deleted,
             "version": t.version(),
         }
+        if sweep_orphans:
+            # crash-residue reclaim (files no snapshot references);
+            # mtime grace inside orphan_sweep keeps in-flight stages safe
+            out["orphans_removed"] = len(t.orphan_sweep()["removed"])
+        return out
