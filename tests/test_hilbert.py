@@ -83,3 +83,22 @@ def test_compact_curve_property_and_validation(spark, tmp_path):
     t.set_properties({"clustering.curve": "hilbert"})
     t.compact(target_files=2)  # no explicit curve: property applies
     assert t.count_rows() == 100
+
+
+def test_hilbert_compact_preserves_row_identities(spark, tmp_path):
+    """Row tracking (and therefore identity columns) must survive a
+    Hilbert relayout exactly like a Z-order one — the materialized
+    __row_id rides through the curve's repartitionByRange."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(500).select(
+            (F.col("id") % 32).alias("x"),
+            (F.col("id") * 13 % 32).alias("y"),
+            F.col("id").alias("k"),
+        )
+    )
+    t.set_identity_column("uid", start=0, step=1)
+    before = {r.k: r.uid for r in t.read().collect()}
+    t.compact(target_files=4, z_order=["x", "y"], curve="hilbert")
+    after = {r.k: r.uid for r in t.read().collect()}
+    assert after == before
