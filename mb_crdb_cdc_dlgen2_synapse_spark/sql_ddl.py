@@ -18,6 +18,8 @@ switcher never needs the Python API for day-2 operations:
     ALTER TABLE t ADD COLUMN uid BIGINT GENERATED ALWAYS AS IDENTITY
         (START WITH 100 INCREMENT BY 5)
     OPTIMIZE t [ZORDER BY (c1, c2)]
+    REORG TABLE t APPLY (PURGE)
+    CREATE TABLE c SHALLOW CLONE t [VERSION AS OF 3]
     FSCK REPAIR TABLE t [DRY RUN]
     COPY INTO t FROM '/loads/*.parquet' [FILEFORMAT = PARQUET|NDJSON]
     VACUUM t [RETAIN 168 HOURS]
@@ -273,6 +275,34 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
         v = t(m.group(1)).compact(z_order=z, predicates=preds)
         return {"version": v}
 
+    # REORG TABLE t APPLY (PURGE): Delta's DV-purge rewrite — compact()
+    # already applies deletion vectors before writing, so the rewrite IS
+    # the purge (plain coalesce layout; clustering policy still applies
+    # through compact's defaults)
+    m = re.fullmatch(
+        rf"(?is)REORG\s+TABLE\s+({_IDENT})\s+APPLY\s*\(\s*PURGE\s*\)", stmt
+    )
+    if m:
+        tbl = t(m.group(1))
+        v = tbl.compact(target_files=max(1, len(tbl.snapshot()[1])))
+        return {"version": v}
+
+    m = re.fullmatch(
+        rf"(?is)CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?",
+        stmt,
+    )
+    if m:
+        if m.group(1) not in tables:
+            raise ValueError(
+                f"unknown clone target {m.group(1)!r}: map a directory for "
+                "it in the tables dict first"
+            )
+        src = t(m.group(2))
+        as_of = int(m.group(3)) if m.group(3) else None
+        src.clone_to(tables[m.group(1)], as_of=as_of)
+        return {"version": 0}
+
     m = re.fullmatch(
         rf"(?is)VACUUM\s+({_IDENT})"
         r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?",
@@ -481,6 +511,7 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
         "(RENAME/ADD/DROP COLUMN, ALTER COLUMN SET/DROP DEFAULT, ALTER "
         "COLUMN TYPE, ADD COLUMN ... GENERATED AS IDENTITY, SET/UNSET "
         "TBLPROPERTIES, ADD/DROP CONSTRAINT), OPTIMIZE [ZORDER BY], "
+        "REORG TABLE ... APPLY (PURGE), CREATE TABLE ... SHALLOW CLONE, "
         "FSCK REPAIR TABLE, COPY INTO ... FROM, VACUUM [RETAIN n HOURS], "
         "RESTORE TO VERSION/TIMESTAMP AS OF, DESCRIBE DETAIL/HISTORY, "
         "CREATE TABLE ... AS SELECT, INSERT INTO ... SELECT/VALUES, "

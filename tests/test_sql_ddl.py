@@ -392,3 +392,21 @@ def test_alter_column_default_type_identity_sql_forms(spark, eng, tmp_path):
     t2.append(spark.createDataFrame([(2, "b", 77)], "k int, v string, uid long"))
     got = {r.k: r.uid for r in t2.read().collect()}
     assert got[2] == 77 and got[1] is not None
+
+
+def test_reorg_purge_and_shallow_clone_sql(spark, eng, tmp_path):
+    tabs = {"t": str(tmp_path / "t"), "c": str(tmp_path / "c")}
+    t = _mk(spark, tabs["t"])
+    t.delete_where([("k", "==", 2)], mode="dv")
+    assert t._active_dvs()  # DV present
+    eng.ddl("REORG TABLE t APPLY (PURGE)", tabs)
+    t2 = TxTable(spark, tabs["t"])
+    assert not t2._active_dvs()  # purged into the rewrite
+    assert sorted(r.k for r in t2.read().collect()) == [1, 30]
+
+    eng.ddl("CREATE TABLE c SHALLOW CLONE t", tabs)
+    c = TxTable(spark, tabs["c"])
+    assert sorted(r.k for r in c.read().collect()) == [1, 30]
+    # clone is independent: source DML does not leak in
+    t2.delete_where([("k", "==", 1)])
+    assert sorted(r.k for r in c.read().collect()) == [1, 30]
