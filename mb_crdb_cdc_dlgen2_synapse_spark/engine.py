@@ -43,6 +43,7 @@ class Engine:
         query: str,
         tables_map: dict[str, str],
         as_of: dict[str, int | str] | None = None,
+        changes: dict[str, tuple[int | None, int | None]] | None = None,
     ) -> DataFrame:
         """Spark SQL over txlog-table SNAPSHOTS: each {view: table_dir}
         entry registers one snapshot-consistent temp view (resolved once,
@@ -51,7 +52,15 @@ class Engine:
         analog pointed at the transactional lake zone instead of raw
         files. ``as_of`` pins named views to a VERSION (int) or a UTC
         TIMESTAMP string (``"2026-01-01T00:00:00Z"``) — SQL time travel,
-        Delta's ``VERSION AS OF`` / ``TIMESTAMP AS OF``."""
+        Delta's ``VERSION AS OF`` / ``TIMESTAMP AS OF``.
+
+        ``changes`` registers CHANGE-FEED views on top — Databricks'
+        ``table_changes('t', from, to)`` TVF as a view named
+        ``<name>__changes``: ``changes={"t": (2, None)}`` exposes ``t``'s
+        row images committed AFTER version 2 through head (``read_changes``
+        semantics) with the CDF columns (``_change_type``,
+        ``_commit_version``), so a SQL consumer builds incremental
+        pipelines without the Python API."""
         from .txlog import TxTable
 
         as_of = as_of or {}
@@ -66,6 +75,20 @@ class Engine:
                 else t.read(as_of_ts=pin)
             )
             df.createOrReplaceTempView(name)
+        for name, (from_v, to_v) in (changes or {}).items():
+            if name not in tables_map:
+                raise ValueError(
+                    f"changes view {name!r} needs a tables_map entry"
+                )
+            if not isinstance(from_v, int):
+                raise ValueError(
+                    f"changes[{name!r}]: from_version must be an int "
+                    "(the version the consumer last processed)"
+                )
+            t = TxTable(self.spark, tables_map[name])
+            t.read_changes(
+                from_version=from_v, to_version=to_v
+            ).createOrReplaceTempView(f"{name}__changes")
         return self.spark.sql(query)
 
     def ddl(self, statement: str, tables_map: dict[str, str]):

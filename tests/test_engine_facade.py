@@ -178,3 +178,34 @@ def test_sql_tx_queries_snapshot_views(spark, tmp_path):
     )
     r = df.collect()[0]
     assert (r.n, r.mk) == (2, 2)
+
+
+def test_sql_tx_changes_views(spark, tmp_path):
+    """table_changes-as-a-view: a SQL consumer reads the CDF with plain
+    SQL over <name>__changes, snapshot + feed in one query."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.engine import Engine
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    eng = Engine(spark)
+    d = str(tmp_path / "t")
+    t = TxTable(spark, d)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    v0 = t.version()
+    t.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+    t.delete_where([("k", "==", 1)])
+    got = eng.sql_tx(
+        """
+        SELECT _change_type AS ct, k FROM t__changes ORDER BY k, ct
+        """,
+        {"t": d},
+        changes={"t": (v0, None)},
+    ).collect()
+    assert [(r.ct, r.k) for r in got] == [("delete", 1), ("insert", 3)]
+    # snapshot view still registered alongside
+    assert eng.sql_tx("SELECT COUNT(*) AS n FROM t", {"t": d}).collect()[0].n == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tables_map entry"):
+        eng.sql_tx("SELECT 1", {"t": d}, changes={"u": (0, None)})
+    with _pytest.raises(ValueError, match="from_version"):
+        eng.sql_tx("SELECT 1", {"t": d}, changes={"t": (None, None)})
