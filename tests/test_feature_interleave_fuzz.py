@@ -41,7 +41,7 @@ def _model_content(model):
     ), cols
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("seed", [11, 23, 47, 5, 83])
 def test_cross_feature_interleave(spark, tmp_path, seed):
     rng = random.Random(seed)
     t = TxTable(spark, str(tmp_path / f"t{seed}"))
@@ -62,16 +62,63 @@ def test_cross_feature_interleave(spark, tmp_path, seed):
         # the string column may have been renamed
         return "payload" if "payload" in model["cols"] else "v"
 
-    for step in range(22):
+    for step in range(26):
         op = rng.choice(
             [
                 "append", "append_subset", "default", "drop_default",
                 "widen", "rename", "check_cycle", "update", "delete",
-                "compact", "restore",
+                "compact", "restore", "copy", "append_only_cycle",
+                "trigram_index", "fsck_audit",
             ]
         )
         try:
-            if op == "append":
+            if op == "copy":
+                # COPY INTO an externally-staged file: the loaded-file set
+                # must make re-runs of earlier drops no-ops even amid the
+                # other features (schema-conformant: k-only, defaults fill)
+                k = next_k
+                next_k += 1
+                src = str(tmp_path / f"src{seed}_{k}")
+                spark.createDataFrame([(k,)], "k int").coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(src)
+                import os as _os
+
+                parts = [
+                    _os.path.join(src, f)
+                    for f in _os.listdir(src)
+                    if f.endswith(".parquet")
+                ]
+                r = t.copy_into(parts)
+                assert r["loaded_files"] == len(parts)
+                assert t.copy_into(parts)["loaded_files"] == 0
+                row = {"k": k}
+                for c, expr in model["defaults"].items():
+                    row[c] = expr
+                model["rows"].append(row)
+                snapshots[t.version()] = copy.deepcopy(model)
+                continue  # two commits happened; snapshot taken, verify below
+            if op == "append_only_cycle":
+                t.set_properties({"appendOnly": "true"})
+                for blocked in (
+                    lambda: t.delete_where([("k", "==", 0)]),
+                    lambda: t.overwrite(
+                        spark.createDataFrame([(0,)], "k int")
+                    ),
+                ):
+                    try:
+                        blocked()
+                        raise AssertionError("appendOnly did not block")
+                    except ValueError:
+                        pass
+                t.set_properties({"appendOnly": None})
+            elif op == "trigram_index":
+                t.set_bloom_index([vcol()], bits=4096, mode="trigram")
+            elif op == "fsck_audit":
+                rep = t.fsck(dry_run=True)
+                assert rep["missing_files"] == []
+                assert t.orphan_sweep(dry_run=True)["would_remove"] == []
+            elif op == "append":
                 k = next_k
                 next_k += 1
                 amt = rng.randrange(1, 1000)
