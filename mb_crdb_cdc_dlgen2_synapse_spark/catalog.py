@@ -5740,6 +5740,54 @@ def tx_generated_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "tx_partition_evolution",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+    "S7,S5,P9",
+)
+def tx_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution end-to-end (txlog.set_partitioning — Iceberg's
+    published spec-evolution design; Delta fixes partitioning at
+    creation): orders land in THREE eras under three different specs —
+    unpartitioned, PARTITION FIELD o_orderstatus (via the SQL form), then
+    (o_orderstatus, o_year) — with zero rewrites between eras. The final
+    read filters on o_orderstatus only: era-2/3 files prune by their hive
+    paths, era-1 files by footer min/max, and the result must equal the
+    plain relational answer regardless of which era each row landed in
+    (layout pruning across eras asserted in
+    tests/test_partition_evolution.py; this gate pins value correctness
+    through the mixed-layout path)."""
+    from .engine import Engine
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_part_evo")
+    path = os.path.join(tmp, "table")
+    t = TxTable(spark, path)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 0))       # era 1
+    Engine(spark).ddl(
+        "ALTER TABLE t ADD PARTITION FIELD o_orderstatus", {"t": path}
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))       # era 2
+    t.set_partitioning(["o_orderstatus", "o_year"])
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 2))       # era 3
+    return t.read(predicates=[("o_orderstatus", "==", "F")]).select(
+        "o_orderkey", "o_orderpriority", "o_year", "price"
+    )
+
+
+@register(
     "tx_row_tracking",
     """
     SELECT o_orderkey,

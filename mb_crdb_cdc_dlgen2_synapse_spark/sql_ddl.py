@@ -17,6 +17,8 @@ switcher never needs the Python API for day-2 operations:
     ALTER TABLE t ALTER COLUMN k TYPE bigint        (type widening)
     ALTER TABLE t ADD COLUMN uid BIGINT GENERATED ALWAYS AS IDENTITY
         (START WITH 100 INCREMENT BY 5)
+    ALTER TABLE t ADD PARTITION FIELD day    (Iceberg partition evolution)
+    ALTER TABLE t DROP PARTITION FIELD day
     OPTIMIZE t [ZORDER BY (c1, c2)]
     REORG TABLE t APPLY (PURGE)
     CREATE TABLE c SHALLOW CLONE t [VERSION AS OF 3]
@@ -137,6 +139,34 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
                 f"unknown table {name!r}: known tables are {sorted(tables)}"
             )
         return TxTable(spark, tables[name])
+
+    # -- ALTER TABLE ... ADD/DROP PARTITION FIELD (Iceberg's published
+    # partition-evolution statements) --------------------------------------
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+PARTITION\s+FIELD\s+"
+        rf"({_IDENT})",
+        stmt,
+    )
+    if m:
+        tbl = t(m.group(1))
+        cur = tbl.partitioning()
+        if m.group(2) in cur:
+            return tbl.version()  # idempotent, like Iceberg
+        return tbl.set_partitioning(cur + [m.group(2)])
+
+    m = re.fullmatch(
+        rf"(?is)ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+PARTITION\s+FIELD\s+"
+        rf"({_IDENT})",
+        stmt,
+    )
+    if m:
+        tbl = t(m.group(1))
+        cur = tbl.partitioning()
+        if m.group(2) not in cur:
+            raise ValueError(
+                f"{m.group(2)!r} is not in the partition spec ({cur})"
+            )
+        return tbl.set_partitioning([c for c in cur if c != m.group(2)])
 
     # -- ALTER TABLE ... RENAME COLUMN (incl. dotted nested paths) ---------
     m = re.fullmatch(

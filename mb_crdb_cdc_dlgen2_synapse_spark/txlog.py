@@ -1159,7 +1159,7 @@ class TxTable:
             "rowtrack": {"enabled": False, "hwm": 0},
             "defaults": {},
             "identity": {},
-            "copied": [],
+            "copied": {},
             "utc": None,
         }
 
@@ -1206,9 +1206,11 @@ class TxTable:
         if c.get("identity") is not None:
             state["identity"] = {k: dict(v) for k, v in c["identity"].items()}
         if c.get("copied_add"):
-            state["copied"] = state["copied"] + [
-                f for f in c["copied_add"] if f not in set(state["copied"])
-            ]
+            # path -> load timestamp (a re-load after expiry refreshes it)
+            copied = dict(state["copied"])
+            for f in c["copied_add"]:
+                copied[f] = c.get("utc")
+            state["copied"] = copied
         for rel, b in (c.get("rowid_assign") or {}).items():
             # enable-time backfill: existing active files get their base
             # row ids without being re-added
@@ -1320,7 +1322,13 @@ class TxTable:
                 "identity": {
                     k: dict(v) for k, v in (ck.get("identity") or {}).items()
                 },
-                "copied": list(ck.get("copied") or []),
+                "copied": (
+                    # legacy checkpoints stored a bare path list (no load
+                    # times): keep those entries forever (conservative)
+                    {p: None for p in ck["copied"]}
+                    if isinstance(ck.get("copied"), list)
+                    else dict(ck.get("copied") or {})
+                ),
                 "utc": ck.get("utc"),
             }
         else:
@@ -1358,7 +1366,7 @@ class TxTable:
             "rowtrack": dict(s["rowtrack"]),
             "defaults": dict(s["defaults"]),
             "identity": {k: dict(v) for k, v in s["identity"].items()},
-            "copied": list(s["copied"]),
+            "copied": dict(s["copied"]),
             "utc": s["utc"],
         }
 
@@ -1478,7 +1486,9 @@ class TxTable:
             "rowtrack": s["rowtrack"],
             "defaults": s["defaults"],
             "identity": s["identity"],
-            "copied": s["copied"],
+            # load-metadata expiry happens HERE: checkpoints are where the
+            # set would otherwise compound across the table's whole life
+            "copied": self._retained_copied(s),
             "utc": s["utc"],
         }
         target = os.path.join(self.path, _LOG_DIR, f"{v:020d}{_CKPT_SUFFIX}")
@@ -1587,6 +1597,54 @@ class TxTable:
             extra={"clustering": list(cols)},
             base=(state["version"], schema),
         )
+
+    def partitioning(self, as_of: int | None = None) -> list[str]:
+        """The table's declared partition spec — LOGICAL column names new
+        writes lay files out under (see ``set_partitioning``)."""
+        spec = self._state(as_of)["props"].get("partitioning.cols")
+        return [c for c in spec.split(",") if c] if spec else []
+
+    def set_partitioning(self, cols: list[str] | None) -> int:
+        """PARTITION EVOLUTION (Iceberg's published spec-evolution design;
+        Delta fixes partitioning at table creation): declare the table's
+        partition spec as METADATA. Writes from now on lay their files out
+        under the new spec; files already written keep their old layout
+        forever; readers prune BOTH eras because file skipping is per-file
+        (each file's own hive path + footer stats decide, never a global
+        layout) — so evolving the spec moves zero bytes at any table size.
+        At 100 TB this is the difference between a fleet-week of rewrite
+        and one metadata commit when the query pattern shifts (e.g. daily
+        -> hourly partitions, or adding a tenant dimension).
+
+        ``cols`` may name plain or GENERATED columns (hidden partitioning:
+        declare ``day GENERATED ALWAYS AS (to_date(ts))``, then partition
+        on ``day`` — raw-``ts`` predicates still prune via
+        ``_derived_predicates``). ``None``/``[]`` drops the spec (new
+        writes land unpartitioned). Explicit ``partition_by=`` arguments
+        on individual writes still override per call."""
+        state = self._state()
+        if state["schema"] is None:
+            raise ValueError("declare partitioning after the first write")
+        names = T.StructType.fromJson(json.loads(state["schema"])).fieldNames()
+        for c in cols or []:
+            if "." in c:
+                raise ValueError(
+                    f"cannot partition by nested field {c!r}: partition "
+                    "values are file-path directories (top-level only)"
+                )
+            if c not in names:
+                raise ValueError(f"partition column {c!r} does not exist")
+        return self.set_properties(
+            {"partitioning.cols": ",".join(cols) if cols else None}
+        )
+
+    def _default_partition_by(
+        self, partition_by: list[str] | None
+    ) -> list[str] | None:
+        """A write with no explicit layout inherits the declared spec."""
+        if partition_by is not None:
+            return partition_by
+        return self.partitioning() or None
 
     def properties(self) -> dict[str, str]:
         """Active table properties ({key: value} strings — TBLPROPERTIES)."""
@@ -2640,6 +2698,12 @@ class TxTable:
             raise ValueError(f"column {name!r} does not exist")
         if len(st.fields) == 1:
             raise ValueError("cannot drop the only column")
+        if name in self.partitioning():
+            raise ValueError(
+                f"column {name!r} is in the declared partition spec: drop "
+                "it from the spec first (set_partitioning / ALTER TABLE "
+                "DROP PARTITION FIELD)"
+            )
         colmap = dict(state["colmap"])
         retired = list(state["retired"])
         retired.append(colmap.pop(name, name))
@@ -2827,6 +2891,15 @@ class TxTable:
             ident = {k: dict(v) for k, v in state["identity"].items()}
             ident[new] = ident.pop(old)
             extra["identity"] = ident
+        spec = state["props"].get("partitioning.cols")
+        if spec and old in spec.split(","):
+            # the declared partition spec speaks logical names: writes
+            # after the rename must keep laying files out by this column
+            pr = dict(state["props"])
+            pr["partitioning.cols"] = ",".join(
+                new if c == old else c for c in spec.split(",")
+            )
+            extra["props"] = pr
         return self._commit(
             [], lambda active: [], new_schema, None, "rename_column", extra=extra,
             base=(state["version"], state["schema"]),
@@ -2927,9 +3000,11 @@ class TxTable:
         txn: dict | None = None,
         merge_schema: bool = False,
     ) -> int:
-        """Atomic append; with ``txn`` a re-delivered batch is a no-op."""
+        """Atomic append; with ``txn`` a re-delivered batch is a no-op.
+        ``partition_by=None`` inherits the declared partition spec."""
         if self._txn_seen(txn):
             return self.version()
+        partition_by = self._default_partition_by(partition_by)
         self._refuse_always_identity(df, "append")
         df = self._apply_defaults(df)
         df = self._apply_generated(df)
@@ -2972,10 +3047,19 @@ class TxTable:
         if self._txn_seen(txn):
             return self.version()
         self._refuse_if_append_only("overwrite")
+        spec = self.partitioning()
+        partition_by = self._default_partition_by(partition_by)
         self._refuse_always_identity(df, "overwrite")
         df = self._apply_generated(df)
         state = self._state()
         new_names = set(df.columns)
+        # an overwrite that drops a declared-spec column from the schema
+        # ends that column's role in the spec (like defaults/identity)
+        pruned_spec: list[str] | None = None
+        if spec and any(c not in new_names for c in spec):
+            pruned_spec = [c for c in spec if c in new_names]
+            if partition_by == spec:
+                partition_by = pruned_spec or None
         # the overwrite's files are the ONLY active files afterward, so the
         # mapping reduces to: keep entries for logical names the new schema
         # retains; a new name whose identity-physical collides with a kept
@@ -2992,9 +3076,14 @@ class TxTable:
                 colmap[c] = f"{c}__p{state['version'] + 1}"
         added, stats = self._stage(df, partition_by, colmap=colmap)
         extra: dict = {"dv_reset": [], "colmap": colmap}
-        if props is not None:
+        if props is not None or pruned_spec is not None:
             cur = dict(state["props"])
-            for k, v in props.items():
+            if pruned_spec is not None:
+                if pruned_spec:
+                    cur["partitioning.cols"] = ",".join(pruned_spec)
+                else:
+                    cur.pop("partitioning.cols", None)
+            for k, v in (props or {}).items():
                 if v is None:
                     cur.pop(k, None)
                 else:
@@ -3013,7 +3102,9 @@ class TxTable:
                 for k, v in state["identity"].items()
                 if k in new_names
             }
-        meta_write = props is not None or "defaults" in extra or "identity" in extra
+        meta_write = (
+            "props" in extra or "defaults" in extra or "identity" in extra
+        )
         return self._commit(
             added, lambda active: list(active), df.schema.json(), txn, "overwrite",
             stats,
@@ -3671,6 +3762,25 @@ class TxTable:
         identity = {
             k: v for k, v in state["identity"].items() if k in logged_names
         }
+        if identity and not row_ids:
+            # fully-materialized fast path: when every active file RECORDS
+            # zero nulls for every identity column (explicit BY DEFAULT
+            # values everywhere, or every file rewritten with stored
+            # values), coalesce(stored, affine) is the stored column —
+            # skip the position-carrying scan. Metadata-only decision
+            # (logged footer stats); a file missing the column or its
+            # null count stays on the resolving path conservatively.
+            fstats = self.file_stats(as_of)
+
+            def _stored(rel: str) -> bool:
+                st = fstats.get(rel) or {}
+                if (st.get("rows") or 0) == 0:
+                    return True  # no rows, nothing to resolve
+                nulls = st.get("nulls") or {}
+                return all(nulls.get(c) == 0 for c in identity)
+
+            if all(_stored(rel) for rel in active):
+                identity = {}
         need_ids = row_ids or bool(identity)
         if not active:
             st = T.StructType.fromJson(json.loads(schema)) if schema else T.StructType([])
@@ -4435,6 +4545,39 @@ class TxTable:
             raise ValueError(
                 "row_ids=True requires enable_row_tracking() on this table"
             )
+        # Declared identity columns resolve feed-side exactly as read()
+        # resolves them (coalesce(stored, start + step * _row_id)) — a CDC
+        # consumer must see the same values a reader sees, not NULLs for
+        # virtually-assigned rows. Their presence forces the position-
+        # carrying scan even without row_ids=True (the id is dropped again
+        # before returning). Pre-declaration commits render under the
+        # range-end vocabulary like every other schema change: files the
+        # enablement backfill reached resolve to the same affine value
+        # read() shows at head; files replaced before enablement render
+        # NULL (no id ever existed for them).
+        end_names = (
+            set(
+                T.StructType.fromJson(
+                    json.loads(end_state["schema"])
+                ).fieldNames()
+            )
+            if end_state["schema"]
+            else set()
+        )
+        identity = {
+            k: v for k, v in end_state["identity"].items() if k in end_names
+        }
+        need_ids = row_ids or (
+            bool(identity) and end_state["rowtrack"].get("enabled")
+        )
+        # The enablement commit (the only op that writes ``rowid_assign``)
+        # is in-range whenever a pre-enablement commit is: it backfilled a
+        # base onto every file active at that moment, so ITS era is the
+        # earliest base map that can resolve those files' rows.
+        enable_v = min(
+            (c["version"] for c in commits if "rowid_assign" in c),
+            default=None,
+        )
         frames = []
         for c in commits:
             for relpaths, change in ((c.get("removed", []), "delete"), (c.get("added", []), "insert")):
@@ -4472,18 +4615,33 @@ class TxTable:
                 df = self._scan_files(
                     files, dvs, schema_json=end_state["schema"],
                     colmap=end_state["colmap"],
-                    keep_pos=row_ids, rowid_col=row_ids,
+                    keep_pos=need_ids, rowid_col=need_ids,
                 )
-                if row_ids:
+                if need_ids:
                     # bases resolve under the state where these files were
                     # ACTIVE: the commit itself for added, its predecessor
-                    # for removed
+                    # for removed. Commits from BEFORE row tracking was
+                    # enabled have no era bases — resolve through the
+                    # enablement era instead (the backfill reached every
+                    # file still active then; files already replaced
+                    # render NULL: no id ever existed for that file).
                     at = c["version"] if change == "insert" else c["version"] - 1
+                    ids_state = self._state(at)
+                    if not ids_state["rowtrack"].get("enabled"):
+                        ids_state = (
+                            self._state(enable_v)
+                            if enable_v is not None
+                            else end_state
+                        )
                     df = (
-                        self._attach_row_ids(df, self._state(at))
+                        self._attach_row_ids(df, ids_state)
                         .withColumnRenamed("__row_id", "_row_id")
                         .drop("__rf", "__ri")
                     )
+                    if identity:
+                        df = self._resolve_identity(df, end_state)
+                    if not row_ids:
+                        df = df.drop("_row_id")
                 frames.append(
                     df.withColumn("_change_type", F.lit(change)).withColumn(
                         "_commit_version", F.lit(c["version"])
@@ -4509,13 +4667,25 @@ class TxTable:
                 ddf = self._scan_files(
                     data_files, [], keep_pos=True,
                     schema_json=end_state["schema"], colmap=end_state["colmap"],
-                    rowid_col=row_ids,
+                    rowid_col=need_ids,
                 )
-                if row_ids:
+                if need_ids:
+                    ids_state = self._state(c["version"] - 1)
+                    if not ids_state["rowtrack"].get("enabled"):
+                        ids_state = (
+                            self._state(enable_v)
+                            if enable_v is not None
+                            else end_state
+                        )
                     ddf = self._attach_row_ids(
-                        ddf, self._state(c["version"] - 1)
+                        ddf, ids_state
                     ).withColumnRenamed("__row_id", "_row_id")
-                cols = [x for x in ddf.columns if x not in ("__rf", "__ri")]
+                    if identity:
+                        ddf = self._resolve_identity(ddf, end_state)
+                helper = {"__rf", "__ri"} | (
+                    set() if row_ids else {"_row_id"}
+                )
+                cols = [x for x in ddf.columns if x not in helper]
                 if (
                     sum(c.get("dv_counts", {}).values())
                     <= self.DV_BROADCAST_MAX_ROWS
@@ -4919,6 +5089,27 @@ class TxTable:
             "referenced": len(referenced),
         }
 
+    def _retained_copied(self, state: dict) -> dict:
+        """The loaded-file set under the table's ``copyInto.retainHours``
+        property (Snowflake's load-metadata-expiry design — its COPY INTO
+        forgets load history after 64 days): entries older than the window
+        no longer count as loaded (an expired source file re-loads) and
+        are dropped from checkpoints, so the set tracks the retention
+        window instead of growing with every file ever loaded. Without
+        the property the set is kept whole; entries with no recorded load
+        time (legacy checkpoints) are kept conservatively."""
+        hours = (state.get("props") or {}).get("copyInto.retainHours")
+        copied = state["copied"]
+        if hours is None:
+            return dict(copied)
+        cutoff = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ",
+            time.gmtime(time.time() - float(hours) * 3600),
+        )
+        return {
+            p: ts for p, ts in copied.items() if ts is None or ts >= cutoff
+        }
+
     def copy_into(
         self,
         paths: list[str],
@@ -4935,13 +5126,15 @@ class TxTable:
         Concurrent COPY INTOs of overlapping file sets are safe: the
         commit aborts when a racing commit moved the loaded set
         (``copied_add`` is a metadata key) and the retry re-reads it —
-        the raced file loads exactly once."""
+        the raced file loads exactly once. The ``copyInto.retainHours``
+        table property bounds the set's growth (load-metadata expiry,
+        see ``_retained_copied``)."""
         if fmt not in ("parquet", "ndjson"):
             raise ValueError(f"copy_into fmt must be parquet|ndjson, got {fmt!r}")
         last_err: Exception | None = None
         for _ in range(10):
             state = self._state()
-            seen = set(state["copied"])
+            seen = set(self._retained_copied(state))
             new = sorted({os.path.abspath(p) for p in paths} - seen)
             if not new:
                 return {"loaded_files": 0, "version": state["version"]}
@@ -4954,7 +5147,9 @@ class TxTable:
             df = self._apply_generated(df)
             df = self._widen_incoming(df)
             self._check_schema(df, merge_schema)
-            added, stats = self._stage(df, None)
+            # loaded rows land under the declared partition spec like any
+            # other write (bulk backfill must not break the table layout)
+            added, stats = self._stage(df, self._default_partition_by(None))
             try:
                 v = self._commit(
                     added, lambda active: [], self._union_schema_json(df),

@@ -184,6 +184,80 @@ def test_identity_time_travel_and_row_ids_compose(spark, tmp_path):
     assert r.uid == r._row_id  # start=0 step=1 is the identity map
 
 
+def test_identity_resolves_in_change_feed(spark, tmp_path):
+    """A CDC consumer sees the same identity values read() shows — the
+    feed resolves coalesce(stored, affine(_row_id)) itself instead of
+    rendering NULL for virtually-assigned rows (and drops the internal
+    _row_id again unless row_ids=True was asked for)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.set_identity_column("uid", start=100, step=5)
+    v_decl = t.version()
+    t.append(_df(spark, [(3, "c")]))
+    t.update_where([("k", "==", 2)], {"v": "'patched'"})
+    head = {r.k: r.uid for r in t.read().collect()}
+    feed_df = t.read_changes(v_decl)
+    assert "_row_id" not in feed_df.columns
+    feed = feed_df.collect()
+    ins = {r.k: r.uid for r in feed if r._change_type == "insert"}
+    dels = {r.k: r.uid for r in feed if r._change_type == "delete"}
+    assert ins[3] == head[3]
+    assert ins[2] == head[2] and dels[2] == head[2]  # rewrite pair agrees
+    # a DV (merge-on-read) delete image resolves too
+    t.delete_where([("k", "==", 1)], mode="dv")
+    dv_del = [
+        r for r in t.read_changes(t.version() - 1).collect()
+        if r._change_type == "delete"
+    ]
+    assert [r.uid for r in dv_del] == [head[1]]
+    # pre-declaration commits render under the end vocabulary: rows in
+    # files the enablement backfill reached resolve to head's values
+    full = t.read_changes(-1).collect()
+    first_ins = {
+        r.k: r.uid for r in full
+        if r._change_type == "insert" and r._commit_version == 0
+    }
+    assert first_ins == {1: head[1], 2: head[2]}
+    # update-pair classification sees resolved values on both images
+    pairs = t.read_update_pairs(v_decl).collect()
+    pre = [r for r in pairs if r._change_type == "update_preimage"]
+    assert pre and all(r.uid == head[r.k] for r in pre)
+
+
+def test_identity_fully_stored_skips_resolution_scan(spark, tmp_path):
+    """When every active file records zero nulls for every identity column
+    (explicit BY DEFAULT values everywhere), read() skips the position-
+    carrying resolution scan — a metadata-only decision from logged footer
+    stats. A single file with a virtually-assigned row brings it back."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_identity_column("uid", always=False)
+    # the declaration-era file stores NO uid: resolution required
+    t.append(spark.createDataFrame([(2, "b", 500)], "k int, v string, uid long"))
+
+    def boom(*a, **kw):  # trip if the resolving path is taken
+        raise AssertionError("resolution scan should have been skipped")
+
+    got = {r.k: r.uid for r in t.read().collect()}  # mixed: resolves fine
+    assert got[2] == 500 and got[1] is not None
+    # rewrite everything with stored values: overwrite with explicit uids
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 1000), (2, "b", 1001)], "k int, v string, uid long"
+        )
+    )
+    t._attach_row_ids = boom
+    assert {r.k: r.uid for r in t.read().collect()} == {1: 1000, 2: 1001}
+    # row_ids=True still resolves (and therefore scans)
+    with pytest.raises(AssertionError, match="skipped"):
+        t.read(row_ids=True).collect()
+    del t._attach_row_ids
+    # one omitted-value append re-engages the resolving path
+    t.append(_df(spark, [(3, "c")]))
+    got = {r.k: r.uid for r in t.read().collect()}
+    assert got[3] is not None and got[3] not in (1000, 1001)
+
+
 def test_identity_refuses_existing_column_and_zero_step(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, [(1, "a")]))

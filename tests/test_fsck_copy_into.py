@@ -175,3 +175,62 @@ def test_orphan_sweep_respects_historical_snapshots(spark, tmp_path):
     rep = t.orphan_sweep()
     assert rep["removed"] == []
     assert sorted(r.k for r in t.read(as_of=0).collect()) == [1]
+
+
+def _backdate_copy(t: TxTable, versions, hours_ago: float) -> None:
+    """Rewrite logged commit timestamps in place (test-only: emulates
+    loads made in the past for the load-metadata-expiry contract)."""
+    import json
+    import time as _time
+
+    old = _time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", _time.gmtime(_time.time() - hours_ago * 3600)
+    )
+    for v in versions:
+        p = t._log_path(v)
+        with open(p) as fh:
+            c = json.load(fh)
+        c["utc"] = old
+        with open(p, "w") as fh:
+            json.dump(c, fh)
+
+
+def test_copy_into_load_metadata_expiry(spark, tmp_path):
+    """Snowflake-style load-metadata expiry: with copyInto.retainHours
+    set, a load older than the window stops counting as loaded (the file
+    re-loads) and checkpoints drop the expired entries, so the set stops
+    growing with total files ever loaded."""
+    src1 = _write_src(spark, str(tmp_path / "src1"), [1, 2])
+    src2 = _write_src(spark, str(tmp_path / "src2"), [3])
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.copy_into(src1)
+    v_load1 = t.version()
+    t.set_properties({"copyInto.retainHours": "24"})
+    # within the window: still idempotent
+    assert t.copy_into(src1)["loaded_files"] == 0
+    _backdate_copy(t, [v_load1], hours_ago=48)
+    fresh = TxTable(spark, t.path)  # caches must not hide the backdate
+    # expired entries no longer block a re-load (Snowflake's contract:
+    # after expiry COPY INTO may load the file again)
+    r = fresh.copy_into(src1 + src2)
+    assert r["loaded_files"] == len(src1) + len(src2)
+    # and checkpoints shed the expired identities: backdate everything,
+    # checkpoint, and check the persisted set is empty
+    fresh2 = TxTable(spark, t.path)
+    _backdate_copy(fresh2, range(fresh2.version() + 1), hours_ago=48)
+    fresh3 = TxTable(spark, t.path)
+    fresh3.write_checkpoint()
+    import json as _json
+
+    ck = sorted(
+        f for f in os.listdir(os.path.join(t.path, "_txlog"))
+        if f.endswith(".checkpoint.json")
+    )[-1]
+    with open(os.path.join(t.path, "_txlog", ck)) as fh:
+        persisted = _json.load(fh)["copied"]
+    assert persisted == {}
+    # without the property nothing ever expires
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.copy_into(src1)
+    _backdate_copy(t2, [t2.version()], hours_ago=9999)
+    assert TxTable(spark, t2.path).copy_into(src1)["loaded_files"] == 0
