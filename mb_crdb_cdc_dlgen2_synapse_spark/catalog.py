@@ -7386,18 +7386,20 @@ def tx_identity_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     "X5,X6",
 )
 def media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG decode, value-asserted: deterministic clip-free
-    gradient images (gray/RGB, quality 85-95, some 4:2:0-subsampled, some
-    restart-marked) are ENCODED and DECODED by the pure stdlib+numpy
-    baseline codec (operators/codecs.encode_jpeg/decode_jpeg — DCT +
-    canonical Huffman, table-driven), and the gate emits the decoded
-    shape plus ``mean_ok`` = |decoded mean - closed-form true mean| < 2.0
-    (JPEG is lossy per pixel, but gradient means survive quantization
-    well inside that bound — a broken Huffman/IDCT path lands nowhere
+    """REAL JPEG decode, value-asserted: deterministic clip-free gradient
+    images (gray/RGB, quality 85-95, some 4:2:0-subsampled, some
+    restart-marked, every seventh PROGRESSIVE/SOF2) are ENCODED and
+    DECODED by the pure stdlib+numpy codec
+    (operators/codecs.encode_jpeg[_progressive]/decode_jpeg — DCT +
+    canonical Huffman, table-driven, multi-scan successive approximation
+    per T.81 Annex G), and the gate emits the decoded shape plus
+    ``mean_ok`` = |decoded mean - closed-form true mean| < 2.0 (JPEG is
+    lossy per pixel, but gradient means survive quantization well inside
+    that bound — a broken Huffman/IDCT/refinement path lands nowhere
     near it). The oracle knows the shapes in closed form and expects
     mean_ok TRUE everywhere: decode values are inside the hash, not just
-    row counts. JPEG moves off the 'honestly refused' list; H.264 and
-    progressive JPEG remain external."""
+    row counts. Baseline AND progressive JPEG are off the 'honestly
+    refused' list; H.264 remains external."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.synthetic_jpeg_media(docs, limit=300)
     decoded = multimodal.decode_image_real(media)

@@ -129,17 +129,18 @@ IMAGE_DECODE_SCHEMA = T.StructType(
 
 
 def decode_image_real(media: DataFrame) -> DataFrame:
-    """REAL image decode — no longer a stub for PNG or baseline JPEG: the
+    """REAL image decode — no longer a stub for PNG or JPEG: the
     pure-stdlib codecs (operators/codecs.decode_png — zlib + numpy, all
-    five row filters; operators/codecs.decode_jpeg — table-driven baseline
-    Huffman + IDCT, any sampling factors, restart markers) decode
-    ``image/png`` / ``image/jpeg`` payloads inside the Arrow-batched
-    ``mapInPandas`` stage and emit shape + pixel statistics. PNG means are
+    five row filters; operators/codecs.decode_jpeg — table-driven
+    Huffman + IDCT, baseline SOF0 AND progressive SOF2 multi-scan, any
+    sampling factors, restart markers) decode ``image/png`` /
+    ``image/jpeg`` payloads inside the Arrow-batched ``mapInPandas``
+    stage and emit shape + pixel statistics. PNG means are
     exact-in-float64 (lossless codec, integer pixel sums < 2^53) and
     value-oracle-able against a closed-form SQL twin; JPEG shape is exact
     and means land within the quantization error bound the gate asserts.
-    Other mimes (H.264, progressive JPEG, ...) raise NotImplementedError
-    at the same per-batch point — the honest boundary."""
+    Other mimes (H.264, ...) raise NotImplementedError at the same
+    per-batch point — the honest boundary."""
     from . import codecs
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -155,8 +156,8 @@ def decode_image_real(media: DataFrame) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"decode for mime {mime!r} needs an external codec "
-                        "(PIL/ffmpeg); image/png and baseline image/jpeg "
-                        "decode stdlib-pure"
+                        "(PIL/ffmpeg); image/png and image/jpeg (baseline "
+                        "+ progressive) decode stdlib-pure"
                     )
                 rows.append(
                     (
@@ -240,8 +241,9 @@ def synthetic_png_media(documents: DataFrame, limit: int = 300) -> DataFrame:
     251 — a closed form BOTH engines can aggregate, which is what makes
     the decode stage value-oracle-able (mean over exact integer sums).
     Encoding runs in the same Arrow-batched stage shape as decoding, with
-    the PNG row filter cycling over all five types by doc_id so the
-    decoder's every unfilter path is exercised in the gate itself."""
+    the PNG row filter cycling over all five types by doc_id — and every
+    sixth image Adam7-INTERLACED — so the decoder's every unfilter path
+    and the interlace scatter are exercised in the gate itself."""
     from . import codecs
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -253,7 +255,11 @@ def synthetic_png_media(documents: DataFrame, limit: int = 300) -> DataFrame:
                 y, x = np.mgrid[0:h, 0:w]
                 arr = ((x + y + int(did)) % 251).astype(np.uint8)
                 payloads.append(
-                    codecs.encode_png(arr, filter_type=int(did) % 5)
+                    codecs.encode_png(
+                        arr,
+                        filter_type=int(did) % 5,
+                        interlace=int(did) % 6 == 0,
+                    )
                 )
             yield pd.DataFrame(
                 {
@@ -294,9 +300,11 @@ def synthetic_jpeg_media(documents: DataFrame, limit: int = 300) -> DataFrame:
     for odd), so the TRUE pixel mean is closed-form SQL — which is what
     lets the decode gate assert VALUE accuracy (|decoded - true| under
     the quantization bound) with a DuckDB oracle, not just shapes.
-    Quality cycles 85/90/95; every third image is 4:2:0 subsampled and
-    every fifth carries restart markers, so the gate exercises the
-    decoder's upsampling and RST paths in every run."""
+    Quality cycles 85/90/95; every third image is 4:2:0 subsampled, every
+    fifth carries restart markers, and every SEVENTH is encoded
+    PROGRESSIVE (SOF2, libjpeg's standard scan script) — so the gate
+    exercises the decoder's upsampling, RST, and multi-scan successive-
+    approximation paths in every run."""
     from . import codecs
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -314,14 +322,23 @@ def synthetic_jpeg_media(documents: DataFrame, limit: int = 300) -> DataFrame:
                     arr = np.stack(
                         [base, base + 40, base + 80], axis=2
                     ).astype(np.uint8)
-                payloads.append(
-                    codecs.encode_jpeg(
-                        arr,
-                        quality=(85, 90, 95)[did % 3],
-                        subsample=did % 3 == 0 and did % 2 == 1,
-                        restart_interval=2 if did % 5 == 0 else 0,
+                if did % 7 == 0:
+                    payloads.append(
+                        codecs.encode_jpeg_progressive(
+                            arr,
+                            quality=(85, 90, 95)[did % 3],
+                            subsample=did % 3 == 0 and did % 2 == 1,
+                        )
                     )
-                )
+                else:
+                    payloads.append(
+                        codecs.encode_jpeg(
+                            arr,
+                            quality=(85, 90, 95)[did % 3],
+                            subsample=did % 3 == 0 and did % 2 == 1,
+                            restart_interval=2 if did % 5 == 0 else 0,
+                        )
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],

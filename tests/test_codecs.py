@@ -41,19 +41,20 @@ def test_png_tiny_and_gradient_images():
 def test_png_refusals():
     with pytest.raises(ValueError, match="signature"):
         codecs.decode_png(b"GIF89a not a png")
-    # 16-bit decodes for real now (see the 16-bit tests); interlace is
-    # the remaining honest refusal
+    # 16-bit and Adam7 interlace decode for real now (see their tests);
+    # sub-8-bit palette depth is the remaining honest refusal
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # Adam7 flag
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)  # 4-bit palette
     fake = (
         b"\x89PNG\r\n\x1a\n"
         + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"PLTE", b"\x00" * 6)
         + codecs._chunk(b"IDAT", zlib.compress(b"\x00" * 6))
         + codecs._chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(NotImplementedError, match="palette PNG bit depth"):
         codecs.decode_png(fake)
 
 
@@ -179,11 +180,12 @@ def test_jpeg_saturated_color_q90_exact_for_constants():
 def test_jpeg_refusals():
     with pytest.raises(ValueError, match="SOI"):
         codecs.decode_jpeg(b"not a jpeg")
-    # forge a progressive (SOF2) frame header: must refuse, not mis-decode
+    # forge a lossless (SOF3) frame header: must refuse, not mis-decode
+    # (SOF2 progressive now DECODES — see test_jpeg_progressive.py)
     data = bytearray(codecs.encode_jpeg(np.zeros((8, 8), np.uint8)))
     idx = data.find(b"\xff\xc0")
-    data[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    data[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF3"):
         codecs.decode_jpeg(bytes(data))
 
 
@@ -282,3 +284,48 @@ def test_png_remaining_refusals():
     data[24] = 4
     with pytest.raises(NotImplementedError, match="palette PNG bit depth"):
         codecs.decode_png(bytes(data))
+
+
+# -- Adam7 interlace ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_adam7_roundtrip_all_filters(filter_type):
+    rng = np.random.default_rng(31 + filter_type)
+    for shape in [(16, 16, 3), (17, 23, 4), (5, 3, 1), (1, 1, 2), (9, 40, 3)]:
+        h, w, c = shape
+        arr = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        data = codecs.encode_png(arr, filter_type, interlace=True)
+        # IHDR interlace byte set, and decode equals the plain encoding
+        assert data[8 + 8 + 12] == 1  # 13th IHDR byte
+        got = codecs.decode_png(data)
+        assert np.array_equal(got, arr.reshape(h, w, c))
+        assert np.array_equal(
+            got, codecs.decode_png(codecs.encode_png(arr, filter_type))
+        )
+
+
+def test_png_adam7_small_images_skip_empty_passes():
+    """Images narrower/shorter than the pass offsets leave several Adam7
+    passes empty (zero bytes in the stream) — the scatter must still
+    reassemble exactly."""
+    rng = np.random.default_rng(77)
+    for h, w in [(1, 9), (2, 2), (3, 1), (7, 5), (8, 1)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = codecs.decode_png(codecs.encode_png(arr, 4, interlace=True))
+        assert np.array_equal(got, arr)
+
+
+def test_png_adam7_16bit_and_palette():
+    rng = np.random.default_rng(13)
+    a16 = rng.integers(0, 65536, (11, 14, 3), dtype=np.uint16)
+    got16 = codecs.decode_png(codecs.encode_png16(a16, 2, interlace=True))
+    assert got16.dtype == np.uint16 and np.array_equal(got16, a16)
+    idx = rng.integers(0, 5, (12, 10), dtype=np.uint8)
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    trns = np.array([255, 128, 0, 255, 7], np.uint8)
+    got = codecs.decode_png(
+        codecs.encode_png_palette(idx, pal, trns, 3, interlace=True)
+    )
+    assert np.array_equal(got[:, :, :3], pal[idx])
+    assert np.array_equal(got[:, :, 3], trns[idx])

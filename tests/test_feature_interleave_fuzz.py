@@ -68,7 +68,7 @@ def test_cross_feature_interleave(spark, tmp_path, seed):
                 "append", "append_subset", "default", "drop_default",
                 "widen", "rename", "check_cycle", "update", "delete",
                 "compact", "restore", "copy", "append_only_cycle",
-                "trigram_index", "fsck_audit",
+                "trigram_index", "fsck_audit", "partition_spec",
             ]
         )
         try:
@@ -112,6 +112,15 @@ def test_cross_feature_interleave(spark, tmp_path, seed):
                     except ValueError:
                         pass
                 t.set_properties({"appendOnly": None})
+            elif op == "partition_spec":
+                # partition EVOLUTION is layout-only: content (and the
+                # model) must be invariant under any spec change, and
+                # every later write/DML/compact must keep working over
+                # the era mix. NULL spec values land under the hive
+                # default partition and must read back as NULL. A rename
+                # of the spec column must migrate the spec (a stale name
+                # would blow up the next append's partitionBy loudly).
+                t.set_partitioning(rng.choice([[], ["k"], [vcol()]]))
             elif op == "trigram_index":
                 t.set_bloom_index([vcol()], bits=4096, mode="trigram")
             elif op == "fsck_audit":
