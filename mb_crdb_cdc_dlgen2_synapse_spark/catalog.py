@@ -66,21 +66,27 @@ def register(name: str, oracle: str | None, survey_ref: str):
 # window remain declared and are verified locally (tests/test_oracle_parity.py
 # + scripts/driver_replica.py at sf0.01 and sf0.1).
 _DRIVER_PRIORITY: list[str] = [
-    # ---- ROUND-6 ROTATION (VERDICT r5 items 1+2): complete the registry
-    # certification. The 5 round-5 queries that landed after the r5 window
-    # closed (tx_row_tracking, tx_sql_ddl, tx_nested_rename,
-    # tx_cdf_update_pairs, tx_generated_partition_pruning) enter, plus
-    # doc_chunks_udtf so X6 is hash-certified in-window again; 6 entries
-    # demoted (all r1-r5 driver-recorded: the legitimately-rows-only
-    # approx/float family approx_distinct_priority, sketch_distinct_rollup,
-    # sketch_price_quantiles, knn_ivf_probe, kmeans_cluster_sizes,
-    # knn_cosine_arrow — their ids keep full-hash co-certifiers in-window,
-    # checked by set cover). Additionally this round the four streaming
-    # twins (tumbling/session/dedup/latest-state-dv) and tx_time_travel
-    # carry NEW full DuckDB oracles (VERDICT item 2), so A6/T4/T5 certify
+    # ---- ROUND-6 ROTATION, final (sessions 1-3). Session 1 (VERDICT r5
+    # items 1+2): the 5 round-5 stragglers (tx_row_tracking, tx_sql_ddl,
+    # tx_nested_rename, tx_cdf_update_pairs, tx_generated_partition_pruning)
+    # + doc_chunks_udtf entered; the rows-only approx/float family left.
+    # The four streaming twins (tumbling/session/dedup/latest-state-dv) and
+    # tx_time_travel carry NEW full DuckDB oracles, so A6/T4/T5 certify
     # full-hash in-window for the first time; S2/S8 stay rows-only by
-    # design as always (cdc_streaming_pipeline).
-    # keepers (14) — minimal id cover
+    # design (cdc_streaming_pipeline). Session 3: the 12 oracled queries
+    # landed later in round 6 with no driver row yet enter
+    # (media_png/jpeg_decode, tx_partition_evolution, the substring-dedup
+    # trio, tx_identity_defaults, bpe_tokenize_invariants,
+    # tx_trigram_substring_search, tx_hilbert_clustering,
+    # tx_copy_into_idempotent, streaming_tx_source); 12 r1-r5-hash-green or
+    # rows-only-by-design entries leave (case_when_bucketing,
+    # salted_priority_stats, nullsafe_grouping, deterministic_sample,
+    # price_histogram, regexp_extract_brand, inline_lookup_join,
+    # array_ops_showcase, doc_bigram_counts, quality_filter_funnel,
+    # approx_percentiles_price, streaming_distinct_sketch). All 52 §2 ids
+    # keep >=1 certifying in-window row — asserted by
+    # tests/test_oracle_parity.py's window-coverage check.
+    # keepers — minimal id cover
     "flagship_cdc_city_revenue",   # S1,S4,P1,P2,P3,A2
     "flagship_silver_lake",        # S3,S6
     "cdc_streaming_pipeline",      # S2,S8 rows-only by design
@@ -100,20 +106,9 @@ _DRIVER_PRIORITY: list[str] = [
     "tx_metadata_counts",          # S7,P9,A3
     "tx_bloom_point_lookup",       # S7,S5,P9
     "tx_properties_autocompact",   # S7,T8
-    "case_when_bucketing",         # P9,A2
-    "salted_priority_stats",       # A1,A2
-    "nullsafe_grouping",           # P9,A2
-    "deterministic_sample",        # P9
-    "price_histogram",             # A2,P7
-    "regexp_extract_brand",        # P5,A2
-    "inline_lookup_join",          # J2,P9
-    "array_ops_showcase",          # P8
     "props_variant_stats",         # P1,P8,A3
-    "approx_percentiles_price",    # A3,A4 rows-only
-    "doc_bigram_counts",           # X4
     "doc_pii_redaction",           # X4,P5
     "doc_quality_classifier",      # X4,P5,A1
-    "quality_filter_funnel",       # X4,A1,P9
     "dsir_importance_weights",     # X4,A1,J1
     "rag_overlap_chunks",          # X4,P5,P8
     "corpus_source_mix",           # X4,P9,J2
@@ -125,14 +120,26 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_latest_state_dv",   # T6,T7,T8,J5 — NEW full oracle
     "streaming_session_window",    # T5,T3,A6 — NEW full oracle
     "streaming_tumbling_rollup",   # T4,A6,T1 — NEW full oracle
-    "streaming_distinct_sketch",   # A4,A6,T1,T8 rows-only
-    # round-6 promotions — the last never-driver-recorded queries
+    # round-6 session-1 promotions — the round-5 stragglers
     "tx_row_tracking",             # S7,T8
     "tx_sql_ddl",                  # S7,T8,P9
     "tx_nested_rename",            # S7,T8
     "tx_cdf_update_pairs",         # S2,T7,S7
     "tx_generated_partition_pruning",  # S7,P6,P9
     "doc_chunks_udtf",             # X6,P5 — X6 hash-certified in-window
+    # round-6 session-3 promotions — session-1/2 queries, first driver row
+    "media_png_decode",            # X5,X6 — real PNG decode, value-asserted
+    "media_jpeg_decode",           # X5,X6 — real JPEG decode
+    "tx_partition_evolution",      # S7,S5,P9
+    "substring_dup_spans",         # X1,X4,W2
+    "substring_dedup_stats",       # X1,X4,A1
+    "substring_dedup_trimmed",     # X1,X4,Q4
+    "tx_identity_defaults",        # S7,T8
+    "bpe_tokenize_invariants",     # X4,X6
+    "tx_trigram_substring_search", # S7,P5,P9
+    "tx_hilbert_clustering",       # S7,Q1,P9
+    "tx_copy_into_idempotent",     # S7,T8
+    "streaming_tx_source",         # S1,T1,T8,S7 — txlog Structured Streaming source
 ]
 
 
@@ -5037,6 +5044,84 @@ def streaming_neardedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .read()
         .select("doc_id", "content_hash")
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "streaming_tx_source",
+    # Deterministic full oracle: the silver table is exactly the bronze
+    # rows (orders with o_orderkey < 3000) that pass the stream's filter,
+    # delivered exactly once across two stream runs (initial snapshot of
+    # commits v0+v1, then the tail commit v3 — the v2 compaction is
+    # dataChange=false and must be skipped). Counts + exact decimal sums
+    # are order-independent.
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderkey < 3000 AND o_totalprice > 1000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "S1,T1,T8,S7",
+)
+def streaming_tx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-logged table as a Structured Streaming SOURCE
+    (streaming/source.py — the Delta streaming-source design on PySpark's
+    Python Data Source API): bronze orders land in two append commits,
+    stream run 1 serves the initial snapshot into a silver txlog table
+    (exactly-once txn markers), the bronze table then COMPACTS (a
+    dataChange=false commit the source must skip) and receives a third
+    append, and stream run 2 over the SAME checkpoint serves only that
+    tail commit. Result = silver revenue by priority; any re-read or lost
+    commit breaks the oracle."""
+    from .streaming.source import register_tx_source
+    from .txlog import TxTable, stream_to_tx_table
+
+    register_tx_source(spark)
+    tmp = _scratch("tx_source")
+    bronze_p = os.path.join(tmp, "bronze")
+    silver_p = os.path.join(tmp, "silver")
+    ckpt = os.path.join(tmp, "ckpt")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bronze = TxTable(spark, bronze_p)
+    bronze.append(orders.filter(F.col("o_orderkey") < 1000))  # v0
+    bronze.append(
+        orders.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+    )  # v1
+
+    def run():
+        stream = (
+            spark.readStream.format("txtable").option("path", bronze_p).load()
+        )
+        q = stream_to_tx_table(
+            stream.filter(F.col("o_totalprice") > 1000),
+            silver_p,
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(300)
+
+    run()  # snapshot: v0+v1
+    bronze.compact()  # v2: dataChange=false — skipped, never re-served
+    bronze.append(
+        orders.filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000))
+    )  # v3
+    run()  # tail: v3 only
+    from .functions.numeric import exact_sum
+
+    return (
+        TxTable(spark, silver_p)
+        .read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 

@@ -183,6 +183,21 @@ class Engine:
 
         return read_latest_state_tx(self.spark, table_dir)
 
+    def read_tx_stream(self, table_dir: str, **options) -> DataFrame:
+        """A txlog table as a Structured Streaming SOURCE (the Delta
+        streaming-source design): initial snapshot + exactly-once commit
+        tailing. Options (same vocabulary as Delta's): ``startingVersion``
+        (int | "latest"), ``maxFilesPerTrigger``, ``skipChangeCommits``,
+        ``ignoreChanges``. Chain tables with ``stream_to_tx_table`` for an
+        end-to-end exactly-once bronze -> silver pipeline."""
+        from .streaming.source import register_tx_source
+
+        register_tx_source(self.spark)
+        reader = self.spark.readStream.format("txtable").option("path", table_dir)
+        for k, v in options.items():
+            reader = reader.option(k, str(v))
+        return reader.load()
+
     # -- LLM-data-pipeline surface -------------------------------------------
     def dedup_clusters(self, documents: DataFrame, pairs: DataFrame, **kw) -> DataFrame:
         """Candidate pairs -> connected-component cluster per doc."""

@@ -8,6 +8,7 @@ from .ingest import (
     read_latest_state_tx,
     stream_to_lake,
 )
+from .source import TxStreamDataSource, register_tx_source
 from .windows import sliding_counts, tumbling_revenue, session_windows
 
 __all__ = [
@@ -19,6 +20,8 @@ __all__ = [
     "read_latest_state",
     "read_latest_state_tx",
     "stream_to_lake",
+    "TxStreamDataSource",
+    "register_tx_source",
     "sliding_counts",
     "tumbling_revenue",
     "session_windows",
