@@ -5126,6 +5126,147 @@ def streaming_tx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_tx_cdf",
+    # Deterministic full oracle: the streamed change feed of a known DML
+    # history — v1 (a merge-on-read DELETE of o_orderkey < 500) must
+    # render exactly those rows as delete images, v2 (an append of
+    # 1200 <= o_orderkey < 1400) exactly those as insert images; the
+    # snapshot (v0) is before startingVersion=1 and must NOT appear.
+    """
+    SELECT 'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey < 300
+    UNION ALL
+    SELECT 'insert', CAST(2 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+    FROM orders WHERE o_orderkey >= 1200 AND o_orderkey < 1400
+    ORDER BY _change_type
+    """,
+    "S1,S2,T1,T7,S7",
+)
+def streaming_tx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed as a STREAM (streaming/source.py
+    ``readChangeFeed=true`` — Delta's CDF streaming option): a txlog
+    orders table takes a DV delete then an append; the stream serves each
+    commit's row-level change images (delete/insert + _change_type/
+    _commit_version) incrementally with checkpointed exactly-once offsets.
+    Returns per-(change_type, version) counts and exact revenue sums of
+    the streamed feed — any phantom, lost, or duplicated change image
+    breaks the oracle."""
+    from .streaming.source import register_tx_source
+    from .txlog import TxTable
+
+    register_tx_source(spark)
+    tmp = _scratch("tx_cdf")
+    bronze_p = os.path.join(tmp, "bronze")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bronze = TxTable(spark, bronze_p)
+    bronze.append(orders.filter(F.col("o_orderkey") < 1200))  # v0
+    bronze.delete_where([("o_orderkey", "<", 300)], mode="dv")  # v1
+    bronze.append(
+        orders.filter((F.col("o_orderkey") >= 1200) & (F.col("o_orderkey") < 1400))
+    )  # v2
+    out = os.path.join(tmp, "feed")
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", bronze_p)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from .functions.numeric import exact_sum
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+@register(
+    "tx_symlink_manifest",
+    # Deterministic full oracle: the manifest-published snapshot after a
+    # CoW delete + compaction is exactly orders with 300 <= o_orderkey
+    # < 1500 — read back EXTERNALLY (raw parquet via the manifest's URI
+    # list + hive partition dirs, never the transaction log), so a stale,
+    # missing, or extra manifest entry breaks the counts/sums.
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderkey >= 300 AND o_orderkey < 1500
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "S7,S5,P9,T8",
+)
+def tx_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATE symlink_format_manifest (txlog.generate_manifest + the SQL
+    statement): a partitioned txlog table takes a CoW delete and a
+    compaction, publishes its manifest, and the query reads the data back
+    the way an EXTERNAL engine (Presto/Trino/Synapse serverless — the
+    reference's serving tier) would: the manifest's file: URI lists under
+    ``_symlink_format_manifest/<partition>/``, raw parquet scan with hive
+    partition inference, no log access. Exactly the published Delta
+    integration contract."""
+    from .sql_ddl import execute_ddl
+    from .txlog import TxTable
+
+    tmp = _scratch("symlink_manifest")
+    tp = os.path.join(tmp, "orders_tx")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t = TxTable(spark, tp)
+    t.append(
+        orders.filter(F.col("o_orderkey") < 1500),
+        partition_by=["o_orderpriority"],
+    )
+    t.delete_where([("o_orderkey", "<", 300)], mode="cow")
+    t.compact()
+    res = execute_ddl(
+        spark,
+        "GENERATE symlink_format_manifest FOR TABLE bronze",
+        {"bronze": tp},
+    )
+    # external read: ONLY the manifest files decide what is scanned
+    manifest_paths = [os.path.join(tp, rel) for rel in res["manifests"]]
+    uris = [
+        r.value
+        for r in spark.read.text(manifest_paths).collect()
+        if r.value.strip()
+    ]
+    data = spark.read.option("basePath", tp).parquet(
+        *[u.removeprefix("file://") for u in uris]
+    )
+    from .functions.numeric import exact_sum
+
+    return (
+        data.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "quality_filter_funnel",
     """
     SELECT

@@ -198,6 +198,33 @@ class Engine:
             reader = reader.option(k, str(v))
         return reader.load()
 
+    def write_tx_stream(
+        self,
+        stream_df: DataFrame,
+        table_dir: str,
+        checkpoint_dir: str,
+        app_id: str,
+        available_now: bool = True,
+    ):
+        """A txlog table as a native Structured Streaming SINK
+        (``writeStream.format("txtable")``): executors stage Arrow batches
+        straight to parquet, the driver lands ONE txn-marked commit per
+        micro-batch — exactly-once under replays keyed by ``app_id``
+        (Delta's txnAppId contract). Plain append tables only; use
+        ``stream_to_tx_table`` for checks/generated/partitioned tables."""
+        from .streaming.source import register_tx_source
+
+        register_tx_source(self.spark)
+        w = (
+            stream_df.writeStream.format("txtable")
+            .option("path", table_dir)
+            .option("txnAppId", app_id)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
     # -- LLM-data-pipeline surface -------------------------------------------
     def dedup_clusters(self, documents: DataFrame, pairs: DataFrame, **kw) -> DataFrame:
         """Candidate pairs -> connected-component cluster per doc."""

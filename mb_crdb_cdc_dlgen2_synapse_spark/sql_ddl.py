@@ -20,6 +20,7 @@ switcher never needs the Python API for day-2 operations:
     ALTER TABLE t ADD PARTITION FIELD day    (Iceberg partition evolution)
     ALTER TABLE t DROP PARTITION FIELD day
     OPTIMIZE t [ZORDER BY (c1, c2)]
+    GENERATE symlink_format_manifest FOR TABLE t
     REORG TABLE t APPLY (PURGE)
     CREATE TABLE c SHALLOW CLONE t [VERSION AS OF 3]
     FSCK REPAIR TABLE t [DRY RUN]
@@ -305,6 +306,16 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
         v = t(m.group(1)).compact(z_order=z, predicates=preds)
         return {"version": v}
 
+    # GENERATE symlink_format_manifest FOR TABLE t: the Delta statement —
+    # publish the snapshot's active-file URI lists for external engines
+    m = re.fullmatch(
+        rf"(?is)GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+({_IDENT})",
+        stmt,
+    )
+    if m:
+        written = t(m.group(1)).generate_manifest()
+        return {"manifests": written}
+
     # REORG TABLE t APPLY (PURGE): Delta's DV-purge rewrite — compact()
     # already applies deletion vectors before writing, so the rewrite IS
     # the purge (plain coalesce layout; clustering policy still applies
@@ -541,6 +552,7 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
         "(RENAME/ADD/DROP COLUMN, ALTER COLUMN SET/DROP DEFAULT, ALTER "
         "COLUMN TYPE, ADD COLUMN ... GENERATED AS IDENTITY, SET/UNSET "
         "TBLPROPERTIES, ADD/DROP CONSTRAINT), OPTIMIZE [ZORDER BY], "
+        "GENERATE symlink_format_manifest FOR TABLE, "
         "REORG TABLE ... APPLY (PURGE), CREATE TABLE ... SHALLOW CLONE, "
         "FSCK REPAIR TABLE, COPY INTO ... FROM, VACUUM [RETAIN n HOURS], "
         "RESTORE TO VERSION/TIMESTAMP AS OF, DESCRIBE DETAIL/HISTORY, "

@@ -8,7 +8,7 @@ from .ingest import (
     read_latest_state_tx,
     stream_to_lake,
 )
-from .source import TxStreamDataSource, register_tx_source
+from .source import TxStreamDataSource, TxStreamSinkWriter, register_tx_source
 from .windows import sliding_counts, tumbling_revenue, session_windows
 
 __all__ = [
@@ -21,6 +21,7 @@ __all__ = [
     "read_latest_state_tx",
     "stream_to_lake",
     "TxStreamDataSource",
+    "TxStreamSinkWriter",
     "register_tx_source",
     "sliding_counts",
     "tumbling_revenue",

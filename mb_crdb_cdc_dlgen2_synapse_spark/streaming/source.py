@@ -33,6 +33,17 @@ Design (mirrors Delta's DeltaSource semantics, from the public docs):
   ``op="compact"`` commits (compaction / Z-order / Hilbert relayout,
   dataChange=false) are skipped automatically — logical rows unchanged.
   Schema-changing commits always fail the stream (restart required).
+- **Change feed streaming** (``readChangeFeed=true`` — Delta's CDF
+  streaming option): the stream serves row-level CHANGES instead of rows
+  — the initial snapshot as ``insert`` images, then per-commit ``delete``
+  images of removed files (DVs active at v-1 applied), ``insert`` images
+  of added files, and merge-on-read deletes' DV'd positions as ``delete``
+  images — with ``_change_type`` / ``_commit_version`` columns appended,
+  exactly the batch ``read_changes`` rendering served incrementally with
+  exactly-once offsets. Compaction commits contribute nothing
+  (dataChange=false). Identity columns resolve feed-side through each
+  file's era base map (pre-enablement eras through the enablement era,
+  batch parity).
 - **Rate limiting**: ``maxFilesPerTrigger`` caps how far
   ``latestOffset`` advances per micro-batch (admission control the way
   Delta's source does it). After a driver restart the FIRST trigger is
@@ -65,8 +76,10 @@ from typing import Iterator
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from ..txlog import TxTable, _nullable_normalized, _partition_values
@@ -83,7 +96,11 @@ def register_tx_source(spark) -> None:
 class TxFilePartition(InputPartition):
     """One data file + everything a worker needs to serve its rows under
     the stream's pinned logical schema. Plain attributes only (pickled to
-    executors)."""
+    executors). ``emit`` selects which rows of the file this partition
+    serves relative to its deletion-vector positions: ``"keep"`` = the
+    visible rows (DV'd rows filtered out), ``"dropped"`` = ONLY the DV'd
+    rows (a merge-on-read delete's deleted images). ``change_type`` /
+    ``commit_version``, when set, append as CDF constant columns."""
 
     def __init__(
         self,
@@ -95,6 +112,9 @@ class TxFilePartition(InputPartition):
         dv_paths: list,
         base_row_id,
         identity: dict,
+        emit: str = "keep",
+        change_type=None,
+        commit_version=None,
     ):
         self.path = path
         self.rel = rel
@@ -104,6 +124,9 @@ class TxFilePartition(InputPartition):
         self.dv_paths = dv_paths
         self.base_row_id = base_row_id
         self.identity = identity
+        self.emit = emit
+        self.change_type = change_type
+        self.commit_version = commit_version
 
 
 def _typed_partition_value(raw: str, dtype):
@@ -185,11 +208,33 @@ def _read_tx_file(part: TxFilePartition) -> Iterator:
                 arr = pc.coalesce(arr, pa.array(ids).cast(tt))
             cols.append(arr)
         out = pa.RecordBatch.from_arrays(cols, schema=target)
-        if dropped:
+        if part.emit == "dropped":
+            mask = pa.array(
+                [i in dropped for i in range(lo, lo + n)], type=pa.bool_()
+            )
+            out = out.filter(mask)
+        elif dropped:
             keep = pa.array(
                 [i not in dropped for i in range(lo, lo + n)], type=pa.bool_()
             )
             out = out.filter(keep)
+        if part.change_type is not None:
+            m = out.num_rows
+            ext = pa.schema(
+                list(target)
+                + [
+                    pa.field("_change_type", pa.string()),
+                    pa.field("_commit_version", pa.int64()),
+                ]
+            )
+            out = pa.RecordBatch.from_arrays(
+                out.columns
+                + [
+                    pa.array([part.change_type] * m, type=pa.string()),
+                    pa.array([part.commit_version] * m, type=pa.int64()),
+                ],
+                schema=ext,
+            )
         if out.num_rows:
             yield out
 
@@ -207,17 +252,48 @@ class TxStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft else None
         self.skip_change = str(options.get("skipchangecommits", "")).lower() == "true"
         self.ignore_changes = str(options.get("ignorechanges", "")).lower() == "true"
-        self.schema_struct = schema
-        self.schema_json = json.dumps(schema.jsonValue())
+        self.cdf = str(options.get("readchangefeed", "")).lower() == "true"
+        data_fields = [
+            f
+            for f in schema.fields
+            if not (self.cdf and f.name in ("_change_type", "_commit_version"))
+        ]
+        self.schema_struct = T.StructType(data_fields)
+        self.schema_json = json.dumps(self.schema_struct.jsonValue())
         self._norm = _nullable_normalized(self.schema_json)
         self._pos: dict | None = None
         self._base: int | None = None
         st = self.tbl._state()  # also runs the reader-feature protocol gate
+        # Commits up to the version whose schema this stream pinned render
+        # fine under the pinned end-state vocabulary (typed NULLs for
+        # later-added columns, frozen physical names across renames — the
+        # batch reader/CDF contract); only a schema change AFTER the pin
+        # forces a restart.
+        self._pin_head = st["version"]
+        # row images render under the PINNED vocabulary (batch read/CDF
+        # contract): the end mapping reads every era's frozen physical
+        # names, the end identity rules resolve every era's rows
+        self._colmap = {k: p for k, p in st["colmap"].items() if "." not in k}
+        self._identity = {k: dict(v) for k, v in st["identity"].items()}
         if any("." in k for k in st["colmap"]):
             raise ValueError(
                 "txtable streaming source does not support nested column "
                 "mapping renames yet; read this table in batch (TxTable."
                 "read) or restart the stream after flattening the renames"
+            )
+        # batch-CDF parity: pre-row-tracking eras resolve identity /
+        # _row_id bases through the ENABLEMENT era's backfilled map (the
+        # only commit carrying ``rowid_assign``) — found once, driver-side
+        self._enable_v: int | None = None
+        if self.cdf and st["rowtrack"].get("enabled"):
+            commits_map, _ = self.tbl._list_log()
+            self._enable_v = next(
+                (
+                    v
+                    for v in sorted(commits_map)
+                    if "rowid_assign" in self.tbl._read_json(commits_map[v])
+                ),
+                None,
             )
 
     # -- log walking ---------------------------------------------------------
@@ -225,36 +301,50 @@ class TxStreamReader(DataSourceStreamReader):
     def _commit(self, v: int) -> dict:
         return self.tbl._read_json(self.tbl._log_path(v))
 
-    def _serve_list(self, v: int, base: int | None) -> list[str]:
-        """Files offset coordinate ``(v, i)`` indexes into. Deterministic
-        given the immutable log + the offset's own ``base`` — replays plan
-        identical partitions."""
+    def _serve_list(self, v: int, base: int | None) -> list[tuple[str, str]]:
+        """``(rel_file, kind)`` entries offset coordinate ``(v, i)``
+        indexes into — deterministic given the immutable log + the
+        offset's own ``base``, so replays plan identical partitions.
+        Kinds: ``data`` (plain row stream), or in CDF mode
+        ``insert_snap`` / ``insert`` / ``delete`` / ``dv_delete``."""
         if base is not None and v == base:
-            return list(self.tbl._state(v)["active"])
+            kind = "insert_snap" if self.cdf else "data"
+            return [(r, kind) for r in self.tbl._state(v)["active"]]
         if v < 0:
             return []
         c = self._commit(v)
-        if c.get("schema") is not None and _nullable_normalized(
-            c["schema"]
-        ) != self._norm:
+        if v > self._pin_head and c.get("schema") is not None and (
+            _nullable_normalized(c["schema"]) != self._norm
+        ):
             raise RuntimeError(
                 f"txtable stream: commit v{v} changed the table schema; a "
                 "running stream pins its schema at start — restart the "
                 "stream to pick up the new one (Delta streaming contract)"
             )
         added = list(c.get("added") or [])
+        if c.get("op") == "compact":
+            # dataChange=false: same logical rows in new files — no rows
+            # and no changes to serve in either mode
+            return []
+        if self.cdf:
+            # the change feed: delete images of removed files, insert
+            # images of added files (a rewrite nets to its true changes
+            # downstream), DV'd positions as delete images — exactly the
+            # batch read_changes rendering, one entry per file
+            ent = [(r, "delete") for r in (c.get("removed") or [])]
+            ent += [(r, "insert") for r in added]
+            if c.get("dv_added"):
+                ent += [(f, "dv_delete") for f in sorted(c.get("dv_counts") or {})]
+            return ent
         is_change = bool(c.get("removed")) or bool(c.get("dv_added")) or (
             "dv_reset" in c
         )
         if not is_change:
-            return added  # append-shaped (or metadata-only -> [])
-        if c.get("op") == "compact":
-            # dataChange=false: same logical rows in new files — skip
-            return []
+            return [(r, "data") for r in added]  # append (or metadata -> [])
         if self.skip_change:
             return []
         if self.ignore_changes:
-            return added
+            return [(r, "data") for r in added]
         raise RuntimeError(
             f"txtable stream: commit v{v} (op={c.get('op')!r}) is a data "
             "UPDATE (removed files or deletion vectors) — a forward-only "
@@ -306,6 +396,15 @@ class TxStreamReader(DataSourceStreamReader):
         self._pos = dict(out)
         return out
 
+    def _era_stats(self, at: int) -> dict:
+        """Per-file logged stats under the state where a CDF entry's file
+        was ACTIVE; pre-row-tracking eras fall back to the enablement
+        era's backfilled base map (batch read_changes parity)."""
+        st = self.tbl._state(at) if at >= 0 else self.tbl._empty_state()
+        if not st["rowtrack"].get("enabled") and self._enable_v is not None:
+            st = self.tbl._state(self._enable_v)
+        return st["stats"]
+
     def partitions(self, start: dict, end: dict):
         self._base = start.get("base")
         self._pos = dict(end)
@@ -319,17 +418,60 @@ class TxStreamReader(DataSourceStreamReader):
             if lo >= hi:
                 continue
             st = self.tbl._state(v)
-            colmap = {k: p for k, p in st["colmap"].items() if "." not in k}
-            identity = st["identity"]
+            colmap, identity = self._colmap, self._identity
             logged_stats = st["stats"]
-            dvs = (
+            snap_dvs = (
                 [os.path.join(self.path, d) for d in st["dvs"]]
                 if (self._base is not None and v == self._base)
                 else []
             )
-            dv_files = set(st["dv_counts"]) if dvs else set()
-            for rel in lst[lo:hi]:
+            snap_dv_files = set(st["dv_counts"]) if snap_dvs else set()
+            c = self._commit(v) if (self._base is None or v != self._base) else {}
+            prev_st = prev_stats = None
+            for rel, kind in lst[lo:hi]:
                 fstat = logged_stats.get(rel) or {}
+                dvs: list = []
+                emit, change, cv = "keep", None, None
+                if kind == "data":
+                    dvs = snap_dvs if rel in snap_dv_files else []
+                elif kind == "insert_snap":
+                    dvs = snap_dvs if rel in snap_dv_files else []
+                    change, cv = "insert", v
+                elif kind == "insert":
+                    # restore commits re-add files together with the
+                    # restored snapshot's DV set (dv_reset): apply it so
+                    # rows that snapshot had deleted don't re-insert
+                    if c.get("dv_reset") and rel in st["dv_counts"]:
+                        dvs = [
+                            os.path.join(self.path, d) for d in c["dv_reset"]
+                        ]
+                    change, cv = "insert", v
+                elif kind in ("delete", "dv_delete"):
+                    if prev_st is None:
+                        prev_st = (
+                            self.tbl._state(v - 1)
+                            if v > 0
+                            else self.tbl._empty_state()
+                        )
+                        prev_stats = self._era_stats(v - 1) if self.cdf else {}
+                    if kind == "delete":
+                        # delete images = the rows VISIBLE at v-1: apply
+                        # the DVs active just before this commit
+                        if rel in prev_st["dv_counts"]:
+                            dvs = [
+                                os.path.join(self.path, d)
+                                for d in prev_st["dvs"]
+                            ]
+                    else:  # only the NEW dv positions are this change
+                        dvs = [
+                            os.path.join(self.path, d)
+                            for d in (c.get("dv_added") or [])
+                        ]
+                        emit = "dropped"
+                    fstat = prev_stats.get(rel) or {}
+                    change, cv = "delete", v
+                if self.cdf and kind == "insert":
+                    fstat = self._era_stats(v).get(rel) or fstat
                 parts.append(
                     TxFilePartition(
                         path=os.path.join(self.path, rel),
@@ -337,9 +479,12 @@ class TxStreamReader(DataSourceStreamReader):
                         schema_json=self.schema_json,
                         colmap=colmap,
                         parts=_partition_values(rel),
-                        dv_paths=dvs if rel in dv_files else [],
+                        dv_paths=dvs,
                         base_row_id=fstat.get("base_row_id"),
                         identity=identity,
+                        emit=emit,
+                        change_type=change,
+                        commit_version=cv,
                     )
                 )
         return parts or [_EmptyPartition()]
@@ -364,12 +509,188 @@ class _EmptyPartition(InputPartition):
         self.value = 0
 
 
+class _StagedSinkFile(WriterCommitMessage):
+    """One executor task's staged parquet output (rel path under the
+    table's ``_staging/``; None when the task saw no rows)."""
+
+    def __init__(self, rel):
+        self.rel = rel
+
+
+class TxStreamSinkWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("txtable")`` — a txlog table as a Structured
+    Streaming SINK with exactly-once commits, the Delta sink protocol:
+
+    - executors stream their Arrow record batches straight into staged
+      parquet files (one per task, no driver row I/O);
+    - the driver's ``commit(messages, batchId)`` moves the staged files
+      into the table and writes ONE txlog commit carrying the
+      ``{app: txnAppId, batch: batchId}`` transaction marker — a batch
+      re-delivered after a crash/restart is at-or-below the logged
+      watermark and commits nothing (idempotent replay, Delta's
+      ``txnAppId``/``txnVersion`` contract). ``txnAppId`` is REQUIRED:
+      the Python DataSource API does not expose the query id, and an
+      auto-generated id would silently downgrade restarts to
+      at-least-once.
+    - ``abort`` removes the staged files; the table never sees them.
+
+    Feature-rich tables (checks, generated/identity/default columns,
+    column mapping, partition specs) REFUSE — enforcing those needs the
+    full DataFrame write path; use ``stream_to_tx_table`` (foreachBatch)
+    there. Plain append tables — the shape of every bronze landing zone —
+    get the native-format surface."""
+
+    UNSUPPORTED = (
+        ("checks", "CHECK constraints"),
+        ("generated", "generated columns"),
+        ("identity", "identity columns"),
+        ("defaults", "column defaults"),
+        ("colmap", "column mapping"),
+    )
+
+    def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "txtable sink supports append output mode only (complete/"
+                "update rewrites belong to batch overwrite / merge_into)"
+            )
+        self.path = os.path.abspath(options["path"])
+        app = options.get("txnappid")
+        if not app:
+            raise ValueError(
+                "txtable sink requires .option('txnAppId', <stable id>) — "
+                "the idempotence key that makes batch replays after a "
+                "restart commit nothing (Delta's txnAppId contract). Use "
+                "one stable string per (checkpoint, table) pair."
+            )
+        self.app_id = str(app)
+        self.schema_json = json.dumps(schema.jsonValue())
+        self._validate(TxTable(None, self.path))
+
+    def _validate(self, tbl: TxTable) -> None:
+        st = tbl._state()
+        for key, label in self.UNSUPPORTED:
+            if st[key]:
+                raise ValueError(
+                    f"txtable sink: table at {self.path!r} declares {label}"
+                    " — enforcing them needs the DataFrame write path; use "
+                    "stream_to_tx_table (foreachBatch) for this table"
+                )
+        if st["props"].get("partitioning.cols"):
+            raise ValueError(
+                "txtable sink: partition-spec tables are not supported yet;"
+                " use stream_to_tx_table(partition_by=...)"
+            )
+        if st["schema"]:
+            tnorm = _nullable_normalized(st["schema"])
+            if tnorm != _nullable_normalized(self.schema_json):
+                table_fields = {
+                    f.name: f.dataType
+                    for f in T.StructType.fromJson(
+                        json.loads(st["schema"])
+                    ).fields
+                }
+                mine = T.StructType.fromJson(json.loads(self.schema_json))
+                if not all(
+                    f.name in table_fields
+                    and table_fields[f.name] == f.dataType
+                    for f in mine.fields
+                ):
+                    raise ValueError(
+                        "txtable sink: stream schema does not match the "
+                        "table schema (and is not a subset-compatible "
+                        "producer)"
+                    )
+
+    # -- executor side --------------------------------------------------------
+
+    def write(self, iterator) -> _StagedSinkFile:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(T.StructType.fromJson(json.loads(self.schema_json)))
+        rel = os.path.join(
+            "_staging", f"sink-{_uuid.uuid4().hex}", "part-0.parquet"
+        )
+        full = os.path.join(self.path, rel)
+        writer = None
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if batch.schema != target:
+                    batch = pa.RecordBatch.from_arrays(
+                        [
+                            batch.column(i).cast(target.field(i).type)
+                            for i in range(batch.num_columns)
+                        ],
+                        schema=target,
+                    )
+                if writer is None:
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    writer = pq.ParquetWriter(full, target)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _StagedSinkFile(rel if writer is not None else None)
+
+    # -- driver side -----------------------------------------------------------
+
+    def _cleanup(self, rels: list) -> None:
+        import shutil
+
+        for rel in rels:
+            shutil.rmtree(
+                os.path.dirname(os.path.join(self.path, rel)),
+                ignore_errors=True,
+            )
+
+    def commit(self, messages, batchId: int) -> None:
+        from ..txlog import _footer_stats
+
+        rels = [m.rel for m in messages if m is not None and m.rel]
+        tbl = TxTable(None, self.path)
+        txn = {"app": self.app_id, "batch": batchId}
+        if tbl._txn_seen(txn):
+            self._cleanup(rels)  # replayed batch: already durable
+            return
+        self._validate(tbl)  # metadata may have evolved mid-stream
+        import uuid as _uuid
+
+        added: list[str] = []
+        stats: dict[str, dict] = {}
+        for rel in rels:
+            final = f"{_uuid.uuid4().hex}.parquet"
+            src = os.path.join(self.path, rel)
+            stats[final] = _footer_stats(src)
+            os.rename(src, os.path.join(self.path, final))
+            added.append(final)
+        self._cleanup(rels)
+        st = tbl._state()
+        eff_schema = st["schema"] or self.schema_json
+        # an empty batch still commits: the txn watermark must advance or
+        # a replay after restart would re-run a later non-empty batch
+        tbl._commit(
+            added, lambda active: [], eff_schema, txn, "stream_sink",
+            stats=stats,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup([m.rel for m in messages if m is not None and m.rel])
+
+
 class TxStreamDataSource(DataSource):
     """``spark.readStream.format("txtable").option("path", p).load()``.
 
     Options: ``path`` (table root, required), ``startingVersion``
     (int | "latest"; default = initial snapshot + tail),
-    ``maxFilesPerTrigger``, ``skipChangeCommits``, ``ignoreChanges``."""
+    ``maxFilesPerTrigger``, ``skipChangeCommits``, ``ignoreChanges``,
+    ``readChangeFeed`` (serve row-level changes with ``_change_type`` /
+    ``_commit_version`` — Delta's CDF streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -383,7 +704,19 @@ class TxStreamDataSource(DataSource):
                 f"txtable source: table at {self.options['path']!r} has no "
                 "committed schema yet (write to it first)"
             )
-        return T.StructType.fromJson(json.loads(schema_json))
+        st = T.StructType.fromJson(json.loads(schema_json))
+        if str(self.options.get("readchangefeed", "")).lower() == "true":
+            st = T.StructType(
+                list(st.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            )
+        return st
 
     def streamReader(self, schema: T.StructType) -> TxStreamReader:
         return TxStreamReader(schema, dict(self.options))
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        return TxStreamSinkWriter(schema, dict(self.options), overwrite)

@@ -1663,22 +1663,37 @@ class TxTable:
         - ``manifest.partRows``    — manifest rows per checkpoint parquet
           part (multi-part checkpoint split threshold);
         - ``autoCompact.maxFiles`` / ``autoCompact.targetFiles`` — the
-          maybe_autocompact policy, read by the streaming sinks.
+          maybe_autocompact policy, read by the streaming sinks;
+        - ``manifest.autoUpdate`` — regenerate the symlink-format manifest
+          after every data-changing commit (Delta's
+          ``symlinkFormatManifest.enabled``); declaring it validates the
+          table is representable (no DVs, no column mapping) and writes
+          the initial manifest.
 
         Unrecognized keys are stored verbatim (annotations, ownership,
         pipeline tags)."""
         state = self._state()
+        if str(props.get("manifest.autoUpdate", "")).lower() == "true":
+            if state["dv_counts"] or state["colmap"]:
+                raise ValueError(
+                    "manifest.autoUpdate requires a symlink-representable "
+                    "table: no active deletion vectors (compact() first) "
+                    "and no column mapping"
+                )
         cur = dict(state["props"])
         for k, v in props.items():
             if v is None:
                 cur.pop(k, None)
             else:
                 cur[k] = str(v)
-        return self._commit(
+        v = self._commit(
             [], lambda active: [], state["schema"], None, "set_properties",
             extra={"props": cur},
             base=(state["version"], state["schema"]),
         )
+        if str(props.get("manifest.autoUpdate", "")).lower() == "true":
+            self.generate_manifest()  # initial publish
+        return v
 
     def _prop_int(self, key: str, default: int) -> int:
         v = self._state()["props"].get(key)
@@ -2499,6 +2514,26 @@ class TxTable:
             version, active, cur_schema = (
                 st_now["version"], list(st_now["active"]), st_now["schema"],
             )
+            # symlink-manifest tables refuse DV-introducing commits BEFORE
+            # committing (a post-commit manifest regeneration cannot
+            # represent DVs; refusing after the durable commit would strand
+            # external readers on a stale snapshot)
+            _eff_props = (
+                (extra or {}).get("props")
+                if (extra or {}).get("props") is not None
+                else st_now["props"]
+            )
+            if (
+                str(_eff_props.get("manifest.autoUpdate", "")).lower() == "true"
+                and extra
+                and (extra.get("dv_added") or extra.get("dv_reset"))
+            ):
+                raise ValueError(
+                    "this table publishes symlink manifests "
+                    "(manifest.autoUpdate=true): deletion-vector commits "
+                    "would desync external readers — use mode='cow' DML, "
+                    "or unset the property first"
+                )
             unknown_w = set(st_now["protocol"]["writer"]) - self.WRITER_FEATURES
             if unknown_w:
                 raise ValueError(
@@ -2601,6 +2636,22 @@ class TxTable:
                     # parquet manifest sidecar) must not make a successful
                     # commit look failed; the next interval retries
                     pass
+                # symlink-manifest auto-update (Delta's
+                # symlinkFormatManifest.enabled post-commit hook): data-
+                # changing commits regenerate so external readers follow
+                # the new snapshot; DV commits were refused up front, so
+                # this cannot raise for representability
+                eff_props = (
+                    entry["props"]
+                    if entry.get("props") is not None
+                    else st_now["props"]
+                )
+                if (
+                    str(eff_props.get("manifest.autoUpdate", "")).lower()
+                    == "true"
+                    and (entry["added"] or entry["removed"])
+                ):
+                    self.generate_manifest()
                 return version + 1
             continue  # lost the race — re-read snapshot, retry
         raise TxConflictError(f"gave up after {max_retries} commit races")
@@ -4897,6 +4948,80 @@ class TxTable:
                 "props": dict(old_state["props"]),
             },
         )
+
+    MANIFEST_DIR = "_symlink_format_manifest"
+
+    def generate_manifest(self, as_of: int | None = None) -> list[str]:
+        """``GENERATE symlink_format_manifest`` (the published Delta
+        statement): write ``_symlink_format_manifest/<partition dirs>/
+        manifest`` text files — one absolute ``file:`` URI per line —
+        listing exactly the snapshot's ACTIVE data files. This is the
+        layout external engines (Presto / Trino / Hive / Synapse
+        serverless, the reference's own serving tier,
+        /root/reference/README.md:131-192) use to read a transactional
+        lake: each manifest directory is a hive partition whose "data" is
+        the symlink list, so an external table over the manifest dir sees
+        a consistent snapshot no matter what half-committed files sit in
+        the data directories.
+
+        Refusals (the documented Delta restrictions — both would silently
+        corrupt EXTERNAL reads): snapshots carrying deletion vectors (a
+        raw parquet reader would resurrect DV-deleted rows) and
+        column-mapped tables (files carry frozen physical names the
+        external schema doesn't know). Stale manifests of partitions that
+        no longer exist are removed. Set the ``manifest.autoUpdate``
+        table property to regenerate after every data-changing commit
+        (Delta's ``delta.compatibility.symlinkFormatManifest.enabled``).
+        Returns the relative manifest paths written."""
+        st = self._state(as_of)
+        if st["dv_counts"]:
+            raise ValueError(
+                "symlink manifests cannot represent deletion vectors (an "
+                "external parquet reader would resurrect deleted rows): "
+                "compact() to materialize the DVs first, or use mode='cow' "
+                "DML on manifest-published tables"
+            )
+        if st["colmap"]:
+            raise ValueError(
+                "symlink manifests are not supported on column-mapped "
+                "tables: data files carry frozen physical column names an "
+                "external reader's schema would not match"
+            )
+        by_dir: dict[str, list[str]] = {}
+        for rel in st["active"]:
+            by_dir.setdefault(os.path.dirname(rel), []).append(rel)
+        root = os.path.join(self.path, self.MANIFEST_DIR)
+        written: list[str] = []
+        for d in sorted(by_dir):
+            mdir = os.path.join(root, d) if d else root
+            os.makedirs(mdir, exist_ok=True)
+            body = "".join(
+                "file://" + os.path.join(self.path, rel) + "\n"
+                for rel in sorted(by_dir[d])
+            )
+            tmp = os.path.join(mdir, f".manifest.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                f.write(body)
+            os.replace(tmp, os.path.join(mdir, "manifest"))
+            written.append(
+                os.path.relpath(os.path.join(mdir, "manifest"), self.path)
+            )
+        # drop manifests of partitions that no longer hold active files
+        # (an external reader would otherwise still see the old region)
+        keep = {
+            os.path.normpath(os.path.join(root, d) if d else root)
+            for d in by_dir
+        }
+        if os.path.isdir(root):
+            for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
+                if "manifest" in filenames and os.path.normpath(dirpath) not in keep:
+                    os.remove(os.path.join(dirpath, "manifest"))
+                try:  # prune now-empty partition dirs
+                    if os.path.normpath(dirpath) not in keep:
+                        os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return written
 
     def clone_to(self, target_path: str, as_of: int | None = None) -> "TxTable":
         """Zero-copy shallow CLONE (the published Delta CLONE semantics): a

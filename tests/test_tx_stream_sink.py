@@ -1,0 +1,196 @@
+"""txlog table as a Structured Streaming SINK (streaming/source.py
+``writeStream.format("txtable")`` via DataSourceStreamArrowWriter) —
+exactly-once commits through txn watermarks (Delta's txnAppId contract),
+staged-file atomicity, replay idempotence, and refusal contracts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mb_crdb_cdc_dlgen2_synapse_spark.streaming.source import (
+    TxStreamSinkWriter,
+    _StagedSinkFile,
+    register_tx_source,
+)
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+
+@pytest.fixture(autouse=True)
+def _register(spark):
+    register_tx_source(spark)
+
+
+def _write_stream(spark, src_dir, table_path, ckpt, app="app1"):
+    q = (
+        spark.readStream.schema("id long, v double")
+        .json(src_dir)
+        .writeStream.format("txtable")
+        .option("path", table_path)
+        .option("txnAppId", app)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _land(src_dir, name, rows):
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_end_to_end_exactly_once(spark, tmp_path):
+    src, tp, ckpt = str(tmp_path / "src"), str(tmp_path / "t"), str(tmp_path / "ck")
+    _land(src, "a.json", [{"id": i, "v": i * 1.5} for i in range(10)])
+    _write_stream(spark, src, tp, ckpt)
+    t = TxTable(spark, tp)
+    assert t.read().count() == 10
+    # drained re-run: the replayed batch commits nothing
+    _write_stream(spark, src, tp, ckpt)
+    assert t.read().count() == 10
+    assert t.read().select("id").distinct().count() == 10
+    # new file flows through; totals exact
+    _land(src, "b.json", [{"id": i, "v": i * 1.5} for i in range(10, 15)])
+    _write_stream(spark, src, tp, ckpt)
+    df = t.read()
+    assert df.count() == 15
+    assert df.agg(F.sum("id")).collect()[0][0] == sum(range(15))
+    # no staging residue
+    stage = os.path.join(tp, "_staging")
+    assert not os.path.isdir(stage) or not os.listdir(stage)
+
+
+def test_requires_txn_app_id(spark, tmp_path):
+    src, tp = str(tmp_path / "src"), str(tmp_path / "t")
+    _land(src, "a.json", [{"id": 1, "v": 1.0}])
+    with pytest.raises(Exception, match="txnAppId|STREAM_FAILED"):
+        q = (
+            spark.readStream.schema("id long, v double")
+            .json(src)
+            .writeStream.format("txtable")
+            .option("path", tp)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+
+def test_refuses_feature_rich_tables(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    t.append(spark.range(0, 5).select("id", (F.col("id") * 1.0).alias("v")))
+    t.add_check("positive", "id >= 0")
+    src = str(tmp_path / "src")
+    _land(src, "a.json", [{"id": 9, "v": 1.0}])
+    with pytest.raises(Exception, match="CHECK constraints|STREAM_FAILED"):
+        _write_stream(spark, src, tp, str(tmp_path / "ck"))
+
+
+def test_commit_replay_is_idempotent_unit(spark, tmp_path):
+    """Driver-level replay: commit() called twice with one batch id lands
+    the rows once; the second call discards its staged files."""
+    tp = str(tmp_path / "t")
+    os.makedirs(tp)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    import pyarrow as pa
+
+    def staged():
+        w = TxStreamSinkWriter(schema, {"path": tp, "txnappid": "u1"}, False)
+        msg = w.write(
+            iter(
+                [
+                    pa.RecordBatch.from_pydict(
+                        {"id": [1, 2], "v": [1.0, 2.0]},
+                        schema=pa.schema(
+                            [
+                                pa.field("id", pa.int64()),
+                                pa.field("v", pa.float64()),
+                            ]
+                        ),
+                    )
+                ]
+            )
+        )
+        return w, msg
+
+    w1, m1 = staged()
+    w1.commit([m1], 0)
+    t = TxTable(spark, tp)
+    assert t.read().count() == 2
+    w2, m2 = staged()  # fresh writer, same app — the restart shape
+    w2.commit([m2], 0)  # replayed batch id
+    assert t.read().count() == 2
+    assert not os.path.exists(os.path.join(tp, m2.rel))  # staged residue gone
+    w3, m3 = staged()
+    w3.commit([m3], 1)  # next batch lands
+    assert t.read().count() == 4
+
+
+def test_abort_removes_staged_files(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    os.makedirs(tp)
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    import pyarrow as pa
+
+    w = TxStreamSinkWriter(schema, {"path": tp, "txnappid": "u1"}, False)
+    msg = w.write(
+        iter(
+            [
+                pa.RecordBatch.from_pydict(
+                    {"id": [1]}, schema=pa.schema([pa.field("id", pa.int64())])
+                )
+            ]
+        )
+    )
+    assert os.path.exists(os.path.join(tp, msg.rel))
+    w.abort([msg], 0)
+    assert not os.path.exists(os.path.join(tp, msg.rel))
+    assert TxTable(spark, tp).version() == -1  # nothing ever committed
+
+
+def test_native_bronze_to_silver_chain(spark, tmp_path):
+    """txtable SOURCE -> transform -> txtable SINK, both native formats:
+    exactly-once end to end across re-runs and a new bronze commit."""
+    bp, sp, ckpt = str(tmp_path / "b"), str(tmp_path / "s"), str(tmp_path / "ck")
+    bronze = TxTable(spark, bp)
+    bronze.append(spark.range(0, 20).select("id", (F.col("id") % 4).alias("k")))
+
+    def run():
+        q = (
+            spark.readStream.format("txtable")
+            .option("path", bp)
+            .load()
+            .filter(F.col("id") % 2 == 0)
+            .withColumn("doubled", F.col("id") * 2)
+            .writeStream.format("txtable")
+            .option("path", sp)
+            .option("txnAppId", "chain1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    silver = TxTable(spark, sp)
+    assert silver.read().count() == 10
+    run()  # drained
+    assert silver.read().count() == 10
+    bronze.append(spark.range(20, 26).select("id", (F.col("id") % 4).alias("k")))
+    run()
+    df = silver.read()
+    assert df.count() == 13
+    assert df.select("id").distinct().count() == 13
+    assert df.agg(F.sum("doubled")).collect()[0][0] == sum(
+        i * 2 for i in range(0, 26, 2)
+    )
