@@ -248,8 +248,15 @@ class TxStreamReader(DataSourceStreamReader):
         self.tbl = TxTable(None, self.path)
         sv = options.get("startingversion")
         self.starting_version = sv  # None | "latest" | int-string
+        self.starting_timestamp = options.get("startingtimestamp")
+        if sv is not None and self.starting_timestamp is not None:
+            raise ValueError(
+                "set startingVersion OR startingTimestamp, not both"
+            )
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft else None
+        mbt = options.get("maxbytespertrigger")
+        self.max_bytes = int(mbt) if mbt else None
         self.skip_change = str(options.get("skipchangecommits", "")).lower() == "true"
         self.ignore_changes = str(options.get("ignorechanges", "")).lower() == "true"
         self.cdf = str(options.get("readchangefeed", "")).lower() == "true"
@@ -358,7 +365,27 @@ class TxStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         head = self.tbl.version()
-        if self.starting_version is None:
+        if self.starting_timestamp is not None:
+            # Delta's startingTimestamp: changes from the FIRST commit at
+            # or after the timestamp (no snapshot)
+            ts = str(self.starting_timestamp)
+            commits_map, _ = self.tbl._list_log()
+            v0 = next(
+                (
+                    v
+                    for v in sorted(commits_map)
+                    if (self.tbl._read_json(commits_map[v]).get("utc") or "")
+                    >= ts
+                ),
+                None,
+            )
+            if v0 is None:
+                raise ValueError(
+                    f"startingTimestamp {ts!r} is after the latest commit; "
+                    "use startingVersion='latest' to tail only new commits"
+                )
+            off = {"base": None, "v": v0, "i": 0}
+        elif self.starting_version is None:
             off = {"base": head if head >= 0 else None, "v": max(head, 0), "i": 0}
         elif str(self.starting_version).lower() == "latest":
             off = {"base": None, "v": head + 1, "i": 0}
@@ -378,6 +405,36 @@ class TxStreamReader(DataSourceStreamReader):
         head = self.tbl.version()
         v, i, base = pos["v"], pos["i"], pos.get("base")
         budget = self.max_files if self.max_files is not None else None
+        if self.max_bytes is not None:
+            # byte-budgeted admission (Delta's maxBytesPerTrigger): walk
+            # entries, charging each file's LOGGED size — driver metadata
+            # only. Always admit >=1 file per trigger so progress is
+            # guaranteed even for files larger than the budget.
+            remaining, admitted = self.max_bytes, 0
+            while v <= head:
+                lst = self._serve_list(v, base)
+                stats = self.tbl._state(v)["stats"] if lst else {}
+                while i < len(lst):
+                    rel = lst[i][0]
+                    size = int((stats.get(rel) or {}).get("bytes") or 0)
+                    if admitted > 0 and (
+                        size > remaining
+                        or (budget is not None and budget <= 0)
+                    ):
+                        out = {"base": base, "v": v, "i": i}
+                        self._pos = dict(out)
+                        return out
+                    remaining -= size
+                    admitted += 1
+                    if budget is not None:
+                        budget -= 1
+                    i += 1
+                if v >= head:
+                    break
+                v, i = v + 1, 0
+            out = {"base": base, "v": v, "i": i}
+            self._pos = dict(out)
+            return out
         while True:
             lst = self._serve_list(v, base) if v <= head else []
             avail = max(len(lst) - i, 0)
@@ -688,7 +745,10 @@ class TxStreamDataSource(DataSource):
 
     Options: ``path`` (table root, required), ``startingVersion``
     (int | "latest"; default = initial snapshot + tail),
-    ``maxFilesPerTrigger``, ``skipChangeCommits``, ``ignoreChanges``,
+    ``startingTimestamp`` (changes from the first commit at/after the
+    UTC timestamp), ``maxFilesPerTrigger``, ``maxBytesPerTrigger``
+    (logged-size admission; always >=1 file per trigger),
+    ``skipChangeCommits``, ``ignoreChanges``,
     ``readChangeFeed`` (serve row-level changes with ``_change_type`` /
     ``_commit_version`` — Delta's CDF streaming)."""
 

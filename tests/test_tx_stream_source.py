@@ -346,3 +346,60 @@ def test_bronze_to_silver_tx_chain_exactly_once(spark, tmp_path):
     df = silver.read()
     assert df.count() == 30
     assert df.select("id").distinct().count() == 30
+
+
+def test_starting_timestamp(spark, tmp_path):
+    """startingTimestamp serves changes from the first commit at/after the
+    timestamp; a timestamp past the head refuses with advice."""
+    import time as _time
+
+    tp = str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    t.append(spark.range(0, 5).select("id"))  # v0
+    _time.sleep(1.2)  # commit utc is second-granular
+    cut = _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime())
+    _time.sleep(1.2)
+    t.append(spark.range(5, 8).select("id"))  # v1, utc >= cut
+    df = _drain(
+        spark,
+        tp,
+        str(tmp_path / "ck"),
+        str(tmp_path / "out"),
+        startingTimestamp=cut,
+    )
+    assert sorted(r.id for r in df.collect()) == [5, 6, 7]
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.source import TxStreamReader
+
+    with pytest.raises(ValueError, match="after the latest commit"):
+        TxStreamReader(
+            t.read().schema,
+            {"path": tp, "startingtimestamp": "2999-01-01T00:00:00Z"},
+        ).initialOffset()
+    with pytest.raises(ValueError, match="not both"):
+        TxStreamReader(
+            t.read().schema,
+            {"path": tp, "startingtimestamp": cut, "startingversion": "0"},
+        )
+
+
+def test_max_bytes_per_trigger_admits_one_file_at_a_time(spark, tmp_path):
+    """A byte budget below every file's size still admits exactly one file
+    per trigger (guaranteed progress), pacing the drain file by file."""
+    tp = str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    for k in range(4):
+        t.append(spark.range(k * 5, k * 5 + 5).select("id").coalesce(1))
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    prev, runs = -1, 0
+    while True:
+        n = _drain(
+            spark, tp, ckpt, out, startingVersion=0, maxBytesPerTrigger=1
+        ).count()
+        runs += 1
+        if n == prev:
+            break
+        prev = n
+    assert runs >= 5  # 4 files -> 4 admitting runs + 1 no-progress probe
+    df = spark.read.parquet(out)
+    assert df.count() == 20
+    assert df.select("id").distinct().count() == 20
