@@ -1940,3 +1940,53 @@ def test_dv_state_merge_all_stale_batch_skips_merge_entirely(spark, tmp_path, mo
         for r in read_latest_state_tx(spark, table_dir).collect()
     }
     assert got == {"k1": 9.0, "k2": 2.0}
+
+
+def test_disjoint_cow_rewrites_commute(spark, tmp_path, monkeypatch):
+    """Two copy-on-write DMLs whose candidate sets are DISJOINT files both
+    land (the loser's retry re-reads the active list, finds its candidates
+    intact, and commits) — Delta's file-granular conflict rule: only
+    overlapping rewrites abort."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "lo") for i in range(5)]).repartition(1))
+    t.append(_df(spark, [(i, "hi") for i in range(100, 105)]).repartition(1))
+    orig_stage = t._stage
+    fired = []
+
+    def stage_with_race(df, partition_by):
+        if not fired:
+            fired.append(1)
+            # concurrent CoW delete confined to the OTHER (hi-key) file
+            TxTable(spark, t.path).delete_where([("k", "==", 103)], mode="cow")
+        return orig_stage(df, partition_by)
+
+    monkeypatch.setattr(t, "_stage", stage_with_race)
+    t.update_where([("k", "==", 1)], {"v": F.lit("LO")})  # lo file only
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[1] == "LO"          # this writer's update landed
+    assert 103 not in rows          # the racer's delete survived
+    assert len(rows) == 9
+
+
+def test_overlapping_cow_rewrites_abort(spark, tmp_path, monkeypatch):
+    """Two CoW DMLs rewriting the SAME file: the loser aborts instead of
+    resurrecting the racer's deleted rows."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxConflictError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "x") for i in range(10)]).repartition(1))
+    orig_stage = t._stage
+    fired = []
+
+    def stage_with_race(df, partition_by):
+        if not fired:
+            fired.append(1)
+            TxTable(spark, t.path).delete_where([("k", "==", 7)], mode="cow")
+        return orig_stage(df, partition_by)
+
+    monkeypatch.setattr(t, "_stage", stage_with_race)
+    with pytest.raises(TxConflictError, match="rewrite conflict"):
+        t.update_where([("k", "==", 1)], {"v": F.lit("X")})
+    # the racer's delete survived; the aborted update changed nothing
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert 7 not in rows and rows[1] == "x"
