@@ -198,6 +198,36 @@ class Engine:
             reader = reader.option(k, str(v))
         return reader.load()
 
+    def read_manifest(self, table_dir: str) -> DataFrame:
+        """Read a txlog table the way an EXTERNAL engine does (Presto/
+        Trino/Synapse serverless over a published symlink manifest): scan
+        only the files listed under ``_symlink_format_manifest/`` — raw
+        parquet + hive partition inference, never the transaction log.
+        Requires a prior ``generate_manifest()`` / the ``manifest.
+        autoUpdate`` property; the snapshot is whatever the manifest
+        published, exactly the external-reader contract."""
+        import os
+
+        from .txlog import TxTable
+
+        root = os.path.join(table_dir, TxTable.MANIFEST_DIR)
+        manifests = [
+            os.path.join(dirpath, "manifest")
+            for dirpath, _d, files in os.walk(root)
+            if "manifest" in files
+        ]
+        if not manifests:
+            raise ValueError(
+                f"no symlink manifest under {root!r}: run generate_manifest()"
+                " (or set manifest.autoUpdate) on the table first"
+            )
+        uris = [
+            r.value.removeprefix("file://")
+            for r in self.spark.read.text(manifests).collect()
+            if r.value.strip()
+        ]
+        return self.spark.read.option("basePath", table_dir).parquet(*uris)
+
     def write_tx_stream(
         self,
         stream_df: DataFrame,

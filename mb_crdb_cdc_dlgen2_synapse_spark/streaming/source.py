@@ -43,7 +43,11 @@ Design (mirrors Delta's DeltaSource semantics, from the public docs):
   exactly-once offsets. Compaction commits contribute nothing
   (dataChange=false). Identity columns resolve feed-side through each
   file's era base map (pre-enablement eras through the enablement era,
-  batch parity).
+  batch parity). ``rowIds=true`` (requires row tracking) appends
+  ``_row_id`` so a consumer pairs each update's pre/post images
+  KEYLESSLY on the stream — delete+insert sharing a ``_row_id`` at one
+  version are an update (the ``read_update_pairs`` contract,
+  incremental).
 - **Rate limiting**: ``maxFilesPerTrigger`` caps how far
   ``latestOffset`` advances per micro-batch (admission control the way
   Delta's source does it). After a driver restart the FIRST trigger is
@@ -115,6 +119,7 @@ class TxFilePartition(InputPartition):
         emit: str = "keep",
         change_type=None,
         commit_version=None,
+        with_row_ids: bool = False,
     ):
         self.path = path
         self.rel = rel
@@ -127,6 +132,7 @@ class TxFilePartition(InputPartition):
         self.emit = emit
         self.change_type = change_type
         self.commit_version = commit_version
+        self.with_row_ids = with_row_ids
 
 
 def _typed_partition_value(raw: str, dtype):
@@ -172,6 +178,15 @@ def _read_tx_file(part: TxFilePartition) -> Iterator:
     file_cols = set(pf.schema_arrow.names)
     phys_of = {f.name: part.colmap.get(f.name, f.name) for f in logical.fields}
     want = [p for p in phys_of.values() if p in file_cols]
+    # rewritten files materialize each row's id as __row_id (the
+    # row-tracking contract); readers coalesce(stored, base + position) —
+    # base+position ALONE is wrong after a compaction reorders rows
+    need_ids = part.with_row_ids or any(
+        part.identity.get(f.name) is not None for f in logical.fields
+    )
+    has_stored_ids = need_ids and "__row_id" in file_cols
+    if has_stored_ids:
+        want = want + ["__row_id"]
 
     dropped: set[int] = set()
     for dvp in part.dv_paths:
@@ -186,6 +201,21 @@ def _read_tx_file(part: TxFilePartition) -> Iterator:
             continue
         lo = pos
         pos += n
+        row_ids = None
+        if need_ids:
+            import numpy as np
+
+            if part.base_row_id is not None:
+                row_ids = pa.array(
+                    int(part.base_row_id) + np.arange(lo, lo + n, dtype="int64")
+                )
+            else:
+                row_ids = pa.nulls(n, pa.int64())
+            if has_stored_ids:
+                stored = batch.column(
+                    batch.schema.get_field_index("__row_id")
+                ).cast(pa.int64())
+                row_ids = pc.coalesce(stored, row_ids)
         cols = []
         for f in logical.fields:
             tt = target.field(f.name).type
@@ -199,15 +229,24 @@ def _read_tx_file(part: TxFilePartition) -> Iterator:
                 arr = pa.nulls(n, tt)
             arr = arr.cast(tt) if arr.type != tt else arr
             spec = part.identity.get(f.name)
-            if spec is not None and part.base_row_id is not None:
-                import numpy as np
-
-                ids = int(spec["start"]) + int(spec["step"]) * (
-                    int(part.base_row_id) + np.arange(lo, lo + n, dtype="int64")
+            if spec is not None and row_ids is not None:
+                affine = pc.add(
+                    pa.scalar(int(spec["start"]), pa.int64()),
+                    pc.multiply(
+                        pa.scalar(int(spec["step"]), pa.int64()), row_ids
+                    ),
                 )
-                arr = pc.coalesce(arr, pa.array(ids).cast(tt))
+                arr = pc.coalesce(arr, affine.cast(tt))
             cols.append(arr)
-        out = pa.RecordBatch.from_arrays(cols, schema=target)
+        if part.with_row_ids:
+            target_ids = pa.schema(
+                list(target) + [pa.field("_row_id", pa.int64())]
+            )
+            out = pa.RecordBatch.from_arrays(
+                cols + [row_ids], schema=target_ids
+            )
+        else:
+            out = pa.RecordBatch.from_arrays(cols, schema=target)
         if part.emit == "dropped":
             mask = pa.array(
                 [i in dropped for i in range(lo, lo + n)], type=pa.bool_()
@@ -221,7 +260,7 @@ def _read_tx_file(part: TxFilePartition) -> Iterator:
         if part.change_type is not None:
             m = out.num_rows
             ext = pa.schema(
-                list(target)
+                list(out.schema)
                 + [
                     pa.field("_change_type", pa.string()),
                     pa.field("_commit_version", pa.int64()),
@@ -260,10 +299,12 @@ class TxStreamReader(DataSourceStreamReader):
         self.skip_change = str(options.get("skipchangecommits", "")).lower() == "true"
         self.ignore_changes = str(options.get("ignorechanges", "")).lower() == "true"
         self.cdf = str(options.get("readchangefeed", "")).lower() == "true"
+        self.row_ids = str(options.get("rowids", "")).lower() == "true"
         data_fields = [
             f
             for f in schema.fields
             if not (self.cdf and f.name in ("_change_type", "_commit_version"))
+            and not (self.row_ids and f.name == "_row_id")
         ]
         self.schema_struct = T.StructType(data_fields)
         self.schema_json = json.dumps(self.schema_struct.jsonValue())
@@ -271,6 +312,10 @@ class TxStreamReader(DataSourceStreamReader):
         self._pos: dict | None = None
         self._base: int | None = None
         st = self.tbl._state()  # also runs the reader-feature protocol gate
+        if self.row_ids and not st["rowtrack"].get("enabled"):
+            raise ValueError(
+                "rowIds=true requires enable_row_tracking() on this table"
+            )
         # Commits up to the version whose schema this stream pinned render
         # fine under the pinned end-state vocabulary (typed NULLs for
         # later-added columns, frozen physical names across renames — the
@@ -306,7 +351,16 @@ class TxStreamReader(DataSourceStreamReader):
     # -- log walking ---------------------------------------------------------
 
     def _commit(self, v: int) -> dict:
-        return self.tbl._read_json(self.tbl._log_path(v))
+        try:
+            return self.tbl._read_json(self.tbl._log_path(v))
+        except OSError:
+            raise RuntimeError(
+                f"txtable stream: commit v{v} is no longer in the log "
+                "(pruned by vacuum while this stream lagged). Restart the "
+                "stream from a retained position — a fresh checkpoint "
+                "takes the current snapshot; keep consumers ahead of the "
+                "vacuum retention window"
+            ) from None
 
     def _serve_list(self, v: int, base: int | None) -> list[tuple[str, str]]:
         """``(rel_file, kind)`` entries offset coordinate ``(v, i)``
@@ -542,6 +596,7 @@ class TxStreamReader(DataSourceStreamReader):
                         emit=emit,
                         change_type=change,
                         commit_version=cv,
+                        with_row_ids=self.row_ids,
                     )
                 )
         return parts or [_EmptyPartition()]
@@ -765,15 +820,15 @@ class TxStreamDataSource(DataSource):
                 "committed schema yet (write to it first)"
             )
         st = T.StructType.fromJson(json.loads(schema_json))
+        extra = []
+        if str(self.options.get("rowids", "")).lower() == "true":
+            extra.append(T.StructField("_row_id", T.LongType()))
         if str(self.options.get("readchangefeed", "")).lower() == "true":
-            st = T.StructType(
-                list(st.fields)
-                + [
-                    T.StructField("_change_type", T.StringType()),
-                    T.StructField("_commit_version", T.LongType()),
-                ]
-            )
-        return st
+            extra += [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        return T.StructType(list(st.fields) + extra) if extra else st
 
     def streamReader(self, schema: T.StructType) -> TxStreamReader:
         return TxStreamReader(schema, dict(self.options))

@@ -126,3 +126,23 @@ def test_compact_keeps_manifest_fresh_under_auto_update(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(*paths).collect()) == list(
         range(15)
     )
+
+
+def test_engine_read_manifest_facade(spark, tmp_path):
+    from mb_crdb_cdc_dlgen2_synapse_spark.engine import Engine
+
+    tp = str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    t.append(
+        spark.range(0, 30).select("id", (F.col("id") % 3).alias("p")),
+        partition_by=["p"],
+    )
+    t.delete_where([("id", "<", 5)], mode="cow")
+    t.generate_manifest()
+    eng = Engine(spark)
+    ext = eng.read_manifest(tp)
+    assert sorted(r.id for r in ext.collect()) == sorted(
+        r.id for r in t.read().collect()
+    )
+    with pytest.raises(ValueError, match="no symlink manifest"):
+        eng.read_manifest(str(tmp_path / "nope"))

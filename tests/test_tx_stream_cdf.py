@@ -200,3 +200,78 @@ def test_identity_columns_resolve_in_cdf_stream(spark, tmp_path):
     assert sorted(map(_key, got.select(*cols).collect())) == sorted(
         map(_key, want.select(*cols).collect())
     )
+
+
+def test_identity_survives_compaction_in_snapshot(spark, tmp_path):
+    """A compaction reorders rows into new files; the stream must resolve
+    identity from the MATERIALIZED __row_id column (base+position alone
+    would renumber) — parity with the batch reader."""
+    tp = str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    t.append(spark.range(0, 5).select((F.col("id") * 10).alias("v")))
+    t.enable_row_tracking()
+    t.set_identity_column("rid", start=100, step=2)
+    t.append(spark.range(5, 9).select((F.col("id") * 10).alias("v")))
+    t.compact()  # rewrites every file, materializing __row_id
+    got = _drain_cdf(spark, tp, str(tmp_path / "ck"), str(tmp_path / "out"))
+    want = {(r.v, r.rid) for r in t.read().collect()}
+    assert {(r.v, r.rid) for r in got.collect()} == want
+    # plain (non-CDF) stream over the same compacted table agrees too
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", tp)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o2"))
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    plain = spark.read.parquet(str(tmp_path / "o2"))
+    assert {(r.v, r.rid) for r in plain.collect()} == want
+
+
+def test_row_ids_option_matches_batch_feed(spark, tmp_path):
+    """rowIds=true appends _row_id to the streamed feed, matching batch
+    read_changes(row_ids=True) — the keyless update-pairing contract on a
+    stream. Refuses without row tracking."""
+    tp = str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    t.append(spark.range(0, 8).select("id", (F.col("id") % 2).alias("k")))
+    t.enable_row_tracking()
+    t.update_where([("k", "==", 1)], {"k": F.lit(5).cast("long")}, mode="cow")
+    got = _drain_cdf(
+        spark,
+        tp,
+        str(tmp_path / "ck"),
+        str(tmp_path / "out"),
+        startingVersion=0,
+        rowIds=True,
+    )
+    want = t.read_changes(-1, row_ids=True)
+    cols = ["id", "k", "_row_id", "_change_type", "_commit_version"]
+    assert sorted(map(_key, got.select(*cols).collect())) == sorted(
+        map(_key, want.select(*cols).collect())
+    )
+    # the streamed feed pairs the update keylessly: one _row_id appears as
+    # both a delete image and an insert image at the update's version
+    upd = (
+        got.filter(F.col("_commit_version") == 2)
+        .groupBy("_row_id")
+        .agg(
+            F.collect_set("_change_type").alias("types"),
+            F.size(F.collect_set("k")).alias("n_k"),
+        )
+        .filter(F.size("types") == 2)
+    )
+    assert upd.count() == 8  # every rewritten row pairs (carried included)
+    assert upd.filter(F.col("n_k") == 2).count() == 4  # value-changed: k==1
+    t2 = TxTable(spark, str(tmp_path / "t2"))
+    t2.append(spark.range(0, 3).select("id"))
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.source import TxStreamReader
+
+    with pytest.raises(ValueError, match="enable_row_tracking"):
+        TxStreamReader(
+            t2.read().schema, {"path": str(tmp_path / "t2"), "rowids": "true"}
+        )

@@ -403,3 +403,19 @@ def test_max_bytes_per_trigger_admits_one_file_at_a_time(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 20
     assert df.select("id").distinct().count() == 20
+
+
+def test_lagging_stream_past_vacuum_gets_friendly_error(spark, tmp_path):
+    """A stream whose checkpoint points before the vacuum horizon fails
+    with an actionable message, not a raw missing-file error."""
+    tp = str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    for k in range(3):
+        t.append(spark.range(k * 5, k * 5 + 5).select("id").coalesce(1))
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    # consume only the first file-entry, leaving the checkpoint lagging
+    _drain(spark, tp, ckpt, out, startingVersion=0, maxFilesPerTrigger=1)
+    t.compact()
+    t.vacuum(retain_versions=1, prune_log=True)
+    with pytest.raises(Exception, match="pruned by vacuum|STREAM_FAILED"):
+        _drain(spark, tp, ckpt, out, startingVersion=0, maxFilesPerTrigger=1)
