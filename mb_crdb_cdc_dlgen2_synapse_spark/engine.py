@@ -240,8 +240,10 @@ class Engine:
         (``writeStream.format("txtable")``): executors stage Arrow batches
         straight to parquet, the driver lands ONE txn-marked commit per
         micro-batch — exactly-once under replays keyed by ``app_id``
-        (Delta's txnAppId contract). Plain append tables only; use
-        ``stream_to_tx_table`` for checks/generated/partitioned tables."""
+        (Delta's txnAppId contract). Hive partitioning comes from the
+        table's partition spec (or a ``partitionBy`` option on the
+        writer). Use ``stream_to_tx_table`` for checks/generated/
+        identity/default tables."""
         from .streaming.source import register_tx_source
 
         register_tx_source(self.spark)

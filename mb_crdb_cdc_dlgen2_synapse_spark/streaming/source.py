@@ -646,11 +646,18 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
       at-least-once.
     - ``abort`` removes the staged files; the table never sees them.
 
+    Hive partitioning is native: the table's partition spec (or the
+    sink's ``partitionBy`` option) splits each task's batches into
+    per-partition staged files under Spark's own ``escapePathName``
+    rendering — the commit lands them as ``col=value/`` directories
+    exactly like the batch writer, so per-file partition pruning covers
+    sink-written files identically.
+
     Feature-rich tables (checks, generated/identity/default columns,
-    column mapping, partition specs) REFUSE — enforcing those needs the
-    full DataFrame write path; use ``stream_to_tx_table`` (foreachBatch)
-    there. Plain append tables — the shape of every bronze landing zone —
-    get the native-format surface."""
+    column mapping) REFUSE — enforcing those needs the full DataFrame
+    write path; use ``stream_to_tx_table`` (foreachBatch) there. Plain
+    append tables — the shape of every bronze landing zone — get the
+    native-format surface."""
 
     UNSUPPORTED = (
         ("checks", "CHECK constraints"),
@@ -659,6 +666,9 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
         ("defaults", "column defaults"),
         ("colmap", "column mapping"),
     )
+    #: partition-column types the sink can render into hive paths the
+    #: way Spark's writer does (timestamps have format subtleties: refuse)
+    PARTITION_TYPES = ("string", "integer", "long", "short", "byte", "date")
 
     def __init__(self, schema: T.StructType, options: dict, overwrite: bool):
         if overwrite:
@@ -677,7 +687,36 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
             )
         self.app_id = str(app)
         self.schema_json = json.dumps(schema.jsonValue())
-        self._validate(TxTable(None, self.path))
+        opt_pb = options.get("partitionby")
+        self.part_cols = (
+            [c.strip() for c in str(opt_pb).split(",") if c.strip()]
+            if opt_pb
+            else []
+        )
+        tbl = TxTable(None, self.path)
+        spec = tbl.partitioning()
+        if spec:
+            if self.part_cols and self.part_cols != spec:
+                raise ValueError(
+                    f"txtable sink: partitionBy={self.part_cols} conflicts "
+                    f"with the table's partition spec {spec}"
+                )
+            self.part_cols = spec
+        by_name = {f.name: f for f in schema.fields}
+        for c in self.part_cols:
+            if c not in by_name:
+                raise ValueError(
+                    f"txtable sink: partition column {c!r} missing from the "
+                    "stream schema"
+                )
+            if by_name[c].dataType.typeName() not in self.PARTITION_TYPES:
+                raise ValueError(
+                    f"txtable sink: partition column {c!r} has type "
+                    f"{by_name[c].dataType.simpleString()} — only "
+                    f"{'/'.join(self.PARTITION_TYPES)} render into hive "
+                    "paths here; use stream_to_tx_table for other types"
+                )
+        self._validate(tbl)
 
     def _validate(self, tbl: TxTable) -> None:
         st = tbl._state()
@@ -688,11 +727,6 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
                     " — enforcing them needs the DataFrame write path; use "
                     "stream_to_tx_table (foreachBatch) for this table"
                 )
-        if st["props"].get("partitioning.cols"):
-            raise ValueError(
-                "txtable sink: partition-spec tables are not supported yet;"
-                " use stream_to_tx_table(partition_by=...)"
-            )
         if st["schema"]:
             tnorm = _nullable_normalized(st["schema"])
             if tnorm != _nullable_normalized(self.schema_json):
@@ -716,19 +750,48 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
 
     # -- executor side --------------------------------------------------------
 
+    #: chars Hive/Spark escapePathName percent-encodes in partition values
+    #: (space is NOT escaped — verified against Spark 4's writer output)
+    _ESCAPE = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {
+        "\x7f"
+    }
+
+    @classmethod
+    def _escape_path_value(cls, v: str) -> str:
+        return "".join(
+            f"%{ord(c):02X}" if c in cls._ESCAPE else c for c in v
+        )
+
     def write(self, iterator) -> _StagedSinkFile:
         import uuid as _uuid
 
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(T.StructType.fromJson(json.loads(self.schema_json)))
-        rel = os.path.join(
-            "_staging", f"sink-{_uuid.uuid4().hex}", "part-0.parquet"
+        full_struct = T.StructType.fromJson(json.loads(self.schema_json))
+        target = to_arrow_schema(full_struct)
+        data_struct = T.StructType(
+            [f for f in full_struct.fields if f.name not in self.part_cols]
         )
-        full = os.path.join(self.path, rel)
-        writer = None
+        data_target = to_arrow_schema(data_struct)
+        stage_rel = os.path.join("_staging", f"sink-{_uuid.uuid4().hex}")
+        stage = os.path.join(self.path, stage_rel)
+        writers: dict[str, pq.ParquetWriter] = {}
+        sentinel = "\x00N"
+
+        def _writer(rel_dir: str) -> pq.ParquetWriter:
+            w = writers.get(rel_dir)
+            if w is None:
+                d = os.path.join(stage, rel_dir) if rel_dir else stage
+                os.makedirs(d, exist_ok=True)
+                w = pq.ParquetWriter(
+                    os.path.join(d, "part-0.parquet"), data_target
+                )
+                writers[rel_dir] = w
+            return w
+
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
@@ -741,47 +804,101 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
                         ],
                         schema=target,
                     )
-                if writer is None:
-                    os.makedirs(os.path.dirname(full), exist_ok=True)
-                    writer = pq.ParquetWriter(full, target)
-                writer.write_batch(batch)
+                if not self.part_cols:
+                    _writer("").write_batch(batch)
+                    continue
+                # split the batch by partition values: vectorized string
+                # key per row, python work only on the UNIQUE combos
+                segs = [
+                    pc.coalesce(
+                        pc.cast(
+                            batch.column(batch.schema.get_field_index(c)),
+                            pa.string(),
+                        ),
+                        pa.scalar(sentinel, pa.string()),
+                    )
+                    for c in self.part_cols
+                ]
+                key = (
+                    segs[0]
+                    if len(segs) == 1
+                    else pc.binary_join_element_wise(*segs, "\x01")
+                )
+                data_cols = [
+                    batch.column(batch.schema.get_field_index(f.name))
+                    for f in data_struct.fields
+                ]
+                data = pa.RecordBatch.from_arrays(
+                    data_cols, schema=data_target
+                )
+                for u in pc.unique(key).to_pylist():
+                    vals = u.split("\x01") if len(segs) > 1 else [u]
+                    rel_dir = os.sep.join(
+                        f"{c}="
+                        + (
+                            "__HIVE_DEFAULT_PARTITION__"
+                            if v == sentinel
+                            else self._escape_path_value(v)
+                        )
+                        for c, v in zip(self.part_cols, vals)
+                    )
+                    mask = pc.equal(key, u)
+                    _writer(rel_dir).write_batch(
+                        pa.Table.from_batches([data.filter(mask)])
+                        .combine_chunks()
+                        .to_batches()[0]
+                    )
         finally:
-            if writer is not None:
-                writer.close()
-        return _StagedSinkFile(rel if writer is not None else None)
+            for w in writers.values():
+                w.close()
+        if not writers:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            return _StagedSinkFile(None)
+        return _StagedSinkFile(stage_rel)
 
     # -- driver side -----------------------------------------------------------
 
-    def _cleanup(self, rels: list) -> None:
+    def _cleanup(self, stage_rels: list) -> None:
         import shutil
 
-        for rel in rels:
-            shutil.rmtree(
-                os.path.dirname(os.path.join(self.path, rel)),
-                ignore_errors=True,
-            )
+        for rel in stage_rels:
+            shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
 
     def commit(self, messages, batchId: int) -> None:
         from ..txlog import _footer_stats
 
-        rels = [m.rel for m in messages if m is not None and m.rel]
+        stage_rels = [m.rel for m in messages if m is not None and m.rel]
         tbl = TxTable(None, self.path)
         txn = {"app": self.app_id, "batch": batchId}
         if tbl._txn_seen(txn):
-            self._cleanup(rels)  # replayed batch: already durable
+            self._cleanup(stage_rels)  # replayed batch: already durable
             return
         self._validate(tbl)  # metadata may have evolved mid-stream
         import uuid as _uuid
 
         added: list[str] = []
         stats: dict[str, dict] = {}
-        for rel in rels:
-            final = f"{_uuid.uuid4().hex}.parquet"
-            src = os.path.join(self.path, rel)
-            stats[final] = _footer_stats(src)
-            os.rename(src, os.path.join(self.path, final))
-            added.append(final)
-        self._cleanup(rels)
+        for rel in stage_rels:
+            stage = os.path.join(self.path, rel)
+            for dirpath, _d, files in os.walk(stage):
+                for name in files:
+                    if not name.endswith(".parquet"):
+                        continue
+                    src = os.path.join(dirpath, name)
+                    rel_dir = os.path.relpath(dirpath, stage)
+                    final = f"{_uuid.uuid4().hex}.parquet"
+                    if rel_dir != ".":
+                        final = os.path.join(rel_dir, final)
+                    stats[final] = _footer_stats(src)
+                    os.makedirs(
+                        os.path.dirname(os.path.join(self.path, final)),
+                        exist_ok=True,
+                    )
+                    os.rename(src, os.path.join(self.path, final))
+                    added.append(final)
+        self._cleanup(stage_rels)
         st = tbl._state()
         eff_schema = st["schema"] or self.schema_json
         # an empty batch still commits: the txn watermark must advance or

@@ -194,3 +194,124 @@ def test_native_bronze_to_silver_chain(spark, tmp_path):
     assert df.agg(F.sum("doubled")).collect()[0][0] == sum(
         i * 2 for i in range(0, 26, 2)
     )
+
+
+def test_partitioned_sink_hive_layout(spark, tmp_path):
+    """partitionBy on a fresh table: hive col=value dirs, partition values
+    escaped the way Spark's own writer escapes them, read parity, and
+    partition pruning over sink-written files."""
+    src, tp, ckpt = str(tmp_path / "src"), str(tmp_path / "t"), str(tmp_path / "ck")
+    rows = [{"id": i, "v": i * 1.0, "p": f"g{i % 3}"} for i in range(30)]
+    rows.append({"id": 99, "v": 9.9, "p": "x:y"})  # needs escaping
+    rows.append({"id": 100, "v": 1.0, "p": None})  # default partition
+    _land(src, "a.json", rows)
+    q = (
+        spark.readStream.schema("id long, v double, p string")
+        .json(src)
+        .writeStream.format("txtable")
+        .option("path", tp)
+        .option("txnAppId", "part1")
+        .option("partitionBy", "p")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    t = TxTable(spark, tp)
+    df = t.read()
+    assert df.count() == 32
+    got = {(r.id, r.p) for r in df.collect()}
+    assert (99, "x:y") in got and (100, None) in got
+    # dir names match Spark's escapePathName rendering
+    assert os.path.isdir(os.path.join(tp, "p=x%3Ay"))
+    assert os.path.isdir(os.path.join(tp, "p=__HIVE_DEFAULT_PARTITION__"))
+    # partition pruning: a p-filter scans only that partition's files
+    active = t._state()["active"]
+    assert all("=" in rel.split(os.sep)[0] for rel in active)
+    n_g1 = t.count_rows(predicates=[("p", "==", "g1")])
+    assert n_g1 == 10
+
+
+def test_partitioned_sink_inherits_table_spec(spark, tmp_path):
+    """A table with a partition spec: the sink uses it with NO option; a
+    conflicting partitionBy refuses."""
+    src, tp = str(tmp_path / "src"), str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    t.append(
+        spark.range(0, 4).select(
+            "id", (F.col("id") * 1.0).alias("v"), (F.col("id") % 2).alias("p")
+        ),
+        partition_by=["p"],
+    )
+    t.set_partitioning(["p"])
+    _land(src, "a.json", [{"id": 10 + i, "v": 1.0, "p": i % 2} for i in range(6)])
+    q = (
+        spark.readStream.schema("id long, v double, p long")
+        .json(src)
+        .writeStream.format("txtable")
+        .option("path", tp)
+        .option("txnAppId", "spec1")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert t.read().count() == 10
+    # every active file sits under a p= dir
+    assert all(
+        rel.split(os.sep)[0].startswith("p=") for rel in t._state()["active"]
+    )
+    with pytest.raises(Exception, match="conflicts|STREAM_FAILED"):
+        q = (
+            spark.readStream.schema("id long, v double, p long")
+            .json(src)
+            .writeStream.format("txtable")
+            .option("path", tp)
+            .option("txnAppId", "spec2")
+            .option("partitionBy", "v")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+
+def test_partitioned_sink_streamed_rows_survive_roundtrip(spark, tmp_path):
+    """Sink-written partitioned files read back through BOTH the batch
+    reader and the txtable streaming source with identical values."""
+    src, tp = str(tmp_path / "src"), str(tmp_path / "t")
+    _land(
+        src,
+        "a.json",
+        [{"id": i, "v": i * 0.5, "p": f"d{i % 2}"} for i in range(12)],
+    )
+    q = (
+        spark.readStream.schema("id long, v double, p string")
+        .json(src)
+        .writeStream.format("txtable")
+        .option("path", tp)
+        .option("txnAppId", "rt1")
+        .option("partitionBy", "p")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    t = TxTable(spark, tp)
+    want = sorted((r.id, r.v, r.p) for r in t.read().collect())
+    q2 = (
+        spark.readStream.format("txtable")
+        .option("path", tp)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got = sorted(
+        (r.id, r.v, r.p)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == want and len(got) == 12
