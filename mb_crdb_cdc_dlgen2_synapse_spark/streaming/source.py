@@ -907,6 +907,13 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
             added, lambda active: [], eff_schema, txn, "stream_sink",
             stats=stats,
         )
+        # NOTE: the table's autoCompact policy is NOT applied here — this
+        # commit hook runs in the Python data-source runner worker, which
+        # has no SparkSession to drive a compaction job (verified:
+        # getActiveSession() is None there). Streaming deployments on the
+        # native sink should schedule Engine.maintain()/compact()
+        # out-of-band, or use stream_to_tx_table (foreachBatch), whose
+        # per-batch hook runs on the real driver and honors the policy.
 
     def abort(self, messages, batchId: int) -> None:
         self._cleanup([m.rel for m in messages if m is not None and m.rel])

@@ -315,3 +315,27 @@ def test_partitioned_sink_streamed_rows_survive_roundtrip(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert got == want and len(got) == 12
+
+
+def test_sink_small_files_bounded_by_out_of_band_maintain(spark, tmp_path):
+    """The native sink's commit hook runs in the data-source runner worker
+    (no SparkSession — it cannot drive a compaction job), so the
+    documented pattern is out-of-band maintenance: Engine.maintain after
+    the drain applies the table's autoCompact policy and the sink's
+    streamed rows survive it exactly-once."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import maybe_autocompact
+
+    src, tp = str(tmp_path / "src"), str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    t.append(spark.range(0, 2).select("id", (F.col("id") * 1.0).alias("v")))
+    t.set_properties({"autoCompact.maxFiles": "3", "autoCompact.targetFiles": "1"})
+    for k in range(4):
+        _land(src, f"f{k}.json", [{"id": 10 + k, "v": 1.0}])
+        _write_stream(spark, src, tp, str(tmp_path / "ck"), app="ac1")
+    assert len(t._state()["active"]) > 3  # the sink alone accumulates
+    assert maybe_autocompact(t)  # policy from the table's OWN properties
+    assert len(t._state()["active"]) <= 3
+    assert t.read().count() == 6
+    # the compaction is dataChange=false: a still-running source over this
+    # table would not re-serve the rows (covered in test_tx_stream_source)
+    assert any(c["op"] == "compact" for c in t.history())
