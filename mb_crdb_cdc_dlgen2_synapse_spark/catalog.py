@@ -5198,6 +5198,78 @@ def streaming_tx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_tx_sink_partitioned",
+    # Deterministic full oracle: the partitioned silver table holds
+    # exactly the filtered stream, delivered exactly-once across a replay
+    # (the second run re-delivers the same batch ids and must commit
+    # nothing). Partition values travel through hive paths, so a wrong
+    # escape/typing would shift groups.
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderkey < 2500 AND o_totalprice > 500
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "S3,T1,T8,S7,S5",
+)
+def streaming_tx_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming SINK (writeStream.format('txtable'),
+    streaming/source.py): a parquet-directory stream of orders lands in a
+    HIVE-PARTITIONED txlog table — executors stage Arrow batches split by
+    partition value, the driver lands one txn-marked commit per batch;
+    re-running the drained stream (same txnAppId + checkpoint) commits
+    nothing. Result reads the partitioned table back grouped by the
+    partition column; duplicated, lost, or mis-partitioned rows break the
+    oracle."""
+    from .streaming.source import register_tx_source
+    from .txlog import TxTable
+
+    register_tx_source(spark)
+    tmp = _scratch("tx_sink_part")
+    stage = os.path.join(tmp, "incoming")
+    silver_p = os.path.join(tmp, "silver")
+    ckpt = os.path.join(tmp, "ckpt")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.filter(F.col("o_orderkey") < 2500).repartition(4).write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .filter(F.col("o_totalprice") > 500)
+            .writeStream.format("txtable")
+            .option("path", silver_p)
+            .option("txnAppId", "sink_gate")
+            .option("partitionBy", "o_orderpriority")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    run()  # replay: at-or-below the txn watermark, commits nothing
+    from .functions.numeric import exact_sum
+
+    return (
+        TxTable(spark, silver_p)
+        .read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "tx_symlink_manifest",
     # Deterministic full oracle: the manifest-published snapshot after a
     # CoW delete + compaction is exactly orders with 300 <= o_orderkey
