@@ -275,3 +275,66 @@ def test_row_ids_option_matches_batch_feed(spark, tmp_path):
         TxStreamReader(
             t2.read().schema, {"path": str(tmp_path / "t2"), "rowids": "true"}
         )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_cdf_stream_batch_parity_fuzz(spark, tmp_path, seed):
+    """Seeded random DML histories (append / CoW delete / DV delete / CoW
+    update / compact): the streamed change feed from version 0 equals
+    batch read_changes row-for-row, and a plain snapshot stream equals
+    read(). One sequence proves a path; the fuzz proves the composition."""
+    import random
+
+    rng = random.Random(seed)
+    tp = str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    nxt = 0
+
+    def appender():
+        nonlocal nxt
+        lo, hi = nxt, nxt + rng.randint(3, 8)
+        nxt = hi
+        t.append(
+            spark.range(lo, hi).select(
+                "id", (F.col("id") % 4).alias("k")
+            ).coalesce(1)
+        )
+
+    appender()
+    ops = [
+        lambda: appender(),
+        lambda: t.delete_where([("id", "<", rng.randint(1, nxt))], mode="cow"),
+        lambda: t.delete_where([("k", "==", rng.randint(0, 3))], mode="dv"),
+        lambda: t.update_where(
+            [("k", "==", rng.randint(0, 3))],
+            {"k": F.lit(rng.randint(5, 9)).cast("long")},
+            mode="cow",
+        ),
+        lambda: t.compact(),
+    ]
+    for _ in range(6):
+        rng.choice(ops)()
+    got = _drain_cdf(
+        spark, tp, str(tmp_path / "ck"), str(tmp_path / "out"), startingVersion=0
+    )
+    want = t.read_changes(-1)
+    cols = ["id", "k", "_change_type", "_commit_version"]
+    assert sorted(map(_key, got.select(*cols).collect())) == sorted(
+        map(_key, want.select(*cols).collect())
+    )
+    # plain snapshot stream == batch read
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", tp)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "o2"))
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    plain = spark.read.parquet(str(tmp_path / "o2"))
+    assert sorted(map(_key, plain.select("id", "k").collect())) == sorted(
+        map(_key, t.read().select("id", "k").collect())
+    )
