@@ -5944,8 +5944,6 @@ def tx_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s2
     UNION ALL SELECT o_orderkey, rid, 1, p1, 'update_postimage',
            (o_orderkey % 7 <> 0) FROM s2
-    UNION ALL SELECT o_orderkey, rid, 2, p1, 'update_preimage', TRUE FROM s2
-    UNION ALL SELECT o_orderkey, rid, 2, p1, 'update_postimage', TRUE FROM s2
     UNION ALL SELECT o_orderkey, rid, 3, p1, 'update_preimage',
            (o_orderkey % 5 <> 0) FROM s2
     UNION ALL SELECT o_orderkey, rid, 3, p2, 'update_postimage',
@@ -5958,12 +5956,16 @@ def tx_cdf_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     row identity (txlog.read_update_pairs): orders land as one sorted
     file (row ids = insertion ranks), row tracking is enabled, then an
     UPDATE (%7 rows), a COMPACT, and a second UPDATE (%5 rows) each
-    rewrite the file. Every row's pre/post image pairs on its stable
-    _row_id across all three commits, and the feed is SELF-DESCRIBING
-    about carried rows: ``_change_unchanged`` is true exactly where the
-    pair's values are equal — all of step 2 (the compact), and the
-    non-multiple rows of steps 1 and 3. The oracle reconstructs images
-    and flags per row per step."""
+    rewrite the file. The COMPACT (step 2, dataChange=false) emits
+    NOTHING — the Delta-parity default shared with the streaming CDF
+    source (include_carried=True would restore its carried pairs) — so
+    the oracle pins steps 1 and 3 only, and a phantom compact image
+    breaks it. Every row's pre/post image pairs on its stable _row_id
+    across both DML commits THROUGH the relayout, and the feed is
+    SELF-DESCRIBING about CoW-carried rows: ``_change_unchanged`` is
+    true exactly where the pair's values are equal — the non-multiple
+    rows of steps 1 and 3. The oracle reconstructs images and flags per
+    row per step."""
     from .txlog import TxTable
 
     tmp = _scratch("tx_cdf_pairs")

@@ -41,7 +41,10 @@ Design (mirrors Delta's DeltaSource semantics, from the public docs):
   images — with ``_change_type`` / ``_commit_version`` columns appended,
   exactly the batch ``read_changes`` rendering served incrementally with
   exactly-once offsets. Compaction commits contribute nothing
-  (dataChange=false). Identity columns resolve feed-side through each
+  (dataChange=false) — the ONE contract shared with batch
+  ``read_changes`` (whose ``include_carried=True`` is the batch-only
+  escape hatch for file-delta consumers; the stream never emits carried
+  pairs), pinned by ``test_cdf_stream_batch_parity_fuzz``. Identity columns resolve feed-side through each
   file's era base map (pre-enablement eras through the enablement era,
   batch parity). ``rowIds=true`` (requires row tracking) appends
   ``_row_id`` so a consumer pairs each update's pre/post images

@@ -4540,6 +4540,7 @@ class TxTable:
         from_version: int,
         to_version: int | None = None,
         row_ids: bool = False,
+        include_carried: bool = False,
     ) -> DataFrame:
         """Change Data Feed: every row-level change committed AFTER
         ``from_version`` up to ``to_version`` (default head), tagged with
@@ -4547,9 +4548,19 @@ class TxTable:
 
         Because data files are immutable, the per-commit file lists ARE the
         row-level feed: a commit's added files contribute its inserted rows,
-        its removed files the deleted ones; a rewrite (DML, compact,
-        overwrite) appears as delete+insert at the same version, exactly how
-        Delta CDF renders an overwrite. Cost tracks the changed files — the
+        its removed files the deleted ones; a data-changing rewrite (DML,
+        MERGE, overwrite) appears as delete+insert at the same version,
+        exactly how Delta CDF renders an overwrite. Pure-relayout commits
+        (``op="compact"`` — OPTIMIZE/Z-order/Hilbert/auto-compact/REORG
+        PURGE: dataChange=false, same logical rows in new files) emit
+        NOTHING by default, matching Delta's published CDF (no rows for
+        OPTIMIZE) and this table's own streaming CDF source
+        (streaming/source.py), so the batch and streamed feeds agree
+        row-for-row. ``include_carried=True`` restores the carried
+        delete+insert pairs at the compact version for file-delta
+        consumers that want the physical rewrite visible (the pairs
+        null-safe-cancel, so net-style consumers see no difference either
+        way). Cost tracks the changed files — the
         feed never scans the unchanged table. Files already reclaimed by
         ``vacuum`` raise (same retention contract as the matview refresher);
         an update-in-place rewrite yields a delete of the old row image and
@@ -4631,6 +4642,10 @@ class TxTable:
         )
         frames = []
         for c in commits:
+            if c.get("op") == "compact" and not include_carried:
+                # dataChange=false relayout: same logical rows in new
+                # files — no change images (Delta CDF / streaming parity)
+                continue
             for relpaths, change in ((c.get("removed", []), "delete"), (c.get("added", []), "insert")):
                 files = [f for f in relpaths if f]
                 if not files:
@@ -4778,7 +4793,10 @@ class TxTable:
         return out
 
     def read_update_pairs(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_carried: bool = False,
     ) -> DataFrame:
         """The change feed in Delta CDF's four-way ``_change_type``
         vocabulary — ``insert`` / ``delete`` / ``update_preimage`` /
@@ -4788,18 +4806,24 @@ class TxTable:
         keyless form of the correlation every CDC consumer otherwise
         rebuilds with a primary key.
 
-        Rewrite-carried rows whose values did not change (compactions,
-        CoW rewrites touching co-located rows) classify as update pairs
-        too — their file moved — so the feed is SELF-DESCRIBING about it:
-        ``_change_unchanged`` is true on both images of a pair whose data
-        columns are null-safe-equal, false on value-changing pairs and on
-        pure inserts/deletes. Consumers who only want value changes filter
-        ``NOT _change_unchanged`` instead of re-deriving the comparison."""
+        Pure-relayout (compact) commits contribute nothing by default —
+        the ``read_changes`` Delta-parity contract; pass
+        ``include_carried=True`` to see their carried pairs. CoW rewrites
+        from data-changing commits (UPDATE/MERGE touching co-located
+        rows) always carry unmodified neighbors, so the feed is
+        SELF-DESCRIBING about them: ``_change_unchanged`` is true on both
+        images of a pair whose data columns are null-safe-equal, false on
+        value-changing pairs and on pure inserts/deletes. Consumers who
+        only want value changes filter ``NOT _change_unchanged`` instead
+        of re-deriving the comparison."""
         from functools import reduce
 
         from pyspark.sql import functions as F
 
-        feed = self.read_changes(from_version, to_version, row_ids=True)
+        feed = self.read_changes(
+            from_version, to_version, row_ids=True,
+            include_carried=include_carried,
+        )
         dels = feed.filter(F.col("_change_type") == "delete")
         ins = feed.filter(F.col("_change_type") == "insert")
         pair_keys = ["_row_id", "_commit_version"]

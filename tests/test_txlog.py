@@ -854,6 +854,44 @@ def test_read_changes_tags_inserts_and_deletes(spark, tmp_path):
     assert sorted(by_ver[2]) == [("delete", 1), ("delete", 2), ("insert", 1)]
 
 
+def test_read_changes_compact_emits_nothing_by_default(spark, tmp_path):
+    """ONE CDF contract across batch and stream (Delta parity): a
+    dataChange=false relayout (compact / Z-order / REORG PURGE) emits NO
+    change images by default; include_carried=True restores the carried
+    delete+insert pairs at the compact version for file-delta consumers."""
+    t = TxTable(spark, str(tmp_path / "cdfc"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))  # v0
+    t.append(_df(spark, [(3, "c")]).coalesce(1))            # v1
+    t.compact(target_files=1)                               # v2: relayout
+    t.append(_df(spark, [(4, "d")]).coalesce(1))            # v3
+    feed = t.read_changes(1).collect()
+    assert {r._commit_version for r in feed} == {3}
+    assert sorted((r._change_type, r.k) for r in feed) == [("insert", 4)]
+    # the flag restores the physical rewrite's carried pairs, which cancel
+    carried = [
+        r for r in t.read_changes(1, include_carried=True).collect()
+        if r._commit_version == 2
+    ]
+    assert sorted((r._change_type, r.k) for r in carried) == [
+        ("delete", 1), ("delete", 2), ("delete", 3),
+        ("insert", 1), ("insert", 2), ("insert", 3),
+    ]
+    # update-pair surface follows the same default: no compact-step pairs
+    t.enable_row_tracking()
+    v0 = t.version()
+    t.update_where([("k", "==", 1)], {"v": F.lit("A")})
+    t.compact(target_files=1)
+    pairs = t.read_update_pairs(v0).collect()
+    assert {r._commit_version for r in pairs} == {v0 + 1}
+    carried_pairs = t.read_update_pairs(v0, include_carried=True).collect()
+    assert {r._commit_version for r in carried_pairs} == {v0 + 1, v0 + 2}
+    assert all(
+        r._change_unchanged
+        for r in carried_pairs
+        if r._commit_version == v0 + 2
+    )
+
+
 def test_change_feed_replay_reconstructs_any_snapshot(spark, tmp_path):
     import random
 
