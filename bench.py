@@ -216,6 +216,27 @@ def main() -> None:
         },
     }
     print(json.dumps(out))
+    # The full record above is one LONG line (per-query dict + calibration
+    # samples); a bounded tail capture can truncate its head and lose the
+    # headline total (observed: a recorded round artifact with parsed=null).
+    # Emit a guaranteed-short final line with the summary fields so any
+    # last-line / last-bytes capture always catches a parseable record.
+    print(
+        json.dumps(
+            {
+                "metric": "headline total (full per-query record on the previous line)",
+                "value": out["value"],
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(times),
+                "calibration": {
+                    "cpu_sec": out["calibration"]["cpu_sec"],
+                    "io_sec": out["calibration"]["io_sec"],
+                },
+            },
+            separators=(",", ":"),
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -86,6 +86,16 @@ _DRIVER_PRIORITY: list[str] = [
     # approx_percentiles_price, streaming_distinct_sketch). All 52 §2 ids
     # keep >=1 certifying in-window row — asserted by
     # tests/test_oracle_parity.py's window-coverage check.
+    # ---- ROUND-7 ROTATION: the 3 round-6 session-3 queries that landed
+    # after the 50-slot window was spent (streaming_tx_cdf,
+    # streaming_tx_sink_partitioned, tx_symlink_manifest — all MATCH in
+    # the replica at 3 SFs) enter, plus the new tx_cdf_identity_feed
+    # (feed-side identity resolution, batch+stream agreement). Four
+    # r6-hash-green entries with redundant id cover leave
+    # (tx_time_travel, tx_metadata_counts, tx_properties_autocompact,
+    # tx_nested_rename — S7/T8/P9/A3 all keep >=2 other in-window
+    # certifiers). 52/52 §2 ids stay covered — asserted by
+    # tests/test_oracle_parity.py::test_driver_window_covers_every_survey_id.
     # keepers — minimal id cover
     "flagship_cdc_city_revenue",   # S1,S4,P1,P2,P3,A2
     "flagship_silver_lake",        # S3,S6
@@ -101,11 +111,12 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_embedding_cosine",      # X2,X3
     "bloom_prefilter_dedup",       # X1,P7,Q4
     "media_binary_stats",          # X5
-    # never-recorded (36) — the full r1-r4 certification residue
-    "tx_time_travel",              # S7,T8
-    "tx_metadata_counts",          # S7,P9,A3
+    # round-7 promotions — first driver row for each
+    "streaming_tx_cdf",            # S1,S2,T1,T7,S7 — CDF streaming source
+    "streaming_tx_sink_partitioned",  # S3,T1,T8,S7,S5 — native sink
+    "tx_symlink_manifest",         # S7,S5,P9,T8 — external read path
+    "tx_cdf_identity_feed",        # S2,T7,S7,T1 — feed-side identity, batch==stream
     "tx_bloom_point_lookup",       # S7,S5,P9
-    "tx_properties_autocompact",   # S7,T8
     "props_variant_stats",         # P1,P8,A3
     "doc_pii_redaction",           # X4,P5
     "doc_quality_classifier",      # X4,P5,A1
@@ -123,7 +134,6 @@ _DRIVER_PRIORITY: list[str] = [
     # round-6 session-1 promotions — the round-5 stragglers
     "tx_row_tracking",             # S7,T8
     "tx_sql_ddl",                  # S7,T8,P9
-    "tx_nested_rename",            # S7,T8
     "tx_cdf_update_pairs",         # S2,T7,S7
     "tx_generated_partition_pruning",  # S7,P6,P9
     "doc_chunks_udtf",             # X6,P5 — X6 hash-certified in-window
@@ -5266,6 +5276,117 @@ def streaming_tx_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
             exact_sum("o_totalprice").alias("revenue"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tx_cdf_identity_feed",
+    # Closed-form oracle: one sorted file per append makes the row-
+    # tracking id = global insertion rank, so every identity value is
+    # 100 + 3*rank. The batch feed and the streamed feed of the same
+    # history must render IDENTICAL resolved identity values (non-NULL
+    # for virtually-assigned rows) — both branches of the oracle are the
+    # same closed form, so batch/stream disagreement or a NULL uid
+    # breaks the hash.
+    """
+    WITH a AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+        FROM orders WHERE o_orderkey < 1200),
+    b AS (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) - 1 AS r
+        FROM orders WHERE o_orderkey >= 1200 AND o_orderkey < 1600),
+    feed AS (
+        SELECT 'insert' AS change,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(100 + 3 * (r + (SELECT COUNT(*) FROM a)))
+                    AS BIGINT) AS sum_uid,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        FROM b
+        UNION ALL
+        SELECT 'delete',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(100 + 3 * r) AS BIGINT),
+               CAST(SUM(o_orderkey) AS BIGINT)
+        FROM a WHERE o_orderkey < 300)
+    SELECT src, change, n_rows, sum_uid, sum_key
+    FROM (SELECT 'batch' AS src UNION ALL SELECT 'stream') s
+    CROSS JOIN feed
+    ORDER BY src, change
+    """,
+    "S2,T7,S7,T1",
+)
+def tx_cdf_identity_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns resolve FEED-SIDE, batch and stream agreeing: an
+    orders table declares GENERATED ALWAYS AS IDENTITY (value = affine
+    map of the row-tracking id; appended rows store NULL and resolve
+    virtually), then takes an append and a merge-on-read DV delete. Both
+    CDF surfaces — batch ``read_changes`` (txlog.py) and the streaming
+    CDF source (streaming/source.py, readChangeFeed=true) — must render
+    the SAME non-NULL identity values a ``read()`` shows, per change
+    image. Returns per-(source, change_type) counts and exact uid/key
+    sums of both feeds; a stored-NULL leak, a mis-resolved era, or any
+    batch/stream divergence breaks the oracle."""
+    from .streaming.source import register_tx_source
+    from .txlog import TxTable
+
+    register_tx_source(spark)
+    tmp = _scratch("tx_cdf_identity")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    t.append(
+        orders.filter(F.col("o_orderkey") < 1200)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )  # v0: one sorted file -> row id == insertion rank
+    t.set_identity_column("uid", start=100, step=3)
+    v_decl = t.version()
+    t.append(
+        orders.filter(
+            (F.col("o_orderkey") >= 1200) & (F.col("o_orderkey") < 1600)
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )  # insert images; uid virtual (never stored)
+    t.delete_where([("o_orderkey", "<", 300)], mode="dv")  # delete images
+    batch = t.read_changes(v_decl).select(
+        "o_orderkey", "uid", "_change_type"
+    )
+    out = os.path.join(tmp, "feed")
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v_decl + 1))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    stream = spark.read.parquet(out).select(
+        "o_orderkey", "uid", "_change_type"
+    )
+
+    def _agg(df: DataFrame, src: str) -> DataFrame:
+        return (
+            df.groupBy(F.col("_change_type").alias("change"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("uid").alias("sum_uid"),
+                F.sum("o_orderkey").alias("sum_key"),
+            )
+            .withColumn("src", F.lit(src))
+        )
+
+    return (
+        _agg(batch, "batch")
+        .unionByName(_agg(stream, "stream"))
+        .select("src", "change", "n_rows", "sum_uid", "sum_key")
+        .orderBy("src", "change")
     )
 
 

@@ -21,6 +21,34 @@ REG = registry()
 ORACLE_QUERIES = sorted(n for n, qd in REG.items() if qd.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, qd in REG.items() if qd.oracle is None)
 
+# SURVEY.md §2's full operator inventory: the driver records only the
+# FIRST 50 registry entries per round, so every id must keep >=1
+# certifying query inside that window across rotations.
+_SURVEY_IDS = {
+    f"{prefix}{i}"
+    for prefix, count in [
+        ("S", 8), ("P", 9), ("A", 6), ("J", 6),
+        ("W", 4), ("Q", 5), ("T", 8), ("X", 6),
+    ]
+    for i in range(1, count + 1)
+}
+
+
+def test_driver_window_covers_every_survey_id():
+    window = list(REG)[:50]
+    covered = {
+        ref.strip()
+        for name in window
+        for ref in REG[name].survey_ref.split(",")
+    }
+    assert _SURVEY_IDS <= covered, sorted(_SURVEY_IDS - covered)
+
+
+def test_every_declared_survey_id_is_known():
+    for name, qd in REG.items():
+        for ref in qd.survey_ref.split(","):
+            assert ref.strip() in _SURVEY_IDS, (name, ref)
+
 
 def _norm(v):
     if v is None:
