@@ -69,9 +69,18 @@ def _parse_predicates(where: str) -> list[tuple]:
             clause,
         )
         if lk:
-            preds.append(
-                (lk.group(1), "contains", lk.group(2).replace("''", "'"))
-            )
+            needle = lk.group(2).replace("''", "'")
+            if "_" in needle:
+                # SQL LIKE's '_' is a single-char wildcard; mapping it to
+                # a literal 'contains' would silently match only the
+                # literal text and mutate the wrong rows
+                raise ValueError(
+                    f"LIKE needle {needle!r} contains '_', SQL's "
+                    "single-character wildcard — only literal needles "
+                    "map to the contains predicate; escape is not "
+                    "supported, rewrite the statement without LIKE"
+                )
+            preds.append((lk.group(1), "contains", needle))
             continue
         m = re.fullmatch(
             rf"\s*({_PATH_IDENT})\s*(==|=|>=|<=|>|<)\s*"

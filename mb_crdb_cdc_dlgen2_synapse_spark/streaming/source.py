@@ -782,7 +782,7 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
         stage_rel = os.path.join("_staging", f"sink-{_uuid.uuid4().hex}")
         stage = os.path.join(self.path, stage_rel)
         writers: dict[str, pq.ParquetWriter] = {}
-        sentinel = "\x00N"
+        sentinel = "__HIVE_DEFAULT_PARTITION__"  # hive's NULL rendering
 
         def _writer(rel_dir: str) -> pq.ParquetWriter:
             w = writers.get(rel_dir)
@@ -810,22 +810,47 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
                 if not self.part_cols:
                     _writer("").write_batch(batch)
                     continue
-                # split the batch by partition values: vectorized string
-                # key per row, python work only on the UNIQUE combos
-                segs = [
-                    pc.coalesce(
-                        pc.cast(
-                            batch.column(batch.schema.get_field_index(c)),
-                            pa.string(),
-                        ),
+                # split the batch by partition values. Each segment is
+                # ESCAPED (dictionary-wise: python only on unique values)
+                # BEFORE joining, so the "/" join delimiter and the "="
+                # prefix can never appear inside a value — a raw join on
+                # a control char mis-split values containing it (zip
+                # truncation landed rows under wrong partitions). The
+                # joined key IS the hive rel_dir.
+                segs = []
+                for c in self.part_cols:
+                    d = pc.cast(
+                        batch.column(batch.schema.get_field_index(c)),
+                        pa.string(),
+                    ).dictionary_encode()
+                    uniq = d.dictionary.to_pylist()
+                    if sentinel in uniq:
+                        raise ValueError(
+                            f"partition column {c!r} holds the literal "
+                            f"string {sentinel!r}, which is hive's NULL "
+                            "rendering — it would round-trip as NULL; "
+                            "store NULL or a different value"
+                        )
+                    esc = pa.array(
+                        [
+                            None if v is None else self._escape_path_value(v)
+                            for v in uniq
+                        ],
+                        pa.string(),
+                    )
+                    seg = pc.coalesce(
+                        pc.take(esc, d.indices),
                         pa.scalar(sentinel, pa.string()),
                     )
-                    for c in self.part_cols
-                ]
+                    segs.append(
+                        pc.binary_join_element_wise(
+                            pa.scalar(f"{c}=", pa.string()), seg, ""
+                        )
+                    )
                 key = (
                     segs[0]
                     if len(segs) == 1
-                    else pc.binary_join_element_wise(*segs, "\x01")
+                    else pc.binary_join_element_wise(*segs, "/")
                 )
                 data_cols = [
                     batch.column(batch.schema.get_field_index(f.name))
@@ -834,18 +859,8 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
                 data = pa.RecordBatch.from_arrays(
                     data_cols, schema=data_target
                 )
-                for u in pc.unique(key).to_pylist():
-                    vals = u.split("\x01") if len(segs) > 1 else [u]
-                    rel_dir = os.sep.join(
-                        f"{c}="
-                        + (
-                            "__HIVE_DEFAULT_PARTITION__"
-                            if v == sentinel
-                            else self._escape_path_value(v)
-                        )
-                        for c, v in zip(self.part_cols, vals)
-                    )
-                    mask = pc.equal(key, u)
+                for rel_dir in pc.unique(key).to_pylist():
+                    mask = pc.equal(key, rel_dir)
                     _writer(rel_dir).write_batch(
                         pa.Table.from_batches([data.filter(mask)])
                         .combine_chunks()

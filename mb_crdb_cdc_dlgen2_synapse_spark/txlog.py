@@ -4922,7 +4922,11 @@ class TxTable:
         — the restored files are re-referenced, the rolled-back commits'
         files dropped — so it is atomic, concurrent-reader-safe, and itself
         time-travelable (the rolled-back history stays in the log). Fails if
-        the target snapshot's files were already vacuumed."""
+        the target snapshot's files were already vacuumed. Refused on
+        appendOnly tables like every other file-removing commit (Delta's
+        append-only contract): rewinding history drops rows added after
+        the target version."""
+        self._refuse_if_append_only("RESTORE")
         try:
             old_state = self._state(version)
         except FileNotFoundError as e:
@@ -4974,6 +4978,10 @@ class TxTable:
         )
 
     MANIFEST_DIR = "_symlink_format_manifest"
+    #: seconds after which a crashed regenerator's lock is stolen
+    MANIFEST_LOCK_STALE = 60.0
+    #: seconds a regenerator waits on a live holder before giving up
+    MANIFEST_LOCK_TIMEOUT = 30.0
 
     def generate_manifest(self, as_of: int | None = None) -> list[str]:
         """``GENERATE symlink_format_manifest`` (the published Delta
@@ -4996,7 +5004,20 @@ class TxTable:
         no longer exist are removed. Set the ``manifest.autoUpdate``
         table property to regenerate after every data-changing commit
         (Delta's ``delta.compatibility.symlinkFormatManifest.enabled``).
-        Returns the relative manifest paths written."""
+        Returns the relative manifest paths written.
+
+        Concurrent-writer ordering: regenerations are SERIALIZED per
+        table (an exclusive lock file under the manifest dir, stale
+        holders stolen after ``MANIFEST_LOCK_STALE``s) and publication is MONOTONE
+        (a ``_version`` marker records the published snapshot; a
+        head-of-table regeneration for an OLDER version than the marker
+        is a no-op returning ``[]``). Without this, a writer that
+        committed v then stalled could run its post-commit hook AFTER
+        the v+1 winner's and leave external readers on a stale or
+        mixed-version file list until the next data commit. An explicit
+        ``as_of`` bypasses the monotonicity skip (regenerating history
+        on purpose) but still serializes and never moves the marker
+        backwards."""
         st = self._state(as_of)
         if st["dv_counts"]:
             raise ValueError(
@@ -5011,32 +5032,71 @@ class TxTable:
                 "tables: data files carry frozen physical column names an "
                 "external reader's schema would not match"
             )
-        by_dir: dict[str, list[str]] = {}
-        for rel in st["active"]:
-            by_dir.setdefault(os.path.dirname(rel), []).append(rel)
         root = os.path.join(self.path, self.MANIFEST_DIR)
-        written: list[str] = []
-        for d in sorted(by_dir):
-            mdir = os.path.join(root, d) if d else root
-            os.makedirs(mdir, exist_ok=True)
-            body = "".join(
-                "file://" + os.path.join(self.path, rel) + "\n"
-                for rel in sorted(by_dir[d])
-            )
-            tmp = os.path.join(mdir, f".manifest.{uuid.uuid4().hex}.tmp")
-            with open(tmp, "w") as f:
-                f.write(body)
-            os.replace(tmp, os.path.join(mdir, "manifest"))
-            written.append(
-                os.path.relpath(os.path.join(mdir, "manifest"), self.path)
-            )
-        # drop manifests of partitions that no longer hold active files
-        # (an external reader would otherwise still see the old region)
-        keep = {
-            os.path.normpath(os.path.join(root, d) if d else root)
-            for d in by_dir
-        }
-        if os.path.isdir(root):
+        os.makedirs(root, exist_ok=True)
+        lock = os.path.join(root, ".lock")
+        marker = os.path.join(root, "_version")
+        deadline = time.time() + self.MANIFEST_LOCK_TIMEOUT
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    stale = time.time() - os.path.getmtime(lock) > self.MANIFEST_LOCK_STALE
+                except OSError:
+                    continue  # holder just released
+                if stale:
+                    # holder crashed mid-regeneration: steal (regens take
+                    # well under the stale window; worst case two stealers
+                    # both regenerate, monotone marker keeps order)
+                    try:
+                        os.remove(lock)
+                    except OSError:
+                        pass
+                elif time.time() > deadline:
+                    raise TimeoutError(
+                        f"manifest regeneration lock {lock!r} held for "
+                        f">{self.MANIFEST_LOCK_TIMEOUT}s; a concurrent "
+                        "GENERATE is stuck"
+                    )
+                else:
+                    time.sleep(0.05)
+        try:
+            published = -1
+            try:
+                with open(marker) as f:
+                    published = int(f.read().strip())
+            except (OSError, ValueError):
+                pass
+            if as_of is None and published >= st["version"]:
+                return []  # a newer snapshot already published: no-op
+            by_dir: dict[str, list[str]] = {}
+            for rel in st["active"]:
+                by_dir.setdefault(os.path.dirname(rel), []).append(rel)
+            written: list[str] = []
+            for d in sorted(by_dir):
+                mdir = os.path.join(root, d) if d else root
+                os.makedirs(mdir, exist_ok=True)
+                body = "".join(
+                    "file://" + os.path.join(self.path, rel) + "\n"
+                    for rel in sorted(by_dir[d])
+                )
+                tmp = os.path.join(mdir, f".manifest.{uuid.uuid4().hex}.tmp")
+                with open(tmp, "w") as f:
+                    f.write(body)
+                os.replace(tmp, os.path.join(mdir, "manifest"))
+                written.append(
+                    os.path.relpath(os.path.join(mdir, "manifest"), self.path)
+                )
+            # drop manifests of partitions that no longer hold active files
+            # (an external reader would otherwise still see the old region)
+            keep = {
+                os.path.normpath(os.path.join(root, d) if d else root)
+                for d in by_dir
+            }
             for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
                 if "manifest" in filenames and os.path.normpath(dirpath) not in keep:
                     os.remove(os.path.join(dirpath, "manifest"))
@@ -5045,7 +5105,17 @@ class TxTable:
                         os.rmdir(dirpath)
                 except OSError:
                     pass
-        return written
+            nv = max(published, st["version"])
+            tmp = os.path.join(root, f"._version.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                f.write(str(nv))
+            os.replace(tmp, marker)
+            return written
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     def clone_to(self, target_path: str, as_of: int | None = None) -> "TxTable":
         """Zero-copy shallow CLONE (the published Delta CLONE semantics): a
@@ -5131,8 +5201,17 @@ class TxTable:
         a partial backup). One metadata commit; the table becomes
         readable again at the cost of the missing files' rows — which are
         already gone; FSCK just makes the log agree with reality.
-        ``dry_run`` reports what would be dropped without committing.
-        O(active files) existence checks, zero data I/O."""
+
+        A data file whose DELETION VECTOR is the missing object is
+        dropped TOO (``dropped_for_missing_dv`` in the report) — Delta's
+        FSCK semantics. Keeping the file and forgetting the vector would
+        silently resurrect its DV-deleted rows, a compliance hazard (a
+        GDPR delete reappearing because one small DV object was lost);
+        losing the file's surviving rows is the recoverable failure
+        (re-load), un-deleting is not. ``dry_run`` reports what would be
+        dropped without committing. O(active files) existence checks
+        plus, only when a DV is missing, O(log) commit parses to find the
+        data files that DV covered; zero data I/O."""
         state = self._state()
         missing = [
             f
@@ -5144,9 +5223,23 @@ class TxTable:
             for f in state["dvs"]
             if not os.path.exists(os.path.join(self.path, f))
         ]
+        # data files a missing DV covered: the DV parquet itself is gone,
+        # but the commit that added it logged the covered files as its
+        # dv_counts keys
+        dropped_for_dv: list[str] = []
+        if missing_dvs:
+            gone_dvs = set(missing_dvs)
+            covered: set[str] = set()
+            commits_map, _ckpts = self._list_log()
+            for v in sorted(commits_map):
+                c = self._read_json(commits_map[v])
+                if gone_dvs & set(c.get("dv_added") or []):
+                    covered |= set(c.get("dv_counts") or {})
+            dropped_for_dv = [f for f in state["active"] if f in covered]
         out = {
             "missing_files": missing,
             "missing_dv_files": missing_dvs,
+            "dropped_for_missing_dv": dropped_for_dv,
             "version": state["version"],
         }
         if dry_run or not (missing or missing_dvs):
@@ -5160,7 +5253,7 @@ class TxTable:
                 for f, n in state["dv_counts"].items()
                 if f in set(keep)
             }
-        gone = set(missing)
+        gone = set(missing) | set(dropped_for_dv)
         out["version"] = self._commit(
             [], lambda active: [f for f in active if f in gone],
             state["schema"], None, "fsck", extra=extra or None,

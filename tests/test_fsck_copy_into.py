@@ -37,20 +37,32 @@ def test_fsck_repairs_manually_deleted_file(spark, tmp_path):
     ks = sorted(r.k for r in t.read().collect())
     assert len(ks) == 2 and t.history()[-1]["op"] == "fsck"
     assert t.fsck() == {
-        "missing_files": [], "missing_dv_files": [], "version": t.version()
+        "missing_files": [], "missing_dv_files": [],
+        "dropped_for_missing_dv": [], "version": t.version(),
     }
 
 
-def test_fsck_drops_missing_dv_file(spark, tmp_path):
+def test_fsck_missing_dv_drops_covered_data_file(spark, tmp_path):
+    """Delta's FSCK semantics for a lost deletion vector: the data file
+    the DV covered is dropped WITH it — keeping the file would silently
+    resurrect its DV-deleted rows (a GDPR delete coming back because one
+    small DV object was lost). An uncovered file is untouched."""
     t = TxTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, [(i, f"v{i}") for i in range(10)]).coalesce(1))
+    t.append(_df(spark, [(100, "x")]).coalesce(1))  # never DV'd
     t.delete_where([("k", "==", 3)], mode="dv")
     dvs = t._active_dvs()
+    covered = sorted(t._state()["dv_counts"])
     os.remove(os.path.join(t.path, dvs[0]))
-    rep = t.fsck()
+    rep = t.fsck(dry_run=True)
     assert rep["missing_dv_files"] == dvs
-    # the DV's deletions resurface (the vector is gone) — table readable
-    assert sorted(r.k for r in t.read().collect()) == list(range(10))
+    assert rep["dropped_for_missing_dv"] == covered
+    assert len(t.snapshot()[1]) == 2  # dry run changed nothing
+    rep = t.fsck()
+    assert rep["dropped_for_missing_dv"] == covered
+    # deleted row 3 did NOT resurface; the covered file's survivors are
+    # lost (the recoverable failure); the uncovered file is intact
+    assert sorted(r.k for r in t.read().collect()) == [100]
 
 
 # -- COPY INTO ---------------------------------------------------------------

@@ -146,3 +146,58 @@ def test_engine_read_manifest_facade(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no symlink manifest"):
         eng.read_manifest(str(tmp_path / "nope"))
+
+
+def test_regeneration_is_monotone_under_unordered_writers(spark, tmp_path):
+    """Unordered post-commit regenerations (a stalled writer running its
+    hook AFTER the next version's winner) cannot roll external readers
+    back: publication carries a _version marker and a head-of-table
+    regeneration for an older-or-equal version is a no-op."""
+    tp = str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    t.append(spark.range(0, 5).select("id"))          # v0
+    assert t.generate_manifest()                      # publishes v0
+    marker = os.path.join(tp, TxTable.MANIFEST_DIR, "_version")
+    with open(marker) as f:
+        assert int(f.read()) == 0
+    uris_v0 = _manifest_uris(tp)
+    # a newer writer already published: the stalled writer's late hook
+    # (same head, marker bumped ahead) must not clobber it
+    with open(marker, "w") as f:
+        f.write("99")
+    assert t.generate_manifest() == []
+    assert _manifest_uris(tp) == uris_v0
+    with open(marker) as f:
+        assert int(f.read()) == 99  # marker never moves backwards
+    # an EXPLICIT historical regeneration bypasses the skip but still
+    # never rolls the marker back
+    assert t.generate_manifest(as_of=0)
+    with open(marker) as f:
+        assert int(f.read()) == 99
+
+
+def test_regeneration_lock_steals_stale_and_times_out_on_live(spark, tmp_path):
+    tp = str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    t.append(spark.range(0, 3).select("id"))
+    root = os.path.join(tp, TxTable.MANIFEST_DIR)
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, ".lock")
+    # crashed holder (stale mtime): stolen, regeneration proceeds
+    with open(lock, "w") as f:
+        f.write("0")
+    old = __import__("time").time() - TxTable.MANIFEST_LOCK_STALE - 5
+    os.utime(lock, (old, old))
+    assert t.generate_manifest()
+    assert not os.path.exists(lock)
+    # live holder (fresh mtime): waits, then times out
+    with open(lock, "w") as f:
+        f.write("0")
+    orig = TxTable.MANIFEST_LOCK_TIMEOUT
+    TxTable.MANIFEST_LOCK_TIMEOUT = 0.3
+    try:
+        with pytest.raises(TimeoutError, match="regeneration lock"):
+            t.generate_manifest()
+    finally:
+        TxTable.MANIFEST_LOCK_TIMEOUT = orig
+        os.remove(lock)

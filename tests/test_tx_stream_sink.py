@@ -317,6 +317,65 @@ def test_partitioned_sink_streamed_rows_survive_roundtrip(spark, tmp_path):
     assert got == want and len(got) == 12
 
 
+def test_partitioned_sink_hostile_partition_values_roundtrip(spark, tmp_path):
+    """Multi-column partition keys escape each segment BEFORE joining:
+    values containing the historical \\x01 join delimiter, '=', '/', or
+    '%' land under correctly-escaped hive dirs and round-trip exactly
+    (a raw join mis-split such values and silently re-partitioned rows);
+    NULL renders as __HIVE_DEFAULT_PARTITION__ and reads back as NULL."""
+    src, tp = str(tmp_path / "src"), str(tmp_path / "t")
+    hostile = ["a\x01b", "x=y", "p/q", "50%", "\x00N", None]
+    _land(
+        src,
+        "a.json",
+        [
+            {"id": i, "p": hostile[i % len(hostile)], "q": f"g{i % 2}"}
+            for i in range(12)
+        ],
+    )
+    q = (
+        spark.readStream.schema("id long, p string, q string")
+        .json(src)
+        .writeStream.format("txtable")
+        .option("path", tp)
+        .option("txnAppId", "hostile1")
+        .option("partitionBy", "p,q")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.id, r.p, r.q) for r in TxTable(spark, tp).read().collect()
+    )
+    want = sorted(
+        (i, hostile[i % len(hostile)], f"g{i % 2}") for i in range(12)
+    )
+    assert got == want
+
+
+def test_partitioned_sink_refuses_literal_hive_null_sentinel(spark, tmp_path):
+    """A literal string value equal to hive's NULL rendering cannot be
+    distinguished from NULL in the path — refused at write time instead
+    of silently round-tripping to NULL."""
+    src, tp = str(tmp_path / "src"), str(tmp_path / "t")
+    _land(src, "a.json", [{"id": 1, "p": "__HIVE_DEFAULT_PARTITION__"}])
+    q = (
+        spark.readStream.schema("id long, p string")
+        .json(src)
+        .writeStream.format("txtable")
+        .option("path", tp)
+        .option("txnAppId", "sent1")
+        .option("partitionBy", "p")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="HIVE_DEFAULT_PARTITION"):
+        q.awaitTermination(180)
+        q.processAllAvailable()
+
+
 def test_sink_small_files_bounded_by_out_of_band_maintain(spark, tmp_path):
     """The native sink's commit hook runs in the data-source runner worker
     (no SparkSession — it cannot drive a compaction job), so the
