@@ -7565,6 +7565,80 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_linear_probe",
+    # Oracle replays the whole FIT: integer sufficient statistics (exact
+    # under any partitioning), the 1-feature ridge closed form with the
+    # identical cast-then-divide float shape, then per-doc scoring — so a
+    # wrong sum, a drifted coefficient, or a scoring-expression mismatch
+    # all break the hash. l2=1000 keeps the ridge term visible.
+    """
+    WITH f AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS x_len,
+               CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                    AS BIGINT) AS y_tok
+        FROM documents),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x_len) AS BIGINT) AS sx,
+               CAST(SUM(y_tok) AS BIGINT) AS sy,
+               CAST(SUM(x_len * x_len) AS BIGINT) AS sxx,
+               CAST(SUM(x_len * y_tok) AS BIGINT) AS sxy
+        FROM f),
+    c AS (
+        SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx + 1000 AS DOUBLE) AS slope,
+               n, sx, sy
+        FROM s),
+    c2 AS (
+        SELECT slope,
+               (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS icept
+        FROM c)
+    SELECT f.doc_id, f.x_len, f.y_tok,
+           c2.icept + c2.slope * CAST(f.x_len AS DOUBLE) AS pred,
+           CAST(f.y_tok AS DOUBLE)
+               - (c2.icept + c2.slope * CAST(f.x_len AS DOUBLE)) AS resid
+    FROM f CROSS JOIN c2
+    """,
+    "X4,A1,P7",
+)
+def doc_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score a linear quality probe in ONE aggregation pass
+    (operators/linear.py): integer features (chars, whitespace tokens)
+    make the normal-equation sums EXACT — invariant to partitioning and
+    engine — the 1-feature ridge closed form solves driver-side with the
+    same float-operation shape the SQL oracle uses (bit-reproducible
+    coefficients), and scoring is a pure codegen projection. The 100 TB
+    story: fit = one map-side-combinable aggregate shuffling ONE row,
+    score = a narrow column expression; no iteration, no python on the
+    hot path."""
+    from .operators import linear
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("x_len"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("y_tok"),
+    )
+    stats = linear.suff_stats(docs, ["x_len"], "y_tok")
+    slope, icept = linear.simple_ridge(stats, l2=1000)
+    pred = linear.score(docs, ["x_len"], [icept, slope])
+    return docs.select(
+        "doc_id",
+        "x_len",
+        "y_tok",
+        pred.alias("pred"),
+        (F.col("y_tok").cast("double") - pred).alias("resid"),
+    )
+
+
+@register(
     "corpus_data_card",
     r"""
     WITH hashed AS (

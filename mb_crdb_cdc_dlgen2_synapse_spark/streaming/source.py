@@ -299,6 +299,12 @@ class TxStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft else None
         mbt = options.get("maxbytespertrigger")
         self.max_bytes = int(mbt) if mbt else None
+        # Python DataSource tasks pay a fixed protocol toll (worker spawn
+        # + Arrow IPC setup) — CDC tables are MANY SMALL commit files, so
+        # one-task-per-file multiplies that toll. Files pack into tasks by
+        # LOGGED size up to packBytes (0 disables, one task per file).
+        pb = options.get("packbytes")
+        self.pack_bytes = int(pb) if pb is not None else 32 << 20
         self.skip_change = str(options.get("skipchangecommits", "")).lower() == "true"
         self.ignore_changes = str(options.get("ignorechanges", "")).lower() == "true"
         self.cdf = str(options.get("readchangefeed", "")).lower() == "true"
@@ -586,27 +592,61 @@ class TxStreamReader(DataSourceStreamReader):
                     change, cv = "delete", v
                 if self.cdf and kind == "insert":
                     fstat = self._era_stats(v).get(rel) or fstat
-                parts.append(
-                    TxFilePartition(
-                        path=os.path.join(self.path, rel),
-                        rel=rel,
-                        schema_json=self.schema_json,
-                        colmap=colmap,
-                        parts=_partition_values(rel),
-                        dv_paths=dvs,
-                        base_row_id=fstat.get("base_row_id"),
-                        identity=identity,
-                        emit=emit,
-                        change_type=change,
-                        commit_version=cv,
-                        with_row_ids=self.row_ids,
-                    )
+                fp = TxFilePartition(
+                    path=os.path.join(self.path, rel),
+                    rel=rel,
+                    schema_json=self.schema_json,
+                    colmap=colmap,
+                    parts=_partition_values(rel),
+                    dv_paths=dvs,
+                    base_row_id=fstat.get("base_row_id"),
+                    identity=identity,
+                    emit=emit,
+                    change_type=change,
+                    commit_version=cv,
+                    with_row_ids=self.row_ids,
                 )
-        return parts or [_EmptyPartition()]
+                # unknown logged size: assume big enough to stand alone
+                fp.bytes = int(fstat.get("bytes") or self.pack_bytes or 1)
+                parts.append(fp)
+        if not parts:
+            return [_EmptyPartition()]
+        if self.pack_bytes <= 0 or len(parts) <= 1:
+            return parts
+        # pack small files into shared tasks (deterministic: same offset
+        # range -> same plan-order greedy packing). A file never splits;
+        # a group closes once it holds the target bytes. The target is
+        # parallelism-aware: packBytes is the CEILING, but a large batch
+        # still fans out to ~2 tasks/core (packing 600k snapshot rows
+        # into one task would serialize what the cluster should scan in
+        # parallel); tiny batches keep the 1MB floor so a handful of
+        # small CDC commits stays one task.
+        total = sum(fp.bytes for fp in parts)
+        cpus = os.cpu_count() or 8
+        target = min(
+            self.pack_bytes, max(total // (2 * cpus), 1 << 20)
+        )
+        groups: list[list[TxFilePartition]] = [[]]
+        acc = 0
+        for fp in parts:
+            if groups[-1] and acc + fp.bytes > target:
+                groups.append([])
+                acc = 0
+            groups[-1].append(fp)
+            acc += fp.bytes
+        return [
+            g[0] if len(g) == 1 else TxFilesPartition(g) for g in groups
+        ]
 
     def read(self, partition) -> Iterator:
         if isinstance(partition, _EmptyPartition):
             return iter(())
+        if isinstance(partition, TxFilesPartition):
+            return (
+                batch
+                for fp in partition.entries
+                for batch in _read_tx_file(fp)
+            )
         return _read_tx_file(partition)
 
     def commit(self, end: dict) -> None:
@@ -614,6 +654,18 @@ class TxStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+class TxFilesPartition(InputPartition):
+    """Several small files served by ONE task. The Python DataSource
+    protocol pays a fixed per-task toll (Python worker spawn + Arrow IPC
+    setup), so a CDC table's thousands of small commit files must not
+    become thousands of tasks; files pack by logged bytes up to the
+    reader's ``packBytes`` (plan-order greedy, deterministic across
+    replays). A file never splits across tasks."""
+
+    def __init__(self, entries: list[TxFilePartition]):
+        self.entries = entries
 
 
 class _EmptyPartition(InputPartition):

@@ -1908,15 +1908,34 @@ class TxTable:
                 .agg(F.collect_set("__pos").alias("__ps"))
                 .collect()
             )
+            # URI -> staged relpath, SCHEME-AGNOSTIC: staged data files
+            # carry uuid basenames, so the basename alone identifies the
+            # file within this commit's batch on any store (file:, s3a:,
+            # abfss:, ...). Basename collisions inside one batch (never
+            # produced by this writer, but defend anyway) fall back to
+            # the local-path mapping; anything still unmapped fails OPEN.
+            from urllib.parse import unquote, urlparse
+
+            by_base: dict[str, str] = {}
+            dupes: set[str] = set()
+            for rel in relpaths:
+                b = os.path.basename(rel)
+                if b in by_base:
+                    dupes.add(b)
+                by_base[b] = rel
             by_rel: dict[str, list[int]] = {}
             for r in rows:
-                p = _uri_to_local_path(r["__f"])
-                if p is None:
-                    continue  # non-file scheme: fail open below
-                try:
-                    rel = os.path.relpath(p, self.path)
-                except ValueError:
-                    continue
+                uri = r["__f"]
+                base = os.path.basename(unquote(urlparse(uri).path or uri))
+                rel = by_base.get(base)
+                if rel is None or base in dupes:
+                    p = _uri_to_local_path(uri)
+                    if p is None:
+                        continue  # unmappable: fail open below
+                    try:
+                        rel = os.path.relpath(p, self.path)
+                    except ValueError:
+                        continue
                 by_rel[rel] = list(r["__ps"])
             for rel in relpaths:
                 if rel not in by_rel:

@@ -419,3 +419,59 @@ def test_lagging_stream_past_vacuum_gets_friendly_error(spark, tmp_path):
     t.vacuum(retain_versions=1, prune_log=True)
     with pytest.raises(Exception, match="pruned by vacuum|STREAM_FAILED"):
         _drain(spark, tp, ckpt, out, startingVersion=0, maxFilesPerTrigger=1)
+
+
+def test_small_files_pack_into_shared_tasks(spark, tmp_path):
+    """The Python DataSource protocol pays a fixed per-task toll, so small
+    commit files pack into shared tasks (packBytes, default 32MB): 12
+    tiny files plan far fewer partitions, packBytes=0 restores
+    one-task-per-file, and the same offset range re-plans IDENTICALLY
+    (replay determinism). Values are unaffected either way."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.source import (
+        TxStreamReader,
+        TxFilesPartition,
+    )
+
+    tp = str(tmp_path / "t")
+    t = TxTable(spark, tp)
+    for k in range(12):
+        t.append(
+            spark.createDataFrame([(k, float(k))], "k long, v double")
+            .coalesce(1)
+        )
+    reader = TxStreamReader(
+        t.read().schema, {"path": tp, "startingversion": "0"}
+    )
+    start = reader.initialOffset()  # tail from v0: every file in one range
+    end = reader.latestOffset()
+    packed = reader.partitions(start, end)
+    assert len(packed) < 12
+    assert sum(
+        len(p.entries) if isinstance(p, TxFilesPartition) else 1
+        for p in packed
+    ) == 12
+    # deterministic replay: identical plan for the same range
+    again = reader.partitions(start, end)
+    assert [
+        [e.rel for e in p.entries] if isinstance(p, TxFilesPartition) else [p.rel]
+        for p in packed
+    ] == [
+        [e.rel for e in p.entries] if isinstance(p, TxFilesPartition) else [p.rel]
+        for p in again
+    ]
+    # packing off: one task per file
+    flat_reader = TxStreamReader(
+        t.read().schema,
+        {"path": tp, "packbytes": "0", "startingversion": "0"},
+    )
+    flat_reader.initialOffset()
+    flat = flat_reader.partitions(start, end)
+    assert len(flat) == 12
+    # a packed task serves every file's rows
+    rows = [
+        (r["k"], r["v"])
+        for p in packed
+        for b in reader.read(p)
+        for r in b.to_pylist()
+    ]
+    assert sorted(rows) == [(k, float(k)) for k in range(12)]
