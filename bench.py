@@ -97,6 +97,8 @@ HEADLINE = [
     "tx_trigram_substring_search", # ngrambf substring file skipping
     "tx_hilbert_clustering",       # Hilbert-curve compact + pruned read
     "tx_copy_into_idempotent",     # COPY INTO exactly-once loading
+    # round-7 additions
+    "doc_quality_linear_probe",    # one-pass exact-stats ridge fit + score
 ]
 
 
