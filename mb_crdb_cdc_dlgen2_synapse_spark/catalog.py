@@ -8032,6 +8032,61 @@ def tx_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx_fsck_recovery",
+    # Closed-form oracle: file A holds keys < 1000, file B holds
+    # 1000..2000, DV1 hides keys < 500 (covers A only), DV2 hides
+    # keys >= 1500 (covers B only). Losing A and DV1 then running FSCK
+    # must leave exactly B minus DV2 readable: the missing data file's
+    # rows are gone, the missing DV drops its covered file (A, Delta
+    # semantics — its deleted rows must NOT resurrect), and the
+    # surviving DV2 keeps applying to B.
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 1500
+    """,
+    "S7,T8,P9",
+)
+def tx_fsck_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSCK REPAIR TABLE end to end (txlog.fsck — the published Delta
+    recovery statement): storage loses one data file AND one deletion-
+    vector file out-of-band; one repair commit makes the table readable
+    again with exactly the surviving rows — the lost file's rows gone,
+    the lost DV's covered file dropped WITH it (deleted rows never
+    reappear: the round-7 advisory contract), the unrelated DV still
+    applied. Runs through the SQL form (FSCK REPAIR TABLE t) after a
+    DRY RUN audit that must change nothing."""
+    from .sql_ddl import execute_ddl
+    from .txlog import TxTable
+
+    tmp = _scratch("tx_fsck")
+    t = TxTable(spark, os.path.join(tmp, "table"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.append(
+        orders.filter(F.col("o_orderkey") < 1000)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )  # v0: file A
+    file_a = t._state(0)["active"][0]
+    t.append(
+        orders.filter(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )  # v1: file B
+    t.delete_where([("o_orderkey", "<", 500)], mode="dv")  # v2: DV1 on A
+    dv1 = (set(t._state(2)["dvs"]) - set(t._state(1)["dvs"])).pop()
+    t.delete_where([("o_orderkey", ">=", 1500)], mode="dv")  # v3: DV2 on B
+    os.remove(os.path.join(t.path, file_a))
+    os.remove(os.path.join(t.path, dv1))
+    tabs = {"t": t.path}
+    execute_ddl(spark, "FSCK REPAIR TABLE t DRY RUN", tabs)
+    execute_ddl(spark, "FSCK REPAIR TABLE t", tabs)
+    return TxTable(spark, t.path).read().select("o_orderkey", "o_totalprice")
+
+
+@register(
     "tx_copy_into_idempotent",
     """
     SELECT o_orderkey, o_totalprice FROM orders

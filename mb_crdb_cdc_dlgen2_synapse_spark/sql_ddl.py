@@ -29,6 +29,7 @@ switcher never needs the Python API for day-2 operations:
     RESTORE t TO VERSION AS OF 3
     DESCRIBE DETAIL t
     DESCRIBE HISTORY t
+    SHOW TBLPROPERTIES t
     CREATE TABLE t AS SELECT ...            (views over the tables map)
     INSERT INTO t SELECT ... | VALUES (...) (positional, cast to schema)
     RESTORE t TO TIMESTAMP AS OF '2026-01-01T00:00:00Z'
@@ -408,6 +409,14 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
 
         return spark.createDataFrame(
             [(k, _json.dumps(v)) for k, v in d.items()], "item string, value string"
+        )
+
+    m = re.fullmatch(rf"(?is)SHOW\s+TBLPROPERTIES\s+({_IDENT})", stmt)
+    if m:
+        props = t(m.group(1))._state()["props"]
+        return spark.createDataFrame(
+            sorted((str(k), str(v)) for k, v in props.items()),
+            "key string, value string",
         )
 
     m = re.fullmatch(rf"(?is)DESCRIBE\s+HISTORY\s+({_IDENT})", stmt)

@@ -320,6 +320,7 @@ class TxStreamReader(DataSourceStreamReader):
         self._norm = _nullable_normalized(self.schema_json)
         self._pos: dict | None = None
         self._base: int | None = None
+        self._serve_memo: dict[tuple, list] = {}
         st = self.tbl._state()  # also runs the reader-feature protocol gate
         if self.row_ids and not st["rowtrack"].get("enabled"):
             raise ValueError(
@@ -376,7 +377,21 @@ class TxStreamReader(DataSourceStreamReader):
         indexes into — deterministic given the immutable log + the
         offset's own ``base``, so replays plan identical partitions.
         Kinds: ``data`` (plain row stream), or in CDF mode
-        ``insert_snap`` / ``insert`` / ``delete`` / ``dv_delete``."""
+        ``insert_snap`` / ``insert`` / ``delete`` / ``dv_delete``.
+        Memoized: ``latestOffset`` + ``partitions`` re-ask the same
+        versions every trigger, and the snapshot entry alone is O(active
+        files) — a million-file table must not rebuild it per trigger."""
+        key = (v, base)
+        got = self._serve_memo.get(key)
+        if got is not None:
+            return got
+        out = self._serve_list_uncached(v, base)
+        if len(self._serve_memo) > 64:  # lagging-range walks stay bounded
+            self._serve_memo.clear()
+        self._serve_memo[key] = out
+        return out
+
+    def _serve_list_uncached(self, v: int, base: int | None) -> list[tuple[str, str]]:
         if base is not None and v == base:
             kind = "insert_snap" if self.cdf else "data"
             return [(r, kind) for r in self.tbl._state(v)["active"]]

@@ -410,3 +410,15 @@ def test_reorg_purge_and_shallow_clone_sql(spark, eng, tmp_path):
     # clone is independent: source DML does not leak in
     t2.delete_where([("k", "==", 1)])
     assert sorted(r.k for r in c.read().collect()) == [1, 30]
+
+
+def test_show_tblproperties_sql(spark, eng, tmp_path):
+    tabs = {"t": str(tmp_path / "t")}
+    t = _mk(spark, tabs["t"])
+    t.set_properties({"appendOnly": "false", "vacuum.retainHours": "24"})
+    got = {
+        r.key: r.value
+        for r in eng.ddl("SHOW TBLPROPERTIES t", tabs).collect()
+    }
+    assert got["appendOnly"] == "false"
+    assert got["vacuum.retainHours"] == "24"

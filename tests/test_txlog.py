@@ -892,6 +892,50 @@ def test_read_changes_compact_emits_nothing_by_default(spark, tmp_path):
     )
 
 
+def test_carried_pairs_never_change_the_net_feed(spark, tmp_path):
+    """include_carried is INVISIBLE to net-style consumers by
+    construction: across random histories (appends, CoW/DV deletes,
+    updates, compactions) the per-image net of the feed is identical
+    with and without carried pairs — they always null-safe-cancel."""
+    import random
+
+    rng = random.Random(23)
+    t = TxTable(spark, str(tmp_path / "nc"))
+    t.append(_df(spark, [(i, f"v{i}") for i in range(24)]).coalesce(2))
+    for _ in range(7):
+        op = rng.choice(["append", "delete_cow", "delete_dv", "update", "compact"])
+        if op == "append":
+            lo = rng.randint(100, 900)
+            t.append(_df(spark, [(lo + j, f"a{j}") for j in range(4)]).coalesce(1))
+        elif op == "delete_cow":
+            lo = rng.randint(0, 20)
+            t.delete_where([("k", ">=", lo), ("k", "<", lo + 3)])
+        elif op == "delete_dv":
+            lo = rng.randint(0, 20)
+            t.delete_where([("k", "==", lo)], mode="dv")
+        elif op == "update":
+            lo = rng.randint(0, 20)
+            t.update_where([("k", "==", lo)], {"v": F.lit("u")})
+        else:
+            t.compact(target_files=2)
+    assert _feed_net(t, -1) == {
+        (r.k, r.v): 1 for r in t.read().collect()
+    }
+    full = t.read_changes(-1, include_carried=True)
+    net_carried = {
+        (r.k, r.v): r.net
+        for r in full.groupBy("k", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("net")
+        )
+        .collect()
+        if r.net != 0
+    }
+    assert net_carried == _feed_net(t, -1)
+
+
 def test_change_feed_replay_reconstructs_any_snapshot(spark, tmp_path):
     import random
 
