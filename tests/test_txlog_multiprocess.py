@@ -93,3 +93,79 @@ def test_multiprocess_writers_commit_exactly_once(spark, tmp_path):
     # the log itself agrees: every commit is an append of exactly 1 file
     ops = [h["op"] for h in t.history()]
     assert ops == ["append"] * total
+
+
+_MANIFEST_WORKER = r"""
+import json, os, sys, uuid
+
+sys.path.insert(0, sys.argv[4])
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable, _footer_stats
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+path, wid, m = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+with open(os.path.join(path, "_schema.json")) as f:
+    schema_json = f.read()
+t = TxTable(None, path)
+for i in range(m):
+    rel = f"part-00000-{uuid.uuid4().hex}.c000.parquet"
+    pq.write_table(
+        pa.table({"w": pa.array([wid], pa.int64()),
+                  "i": pa.array([i], pa.int64())}),
+        os.path.join(path, rel),
+    )
+    st = _footer_stats(os.path.join(path, rel))
+    t._commit([rel], lambda active: [], schema_json, None, "append",
+              stats={rel: st})
+print("done")
+"""
+
+
+def test_multiprocess_manifest_autoupdate_ends_at_head(spark, tmp_path):
+    """manifest.autoUpdate under RACING WRITER PROCESSES: every commit's
+    post-commit hook regenerates unordered, but the per-table lock + the
+    monotone _version marker guarantee the published manifest ends at
+    the head snapshot — external readers can never be left on a stale
+    or mixed file list (the round-7 advisory scenario, cross-process)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    n_procs, m_commits = 3, 5
+    tp = str(tmp_path / "t")
+    t0 = TxTable(spark, tp)
+    t0.append(spark.createDataFrame([(99, 0)], "w long, i long").coalesce(1))
+    t0.set_properties({"manifest.autoUpdate": "true"})
+    schema_json = T.StructType(
+        [T.StructField("w", T.LongType()), T.StructField("i", T.LongType())]
+    ).json()
+    with open(os.path.join(tp, "_schema.json"), "w") as f:
+        f.write(schema_json)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _MANIFEST_WORKER, tp, str(w),
+             str(m_commits), _REPO],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in range(n_procs)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+    os.remove(os.path.join(tp, "_schema.json"))
+    t = TxTable(spark, tp)
+    root = os.path.join(tp, TxTable.MANIFEST_DIR)
+    uris = []
+    for dirpath, _d, files in os.walk(root):
+        if "manifest" in files:
+            with open(os.path.join(dirpath, "manifest")) as f:
+                uris += [ln.strip() for ln in f if ln.strip()]
+    want = sorted(
+        "file://" + os.path.join(t.path, rel) for rel in t._state()["active"]
+    )
+    assert sorted(uris) == want  # manifest == head, not stale, not mixed
+    with open(os.path.join(root, "_version")) as f:
+        assert int(f.read()) == t.version()
