@@ -58,6 +58,13 @@ Design (mirrors Delta's DeltaSource semantics, from the public docs):
   checkpointed position (the engine then calls ``partitions(latest,
   latest)`` via AcceptsLatestSeenOffset, which re-pins the position and
   re-arms the cap).
+- **Task packing**: ``packBytes`` (default 32MB ceiling; 0 = one task
+  per file) groups small files into shared tasks by logged size — the
+  Python DataSource protocol pays a fixed per-task toll, and a CDC
+  table is many small commit files. The packing target is
+  parallelism-aware (``total/(2·cpus)`` floored at 1MB) so a large
+  snapshot still fans out; planning is plan-order greedy and therefore
+  replay-identical for a given offset range.
 - **Workers read parquet via Arrow** (``pyarrow`` batch iteration):
   each InputPartition is ONE file plus its read recipe — physical
   column names (column mapping), logged logical types (type widening

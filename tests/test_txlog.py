@@ -892,6 +892,30 @@ def test_read_changes_compact_emits_nothing_by_default(spark, tmp_path):
     )
 
 
+def test_feed_survives_vacuum_of_compacted_inputs(spark, tmp_path):
+    """A concrete benefit of the Delta-parity default: a consumer at the
+    pre-compact watermark survives vacuum reclaiming the compaction's
+    INPUT files (the compact emits nothing, so its removed files are
+    never opened), while include_carried=True over the same range
+    correctly refuses with the consume-before-vacuum error."""
+    t = TxTable(spark, str(tmp_path / "vc"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))  # v0
+    pre = set(t.snapshot()[1])
+    t.compact(target_files=1)                               # v1 rewrites v0's file
+    t.append(_df(spark, [(3, "c")]).coalesce(1))            # v2
+    t.vacuum(retain_versions=1, prune_log=False)            # reclaims v0's file
+    assert not any(
+        os.path.exists(os.path.join(t.path, f)) for f in pre
+    )
+    got = sorted(
+        (r._commit_version, r._change_type, r.k)
+        for r in t.read_changes(0).collect()
+    )
+    assert got == [(2, "insert", 3)]
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        t.read_changes(0, include_carried=True).collect()
+
+
 def test_carried_pairs_never_change_the_net_feed(spark, tmp_path):
     """include_carried is INVISIBLE to net-style consumers by
     construction: across random histories (appends, CoW/DV deletes,
