@@ -106,6 +106,45 @@ def main() -> None:
     assert native_cnt == feb_cnt == n
     shutil.rmtree(root, ignore_errors=True)
 
+    # many-small-commits sweep: the CDC shape (one small file per commit)
+    # is where the Python DataSource per-task toll multiplies — measure
+    # the packed planner against one-task-per-file on the SAME table
+    root = tempfile.mkdtemp(prefix="stream_pack_")
+    bp = os.path.join(root, "bronze_small")
+    t = TxTable(spark, bp)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n_commits = 96
+    for k in range(n_commits):
+        t.append(
+            orders.filter(F.col("o_orderkey") % n_commits == k).coalesce(1)
+        )
+    n_small = t.read().count()
+    for tag, pack in (("packed (default)", None), ("one task/file", "0")):
+        rd = (
+            spark.readStream.format("txtable")
+            .option("path", bp)
+            .option("startingVersion", "0")
+        )
+        if pack is not None:
+            rd = rd.option("packBytes", pack)
+        q = (
+            rd.load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(root, f"ck_{tag[:4]}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        t0 = time.time()
+        q.awaitTermination(600)
+        s = time.time() - t0
+        print(
+            f"{n_commits}-commit drain, {tag:17s}: {s:6.2f}s  "
+            f"({n_small / s / 1e3:.0f}k rows/s)"
+        )
+    shutil.rmtree(root, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
