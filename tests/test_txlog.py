@@ -892,6 +892,36 @@ def test_read_changes_compact_emits_nothing_by_default(spark, tmp_path):
     )
 
 
+def test_hard_delete_leaves_no_bytes_on_storage(spark, tmp_path):
+    """The GDPR hard-delete recipe (Delta's documented DELETE + VACUUM
+    flow): a copy-on-write delete followed by vacuum leaves NO parquet
+    file under the table containing the forgotten rows — merge-on-read
+    (DV) alone would keep the bytes, and a lost DV was the advisory's
+    resurrection hazard. Also proves the change feed refuses ranges
+    whose evidence was reclaimed rather than serving partial history."""
+    t = TxTable(spark, str(tmp_path / "gdpr"))
+    t.append(
+        _df(spark, [(i, f"secret-{i}" if i == 7 else f"v{i}") for i in range(10)]).coalesce(2)
+    )
+    t.delete_where([("k", "==", 7)], mode="cow")
+    t.vacuum(retain_versions=1, prune_log=False)
+    import pyarrow.parquet as pq
+
+    for dirpath, _d, files in os.walk(t.path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(os.path.join(dirpath, f))
+            for col in tbl.column_names:
+                vals = [str(v) for v in tbl.column(col).to_pylist()]
+                assert not any("secret-7" in v for v in vals), (dirpath, f)
+    assert sorted(r.k for r in t.read().collect()) == [i for i in range(10) if i != 7]
+    # history before the reclaim is gone WITH an explicit error, not
+    # silently partial
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        t.read_changes(-1).collect()
+
+
 def test_feed_survives_vacuum_of_compacted_inputs(spark, tmp_path):
     """A concrete benefit of the Delta-parity default: a consumer at the
     pre-compact watermark survives vacuum reclaiming the compaction's
