@@ -1385,18 +1385,43 @@ def media_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_features",
-    None,  # mapInPandas feature extraction — not SQL-expressible
+    # FULL oracle (upgraded from rows-only in round 7): the deterministic
+    # stand-in codec's first feature is the leading 32 bits of
+    # sha256(payload) over 2^32 — an EXACT dyadic rational both engines
+    # represent bit-identically (k < 2^32 << 2^53), so the mapInPandas
+    # value path certifies without any rounding. The oracle re-derives
+    # it from the hex digest with exact power-of-16 weights.
+    """
+    WITH f AS (
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               substr(sha256(text), 1, 8) AS h8
+        FROM documents)
+    SELECT media_id, n_bytes,
+           ( (strpos('0123456789abcdef', substr(h8, 1, 1)) - 1) * 268435456.0
+           + (strpos('0123456789abcdef', substr(h8, 2, 1)) - 1) * 16777216.0
+           + (strpos('0123456789abcdef', substr(h8, 3, 1)) - 1) * 1048576.0
+           + (strpos('0123456789abcdef', substr(h8, 4, 1)) - 1) * 65536.0
+           + (strpos('0123456789abcdef', substr(h8, 5, 1)) - 1) * 4096.0
+           + (strpos('0123456789abcdef', substr(h8, 6, 1)) - 1) * 256.0
+           + (strpos('0123456789abcdef', substr(h8, 7, 1)) - 1) * 16.0
+           + (strpos('0123456789abcdef', substr(h8, 8, 1)) - 1)
+           ) / 4294967296.0 AS f0
+    FROM f
+    """,
     "X5,X6",
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode plumbing (deterministic fake codec);
-    rows-only driver check + schema/shape asserted in tests."""
+    """Arrow-batched mapInPandas decode plumbing (deterministic fake
+    codec), VALUE-certified: f0 is an exact dyadic rational (leading 32
+    digest bits / 2^32), bit-identical across the pandas path and the
+    oracle's hex re-derivation — no rounding, no tolerance."""
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
     # local bench setting: tiny payloads + cheap fake codec -> worker spawn
     # dominates, so cap fan-out; cluster callers omit the cap (see docstring)
     feats = multimodal.decode_image_features(media, max_partitions=16)
     return feats.select(
-        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+        "media_id", "n_bytes", F.element_at("features", 1).alias("f0")
     )
 
 
@@ -5539,13 +5564,33 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_cosine_arrow",
-    None,  # pandas_udf variant — semantics equivalence-tested vs the
-    # oracle-checked JVM twin (knn_cosine_bruteforce), rows-only here
+    # FULL oracle (upgraded from rows-only in round 7): the Arrow twin
+    # shares knn_cosine_bruteforce's exact output contract — cosine
+    # ROUNDED to 6 decimals before ranking with a vec_id tiebreak — so
+    # numpy-einsum vs sequential-sum float noise (~1e-15, far below the
+    # 5e-7 rounding boundary) cannot move a rank, and the same closed
+    # form certifies the X6 escape-hatch path's VALUES, not just rows.
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round({_DOT_SQL.format(a='q.qv', b='e.embedding')}
+                     / ({_NORM_SQL.format(a='q.qv')} * {_NORM_SQL.format(a='e.embedding')}),
+                     6) AS cosine
+        FROM q CROSS JOIN embeddings e)
+    SELECT query_id, rk, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rk
+        FROM scored)
+    WHERE rk <= 5
+    """,
     "X3,X6",
 )
 def knn_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy-vectorized twin of knn_cosine_bruteforce (measured 2.3x
-    faster at 50 queries x sf0.1; see operators/similarity.py docstring)."""
+    faster at 50 queries x sf0.1; see operators/similarity.py docstring).
+    Shares the JVM twin's full DuckDB oracle: round-6-then-rank makes the
+    pandas_udf path value-certified, not merely equivalence-tested."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
