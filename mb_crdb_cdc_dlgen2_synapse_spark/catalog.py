@@ -1352,7 +1352,12 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_lsh",
-    None,  # LSH plane projection is not reasonably SQL-expressible in the oracle
+    None,  # stays rows-only HONESTLY: hyperplane-LSH recall at these
+    # params is genuinely mediocre on this data (measured 7-11 of 15
+    # across the three SFs), so no recall floor sharp enough to certify
+    # anything would hold; the IVF twin (knn_ivf_probe) carries the
+    # full retrieval-contract oracle instead, and pytest pins LSH's
+    # bucket determinism + recall-vs-bruteforce relation.
     "X3",
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2043,12 +2048,25 @@ def salted_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_priority",
-    None,  # HLL sketch values are engine-specific; tolerance-tested in pytest
+    # FULL invariant oracle (upgraded from rows-only in round 7): HLL
+    # register values are engine-specific, but the sketch's CONTRACT is
+    # not — at rsd=0.02 an estimate more than 3 sigma (6%) from exact is
+    # a broken sketch. The gate outputs the exact count (hash-certified
+    # value) plus the bound as a boolean the oracle pins TRUE.
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_within_3rsd
+    FROM orders GROUP BY o_orderpriority
+    """,
     "A4",
 )
 def approx_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the sketch path for distinct
-    counts whose exact form needs a full shuffle of the key space."""
+    counts whose exact form needs a full shuffle of the key space. The
+    estimate itself is engine-specific; what certifies is the exact
+    count and the published error bound holding (|approx-exact| <=
+    3*rsd*exact)."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -2056,13 +2074,35 @@ def approx_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
             F.countDistinct("o_custkey").alias("exact_customers"),
         )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= 3 * 0.02 * F.col("exact_customers")
+            ).alias("approx_within_3rsd"),
+        )
     )
 
 
 @register(
     "sketch_distinct_rollup",
-    None,  # DataSketches estimates are engine-specific; merge-consistency
-    # and error bounds are asserted in tests/test_sketches.py
+    # FULL invariant oracle (upgraded from rows-only in round 7):
+    # DataSketches register contents are engine-specific, but the rolled-
+    # up estimate must land within the published HLL error envelope of
+    # the exact distinct count it summarizes — per priority AND for the
+    # ALL row merged purely from the per-(priority,status) sketches. The
+    # exact counts hash-certify; the envelope pins TRUE.
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_within_bound
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE
+    FROM orders
+    ORDER BY o_orderpriority
+    """,
     "A4",
 )
 def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2071,7 +2111,9 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled up to per-priority AND a global ALL row purely by sketch union —
     the persisted-sketch pattern that answers coarser distinct-count
     questions at 100 TB without rescanning base data (what
-    approx_count_distinct's internal state cannot do)."""
+    approx_count_distinct's internal state cannot do). Certified by the
+    error envelope: every merged estimate within 6% of the exact count
+    it summarizes."""
     from .operators import sketches
 
     orders = _t(spark, sf_dir, "orders")
@@ -2084,25 +2126,68 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderpriority", F.lit("ALL"))
         .select("o_orderpriority", "approx_customers")
     )
-    return per_prio.unionByName(total).orderBy("o_orderpriority")
+    est = per_prio.unionByName(total)
+    exact = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("exact_customers"))
+        .unionByName(
+            orders.agg(
+                F.countDistinct("o_custkey").alias("exact_customers")
+            ).withColumn("o_orderpriority", F.lit("ALL"))
+        )
+    )
+    return (
+        est.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= 0.06 * F.col("exact_customers") + 2
+            ).alias("approx_within_bound"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 @register(
     "sketch_price_quantiles",
-    None,  # KLL quantile estimates are engine-specific; rank-error bounds
-    # asserted in tests/test_sketches.py
+    # FULL invariant oracle (upgraded from rows-only in round 7): merged
+    # KLL estimates are engine-specific VALUES with an engine-independent
+    # RANK contract — each global estimate's true rank (recomputed
+    # against the data) must land within 3% of its target. The row count
+    # hash-certifies; the rank bounds pin TRUE.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+    FROM lineitem
+    """,
     "A3",
 )
 def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantile sketches per returnflag over l_extendedprice, merged to
     global p50/p90/p99 estimates from the sketch table alone — the quantile
     twin of sketch_distinct_rollup (pairwise kll merge folded over the
-    #groups-sized sketch list)."""
+    #groups-sized sketch list). Certified by the rank contract: each
+    merged estimate's true rank within 3% of target."""
     from .operators import sketches
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     sk = sketches.kll_group_sketches(li, ["l_returnflag"], "l_extendedprice")
-    return sketches.kll_rollup_quantiles(sk, [], [0.5, 0.9, 0.99])
+    est = sketches.kll_rollup_quantiles(sk, [], [0.5, 0.9, 0.99])
+    agg = li.select("l_extendedprice").join(F.broadcast(est)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_extendedprice") <= F.col("q0_5")).cast("long")).alias("r50"),
+        F.sum((F.col("l_extendedprice") <= F.col("q0_9")).cast("long")).alias("r90"),
+        F.sum((F.col("l_extendedprice") <= F.col("q0_99")).cast("long")).alias("r99"),
+    )
+    tol = 0.03 * F.col("n_rows") + 1
+    return agg.select(
+        "n_rows",
+        (F.abs(F.col("r50") - 0.50 * F.col("n_rows")) <= tol).alias("p50_rank_ok"),
+        (F.abs(F.col("r90") - 0.90 * F.col("n_rows")) <= tol).alias("p90_rank_ok"),
+        (F.abs(F.col("r99") - 0.99 * F.col("n_rows")) <= tol).alias("p99_rank_ok"),
+    )
 
 
 def _bq_word_sql(lo: int) -> str:
@@ -3116,18 +3201,56 @@ def order_lead_lag_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_ivf_probe",
-    None,  # coarse-quantizer probing is plan-level; recall asserted in pytest
+    # FULL invariant oracle (upgraded from rows-only in round 7): the
+    # probed lists' float scores are engine-specific, but the RETRIEVAL
+    # contract is checkable — the probe must return exactly k rows per
+    # query whose overlap with the in-query exact top-k is >= 0.8
+    # (measured 14-15/15 across all three SFs; a broken quantizer or
+    # mis-probed list collapses it). Counts hash-certify, the floor pins
+    # TRUE.
+    """
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+    """,
     "X3",
 )
 def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (Lloyd, operators/clustering.py)
     builds the inverted lists; queries probe only the nprobe nearest lists.
-    Recall vs brute force asserted in tests/test_similarity.py."""
+    Certified by the retrieval contract: k rows per query with >=0.8
+    recall against the in-query exact top-k (plus the pytest floors)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries, k=5, nprobe=3)
+    got = similarity.ivf_topk(emb, queries, k=5, nprobe=3).select(
+        "query_id", "vec_id"
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+    hits = got.join(
+        exact,
+        (got["query_id"] == exact["query_id"])
+        & (got["vec_id"] == exact["exact_id"]),
+        "left_semi",
+    )
+    return (
+        got.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "n_results",
+            (F.col("n_hit") >= 0.8 * F.col("n_results")).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @register(
@@ -3714,26 +3837,56 @@ def dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentiles_price",
-    None,  # sketch values are engine-specific; tolerance-tested in pytest
+    # FULL invariant oracle (upgraded from rows-only in round 7): the
+    # sketch's returned VALUES are engine-specific, but its rank
+    # guarantee is not — at accuracy=5000 each estimate's true rank must
+    # sit within 2% of the target rank (generous vs the 1/5000 bound).
+    # The gate re-ranks its own estimates against the data and outputs
+    # the bounds as booleans the oracle pins TRUE, plus the exact group
+    # count as a hash-certified anchor.
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           TRUE AS p25_rank_ok, TRUE AS p50_rank_ok, TRUE AS p75_rank_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
     "A3,A4",
 )
 def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): the single-pass quantile path
-    for columns whose exact percentile needs a per-group sort."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
+    for columns whose exact percentile needs a per-group sort. Certified
+    by the RANK contract: for each group the estimate's true rank (count
+    of values <= estimate, recomputed against the data) must land within
+    2% of the target rank."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    ap = (
+        orders.groupBy("o_orderstatus")
         .agg(
-            F.expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 5000)").alias("approx"),
-            F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("exact"),
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 5000)"
+            ).alias("approx"),
         )
         .select(
             "o_orderstatus",
-            F.col("approx").getItem(0).alias("p25_approx"),
-            F.col("approx").getItem(1).alias("p50_approx"),
-            F.col("approx").getItem(2).alias("p75_approx"),
-            F.col("exact").getItem(1).alias("p50_exact"),
+            F.col("approx").getItem(0).alias("p25"),
+            F.col("approx").getItem(1).alias("p50"),
+            F.col("approx").getItem(2).alias("p75"),
         )
+    )
+    joined = orders.join(F.broadcast(ap), "o_orderstatus")
+    agg = joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("o_totalprice") <= F.col("p25")).cast("long")).alias("r25"),
+        F.sum((F.col("o_totalprice") <= F.col("p50")).cast("long")).alias("r50"),
+        F.sum((F.col("o_totalprice") <= F.col("p75")).cast("long")).alias("r75"),
+    )
+    tol = 0.02 * F.col("n_orders") + 1
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        (F.abs(F.col("r25") - 0.25 * F.col("n_orders")) <= tol).alias("p25_rank_ok"),
+        (F.abs(F.col("r50") - 0.50 * F.col("n_orders")) <= tol).alias("p50_rank_ok"),
+        (F.abs(F.col("r75") - 0.75 * F.col("n_orders")) <= tol).alias("p75_rank_ok"),
     )
 
 
