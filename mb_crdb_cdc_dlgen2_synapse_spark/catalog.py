@@ -96,6 +96,18 @@ _DRIVER_PRIORITY: list[str] = [
     # tx_nested_rename — S7/T8/P9/A3 all keep >=2 other in-window
     # certifiers). 52/52 §2 ids stay covered — asserted by
     # tests/test_oracle_parity.py::test_driver_window_covers_every_survey_id.
+    # ---- ROUND-8 ROTATION (VERDICT r7 item 1): the two oracled queries
+    # that have never had a driver row (tx_fsck_recovery,
+    # doc_quality_linear_probe — both MATCH in the 3-SF replica) enter,
+    # plus the new ann_index_incremental gate (VERDICT r7 item 2: the
+    # CDF-maintained ANN index proven equal to a from-scratch build).
+    # Three r6/r7-hash-green entries with redundant id cover leave
+    # (tx_bloom_point_lookup — S5 keeps streaming_tx_sink_partitioned,
+    # tx_symlink_manifest, tx_partition_evolution; train_val_test_split
+    # — A3 keeps props_variant_stats + conversion_funnel, P7 arrives
+    # with doc_quality_linear_probe; embedding_quantization — X3 keeps
+    # dedup_embedding_cosine + ann_index_incremental, P8 keeps
+    # props_variant_stats + rag_overlap_chunks). 52/52 ids stay covered.
     # keepers — minimal id cover
     "flagship_cdc_city_revenue",   # S1,S4,P1,P2,P3,A2
     "flagship_silver_lake",        # S3,S6
@@ -116,7 +128,6 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_tx_sink_partitioned",  # S3,T1,T8,S7,S5 — native sink
     "tx_symlink_manifest",         # S7,S5,P9,T8 — external read path
     "tx_cdf_identity_feed",        # S2,T7,S7,T1 — feed-side identity, batch==stream
-    "tx_bloom_point_lookup",       # S7,S5,P9
     "props_variant_stats",         # P1,P8,A3
     "doc_pii_redaction",           # X4,P5
     "doc_quality_classifier",      # X4,P5,A1
@@ -124,9 +135,7 @@ _DRIVER_PRIORITY: list[str] = [
     "rag_overlap_chunks",          # X4,P5,P8
     "corpus_source_mix",           # X4,P9,J2
     "corpus_boilerplate_segments", # X4,A4,Q1,Q2
-    "train_val_test_split",        # X4,A3,P7
     "training_sequence_packing",   # W3,A1,P6
-    "embedding_quantization",      # X3,P8
     "streaming_dedup_ingest",      # S1,T1,T8,X1,Q4 — NEW full oracle
     "streaming_latest_state_dv",   # T6,T7,T8,J5 — NEW full oracle
     "streaming_session_window",    # T5,T3,A6 — NEW full oracle
@@ -150,6 +159,10 @@ _DRIVER_PRIORITY: list[str] = [
     "tx_hilbert_clustering",       # S7,Q1,P9
     "tx_copy_into_idempotent",     # S7,T8
     "streaming_tx_source",         # S1,T1,T8,S7 — txlog Structured Streaming source
+    # round-8 promotions — first driver row for each
+    "tx_fsck_recovery",            # S7,T8,P9 — FSCK missing-file + missing-DV repair
+    "doc_quality_linear_probe",    # X4,A1,P7 — exact-sufficient-stats ridge probe
+    "ann_index_incremental",       # X3,X2,S2,J5 — CDF-maintained bucketed ANN index
 ]
 
 
@@ -2085,6 +2098,27 @@ def approx_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_distinct_rollup_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPERATOR core of ``sketch_distinct_rollup`` — sketch build +
+    union rollups only, no certification anchors. bench.py times THIS
+    (the operator a user pays for); the registered gate wraps it with
+    the exact-distinct anchors that certify the error envelope (VERDICT
+    r7 item 3: certification cost must not inflate the bench headline)."""
+    from .operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = sketches.hll_group_sketches(
+        orders, ["o_orderpriority", "o_orderstatus"], "o_custkey"
+    )
+    per_prio = sketches.hll_rollup(sk, ["o_orderpriority"], "approx_customers")
+    total = (
+        sketches.hll_rollup(sk, [], "approx_customers")
+        .withColumn("o_orderpriority", F.lit("ALL"))
+        .select("o_orderpriority", "approx_customers")
+    )
+    return per_prio.unionByName(total)
+
+
 @register(
     "sketch_distinct_rollup",
     # FULL invariant oracle (upgraded from rows-only in round 7):
@@ -2114,19 +2148,8 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct's internal state cannot do). Certified by the
     error envelope: every merged estimate within 6% of the exact count
     it summarizes."""
-    from .operators import sketches
-
     orders = _t(spark, sf_dir, "orders")
-    sk = sketches.hll_group_sketches(
-        orders, ["o_orderpriority", "o_orderstatus"], "o_custkey"
-    )
-    per_prio = sketches.hll_rollup(sk, ["o_orderpriority"], "approx_customers")
-    total = (
-        sketches.hll_rollup(sk, [], "approx_customers")
-        .withColumn("o_orderpriority", F.lit("ALL"))
-        .select("o_orderpriority", "approx_customers")
-    )
-    est = per_prio.unionByName(total)
+    est = sketch_distinct_rollup_estimates(spark, sf_dir)
     exact = (
         orders.groupBy("o_orderpriority")
         .agg(F.countDistinct("o_custkey").alias("exact_customers"))
@@ -3004,8 +3027,23 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_distinct_sketch",
-    None,  # sketch estimates are engine-specific; batch-equivalence (exact)
-    # and error bounds asserted in tests/test_sketches.py
+    # FULL invariant oracle (upgraded from rows-only in round 8 — VERDICT
+    # r7 item 4, same pattern as the round-7 batch-HLL upgrades): the
+    # streamed sketch estimates are engine-specific VALUES with two
+    # engine-independent contracts — each per-type estimate lands within
+    # the published HLL error envelope of the exact distinct user count
+    # (recomputed here, hash-certified), and the stream-maintained sketch
+    # merged across micro-batches equals the ONE-SHOT batch sketch over
+    # the same rows exactly (register-max union is order-insensitive).
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_bound,
+           TRUE AS equals_batch_sketch
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     "A4,A6,T1,T8",
 )
 def streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3040,9 +3078,34 @@ def streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         app_id="stream_sketch",
     )
     q.awaitTermination()
-    return read_distinct_estimates(
+    est = read_distinct_estimates(
         spark, os.path.join(tmp, "sketches"), ["event_type"]
-    ).orderBy("event_type")
+    )
+    # certification: exact anchors + HLL error envelope + one-shot batch
+    # sketch equality (register-max union is order-insensitive, so the
+    # micro-batch-merged sketch must estimate EXACTLY what a single
+    # hll_sketch_agg over the same rows does)
+    batch = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("batch_distinct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        est.join(batch, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_users"))
+                <= 0.06 * F.col("exact_users") + 2
+            ).alias("approx_within_bound"),
+            (F.col("approx_distinct") == F.col("batch_distinct")).alias(
+                "equals_batch_sketch"
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
 _LANG_MARKERS = {
@@ -3606,20 +3669,50 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_cluster_sizes",
-    None,  # iterative algorithm — not SQL-expressible; invariants in pytest
+    # FULL invariant oracle (upgraded from rows-only in round 8 — VERDICT
+    # r7 item 4): the per-cluster rows are engine-specific, but the
+    # fixed-iteration seeded run has engine-independent contracts — every
+    # vector assigned exactly once (total_vectors hash-certifies against
+    # the exact table count), at most k clusters, Lloyd's objective
+    # non-increasing between iteration 1 and 2, all squared distances
+    # non-negative. Determinism/assignment invariants stay in
+    # tests/test_clustering.py.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS total_vectors,
+           TRUE AS clusters_le_k,
+           TRUE AS inertia_monotone,
+           TRUE AS sizes_positive
+    FROM embeddings
+    """,
     "X3,X6",
 )
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-iteration Lloyd k-means over the embeddings; returns per-cluster
-    size and mean distance (rows-only check; monotone-objective and
-    determinism invariants in tests/test_clustering.py)."""
-    from .operators.clustering import kmeans
+    """2-iteration Lloyd k-means over the embeddings, certified by its
+    engine-independent contracts: the assignment is a PARTITION of the
+    corpus (sum of cluster sizes == exact row count — the hash-certified
+    anchor; a lost or duplicated vector breaks it), cluster count <= k,
+    and the objective is monotone (wcss after iteration 2 <= after
+    iteration 1, Lloyd's guarantee, with a relative-epsilon guard for
+    float summation order)."""
+    from .operators.clustering import kmeans, wcss
 
     emb = _t(spark, sf_dir, "embeddings")
-    _, assigned = kmeans(emb, k=8, n_iter=2)
-    return assigned.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg("d2"), 6).alias("mean_sq_dist"),
+    _, a1 = kmeans(emb, k=8, n_iter=1)
+    _, a2 = kmeans(emb, k=8, n_iter=2)
+    w1, w2 = wcss(a1), wcss(a2)
+    sizes = a2.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    total = sum(r.n for r in sizes)
+    return spark.createDataFrame(
+        [
+            (
+                total,
+                len(sizes) <= 8,
+                w2 <= w1 * (1.0 + 1e-9) + 1e-9,
+                all(r.n > 0 for r in sizes),
+            )
+        ],
+        "total_vectors long, clusters_le_k boolean, "
+        "inertia_monotone boolean, sizes_positive boolean",
     )
 
 
@@ -7470,6 +7563,97 @@ def knn_hamming_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return probed_hamming_topk(table, queries, k=5, prefix_bits=4, radius=1)
+
+
+@register(
+    "ann_index_incremental",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(embedding, x -> -x)
+                    ELSE embedding END AS embedding
+        FROM embeddings
+        WHERE vec_id % 11 <> 3),
+    bq AS (
+        SELECT vec_id,
+               {_bq_word_sql(0)} AS b_lo,
+               {_bq_word_sql(32)} AS b_hi
+        FROM corpus),
+    bb AS (SELECT vec_id, b_lo, b_hi, b_lo & 15 AS bucket FROM bq),
+    q AS (SELECT vec_id AS query_id, b_lo AS q_lo, b_hi AS q_hi,
+                 b_lo & 15 AS q_bucket
+          FROM bq WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(bit_count(xor(c.b_lo, q.q_lo))
+                    + bit_count(xor(c.b_hi, q.q_hi)) AS INT) AS hamming
+        FROM bb c CROSS JOIN q
+        WHERE bit_count(xor(c.bucket, q.q_bucket)) <= 1)
+    SELECT query_id, rk, vec_id, hamming FROM (
+        SELECT query_id, vec_id, hamming,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY hamming, vec_id) AS INT) AS rk
+        FROM scored)
+    WHERE rk <= 5
+    """,
+    "X3,X2,S2,J5",
+)
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained ANN index over the change feed (VERDICT r7
+    item 2 — the composition the stack was missing): embeddings land in a
+    txlog table and MUTATE (an update negates every vec_id%7==0 vector —
+    a sign flip that MOVES vectors between LSH buckets; a keyed merge
+    tombstones every vec_id%11==3). The bucketed binary-code index is
+    never rebuilt: operators.ann_index folds each commit range's CDF into
+    the index table as a net-change MERGE (O(changed rows), not
+    O(corpus)). The gate then PROVES index-after-3-commits ≡ from-scratch
+    build (assert_index_matches_scratch raises on any divergence — the
+    driver records the error) and returns a radius-1 probed top-5 over
+    the incrementally-built index, which must hash-match the oracle's
+    closed-form replay of the same mutation history on the raw parquet."""
+    from .operators.ann_index import (
+        assert_index_matches_scratch,
+        catchup_ann_index,
+    )
+    from .operators.similarity import probed_hamming_topk
+    from .txlog import TxTable
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = _scratch("ann_incr")
+    src = TxTable(spark, os.path.join(tmp, "src"))
+    src.append(emb)  # v0: initial corpus
+    index = TxTable(spark, os.path.join(tmp, "index"))
+    catchup_ann_index(src, index, prefix_bits=4)  # bootstrap snapshot
+    # v1: UPDATE — negated vectors cross buckets, so the incremental
+    # merge must move them (delete from old bucket, insert into new)
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % 7 == 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    catchup_ann_index(src, index)
+    # v2: DELETE — tombstones flow through the feed and must remove the
+    # rows from the index (delete-when merge, DV mode: O(deleted rows))
+    dels = (
+        src.read()
+        .filter(F.col("vec_id") % 11 == 3)
+        .withColumn("_gone", F.lit(True))
+    )
+    src.merge_into(dels, on=["vec_id"], delete_when="_gone", mode="dv")
+    catchup_ann_index(src, index)
+    # the equality proof: incremental == from-scratch (raises on drift)
+    assert_index_matches_scratch(index, src)
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return probed_hamming_topk(index, queries, k=5, prefix_bits=4, radius=1)
 
 
 @register(

@@ -1,0 +1,239 @@
+"""Incrementally-maintained bucketed ANN index fed by a table's own
+change feed (X3/X2 × S2/T1 — the composition the stack was missing).
+
+``materialize_binary_codes`` (operators/similarity.py) builds the
+prefix-bucketed binary-code table FROM SCRATCH per build: fine for a
+static corpus, wrong for the reference's pipeline shape where
+embeddings arrive as CDC (/root/reference/README.md:135-138 — rows
+flow changefeed → lake → serving continuously). At 100 TB the corpus
+table takes a trickle of upserts and tombstones forever; rebuilding a
+billion-row index per refresh is O(corpus), while the change feed is
+O(changed rows). This module maintains the SAME index table
+incrementally from the source table's CDF:
+
+- a CDF batch reduces to ONE net operation per vec_id (last change
+  wins; an update's delete+insert pair at one version nets to the
+  post-image insert),
+- upserts re-quantize only the changed vectors (sign-bit packing +
+  prefix bucket — integer codegen expressions, no Python in the row
+  path),
+- tombstones delete by key GLOBALLY (an updated vector may cross
+  buckets, so matching is on ``vec_id``, never bucket-local),
+- the whole net batch lands as a Delta-style ``MERGE INTO`` on the
+  index txlog table, partitioned by bucket so probes keep their
+  file-level pruning.
+
+Equality contract (asserted by the ``ann_index_incremental`` gate and
+tests/test_ann_index_incremental.py): after ANY commit sequence, the
+incrementally-maintained index content equals a from-scratch
+``materialize_binary_codes`` of the source's head snapshot. Replay
+safety: re-applying a delivered batch is a content no-op (the merge is
+keyed and the net-change reduction is deterministic), the same
+effectively-once contract the latest-state materializers use.
+
+Scale shape: per batch cost tracks the CHANGED rows — candidate-file
+pruning on the merge keys bounds the rewrite, and ``mode="dv"``
+merges make it O(changed + inserted rows) with no file rewrites at
+all. The index stays partitioned by the probe prefix, so
+``probed_hamming_topk`` keeps opening only the probed buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .similarity import _prefix_bucket_expr, binary_quantize
+
+_PREFIX_PROP = "ann.prefixDims"
+
+
+def _net_changes(changes: DataFrame) -> DataFrame:
+    """Reduce a CDF slice to one net row per vec_id: the change at the
+    highest ``_commit_version`` wins; within one version an insert beats
+    the delete it replaced (Delta renders an update as delete+insert at
+    the same version — the post-image is the surviving row)."""
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("_commit_version").desc(),
+        (F.col("_change_type") == "insert").cast("int").desc(),
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def ann_index_apply_changes(
+    index,
+    changes: DataFrame,
+    prefix_dims: list[int],
+    mode: str = "cow",
+) -> dict:
+    """Apply one CDF batch (``_change_type``/``_commit_version`` +
+    ``vec_id``/``embedding`` row images) to the bucketed binary-code
+    index table. Returns the merge report (empty dict for an empty
+    batch)."""
+    net = _net_changes(changes)
+    ups = (
+        binary_quantize(net.filter(F.col("_change_type") == "insert"))
+        .select("vec_id", "b_lo", "b_hi")
+        .withColumn("bucket", _prefix_bucket_expr(prefix_dims))
+        .withColumn("_tombstone", F.lit(False))
+    )
+    dels = net.filter(F.col("_change_type") == "delete").select(
+        "vec_id",
+        F.lit(None).cast("bigint").alias("b_lo"),
+        F.lit(None).cast("bigint").alias("b_hi"),
+        F.lit(None).cast("int").alias("bucket"),
+        F.lit(True).alias("_tombstone"),
+    )
+    first_merge = index.version() < 0
+    if first_merge:
+        # bootstrap fast path: an empty index needs no matched/anti-join
+        # machinery — the net inserts ARE the table (deletes of
+        # never-indexed keys are no-ops by definition). One partitioned
+        # append + the layout property, and the bulk load stays a plain
+        # write at any corpus size.
+        rows = ups.drop("_tombstone").localCheckpoint(eager=True)
+        if not rows.take(1):
+            return {}
+        index.append(rows, partition_by=["bucket"])
+        # publish the probe layout in the index's own properties — same
+        # policy-store contract as materialize_binary_codes, so
+        # probed_hamming_topk derives query buckets from the index's
+        # actual layout with no side channel
+        index.set_properties(
+            {_PREFIX_PROP: ",".join(str(d) for d in prefix_dims)}
+        )
+        return {"bootstrapped": True}
+    # materialize the net batch ONCE: the merge references its source
+    # several times (matched update, no-match anti-join, delete clause),
+    # and re-evaluating the 64-term quantize expression per reference
+    # triples the batch cost
+    source = ups.unionByName(dels).localCheckpoint(eager=True)
+    if not source.take(1):
+        return {}
+    return index.merge_into(
+        source,
+        on=["vec_id"],
+        delete_when="_tombstone",
+        partition_by=["bucket"],
+        mode=mode,
+    )
+
+
+def catchup_ann_index(
+    src,
+    index,
+    prefix_bits: int = 4,
+    step: int | None = None,
+    mode: str = "cow",
+) -> int:
+    """Batch catch-up: advance the index from its recorded source
+    watermark (``ann.srcVersion`` property) to the source table's head by
+    applying the CDF in ``step``-sized version slices (default: one slice
+    for the whole gap). Returns the new watermark version. Calling it
+    with no new source commits is a no-op."""
+    head = src.version()
+    done = int(index.properties().get("ann.srcVersion", -1))
+    if head <= done:
+        return done
+    prefix_dims = _index_dims(index, prefix_bits)
+    v = done
+    while v < head:
+        hi = head if step is None else min(v + step, head)
+        changes = src.read_changes(v, hi) if v >= 0 else _initial_feed(src, hi)
+        ann_index_apply_changes(index, changes, prefix_dims, mode=mode)
+        index.set_properties({"ann.srcVersion": str(hi)})
+        v = hi
+    return head
+
+
+def _initial_feed(src, hi: int) -> DataFrame:
+    """The bootstrap slice: snapshot at ``hi`` rendered as inserts (the
+    same initial-snapshot-then-tail contract the streaming CDF source
+    uses — read_changes(-1) is not defined for tables whose v0 predates
+    CDF retention)."""
+    return (
+        src.read(as_of=hi)
+        .select("vec_id", "embedding")
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(hi).cast("bigint"))
+    )
+
+
+def _index_dims(index, prefix_bits: int) -> list[int]:
+    prop = index.properties().get(_PREFIX_PROP)
+    if prop:
+        return [int(x) for x in prop.split(",")]
+    return list(range(prefix_bits))
+
+
+def stream_ann_index_to_tx_table(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    prefix_bits: int = 4,
+    available_now: bool = True,
+    mode: str = "cow",
+):
+    """Streaming maintenance: consume the source table's change feed as a
+    native Structured Streaming source (``readStream.format("txtable")``
+    with ``readChangeFeed``) and fold every micro-batch into the index
+    via the same net-change merge as the batch path. Offsets checkpoint
+    with the stream, so a restart resumes exactly after the last folded
+    commit; a re-delivered batch re-merges the same net rows — a content
+    no-op (the effectively-once contract of keyed merges)."""
+    from ..streaming.source import register_tx_source
+    from ..txlog import TxTable
+
+    register_tx_source(spark)
+    feed = (
+        spark.readStream.format("txtable")
+        .option("readChangeFeed", "true")
+        .load(src_dir)
+    )
+    dims = list(range(prefix_bits))
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        index = TxTable(batch.sparkSession, index_dir)
+        ann_index_apply_changes(
+            index,
+            batch.select(
+                "vec_id", "embedding", "_change_type", "_commit_version"
+            ),
+            dims,
+            mode=mode,
+        )
+
+    writer = (
+        feed.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def assert_index_matches_scratch(index, src) -> None:
+    """The equality proof: incrementally-maintained index content ==
+    from-scratch quantization of the source head. Raises on divergence
+    (symmetric exceptAll — order- and partition-insensitive)."""
+    dims = _index_dims(index, 4)
+    scratch = (
+        binary_quantize(src.read().select("vec_id", "embedding"))
+        .select("vec_id", "b_lo", "b_hi")
+        .withColumn("bucket", _prefix_bucket_expr(dims))
+    )
+    got = index.read().select("vec_id", "b_lo", "b_hi", "bucket")
+    extra = got.exceptAll(scratch).count()
+    missing = scratch.exceptAll(got).count()
+    if extra or missing:
+        raise RuntimeError(
+            f"incremental ANN index diverged from scratch build: "
+            f"{extra} extra row(s), {missing} missing row(s)"
+        )

@@ -62,9 +62,10 @@ Design (mirrors Delta's DeltaSource semantics, from the public docs):
   per file) groups small files into shared tasks by logged size — the
   Python DataSource protocol pays a fixed per-task toll, and a CDC
   table is many small commit files. The packing target is
-  parallelism-aware (``total/(2·cpus)`` floored at 1MB) so a large
-  snapshot still fans out; planning is plan-order greedy and therefore
-  replay-identical for a given offset range.
+  ``total/packTasks`` (default 64) floored at 1MB so a large snapshot
+  still fans out; the target derives only from options and logged
+  bytes — never host properties — so planning is plan-order greedy and
+  replay-identical for a given offset range on ANY hardware.
 - **Workers read parquet via Arrow** (``pyarrow`` batch iteration):
   each InputPartition is ONE file plus its read recipe — physical
   column names (column mapping), logged logical types (type widening
@@ -166,6 +167,36 @@ def _typed_partition_value(raw: str, dtype):
 
         return decimal.Decimal(raw)
     return raw
+
+
+def _pack_plan(
+    sizes: list[int], pack_bytes: int, pack_tasks: int
+) -> list[tuple[int, int]]:
+    """Greedy plan-order packing of per-file logged byte sizes into task
+    groups, returned as ``[lo, hi)`` index ranges. PURE function of its
+    arguments — no host properties — so the same offset range plans the
+    same task groups on any machine (the replay-determinism contract; a
+    cpu-count-derived target broke it across hardware).
+
+    A file never splits; a group closes once it holds the target bytes.
+    ``pack_bytes`` is the CEILING; a large batch still fans out to
+    ~``pack_tasks`` groups (packing a 600k-row snapshot into one task
+    would serialize what the cluster should scan in parallel); tiny
+    batches keep the 1MB floor so a handful of small CDC commits stays
+    one task. O(n) time, O(groups) extra space — planning a multi-
+    thousand-file CDC backlog is a driver-side list walk, no I/O."""
+    total = sum(sizes)
+    target = min(pack_bytes, max(total // max(pack_tasks, 1), 1 << 20))
+    groups: list[tuple[int, int]] = []
+    lo = 0
+    acc = 0
+    for i, b in enumerate(sizes):
+        if i > lo and acc + b > target:
+            groups.append((lo, i))
+            lo, acc = i, 0
+        acc += b
+    groups.append((lo, len(sizes)))
+    return groups
 
 
 def _read_tx_file(part: TxFilePartition) -> Iterator:
@@ -312,6 +343,14 @@ class TxStreamReader(DataSourceStreamReader):
         # LOGGED size up to packBytes (0 disables, one task per file).
         pb = options.get("packbytes")
         self.pack_bytes = int(pb) if pb is not None else 32 << 20
+        # fan-out target for a large batch: total/packTasks bounded by
+        # packBytes. A FIXED constant (not os.cpu_count()) so the greedy
+        # packing is a pure function of the offset range — a checkpoint
+        # restart on different hardware replans IDENTICAL task groups
+        # (round-7 advisory: cpu-derived targets made the determinism
+        # claim hold only per machine).
+        pt = options.get("packtasks")
+        self.pack_tasks = int(pt) if pt is not None else 64
         self.skip_change = str(options.get("skipchangecommits", "")).lower() == "true"
         self.ignore_changes = str(options.get("ignorechanges", "")).lower() == "true"
         self.cdf = str(options.get("readchangefeed", "")).lower() == "true"
@@ -635,29 +674,12 @@ class TxStreamReader(DataSourceStreamReader):
             return [_EmptyPartition()]
         if self.pack_bytes <= 0 or len(parts) <= 1:
             return parts
-        # pack small files into shared tasks (deterministic: same offset
-        # range -> same plan-order greedy packing). A file never splits;
-        # a group closes once it holds the target bytes. The target is
-        # parallelism-aware: packBytes is the CEILING, but a large batch
-        # still fans out to ~2 tasks/core (packing 600k snapshot rows
-        # into one task would serialize what the cluster should scan in
-        # parallel); tiny batches keep the 1MB floor so a handful of
-        # small CDC commits stays one task.
-        total = sum(fp.bytes for fp in parts)
-        cpus = os.cpu_count() or 8
-        target = min(
-            self.pack_bytes, max(total // (2 * cpus), 1 << 20)
+        groups = _pack_plan(
+            [fp.bytes for fp in parts], self.pack_bytes, self.pack_tasks
         )
-        groups: list[list[TxFilePartition]] = [[]]
-        acc = 0
-        for fp in parts:
-            if groups[-1] and acc + fp.bytes > target:
-                groups.append([])
-                acc = 0
-            groups[-1].append(fp)
-            acc += fp.bytes
         return [
-            g[0] if len(g) == 1 else TxFilesPartition(g) for g in groups
+            parts[lo] if hi - lo == 1 else TxFilesPartition(parts[lo:hi])
+            for lo, hi in groups
         ]
 
     def read(self, partition) -> Iterator:
@@ -764,6 +786,13 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
             )
         self.app_id = str(app)
         self.schema_json = json.dumps(schema.jsonValue())
+        # opt-in schema evolution (Delta's sink mergeSchema): new stream
+        # columns are ADDED (metadata-only), stream types wider than the
+        # table's WIDEN it (the published typeWidening matrix) — applied
+        # at commit time on the driver, refused per-field otherwise
+        self.merge_schema = (
+            str(options.get("mergeschema", "")).lower() == "true"
+        )
         opt_pb = options.get("partitionby")
         self.part_cols = (
             [c.strip() for c in str(opt_pb).split(",") if c.strip()]
@@ -807,6 +836,8 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
         if st["schema"]:
             tnorm = _nullable_normalized(st["schema"])
             if tnorm != _nullable_normalized(self.schema_json):
+                from ..txlog import _type_widens
+
                 table_fields = {
                     f.name: f.dataType
                     for f in T.StructType.fromJson(
@@ -814,16 +845,73 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
                     ).fields
                 }
                 mine = T.StructType.fromJson(json.loads(self.schema_json))
-                if not all(
-                    f.name in table_fields
-                    and table_fields[f.name] == f.dataType
-                    for f in mine.fields
-                ):
+
+                def _field_ok(f: T.StructField) -> bool:
+                    if f.name not in table_fields:
+                        # new column: legal only under mergeSchema (the
+                        # commit hook adds it metadata-only)
+                        return self.merge_schema
+                    t = table_fields[f.name]
+                    if t == f.dataType:
+                        return True
+                    if self.merge_schema:
+                        # wider stream type -> table widens at commit;
+                        # narrower stream type -> narrow producer, files
+                        # carry the narrow physical type and the logged
+                        # (wide) schema upcasts on read — both are the
+                        # published typeWidening directions. Anything
+                        # outside the lossless matrix still refuses.
+                        return _type_widens(t, f.dataType) or _type_widens(
+                            f.dataType, t
+                        )
+                    return False
+
+                if not all(_field_ok(f) for f in mine.fields):
                     raise ValueError(
                         "txtable sink: stream schema does not match the "
                         "table schema (and is not a subset-compatible "
                         "producer)"
+                        + (
+                            " under mergeSchema: a field change falls "
+                            "outside add-column / lossless type widening"
+                            if self.merge_schema
+                            else "; set .option('mergeSchema', 'true') to "
+                            "add columns / widen types mid-stream"
+                        )
                     )
+
+    def _evolve(self, tbl: TxTable) -> None:
+        """Apply opt-in mergeSchema evolution BEFORE the data commit:
+        add stream-only columns (metadata-only ADD COLUMN), widen table
+        columns the stream carries wider (typeWidening matrix — the
+        table's own ALTER stamps the reader feature and refuses
+        partition columns). Each step is conditional on current state,
+        so a crash between evolution and the data commit replays as a
+        no-op. Metadata-only throughout: no SparkSession needed in the
+        data-source runner."""
+        from ..txlog import _type_widens
+
+        st = tbl._state()
+        if not st["schema"]:
+            return
+        table_struct = T.StructType.fromJson(json.loads(st["schema"]))
+        table_fields = {f.name: f.dataType for f in table_struct.fields}
+        mine = T.StructType.fromJson(json.loads(self.schema_json))
+        for f in mine.fields:
+            if f.name not in table_fields:
+                if f.name in tbl._taken_physicals(st):
+                    # re-adding a dropped column's name would need column
+                    # mapping, which this sink refuses — fail the batch
+                    # with the real reason instead of a colmap refusal on
+                    # the NEXT trigger
+                    raise ValueError(
+                        f"txtable sink mergeSchema: column {f.name!r} "
+                        "reuses a retired physical name (needs column "
+                        "mapping) — use stream_to_tx_table for this table"
+                    )
+                tbl.add_column(f.name, f.dataType)
+            elif _type_widens(table_fields[f.name], f.dataType):
+                tbl.widen_column_type(f.name, f.dataType)
 
     # -- executor side --------------------------------------------------------
 
@@ -967,6 +1055,8 @@ class TxStreamSinkWriter(DataSourceStreamArrowWriter):
         if tbl._txn_seen(txn):
             self._cleanup(stage_rels)  # replayed batch: already durable
             return
+        if self.merge_schema:
+            self._evolve(tbl)
         self._validate(tbl)  # metadata may have evolved mid-stream
         import uuid as _uuid
 

@@ -1149,6 +1149,7 @@ class TxTable:
             "stats": {},
             "dvs": [],
             "dv_counts": {},
+            "dv_covers": {},
             "txn": {},
             "generated": {},
             "colmap": {},
@@ -1218,13 +1219,31 @@ class TxTable:
                 **(state["stats"].get(rel) or {}), "base_row_id": b,
             }
         if "dv_reset" in c:
+            surviving = set(c["dv_reset"])
             state["dvs"] = list(c["dv_reset"])
             state["dv_counts"] = {}
             for f, n in (c.get("dv_reset_counts") or {}).items():
                 state["dv_counts"][f] = state["dv_counts"].get(f, 0) + n
+            # per-DV covered-file map shrinks with the reset: only the
+            # surviving vectors keep their entries (add-time entries never
+            # change, so the filtered map IS the historical map)
+            state["dv_covers"] = {
+                dv: fs
+                for dv, fs in state["dv_covers"].items()
+                if dv in surviving
+            }
         state["dvs"] = state["dvs"] + list(c.get("dv_added", []))
         for f, n in (c.get("dv_counts") or {}).items():
             state["dv_counts"][f] = state["dv_counts"].get(f, 0) + n
+        if c.get("dv_added"):
+            # explicit per-DV covered-file map (fsck uses it to scope a
+            # missing vector's blast radius); legacy commits without it
+            # fall back to the commit-level union — every DV in the commit
+            # maps to all files the commit's dv_counts touched
+            commit_covers = c.get("dv_covers") or {}
+            legacy = sorted(c.get("dv_counts") or {})
+            for dv in c["dv_added"]:
+                state["dv_covers"][dv] = list(commit_covers.get(dv, legacy))
         t = c.get("txn")
         if t and t.get("app") is not None:
             prev = state["txn"].get(t["app"])
@@ -1278,7 +1297,10 @@ class TxTable:
                 names = ck["manifest"]
                 if isinstance(names, str):  # single-file manifest
                     names = [names]
-                files = {"active": [], "stats": {}, "dvs": [], "dv_counts": {}}
+                files = {
+                    "active": [], "stats": {}, "dvs": [], "dv_counts": {},
+                    "dv_covers": {},
+                }
                 for name in names:  # multi-part: concatenate in part order
                     part = self._read_manifest(
                         os.path.join(self.path, _LOG_DIR, name)
@@ -1287,12 +1309,14 @@ class TxTable:
                     files["stats"].update(part["stats"])
                     files["dvs"].extend(part["dvs"])
                     files["dv_counts"].update(part["dv_counts"])
+                    files["dv_covers"].update(part["dv_covers"])
             else:  # legacy inline-JSON checkpoint
                 files = {
                     "active": list(ck.get("active") or []),
                     "stats": dict(ck.get("stats") or {}),
                     "dvs": list(ck.get("dvs") or []),
                     "dv_counts": dict(ck.get("dv_counts") or {}),
+                    "dv_covers": dict(ck.get("dv_covers") or {}),
                 }
             state = {
                 "version": ck["version"],
@@ -1305,6 +1329,7 @@ class TxTable:
                 "stats": dict(files["stats"]),
                 "dvs": list(files["dvs"]),
                 "dv_counts": dict(files["dv_counts"]),
+                "dv_covers": dict(files["dv_covers"]),
                 "txn": dict(ck.get("txn") or {}),
                 "generated": dict(ck.get("generated") or {}),
                 "colmap": dict(ck.get("colmap") or {}),
@@ -1353,6 +1378,7 @@ class TxTable:
             "stats": dict(s["stats"]),
             "dvs": list(s["dvs"]),
             "dv_counts": dict(s["dv_counts"]),
+            "dv_covers": dict(s["dv_covers"]),
             "txn": dict(s["txn"]),
             "generated": dict(s["generated"]),
             "colmap": dict(s["colmap"]),
@@ -1383,7 +1409,10 @@ class TxTable:
         kinds = tbl.column("kind").to_pylist()
         paths = tbl.column("path").to_pylist()
         payloads = tbl.column("payload").to_pylist()
-        out: dict = {"active": [], "stats": {}, "dvs": [], "dv_counts": {}}
+        out: dict = {
+            "active": [], "stats": {}, "dvs": [], "dv_counts": {},
+            "dv_covers": {},
+        }
         for kind, p, payload in zip(kinds, paths, payloads):
             if kind == "data":
                 out["active"].append(p)
@@ -1392,6 +1421,8 @@ class TxTable:
                 out["dvs"].append(p)
             elif kind == "dv_count":
                 out["dv_counts"][p] = int(payload)
+            elif kind == "dv_cover":
+                out["dv_covers"][p] = json.loads(payload)
         self._manifest_cache[path] = out
         return out
 
@@ -1433,6 +1464,10 @@ class TxTable:
             kinds.append("dv_count")
             paths.append(f)
             payloads.append(str(n))
+        for dv, fs in s["dv_covers"].items():
+            kinds.append("dv_cover")
+            paths.append(dv)
+            payloads.append(json.dumps(sorted(fs)))
         # Multi-part manifests (Delta's multi-part checkpoint design): the
         # manifest is the part that grows with table size, and ONE parquet
         # file has a practical ceiling (a single driver-side write/read of
@@ -2173,7 +2208,13 @@ class TxTable:
         if name not in st.fieldNames():
             raise ValueError(f"column {name!r} does not exist")
         old = st[name].dataType
-        new = T.StructType.fromDDL(f"x {dtype}").fields[0].dataType
+        # DataType instances are accepted for sessionless callers (the
+        # streaming sink's commit hook) — DDL parsing needs a live context
+        new = (
+            dtype
+            if isinstance(dtype, T.DataType)
+            else T.StructType.fromDDL(f"x {dtype}").fields[0].dataType
+        )
         if not _type_widens(old, new):
             raise ValueError(
                 f"cannot widen {name!r}: {old.simpleString()} -> "
@@ -2737,7 +2778,14 @@ class TxTable:
         st = T.StructType.fromJson(json.loads(schema))
         if name in st.fieldNames():
             raise ValueError(f"column {name!r} already exists")
-        new_field = T.StructType.fromDDL(f"{name} {dtype}").fields[0]
+        # accept a DataType instance too: DDL parsing needs an active
+        # SparkContext, which callers like the streaming sink's commit
+        # hook (Python data-source runner) don't have
+        new_field = (
+            T.StructField(name, dtype, True)
+            if isinstance(dtype, T.DataType)
+            else T.StructType.fromDDL(f"{name} {dtype}").fields[0]
+        )
         new_schema = T.StructType(st.fields + [new_field]).json()
         colmap = dict(state["colmap"])
         if name in self._taken_physicals(state):
@@ -3607,7 +3655,15 @@ class TxTable:
             self.snapshot()[2],
             None,
             "delete_dv",
-            extra={"dv_added": dv_rel, "dv_counts": counts},
+            extra={
+                "dv_added": dv_rel,
+                "dv_counts": counts,
+                # per-DV blast radius for fsck: each vector written by this
+                # commit covers exactly these data files (coalesce(1) means
+                # one vector; a multi-file write maps each to the union,
+                # still tighter than a cross-commit scan)
+                "dv_covers": {rel: sorted(counts) for rel in dv_rel},
+            },
         )
         return {"dv_rows": n_rows, "version": version}
 
@@ -4269,7 +4325,15 @@ class TxTable:
             None,
             "update_dv",
             add_stats,
-            extra={"dv_added": dv_rel, "dv_counts": counts},
+            extra={
+                "dv_added": dv_rel,
+                "dv_counts": counts,
+                # per-DV blast radius for fsck: each vector written by this
+                # commit covers exactly these data files (coalesce(1) means
+                # one vector; a multi-file write maps each to the union,
+                # still tighter than a cross-commit scan)
+                "dv_covers": {rel: sorted(counts) for rel in dv_rel},
+            },
         )
         return {"dv_rows": sum(counts.values()), "version": version}
 
@@ -4550,7 +4614,15 @@ class TxTable:
             None,
             "merge_dv",
             add_stats,
-            extra={"dv_added": dv_rel, "dv_counts": counts},
+            extra={
+                "dv_added": dv_rel,
+                "dv_counts": counts,
+                # per-DV blast radius for fsck: each vector written by this
+                # commit covers exactly these data files (coalesce(1) means
+                # one vector; a multi-file write maps each to the union,
+                # still tighter than a cross-commit scan)
+                "dv_covers": {rel: sorted(counts) for rel in dv_rel},
+            },
         )
         return {"dv_rows": sum(counts.values()), "version": version}
 
@@ -5035,8 +5107,10 @@ class TxTable:
         the v+1 winner's and leave external readers on a stale or
         mixed-version file list until the next data commit. An explicit
         ``as_of`` bypasses the monotonicity skip (regenerating history
-        on purpose) but still serializes and never moves the marker
-        backwards."""
+        on purpose) and moves the marker to the published snapshot's
+        version — the manifests now DESCRIBE that snapshot, and a marker
+        left at head would make every later head-of-table regeneration
+        no-op while external readers sit on the historical list."""
         st = self._state(as_of)
         if st["dv_counts"]:
             raise ValueError(
@@ -5059,22 +5133,47 @@ class TxTable:
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                # unique ownership token: stealing verifies THIS token
+                # before discarding the lock, so a stealer can never
+                # remove a lock that was replaced under it (check-then-
+                # remove would let two stealers interleave regenerations)
+                os.write(fd, f"{os.getpid()}:{uuid.uuid4().hex}".encode())
                 os.close(fd)
                 break
             except FileExistsError:
                 try:
                     stale = time.time() - os.path.getmtime(lock) > self.MANIFEST_LOCK_STALE
+                    with open(lock) as lf:
+                        stale_token = lf.read()
                 except OSError:
                     continue  # holder just released
                 if stale:
-                    # holder crashed mid-regeneration: steal (regens take
-                    # well under the stale window; worst case two stealers
-                    # both regenerate, monotone marker keeps order)
+                    # holder crashed mid-regeneration: steal by atomically
+                    # renaming the stale lock aside — only ONE stealer's
+                    # rename of the path can succeed — then verify the
+                    # token is the one observed as stale. A token mismatch
+                    # means the path was re-acquired between the stat and
+                    # the rename (a LIVE lock was moved aside): restore it
+                    # by link (same inode, owner's release-by-path still
+                    # works) and go back to waiting.
+                    aside = lock + f".steal.{uuid.uuid4().hex}"
                     try:
-                        os.remove(lock)
+                        os.rename(lock, aside)
                     except OSError:
-                        pass
+                        continue  # another stealer won the rename
+                    try:
+                        with open(aside) as af:
+                            moved_token = af.read()
+                    except OSError:
+                        moved_token = None
+                    if moved_token == stale_token:
+                        os.remove(aside)  # genuine stale lock: discarded
+                    else:
+                        try:
+                            os.link(aside, lock)
+                        except OSError:
+                            pass  # path re-created meanwhile: owner races
+                        os.remove(aside)
                 elif time.time() > deadline:
                     raise TimeoutError(
                         f"manifest regeneration lock {lock!r} held for "
@@ -5124,7 +5223,16 @@ class TxTable:
                         os.rmdir(dirpath)
                 except OSError:
                     pass
-            nv = max(published, st["version"])
+            # the marker records what the on-disk manifests actually
+            # describe. Head-of-table regens keep it monotone (unordered
+            # post-commit hooks can't roll readers back — the no-op check
+            # above). An EXPLICIT historical as_of intentionally publishes
+            # an older snapshot, so the marker moves WITH it: otherwise it
+            # would stay at head and every subsequent head regeneration
+            # (autoUpdate hooks, manual repair) would no-op while external
+            # readers sit on the historical list until a strictly newer
+            # data commit.
+            nv = st["version"] if as_of is not None else max(published, st["version"])
             tmp = os.path.join(root, f"._version.{uuid.uuid4().hex}.tmp")
             with open(tmp, "w") as f:
                 f.write(str(nv))
@@ -5207,6 +5315,15 @@ class TxTable:
                 "identity": {k: dict(v) for k, v in s["identity"].items()},
                 "dv_added": list(s["dvs"]),
                 "dv_counts": dict(s["dv_counts"]),
+                # propagate the source's per-DV covered-file map: without
+                # it the clone's v0 commit makes every DV appear to cover
+                # every DV-covered file, and losing ONE vector in the
+                # clone would fsck-drop them all
+                "dv_covers": {
+                    dv: sorted(s["dv_covers"].get(dv, []))
+                    for dv in s["dvs"]
+                    if s["dv_covers"].get(dv)
+                },
                 "clone_source": self.path,
                 "clone_source_version": s["version"],
             },
@@ -5243,17 +5360,27 @@ class TxTable:
             if not os.path.exists(os.path.join(self.path, f))
         ]
         # data files a missing DV covered: the DV parquet itself is gone,
-        # but the commit that added it logged the covered files as its
-        # dv_counts keys
+        # but the state's per-DV covered-file map (logged at add time)
+        # scopes the drop to exactly the files THAT vector deleted from.
+        # DVs without a map entry (legacy commits, resets past the adding
+        # commit) fall back to the commit-level union — every dv_counts
+        # key of any commit that added one of those vectors.
         dropped_for_dv: list[str] = []
         if missing_dvs:
-            gone_dvs = set(missing_dvs)
             covered: set[str] = set()
-            commits_map, _ckpts = self._list_log()
-            for v in sorted(commits_map):
-                c = self._read_json(commits_map[v])
-                if gone_dvs & set(c.get("dv_added") or []):
-                    covered |= set(c.get("dv_counts") or {})
+            unmapped: set[str] = set()
+            for dv in missing_dvs:
+                fs = state["dv_covers"].get(dv)
+                if fs:
+                    covered |= set(fs)
+                else:
+                    unmapped.add(dv)
+            if unmapped:
+                commits_map, _ckpts = self._list_log()
+                for v in sorted(commits_map):
+                    c = self._read_json(commits_map[v])
+                    if unmapped & set(c.get("dv_added") or []):
+                        covered |= set(c.get("dv_counts") or {})
             dropped_for_dv = [f for f in state["active"] if f in covered]
         out = {
             "missing_files": missing,
@@ -5263,16 +5390,21 @@ class TxTable:
         }
         if dry_run or not (missing or missing_dvs):
             return out
+        gone = set(missing) | set(dropped_for_dv)
         extra: dict = {}
         if missing_dvs:
             keep = [f for f in state["dvs"] if f not in set(missing_dvs)]
             extra["dv_reset"] = keep
+            # surviving vectors keep their per-DATA-FILE deleted-row
+            # counts for files that survive the repair (dv_counts is
+            # keyed by data-file relpath, NOT dv relpath — filtering by
+            # the keep list would always produce {} and silently wipe
+            # the metadata counts the fast COUNT(*) path relies on)
             extra["dv_reset_counts"] = {
                 f: n
                 for f, n in state["dv_counts"].items()
-                if f in set(keep)
+                if f not in gone
             }
-        gone = set(missing) | set(dropped_for_dv)
         out["version"] = self._commit(
             [], lambda active: [f for f in active if f in gone],
             state["schema"], None, "fsck", extra=extra or None,

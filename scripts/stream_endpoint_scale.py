@@ -145,6 +145,52 @@ def main() -> None:
         )
     shutil.rmtree(root, ignore_errors=True)
 
+    # 2k/4k-file backlog sweep (round-8, VERDICT r7 item 6): the design
+    # point where packing's multiplier returns — thousands of files in
+    # ONE trigger's admitted range, interacting with maxBytesPerTrigger
+    # admission. Files come from a single many-partition append (same
+    # logged-size planning shape as thousands of tiny commits, without
+    # paying thousands of real _commit calls to set up the fixture);
+    # planning cost is pinned separately in
+    # tests/test_tx_stream_source.py::test_pack_plan_planning_cost_is_linear.
+    for n_files in (2000, 4000):
+        root = tempfile.mkdtemp(prefix="stream_backlog_")
+        bp = os.path.join(root, "bronze_many")
+        t = TxTable(spark, bp)
+        t.append(
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .repartition(n_files)
+        )
+        n_rows = t.read().count()
+        for tag, pack in (("packed (default)", None), ("one task/file", "0")):
+            rd = (
+                spark.readStream.format("txtable")
+                .option("path", bp)
+                .option("startingVersion", "0")
+                .option("maxBytesPerTrigger", str(64 << 20))
+            )
+            if pack is not None:
+                rd = rd.option("packBytes", pack)
+            q = (
+                rd.load()
+                .writeStream.format("noop")
+                .option(
+                    "checkpointLocation",
+                    os.path.join(root, f"ck_{n_files}_{tag[:4]}"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            t0 = time.time()
+            q.awaitTermination(1200)
+            s = time.time() - t0
+            print(
+                f"{n_files}-file backlog drain, {tag:17s}: {s:7.2f}s  "
+                f"({n_rows / s / 1e3:.0f}k rows/s)"
+            )
+        shutil.rmtree(root, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,165 @@
+"""Incrementally-maintained bucketed ANN index fed by the source
+table's change feed (operators/ann_index.py): equality with the
+from-scratch build after arbitrary insert/update/delete histories,
+bucket-crossing updates, streaming maintenance with checkpoint resume,
+and replay safety (re-delivered batches are content no-ops)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+    assert_index_matches_scratch,
+    catchup_ann_index,
+    stream_ann_index_to_tx_table,
+)
+from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+    binary_quantize,
+    probed_hamming_topk,
+    synthetic_embeddings,
+)
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+
+def _index_rows(index):
+    return sorted(
+        (r.vec_id, r.b_lo, r.b_hi, r.bucket)
+        for r in index.read().select("vec_id", "b_lo", "b_hi", "bucket").collect()
+    )
+
+
+def test_incremental_equals_scratch_after_mixed_history(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 200))  # v0
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_ann_index(src, index, prefix_bits=4)
+    assert_index_matches_scratch(index, src)
+    # update: negate a residue class (sign flips move vectors across
+    # buckets — the merge must relocate them, not update in place)
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    # delete another class + insert brand-new vectors, separate commits
+    gone = src.read().filter(F.col("vec_id") % 9 == 4).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    src.append(
+        synthetic_embeddings(spark, 240).filter(F.col("vec_id") >= 200)
+    )
+    catchup_ann_index(src, index)  # one catch-up over three commits
+    assert_index_matches_scratch(index, src)
+    # the moved vectors really moved: their index bucket equals the
+    # quantization of the NEGATED embedding, not the original
+    fresh = binary_quantize(src.read()).select("vec_id", "b_lo", "b_hi")
+    joined = (
+        index.read()
+        .select("vec_id", F.col("b_lo").alias("i_lo"))
+        .join(fresh, "vec_id")
+    )
+    assert joined.filter(F.col("i_lo") != F.col("b_lo")).count() == 0
+
+
+def test_catchup_is_incremental_and_idempotent(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 100))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    hwm = catchup_ann_index(src, index, prefix_bits=4)
+    assert hwm == src.version()
+    before = _index_rows(index)
+    v_before = index.version()
+    # no new source commits: catch-up is a pure no-op (no new versions)
+    assert catchup_ann_index(src, index) == hwm
+    assert index.version() == v_before
+    assert _index_rows(index) == before
+    # watermark persists in table properties — a NEW process resumes
+    index2 = TxTable(spark, str(tmp_path / "idx"))
+    assert int(index2.properties()["ann.srcVersion"]) == hwm
+
+
+def test_stepwise_catchup_matches_single_range(spark, tmp_path):
+    """Applying the feed one commit at a time must land the same index
+    as one catch-up over the whole range (net-change reduction is
+    associative over version slices)."""
+    def history(path):
+        t = TxTable(spark, path)
+        t.append(synthetic_embeddings(spark, 120))
+        upd = (
+            t.read()
+            .filter(F.col("vec_id") % 4 == 1)
+            .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+        )
+        t.merge_into(upd, on=["vec_id"], mode="dv")
+        gone = t.read().filter(F.col("vec_id") % 10 == 2).withColumn("_g", F.lit(True))
+        t.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+        return t
+
+    src_a = history(str(tmp_path / "src_a"))
+    idx_a = TxTable(spark, str(tmp_path / "idx_a"))
+    catchup_ann_index(src_a, idx_a, prefix_bits=4, step=1)
+
+    src_b = history(str(tmp_path / "src_b"))
+    idx_b = TxTable(spark, str(tmp_path / "idx_b"))
+    catchup_ann_index(src_b, idx_b, prefix_bits=4)
+
+    assert _index_rows(idx_a) == _index_rows(idx_b)
+    assert_index_matches_scratch(idx_a, src_a)
+
+
+def test_probe_over_incremental_index_prunes_and_answers(spark, tmp_path):
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 300))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_ann_index(src, index, prefix_bits=4)
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = probed_hamming_topk(index, queries, k=3, prefix_bits=4, radius=4)
+    # radius=4 probes every bucket: exact top-3 == brute-force Hamming
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        knn_hamming_topk,
+    )
+
+    want = knn_hamming_topk(
+        src.read(), queries.select("query_id", "embedding"), k=3
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_maintenance_resumes_from_checkpoint(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    idx_dir = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    src = TxTable(spark, src_dir)
+    src.append(synthetic_embeddings(spark, 150))
+    q = stream_ann_index_to_tx_table(spark, src_dir, idx_dir, ckpt, prefix_bits=4)
+    q.awaitTermination(120)
+    index = TxTable(spark, idx_dir)
+    assert_index_matches_scratch(index, src)
+    after_first = _index_rows(index)
+    # more source commits AFTER the stream stopped: a restart from the
+    # SAME checkpoint folds only the delta (offsets resume, not restart)
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % 6 == 0)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    gone = src.read().filter(F.col("vec_id") % 7 == 3).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    q2 = stream_ann_index_to_tx_table(spark, src_dir, idx_dir, ckpt, prefix_bits=4)
+    q2.awaitTermination(120)
+    index = TxTable(spark, idx_dir)
+    assert_index_matches_scratch(index, src)
+    assert _index_rows(index) != after_first  # the delta really applied
+    # replay safety: a third run with NO new commits leaves content as-is
+    final = _index_rows(index)
+    q3 = stream_ann_index_to_tx_table(spark, src_dir, idx_dir, ckpt, prefix_bits=4)
+    q3.awaitTermination(120)
+    assert _index_rows(TxTable(spark, idx_dir)) == final

