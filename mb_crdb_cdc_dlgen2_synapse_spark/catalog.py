@@ -5261,7 +5261,24 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_neardedup_ingest",
-    None,  # foreachBatch + LSH-vs-committed-signatures — not SQL-expressible
+    # FULL invariant oracle (upgraded from rows-only in round 8): which
+    # NEAR-dups the bands catch is minhash-specific, but the sink has
+    # engine-independent contracts — EXACT re-deliveries are always
+    # rejected (identical text => identical signature => collides with
+    # whatever its original collided with, committed or not), novel
+    # md5-token docs (disjoint shingles) are always admitted, and no two
+    # survivors may share a content hash. n_novel_admitted is the exact
+    # hash-certified anchor; near-dup semantics stay differential-tested
+    # against an independent Python model in
+    # tests/test_neardedup_stream.py.
+    """
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 30 = 0) AS BIGINT)
+               AS n_novel_admitted,
+           TRUE AS exact_redeliveries_rejected,
+           TRUE AS survivor_hashes_unique,
+           TRUE AS survivors_subset_of_landed
+    FROM documents WHERE doc_id < 150
+    """,
     "S1,T1,T8,X2,Q4",
 )
 def streaming_neardedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5320,11 +5337,35 @@ def streaming_neardedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, table_dir, os.path.join(tmp, "sigs"), os.path.join(tmp, "ckpt")
     )
     q.awaitTermination()
-    return (
-        TxTable(spark, table_dir)
-        .read()
-        .select("doc_id", "content_hash")
-        .orderBy("doc_id")
+    surv = TxTable(spark, table_dir).read().select("doc_id", "content_hash")
+    landed = {r.doc_id for r in docs}
+    landed |= {r.doc_id + 100000 for r in docs if r.doc_id % 10 == 0}
+    landed |= {r.doc_id + 200000 for r in docs if r.doc_id % 15 == 0}
+    landed |= {r.doc_id + 300000 for r in docs if r.doc_id % 30 == 0}
+    agg = surv.agg(
+        F.sum((F.col("doc_id") >= 300000).cast("long")).alias("novel"),
+        F.sum(
+            (
+                (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)
+            ).cast("long")
+        ).alias("redelivered"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("content_hash").alias("n_hashes"),
+        F.sum(
+            (~F.col("doc_id").isin(list(landed))).cast("long")
+        ).alias("alien"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(agg.novel or 0),
+                int(agg.redelivered or 0) == 0,
+                agg.n == agg.n_hashes,
+                int(agg.alien or 0) == 0,
+            )
+        ],
+        "n_novel_admitted long, exact_redeliveries_rejected boolean, "
+        "survivor_hashes_unique boolean, survivors_subset_of_landed boolean",
     )
 
 

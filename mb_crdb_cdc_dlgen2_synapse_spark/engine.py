@@ -519,3 +519,28 @@ class Engine:
             # mtime grace inside orphan_sweep keeps in-flight stages safe
             out["orphans_removed"] = len(t.orphan_sweep()["removed"])
         return out
+
+    def build_ann_index(self, src_dir: str, index_dir: str, **kw) -> int:
+        """Bring the bucketed binary-code ANN index at ``index_dir`` up to
+        date with the embedding table's head by folding its change feed —
+        bootstrap on first call, O(changed rows) per catch-up after
+        (operators.ann_index.catchup_ann_index). Returns the new source-
+        version watermark. Pair with ``knn_pruned`` for probed queries."""
+        from .operators.ann_index import catchup_ann_index
+        from .txlog import TxTable
+
+        return catchup_ann_index(
+            TxTable(self.spark, src_dir), TxTable(self.spark, index_dir), **kw
+        )
+
+    def start_ann_index_maintenance(
+        self, src_dir: str, index_dir: str, checkpoint_dir: str, **kw
+    ):
+        """Streaming twin of ``build_ann_index``: consume the embedding
+        table's CDF as a native stream and fold every micro-batch into the
+        index (operators.ann_index.stream_ann_index_to_tx_table)."""
+        from .operators.ann_index import stream_ann_index_to_tx_table
+
+        return stream_ann_index_to_tx_table(
+            self.spark, src_dir, index_dir, checkpoint_dir, **kw
+        )

@@ -130,17 +130,34 @@ def catchup_ann_index(
     prefix_bits: int = 4,
     step: int | None = None,
     mode: str = "cow",
+    auto_bits: bool = False,
 ) -> int:
     """Batch catch-up: advance the index from its recorded source
     watermark (``ann.srcVersion`` property) to the source table's head by
     applying the CDF in ``step``-sized version slices (default: one slice
     for the whole gap). Returns the new watermark version. Calling it
-    with no new source commits is a no-op."""
+    with no new source commits is a no-op.
+
+    ``auto_bits`` (bootstrap only): pick the ``prefix_bits`` most
+    BALANCED sign-bit dimensions from the initial snapshot instead of
+    dims 0..n-1 — the clustered-corpus fix measured in SCALING.md's
+    adversarial recall section. The choice persists in the index's
+    ``ann.prefixDims`` property, and every later increment and probe
+    derives buckets from the SAME dims (layout is a bootstrap-time
+    decision; changing it means rebuilding, exactly like re-keying a
+    partition spec)."""
     head = src.version()
     done = int(index.properties().get("ann.srcVersion", -1))
     if head <= done:
         return done
-    prefix_dims = _index_dims(index, prefix_bits)
+    if auto_bits and index.version() < 0:
+        from .similarity import choose_balanced_prefix_dims
+
+        prefix_dims = choose_balanced_prefix_dims(
+            src.read(as_of=head).select("vec_id", "embedding"), prefix_bits
+        )
+    else:
+        prefix_dims = _index_dims(index, prefix_bits)
     v = done
     while v < head:
         hi = head if step is None else min(v + step, head)

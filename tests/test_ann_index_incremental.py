@@ -163,3 +163,92 @@ def test_streaming_maintenance_resumes_from_checkpoint(spark, tmp_path):
     q3 = stream_ann_index_to_tx_table(spark, src_dir, idx_dir, ckpt, prefix_bits=4)
     q3.awaitTermination(120)
     assert _index_rows(TxTable(spark, idx_dir)) == final
+
+
+def test_compaction_interplay_source_and_index(spark, tmp_path):
+    """OPTIMIZE on either table must not disturb the maintenance loop:
+    a SOURCE compact is a pure relayout (dataChange=false) and emits
+    NOTHING on the change feed, so catch-up after it is a no-op merge;
+    an INDEX compact relocates code rows into fewer files per bucket but
+    changes no content — probes answer identically and later CDF
+    increments keep applying."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    # several small commits -> compactable source
+    for lo in (0, 60, 120):
+        src.append(
+            synthetic_embeddings(spark, 180).filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 60)
+            )
+        )
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_ann_index(src, index, prefix_bits=4)
+    before = _index_rows(index)
+    # SOURCE relayout: feed emits nothing, index must not change
+    src.compact(target_files=1)
+    catchup_ann_index(src, index)
+    assert _index_rows(index) == before
+    # INDEX relayout: content identical, probes identical
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    probe_before = sorted(
+        map(tuple, probed_hamming_topk(index, queries, k=3, radius=1).collect())
+    )
+    index.compact(target_files=1)
+    assert _index_rows(index) == before
+    assert (
+        sorted(
+            map(tuple, probed_hamming_topk(index, queries, k=3, radius=1).collect())
+        )
+        == probe_before
+    )
+    # maintenance continues across both relayouts
+    gone = src.read().filter(F.col("vec_id") % 13 == 5).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    catchup_ann_index(src, index)
+    assert_index_matches_scratch(index, src)
+
+
+def test_auto_bits_bootstrap_persists_layout_through_increments(spark, tmp_path):
+    """auto_bits picks balanced prefix dims at bootstrap; the choice
+    persists in ann.prefixDims and every later increment and probe uses
+    the SAME dims — maintenance can never silently re-bucket under a
+    different layout than the probe derives."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        choose_balanced_prefix_dims,
+        clustered_embeddings,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    # clustered corpus: dims 0..3 are biased, balanced selection avoids them
+    src.append(clustered_embeddings(spark, 400, prefix_bits=4))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_ann_index(src, index, prefix_bits=4, auto_bits=True)
+    dims_prop = index.properties()["ann.prefixDims"]
+    want = choose_balanced_prefix_dims(
+        src.read().select("vec_id", "embedding"), 4
+    )
+    assert [int(x) for x in dims_prop.split(",")] == want
+    assert want != [0, 1, 2, 3]  # the biased dims were avoided
+    # increments keep the bootstrap layout (and equality still holds
+    # because the scratch comparison derives dims from the index props)
+    gone = src.read().filter(F.col("vec_id") % 8 == 1).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    catchup_ann_index(src, index)
+    assert index.properties()["ann.prefixDims"] == dims_prop
+    # content parity under the custom layout
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import _index_dims
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        _prefix_bucket_expr,
+    )
+
+    scratch = (
+        binary_quantize(src.read().select("vec_id", "embedding"))
+        .select("vec_id", "b_lo", "b_hi")
+        .withColumn("bucket", _prefix_bucket_expr(_index_dims(index, 4)))
+    )
+    got = index.read().select("vec_id", "b_lo", "b_hi", "bucket")
+    assert got.exceptAll(scratch).count() == 0
+    assert scratch.exceptAll(got).count() == 0
