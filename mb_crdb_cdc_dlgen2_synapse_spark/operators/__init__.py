@@ -1,4 +1,5 @@
 from . import (
+    ann_index,
     bpe,
     cdc,
     codecs,
@@ -11,6 +12,7 @@ from . import (
 )
 
 __all__ = [
+    "ann_index",
     "bpe",
     "cdc",
     "codecs",

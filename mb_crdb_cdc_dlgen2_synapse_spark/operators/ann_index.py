@@ -31,11 +31,16 @@ safety: re-applying a delivered batch is a content no-op (the merge is
 keyed and the net-change reduction is deterministic), the same
 effectively-once contract the latest-state materializers use.
 
-Scale shape: per batch cost tracks the CHANGED rows — candidate-file
-pruning on the merge keys bounds the rewrite, and ``mode="dv"``
-merges make it O(changed + inserted rows) with no file rewrites at
-all. The index stays partitioned by the probe prefix, so
-``probed_hamming_topk`` keeps opening only the probed buckets.
+Scale shape: per batch cost tracks the CHANGED rows. The merge runs
+``mode="dv"`` by DEFAULT — measured at 1M vectors / 1% spread-key
+churn, a CoW merge rewrote every candidate file (uniformly-spread keys
+defeat span pruning, O(corpus) write) while the DV merge writes only
+the deletion vectors plus the changed rows' new code files. Bootstrap
+is a straight partitioned append of the quantized snapshot (same plan
+as ``materialize_binary_codes`` — no change-feed machinery until there
+are changes). The index stays partitioned by the probe prefix, so
+``probed_hamming_topk`` keeps opening only the probed buckets;
+schedule OPTIMIZE out-of-band to fold accumulated DVs.
 """
 
 from __future__ import annotations
@@ -69,7 +74,7 @@ def ann_index_apply_changes(
     index,
     changes: DataFrame,
     prefix_dims: list[int],
-    mode: str = "cow",
+    mode: str = "dv",
 ) -> dict:
     """Apply one CDF batch (``_change_type``/``_commit_version`` +
     ``vec_id``/``embedding`` row images) to the bucketed binary-code
@@ -129,7 +134,7 @@ def catchup_ann_index(
     index,
     prefix_bits: int = 4,
     step: int | None = None,
-    mode: str = "cow",
+    mode: str = "dv",
     auto_bits: bool = False,
 ) -> int:
     """Batch catch-up: advance the index from its recorded source
@@ -159,26 +164,36 @@ def catchup_ann_index(
     else:
         prefix_dims = _index_dims(index, prefix_bits)
     v = done
+    if v < 0:
+        # bootstrap: quantize the snapshot STRAIGHT into a partitioned
+        # append — no CDF rendering, no net-change window (a snapshot is
+        # key-unique by table contract), no driver-side materialization.
+        # Same plan shape as materialize_binary_codes, so the initial
+        # build costs what a from-scratch build costs; only INCREMENTS
+        # pay change-feed machinery.
+        snap = src.read(as_of=head).select("vec_id", "embedding")
+        if snap.take(1):
+            rows = (
+                binary_quantize(snap)
+                .select("vec_id", "b_lo", "b_hi")
+                .withColumn("bucket", _prefix_bucket_expr(prefix_dims))
+            )
+            index.append(rows, partition_by=["bucket"])
+        index.set_properties(
+            {
+                _PREFIX_PROP: ",".join(str(d) for d in prefix_dims),
+                "ann.srcVersion": str(head),
+            }
+        )
+        return head
     while v < head:
         hi = head if step is None else min(v + step, head)
-        changes = src.read_changes(v, hi) if v >= 0 else _initial_feed(src, hi)
-        ann_index_apply_changes(index, changes, prefix_dims, mode=mode)
+        ann_index_apply_changes(
+            index, src.read_changes(v, hi), prefix_dims, mode=mode
+        )
         index.set_properties({"ann.srcVersion": str(hi)})
         v = hi
     return head
-
-
-def _initial_feed(src, hi: int) -> DataFrame:
-    """The bootstrap slice: snapshot at ``hi`` rendered as inserts (the
-    same initial-snapshot-then-tail contract the streaming CDF source
-    uses — read_changes(-1) is not defined for tables whose v0 predates
-    CDF retention)."""
-    return (
-        src.read(as_of=hi)
-        .select("vec_id", "embedding")
-        .withColumn("_change_type", F.lit("insert"))
-        .withColumn("_commit_version", F.lit(hi).cast("bigint"))
-    )
 
 
 def _index_dims(index, prefix_bits: int) -> list[int]:
@@ -195,7 +210,7 @@ def stream_ann_index_to_tx_table(
     checkpoint_dir: str,
     prefix_bits: int = 4,
     available_now: bool = True,
-    mode: str = "cow",
+    mode: str = "dv",
 ):
     """Streaming maintenance: consume the source table's change feed as a
     native Structured Streaming source (``readStream.format("txtable")``

@@ -4543,7 +4543,15 @@ class TxTable:
         )
         if track:
             tdf = self._attach_row_ids(tdf, self._state())
-        tdf = tdf.localCheckpoint(eager=True)
+        # a merge-on-read never rewrites target rows, so nothing past this
+        # point needs their VALUES — only the key (joins), the position
+        # (DV), and the row id. Project BEFORE the eager checkpoint:
+        # materializing full images of every candidate row turned a keyed
+        # merge into an O(candidate bytes) spill (measured: 1M-row
+        # embedding table, 64 floats/row — the checkpoint dominated the
+        # whole merge).
+        keep = list(on) + ["__rf", "__ri"] + (["__row_id"] if track else [])
+        tdf = tdf.select(*keep).localCheckpoint(eager=True)
         s_keys = src.select(*on, "__s_del")
         joined = tdf.join(s_keys, on, "inner")
         if not update:

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Scale receipt for the CDF-maintained ANN index (operators/ann_index.py):
+at N synthetic vectors, measure bootstrap, incremental catch-up, and the
+from-scratch rebuild it replaces — in BOTH churn regimes:
+
+- ``spread``: mutations hit a uniform residue class (every data file —
+  span pruning defeated, the worst case). Here the increment's win is
+  WRITE volume (DVs + changed rows vs the whole index), not scan count.
+- ``local``: mutations are new appends + an update confined to the tail
+  key range (CDC locality). File pruning bounds both the feed render
+  and the merge candidates, so the increment wins wall-clock too.
+
+Also reports bytes written per maintenance step (the quantity that
+bounds cost on object storage at 100 TB) alongside wall-clock.
+
+Usage: python scripts/ann_index_scale.py [n_vectors] [mutation_pct]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (  # noqa: E402
+    assert_index_matches_scratch,
+    catchup_ann_index,
+)
+from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (  # noqa: E402
+    materialize_binary_codes,
+    synthetic_embeddings,
+)
+from mb_crdb_cdc_dlgen2_synapse_spark.session import get_spark  # noqa: E402
+from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+PCT = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+
+spark = get_spark(app_name="ann_index_scale", master="local[32]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+
+
+def du(path: str) -> int:
+    total = 0
+    for dirpath, _d, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def regime(tag: str, mutate) -> None:
+    root = tempfile.mkdtemp(prefix=f"ann_scale_{tag}_")
+    try:
+        src = TxTable(spark, f"{root}/src")
+        src.append(synthetic_embeddings(spark, N).repartition(32))
+        index = TxTable(spark, f"{root}/idx")
+        t0 = time.time()
+        catchup_ann_index(src, index, prefix_bits=4)
+        boot = time.time() - t0
+        n_changed = mutate(src)
+        sz_before = du(f"{root}/idx")
+        t0 = time.time()
+        catchup_ann_index(src, index)
+        incr = time.time() - t0
+        incr_bytes = du(f"{root}/idx") - sz_before
+        t0 = time.time()
+        materialize_binary_codes(
+            src.read().select("vec_id", "embedding"),
+            f"{root}/rebuild",
+            prefix_bits=4,
+        )
+        full = time.time() - t0
+        full_bytes = du(f"{root}/rebuild")
+        t0 = time.time()
+        assert_index_matches_scratch(index, src)
+        proof = time.time() - t0
+        print(
+            f"[{tag}] N={N} churn={n_changed} ({100 * n_changed / N:.1f}%)\n"
+            f"  bootstrap        {boot:7.2f}s\n"
+            f"  incremental      {incr:7.2f}s  wrote {incr_bytes / 1e6:8.2f} MB\n"
+            f"  full rebuild     {full:7.2f}s  wrote {full_bytes / 1e6:8.2f} MB\n"
+            f"  write-volume win {full_bytes / max(incr_bytes, 1):6.1f}x   "
+            f"wall-clock {full / incr:4.2f}x   equality proof {proof:.2f}s"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+mod = max(2, int(100 / PCT))
+
+
+def mutate_spread(src: TxTable) -> int:
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % mod == 0)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    gone = (
+        src.read()
+        .filter(F.col("vec_id") % (mod * 7) == 3)
+        .withColumn("_g", F.lit(True))
+    )
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    return N // mod + N // (mod * 7)
+
+
+def mutate_local(src: TxTable) -> int:
+    # CDC locality: fresh appends + an update confined to the newest keys
+    n_new = N // mod
+    src.append(
+        synthetic_embeddings(spark, N + n_new).filter(F.col("vec_id") >= N)
+    )
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") >= N + n_new // 2)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    return n_new + n_new // 2
+
+
+regime("spread", mutate_spread)
+regime("local", mutate_local)
