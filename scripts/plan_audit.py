@@ -58,6 +58,10 @@ for name, qd in sorted(catalog.registry().items()):
         "knn_rerank_two_stage",  # same bounded query-side broadcast
         "knn_hamming_bucketed",  # same bounded query-side broadcast, pruned scan
         "knn_rerank_bucketed",  # same bounded query-side broadcast, pruned scan
+        "ann_index_incremental",  # same bounded query-side broadcast over the
+        # CDF-maintained index's pruned buckets
+        "sketch_price_quantiles",  # 1-row merged-quantile-estimates broadcast
+        # feeding the rank-contract certification aggregate
         "knn_pq_adc",  # 1-row query-LUT broadcast onto the code relation
         "knn_ivf_pq",  # same LUT broadcast + tiny probed-list broadcast
     ):
