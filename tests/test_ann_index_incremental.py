@@ -252,3 +252,56 @@ def test_auto_bits_bootstrap_persists_layout_through_increments(spark, tmp_path)
     got = index.read().select("vec_id", "b_lo", "b_hi", "bucket")
     assert got.exceptAll(scratch).count() == 0
     assert scratch.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_fuzz_random_mutation_history_equals_scratch(spark, tmp_path, seed):
+    """Seeded random mutation histories (insert/update/delete in random
+    residue classes, random slice boundaries for catch-up) must always
+    land the incremental index exactly on the from-scratch build — the
+    equality contract under histories no hand-written case covers."""
+    import random
+
+    rng = random.Random(seed)
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 160))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_ann_index(src, index, prefix_bits=4)
+    next_id = 160
+    for _round in range(4):
+        n_ops = rng.randint(1, 2)
+        for _ in range(n_ops):
+            op = rng.choice(["update", "delete", "insert", "update", "insert"])
+            if op == "update":
+                m = rng.randint(3, 9)
+                r = rng.randint(0, m - 1)
+                upd = (
+                    src.read()
+                    .filter(F.col("vec_id") % m == r)
+                    .select(
+                        "vec_id",
+                        F.transform("embedding", lambda x: -x).alias("embedding"),
+                    )
+                )
+                src.merge_into(upd, on=["vec_id"], mode="dv")
+            elif op == "delete":
+                m = rng.randint(5, 13)
+                r = rng.randint(0, m - 1)
+                gone = (
+                    src.read()
+                    .filter(F.col("vec_id") % m == r)
+                    .withColumn("_g", F.lit(True))
+                )
+                src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+            else:
+                k = rng.randint(10, 40)
+                src.append(
+                    synthetic_embeddings(spark, next_id + k).filter(
+                        F.col("vec_id") >= next_id
+                    )
+                )
+                next_id += k
+        # catch up over a random slice size (1 commit, 2 commits, or all)
+        step = rng.choice([1, 2, None])
+        catchup_ann_index(src, index, step=step)
+        assert_index_matches_scratch(index, src)

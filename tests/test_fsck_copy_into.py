@@ -321,3 +321,67 @@ def test_copy_into_load_metadata_expiry(spark, tmp_path):
     t2.copy_into(src1)
     _backdate_copy(t2, [t2.version()], hours_ago=9999)
     assert TxTable(spark, t2.path).copy_into(src1)["loaded_files"] == 0
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_fsck_fuzz_multi_dv_loss_vs_model(spark, tmp_path, seed):
+    """Randomized storage-loss scenarios vs a Python model: k files each
+    DV'd independently, then a random subset of data files AND DV files
+    deleted from storage. After FSCK: surviving set == model (missing
+    data files gone; every file covered by a missing DV gone; nothing
+    resurrected), and metadata COUNT(*) == physical count (surviving
+    DVs keep their logged counts — the round-7 advisory)."""
+    import random
+
+    rng = random.Random(seed)
+    t = TxTable(spark, str(tmp_path / "t"))
+    k = 4
+    per = 20
+    for i in range(k):
+        t.append(
+            _df(spark, [(i * 100 + j, f"v{i}_{j}") for j in range(per)]).coalesce(1)
+        )
+    # one DV per file: delete key i*100 + i (mode=dv -> vector, no rewrite)
+    for i in range(k):
+        t.delete_where([("k", "==", i * 100 + i)], mode="dv")
+    state = t._state()
+    covers = state["dv_covers"]
+    stats = t.file_stats()
+    # map each data file to its key block via logged min(k) — relpath
+    # sort order is uuid-random, never append order
+    block_of = {f: stats[f]["min"]["k"] // 100 for f in state["active"]}
+    data_files = sorted(state["active"], key=lambda f: block_of[f])
+    dv_files = sorted(state["dvs"])
+    assert len(dv_files) == k and len(covers) == k
+    lose_data = [f for f in data_files if rng.random() < 0.3]
+    lose_dv = [d for d in dv_files if rng.random() < 0.4]
+    if not lose_data and not lose_dv:
+        lose_dv = [dv_files[0]]
+    for f in lose_data + lose_dv:
+        os.remove(os.path.join(t.path, f))
+    rep = t.fsck()
+    # model: gone = missing data ∪ files covered by missing DVs
+    covered_by_lost = set()
+    for d in lose_dv:
+        covered_by_lost |= set(covers[d])
+    gone = set(lose_data) | {f for f in data_files if f in covered_by_lost}
+    surviving_files = [f for f in data_files if f not in gone]
+    assert sorted(rep["missing_files"]) == sorted(lose_data)
+    assert sorted(rep["missing_dv_files"]) == sorted(lose_dv)
+    # expected rows: per file, 20 rows minus its (surviving) DV'd row
+    surviving_dvs = [d for d in dv_files if d not in lose_dv]
+    dv_hidden = set()
+    for d in surviving_dvs:
+        (covered,) = covers[d]  # one data file per vector in this fixture
+        if covered not in gone:
+            i = block_of[covered]
+            dv_hidden.add(i * 100 + i)
+    expect = sorted(
+        block_of[f] * 100 + j
+        for f in surviving_files
+        for j in range(per)
+        if (block_of[f] * 100 + j) not in dv_hidden
+    )
+    got = sorted(r.k for r in t.read().collect())
+    assert got == expect
+    assert t.count_rows() == len(expect)  # metadata == physical
