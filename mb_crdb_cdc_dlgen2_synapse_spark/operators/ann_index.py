@@ -188,9 +188,17 @@ def catchup_ann_index(
         return head
     while v < head:
         hi = head if step is None else min(v + step, head)
-        ann_index_apply_changes(
-            index, src.read_changes(v, hi), prefix_dims, mode=mode
-        )
+        try:
+            changes = src.read_changes(v, hi)
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"ANN index at {index.path!r} is stale beyond the source's "
+                f"CDF retention (watermark v{v}, source vacuumed past it): "
+                "the gap can no longer be replayed. Rebuild: drop the "
+                "index table and catchup_ann_index() from scratch "
+                "(bootstrap reads the current snapshot, no feed needed)."
+            ) from e
+        ann_index_apply_changes(index, changes, prefix_dims, mode=mode)
         index.set_properties({"ann.srcVersion": str(hi)})
         v = hi
     return head

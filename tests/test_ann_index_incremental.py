@@ -305,3 +305,25 @@ def test_fuzz_random_mutation_history_equals_scratch(spark, tmp_path, seed):
         step = rng.choice([1, 2, None])
         catchup_ann_index(src, index, step=step)
         assert_index_matches_scratch(index, src)
+
+
+def test_catchup_past_vacuumed_retention_raises_actionable(spark, tmp_path):
+    """If the source vacuums its CDF past the index watermark, catch-up
+    must fail with a rebuild instruction — not a raw FileNotFoundError
+    from deep inside the log replay."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 50))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_ann_index(src, index, prefix_bits=4)
+    # several more commits, then checkpoint + vacuum the old ones away
+    for _ in range(3):
+        gone = (
+            src.read().limit(5).withColumn("_g", F.lit(True))
+        )
+        src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    src.write_checkpoint()
+    src.vacuum(retain_hours=0.0)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="stale beyond the source's CDF"):
+        catchup_ann_index(src, index)
