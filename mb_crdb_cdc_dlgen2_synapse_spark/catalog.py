@@ -7698,6 +7698,92 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_index_incremental",
+    # FULL invariant oracle (same contract family as knn_ivf_probe): the
+    # frozen-quantizer float scores are engine-specific, but (a) the
+    # incrementally-maintained list table must EQUAL a from-scratch
+    # assignment of the final corpus under the same frozen centroids
+    # (assert raises -> driver error), and (b) the probe must return
+    # exactly k rows per surviving query with >= 0.8 overlap against the
+    # in-query exact top-k over the FINAL corpus. Counts hash-certify,
+    # the equality + recall floor pin TRUE.
+    """
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings
+    WHERE vec_id < 3 AND vec_id % 11 <> 3
+    ORDER BY query_id
+    """,
+    "X3,S2,J5",
+)
+def ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF twin of ann_index_incremental: the coarse quantizer (Lloyd
+    k-means) trains ONCE on the initial snapshot and freezes as the
+    index's layout contract; updates (negated vectors — they cross
+    lists) and deletes fold into the cid-partitioned list table from the
+    CDF as net-change merges. The gate proves incremental == scratch
+    assignment in-query, then certifies the probed retrieval contract
+    (k rows per query, recall >= 0.8 vs the in-query exact top-k)."""
+    from .operators.ann_index import (
+        assert_ivf_index_matches_scratch,
+        catchup_ivf_index,
+        ivf_index_topk,
+    )
+    from .operators.similarity import brute_force_topk
+    from .txlog import TxTable
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = _scratch("ivf_incr")
+    src = TxTable(spark, os.path.join(tmp, "src"))
+    src.append(emb)  # v0
+    index = TxTable(spark, os.path.join(tmp, "index"))
+    cents = TxTable(spark, os.path.join(tmp, "cents"))
+    catchup_ivf_index(src, index, cents, n_lists=8, n_iter=2)
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % 7 == 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    dels = (
+        src.read()
+        .filter(F.col("vec_id") % 11 == 3)
+        .withColumn("_gone", F.lit(True))
+    )
+    src.merge_into(dels, on=["vec_id"], delete_when="_gone", mode="dv")
+    catchup_ivf_index(src, index, cents)
+    assert_ivf_index_matches_scratch(index, cents, src)
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = ivf_index_topk(index, cents, queries, k=5, nprobe=3)
+    exact = brute_force_topk(src.read(), queries, k=5)
+    overlap = (
+        got.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        got.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 4).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "doc_text_profile",
     r"""
     WITH toks AS (

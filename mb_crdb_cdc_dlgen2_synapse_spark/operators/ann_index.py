@@ -277,3 +277,165 @@ def assert_index_matches_scratch(index, src) -> None:
             f"incremental ANN index diverged from scratch build: "
             f"{extra} extra row(s), {missing} missing row(s)"
         )
+
+
+# -- IVF variant: frozen coarse quantizer + CDF-maintained lists -------------
+
+
+def catchup_ivf_index(
+    src,
+    index,
+    cents,
+    n_lists: int = 8,
+    n_iter: int = 2,
+    step: int | None = None,
+    mode: str = "dv",
+) -> int:
+    """Incrementally-maintained IVF index — the float-ANN twin of
+    ``catchup_ann_index``. Bootstrap trains the coarse quantizer
+    (Lloyd's k-means, operators/clustering.py) on the initial snapshot
+    and FREEZES it: the centroid table (``cents``) becomes the index's
+    layout contract, exactly like ``ann.prefixDims`` for the Hamming
+    index. Increments assign only the CHANGED vectors to their nearest
+    frozen centroid (broadcast join, no corpus shuffle) and fold them
+    into the cid-partitioned list table with the same net-change keyed
+    merge. Probes (``ivf_index_topk``) equi-join probed list ids and
+    prune FILES via the partition predicate.
+
+    Freezing is the honest contract: re-training per increment would
+    re-assign the whole corpus (O(corpus) — a rebuild in disguise) and
+    silently change every probe's geometry. When corpus drift degrades
+    recall, rebuild: drop both tables and bootstrap again."""
+    from .clustering import assign_clusters, kmeans
+
+    head = src.version()
+    done = int(index.properties().get("ann.srcVersion", -1))
+    if head <= done:
+        return done
+    if index.version() < 0:
+        snap = src.read(as_of=head).select("vec_id", "embedding")
+        centroids, _ = kmeans(snap, k=n_lists, n_iter=n_iter)
+        cents.overwrite(centroids.select("cid", "c_vec"))
+        # assign under the FINAL (frozen) centroids — kmeans() returns
+        # assignments made against the pre-update centroids of its last
+        # round, but the frozen-quantizer contract is the final table:
+        # every later increment and the scratch-equality check assign
+        # against it, so the bootstrap must too
+        assigned = assign_clusters(snap, cents.read())
+        if assigned.take(1):
+            index.append(
+                assigned.select("vec_id", "embedding", "cid"),
+                partition_by=["cid"],
+            )
+        index.set_properties(
+            {"ann.srcVersion": str(head), "ann.ivf.nLists": str(n_lists)}
+        )
+        return head
+    centroids = cents.read().localCheckpoint(eager=True)
+    v = done
+    while v < head:
+        hi = head if step is None else min(v + step, head)
+        try:
+            changes = src.read_changes(v, hi)
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"IVF index at {index.path!r} is stale beyond the source's "
+                f"CDF retention (watermark v{v}): rebuild — drop the index "
+                "and centroid tables and catchup_ivf_index() from scratch."
+            ) from e
+        net = _net_changes(changes)
+        ups = (
+            assign_clusters(
+                net.filter(F.col("_change_type") == "insert").select(
+                    "vec_id", "embedding"
+                ),
+                centroids,
+            )
+            .select("vec_id", "embedding", "cid")
+            .withColumn("_tombstone", F.lit(False))
+        )
+        dels = net.filter(F.col("_change_type") == "delete").select(
+            "vec_id",
+            F.col("embedding"),
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(True).alias("_tombstone"),
+        )
+        source = ups.unionByName(dels).localCheckpoint(eager=True)
+        if source.take(1):
+            index.merge_into(
+                source,
+                on=["vec_id"],
+                delete_when="_tombstone",
+                partition_by=["cid"],
+                mode=mode,
+            )
+        index.set_properties({"ann.srcVersion": str(hi)})
+        v = hi
+    return head
+
+
+def ivf_index_topk(
+    index,
+    cents,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Probed cosine top-k against a ``catchup_ivf_index`` table: each
+    query keeps its ``nprobe`` nearest frozen centroids, the UNION of
+    probed list ids becomes a partition predicate (file pruning on the
+    cid-partitioned table — bounded driver-side read, at most n_lists
+    ids), and the exact rerank runs only over the probed lists."""
+    from .similarity import _dot, _norm, _ivf_probe_lists
+
+    cents_df = cents.read()
+    q = queries.select("query_id", F.col("embedding").alias("q_vec"))
+    scored = q.join(F.broadcast(cents_df)).select(
+        "query_id",
+        "cid",
+        (
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+        ).alias("c_cos"),
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("cid").asc()
+    )
+    probe_ids = sorted(
+        {
+            r.cid
+            for r in scored.withColumn("pr", F.row_number().over(wp))
+            .filter(F.col("pr") <= nprobe)
+            .select("cid")
+            .distinct()
+            .collect()  # bounded by n_lists: probe planning, not data
+        }
+    )
+    corp = index.read(predicates=[("cid", "in", probe_ids)])
+    return _ivf_probe_lists(
+        embeddings=corp.select("vec_id", "cid", "embedding"),
+        cents=cents_df.select("cid", "c_vec"),
+        queries=queries.select("query_id", "embedding"),
+        k=k,
+        nprobe=nprobe,
+        vec_col="embedding",
+    )
+
+
+def assert_ivf_index_matches_scratch(index, cents, src) -> None:
+    """Equality proof for the IVF variant: the incrementally-maintained
+    list table equals a from-scratch assignment of the source head under
+    the SAME frozen centroids. Raises on divergence."""
+    from .clustering import assign_clusters
+
+    scratch = assign_clusters(
+        src.read().select("vec_id", "embedding"), cents.read()
+    ).select("vec_id", "embedding", "cid")
+    got = index.read().select("vec_id", "embedding", "cid")
+    extra = got.exceptAll(scratch).count()
+    missing = scratch.exceptAll(got).count()
+    if extra or missing:
+        raise RuntimeError(
+            f"incremental IVF index diverged from scratch assignment: "
+            f"{extra} extra row(s), {missing} missing row(s)"
+        )

@@ -327,3 +327,70 @@ def test_catchup_past_vacuumed_retention_raises_actionable(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="stale beyond the source's CDF"):
         catchup_ann_index(src, index)
+
+
+# -- IVF variant -------------------------------------------------------------
+
+
+def test_ivf_incremental_equals_scratch_and_lists_move(spark, tmp_path):
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        assert_ivf_index_matches_scratch,
+        catchup_ivf_index,
+        ivf_index_topk,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 200))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    catchup_ivf_index(src, index, cents, n_lists=8)
+    assert_ivf_index_matches_scratch(index, cents, src)
+    assert cents.read().count() == 8
+    # negation moves vectors to (roughly) the opposite list — frozen
+    # centroids, so the increment must RE-ASSIGN, not update in place
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    gone = src.read().filter(F.col("vec_id") % 9 == 5).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    src.append(synthetic_embeddings(spark, 230).filter(F.col("vec_id") >= 200))
+    catchup_ivf_index(src, index, cents)
+    assert_ivf_index_matches_scratch(index, cents, src)
+    # frozen quantizer: the centroid table did NOT change
+    assert cents.read().count() == 8
+    # probed retrieval returns k rows per query and always finds self
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = ivf_index_topk(index, cents, queries, k=3, nprobe=3)
+    per_q = {r.query_id: r for r in got.filter(F.col("rk") == 1).collect()}
+    for qid, r in per_q.items():
+        assert r.vec_id == qid  # self is rank 1 (cosine 1.0)
+    assert got.count() == 3 * len(per_q)
+
+
+def test_ivf_catchup_idempotent_and_retention_error(spark, tmp_path):
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ivf_index,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 60))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    hwm = catchup_ivf_index(src, index, cents)
+    v_before = index.version()
+    assert catchup_ivf_index(src, index, cents) == hwm  # no-op
+    assert index.version() == v_before
+    for _ in range(3):
+        gone = src.read().limit(4).withColumn("_g", F.lit(True))
+        src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    src.write_checkpoint()
+    src.vacuum(retain_hours=0.0)
+    with pytest.raises(RuntimeError, match="stale beyond the source's CDF"):
+        catchup_ivf_index(src, index, cents)
