@@ -101,6 +101,7 @@ HEADLINE = [
     "doc_quality_linear_probe",    # one-pass exact-stats ridge fit + score
     # round-8 additions
     "ann_index_incremental",       # CDF-fed bucketed ANN index maintenance
+    "ivf_index_incremental",       # CDF-fed IVF lists, frozen quantizer
 ]
 
 

@@ -544,3 +544,21 @@ class Engine:
         return stream_ann_index_to_tx_table(
             self.spark, src_dir, index_dir, checkpoint_dir, **kw
         )
+
+    def build_ivf_index(
+        self, src_dir: str, index_dir: str, cents_dir: str, **kw
+    ) -> int:
+        """IVF twin of ``build_ann_index``: frozen k-means coarse
+        quantizer at ``cents_dir``, cid-partitioned lists at
+        ``index_dir``, maintained from the embedding table's change feed
+        (operators.ann_index.catchup_ivf_index). Query with
+        ``ivf_index_topk``."""
+        from .operators.ann_index import catchup_ivf_index
+        from .txlog import TxTable
+
+        return catchup_ivf_index(
+            TxTable(self.spark, src_dir),
+            TxTable(self.spark, index_dir),
+            TxTable(self.spark, cents_dir),
+            **kw,
+        )
