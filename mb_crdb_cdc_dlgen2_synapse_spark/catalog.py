@@ -107,7 +107,12 @@ _DRIVER_PRIORITY: list[str] = [
     # — A3 keeps props_variant_stats + conversion_funnel, P7 arrives
     # with doc_quality_linear_probe; embedding_quantization — X3 keeps
     # dedup_embedding_cosine + ann_index_incremental, P8 keeps
-    # props_variant_stats + rag_overlap_chunks). 52/52 ids stay covered.
+    # props_variant_stats + rag_overlap_chunks). Session 2: the new
+    # ivf_index_incremental (X3,S2,J5 — frozen-quantizer IVF lists fed
+    # by the CDF, MATCH at 3 SFs) also enters; media_jpeg_decode leaves
+    # (X5 keeps media_binary_stats + media_png_decode, X6 keeps
+    # doc_chunks_udtf + bpe_tokenize_invariants + media_png_decode).
+    # 52/52 ids stay covered.
     # keepers — minimal id cover
     "flagship_cdc_city_revenue",   # S1,S4,P1,P2,P3,A2
     "flagship_silver_lake",        # S3,S6
@@ -148,7 +153,10 @@ _DRIVER_PRIORITY: list[str] = [
     "doc_chunks_udtf",             # X6,P5 — X6 hash-certified in-window
     # round-6 session-3 promotions — session-1/2 queries, first driver row
     "media_png_decode",            # X5,X6 — real PNG decode, value-asserted
-    "media_jpeg_decode",           # X5,X6 — real JPEG decode
+    # (media_jpeg_decode rotated out in r8 session 2: X5 keeps
+    # media_binary_stats + media_png_decode, X6 keeps doc_chunks_udtf +
+    # bpe_tokenize_invariants + media_png_decode; stays declared +
+    # replica-verified)
     "tx_partition_evolution",      # S7,S5,P9
     "substring_dup_spans",         # X1,X4,W2
     "substring_dedup_stats",       # X1,X4,A1
@@ -163,6 +171,7 @@ _DRIVER_PRIORITY: list[str] = [
     "tx_fsck_recovery",            # S7,T8,P9 — FSCK missing-file + missing-DV repair
     "doc_quality_linear_probe",    # X4,A1,P7 — exact-sufficient-stats ridge probe
     "ann_index_incremental",       # X3,X2,S2,J5 — CDF-maintained bucketed ANN index
+    "ivf_index_incremental",       # X3,S2,J5 — CDF-maintained IVF lists (frozen quantizer)
 ]
 
 
