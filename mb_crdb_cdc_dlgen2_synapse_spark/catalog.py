@@ -3042,13 +3042,18 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine-independent contracts — each per-type estimate lands within
     # the published HLL error envelope of the exact distinct user count
     # (recomputed here, hash-certified), and the stream-maintained sketch
-    # merged across micro-batches equals the ONE-SHOT batch sketch over
-    # the same rows exactly (register-max union is order-insensitive).
+    # merged across micro-batches lands within 1% of the ONE-SHOT batch
+    # sketch over the same rows. NOT exact equality: at sf0.001
+    # cardinalities both sketches stay sparse-mode and agree bit-for-bit
+    # (tests/test_sketches.py pins that), but past the sparse->dense
+    # transition a union-of-partials and a direct build can round
+    # registers differently — measured at sf0.1, caught by the full-SF
+    # replica when this oracle first claimed exactness.
     """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
            TRUE AS approx_within_bound,
-           TRUE AS equals_batch_sketch
+           TRUE AS close_to_batch_sketch
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -3109,9 +3114,10 @@ def streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("approx_distinct") - F.col("exact_users"))
                 <= 0.06 * F.col("exact_users") + 2
             ).alias("approx_within_bound"),
-            (F.col("approx_distinct") == F.col("batch_distinct")).alias(
-                "equals_batch_sketch"
-            ),
+            (
+                F.abs(F.col("approx_distinct") - F.col("batch_distinct"))
+                <= 0.01 * F.col("batch_distinct") + 2
+            ).alias("close_to_batch_sketch"),
         )
         .orderBy("event_type")
     )
