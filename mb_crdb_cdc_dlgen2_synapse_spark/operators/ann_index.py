@@ -321,15 +321,24 @@ def catchup_ivf_index(
         # round, but the frozen-quantizer contract is the final table:
         # every later increment and the scratch-equality check assign
         # against it, so the bootstrap must too
-        assigned = assign_clusters(snap, cents.read())
+        assigned = assign_clusters(snap, cents.read()).localCheckpoint(
+            eager=True
+        )
+        boot_d2 = None
         if assigned.take(1):
             index.append(
                 assigned.select("vec_id", "embedding", "cid"),
                 partition_by=["cid"],
             )
-        index.set_properties(
-            {"ann.srcVersion": str(head), "ann.ivf.nLists": str(n_lists)}
-        )
+            boot_d2 = assigned.agg(F.avg("d2")).collect()[0][0]
+        props = {"ann.srcVersion": str(head), "ann.ivf.nLists": str(n_lists)}
+        if boot_d2 is not None:
+            # drift baseline: mean squared assignment distance at
+            # bootstrap — ivf_index_drift compares the current value
+            # against it to signal when the frozen quantizer needs a
+            # retrain/rebuild
+            props["ann.ivf.bootMeanD2"] = repr(float(boot_d2))
+        index.set_properties(props)
         return head
     centroids = cents.read().localCheckpoint(eager=True)
     v = done
@@ -439,3 +448,34 @@ def assert_ivf_index_matches_scratch(index, cents, src) -> None:
             f"incremental IVF index diverged from scratch assignment: "
             f"{extra} extra row(s), {missing} missing row(s)"
         )
+
+
+def ivf_index_drift(index, cents) -> dict:
+    """Retrain signal for the frozen quantizer: mean squared assignment
+    distance of the CURRENT list table vs the value logged at bootstrap
+    (``ann.ivf.bootMeanD2``). A drifting corpus pulls vectors away from
+    the frozen centroids, inflating the ratio — probe recall degrades
+    with it, and past a policy threshold (e.g. 1.5×) the answer is a
+    rebuild (drop index + centroids, bootstrap on the current snapshot;
+    the quantizer is layout, and layout changes are rebuilds, exactly
+    like re-keying a partition spec). One broadcast join + one global
+    aggregate over the index — no source-table access."""
+    from .clustering import _sq_dist
+
+    cur = (
+        index.read()
+        .join(F.broadcast(cents.read()), "cid")
+        .agg(
+            F.avg(_sq_dist(F.col("embedding"), F.col("c_vec"))).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    boot = index.properties().get("ann.ivf.bootMeanD2")
+    boot_f = float(boot) if boot is not None else None
+    return {
+        "mean_d2": float(cur) if cur is not None else None,
+        "bootstrap_mean_d2": boot_f,
+        "drift_ratio": (
+            float(cur) / boot_f if cur is not None and boot_f else None
+        ),
+    }

@@ -394,3 +394,32 @@ def test_ivf_catchup_idempotent_and_retention_error(spark, tmp_path):
     src.vacuum(retain_hours=0.0)
     with pytest.raises(RuntimeError, match="stale beyond the source's CDF"):
         catchup_ivf_index(src, index, cents)
+
+
+def test_ivf_drift_metric_signals_corpus_shift(spark, tmp_path):
+    """ivf_index_drift: ~1.0 right after bootstrap; a corpus whose
+    vectors move away from the frozen centroids (scaled up 3x — same
+    directions, larger squared distances) inflates the ratio well past
+    a retrain threshold."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ivf_index,
+        ivf_index_drift,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 150))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    catchup_ivf_index(src, index, cents, n_lists=6)
+    d0 = ivf_index_drift(index, cents)
+    assert d0["bootstrap_mean_d2"] is not None
+    assert abs(d0["drift_ratio"] - 1.0) < 1e-9  # fresh index: exact baseline
+    # drift: every vector scales 3x (d2 scales ~9x against frozen cents'
+    # positions it used to sit near)
+    upd = src.read().select(
+        "vec_id", F.transform("embedding", lambda x: x * 3.0).alias("embedding")
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    catchup_ivf_index(src, index, cents)
+    d1 = ivf_index_drift(index, cents)
+    assert d1["drift_ratio"] > 1.5  # retrain-threshold territory
