@@ -423,3 +423,31 @@ def test_ivf_drift_metric_signals_corpus_shift(spark, tmp_path):
     catchup_ivf_index(src, index, cents)
     d1 = ivf_index_drift(index, cents)
     assert d1["drift_ratio"] > 1.5  # retrain-threshold territory
+
+
+def test_source_vacuum_within_retention_does_not_break_catchup(spark, tmp_path):
+    """VACUUM that removes only files OLDER than the index watermark must
+    leave catch-up working: the feed replays only (watermark, head], and
+    those commits' files are still live."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 80))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_ann_index(src, index, prefix_bits=4)
+    # churn BEFORE advancing the watermark further: rewrite some rows so
+    # vacuum has dead files to reclaim, and catch the index up past them
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % 3 == 0)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    src.merge_into(upd, on=["vec_id"], mode="cow")  # CoW: leaves dead files
+    catchup_ann_index(src, index)
+    hwm = int(index.properties()["ann.srcVersion"])
+    src.write_checkpoint()
+    src.vacuum(retain_hours=0.0)  # reclaims pre-watermark dead files
+    # new commits after the vacuum still flow
+    gone = src.read().filter(F.col("vec_id") % 7 == 2).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    assert catchup_ann_index(src, index) == src.version()
+    assert int(index.properties()["ann.srcVersion"]) > hwm
+    assert_index_matches_scratch(index, src)
