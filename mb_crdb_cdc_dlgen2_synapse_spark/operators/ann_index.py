@@ -164,13 +164,17 @@ def catchup_ann_index(
     else:
         prefix_dims = _index_dims(index, prefix_bits)
     v = done
-    if v < 0:
-        # bootstrap: quantize the snapshot STRAIGHT into a partitioned
-        # append — no CDF rendering, no net-change window (a snapshot is
-        # key-unique by table contract), no driver-side materialization.
-        # Same plan shape as materialize_binary_codes, so the initial
-        # build costs what a from-scratch build costs; only INCREMENTS
-        # pay change-feed machinery.
+    if v < 0 and index.version() < 0:
+        # bootstrap (EMPTY index only — an index that has rows but no
+        # watermark was maintained by the streaming path, and a snapshot
+        # append would duplicate every row; the replay loop below handles
+        # that case key-idempotently instead): quantize the snapshot
+        # STRAIGHT into a partitioned append — no CDF rendering, no
+        # net-change window (a snapshot is key-unique by table
+        # contract), no driver-side materialization. Same plan shape as
+        # materialize_binary_codes, so the initial build costs what a
+        # from-scratch build costs; only INCREMENTS pay change-feed
+        # machinery.
         snap = src.read(as_of=head).select("vec_id", "embedding")
         if snap.take(1):
             rows = (
@@ -236,10 +240,15 @@ def stream_ann_index_to_tx_table(
         .option("readChangeFeed", "true")
         .load(src_dir)
     )
-    dims = list(range(prefix_bits))
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         index = TxTable(batch.sparkSession, index_dir)
+        # derive the bucket layout from the INDEX's own persisted
+        # property (metadata read, per batch): an index bootstrapped
+        # batch-side with auto_bits carries custom dims, and quantizing
+        # stream increments under the default layout would scatter them
+        # into the wrong buckets
+        dims = _index_dims(index, prefix_bits)
         ann_index_apply_changes(
             index,
             batch.select(

@@ -451,3 +451,54 @@ def test_source_vacuum_within_retention_does_not_break_catchup(spark, tmp_path):
     assert catchup_ann_index(src, index) == src.version()
     assert int(index.properties()["ann.srcVersion"]) > hwm
     assert_index_matches_scratch(index, src)
+
+
+def test_mixed_stream_then_batch_maintenance_no_duplication(spark, tmp_path):
+    """An index bootstrapped by the STREAMING path has rows but no
+    ann.srcVersion watermark; a later batch catch-up must NOT re-append
+    the snapshot (the round-8 review bug) — it replays the feed
+    key-idempotently and converges on scratch."""
+    src_dir, idx_dir = str(tmp_path / "src"), str(tmp_path / "idx")
+    src = TxTable(spark, src_dir)
+    src.append(synthetic_embeddings(spark, 90))
+    q = stream_ann_index_to_tx_table(
+        spark, src_dir, idx_dir, str(tmp_path / "ck"), prefix_bits=4
+    )
+    q.awaitTermination(120)
+    index = TxTable(spark, idx_dir)
+    n0 = index.read().count()
+    assert n0 == 90
+    # more source commits, then BATCH catch-up on the stream-built index
+    gone = src.read().filter(F.col("vec_id") % 5 == 1).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    catchup_ann_index(src, index)
+    assert_index_matches_scratch(index, src)
+    assert index.read().count() == src.read().count()  # no duplication
+
+
+def test_auto_bits_layout_respected_by_streaming_maintenance(spark, tmp_path):
+    """Custom prefix dims chosen at batch bootstrap must govern the
+    STREAMING increments too (the round-8 review bug: the stream fold
+    quantized under the default layout)."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        clustered_embeddings,
+    )
+
+    src_dir, idx_dir = str(tmp_path / "src"), str(tmp_path / "idx")
+    src = TxTable(spark, src_dir)
+    src.append(clustered_embeddings(spark, 300, prefix_bits=4))
+    index = TxTable(spark, idx_dir)
+    catchup_ann_index(src, index, prefix_bits=4, auto_bits=True)
+    dims_prop = index.properties()["ann.prefixDims"]
+    assert dims_prop != "0,1,2,3"
+    # stream new rows in — they must land under the SAME custom layout
+    src.append(clustered_embeddings(spark, 340, prefix_bits=4).filter(
+        F.col("vec_id") >= 300
+    ))
+    q = stream_ann_index_to_tx_table(
+        spark, src_dir, idx_dir, str(tmp_path / "ck"), prefix_bits=4
+    )
+    q.awaitTermination(120)
+    index = TxTable(spark, idx_dir)
+    assert index.properties()["ann.prefixDims"] == dims_prop
+    assert_index_matches_scratch(index, src)  # derives dims from props
