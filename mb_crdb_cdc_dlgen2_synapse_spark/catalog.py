@@ -3066,8 +3066,10 @@ def streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a persisted sketch table (exactly-once txlog commits). Bounded state —
     one few-KB sketch per event type, never the user-id set — is what
     distinct-count over an unbounded stream has to look like at 100 TB.
-    Final estimates equal the one-shot batch sketch exactly (deterministic
-    register-max union; asserted in tests)."""
+    Final estimates cross-check the one-shot batch sketch within 1%+2
+    (sparse->dense register rounding makes exact streamed==batch equality
+    false at scale — measured at sf0.1, r8; sparse-mode bit-equality
+    stays pinned in tests/test_sketches.py)."""
     from .streaming.incremental import (
         maintain_distinct_sketches,
         read_distinct_estimates,
@@ -3096,9 +3098,11 @@ def streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(tmp, "sketches"), ["event_type"]
     )
     # certification: exact anchors + HLL error envelope + one-shot batch
-    # sketch equality (register-max union is order-insensitive, so the
-    # micro-batch-merged sketch must estimate EXACTLY what a single
-    # hll_sketch_agg over the same rows does)
+    # sketch CROSS-CHECK at 1%+2 tolerance (register-max union is
+    # order-insensitive, but Spark's sparse->dense register promotion
+    # rounds differently when the merge path densifies earlier than the
+    # one-shot agg — measured divergence at sf0.1; sparse-mode
+    # bit-equality is still pinned in tests/test_sketches.py)
     batch = ev.groupBy("event_type").agg(
         F.hll_sketch_estimate(
             F.hll_sketch_agg("user_id", F.lit(12))

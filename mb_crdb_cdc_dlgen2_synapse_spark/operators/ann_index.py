@@ -323,6 +323,14 @@ def catchup_ivf_index(
         return done
     if index.version() < 0:
         snap = src.read(as_of=head).select("vec_id", "embedding")
+        if not snap.take(1):
+            # Empty bootstrap snapshot: k-means on zero rows would freeze
+            # an EMPTY centroid table, and advancing the watermark past it
+            # would make every later increment's assign_clusters inner-join
+            # against zero centroids — inserts silently dropped forever
+            # (ADVICE r8). Defer: leave the watermark unset so the first
+            # NON-empty catch-up performs the real bootstrap.
+            return done
         centroids, _ = kmeans(snap, k=n_lists, n_iter=n_iter)
         cents.overwrite(centroids.select("cid", "c_vec"))
         # assign under the FINAL (frozen) centroids — kmeans() returns

@@ -5136,6 +5136,20 @@ class TxTable:
         root = os.path.join(self.path, self.MANIFEST_DIR)
         os.makedirs(root, exist_ok=True)
         lock = os.path.join(root, ".lock")
+        # sweep orphaned steal-aside residue (left when a restoring link
+        # below lost a race to a re-created lock path); only inodes past
+        # the stale window are touched, so a steal in flight is never hit
+        for name in os.listdir(root):
+            if name.startswith(".lock.steal."):
+                orphan = os.path.join(root, name)
+                try:
+                    if (
+                        time.time() - os.path.getmtime(orphan)
+                        > self.MANIFEST_LOCK_STALE
+                    ):
+                        os.remove(orphan)
+                except OSError:
+                    pass
         marker = os.path.join(root, "_version")
         deadline = time.time() + self.MANIFEST_LOCK_TIMEOUT
         while True:
@@ -5150,20 +5164,35 @@ class TxTable:
                 break
             except FileExistsError:
                 try:
-                    stale = time.time() - os.path.getmtime(lock) > self.MANIFEST_LOCK_STALE
+                    # staleness and token must describe ONE inode: fstat on
+                    # the open fd, not a separate getmtime stat — a release
+                    # + re-acquire between two path lookups would pair the
+                    # old mtime with the NEW holder's token and steal a
+                    # live lock (ADVICE r8).
                     with open(lock) as lf:
-                        stale_token = lf.read()
+                        stale = (
+                            time.time() - os.fstat(lf.fileno()).st_mtime
+                            > self.MANIFEST_LOCK_STALE
+                        )
                 except OSError:
                     continue  # holder just released
                 if stale:
                     # holder crashed mid-regeneration: steal by atomically
                     # renaming the stale lock aside — only ONE stealer's
-                    # rename of the path can succeed — then verify the
-                    # token is the one observed as stale. A token mismatch
-                    # means the path was re-acquired between the stat and
-                    # the rename (a LIVE lock was moved aside): restore it
-                    # by link (same inode, owner's release-by-path still
-                    # works) and go back to waiting.
+                    # rename of the path can succeed — then RE-VERIFY
+                    # staleness on the moved inode itself (fstat on the
+                    # aside fd). A fresh mtime means the path was
+                    # re-acquired between the check and the rename (a LIVE
+                    # lock was moved aside): restore it by link (same
+                    # inode, owner's release-by-path still works) and go
+                    # back to waiting. The aside inode is only ever
+                    # removed when ITS OWN mtime proves it stale, so a
+                    # live lock inode can never be discarded here; if the
+                    # restoring link fails because the path was re-created
+                    # meanwhile, the aside file is left in place (orphaned
+                    # residue, swept at the next regeneration once stale)
+                    # rather than deleting an inode a live holder still
+                    # references.
                     aside = lock + f".steal.{uuid.uuid4().hex}"
                     try:
                         os.rename(lock, aside)
@@ -5171,17 +5200,20 @@ class TxTable:
                         continue  # another stealer won the rename
                     try:
                         with open(aside) as af:
-                            moved_token = af.read()
+                            moved_stale = (
+                                time.time() - os.fstat(af.fileno()).st_mtime
+                                > self.MANIFEST_LOCK_STALE
+                            )
                     except OSError:
-                        moved_token = None
-                    if moved_token == stale_token:
-                        os.remove(aside)  # genuine stale lock: discarded
+                        continue  # aside vanished: someone else resolved it
+                    if moved_stale:
+                        os.remove(aside)  # genuinely stale: discarded
                     else:
                         try:
                             os.link(aside, lock)
+                            os.remove(aside)
                         except OSError:
-                            pass  # path re-created meanwhile: owner races
-                        os.remove(aside)
+                            pass  # path re-created meanwhile: keep aside
                 elif time.time() > deadline:
                     raise TimeoutError(
                         f"manifest regeneration lock {lock!r} held for "

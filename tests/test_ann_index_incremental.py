@@ -425,6 +425,34 @@ def test_ivf_drift_metric_signals_corpus_shift(spark, tmp_path):
     assert d1["drift_ratio"] > 1.5  # retrain-threshold territory
 
 
+def test_ivf_bootstrap_on_empty_snapshot_defers(spark, tmp_path):
+    """Bootstrap over an EMPTY snapshot must neither freeze an empty
+    centroid table nor advance the watermark (ADVICE r8: doing both made
+    every later increment inner-join against zero centroids, silently
+    dropping inserts forever). The first non-empty catch-up performs the
+    real bootstrap."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        assert_ivf_index_matches_scratch,
+        catchup_ivf_index,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 20))
+    gone = src.read().withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    catchup_ivf_index(src, index, cents, n_lists=4)
+    assert index.version() < 0  # nothing committed, watermark unset
+    assert cents.version() < 0  # no empty centroid table frozen
+    # first NON-empty catch-up bootstraps for real; inserts are indexed
+    src.append(synthetic_embeddings(spark, 120).filter(F.col("vec_id") >= 20))
+    catchup_ivf_index(src, index, cents, n_lists=4)
+    assert cents.read().count() == 4
+    assert index.read().count() == 100
+    assert_ivf_index_matches_scratch(index, cents, src)
+
+
 def test_source_vacuum_within_retention_does_not_break_catchup(spark, tmp_path):
     """VACUUM that removes only files OLDER than the index watermark must
     leave catch-up working: the feed replays only (watermark, head], and
