@@ -85,6 +85,70 @@ def kmeans(
     return centroids, assigned
 
 
+def kmeans_grouped(
+    points: DataFrame,
+    k: int = 16,
+    n_iter: int = 2,
+    group_col: str = "j",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's over MANY independent problems at once (one per value of
+    ``group_col``): every iteration is ONE broadcast join + ONE
+    aggregate spanning all groups, so training m PQ subspace codebooks
+    costs ~2 jobs/iteration instead of 2·m (measured: 16 sequential
+    kmeans() calls dominated the knn_pq_adc gate at ~30 s; grouped is
+    a few seconds). Per-group math is identical to ``kmeans``: init =
+    the k lowest vec_ids of the group, tie-breaks to the lowest cid.
+    Returns (centroids: group, cid, c_vec; assignments: group, vec_id,
+    vec, cid, d2)."""
+    w0 = W.partitionBy(group_col).orderBy("vec_id")
+    centroids = (
+        points.withColumn("__rk", F.row_number().over(w0))
+        .filter(F.col("__rk") <= k)
+        .select(
+            group_col,
+            F.col("__rk").alias("cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for _ in range(n_iter):
+        scored = points.join(F.broadcast(centroids), group_col).select(
+            group_col,
+            "vec_id",
+            F.col(vec_col),
+            "cid",
+            _sq_dist(F.col(vec_col), F.col("c_vec")).alias("d2"),
+        )
+        w = W.partitionBy(group_col, "vec_id").orderBy(
+            F.col("d2").asc(), F.col("cid").asc()
+        )
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(group_col, "vec_id", vec_col, "cid", "d2")
+            .localCheckpoint(eager=True)
+        )
+        pos = assigned.select(
+            group_col, "cid", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        means = pos.groupBy(group_col, "cid", "pos").agg(
+            F.avg(F.col("x").cast("double")).alias("m")
+        )
+        centroids = (
+            means.groupBy(group_col, "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("c_vec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids, assigned
+
+
 def wcss(assignments: DataFrame) -> float:
     """Within-cluster sum of squares of the CURRENT assignment — the
     monotone objective (returns a scalar; driver-side by definition)."""

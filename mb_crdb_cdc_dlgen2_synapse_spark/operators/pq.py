@@ -52,8 +52,11 @@ def train_pq_codebooks(
     """m per-subspace codebooks of k centroids each, trained with the
     deterministic k-means over an md5-ranked sample of ``sample`` rows
     (seeded-sample device shared with stratified_sample / Z-order cuts).
+    All m subspaces train in ONE grouped-Lloyd pipeline
+    (clustering.kmeans_grouped): each iteration is one broadcast join +
+    one aggregate spanning every subspace, not 2·m sequential jobs.
     Returns driver-side nested lists (the model: m·k·(d/m) floats)."""
-    from .clustering import kmeans
+    from .clustering import kmeans_grouped
 
     dims = int(embeddings.select(F.size(vec_col).alias("n")).first()["n"])
     if dims % m:
@@ -69,18 +72,32 @@ def train_pq_codebooks(
         .drop("__r")
         .localCheckpoint(eager=True)
     )
+    pts = sampled.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _sub_slice(F.col(vec_col), j, sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.j").alias("j"), F.col("e.sv").alias("embedding"))
+    centroids, _ = kmeans_grouped(pts, k=k, n_iter=n_iter, group_col="j")
+    rows = {
+        (r["j"], r["cid"]): list(r["c_vec"]) for r in centroids.collect()
+    }
     books: list[list[list[float]]] = []
     for j in range(m):
-        sub_df = sampled.select(
-            "vec_id", _sub_slice(F.col(vec_col), j, sub).alias("embedding")
-        )
-        centroids, _ = kmeans(sub_df, k=k, n_iter=n_iter)
-        rows = {r["cid"]: list(r["c_vec"]) for r in centroids.collect()}
-        # kmeans cids are 1-based and contiguous; an empty cluster would
-        # drop out — re-point missing slots at the first centroid so the
+        jrows = {c: v for (jj, c), v in rows.items() if jj == j}
+        # cids are 1-based and contiguous; an empty cluster would drop
+        # out — re-point missing slots at the first centroid so the
         # codebook always has k rows (harmless: nothing encodes to them)
-        first = rows[min(rows)]
-        books.append([rows.get(c, first) for c in range(1, k + 1)])
+        first = jrows[min(jrows)]
+        books.append([jrows.get(c, first) for c in range(1, k + 1)])
     return books
 
 
@@ -112,32 +129,94 @@ def pq_encode(
     return embeddings.select("vec_id", code.alias("pq_code"))
 
 
+def pq_encode_arrow(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched twin of ``pq_encode`` (X6 seam, like
+    brute_force_topk_arrow): identical nibble-packed codes via one
+    numpy argmin per batch. This is the m=16 path — at m·k·(d/m) =
+    1024 literal terms the expression form exceeds the JVM codegen
+    method budget and silently falls back to interpreted eval (~10×
+    slower, logged as a CodeGenerator ERROR); the vectorized batch
+    matrix form costs O(B·m·k·sub) flops in C regardless of m."""
+    import numpy as np
+    import pandas as pd
+
+    m, k = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    cbook = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ).reshape(len(pdf), m, sub)
+            # (B, m, k) squared subdistances; argmin ties -> lowest cid
+            # (numpy first-minimum == array_position-of-array_min)
+            d2 = ((vecs[:, :, None, :] - cbook[None]) ** 2).sum(-1)
+            codes = d2.argmin(-1).astype(np.int64)
+            packed = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(m):
+                packed |= codes[:, j] << np.int64(4 * j)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "pq_code": packed}
+            )
+
+    return embeddings.select("vec_id", vec_col).mapInPandas(
+        encode, "vec_id long, pq_code long"
+    )
+
+
 def _pq_lut(
     queries: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, __lut): the per-query ADC lookup table — m arrays of k
-    squared subdistances, computed as literal expressions on the (tiny)
-    query side and pinned so the corpus join reuses it."""
+    squared subdistances, computed Arrow-batched on the (tiny) query
+    side and pinned so the corpus join reuses it. (The literal-
+    expression form was m·k·(d/m) terms — 1024 at m=16 — which blows
+    the JVM codegen method budget: Janino compile fails, logs an ERROR
+    and interprets. One numpy einsum per batch is exact IEEE-double
+    arithmetic in the same accumulation order.)"""
+    import numpy as np
+    import pandas as pd
+
     m, kk = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
-    luts = []
-    for j in range(m):
-        row = []
-        for c in range(kk):
-            cent = codebooks[j][c]
-            d = F.lit(0.0)
-            for t in range(sub):
-                x = F.element_at(F.col(vec_col), j * sub + t + 1).cast(
-                    "double"
-                ) - F.lit(float(cent[t]))
-                d = d + x * x
-            row.append(d)
-        luts.append(F.array(*row))
-    return queries.select(
-        "query_id", F.col(vec_col), F.array(*luts).alias("__lut")
-    ).localCheckpoint(eager=True)
+    cbook = np.asarray(codebooks, dtype=np.float64)  # (m, kk, sub)
+
+    def lut(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ).reshape(len(pdf), m, sub)
+            d2 = ((vecs[:, :, None, :] - cbook[None]) ** 2).sum(-1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "__lut": [row.tolist() for row in d2],
+                }
+            )
+
+    out_schema = (
+        f"query_id long, {vec_col} array<double>, __lut array<array<double>>"
+    )
+    return (
+        queries.select(
+            "query_id",
+            F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
+        )
+        .mapInPandas(lut, out_schema)
+        .localCheckpoint(eager=True)
+    )
 
 
 def _adc_dist(m: int) -> F.Column:
@@ -179,6 +258,51 @@ def pq_adc_topk(
         "query_id", "vec_id", _adc_dist(len(codebooks)).alias("adc_dist")
     )
     return _topk(scored, k)
+
+
+def pq_adc_rerank_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    embeddings: DataFrame,
+    k: int = 5,
+    shortlist: int = 200,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist + exact re-rank — the published two-stage PQ
+    retrieval (Jégou et al.'s IVFADC+R refinement stage): the 8-byte
+    codes produce a ``shortlist`` of candidates per query at zero float
+    multiplies per row, then ONLY those shortlist·|queries| rows pay an
+    exact cosine against the raw vectors. At 100 TB the full-precision
+    pass touches shortlist/corpus of the data (here 200 rows/query)
+    while the scan stays on the 32×-compressed codes; recall is set by
+    the shortlist size, not by quantization error. Returns
+    (query_id, rk, vec_id, cosine) ranked by EXACT cosine."""
+    from .similarity import _dot, _norm
+
+    short = pq_adc_topk(codes, queries, codebooks, k=shortlist, vec_col=vec_col)
+    q = queries.select("query_id", F.col(vec_col).alias("__q_vec"))
+    scored = (
+        short.select("query_id", "vec_id")
+        .join(embeddings.select("vec_id", vec_col), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("__q_vec"), F.col(vec_col))
+                / (_norm(F.col("__q_vec")) * _norm(F.col(vec_col)))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "cosine")
+    )
 
 
 def ivfpq_topk(

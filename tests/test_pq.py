@@ -119,3 +119,42 @@ def test_ivfpq_recall_and_probe_restriction(spark):
     truth = {(r.query_id, r.vec_id) for r in _brute_l2_topk(emb, q, 10).collect()}
     recall = len(probed & truth) / len(truth)
     assert recall >= 0.4, f"IVF-PQ recall@10 = {recall:.2f}"
+
+
+def test_pq_encode_arrow_matches_expression(spark):
+    """The Arrow encode twin (numpy argmin) produces bit-identical packed
+    codes to the literal-expression form — same codebooks, same ties."""
+    emb = similarity.synthetic_embeddings(spark, 400).localCheckpoint(eager=True)
+    books = pq.train_pq_codebooks(emb, m=8, k=16, n_iter=2, sample=256)
+    a = sorted(map(tuple, pq.pq_encode(emb, books).collect()))
+    b = sorted(map(tuple, pq.pq_encode_arrow(emb, books).collect()))
+    assert a == b
+
+
+def test_pq_adc_rerank_recall_floor(spark):
+    """The certified two-stage pipeline (ADC shortlist -> exact cosine
+    re-rank): recall@5 vs exact cosine clears the gate floor on the
+    normalized-space m=16 configuration used by knn_pq_adc."""
+    emb = similarity.synthetic_embeddings(spark, 1000).localCheckpoint(eager=True)
+    unit = similarity.with_normalized(emb).select(
+        "vec_id", F.col("unit_vec").alias("embedding")
+    ).localCheckpoint(eager=True)
+    books = pq.train_pq_codebooks(unit, m=16, k=16, n_iter=2, sample=512)
+    codes = pq.pq_encode_arrow(unit, books).localCheckpoint(eager=True)
+    queries = unit.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = pq.pq_adc_rerank_topk(codes, queries, books, emb, k=5, shortlist=200)
+    raw_q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, raw_q, k=5)
+    contract = similarity.retrieval_contract(
+        got.select("query_id", "vec_id"),
+        exact.select("query_id", "vec_id"),
+        floor=0.8,
+    ).collect()
+    assert len(contract) == 3
+    for r in contract:
+        assert r.n_results == 5
+        assert r.recall_ok, f"query {r.query_id} below 0.8 recall"

@@ -309,3 +309,44 @@ def test_auto_bits_restore_pruning_on_clustered_corpus(spark, tmp_path):
         ).collect()
     }
     assert len(got & truth) / len(truth) == 1.0
+
+
+def test_multiprobe_lsh_recall_beats_single_probe(spark, emb, queries):
+    """Multi-probe (Hamming-1 neighbor buckets) dominates single-probe:
+    candidates are a strict superset per table, so recall can only rise;
+    on the 4-plane/8-table gate configuration it clears the 0.8 floor."""
+    k = 5
+    exact = similarity.brute_force_topk(emb, queries, k=k)
+    got = similarity.ann_topk(
+        emb, queries, k=k, n_planes=4, n_tables=8, multiprobe=1
+    )
+    contract = similarity.retrieval_contract(
+        got.select("query_id", "vec_id"),
+        exact.select("query_id", "vec_id"),
+        floor=0.8,
+    ).collect()
+    assert contract and all(r.recall_ok for r in contract), contract
+    single = similarity.ann_topk(emb, queries, k=k, n_planes=4, n_tables=8)
+    def hits(df):
+        e = {}
+        for r in exact.collect():
+            e.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            1 for r in df.collect() if r.vec_id in e.get(r.query_id, set())
+        )
+    assert hits(got) >= hits(single)
+
+
+def test_retrieval_contract_shape_and_floor_semantics(spark):
+    """retrieval_contract: n_results counts got rows, recall_ok compares
+    hit count to floor*n_results with >= (boundary inclusive)."""
+    got = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13), (1, 14)], "query_id long, vec_id long"
+    )
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13), (1, 99)], "query_id long, vec_id long"
+    )
+    row = similarity.retrieval_contract(got, exact, floor=0.8).collect()[0]
+    assert (row.query_id, row.n_results, row.recall_ok) == (1, 5, True)
+    row = similarity.retrieval_contract(got, exact, floor=0.81).collect()[0]
+    assert row.recall_ok is False
