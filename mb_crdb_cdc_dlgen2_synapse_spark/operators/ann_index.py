@@ -53,6 +53,22 @@ from .similarity import _prefix_bucket_expr, binary_quantize
 
 _PREFIX_PROP = "ann.prefixDims"
 
+#: rows per clustered index file: bounds each file to a tight vec_id
+#: span inside its bucket/cid partition, so a keyed MERGE's key-set
+#: pruning touches O(changed keys) files, not every file (at 24 B/row
+#: this is ~1.5 MB files locally; cluster deployments raise it toward
+#: the object-store sweet spot and keep the SAME pruning shape)
+_CLUSTER_ROWS_PER_FILE = 65536
+
+
+def _bloom_bits(rows_per_file: int) -> int:
+    """Bloom sizing for the vec_id point-key index: ~16 bits/row with 7
+    hashes gives ~0.1% false-positive per (key, file) probe, so a
+    trickle merge's candidate set stays O(changed keys) instead of
+    O(files). Cost: 2 B/row of log metadata per file — the same trade
+    Delta's bloom index makes (theirs defaults looser at fpp 0.1)."""
+    return ((16 * max(rows_per_file, 1) + 7) // 8) * 8
+
 
 def _net_changes(changes: DataFrame) -> DataFrame:
     """Reduce a CDF slice to one net row per vec_id: the change at the
@@ -75,6 +91,7 @@ def ann_index_apply_changes(
     changes: DataFrame,
     prefix_dims: list[int],
     mode: str = "dv",
+    rows_per_file: int = _CLUSTER_ROWS_PER_FILE,
 ) -> dict:
     """Apply one CDF batch (``_change_type``/``_commit_version`` +
     ``vec_id``/``embedding`` row images) to the bucketed binary-code
@@ -104,7 +121,22 @@ def ann_index_apply_changes(
         rows = ups.drop("_tombstone").localCheckpoint(eager=True)
         if not rows.take(1):
             return {}
-        index.append(rows, partition_by=["bucket"])
+        index.append(
+            rows,
+            partition_by=["bucket"],
+            cluster_by=["vec_id"],
+            max_records_per_file=rows_per_file,
+        )
+        index.set_clustering(["vec_id"])
+        # point-key skipping for the keyed MERGE: every bucket partition
+        # tiles the full vec_id domain, so min/max spans alone cannot
+        # prune scattered-key increments — the per-file bloom proves
+        # keys absent where ranges cannot. Declared AFTER the bootstrap
+        # write (Delta's contract: later files carry filters; OPTIMIZE
+        # backfills the bootstrap files)
+        index.set_bloom_index(
+            ["vec_id"], bits=_bloom_bits(rows_per_file), hashes=7
+        )
         # publish the probe layout in the index's own properties — same
         # policy-store contract as materialize_binary_codes, so
         # probed_hamming_topk derives query buckets from the index's
@@ -136,6 +168,7 @@ def catchup_ann_index(
     step: int | None = None,
     mode: str = "dv",
     auto_bits: bool = False,
+    rows_per_file: int = _CLUSTER_ROWS_PER_FILE,
 ) -> int:
     """Batch catch-up: advance the index from its recorded source
     watermark (``ann.srcVersion`` property) to the source table's head by
@@ -182,7 +215,22 @@ def catchup_ann_index(
                 .select("vec_id", "b_lo", "b_hi")
                 .withColumn("bucket", _prefix_bucket_expr(prefix_dims))
             )
-            index.append(rows, partition_by=["bucket"])
+            # merge-key clustering (SCALING.md round-9): files range-
+            # clustered by vec_id WITHIN bucket partitions carry tight
+            # key spans, so every later increment's keyed MERGE prunes
+            # candidates to the files its keys actually land in —
+            # declared as the table's clustering policy so compact()
+            # restores the layout after increments accumulate
+            index.append(
+                rows,
+                partition_by=["bucket"],
+                cluster_by=["vec_id"],
+                max_records_per_file=rows_per_file,
+            )
+            index.set_clustering(["vec_id"])
+            index.set_bloom_index(
+                ["vec_id"], bits=_bloom_bits(rows_per_file), hashes=7
+            )  # see ann_index_apply_changes
         index.set_properties(
             {
                 _PREFIX_PROP: ",".join(str(d) for d in prefix_dims),
@@ -202,7 +250,9 @@ def catchup_ann_index(
                 "index table and catchup_ann_index() from scratch "
                 "(bootstrap reads the current snapshot, no feed needed)."
             ) from e
-        ann_index_apply_changes(index, changes, prefix_dims, mode=mode)
+        ann_index_apply_changes(
+            index, changes, prefix_dims, mode=mode, rows_per_file=rows_per_file
+        )
         index.set_properties({"ann.srcVersion": str(hi)})
         v = hi
     return head
@@ -291,6 +341,70 @@ def assert_index_matches_scratch(index, src) -> None:
 # -- IVF variant: frozen coarse quantizer + CDF-maintained lists -------------
 
 
+def _pinned_cents(index, cents) -> DataFrame:
+    """The quantizer GENERATION this index was built against: the index's
+    ``ann.ivf.centsVersion`` property names a centroid-table snapshot,
+    and every consumer (probes, increments, drift, equality proofs)
+    time-travels to it. Because the property commits ATOMICALLY with
+    index content (overwrite carries props in the same commit), a
+    rebuild-and-swap can overwrite the centroid table first and flip
+    lists + pin together — no reader ever pairs a new quantizer with
+    old lists or vice versa. Falls back to head for pre-pinning
+    indexes."""
+    pin = index.properties().get("ann.ivf.centsVersion")
+    if pin is not None:
+        return cents.read(as_of=int(pin))
+    return cents.read()
+
+
+def rebuild_ivf_index(
+    src,
+    index,
+    cents,
+    n_lists: int = 8,
+    n_iter: int = 2,
+) -> int:
+    """Atomic retrain-and-swap for a drifted quantizer: train fresh
+    centroids on the CURRENT source snapshot, commit them to the
+    centroid table (probes stay pinned to the old generation), then
+    overwrite the list table with the re-assignment AND the new
+    generation pin in ONE commit — probes see entirely-old or
+    entirely-new, never a half-built index. The old centroid snapshot
+    stays time-travel-readable until the centroid table's vacuum
+    retention passes it (vacuum the cents table only after every index
+    pinning that generation has moved on). Returns the new source
+    watermark."""
+    from .clustering import assign_clusters, kmeans
+
+    head = src.version()
+    snap = src.read(as_of=head).select("vec_id", "embedding")
+    if not snap.take(1):
+        raise RuntimeError(
+            f"rebuild_ivf_index: source {src.path!r} is empty at v{head} — "
+            "nothing to train a quantizer on; drop the index tables instead"
+        )
+    centroids, _ = kmeans(snap, k=n_lists, n_iter=n_iter)
+    cents.overwrite(centroids.select("cid", "c_vec"))
+    cv = cents.version()
+    assigned = assign_clusters(snap, cents.read(as_of=cv)).localCheckpoint(
+        eager=True
+    )
+    boot_d2 = assigned.agg(F.avg("d2")).collect()[0][0]
+    index.overwrite(
+        assigned.select("vec_id", "embedding", "cid"),
+        partition_by=["cid"],
+        cluster_by=["vec_id"],
+        max_records_per_file=_CLUSTER_ROWS_PER_FILE,
+        props={
+            "ann.srcVersion": str(head),
+            "ann.ivf.nLists": str(n_lists),
+            "ann.ivf.bootMeanD2": repr(float(boot_d2)),
+            "ann.ivf.centsVersion": str(cv),
+        },
+    )
+    return head
+
+
 def catchup_ivf_index(
     src,
     index,
@@ -314,7 +428,13 @@ def catchup_ivf_index(
     Freezing is the honest contract: re-training per increment would
     re-assign the whole corpus (O(corpus) — a rebuild in disguise) and
     silently change every probe's geometry. When corpus drift degrades
-    recall, rebuild: drop both tables and bootstrap again."""
+    recall, the DRIFT POLICY takes over: set the ``ann.ivf.maxDrift``
+    index property (e.g. "1.5") and every catch-up evaluates
+    ``ivf_index_drift`` after folding changes — past the threshold it
+    raises an actionable error (default) or, with
+    ``ann.ivf.onDrift=rebuild``, runs ``rebuild_ivf_index``'s atomic
+    retrain-and-swap (probes never see a half-built index; the
+    generation pin flips with the lists in one commit)."""
     from .clustering import assign_clusters, kmeans
 
     head = src.version()
@@ -333,22 +453,35 @@ def catchup_ivf_index(
             return done
         centroids, _ = kmeans(snap, k=n_lists, n_iter=n_iter)
         cents.overwrite(centroids.select("cid", "c_vec"))
+        cents_version = cents.version()
         # assign under the FINAL (frozen) centroids — kmeans() returns
         # assignments made against the pre-update centroids of its last
         # round, but the frozen-quantizer contract is the final table:
         # every later increment and the scratch-equality check assign
         # against it, so the bootstrap must too
-        assigned = assign_clusters(snap, cents.read()).localCheckpoint(
-            eager=True
-        )
+        assigned = assign_clusters(
+            snap, cents.read(as_of=cents_version)
+        ).localCheckpoint(eager=True)
         boot_d2 = None
         if assigned.take(1):
             index.append(
                 assigned.select("vec_id", "embedding", "cid"),
                 partition_by=["cid"],
+                cluster_by=["vec_id"],
+                max_records_per_file=_CLUSTER_ROWS_PER_FILE,
             )
+            index.set_clustering(["vec_id"])
+            index.set_bloom_index(
+                ["vec_id"], bits=_bloom_bits(_CLUSTER_ROWS_PER_FILE), hashes=7
+            )  # see ann_index_apply_changes
             boot_d2 = assigned.agg(F.avg("d2")).collect()[0][0]
-        props = {"ann.srcVersion": str(head), "ann.ivf.nLists": str(n_lists)}
+        props = {
+            "ann.srcVersion": str(head),
+            "ann.ivf.nLists": str(n_lists),
+            # generation pin: consumers time-travel the centroid table
+            # to THIS snapshot (see _pinned_cents)
+            "ann.ivf.centsVersion": str(cents_version),
+        }
         if boot_d2 is not None:
             # drift baseline: mean squared assignment distance at
             # bootstrap — ivf_index_drift compares the current value
@@ -356,8 +489,8 @@ def catchup_ivf_index(
             # retrain/rebuild
             props["ann.ivf.bootMeanD2"] = repr(float(boot_d2))
         index.set_properties(props)
-        return head
-    centroids = cents.read().localCheckpoint(eager=True)
+        return _ivf_drift_policy(src, index, cents, n_iter)
+    centroids = _pinned_cents(index, cents).localCheckpoint(eager=True)
     v = done
     while v < head:
         hi = head if step is None else min(v + step, head)
@@ -397,7 +530,37 @@ def catchup_ivf_index(
             )
         index.set_properties({"ann.srcVersion": str(hi)})
         v = hi
-    return head
+    return _ivf_drift_policy(src, index, cents, n_iter)
+
+
+def _ivf_drift_policy(src, index, cents, n_iter: int) -> int:
+    """Post-catch-up drift check (VERDICT r8 item 4): with
+    ``ann.ivf.maxDrift`` set, a drift ratio past it either raises an
+    actionable error (default policy) or triggers the atomic
+    retrain-and-swap (``ann.ivf.onDrift=rebuild``). Returns the index's
+    current source watermark either way."""
+    props = index.properties()
+    head = int(props.get("ann.srcVersion", -1))
+    max_drift = props.get("ann.ivf.maxDrift")
+    if not max_drift:
+        return head
+    d = ivf_index_drift(index, cents)
+    ratio = d["drift_ratio"]
+    if ratio is None or ratio <= float(max_drift):
+        return head
+    if props.get("ann.ivf.onDrift", "error") == "rebuild":
+        n_lists = int(props.get("ann.ivf.nLists", 8))
+        return rebuild_ivf_index(
+            src, index, cents, n_lists=n_lists, n_iter=n_iter
+        )
+    raise RuntimeError(
+        f"IVF quantizer at {cents.path!r} has drifted {ratio:.2f}x past "
+        f"its bootstrap geometry (ann.ivf.maxDrift={max_drift}): probe "
+        "recall is degrading. Either rebuild_ivf_index(src, index, "
+        "cents) for an atomic retrain-and-swap, or set the "
+        "ann.ivf.onDrift=rebuild property to do it automatically at "
+        "catch-up time."
+    )
 
 
 def ivf_index_topk(
@@ -414,7 +577,7 @@ def ivf_index_topk(
     ids), and the exact rerank runs only over the probed lists."""
     from .similarity import _dot, _norm, _ivf_probe_lists
 
-    cents_df = cents.read()
+    cents_df = _pinned_cents(index, cents)
     q = queries.select("query_id", F.col("embedding").alias("q_vec"))
     scored = q.join(F.broadcast(cents_df)).select(
         "query_id",
@@ -455,7 +618,7 @@ def assert_ivf_index_matches_scratch(index, cents, src) -> None:
     from .clustering import assign_clusters
 
     scratch = assign_clusters(
-        src.read().select("vec_id", "embedding"), cents.read()
+        src.read().select("vec_id", "embedding"), _pinned_cents(index, cents)
     ).select("vec_id", "embedding", "cid")
     got = index.read().select("vec_id", "embedding", "cid")
     extra = got.exceptAll(scratch).count()
@@ -481,7 +644,7 @@ def ivf_index_drift(index, cents) -> dict:
 
     cur = (
         index.read()
-        .join(F.broadcast(cents.read()), "cid")
+        .join(F.broadcast(_pinned_cents(index, cents)), "cid")
         .agg(
             F.avg(_sq_dist(F.col("embedding"), F.col("c_vec"))).alias("m")
         )

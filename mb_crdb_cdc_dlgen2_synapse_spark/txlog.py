@@ -2433,6 +2433,8 @@ class TxTable:
         df: DataFrame,
         partition_by: list[str] | None,
         colmap: dict[str, str] | None = None,
+        cluster_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> tuple[list[str], dict[str, dict]]:
         """Write df's files into a staging dir, move them under the table
         root (immutable, invisible until committed), return (relpaths,
@@ -2469,8 +2471,30 @@ class TxTable:
             partition_by = (
                 [colmap.get(c, c) for c in partition_by] if partition_by else None
             )
+            cluster_by = (
+                [colmap.get(c, c) for c in cluster_by] if cluster_by else None
+            )
+        if cluster_by:
+            # tight per-file key spans: range-shuffle on (partition cols,
+            # cluster cols) then sort within tasks — each staged file
+            # covers a narrow cluster-key range inside its partition, so
+            # keyed MERGEs and point reads prune to O(touched keys) files
+            # instead of every file of the partition (liquid-clustering
+            # layout at write time; compact(z_order=...) restores it after
+            # un-clustered increments accumulate)
+            from pyspark.sql import functions as F
+
+            cols = [
+                F.col(c) for c in [*(partition_by or []), *cluster_by]
+            ]
+            df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         stage = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
         writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            # with cluster_by, a sorted task splits into SEQUENTIAL chunks
+            # — each file a disjoint, tight cluster-key range even when
+            # AQE coalesces the range shuffle into few tasks
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(stage)
@@ -3117,9 +3141,15 @@ class TxTable:
         partition_by: list[str] | None = None,
         txn: dict | None = None,
         merge_schema: bool = False,
+        cluster_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> int:
         """Atomic append; with ``txn`` a re-delivered batch is a no-op.
-        ``partition_by=None`` inherits the declared partition spec."""
+        ``partition_by=None`` inherits the declared partition spec.
+        ``cluster_by`` range-clusters the staged files on the given
+        columns within each partition (tight per-file key spans —
+        see _stage); with ``max_records_per_file`` a sorted task splits
+        into bounded disjoint-span files. Layout only, never content."""
         if self._txn_seen(txn):
             return self.version()
         partition_by = self._default_partition_by(partition_by)
@@ -3137,7 +3167,13 @@ class TxTable:
         new_colmap = self._colmap_for_new_fields(
             state, [c for c in df.columns if c not in have]
         )
-        added, stats = self._stage(df, partition_by, colmap=new_colmap)
+        added, stats = self._stage(
+            df,
+            partition_by,
+            colmap=new_colmap,
+            cluster_by=cluster_by,
+            max_records_per_file=max_records_per_file,
+        )
         return self._commit(
             added, lambda active: [], self._union_schema_json(df), txn, "append", stats,
             extra={"colmap": new_colmap} if new_colmap is not None else None,
@@ -3149,6 +3185,8 @@ class TxTable:
         partition_by: list[str] | None = None,
         txn: dict | None = None,
         props: dict[str, str | None] | None = None,
+        cluster_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> int:
         """Atomically replace the ENTIRE table content; with ``txn`` a
         re-delivered overwrite (same app/batch id) is a no-op. May define a
@@ -3192,7 +3230,13 @@ class TxTable:
         for c in df.columns:
             if c not in colmap and c in kept_physicals:
                 colmap[c] = f"{c}__p{state['version'] + 1}"
-        added, stats = self._stage(df, partition_by, colmap=colmap)
+        added, stats = self._stage(
+            df,
+            partition_by,
+            colmap=colmap,
+            cluster_by=cluster_by,
+            max_records_per_file=max_records_per_file,
+        )
         extra: dict = {"dv_reset": [], "colmap": colmap}
         if props is not None or pruned_spec is not None:
             cur = dict(state["props"])
@@ -3308,14 +3352,19 @@ class TxTable:
         ``"z"`` (Morton interleave, default) or ``"hilbert"`` (Skilling's
         transform — the curve Delta's liquid clustering moved to: every
         consecutive key step moves ONE bucket in ONE dimension, so range
-        locality is strictly better than Morton's diagonal jumps).
+        locality is strictly better than Morton's diagonal jumps), or
+        ``"linear"`` — plain lexicographic range-clustering on the listed
+        columns (no interleave): the right layout when queries EQUAL-
+        filter the leading column and range/point-probe the next (e.g.
+        the ANN index's (bucket, vec_id) — bucket-major files with tight
+        per-file vec_id spans for the keyed MERGE's key-set pruning).
         Defaults to the table's ``clustering.curve`` property, else Z."""
         if z_order is None:
             z_order = self.clustering() or None  # declared clustering policy
         if curve is None:
             curve = self._state()["props"].get("clustering.curve", "z")
-        if curve not in ("z", "hilbert"):
-            raise ValueError(f"curve must be z|hilbert, got {curve!r}")
+        if curve not in ("z", "hilbert", "linear"):
+            raise ValueError(f"curve must be z|hilbert|linear, got {curve!r}")
         keyfn = _hilbert_value if curve == "hilbert" else _zvalue
         if target_mb is not None:
             stats0 = self.file_stats()
@@ -3335,6 +3384,13 @@ class TxTable:
             target_files = max(1, -(-total // (target_mb * 1024 * 1024)))
 
         def relayout(df: DataFrame) -> DataFrame:
+            if z_order and curve == "linear":
+                from pyspark.sql import functions as F
+
+                cols = [F.col(c) for c in z_order]
+                return df.repartitionByRange(
+                    target_files, *cols
+                ).sortWithinPartitions(*cols)
             if z_order:
                 return (
                     df.withColumn("__z", keyfn(df, z_order))
@@ -3476,6 +3532,14 @@ class TxTable:
     #: write and then tax every subsequent read with a huge anti-join,
     #: while CoW pays one partition-parallel rewrite and is read-free after
     DV_MAX_ROWS = 2_000_000
+    #: merge key-set pruning: max distinct source keys (per key column)
+    #: collected driver-side to refine span-based candidate pruning; a
+    #: batch with more distinct keys than this skips the refinement (the
+    #: global span is almost certainly saturated anyway)
+    MERGE_KEYSET_CAP = 50_000
+    #: bloom-based candidate pruning engages only for batches this small
+    #: (per-file cost is keys × hashes bit probes)
+    MERGE_BLOOM_KEYSET_CAP = 4_096
 
     def _scan_files(
         self,
@@ -4428,6 +4492,92 @@ class TxTable:
             for f in active
             if _file_may_match(stats.get(f), self._parts(f, cm), preds_pr)
         ]
+        # KEY-SET refinement: the span test keeps every file the batch's
+        # GLOBAL [min,max] overlaps — on a merge-key-clustered table a
+        # small batch of scattered keys still spans the whole domain and
+        # defeats it. When the batch's distinct keys are few (bounded
+        # driver set), a candidate whose [lo,hi] contains NONE of them is
+        # PROVEN clean: bisect the sorted key list against each file's
+        # tight span. Sound by construction (only ever shrinks the set
+        # using the same footer stats); fail-open on missing stats or
+        # incomparable types.
+        if len(cands) > 1:
+            keysets: dict[str, list] = {}
+            for k in on:
+                vals = [
+                    r[0]
+                    for r in src.select(k)
+                    .distinct()
+                    .limit(self.MERGE_KEYSET_CAP + 1)
+                    .collect()
+                ]
+                if 0 < len(vals) <= self.MERGE_KEYSET_CAP and None not in vals:
+                    try:
+                        keysets[k] = sorted(vals)
+                    except TypeError:
+                        pass
+            if keysets:
+                import base64
+                import bisect
+
+                # bloom positions are a function of (value, k, m) only —
+                # precompute per distinct filter geometry so the md5 cost
+                # is paid once per key, not once per key × file. Only
+                # engaged for small key sets (the per-file bit test is
+                # keys × hashes); larger batches rely on spans alone.
+                pos_cache: dict[tuple[int, int], list[list[int]]] = {}
+
+                def _bloom_proves_absent(bl: dict, vs: list) -> bool:
+                    if len(vs) > self.MERGE_BLOOM_KEYSET_CAP:
+                        return False
+                    if not all(
+                        isinstance(v, (str, int)) and not isinstance(v, bool)
+                        for v in vs
+                    ):
+                        return False
+                    geom = (bl["m"], bl["k"])
+                    pos = pos_cache.get(geom)
+                    if pos is None:
+                        pos = [
+                            _bloom_positions(v, bl["k"], bl["m"]) for v in vs
+                        ]
+                        pos_cache[geom] = pos
+                    bits = base64.b64decode(bl["b64"])
+                    for plist in pos:
+                        if all((bits[h >> 3] >> (h & 7)) & 1 for h in plist):
+                            return False  # this key maybe present
+                    return True  # every key provably absent
+
+                def _holds_a_key(f: str) -> bool:
+                    st = stats.get(f) or {}
+                    parts_f = self._parts(f, cm)
+                    for k, vs in keysets.items():
+                        # _parts returns LOGICAL keys; footer stats carry
+                        # PHYSICAL column names
+                        pk = cm.get(k, k) if cm else k
+                        if k in parts_f:
+                            if parts_f[k] not in {str(v) for v in vs}:
+                                return False
+                            continue
+                        lo = st.get("min", {}).get(pk)
+                        hi = st.get("max", {}).get(pk)
+                        if lo is not None and hi is not None:
+                            try:
+                                i = bisect.bisect_left(vs, lo)
+                                if i == len(vs) or vs[i] > hi:
+                                    return False
+                            except TypeError:
+                                pass
+                        # span saturated (e.g. every bucket partition tiles
+                        # the whole key domain): the per-file bloom proves
+                        # point keys absent where ranges cannot
+                        bl = (st.get("bloom") or {}).get(pk)
+                        if bl is not None and bl.get("mode") != "trigram":
+                            if _bloom_proves_absent(bl, vs):
+                                return False
+                    return True
+
+                cands = [f for f in cands if _holds_a_key(f)]
 
         target_cols = self.read().columns
         # column order + types conform to the table; nullability is relaxed
@@ -4518,10 +4668,13 @@ class TxTable:
                 src, on, cands, target_cols, conform, update, insert
             )
             if res is not None:
+                res["candidates"] = len(cands)
                 return res
             # marked-row volume exceeded DV_MAX_ROWS — CoW is the right
             # physical strategy for a merge touching this much of the table
-        return self._rewrite_files(cands, transform)
+        out = self._rewrite_files(cands, transform)
+        out["candidates"] = len(cands)
+        return out
 
     def _merge_dv(
         self, src, on, cands, target_cols, conform, update, insert

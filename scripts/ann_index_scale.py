@@ -9,6 +9,11 @@ from-scratch rebuild it replaces — in BOTH churn regimes:
 - ``local``: mutations are new appends + an update confined to the tail
   key range (CDC locality). File pruning bounds both the feed render
   and the merge candidates, so the increment wins wall-clock too.
+- ``trickle``: a realistic steady-state CDC micro-batch — a few dozen
+  scattered keys. Round 9's merge-key clustering (vec_id-range files
+  within bucket partitions) + key-set candidate pruning bound the
+  merge to the files actually holding a changed key; the receipt
+  prints candidate files vs total.
 
 Also reports bytes written per maintenance step (the quantity that
 bounds cost on object storage at 100 TB) alongside wall-clock.
@@ -64,14 +69,42 @@ def regime(tag: str, mutate) -> None:
         src.append(synthetic_embeddings(spark, N).repartition(32))
         index = TxTable(spark, f"{root}/idx")
         t0 = time.time()
-        catchup_ann_index(src, index, prefix_bits=4)
+        # rows_per_file scaled so each bucket holds SEVERAL tight-span
+        # files (the 100 TB shape, where per-bucket rows >> any file
+        # size) — this is what key-set pruning prunes against
+        catchup_ann_index(src, index, prefix_bits=4, rows_per_file=max(N // 128, 1024))
         boot = time.time() - t0
+        # routine OPTIMIZE (the 100 TB maintenance step): linear-cluster
+        # (bucket, vec_id) into bounded files and BACKFILL the per-file
+        # vec_id blooms the bootstrap files don't carry (bloom index is
+        # declared after the first write — Delta's contract)
+        t0 = time.time()
+        index.compact(
+            target_files=128, z_order=["bucket", "vec_id"], curve="linear"
+        )
+        opt = time.time() - t0
         n_changed = mutate(src)
         sz_before = du(f"{root}/idx")
+        n_files = len(index.snapshot()[1])
+        # capture the index-side merge reports (candidate pruning receipt)
+        reports: list[dict] = []
+        orig_merge = index.merge_into
+
+        def recording_merge(*a, **k):
+            r = orig_merge(*a, **k)
+            reports.append(r)
+            return r
+
+        index.merge_into = recording_merge
         t0 = time.time()
-        catchup_ann_index(src, index)
+        catchup_ann_index(src, index, rows_per_file=max(N // 128, 1024))
         incr = time.time() - t0
+        index.merge_into = orig_merge
         incr_bytes = du(f"{root}/idx") - sz_before
+        cand_note = ""
+        if reports:
+            cands = max(r.get("candidates", 0) for r in reports)
+            cand_note = f"  merge candidates {cands}/{n_files} files"
         t0 = time.time()
         materialize_binary_codes(
             src.read().select("vec_id", "embedding"),
@@ -84,9 +117,10 @@ def regime(tag: str, mutate) -> None:
         assert_index_matches_scratch(index, src)
         proof = time.time() - t0
         print(
-            f"[{tag}] N={N} churn={n_changed} ({100 * n_changed / N:.1f}%)\n"
-            f"  bootstrap        {boot:7.2f}s\n"
-            f"  incremental      {incr:7.2f}s  wrote {incr_bytes / 1e6:8.2f} MB\n"
+            f"[{tag}] N={N} churn={n_changed} ({100 * n_changed / N:.2f}%)\n"
+            f"  bootstrap        {boot:7.2f}s  (+ optimize {opt:.2f}s)\n"
+            f"  incremental      {incr:7.2f}s  wrote {incr_bytes / 1e6:8.2f} MB"
+            f"{cand_note}\n"
             f"  full rebuild     {full:7.2f}s  wrote {full_bytes / 1e6:8.2f} MB\n"
             f"  write-volume win {full_bytes / max(incr_bytes, 1):6.1f}x   "
             f"wall-clock {full / incr:4.2f}x   equality proof {proof:.2f}s"
@@ -129,5 +163,20 @@ def mutate_local(src: TxTable) -> int:
     return n_new + n_new // 2
 
 
+def mutate_trickle(src: TxTable) -> int:
+    # steady-state CDC micro-batch: a few dozen scattered keys — the
+    # regime where merge-key clustering + key-set pruning bound the
+    # index merge to O(changed keys) candidate files
+    stride = max(1, N // 40)
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % stride == 17)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    return N // stride
+
+
 regime("spread", mutate_spread)
 regime("local", mutate_local)
+regime("trickle", mutate_trickle)

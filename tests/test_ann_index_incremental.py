@@ -530,3 +530,118 @@ def test_auto_bits_layout_respected_by_streaming_maintenance(spark, tmp_path):
     index = TxTable(spark, idx_dir)
     assert index.properties()["ann.prefixDims"] == dims_prop
     assert_index_matches_scratch(index, src)  # derives dims from props
+
+
+def test_ivf_drift_policy_error_is_actionable(spark, tmp_path):
+    """ann.ivf.maxDrift set, default onDrift=error: a catch-up that
+    lands past the threshold raises with the rebuild recipe, AFTER
+    folding the changes (watermark advanced; content still correct)."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        assert_ivf_index_matches_scratch,
+        catchup_ivf_index,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 120))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    catchup_ivf_index(src, index, cents, n_lists=6)
+    index.set_properties({"ann.ivf.maxDrift": "1.5"})
+    upd = src.read().select(
+        "vec_id", F.transform("embedding", lambda x: x * 3.0).alias("embedding")
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    with pytest.raises(RuntimeError, match="drifted .*maxDrift"):
+        catchup_ivf_index(src, index, cents)
+    # the error is a QUALITY signal, not a corruption: changes were
+    # folded under the frozen quantizer and content matches scratch
+    assert_ivf_index_matches_scratch(index, cents, src)
+
+
+def test_ivf_drift_policy_rebuild_and_swap(spark, tmp_path):
+    """onDrift=rebuild: catch-up past the threshold retrains and swaps
+    atomically — new generation pinned, drift back to ~1.0, content
+    equals a scratch assignment under the NEW quantizer, probes answer."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        assert_ivf_index_matches_scratch,
+        catchup_ivf_index,
+        ivf_index_drift,
+        ivf_index_topk,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 120))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    catchup_ivf_index(src, index, cents, n_lists=6)
+    pin_before = index.properties()["ann.ivf.centsVersion"]
+    index.set_properties(
+        {"ann.ivf.maxDrift": "1.5", "ann.ivf.onDrift": "rebuild"}
+    )
+    upd = src.read().select(
+        "vec_id", F.transform("embedding", lambda x: x * 3.0).alias("embedding")
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    hwm = catchup_ivf_index(src, index, cents)
+    assert hwm == src.version()
+    props = index.properties()
+    assert props["ann.ivf.centsVersion"] != pin_before  # generation flipped
+    assert props["ann.ivf.maxDrift"] == "1.5"  # policy props survive swap
+    d = ivf_index_drift(index, cents)
+    assert abs(d["drift_ratio"] - 1.0) < 1e-9  # fresh geometry
+    assert_ivf_index_matches_scratch(index, cents, src)
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = ivf_index_topk(index, cents, queries, k=3, nprobe=3)
+    top1 = {r.query_id: r.vec_id for r in got.filter(F.col("rk") == 1).collect()}
+    assert top1 and all(v == q for q, v in top1.items())
+    # maintenance continues on the new generation
+    gone = src.read().filter(F.col("vec_id") % 11 == 3).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    catchup_ivf_index(src, index, cents)
+    assert_ivf_index_matches_scratch(index, cents, src)
+
+
+def test_ivf_generation_pin_shields_probes_from_cents_overwrite(
+    spark, tmp_path
+):
+    """The quantizer generation pin: an out-of-band overwrite of the
+    centroid table (a retrain in flight, or an operator mistake) must
+    not change what probes/increments/proofs see — they time-travel to
+    the pinned snapshot until the index itself swaps."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        assert_ivf_index_matches_scratch,
+        catchup_ivf_index,
+        ivf_index_topk,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 100))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    catchup_ivf_index(src, index, cents, n_lists=5)
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    before = sorted(
+        map(tuple, ivf_index_topk(index, cents, queries, k=3, nprobe=2).collect())
+    )
+    # clobber the centroid HEAD with garbage geometry
+    garbage = cents.read().select(
+        "cid", F.transform("c_vec", lambda x: x * 100.0 + 7.0).alias("c_vec")
+    )
+    cents.overwrite(garbage)
+    after = sorted(
+        map(tuple, ivf_index_topk(index, cents, queries, k=3, nprobe=2).collect())
+    )
+    assert after == before  # pinned generation, not head
+    # increments and the equality proof also stay on the pin
+    gone = src.read().filter(F.col("vec_id") % 9 == 1).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    catchup_ivf_index(src, index, cents)
+    assert_ivf_index_matches_scratch(index, cents, src)

@@ -2126,3 +2126,68 @@ def test_overlapping_cow_rewrites_abort(spark, tmp_path, monkeypatch):
     # the racer's delete survived; the aborted update changed nothing
     rows = {r.k: r.v for r in t.read().collect()}
     assert 7 not in rows and rows[1] == "x"
+
+
+def test_cluster_by_append_tightens_file_spans(spark, tmp_path):
+    """append(cluster_by=...): staged files carry tight per-file key
+    spans inside each partition (range shuffle + in-task sort), and the
+    layout changes nothing about content."""
+    t = TxTable(spark, str(tmp_path / "clus"))
+    rows = [(i, i % 4, f"v{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, bucket long, v string").repartition(8)
+    t.append(df, partition_by=["bucket"], cluster_by=["k"])
+    assert sorted((r.k, r.v) for r in t.read().collect()) == sorted(
+        (k, v) for k, _, v in rows
+    )
+    stats = t.file_stats()
+    spans = []
+    for f in t.snapshot()[1]:
+        st = stats.get(f) or {}
+        lo, hi = st.get("min", {}).get("k"), st.get("max", {}).get("k")
+        assert lo is not None and hi is not None
+        spans.append((f, lo, hi))
+    # clustered files must not all span the whole domain; and files of the
+    # SAME partition must cover disjoint key ranges
+    assert any(hi - lo < 399 for _, lo, hi in spans)
+    from collections import defaultdict
+    by_part = defaultdict(list)
+    for f, lo, hi in spans:
+        by_part[os.path.dirname(f)].append((lo, hi))
+    for part, ss in by_part.items():
+        ss.sort()
+        for (al, ah), (bl, bh) in zip(ss, ss[1:]):
+            assert ah <= bl, f"overlapping clustered spans in {part}: {ss}"
+
+
+def test_merge_keyset_pruning_bounds_candidates_on_clustered_table(
+    spark, tmp_path
+):
+    """A small scattered-key DV merge on a vec-clustered table: the
+    batch's global span covers the whole domain (span pruning keeps
+    everything), but the key-set refinement prunes candidates to the
+    files actually holding a key — and the result is still exact."""
+    t = TxTable(spark, str(tmp_path / "keyset"))
+    rows = [(i, i % 4, f"v{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, bucket long, v string").repartition(8)
+    t.append(
+        df, partition_by=["bucket"], cluster_by=["k"], max_records_per_file=100
+    )
+    n_files = len(t.snapshot()[1])
+    assert n_files >= 8
+    # 3 scattered keys spanning the whole domain + 1 brand-new key
+    src = spark.createDataFrame(
+        [(1, 1, "N1"), (999, 3, "N999"), (1998, 2, "N1998"), (5000, 0, "NEW")],
+        "k long, bucket long, v string",
+    )
+    res = t.merge_into(src, on=["k"], mode="dv")
+    assert res["candidates"] < n_files, (res, n_files)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[1] == "N1" and got[999] == "N999" and got[1998] == "N1998"
+    assert got[5000] == "NEW" and len(got) == 2001
+    # tombstone through the same path: key-set pruned, still exact
+    gone = spark.createDataFrame(
+        [(999, 3, None)], "k long, bucket long, v string"
+    )
+    res2 = t.merge_into(gone, on=["k"], delete_when="v IS NULL", mode="dv")
+    assert res2["candidates"] <= res["candidates"]
+    assert t.read().filter("k = 999").count() == 0
