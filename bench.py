@@ -102,6 +102,9 @@ HEADLINE = [
     # round-8 additions
     "ann_index_incremental",       # CDF-fed bucketed ANN index maintenance
     "ivf_index_incremental",       # CDF-fed IVF lists, frozen quantizer
+    # round-9 additions
+    "ann_topk_lsh",                # multi-probe LSH ANN top-k
+    "knn_pq_adc",                  # PQ train+encode+ADC shortlist+rerank
 ]
 
 
@@ -155,6 +158,20 @@ def main() -> None:
             # that certify the error envelope — certification work, kept
             # out of the timed region (BASELINE.md round-8 note)
             return catalog.sketch_distinct_rollup_estimates(spark, SF_DIR)
+        if name == "ann_index_incremental":
+            # same split (round-9): time the maintenance lifecycle +
+            # probe; the incremental==scratch equality proof is gate-only
+            # certification work
+            return catalog.ann_index_incremental_operator(spark, SF_DIR)
+        if name == "ivf_index_incremental":
+            # ditto, plus the brute-force recall certification stays out
+            return catalog.ivf_index_incremental_operator(spark, SF_DIR)
+        if name == "ann_topk_lsh":
+            # retrieval only; the gate's brute-force reference + contract
+            # aggregate are certification work
+            return catalog.ann_topk_lsh_operator(spark, SF_DIR)
+        if name == "knn_pq_adc":
+            return catalog.knn_pq_adc_operator(spark, SF_DIR)
         return reg[name].builder(spark, SF_DIR)
 
     # -- host-speed calibration (VERDICT r4 item 2): a fixed,
@@ -227,6 +244,19 @@ def main() -> None:
         },
     }
     print(json.dumps(out))
+    # SIDECAR (VERDICT r8 item 6): the driver's bounded tail capture can
+    # truncate the long per-query line (BENCH_r08 lost its first ~6
+    # queries). Persist the FULL record to a repo file so per-query
+    # regression checks never depend on tail luck.
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_PERQUERY.json"
+        )
+        with open(sidecar, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout record still carries everything
     # The full record above is one LONG line (per-query dict + calibration
     # samples); a bounded tail capture can truncate its head and lose the
     # headline total (observed: a recorded round artifact with parsed=null).

@@ -3377,6 +3377,39 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "X3",
 )
+def ann_topk_lsh_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of ann_topk_lsh: the multi-probe LSH retrieval alone —
+    the gate adds the exact brute-force reference + contract aggregate
+    (certification work, untimed; BASELINE.md round-9 split)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_topk(
+        emb, queries, k=5, n_planes=4, n_tables=8, multiprobe=1
+    )
+
+
+def knn_pq_adc_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of knn_pq_adc: train + encode + ADC shortlist + exact
+    re-rank — without the gate's brute-force reference and contract
+    aggregate (BASELINE.md round-9 split)."""
+    from .operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    unit = (
+        similarity.with_normalized(emb)
+        .select("vec_id", F.col("unit_vec").alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    books = pq.train_pq_codebooks(unit, m=16, k=16, n_iter=3, sample=4096)
+    codes = pq.pq_encode_arrow(unit, books)
+    queries = unit.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq.pq_adc_rerank_topk(codes, queries, books, emb, k=5, shortlist=200)
+
+
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (operators/pq.py — the published IVF-PQ
     compression, Jégou et al.): per-subspace k-means codebooks over an
@@ -7726,11 +7759,20 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver records the error) and returns a radius-1 probed top-5 over
     the incrementally-built index, which must hash-match the oracle's
     closed-form replay of the same mutation history on the raw parquet."""
-    from .operators.ann_index import (
-        assert_index_matches_scratch,
-        catchup_ann_index,
-    )
-    from .operators.similarity import probed_hamming_topk
+    from .operators.ann_index import assert_index_matches_scratch
+
+    src, index = _ann_incr_lifecycle(spark, sf_dir)
+    # the equality proof: incremental == from-scratch (raises on drift)
+    assert_index_matches_scratch(index, src)
+    return _ann_incr_probe(src, index)
+
+
+def _ann_incr_lifecycle(spark: SparkSession, sf_dir: str):
+    """The ann_index_incremental maintenance lifecycle (bootstrap + two
+    CDF catch-ups over an update and a delete commit) — shared by the
+    gate (which adds the equality proof) and the bench twin (which
+    times the OPERATOR only; BASELINE.md round-9 protocol split)."""
+    from .operators.ann_index import catchup_ann_index
     from .txlog import TxTable
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -7760,14 +7802,27 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src.merge_into(dels, on=["vec_id"], delete_when="_gone", mode="dv")
     catchup_ann_index(src, index)
-    # the equality proof: incremental == from-scratch (raises on drift)
-    assert_index_matches_scratch(index, src)
+    return src, index
+
+
+def _ann_incr_probe(src, index) -> DataFrame:
+    from .operators.similarity import probed_hamming_topk
+
     queries = (
         src.read()
         .filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return probed_hamming_topk(index, queries, k=5, prefix_bits=4, radius=1)
+
+
+def ann_index_incremental_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of ann_index_incremental: SAME maintenance lifecycle +
+    probe, WITHOUT the incremental==scratch equality proof — that's
+    certification work the gate keeps (the sketch_distinct_rollup
+    protocol split, BASELINE.md round-9 note)."""
+    src, index = _ann_incr_lifecycle(spark, sf_dir)
+    return _ann_incr_probe(src, index)
 
 
 @register(
@@ -7800,35 +7855,11 @@ def ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k rows per query, recall >= 0.8 vs the in-query exact top-k)."""
     from .operators.ann_index import (
         assert_ivf_index_matches_scratch,
-        catchup_ivf_index,
         ivf_index_topk,
     )
     from .operators.similarity import brute_force_topk
-    from .txlog import TxTable
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    tmp = _scratch("ivf_incr")
-    src = TxTable(spark, os.path.join(tmp, "src"))
-    src.append(emb)  # v0
-    index = TxTable(spark, os.path.join(tmp, "index"))
-    cents = TxTable(spark, os.path.join(tmp, "cents"))
-    catchup_ivf_index(src, index, cents, n_lists=8, n_iter=2)
-    upd = (
-        src.read()
-        .filter(F.col("vec_id") % 7 == 0)
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: -x).alias("embedding"),
-        )
-    )
-    src.merge_into(upd, on=["vec_id"], mode="dv")
-    dels = (
-        src.read()
-        .filter(F.col("vec_id") % 11 == 3)
-        .withColumn("_gone", F.lit(True))
-    )
-    src.merge_into(dels, on=["vec_id"], delete_when="_gone", mode="dv")
-    catchup_ivf_index(src, index, cents)
+    src, index, cents = _ivf_incr_lifecycle(spark, sf_dir)
     assert_ivf_index_matches_scratch(index, cents, src)
     queries = (
         src.read()
@@ -7854,6 +7885,55 @@ def ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _ivf_incr_lifecycle(spark: SparkSession, sf_dir: str):
+    """The ivf_index_incremental maintenance lifecycle (quantizer train +
+    bootstrap + CDF catch-up over update and delete commits) — shared by
+    the gate (adds equality proof + recall certification) and the bench
+    twin (times the OPERATOR only)."""
+    from .operators.ann_index import catchup_ivf_index
+    from .txlog import TxTable
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = _scratch("ivf_incr")
+    src = TxTable(spark, os.path.join(tmp, "src"))
+    src.append(emb)  # v0
+    index = TxTable(spark, os.path.join(tmp, "index"))
+    cents = TxTable(spark, os.path.join(tmp, "cents"))
+    catchup_ivf_index(src, index, cents, n_lists=8, n_iter=2)
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % 7 == 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    dels = (
+        src.read()
+        .filter(F.col("vec_id") % 11 == 3)
+        .withColumn("_gone", F.lit(True))
+    )
+    src.merge_into(dels, on=["vec_id"], delete_when="_gone", mode="dv")
+    catchup_ivf_index(src, index, cents)
+    return src, index, cents
+
+
+def ivf_index_incremental_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of ivf_index_incremental: SAME lifecycle + probe,
+    WITHOUT the incremental==scratch proof and the brute-force recall
+    certification (gate-only work; BASELINE.md round-9 protocol split)."""
+    from .operators.ann_index import ivf_index_topk
+
+    src, index, cents = _ivf_incr_lifecycle(spark, sf_dir)
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivf_index_topk(index, cents, queries, k=5, nprobe=3)
 
 
 @register(

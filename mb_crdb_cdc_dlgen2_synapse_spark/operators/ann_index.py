@@ -66,8 +66,13 @@ def _bloom_bits(rows_per_file: int) -> int:
     hashes gives ~0.1% false-positive per (key, file) probe, so a
     trickle merge's candidate set stays O(changed keys) instead of
     O(files). Cost: 2 B/row of log metadata per file — the same trade
-    Delta's bloom index makes (theirs defaults looser at fpp 0.1)."""
-    return ((16 * max(rows_per_file, 1) + 7) // 8) * 8
+    Delta's bloom index makes (theirs defaults looser at fpp 0.1).
+    Power of two so txlog's per-file right-sizing can fold small files'
+    filters down (md5 %% m' == (md5 %% m) %% m' for m' | m)."""
+    m = 1024
+    while m < 16 * max(rows_per_file, 1):
+        m <<= 1
+    return m
 
 
 def _net_changes(changes: DataFrame) -> DataFrame:
@@ -135,7 +140,8 @@ def ann_index_apply_changes(
         # write (Delta's contract: later files carry filters; OPTIMIZE
         # backfills the bootstrap files)
         index.set_bloom_index(
-            ["vec_id"], bits=_bloom_bits(rows_per_file), hashes=7
+            ["vec_id"], bits=_bloom_bits(rows_per_file), hashes=7,
+            auto_size=True,
         )
         # publish the probe layout in the index's own properties — same
         # policy-store contract as materialize_binary_codes, so
@@ -229,7 +235,8 @@ def catchup_ann_index(
             )
             index.set_clustering(["vec_id"])
             index.set_bloom_index(
-                ["vec_id"], bits=_bloom_bits(rows_per_file), hashes=7
+                ["vec_id"], bits=_bloom_bits(rows_per_file), hashes=7,
+                auto_size=True,
             )  # see ann_index_apply_changes
         index.set_properties(
             {
@@ -472,7 +479,8 @@ def catchup_ivf_index(
             )
             index.set_clustering(["vec_id"])
             index.set_bloom_index(
-                ["vec_id"], bits=_bloom_bits(_CLUSTER_ROWS_PER_FILE), hashes=7
+                ["vec_id"], bits=_bloom_bits(_CLUSTER_ROWS_PER_FILE), hashes=7,
+                auto_size=True,
             )  # see ann_index_apply_changes
             boot_d2 = assigned.agg(F.avg("d2")).collect()[0][0]
         props = {

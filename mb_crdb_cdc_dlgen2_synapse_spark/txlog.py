@@ -1758,7 +1758,7 @@ class TxTable:
 
     def set_bloom_index(
         self, cols: list[str], bits: int = 4096, hashes: int = 3,
-        mode: str = "value",
+        mode: str = "value", auto_size: bool = False,
     ) -> int:
         """Declare a BLOOM FILTER file-skipping index on ``cols`` (Delta's
         bloom filter index): one O(1) metadata commit; every LATER write
@@ -1824,6 +1824,20 @@ class TxTable:
         cfg = {
             c: {"m": int(bits), "k": int(hashes), "mode": mode} for c in cols
         }
+        if auto_size:
+            # ``bits`` becomes the FULL-file cap (must be a power of two);
+            # each staged file's filter folds to the smallest power of two
+            # >= 16 bits per LOGGED row. Declares a bits-per-row contract
+            # instead of a fixed size — the right shape when file sizes
+            # vary 1000x (bootstrap files vs DV-merge increments), where a
+            # fixed size is either log bloat on small files or saturated
+            # on big ones.
+            if bits & (bits - 1):
+                raise ValueError(
+                    f"auto_size requires power-of-two bits, got {bits!r}"
+                )
+            for c in cfg:
+                cfg[c]["auto"] = True
         return self._commit(
             [], lambda active: [], schema, None, "set_bloom_index",
             extra={"bloom": cfg}, base=(_v, schema),
@@ -1978,12 +1992,37 @@ class TxTable:
                     # scanned URI — fail OPEN (no bloom entry; min/max stats
                     # still prune, the bloom just never skips this file)
                     continue
-                bits = bytearray(m // 8)
-                for h in by_rel[rel]:
+                positions = by_rel[rel]
+                m_eff = m
+                # per-file RIGHT-SIZING (value mode, power-of-two cap
+                # only): the declared bits size a FULL file; a small file
+                # (DV-merge increments, tail partitions) folds to the
+                # smallest power of two >= 16 bits/row. Sound because for
+                # powers of two with m' | m, md5 % m' == (md5 % m) % m' —
+                # the probe recomputes positions from the per-file
+                # geometry it reads out of the entry. Without this, a
+                # 2^20-bit cap costs 131 KB of log per 100-row file
+                # (measured: the blooms were 75% of a small index's disk).
+                nrows = (stats.get(rel) or {}).get("rows")
+                if (
+                    bc.get("auto")
+                    and nrows is not None
+                    and m & (m - 1) == 0
+                    and bc.get("mode") != "trigram"
+                ):
+                    want = 16 * max(int(nrows), 1)
+                    m_small = 1024
+                    while m_small < want:
+                        m_small <<= 1
+                    if m_small < m:
+                        m_eff = m_small
+                        positions = {h % m_small for h in positions}
+                bits = bytearray(m_eff // 8)
+                for h in positions:
                     bits[h >> 3] |= 1 << (h & 7)
                 st = stats.setdefault(rel, {})
                 entry = {
-                    "m": m,
+                    "m": m_eff,
                     "k": k,
                     "b64": base64.b64encode(bytes(bits)).decode(),
                 }
