@@ -3377,39 +3377,6 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "X3",
 )
-def ann_topk_lsh_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench twin of ann_topk_lsh: the multi-probe LSH retrieval alone —
-    the gate adds the exact brute-force reference + contract aggregate
-    (certification work, untimed; BASELINE.md round-9 split)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return similarity.ann_topk(
-        emb, queries, k=5, n_planes=4, n_tables=8, multiprobe=1
-    )
-
-
-def knn_pq_adc_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench twin of knn_pq_adc: train + encode + ADC shortlist + exact
-    re-rank — without the gate's brute-force reference and contract
-    aggregate (BASELINE.md round-9 split)."""
-    from .operators import pq
-
-    emb = _t(spark, sf_dir, "embeddings")
-    unit = (
-        similarity.with_normalized(emb)
-        .select("vec_id", F.col("unit_vec").alias("embedding"))
-        .localCheckpoint(eager=True)
-    )
-    books = pq.train_pq_codebooks(unit, m=16, k=16, n_iter=3, sample=4096)
-    codes = pq.pq_encode_arrow(unit, books)
-    queries = unit.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return pq.pq_adc_rerank_topk(codes, queries, books, emb, k=5, shortlist=200)
-
-
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (operators/pq.py — the published IVF-PQ
     compression, Jégou et al.): per-subspace k-means codebooks over an
@@ -3443,6 +3410,39 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
     ).select("query_id", "vec_id")
     return similarity.retrieval_contract(got, exact, floor=0.8)
+
+
+def ann_topk_lsh_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of ann_topk_lsh: the multi-probe LSH retrieval alone —
+    the gate adds the exact brute-force reference + contract aggregate
+    (certification work, untimed; BASELINE.md round-9 split)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ann_topk(
+        emb, queries, k=5, n_planes=4, n_tables=8, multiprobe=1
+    )
+
+
+def knn_pq_adc_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of knn_pq_adc: train + encode + ADC shortlist + exact
+    re-rank — without the gate's brute-force reference and contract
+    aggregate (BASELINE.md round-9 split)."""
+    from .operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    unit = (
+        similarity.with_normalized(emb)
+        .select("vec_id", F.col("unit_vec").alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    books = pq.train_pq_codebooks(unit, m=16, k=16, n_iter=3, sample=4096)
+    codes = pq.pq_encode_arrow(unit, books)
+    queries = unit.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq.pq_adc_rerank_topk(codes, queries, books, emb, k=5, shortlist=200)
 
 
 # ===========================================================================
