@@ -105,6 +105,7 @@ HEADLINE = [
     # round-9 additions
     "ann_topk_lsh",                # multi-probe LSH ANN top-k
     "knn_pq_adc",                  # PQ train+encode+ADC shortlist+rerank
+    "ivfpq_index_incremental",     # CDF-fed compressed lists, IVFADC+R probe
 ]
 
 
@@ -172,6 +173,8 @@ def main() -> None:
             return catalog.ann_topk_lsh_operator(spark, SF_DIR)
         if name == "knn_pq_adc":
             return catalog.knn_pq_adc_operator(spark, SF_DIR)
+        if name == "ivfpq_index_incremental":
+            return catalog.ivfpq_index_incremental_operator(spark, SF_DIR)
         return reg[name].builder(spark, SF_DIR)
 
     # -- host-speed calibration (VERDICT r4 item 2): a fixed,

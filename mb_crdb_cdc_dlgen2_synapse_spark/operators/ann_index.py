@@ -667,3 +667,292 @@ def ivf_index_drift(index, cents) -> dict:
             float(cur) / boot_f if cur is not None and boot_f else None
         ),
     }
+
+
+# -- IVF-PQ variant: compressed lists, CDF-maintained ------------------------
+#
+# The billion-scale production shape (Jégou et al. IVFADC, the FAISS
+# default): inverted lists store 8-byte PQ codes instead of raw vectors
+# (32× compression — at 100 TB of embeddings the lists fit in ~3 TB),
+# probes ADC-score only the probed lists' codes, and the final top-k
+# re-ranks a bounded shortlist against full-precision vectors fetched
+# BY KEY from the source table. Both models freeze at bootstrap (the
+# coarse quantizer AND the per-subspace codebooks are layout, like
+# ann.prefixDims); generation pins (`ann.ivf.centsVersion`,
+# `ann.ivfpq.booksVersion`) commit atomically with index content so a
+# rebuild-and-swap never splits a reader across generations. The whole
+# pipeline runs in the NORMALIZED space (cosine == L2 there, so ADC's
+# squared-L2 ranks by the retrieval metric — the knn_pq_adc lesson).
+
+
+def _unit_vecs(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    from .similarity import with_normalized
+
+    return with_normalized(df, vec_col).select(
+        *[c for c in df.columns if c != vec_col and c != "unit_vec"],
+        F.col("unit_vec").alias(vec_col),
+    )
+
+
+def _books_rows(spark, model: list[list[list[float]]]) -> DataFrame:
+    rows = [
+        (j, c, model[j][c])
+        for j in range(len(model))
+        for c in range(len(model[0]))
+    ]
+    return spark.createDataFrame(
+        rows, "j int, cid int, c_vec array<double>"
+    )
+
+
+def _load_books(books, as_of: int | None = None) -> list[list[list[float]]]:
+    """Driver-side codebook model from the books table (m·k·(d/m)
+    floats — a few KB, the same boundedness class as the centroid
+    table)."""
+    rows = {
+        (r.j, r.cid): list(r.c_vec)
+        for r in books.read(as_of=as_of).collect()
+    }
+    m = 1 + max(j for j, _ in rows)
+    kq = 1 + max(c for _, c in rows)
+    return [[rows[(j, c)] for c in range(kq)] for j in range(m)]
+
+
+def _pinned_books(index, books) -> list[list[list[float]]]:
+    pin = index.properties().get("ann.ivfpq.booksVersion")
+    return _load_books(books, as_of=int(pin) if pin is not None else None)
+
+
+def catchup_ivfpq_index(
+    src,
+    index,
+    cents,
+    books,
+    n_lists: int = 8,
+    m: int = 16,
+    kq: int = 16,
+    n_iter: int = 2,
+    sample: int = 4096,
+    step: int | None = None,
+    mode: str = "dv",
+) -> int:
+    """Incrementally-maintained IVF-PQ index: bootstrap trains and
+    FREEZES both models (coarse centroids -> ``cents``, per-subspace
+    codebooks -> ``books``), the list table stores (vec_id, cid,
+    pq_code) — 8 bytes of payload per vector — and every increment
+    assigns + encodes only the CHANGED vectors under the pinned
+    generations before the same net-change keyed merge as the raw-IVF
+    twin. Same deferred-empty-bootstrap and CDF-retention contracts."""
+    from .clustering import assign_clusters, kmeans
+    from .pq import pq_encode_arrow, train_pq_codebooks
+
+    head = src.version()
+    done = int(index.properties().get("ann.srcVersion", -1))
+    if head <= done:
+        return done
+    if index.version() < 0:
+        snap = _unit_vecs(
+            src.read(as_of=head).select("vec_id", "embedding")
+        ).localCheckpoint(eager=True)
+        if not snap.take(1):
+            return done  # defer: first non-empty catch-up bootstraps
+        centroids, _ = kmeans(snap, k=n_lists, n_iter=n_iter)
+        cents.overwrite(centroids.select("cid", "c_vec"))
+        cv = cents.version()
+        model = train_pq_codebooks(
+            snap, m=m, k=kq, n_iter=n_iter, sample=sample
+        )
+        books.overwrite(_books_rows(index.spark, model))
+        bv = books.version()
+        assigned = assign_clusters(snap, cents.read(as_of=cv)).select(
+            "vec_id", "cid"
+        )
+        rows = (
+            pq_encode_arrow(snap, model)
+            .join(assigned, "vec_id")
+            .select("vec_id", "cid", "pq_code")
+            .localCheckpoint(eager=True)
+        )
+        index.append(
+            rows,
+            partition_by=["cid"],
+            cluster_by=["vec_id"],
+            max_records_per_file=_CLUSTER_ROWS_PER_FILE,
+        )
+        index.set_clustering(["vec_id"])
+        index.set_bloom_index(
+            ["vec_id"], bits=_bloom_bits(_CLUSTER_ROWS_PER_FILE), hashes=7,
+            auto_size=True,
+        )
+        index.set_properties(
+            {
+                "ann.srcVersion": str(head),
+                "ann.ivf.nLists": str(n_lists),
+                "ann.ivf.centsVersion": str(cv),
+                "ann.ivfpq.booksVersion": str(bv),
+                "ann.ivfpq.m": str(m),
+                "ann.ivfpq.k": str(kq),
+            }
+        )
+        return head
+    centroids = _pinned_cents(index, cents).localCheckpoint(eager=True)
+    model = _pinned_books(index, books)
+    v = done
+    while v < head:
+        hi = head if step is None else min(v + step, head)
+        try:
+            changes = src.read_changes(v, hi)
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"IVF-PQ index at {index.path!r} is stale beyond the "
+                f"source's CDF retention (watermark v{v}): rebuild — drop "
+                "the index/centroid/codebook tables and "
+                "catchup_ivfpq_index() from scratch."
+            ) from e
+        net = _net_changes(changes)
+        ins = _unit_vecs(
+            net.filter(F.col("_change_type") == "insert").select(
+                "vec_id", "embedding"
+            )
+        ).localCheckpoint(eager=True)
+        ups = (
+            pq_encode_arrow(ins, model)
+            .join(assign_clusters(ins, centroids).select("vec_id", "cid"), "vec_id")
+            .select("vec_id", "cid", "pq_code")
+            .withColumn("_tombstone", F.lit(False))
+        )
+        dels = net.filter(F.col("_change_type") == "delete").select(
+            "vec_id",
+            F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("bigint").alias("pq_code"),
+            F.lit(True).alias("_tombstone"),
+        )
+        source = ups.unionByName(dels).localCheckpoint(eager=True)
+        if source.take(1):
+            index.merge_into(
+                source,
+                on=["vec_id"],
+                delete_when="_tombstone",
+                partition_by=["cid"],
+                mode=mode,
+            )
+        index.set_properties({"ann.srcVersion": str(hi)})
+        v = hi
+    return head
+
+
+def ivfpq_index_topk(
+    index,
+    cents,
+    books,
+    src,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    shortlist: int = 200,
+) -> DataFrame:
+    """Probed ADC top-k with exact re-rank — the full IVFADC+R read
+    path over the incrementally-maintained tables: probe ``nprobe``
+    lists (cid partition predicate -> file pruning), ADC-score ONLY
+    those lists' 8-byte codes against the broadcast per-query LUT,
+    keep a ``shortlist`` per query, then fetch the shortlist's
+    full-precision vectors BY KEY from the source table (IN-predicate
+    read: bloom/span file skipping, bounded by shortlist×|queries|)
+    and re-rank by exact cosine. Generation pins make this consistent
+    under concurrent rebuilds."""
+    from .pq import _adc_dist, _pq_lut
+    from .similarity import _dot, _norm
+
+    cents_df = _pinned_cents(index, cents)
+    model = _pinned_books(index, books)
+    qn = _unit_vecs(queries.select("query_id", "embedding"))
+    from .clustering import _sq_dist
+
+    scored = qn.join(F.broadcast(cents_df)).select(
+        "query_id",
+        "cid",
+        _sq_dist(F.col("embedding"), F.col("c_vec")).alias("__d"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cid").asc())
+    probe_ids = sorted(
+        {
+            r.cid
+            for r in scored.withColumn("pr", F.row_number().over(wp))
+            .filter(F.col("pr") <= nprobe)
+            .select("cid")
+            .distinct()
+            .collect()  # bounded by n_lists
+        }
+    )
+    lists = index.read(predicates=[("cid", "in", probe_ids)]).select(
+        "vec_id", "pq_code"
+    )
+    lut = _pq_lut(qn, model)
+    adc = lists.join(F.broadcast(lut.drop("embedding"))).select(
+        "query_id", "vec_id", _adc_dist(len(model)).alias("adc_dist")
+    )
+    ws = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        adc.withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= shortlist)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    ids = [r.vec_id for r in short.select("vec_id").distinct().collect()]
+    # bounded point fetch: shortlist×|queries| keys — the source read
+    # prunes files by span/bloom exactly like any IN-predicate lookup
+    full = src.read(predicates=[("vec_id", "in", ids)]).select(
+        "vec_id", "embedding"
+    )
+    q = queries.select("query_id", F.col("embedding").alias("__q"))
+    reranked = (
+        short.join(full, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("__q"), F.col("embedding"))
+                / (_norm(F.col("__q")) * _norm(F.col("embedding")))
+            ).alias("cosine"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        reranked.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "cosine")
+    )
+
+
+def assert_ivfpq_index_matches_scratch(index, cents, books, src) -> None:
+    """Equality proof: the incrementally-maintained (vec_id, cid,
+    pq_code) table equals a from-scratch assign+encode of the source
+    head under the SAME pinned generations."""
+    from .clustering import assign_clusters
+    from .pq import pq_encode_arrow
+
+    snap = _unit_vecs(src.read().select("vec_id", "embedding"))
+    model = _pinned_books(index, books)
+    scratch = (
+        pq_encode_arrow(snap, model)
+        .join(
+            assign_clusters(snap, _pinned_cents(index, cents)).select(
+                "vec_id", "cid"
+            ),
+            "vec_id",
+        )
+        .select("vec_id", "cid", "pq_code")
+    )
+    got = index.read().select("vec_id", "cid", "pq_code")
+    extra = got.exceptAll(scratch).count()
+    missing = scratch.exceptAll(got).count()
+    if extra or missing:
+        raise RuntimeError(
+            f"incremental IVF-PQ index diverged from scratch build: "
+            f"{extra} extra row(s), {missing} missing row(s)"
+        )

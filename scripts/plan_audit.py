@@ -58,6 +58,8 @@ for name, qd in sorted(catalog.registry().items()):
         "knn_rerank_two_stage",  # same bounded query-side broadcast
         "knn_hamming_bucketed",  # same bounded query-side broadcast, pruned scan
         "knn_rerank_bucketed",  # same bounded query-side broadcast, pruned scan
+        "ivfpq_index_incremental",  # same bounded broadcasts: centroid
+        # table, per-query LUT, shortlist keys
         "ivf_index_incremental",  # k-bounded centroid-table broadcast
         # (assign_clusters) + tiny probed-list broadcast
         "ann_index_incremental",  # same bounded query-side broadcast over the

@@ -722,3 +722,82 @@ def test_sink_merge_schema_evolution_keeps_index_catchup_working(
     got = probed_hamming_topk(index, queries, k=3, radius=1)
     top1 = {r.query_id: r.vec_id for r in got.filter(F.col("rk") == 1).collect()}
     assert top1 and all(v == q for q, v in top1.items())
+
+
+def test_ivfpq_incremental_equals_scratch_and_probe_reranks(spark, tmp_path):
+    """IVF-PQ twin: compressed lists maintained from the CDF equal a
+    from-scratch assign+encode under the pinned generations; the
+    IVFADC+R probe re-ranks against source rows and finds self."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        assert_ivfpq_index_matches_scratch,
+        catchup_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 220))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    books = TxTable(spark, str(tmp_path / "books"))
+    catchup_ivfpq_index(src, index, cents, books, n_lists=6, m=8, kq=16)
+    assert_ivfpq_index_matches_scratch(index, cents, books, src)
+    assert books.read().count() == 8 * 16  # m*k codebook rows frozen
+    # 8-byte payload: pq_code is one bigint per vector
+    assert set(index.read().columns) == {"vec_id", "cid", "pq_code"}
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    gone = src.read().filter(F.col("vec_id") % 9 == 5).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    src.append(synthetic_embeddings(spark, 250).filter(F.col("vec_id") >= 220))
+    catchup_ivfpq_index(src, index, cents, books)
+    assert_ivfpq_index_matches_scratch(index, cents, books, src)
+    # frozen generations: neither model table's pin moved
+    assert cents.read().count() == 6
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = ivfpq_index_topk(
+        index, cents, books, src, queries, k=3, nprobe=3, shortlist=60
+    )
+    top1 = {r.query_id: r.vec_id for r in got.filter(F.col("rk") == 1).collect()}
+    assert top1 and all(v == q for q, v in top1.items())
+
+
+def test_ivfpq_catchup_idempotent_retention_and_empty_defer(spark, tmp_path):
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ivfpq_index,
+    )
+
+    # empty-bootstrap defer (same ADVICE-r8 contract as the IVF twin)
+    src0 = TxTable(spark, str(tmp_path / "src0"))
+    src0.append(synthetic_embeddings(spark, 10))
+    gone = src0.read().withColumn("_g", F.lit(True))
+    src0.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    idx0 = TxTable(spark, str(tmp_path / "idx0"))
+    c0 = TxTable(spark, str(tmp_path / "c0"))
+    b0 = TxTable(spark, str(tmp_path / "b0"))
+    catchup_ivfpq_index(src0, idx0, c0, b0, n_lists=4, m=8)
+    assert idx0.version() < 0 and c0.version() < 0 and b0.version() < 0
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 80))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    books = TxTable(spark, str(tmp_path / "books"))
+    hwm = catchup_ivfpq_index(src, index, cents, books, n_lists=4, m=8)
+    v_before = index.version()
+    assert catchup_ivfpq_index(src, index, cents, books) == hwm  # no-op
+    assert index.version() == v_before
+    for _ in range(3):
+        gone = src.read().limit(4).withColumn("_g", F.lit(True))
+        src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    src.write_checkpoint()
+    src.vacuum(retain_hours=0.0)
+    with pytest.raises(RuntimeError, match="stale beyond the source's CDF"):
+        catchup_ivfpq_index(src, index, cents, books)

@@ -111,7 +111,7 @@ def test_transform_with_state_matches_classic(spark, fixture):
                 pytest.skip(
                     "transformWithState Python driver worker crashes in this "
                     "container (verified with the minimal textbook processor "
-                    "too; re-checked 2026-08-15 round 8 — still crashes); "
+                    "too; re-checked 2026-08-15 round 9 — still crashes); "
                     "operator kept for environments where TWS works"
                 )
             raise
