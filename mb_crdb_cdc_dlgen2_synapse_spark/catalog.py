@@ -8023,6 +8023,85 @@ def _ivfpq_incr_lifecycle(spark: SparkSession, sf_dir: str):
     return src, index, cents, books
 
 
+@register(
+    "ivf_drift_rebuild_policy",
+    # FULL invariant oracle: every column is a policy-contract boolean
+    # the gate computes from real table state — drift measured past the
+    # threshold under the frozen quantizer, the catch-up-time policy
+    # (ann.ivf.onDrift=rebuild) retrains and swaps ATOMICALLY (new
+    # generation pin, old policy props preserved), drift resets to ~1,
+    # and probes answer self-top-1 through the swap.
+    """
+    SELECT CAST(1 AS BIGINT) AS n_checks,
+           TRUE AS drift_detected,
+           TRUE AS generation_flipped,
+           TRUE AS policy_props_survive,
+           TRUE AS drift_reset,
+           TRUE AS probes_ok
+    """,
+    "X3,S2,J5",
+)
+def ivf_drift_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF quantizer lifecycle policy, driver-certified (VERDICT r8
+    item 4): bootstrap freezes the quantizer; the corpus then drifts
+    (every vector scales 3x — same directions, ~9x squared distance to
+    the frozen centroids); `ivf_index_drift` reads the inflation off
+    the maintained index; with `ann.ivf.maxDrift` + `onDrift=rebuild`
+    set, the NEXT catch-up (even a no-new-commits one) retrains on the
+    current snapshot and swaps lists + generation pin in one commit —
+    probes never pair a half-built index with the wrong centroids."""
+    from .operators.ann_index import (
+        catchup_ivf_index,
+        ivf_index_drift,
+        ivf_index_topk,
+    )
+    from .txlog import TxTable
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = _scratch("ivf_drift")
+    src = TxTable(spark, os.path.join(tmp, "src"))
+    src.append(emb)
+    index = TxTable(spark, os.path.join(tmp, "index"))
+    cents = TxTable(spark, os.path.join(tmp, "cents"))
+    catchup_ivf_index(src, index, cents, n_lists=8, n_iter=2)
+    pin_before = index.properties()["ann.ivf.centsVersion"]
+    upd = src.read().select(
+        "vec_id", F.transform("embedding", lambda x: x * 3.0).alias("embedding")
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    catchup_ivf_index(src, index, cents)  # folds drifted rows, no policy yet
+    drifted = ivf_index_drift(index, cents)["drift_ratio"]
+    index.set_properties(
+        {"ann.ivf.maxDrift": "1.5", "ann.ivf.onDrift": "rebuild"}
+    )
+    catchup_ivf_index(src, index, cents)  # no new commits: policy fires
+    props = index.properties()
+    reset = ivf_index_drift(index, cents)["drift_ratio"]
+    queries = src.read().filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = {
+        r.query_id: r.vec_id
+        for r in ivf_index_topk(index, cents, queries, k=3, nprobe=3)
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    return spark.createDataFrame(
+        [
+            (
+                1,
+                bool(drifted is not None and drifted > 1.5),
+                bool(props["ann.ivf.centsVersion"] != pin_before),
+                bool(props.get("ann.ivf.maxDrift") == "1.5"),
+                bool(reset is not None and abs(reset - 1.0) < 1e-9),
+                bool(top1) and all(v == q for q, v in top1.items()),
+            )
+        ],
+        "n_checks long, drift_detected boolean, generation_flipped boolean, "
+        "policy_props_survive boolean, drift_reset boolean, probes_ok boolean",
+    )
+
+
 def ivfpq_index_incremental_operator(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -447,6 +447,11 @@ def catchup_ivf_index(
     head = src.version()
     done = int(index.properties().get("ann.srcVersion", -1))
     if head <= done:
+        # no new commits — but a drifted-and-then-quiet corpus must
+        # still trip the policy (the drift accrued on PAST catch-ups);
+        # the check is free unless ann.ivf.maxDrift is set
+        if index.properties().get("ann.ivf.maxDrift"):
+            return _ivf_drift_policy(src, index, cents, n_iter)
         return done
     if index.version() < 0:
         snap = src.read(as_of=head).select("vec_id", "embedding")
