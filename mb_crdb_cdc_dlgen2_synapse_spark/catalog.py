@@ -136,6 +136,16 @@ _DRIVER_PRIORITY: list[str] = [
     # After this round the only query never driver-hash-certified under
     # its current oracle is cdc_streaming_pipeline (rows-only by
     # design: generator, no SQL oracle).
+    # ---- ROUND-9 ROTATION, session 2: the two gates that landed AFTER
+    # the session-1 rotation enter for their first driver row —
+    # ivfpq_index_incremental (CDF-maintained IVF-PQ compressed lists,
+    # IVFADC+R read path, incremental==scratch proof in-gate) and
+    # ivf_drift_rebuild_policy (ann.ivf.maxDrift threshold firing a
+    # retrain-and-swap, probes proven correct through the swap). Out:
+    # doc_quality_classifier + doc_pii_redaction (r1-hash-green many
+    # rounds over; X4 keeps 7 other in-window certifiers, P5 keeps
+    # rag_overlap_chunks + doc_chunks_udtf, A1 keeps 5 others). 52/52
+    # ids stay covered (test_driver_window_covers_every_survey_id).
     # keepers — minimal id cover
     "flagship_cdc_city_revenue",   # S1,S4,P1,P2,P3,A2
     "flagship_silver_lake",        # S3,S6
@@ -156,8 +166,8 @@ _DRIVER_PRIORITY: list[str] = [
     "tx_symlink_manifest",         # S7,S5,P9,T8 — external read path
     "tx_cdf_identity_feed",        # S2,T7,S7,T1 — feed-side identity, batch==stream
     "props_variant_stats",         # P1,P8,A3
-    "doc_pii_redaction",           # X4,P5
-    "doc_quality_classifier",      # X4,P5,A1
+    # (doc_pii_redaction + doc_quality_classifier rotated out r9 s2:
+    # r1-green, every id redundantly covered; stay declared + replica-run)
     "dsir_importance_weights",     # X4,A1,J1
     "rag_overlap_chunks",          # X4,P5,P8
     "corpus_source_mix",           # X4,P9,J2
@@ -196,6 +206,9 @@ _DRIVER_PRIORITY: list[str] = [
     "approx_distinct_priority",    # A4 — approx_count_distinct envelope
     "approx_percentiles_price",    # A3,A4 — percentile_approx rank contract
     "streaming_neardedup_ingest",  # S1,T1,T8,X2,Q4 — full oracle (upgraded r8)
+    # round-9 session-2 promotions — first driver row for each
+    "ivfpq_index_incremental",     # X3,S2,J5,X6 — CDF-maintained IVF-PQ lists
+    "ivf_drift_rebuild_policy",    # X3,S2,J5 — drift-threshold retrain-and-swap
 ]
 
 
