@@ -106,6 +106,10 @@ HEADLINE = [
     "ann_topk_lsh",                # multi-probe LSH ANN top-k
     "knn_pq_adc",                  # PQ train+encode+ADC shortlist+rerank
     "ivfpq_index_incremental",     # CDF-fed compressed lists, IVFADC+R probe
+    # round-9 session-2 additions
+    "bm25_retrieval",              # sorted-fold BM25 ranked retrieval
+    "hybrid_rrf_retrieval",        # lexical x vector RRF fusion
+    "dedup_jaccard_ppjoin",        # prefix-filtered exact set-sim join
 ]
 
 

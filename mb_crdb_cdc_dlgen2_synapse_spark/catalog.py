@@ -146,6 +146,15 @@ _DRIVER_PRIORITY: list[str] = [
     # rounds over; X4 keeps 7 other in-window certifiers, P5 keeps
     # rag_overlap_chunks + doc_chunks_udtf, A1 keeps 5 others). 52/52
     # ids stay covered (test_driver_window_covers_every_survey_id).
+    # Session 2, continued: the three NEW retrieval/dedup gates enter in
+    # the round they landed (MATCH at all 3 SFs in the replica) —
+    # bm25_retrieval (sorted-fold BM25, X4/W4), hybrid_rrf_retrieval
+    # (token-Jaccard x cosine RRF fusion over a full outer join,
+    # X3/X4/J3), dedup_jaccard_ppjoin (prefix-filtered EXACT set-sim
+    # join hashed against the naive-join oracle, X2/W1). Out:
+    # tx_partition_evolution (r6-green; S7 keeps 7, S5 keeps 2, P9
+    # keeps 3), streaming_tx_source (r7-green; S1/T1/T8/S7 all keep
+    # >=5), tx_fsck_recovery (r8-green; S7/T8/P9 all keep >=3).
     # keepers — minimal id cover
     "flagship_cdc_city_revenue",   # S1,S4,P1,P2,P3,A2
     "flagship_silver_lake",        # S3,S6
@@ -184,12 +193,12 @@ _DRIVER_PRIORITY: list[str] = [
     # media_binary_stats + media_png_decode, X6 keeps doc_chunks_udtf +
     # bpe_tokenize_invariants + media_png_decode; stays declared +
     # replica-verified)
-    "tx_partition_evolution",      # S7,S5,P9
+    # (tx_partition_evolution rotated out r9 s2 — r6-green, ids redundant)
     "substring_dup_spans",         # X1,X4,W2
     "bpe_tokenize_invariants",     # X4,X6
-    "streaming_tx_source",         # S1,T1,T8,S7 — txlog Structured Streaming source
+    # (streaming_tx_source + tx_fsck_recovery rotated out r9 s2 —
+    # r7/r8-green, every id keeps >=3 in-window certifiers)
     # round-8 promotions — first driver row for each
-    "tx_fsck_recovery",            # S7,T8,P9 — FSCK missing-file + missing-DV repair
     "doc_quality_linear_probe",    # X4,A1,P7 — exact-sufficient-stats ridge probe
     "ann_index_incremental",       # X3,X2,S2,J5 — CDF-maintained bucketed ANN index
     "ivf_index_incremental",       # X3,S2,J5 — CDF-maintained IVF lists (frozen quantizer)
@@ -209,6 +218,9 @@ _DRIVER_PRIORITY: list[str] = [
     # round-9 session-2 promotions — first driver row for each
     "ivfpq_index_incremental",     # X3,S2,J5,X6 — CDF-maintained IVF-PQ lists
     "ivf_drift_rebuild_policy",    # X3,S2,J5 — drift-threshold retrain-and-swap
+    "bm25_retrieval",              # X4,W4 — sorted-fold BM25 ranked retrieval
+    "hybrid_rrf_retrieval",        # X3,X4,J3 — lexical x vector RRF fusion
+    "dedup_jaccard_ppjoin",        # X2,W1 — prefix-filtered exact set-sim join
 ]
 
 
@@ -8988,3 +9000,170 @@ def tx_copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert r3["loaded_files"] == 0, "full re-run must be a no-op"
     assert t.fsck(dry_run=True)["missing_files"] == []
     return t.read()
+
+
+# ===========================================================================
+# Ranked retrieval (BM25 / hybrid RRF) + prefix-filtered exact set-sim join
+# ===========================================================================
+
+#: Fixed BM25 gate queries — terms from the corpus vocabulary (present at
+#: every SF; the generator's vocabulary is SF-independent).
+_BM25_QUERIES = [
+    (1, "vector"), (1, "hash"), (1, "merge"),
+    (2, "spark"), (2, "stream"), (2, "window"), (2, "sort"),
+    (3, "customer"), (3, "table"),
+]
+_BM25_VALUES_SQL = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+
+def _bm25_oracle() -> str:
+    from .operators.retrieval import BM25_B as B, BM25_K1 as K1
+
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents),
+    q(query_id, term) AS (VALUES {_BM25_VALUES_SQL}),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM toks JOIN (SELECT DISTINCT term FROM q) t ON token = t.term
+        GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+        SELECT q.query_id, tf.doc_id, tf.token,
+               (ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                * (tf * {K1 + 1.0!r}))
+               / (tf + {K1!r} * ({1.0 - B!r} + {B!r} * dl
+                                 / (CAST(total_dl AS DOUBLE) / n_docs))) AS c
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+        CROSS JOIN stats JOIN q ON tf.token = q.term),
+    score AS (
+        SELECT query_id, doc_id,
+               round(list_sum(list(c ORDER BY token)), 6) AS score
+        FROM contrib GROUP BY 1, 2)
+    SELECT query_id, rk, doc_id, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+        FROM score)
+    WHERE rk <= 10
+    """
+
+
+@register("bm25_retrieval", _bm25_oracle(), "X4,W4")
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, Lucene k1/b
+    parameterization) over the documents corpus for three fixed term
+    queries — the corpus-curation/eval retrieval layer. The score is a
+    SORTED FOLD of per-term contributions (accumulation order is
+    data-determined, never partition-determined), mirrored by the oracle's
+    ``list_sum(list(c ORDER BY token))`` — a plain SUM() would be
+    cross-engine nondeterministic. Reference serving tier analog:
+    /root/reference/README.md:131-192 (ad-hoc ranked queries over the
+    lake)."""
+    from .operators import retrieval
+
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    return retrieval.bm25_topk(_t(spark, sf_dir, "documents"), q, k=10)
+
+
+def _hybrid_oracle() -> str:
+    return rf"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS query_id, b.doc_id AS doc_id, count(*) AS n_inter
+        FROM toks a JOIN toks b ON a.token = b.token
+        WHERE a.doc_id < 3 GROUP BY 1, 2),
+    lex AS (
+        SELECT query_id, i.doc_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY n_inter / (sq.n + sd.n - n_inter) DESC,
+                            i.doc_id ASC) AS lex_rk
+        FROM inter i
+        JOIN sizes sq ON sq.doc_id = i.query_id
+        JOIN sizes sd ON sd.doc_id = i.doc_id),
+    lex20 AS (SELECT * FROM lex WHERE lex_rk <= 20),
+    vec AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round({_DOT_SQL.format(a='q.embedding', b='e.embedding')}
+                         / ({_NORM_SQL.format(a='q.embedding')}
+                            * {_NORM_SQL.format(a='e.embedding')}), 6) DESC,
+                            e.vec_id ASC) AS vec_rk
+        FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < 3),
+    vec20 AS (SELECT * FROM vec WHERE vec_rk <= 20),
+    fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + lex_rk), 0.0)
+               + coalesce(1.0 / (60 + vec_rk), 0.0) AS rrf
+        FROM lex20 l FULL OUTER JOIN vec20 v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+    SELECT query_id, rk, doc_id, rrf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rk
+        FROM fused)
+    WHERE rk <= 10
+    """
+
+
+@register("hybrid_rrf_retrieval", _hybrid_oracle(), "X3,X4,J3")
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion (Cormack
+    et al. 2009, k=60): for each query document (doc_id < 3), the lexical
+    ranking is exact token-set Jaccard (integer-exact, bit-identical across
+    engines) and the vector ranking is cosine over the 1:1-aligned
+    embeddings (rounded 6 dp, the embedding-score convention); top-20 of
+    each fuse through a FULL OUTER join with rrf = 1/(60+r_lex) +
+    1/(60+r_vec) in fixed textual order — bit-identical doubles, no
+    rounding needed on the fused score."""
+    from .operators import retrieval, similarity
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = retrieval.lexical_jaccard_topk(docs, n_query_docs=3, k=20)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = similarity.brute_force_topk(emb, queries, k=20).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk")
+    )
+    return retrieval.rrf_fuse(lex, vec, "lex_rk", "vec_rk", k=10)
+
+
+@register(
+    "dedup_jaccard_ppjoin",
+    rf"""
+    WITH corpus AS ({_DUP_CORPUS_SQL}),
+    {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    "X2,W1",
+)
+def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT set-similarity join (AllPairs/PPJoin, Bayardo
+    2007 / Xiao 2008): identical results to dedup_jaccard_pairs — the
+    oracle is the naive any-shared-shingle exact join, so a hash MATCH
+    proves the prefix filter loses nothing — but candidates come only from
+    rare-shingle prefixes with a length filter, the form that survives hot
+    boilerplate shingles at 100 TB (see operators/dedup.py:ppjoin_pairs)."""
+    return dedup.ppjoin_pairs(_dup_corpus(_t(spark, sf_dir, "documents")))

@@ -284,6 +284,136 @@ def jaccard_pairs(
     )
 
 
+def ppjoin_pairs(
+    documents: DataFrame, shingle_k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (AllPairs / PPJoin —
+    Bayardo et al. WWW 2007, Xiao et al. WWW 2008): the same output as
+    :func:`jaccard_pairs` (exact Jaccard >= threshold over distinct-shingle
+    sets, no false negatives, no false positives), but candidate pairs come
+    only from documents sharing a shingle in their RARE-SHINGLE PREFIX
+    under a global (df asc, shingle asc) ordering, with a length filter.
+
+    Why it matters at 100 TB: the any-shared-shingle candidate join
+    (:func:`jaccard_pairs`) explodes quadratically on hot shingles — a
+    boilerplate n-gram shared by 1M docs alone yields ~5·10^11 candidate
+    rows. The prefix join touches each document's p = n - ceil(t·n) + 1
+    RAREST shingles only, so hot shingles fall out of the candidate space
+    entirely unless a doc is mostly boilerplate — and the result is still
+    EXACT (the prefix theorem: two sets with Jaccard >= t must share at
+    least one token within those prefixes). The length filter (J >= t
+    implies t·|B| <= |A| <= |B|/t) prunes further before verification.
+
+    Plan shape: one df aggregation (shuffle on shingle), one per-doc
+    row_number window (shuffle on doc_id, reused by the size aggregate),
+    the prefix self-equi-join, then verification joins bounded by the
+    candidate count. Verification re-joins the FULL shingle sets, so the
+    reported jaccard is exact, not prefix-approximated.
+    """
+    # The shingle relation feeds FIVE consumers (df, sizes, prefix, and both
+    # verification sides); without a checkpoint Spark re-runs the
+    # posexplode+window shingle derivation for each (ReusedExchange does not
+    # fire across the aliases) — same fix as the minhash band join above.
+    exploded = (
+        shingle_rows(documents, k=shingle_k)
+        .withColumnRenamed("s", "shingle")
+        .localCheckpoint(eager=False)
+    )
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_tbl = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (
+        exploded.join(df_tbl, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+        )
+        .select("doc_id", "shingle", "n_sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
+            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ea = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ppjoin_candidate_count(
+    documents: DataFrame, shingle_k: int = 3, threshold: float = 0.5
+) -> tuple[int, int]:
+    """Receipt helper: (prefix-filtered candidate pairs, any-shared-shingle
+    candidate pairs) for the same corpus/threshold — the scale argument for
+    :func:`ppjoin_pairs` in one number. Driver-side counts of two small
+    aggregates; not a hot path.
+    """
+    exploded = shingle_rows(documents, k=shingle_k).withColumnRenamed("s", "shingle")
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_tbl = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (
+        exploded.join(df_tbl, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+        )
+        .select("doc_id", "shingle", "n_sh")
+    )
+
+    def _pairs(rel: DataFrame, with_len: bool) -> int:
+        a, b = rel.alias("a"), rel.alias("b")
+        cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
+        )
+        if with_len:
+            cond = (
+                cond
+                & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh"))
+                & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+            )
+        return (
+            a.join(b, cond)
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+            .count()
+        )
+
+    full = exploded.join(sizes, "doc_id")
+    return _pairs(prefix, True), _pairs(full, False)
+
+
 def simhash(documents: DataFrame, n_bits: int = 16) -> DataFrame:
     """X2 variant: SimHash fingerprint — sign of per-bit vote over token
     hashes. Explode tokens -> per-(doc,bit) vote -> reassemble; all hash-agg

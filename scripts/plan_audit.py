@@ -49,6 +49,8 @@ for name, qd in sorted(catalog.registry().items()):
         "q22_wealthy_inactive_customers",  # 1-row scalar-aggregate broadcast
         "q11_important_part_stock",  # 1-row global-threshold aggregate broadcast
         "tfidf_top_terms",  # 1-row corpus-size aggregate broadcast
+        "bm25_retrieval",  # 1-row corpus-stats (n_docs/total_dl) broadcast
+        "hybrid_rrf_retrieval",  # tiny (3-row) query-side cosine broadcast
         "dedup_jaccard_dfcap",  # 1-row corpus-size aggregate broadcast
         "dsir_importance_weights",  # 1-row vocab-totals aggregate broadcast
         "doc_lm_quality",  # 1-row vocabulary-size aggregate broadcast

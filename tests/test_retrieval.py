@@ -1,0 +1,142 @@
+"""BM25 / RRF retrieval + PPJoin prefix-filtered set-similarity join.
+
+The cross-engine value parity of the three registered gates is covered by
+tests/test_oracle_parity.py; these tests pin the operator-level contracts:
+PPJoin's exactness (== the naive join) and its candidate reduction, BM25's
+ranking invariants and partition-independence (the sorted-fold claim), and
+RRF's closed-form fusion arithmetic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mb_crdb_cdc_dlgen2_synapse_spark.operators import dedup, retrieval
+from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _dup_corpus(documents):
+    return documents.select("doc_id", "text").unionByName(
+        documents.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+
+
+# ---------------------------------------------------------------- PPJoin
+
+
+def test_ppjoin_equals_naive_exact_join(docs):
+    corpus = _dup_corpus(docs)
+    naive = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in dedup.jaccard_pairs(corpus).collect()
+    }
+    pp = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in dedup.ppjoin_pairs(corpus).collect()
+    }
+    assert pp == naive and len(naive) > 0
+
+
+def test_ppjoin_equals_naive_at_higher_threshold(docs):
+    corpus = _dup_corpus(docs)
+    naive = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(corpus, threshold=0.8).collect()
+    }
+    pp = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ppjoin_pairs(corpus, threshold=0.8).collect()
+    }
+    assert pp == naive
+
+
+def test_ppjoin_prunes_candidates(docs):
+    corpus = _dup_corpus(docs)
+    pref, full = dedup.ppjoin_candidate_count(corpus, threshold=0.5)
+    assert 0 < pref < full
+    # tighter threshold -> shorter prefixes -> fewer candidates
+    pref9, _ = dedup.ppjoin_candidate_count(corpus, threshold=0.9)
+    assert pref9 <= pref
+
+
+# ---------------------------------------------------------------- BM25
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (0, "apple banana cherry date"),
+        (1, "apple apple apple banana"),
+        (2, "banana cherry cherry cherry"),
+        (3, "unrelated words only here"),
+        (4, "apple banana cherry date elderberry fig grape honeydew"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_tf_monotone_same_length(spark, tiny):
+    # doc 1 has tf(apple)=3, doc 0 has tf(apple)=1, both dl=4
+    q = spark.createDataFrame([(1, "apple")], "query_id int, term string")
+    s = {r.doc_id: r.score for r in retrieval.bm25_scores(tiny, q).collect()}
+    assert s[1] > s[0]
+    assert 3 not in s  # no query term -> no row
+
+
+def test_bm25_length_normalization(spark, tiny):
+    # same tf(date)=1, doc 4 is longer -> lower score
+    q = spark.createDataFrame([(1, "date")], "query_id int, term string")
+    s = {r.doc_id: r.score for r in retrieval.bm25_scores(tiny, q).collect()}
+    assert s[0] > s[4]
+
+
+def test_bm25_multi_term_additive(spark, tiny):
+    qa = spark.createDataFrame([(1, "apple")], "query_id int, term string")
+    qb = spark.createDataFrame([(1, "date")], "query_id int, term string")
+    qab = spark.createDataFrame(
+        [(1, "apple"), (1, "date")], "query_id int, term string"
+    )
+    sa = {r.doc_id: r.score for r in retrieval.bm25_scores(tiny, qa).collect()}
+    sb = {r.doc_id: r.score for r in retrieval.bm25_scores(tiny, qb).collect()}
+    sab = {r.doc_id: r.score for r in retrieval.bm25_scores(tiny, qab).collect()}
+    # doc 0 matches both terms: fused score == exact fold of the two
+    assert sab[0] == pytest.approx(sa[0] + sb[0], abs=1e-12)
+
+
+def test_bm25_topk_partition_independent(spark, docs):
+    q = spark.createDataFrame(
+        [(1, "vector"), (1, "hash"), (2, "spark"), (2, "stream")],
+        "query_id int, term string",
+    )
+    base = retrieval.bm25_topk(docs, q, k=10).collect()
+    shuffled = retrieval.bm25_topk(docs.repartition(13, "lang"), q, k=10).collect()
+    key = lambda rows: sorted((r.query_id, r.rk, r.doc_id, r.score) for r in rows)
+    assert key(base) == key(shuffled)  # sorted fold: scores bit-identical
+
+
+# ---------------------------------------------------------------- RRF
+
+
+def test_rrf_fuse_closed_form(spark):
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "query_id int, doc_id long, lex_rk int"
+    )
+    b = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2)], "query_id int, doc_id long, vec_rk int"
+    )
+    got = {
+        r.doc_id: r.rrf
+        for r in retrieval.rrf_fuse(a, b, "lex_rk", "vec_rk", k=10).collect()
+    }
+    assert got[20] == pytest.approx(1.0 / 62 + 1.0 / 61, abs=0)
+    assert got[10] == pytest.approx(1.0 / 61, abs=0)
+    assert got[30] == pytest.approx(1.0 / 62, abs=0)
+    # both-list doc outranks either single-list doc
+    assert got[20] > got[10] > got[30]
