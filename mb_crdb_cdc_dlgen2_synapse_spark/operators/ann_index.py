@@ -287,16 +287,30 @@ def stream_ann_index_to_tx_table(
     via the same net-change merge as the batch path. Offsets checkpoint
     with the stream, so a restart resumes exactly after the last folded
     commit; a re-delivered batch re-merges the same net rows — a content
-    no-op (the effectively-once contract of keyed merges)."""
+    no-op (the effectively-once contract of keyed merges).
+
+    A FRESH checkpoint over an index that already carries an
+    ``ann.srcVersion`` watermark (batch-bootstrapped or previously
+    stream-maintained) tails the feed from that watermark
+    (``startingVersion``) instead of taking an initial snapshot — a
+    snapshot cannot express deletions that landed between the watermark
+    and the stream start, so replaying one over a pre-populated index
+    would leave ghost rows. A virgin index keeps the snapshot-bootstrap
+    behavior (Hamming quantization needs no training). Each fold advances
+    the watermark, so batch catch-ups after streaming skip the
+    already-folded range instead of key-idempotently replaying history."""
     from ..streaming.source import register_tx_source
     from ..txlog import TxTable
 
     register_tx_source(spark)
-    feed = (
-        spark.readStream.format("txtable")
-        .option("readChangeFeed", "true")
-        .load(src_dir)
+    wm = TxTable(spark, index_dir).properties().get("ann.srcVersion")
+    reader = (
+        spark.readStream.format("txtable").option("readChangeFeed", "true")
     )
+    if wm is not None:
+        # only honored by a FRESH checkpoint; resumes ignore it
+        reader = reader.option("startingVersion", str(int(wm) + 1))
+    feed = reader.load(src_dir)
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         index = TxTable(batch.sparkSession, index_dir)
@@ -306,14 +320,13 @@ def stream_ann_index_to_tx_table(
         # stream increments under the default layout would scatter them
         # into the wrong buckets
         dims = _index_dims(index, prefix_bits)
-        ann_index_apply_changes(
-            index,
-            batch.select(
-                "vec_id", "embedding", "_change_type", "_commit_version"
-            ),
-            dims,
-            mode=mode,
-        )
+        batch = batch.select(
+            "vec_id", "embedding", "_change_type", "_commit_version"
+        ).localCheckpoint(eager=True)
+        ann_index_apply_changes(index, batch, dims, mode=mode)
+        hi = batch.agg(F.max("_commit_version")).collect()[0][0]
+        if hi is not None and hi > int(index.properties().get("ann.srcVersion", -1)):
+            index.set_properties({"ann.srcVersion": str(hi)})
 
     writer = (
         feed.writeStream.foreachBatch(fold)
@@ -814,36 +827,128 @@ def catchup_ivfpq_index(
                 "the index/centroid/codebook tables and "
                 "catchup_ivfpq_index() from scratch."
             ) from e
-        net = _net_changes(changes)
-        ins = _unit_vecs(
-            net.filter(F.col("_change_type") == "insert").select(
-                "vec_id", "embedding"
-            )
-        ).localCheckpoint(eager=True)
-        ups = (
-            pq_encode_arrow(ins, model)
-            .join(assign_clusters(ins, centroids).select("vec_id", "cid"), "vec_id")
-            .select("vec_id", "cid", "pq_code")
-            .withColumn("_tombstone", F.lit(False))
-        )
-        dels = net.filter(F.col("_change_type") == "delete").select(
-            "vec_id",
-            F.lit(None).cast("int").alias("cid"),
-            F.lit(None).cast("bigint").alias("pq_code"),
-            F.lit(True).alias("_tombstone"),
-        )
-        source = ups.unionByName(dels).localCheckpoint(eager=True)
-        if source.take(1):
-            index.merge_into(
-                source,
-                on=["vec_id"],
-                delete_when="_tombstone",
-                partition_by=["cid"],
-                mode=mode,
-            )
+        ivfpq_apply_changes(index, changes, centroids, model, mode=mode)
         index.set_properties({"ann.srcVersion": str(hi)})
         v = hi
     return head
+
+
+def ivfpq_apply_changes(
+    index,
+    changes: DataFrame,
+    centroids: DataFrame,
+    model: list[list[list[float]]],
+    mode: str = "dv",
+) -> None:
+    """Fold one change-image batch into the IVF-PQ list table under the
+    PINNED generations: net-change reduce, encode + assign only the
+    changed vectors, one keyed merge. Shared by the batch catch-up loop
+    and the streaming twin — a re-delivered batch re-merges the same net
+    rows (content no-op; the effectively-once contract of keyed merges).
+    """
+    from .clustering import assign_clusters
+    from .pq import pq_encode_arrow
+
+    net = _net_changes(changes)
+    ins = _unit_vecs(
+        net.filter(F.col("_change_type") == "insert").select(
+            "vec_id", "embedding"
+        )
+    ).localCheckpoint(eager=True)
+    ups = (
+        pq_encode_arrow(ins, model)
+        .join(assign_clusters(ins, centroids).select("vec_id", "cid"), "vec_id")
+        .select("vec_id", "cid", "pq_code")
+        .withColumn("_tombstone", F.lit(False))
+    )
+    dels = net.filter(F.col("_change_type") == "delete").select(
+        "vec_id",
+        F.lit(None).cast("int").alias("cid"),
+        F.lit(None).cast("bigint").alias("pq_code"),
+        F.lit(True).alias("_tombstone"),
+    )
+    source = ups.unionByName(dels).localCheckpoint(eager=True)
+    if source.take(1):
+        index.merge_into(
+            source,
+            on=["vec_id"],
+            delete_when="_tombstone",
+            partition_by=["cid"],
+            mode=mode,
+        )
+
+
+def stream_ivfpq_index_to_tx_table(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    cents_dir: str,
+    books_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    mode: str = "dv",
+):
+    """Streaming maintenance for the IVF-PQ index: the source's change
+    feed as a native Structured Streaming source, each micro-batch folded
+    through :func:`ivfpq_apply_changes` under the index's pinned
+    quantizer/codebook generations. Offsets checkpoint with the stream,
+    so restarts resume after the last folded commit.
+
+    Unlike the Hamming twin (quantization needs no training, so its
+    stream can bootstrap from the snapshot images), the IVF-PQ models
+    must be TRAINED on a corpus snapshot — bootstrap with
+    :func:`catchup_ivfpq_index` first; an untrained index refuses the
+    stream with an actionable error instead of silently encoding under a
+    missing codebook. A FRESH checkpoint tails the feed from the index's
+    own ``ann.srcVersion`` watermark (``startingVersion``) instead of an
+    initial snapshot: a snapshot cannot express deletions that landed
+    between the batch bootstrap and the stream start, so replaying one
+    over a pre-populated index would leave ghost rows. Each fold advances
+    the watermark, keeping batch catch-ups and checkpoint restarts
+    mutually consistent."""
+    from ..streaming.source import register_tx_source
+    from ..txlog import TxTable
+
+    register_tx_source(spark)
+    props = TxTable(spark, index_dir).properties()
+    if props.get("ann.ivfpq.booksVersion") is None:
+        raise RuntimeError(
+            f"IVF-PQ index at {index_dir!r} has no trained codebooks: "
+            "bootstrap with catchup_ivfpq_index() before starting "
+            "streaming maintenance (model training needs a corpus "
+            "snapshot; a stream micro-batch is not one)."
+        )
+    feed = (
+        spark.readStream.format("txtable")
+        .option("readChangeFeed", "true")
+        # only honored by a FRESH checkpoint; resumes ignore it
+        .option("startingVersion", str(int(props["ann.srcVersion"]) + 1))
+        .load(src_dir)
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        index = TxTable(s, index_dir)
+        cents = TxTable(s, cents_dir)
+        books = TxTable(s, books_dir)
+        centroids = _pinned_cents(index, cents).localCheckpoint(eager=True)
+        model = _pinned_books(index, books)
+        batch = batch.select(
+            "vec_id", "embedding", "_change_type", "_commit_version"
+        ).localCheckpoint(eager=True)
+        ivfpq_apply_changes(index, batch, centroids, model, mode=mode)
+        hi = batch.agg(F.max("_commit_version")).collect()[0][0]
+        if hi is not None and hi > int(index.properties().get("ann.srcVersion", -1)):
+            index.set_properties({"ann.srcVersion": str(hi)})
+
+    writer = (
+        feed.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def ivfpq_index_topk(

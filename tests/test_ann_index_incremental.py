@@ -801,3 +801,106 @@ def test_ivfpq_catchup_idempotent_retention_and_empty_defer(spark, tmp_path):
     src.vacuum(retain_hours=0.0)
     with pytest.raises(RuntimeError, match="stale beyond the source's CDF"):
         catchup_ivfpq_index(src, index, cents, books)
+
+
+def test_ivfpq_streaming_maintenance_resumes_and_requires_bootstrap(
+    spark, tmp_path
+):
+    """Streaming twin for the IVF-PQ index: (1) an untrained index refuses
+    the stream with an actionable error; (2) after a batch bootstrap, the
+    stream folds later commits under the pinned generations, restarts
+    resume from the checkpoint, and a no-new-commits run is a no-op."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        assert_ivfpq_index_matches_scratch,
+        catchup_ivfpq_index,
+        stream_ivfpq_index_to_tx_table,
+    )
+
+    src_dir = str(tmp_path / "src")
+    idx_dir = str(tmp_path / "idx")
+    cents_dir = str(tmp_path / "cents")
+    books_dir = str(tmp_path / "books")
+    ckpt = str(tmp_path / "ckpt")
+    src = TxTable(spark, src_dir)
+    src.append(synthetic_embeddings(spark, 180))
+
+    # (1) no codebooks yet -> the stream refuses instead of mis-encoding
+    with pytest.raises(RuntimeError) as ei:
+        stream_ivfpq_index_to_tx_table(
+            spark, src_dir, idx_dir, cents_dir, books_dir, str(tmp_path / "ckpt0")
+        )
+    assert "catchup_ivfpq_index" in str(ei.value)
+
+    # (2) batch bootstrap, then stream the follow-on commits
+    index = TxTable(spark, idx_dir)
+    cents = TxTable(spark, cents_dir)
+    books = TxTable(spark, books_dir)
+    catchup_ivfpq_index(src, index, cents, books, n_lists=4, m=8, kq=16)
+    upd = (
+        src.read()
+        .filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    gone = src.read().filter(F.col("vec_id") % 7 == 2).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    q2 = stream_ivfpq_index_to_tx_table(
+        spark, src_dir, idx_dir, cents_dir, books_dir, ckpt
+    )
+    q2.awaitTermination(120)
+    index = TxTable(spark, idx_dir)
+    assert_ivfpq_index_matches_scratch(index, cents, books, src)
+
+    # more commits AFTER the stream stopped: restart folds only the delta
+    src.append(synthetic_embeddings(spark, 220).filter(F.col("vec_id") >= 180))
+    q3 = stream_ivfpq_index_to_tx_table(
+        spark, src_dir, idx_dir, cents_dir, books_dir, ckpt
+    )
+    q3.awaitTermination(120)
+    index = TxTable(spark, idx_dir)
+    assert_ivfpq_index_matches_scratch(index, cents, books, src)
+    rows = sorted(
+        (r.vec_id, r.cid, r.pq_code)
+        for r in index.read().collect()
+    )
+    # replay safety: nothing new -> content untouched
+    q4 = stream_ivfpq_index_to_tx_table(
+        spark, src_dir, idx_dir, cents_dir, books_dir, ckpt
+    )
+    q4.awaitTermination(120)
+    assert (
+        sorted(
+            (r.vec_id, r.cid, r.pq_code)
+            for r in TxTable(spark, idx_dir).read().collect()
+        )
+        == rows
+    )
+
+
+def test_hamming_stream_after_batch_bootstrap_sees_interim_deletes(
+    spark, tmp_path
+):
+    """Ghost-row regression: batch-bootstrap the index, then DELETE source
+    rows, then start streaming maintenance with a FRESH checkpoint. The
+    stream must tail from the index's watermark (a fresh snapshot cannot
+    express the interim deletions) — the deleted keys must leave the
+    index."""
+    src_dir = str(tmp_path / "src")
+    idx_dir = str(tmp_path / "idx")
+    src = TxTable(spark, src_dir)
+    src.append(synthetic_embeddings(spark, 160))
+    index = TxTable(spark, idx_dir)
+    catchup_ann_index(src, index, prefix_bits=4)
+    gone = src.read().filter(F.col("vec_id") % 4 == 1).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    q = stream_ann_index_to_tx_table(
+        spark, src_dir, idx_dir, str(tmp_path / "ckpt"), prefix_bits=4
+    )
+    q.awaitTermination(120)
+    index = TxTable(spark, idx_dir)
+    assert_index_matches_scratch(index, src)
+    left = {r.vec_id for r in index.read().select("vec_id").collect()}
+    assert not any(v % 4 == 1 for v in left)
+    # and the stream advanced the watermark: a batch catch-up is a no-op
+    assert catchup_ann_index(src, index, prefix_bits=4) == src.version()
+    assert_index_matches_scratch(index, src)
