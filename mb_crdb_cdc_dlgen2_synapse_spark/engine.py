@@ -562,3 +562,42 @@ class Engine:
             TxTable(self.spark, cents_dir),
             **kw,
         )
+
+    def build_ivfpq_index(
+        self, src_dir: str, index_dir: str, cents_dir: str, books_dir: str, **kw
+    ) -> int:
+        """IVF-PQ twin (the billion-scale shape): frozen coarse quantizer
+        + frozen per-subspace codebooks, cid-partitioned COMPRESSED lists
+        (8-byte PQ codes), maintained from the embedding table's change
+        feed (operators.ann_index.catchup_ivfpq_index). Query with
+        ``ivfpq_index_topk`` (ADC shortlist + exact re-rank)."""
+        from .operators.ann_index import catchup_ivfpq_index
+        from .txlog import TxTable
+
+        return catchup_ivfpq_index(
+            TxTable(self.spark, src_dir),
+            TxTable(self.spark, index_dir),
+            TxTable(self.spark, cents_dir),
+            TxTable(self.spark, books_dir),
+            **kw,
+        )
+
+    def start_ivfpq_index_maintenance(
+        self,
+        src_dir: str,
+        index_dir: str,
+        cents_dir: str,
+        books_dir: str,
+        checkpoint_dir: str,
+        **kw,
+    ):
+        """Streaming twin of ``build_ivfpq_index``: tail the embedding
+        table's CDF from the index's watermark and fold micro-batches
+        under the pinned generations (requires a batch bootstrap first —
+        model training needs a corpus snapshot)."""
+        from .operators.ann_index import stream_ivfpq_index_to_tx_table
+
+        return stream_ivfpq_index_to_tx_table(
+            self.spark, src_dir, index_dir, cents_dir, books_dir,
+            checkpoint_dir, **kw,
+        )

@@ -209,3 +209,39 @@ def test_sql_tx_changes_views(spark, tmp_path):
         eng.sql_tx("SELECT 1", {"t": d}, changes={"u": (0, None)})
     with _pytest.raises(ValueError, match="from_version"):
         eng.sql_tx("SELECT 1", {"t": d}, changes={"t": (None, None)})
+
+
+def test_ivfpq_index_facade_lifecycle(spark, tmp_path):
+    """build_ivfpq_index + start_ivfpq_index_maintenance wire the full
+    compressed-index lifecycle through the facade."""
+    from pyspark.sql import functions as F
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        assert_ivfpq_index_matches_scratch,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        synthetic_embeddings,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    eng = Engine(spark)
+    src_dir = str(tmp_path / "src")
+    dirs = {k: str(tmp_path / k) for k in ("idx", "cents", "books")}
+    src = TxTable(spark, src_dir)
+    src.append(synthetic_embeddings(spark, 120))
+    wm = eng.build_ivfpq_index(
+        src_dir, dirs["idx"], dirs["cents"], dirs["books"], n_lists=4, m=8
+    )
+    assert wm == src.version()
+    gone = src.read().filter(F.col("vec_id") % 6 == 1).withColumn("_g", F.lit(True))
+    src.merge_into(gone, on=["vec_id"], delete_when="_g", mode="dv")
+    q = eng.start_ivfpq_index_maintenance(
+        src_dir, dirs["idx"], dirs["cents"], dirs["books"], str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    assert_ivfpq_index_matches_scratch(
+        TxTable(spark, dirs["idx"]),
+        TxTable(spark, dirs["cents"]),
+        TxTable(spark, dirs["books"]),
+        src,
+    )
