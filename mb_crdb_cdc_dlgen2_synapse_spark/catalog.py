@@ -9167,3 +9167,41 @@ def dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare-shingle prefixes with a length filter, the form that survives hot
     boilerplate shingles at 100 TB (see operators/dedup.py:ppjoin_pairs)."""
     return dedup.ppjoin_pairs(_dup_corpus(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "media_wav_features",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+    i AS (SELECT x AS i FROM generate_series(0, 799) t(x)),
+    s AS (
+        SELECT d.doc_id, i.i,
+               (d.doc_id * 7 + i.i * 13) % 241 - 120 AS v
+        FROM d JOIN i ON i.i < 400 + (d.doc_id % 5) * 100),
+    p AS (
+        SELECT doc_id, i, v,
+               lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        FROM s)
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(count(*) AS INT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN v * nxt < 0 THEN 1 ELSE 0 END) AS INT)
+               AS zero_crossings,
+           CAST(max(abs(v)) AS INT) AS peak
+    FROM p GROUP BY doc_id
+    """,
+    "X5,X6",
+)
+def media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + features, value-oracled: synthetic PCM16 WAVs
+    (sample(i) = (doc_id·7 + i·13) % 241 − 120) round-trip through the
+    pure stdlib+numpy RIFF codec (operators/codecs.py encode_wav /
+    decode_wav) inside Arrow-batched mapInPandas stages, and the decoded
+    energy (int64 sum of squares), zero-crossing count, and peak must
+    equal the closed form the oracle aggregates directly — integer-exact,
+    no tolerance. Completes the X5 decode-boundary certification for the
+    audio modality (images: media_png_decode / media_jpeg_decode)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_wav_media(docs, limit=300)
+    return multimodal.decode_audio_features(media)

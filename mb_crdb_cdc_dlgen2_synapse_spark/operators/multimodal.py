@@ -280,6 +280,97 @@ def synthetic_png_media(documents: DataFrame, limit: int = 300) -> DataFrame:
     return src.mapInPandas(batches, out_schema)
 
 
+def synthetic_wav_media(documents: DataFrame, limit: int = 300) -> DataFrame:
+    """Deterministic PCM16 WAV fixture keyed by doc_id: n = 400 +
+    (doc_id % 5)·100 samples at 8 kHz with sample(i) = (doc_id·7 +
+    i·13) % 241 − 120 — a closed form BOTH engines can aggregate, so the
+    encode→decode→feature path is value-oracle-able with exact integer
+    sums. Same Arrow batch shape as the image fixtures."""
+    from . import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = 400 + int(did) % 5 * 100
+                i = np.arange(n, dtype=np.int64)
+                samples = ((int(did) * 7 + i * 13) % 241 - 120).astype(np.int16)
+                payloads.append(codecs.encode_wav(samples, sample_rate=8000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                }
+            )
+
+    src = documents.select("doc_id").filter(F.col("doc_id") < limit)
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mime", T.StringType(), True),
+        ]
+    )
+    return src.mapInPandas(batches, out_schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + frame features over PCM16 WAV payloads: total
+    energy (exact int64 sum of squares), zero crossings (adjacent pairs
+    with strictly opposite signs — s[i]·s[i+1] < 0), integer peak. All
+    integer-exact, so the whole decode+feature path value-oracles with no
+    tolerance. Arrow-batched ``mapInPandas``; numpy vector ops per batch,
+    never per sample."""
+    from . import codecs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                if mime != "audio/wav":
+                    raise NotImplementedError(
+                        f"decode for mime {mime!r} needs an external codec"
+                    )
+                rate, samples = codecs.decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        int(s.shape[0]),
+                        int((s * s).sum()),
+                        int((s[:-1] * s[1:] < 0).sum()) if s.size > 1 else 0,
+                        int(np.abs(s).max()) if s.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "sum_sq", "zero_crossings", "peak",
+                ],
+            )
+
+    return media.select("media_id", "payload", "mime").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: expands each media row into frame
     timestamps (sequence/explode — JVM-side); the per-frame decode would then

@@ -329,3 +329,36 @@ def test_png_adam7_16bit_and_palette():
     )
     assert np.array_equal(got[:, :, :3], pal[idx])
     assert np.array_equal(got[:, :, 3], trns[idx])
+
+
+def test_decode_audio_features_closed_form(spark):
+    """decode_audio_features: energy/zero-crossing/peak semantics pinned
+    on hand-computable signals (the gate pins the full closed form)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import codecs, multimodal
+
+    sigs = {
+        0: np.array([1, -1, 1, -1], dtype=np.int16),       # 3 crossings
+        1: np.array([5, 0, -5], dtype=np.int16),           # 0·x pairs never count
+        2: np.array([7], dtype=np.int16),                  # single sample
+        3: np.array([-3, -3, 3], dtype=np.int16),          # 1 crossing
+    }
+    rows = [
+        (mid, bytearray(codecs.encode_wav(s, 8000)), "audio/wav")
+        for mid, s in sigs.items()
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {r.media_id: r for r in multimodal.decode_audio_features(media).collect()}
+    assert (got[0].zero_crossings, got[0].sum_sq, got[0].peak) == (3, 4, 1)
+    assert (got[1].zero_crossings, got[1].sum_sq, got[1].peak) == (0, 50, 5)
+    assert (got[2].zero_crossings, got[2].n_samples) == (0, 1)
+    assert (got[3].zero_crossings, got[3].sum_sq) == (1, 27)
