@@ -110,6 +110,7 @@ HEADLINE = [
     "bm25_retrieval",              # sorted-fold BM25 ranked retrieval
     "hybrid_rrf_retrieval",        # lexical x vector RRF fusion
     "dedup_jaccard_ppjoin",        # prefix-filtered exact set-sim join
+    "media_wav_features",          # real WAV round-trip + integer features
 ]
 
 
