@@ -9205,3 +9205,105 @@ def media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.synthetic_wav_media(docs, limit=300)
     return multimodal.decode_audio_features(media)
+
+
+@register(
+    "ivfpq_drift_rebuild_policy",
+    # FULL invariant oracle, IVF-PQ twin of ivf_drift_rebuild_policy.
+    # The index's metric space is NORMALIZED, so neither a scale (the
+    # raw-IVF gate's 3x) nor any isometry of a near-isotropic corpus
+    # moves the mean assignment distance (measured: reversal/sign-flips
+    # = 1.04x on the raw fixture — saturated at the uniform-sphere
+    # ceiling). The gate therefore builds a CLUSTER-STRUCTURED corpus
+    # (each vector pulled toward axis label%8) whose bootstrap fit is
+    # tight, then drifts it DIRECTIONALLY (clusters migrate to axes
+    # 8+label%8, near-orthogonal to every pinned centroid) — the drift
+    # class that actually degrades ADC recall. onDrift=rebuild retrains
+    # BOTH models and swaps lists + both generation pins in one commit;
+    # drift resets to ~1; IVFADC+R probes find self through the swap.
+    """
+    SELECT CAST(1 AS BIGINT) AS n_checks,
+           TRUE AS drift_detected,
+           TRUE AS generations_flipped,
+           TRUE AS policy_props_survive,
+           TRUE AS drift_reset,
+           TRUE AS probes_ok
+    """,
+    "X3,S2,J5",
+)
+def ivfpq_drift_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift lifecycle for the compressed index: bootstrap freezes
+    quantizer + codebooks and logs the normalized-space assignment
+    baseline; the corpus then drifts DIRECTIONALLY (every embedding
+    reversed — scale-invariant metric, so only direction changes
+    register); `ivfpq_index_drift` reads the inflation off the source
+    vs the pinned centroids; with `ann.ivfpq.maxDrift` +
+    `onDrift=rebuild`, the next catch-up (no new commits needed)
+    retrains both models and swaps lists + BOTH generation pins in one
+    commit — probes never pair lists with a wrong-generation model."""
+    from .operators.ann_index import (
+        catchup_ivfpq_index,
+        ivfpq_index_drift,
+        ivfpq_index_topk,
+    )
+    from .txlog import TxTable
+
+    def clustered(axis_base: int):
+        # pull each vector hard toward axis (label % 8) + axis_base: a
+        # corpus of 8 tight clusters the bootstrap quantizer fits well
+        return F.expr(
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE)"
+            f" + IF(i = CAST(label % 8 AS INT) + {axis_base}, 10.0D, 0.0D))"
+        ).alias("embedding")
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = _scratch("ivfpq_drift")
+    src = TxTable(spark, os.path.join(tmp, "src"))
+    src.append(emb.select("vec_id", clustered(0)))
+    index = TxTable(spark, os.path.join(tmp, "index"))
+    cents = TxTable(spark, os.path.join(tmp, "cents"))
+    books = TxTable(spark, os.path.join(tmp, "books"))
+    catchup_ivfpq_index(src, index, cents, books, n_lists=8, m=8, kq=16)
+    props0 = index.properties()
+    pins_before = (props0["ann.ivf.centsVersion"], props0["ann.ivfpq.booksVersion"])
+    # the drift: every cluster migrates to a NEW axis (8 + label % 8),
+    # near-orthogonal to every centroid the frozen quantizer knows
+    upd = emb.select("vec_id", clustered(8))
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    catchup_ivfpq_index(src, index, cents, books)  # folds drift, no policy yet
+    drifted = ivfpq_index_drift(src, index, cents)["drift_ratio"]
+    index.set_properties(
+        {"ann.ivfpq.maxDrift": "1.5", "ann.ivfpq.onDrift": "rebuild"}
+    )
+    catchup_ivfpq_index(src, index, cents, books)  # quiet catch-up: policy fires
+    props = index.properties()
+    pins_after = (props["ann.ivf.centsVersion"], props["ann.ivfpq.booksVersion"])
+    reset = ivfpq_index_drift(src, index, cents)["drift_ratio"]
+    queries = src.read().filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = {
+        r.query_id: r.vec_id
+        for r in ivfpq_index_topk(
+            index, cents, books, src, queries, k=3, nprobe=3, shortlist=64
+        )
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    return spark.createDataFrame(
+        [
+            (
+                1,
+                bool(drifted is not None and drifted > 1.5),
+                bool(
+                    pins_after[0] != pins_before[0]
+                    and pins_after[1] != pins_before[1]
+                ),
+                bool(props.get("ann.ivfpq.maxDrift") == "1.5"),
+                bool(reset is not None and abs(reset - 1.0) < 1e-9),
+                bool(top1) and all(v == q for q, v in top1.items()),
+            )
+        ],
+        "n_checks long, drift_detected boolean, generations_flipped boolean, "
+        "policy_props_survive boolean, drift_reset boolean, probes_ok boolean",
+    )

@@ -767,6 +767,11 @@ def catchup_ivfpq_index(
     head = src.version()
     done = int(index.properties().get("ann.srcVersion", -1))
     if head <= done:
+        # no new commits — but a drifted-and-then-quiet corpus must
+        # still trip the policy (see the raw-IVF twin); the check is
+        # free unless ann.ivfpq.maxDrift is set
+        if index.properties().get("ann.ivfpq.maxDrift"):
+            return _ivfpq_drift_policy(src, index, cents, books, n_iter, sample)
         return done
     if index.version() < 0:
         snap = _unit_vecs(
@@ -782,12 +787,13 @@ def catchup_ivfpq_index(
         )
         books.overwrite(_books_rows(index.spark, model))
         bv = books.version()
-        assigned = assign_clusters(snap, cents.read(as_of=cv)).select(
-            "vec_id", "cid"
+        assigned = assign_clusters(snap, cents.read(as_of=cv)).localCheckpoint(
+            eager=True
         )
+        boot_d2 = assigned.agg(F.avg("d2")).collect()[0][0]
         rows = (
             pq_encode_arrow(snap, model)
-            .join(assigned, "vec_id")
+            .join(assigned.select("vec_id", "cid"), "vec_id")
             .select("vec_id", "cid", "pq_code")
             .localCheckpoint(eager=True)
         )
@@ -802,17 +808,21 @@ def catchup_ivfpq_index(
             ["vec_id"], bits=_bloom_bits(_CLUSTER_ROWS_PER_FILE), hashes=7,
             auto_size=True,
         )
-        index.set_properties(
-            {
-                "ann.srcVersion": str(head),
-                "ann.ivf.nLists": str(n_lists),
-                "ann.ivf.centsVersion": str(cv),
-                "ann.ivfpq.booksVersion": str(bv),
-                "ann.ivfpq.m": str(m),
-                "ann.ivfpq.k": str(kq),
-            }
-        )
-        return head
+        props = {
+            "ann.srcVersion": str(head),
+            "ann.ivf.nLists": str(n_lists),
+            "ann.ivf.centsVersion": str(cv),
+            "ann.ivfpq.booksVersion": str(bv),
+            "ann.ivfpq.m": str(m),
+            "ann.ivfpq.k": str(kq),
+        }
+        if boot_d2 is not None:
+            # drift baseline in the NORMALIZED space (the index's metric
+            # space): ivfpq_index_drift compares the current source
+            # snapshot's assignment distance against it
+            props["ann.ivfpq.bootMeanD2"] = repr(float(boot_d2))
+        index.set_properties(props)
+        return _ivfpq_drift_policy(src, index, cents, books, n_iter, sample)
     centroids = _pinned_cents(index, cents).localCheckpoint(eager=True)
     model = _pinned_books(index, books)
     v = done
@@ -830,7 +840,136 @@ def catchup_ivfpq_index(
         ivfpq_apply_changes(index, changes, centroids, model, mode=mode)
         index.set_properties({"ann.srcVersion": str(hi)})
         v = hi
+    return _ivfpq_drift_policy(src, index, cents, books, n_iter, sample)
+
+
+def ivfpq_index_drift(src, index, cents) -> dict:
+    """Retrain signal for the frozen IVF-PQ models: mean squared
+    assignment distance of the CURRENT source snapshot (normalized — the
+    index's metric space) to the pinned coarse centroids, vs the value
+    logged at bootstrap (``ann.ivfpq.bootMeanD2``). The compressed lists
+    store 8-byte codes, not embeddings, so unlike the raw-IVF twin the
+    metric reads the SOURCE head — one broadcast assign + one global
+    aggregate, the same cost class as a catch-up's own assignment pass.
+    Scale-invariant by construction (unit vectors), so only DIRECTIONAL
+    corpus drift registers — exactly the drift that degrades ADC
+    recall."""
+    from .clustering import assign_clusters
+
+    cur = (
+        assign_clusters(
+            _unit_vecs(src.read().select("vec_id", "embedding")),
+            _pinned_cents(index, cents),
+        )
+        .agg(F.avg("d2").alias("m"))
+        .collect()[0]["m"]
+    )
+    boot = index.properties().get("ann.ivfpq.bootMeanD2")
+    boot_f = float(boot) if boot is not None else None
+    return {
+        "mean_d2": float(cur) if cur is not None else None,
+        "bootstrap_mean_d2": boot_f,
+        "drift_ratio": (
+            float(cur) / boot_f if cur is not None and boot_f else None
+        ),
+    }
+
+
+def rebuild_ivfpq_index(
+    src,
+    index,
+    cents,
+    books,
+    n_lists: int | None = None,
+    m: int | None = None,
+    kq: int | None = None,
+    n_iter: int = 2,
+    sample: int = 4096,
+) -> int:
+    """Atomic retrain-and-swap for drifted IVF-PQ models: train a fresh
+    coarse quantizer AND fresh codebooks on the CURRENT source snapshot,
+    commit them to their tables (probes stay pinned to the old
+    generations), then overwrite the list table with the re-encode AND
+    both new generation pins in ONE commit — probes see entirely-old or
+    entirely-new, never a half-built index or a cross-generation
+    quantizer/codebook pairing. Geometry parameters default to the
+    index's own recorded values. Returns the new source watermark."""
+    from .clustering import assign_clusters, kmeans
+    from .pq import pq_encode_arrow, train_pq_codebooks
+
+    props = index.properties()
+    n_lists = n_lists or int(props.get("ann.ivf.nLists", 8))
+    m = m or int(props.get("ann.ivfpq.m", 16))
+    kq = kq or int(props.get("ann.ivfpq.k", 16))
+    head = src.version()
+    snap = _unit_vecs(
+        src.read(as_of=head).select("vec_id", "embedding")
+    ).localCheckpoint(eager=True)
+    if not snap.take(1):
+        raise RuntimeError(
+            f"rebuild_ivfpq_index: source {src.path!r} is empty at "
+            f"v{head} — nothing to train on; drop the index tables instead"
+        )
+    centroids, _ = kmeans(snap, k=n_lists, n_iter=n_iter)
+    cents.overwrite(centroids.select("cid", "c_vec"))
+    cv = cents.version()
+    model = train_pq_codebooks(snap, m=m, k=kq, n_iter=n_iter, sample=sample)
+    books.overwrite(_books_rows(index.spark, model))
+    bv = books.version()
+    assigned = assign_clusters(snap, cents.read(as_of=cv)).localCheckpoint(
+        eager=True
+    )
+    boot_d2 = assigned.agg(F.avg("d2")).collect()[0][0]
+    rows = (
+        pq_encode_arrow(snap, model)
+        .join(assigned.select("vec_id", "cid"), "vec_id")
+        .select("vec_id", "cid", "pq_code")
+        .localCheckpoint(eager=True)
+    )
+    index.overwrite(
+        rows,
+        partition_by=["cid"],
+        cluster_by=["vec_id"],
+        max_records_per_file=_CLUSTER_ROWS_PER_FILE,
+        props={
+            "ann.srcVersion": str(head),
+            "ann.ivf.nLists": str(n_lists),
+            "ann.ivf.centsVersion": str(cv),
+            "ann.ivfpq.booksVersion": str(bv),
+            "ann.ivfpq.m": str(m),
+            "ann.ivfpq.k": str(kq),
+            "ann.ivfpq.bootMeanD2": repr(float(boot_d2)),
+        },
+    )
     return head
+
+
+def _ivfpq_drift_policy(src, index, cents, books, n_iter: int, sample: int) -> int:
+    """Post-catch-up drift check, IVF-PQ twin of ``_ivf_drift_policy``:
+    with ``ann.ivfpq.maxDrift`` set, a drift ratio past it raises an
+    actionable error (default) or triggers the atomic retrain-and-swap
+    (``ann.ivfpq.onDrift=rebuild``)."""
+    props = index.properties()
+    head = int(props.get("ann.srcVersion", -1))
+    max_drift = props.get("ann.ivfpq.maxDrift")
+    if not max_drift:
+        return head
+    d = ivfpq_index_drift(src, index, cents)
+    ratio = d["drift_ratio"]
+    if ratio is None or ratio <= float(max_drift):
+        return head
+    if props.get("ann.ivfpq.onDrift", "error") == "rebuild":
+        return rebuild_ivfpq_index(
+            src, index, cents, books, n_iter=n_iter, sample=sample
+        )
+    raise RuntimeError(
+        f"IVF-PQ models at {cents.path!r}/{books.path!r} have drifted "
+        f"{ratio:.2f}x past their bootstrap geometry "
+        f"(ann.ivfpq.maxDrift={max_drift}): ADC recall is degrading. "
+        "Either rebuild_ivfpq_index(src, index, cents, books) for an "
+        "atomic retrain-and-swap, or set the ann.ivfpq.onDrift=rebuild "
+        "property to do it automatically at catch-up time."
+    )
 
 
 def ivfpq_apply_changes(

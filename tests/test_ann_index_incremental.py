@@ -904,3 +904,50 @@ def test_hamming_stream_after_batch_bootstrap_sees_interim_deletes(
     # and the stream advanced the watermark: a batch catch-up is a no-op
     assert catchup_ann_index(src, index, prefix_bits=4) == src.version()
     assert_index_matches_scratch(index, src)
+
+
+def test_ivfpq_drift_error_policy_and_rebuild(spark, tmp_path):
+    """ann.ivfpq.maxDrift default policy raises an actionable error on a
+    quiet catch-up once directional drift passes the threshold; the
+    explicit rebuild then retrains and the next catch-up is quiet."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ivfpq_index,
+        ivfpq_index_drift,
+        rebuild_ivfpq_index,
+    )
+
+    n = 160
+    base = synthetic_embeddings(spark, n)
+    clustered = base.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> x"
+            " + IF(i = CAST(vec_id % 8 AS INT), 10.0D, 0.0D))"
+        ).alias("embedding"),
+    )
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(clustered)
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    books = TxTable(spark, str(tmp_path / "books"))
+    catchup_ivfpq_index(src, index, cents, books, n_lists=8, m=8, kq=16)
+    # no threshold set: drifted corpus folds without tripping anything
+    moved = base.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> x"
+            " + IF(i = CAST(vec_id % 8 AS INT) + 8, 10.0D, 0.0D))"
+        ).alias("embedding"),
+    )
+    src.merge_into(moved, on=["vec_id"], mode="dv")
+    catchup_ivfpq_index(src, index, cents, books)
+    assert ivfpq_index_drift(src, index, cents)["drift_ratio"] > 1.5
+    # default policy = error, with the rebuild call named in the message
+    index.set_properties({"ann.ivfpq.maxDrift": "1.5"})
+    with pytest.raises(RuntimeError, match="rebuild_ivfpq_index"):
+        catchup_ivfpq_index(src, index, cents, books)
+    rebuild_ivfpq_index(src, index, cents, books)
+    d = ivfpq_index_drift(src, index, cents)["drift_ratio"]
+    assert abs(d - 1.0) < 1e-9
+    # policy satisfied now: quiet catch-up passes
+    assert catchup_ivfpq_index(src, index, cents, books) == src.version()
