@@ -9307,3 +9307,60 @@ def ivfpq_drift_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_checks long, drift_detected boolean, generations_flipped boolean, "
         "policy_props_survive boolean, drift_reset boolean, probes_ok boolean",
     )
+
+
+def _retrieval_metrics_oracle() -> str:
+    return rf"""
+    WITH ranked AS ({_bm25_oracle()}),
+    toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents),
+    q(query_id, term) AS (VALUES {_BM25_VALUES_SQL}),
+    qsz AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+    rel AS (
+        SELECT g.query_id, g.doc_id
+        FROM (SELECT q.query_id, toks.doc_id, count(*) AS m
+              FROM q JOIN toks ON toks.token = q.term
+              GROUP BY 1, 2) g
+        JOIN qsz USING (query_id)
+        WHERE g.m = qsz.n_terms),
+    hits AS (
+        SELECT r.query_id, r.rk
+        FROM ranked r JOIN rel ON r.query_id = rel.query_id
+                              AND r.doc_id = rel.doc_id),
+    per_q AS (
+        SELECT query_id, count(*) AS n_hits, min(rk) AS first_hit,
+               list_sum(list(1.0 / ln(rk + 1.0) ORDER BY rk)) AS dcg
+        FROM hits GROUP BY 1),
+    nr AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1)
+    SELECT nr.query_id, n_rel,
+           coalesce(n_hits, 0) AS n_hits,
+           coalesce(n_hits, 0) / 10 AS p_at_k,
+           coalesce(1.0 / first_hit, 0.0) AS mrr,
+           round(coalesce(dcg, 0.0)
+                 / list_sum(list_transform(range(1, least(10, n_rel) + 1),
+                                           i -> 1.0 / ln(i + 1.0))), 6)
+               AS ndcg
+    FROM nr LEFT JOIN per_q ON nr.query_id = per_q.query_id
+    """
+
+
+@register("retrieval_eval_metrics", _retrieval_metrics_oracle(), "X4,J4,A3")
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval evaluation closing the retrieval suite: the BM25
+    top-10 graded against boolean-AND (all-terms-present) relevance —
+    precision@10, MRR, nDCG@10 per query. Precision/MRR are exact
+    integer ratios; nDCG's log base cancels in the ratio so both engines
+    use ln, with the same sorted-fold accumulation as the BM25 score
+    (ascending rank) and 6 dp rounding. Hit detection is a LEFT SEMI
+    join (J4); relevance and ranking derive from the same tokenizer, so
+    the metric is self-consistent end to end."""
+    from .operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    ranked = retrieval.bm25_topk(docs, q, k=10)
+    rel = retrieval.conjunctive_relevance(docs, q)
+    return retrieval.retrieval_metrics(ranked, rel, k=10)

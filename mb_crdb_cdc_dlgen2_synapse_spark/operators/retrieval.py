@@ -154,6 +154,77 @@ def lexical_jaccard_topk(
     )
 
 
+def conjunctive_relevance(documents: DataFrame, queries: DataFrame) -> DataFrame:
+    """Boolean-AND relevance judgments: a document is relevant to a query
+    iff it contains EVERY query term (the classic boolean-retrieval
+    ground truth for grading a ranked retriever). Exact and SQL-mirrorable:
+    distinct doc tokens equi-join the term list, and a per-(query, doc)
+    match count equal to the query's term count means all terms matched."""
+    toks = tokens(documents).distinct()
+    terms = queries.select("query_id", "term").distinct()
+    qsz = terms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    matched = (
+        terms.join(toks, terms.term == toks.token)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        matched.join(F.broadcast(qsz), "query_id")
+        .filter(F.col("m") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+
+
+def retrieval_metrics(
+    ranked: DataFrame, relevant: DataFrame, k: int = 10
+) -> DataFrame:
+    """Ranked-retrieval quality metrics per query: precision@k, MRR, and
+    nDCG@k of ``ranked`` (query_id, rk, doc_id) against a ``relevant``
+    relation (query_id, doc_id) — the eval layer for the BM25/hybrid
+    retrieval stack (standard IR definitions, e.g. Manning et al., IIR).
+
+    Cross-engine determinism: precision and MRR are exact integer
+    ratios. DCG terms use 1/ln(rank+1) — nDCG is a RATIO, so the log
+    base cancels and ``ln`` keeps both engines on the same libm call —
+    accumulated with the same sorted-fold trick as the BM25 score
+    (ascending rank), with the final ndcg rounded at 6 dp. The hit set
+    comes from a LEFT SEMI join; queries with no relevant hits in the
+    top-k report zeros (left join from the relevance side keeps them)."""
+    hits = ranked.join(relevant, ["query_id", "doc_id"], "left_semi")
+    dcg_fold = F.aggregate(
+        F.array_sort(F.collect_list("rk")),
+        F.lit(0.0),
+        lambda acc, r: acc + F.lit(1.0) / F.log(r + F.lit(1.0)),
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rk").alias("first_hit"),
+        dcg_fold.alias("dcg"),
+    )
+    n_rel = relevant.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    # ideal DCG: all of min(k, n_rel) relevant docs at the top ranks
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(k), F.col("n_rel"))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log(i + F.lit(1.0)),
+    )
+    return (
+        n_rel.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k)).alias("p_at_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_hit"), F.lit(0.0)
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6
+            ).alias("ndcg"),
+        )
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

@@ -140,3 +140,44 @@ def test_rrf_fuse_closed_form(spark):
     assert got[30] == pytest.approx(1.0 / 62, abs=0)
     # both-list doc outranks either single-list doc
     assert got[20] > got[10] > got[30]
+
+
+# ------------------------------------------------------------- metrics
+
+
+def test_retrieval_metrics_closed_form(spark):
+    import math
+
+    ranked = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 200), (1, 3, 300), (2, 1, 400)],
+        "query_id int, rk int, doc_id long",
+    )
+    rel = spark.createDataFrame(
+        [(1, 200), (1, 300), (1, 999), (2, 555)],
+        "query_id int, doc_id long",
+    )
+    got = {
+        r.query_id: r
+        for r in retrieval.retrieval_metrics(ranked, rel, k=10).collect()
+    }
+    # q1: hits at ranks 2,3 of 3 relevant; first hit rank 2
+    assert (got[1].n_rel, got[1].n_hits) == (3, 2)
+    assert got[1].p_at_k == pytest.approx(0.2, abs=0)
+    assert got[1].mrr == pytest.approx(0.5, abs=0)
+    dcg = 1 / math.log(3) + 1 / math.log(4)
+    idcg = 1 / math.log(2) + 1 / math.log(3) + 1 / math.log(4)
+    assert got[1].ndcg == pytest.approx(round(dcg / idcg, 6), abs=1e-9)
+    # q2: no relevant doc retrieved -> all zeros, n_rel intact
+    assert (got[2].n_rel, got[2].n_hits, got[2].p_at_k, got[2].mrr, got[2].ndcg) == (
+        1, 0, 0.0, 0.0, 0.0,
+    )
+
+
+def test_conjunctive_relevance_all_terms_required(spark, tiny):
+    q = spark.createDataFrame(
+        [(1, "apple"), (1, "date")], "query_id int, term string"
+    )
+    rel = {
+        r.doc_id for r in retrieval.conjunctive_relevance(tiny, q).collect()
+    }
+    assert rel == {0, 4}  # docs with BOTH apple and date
