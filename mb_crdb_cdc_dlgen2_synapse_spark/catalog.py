@@ -9016,7 +9016,7 @@ _BM25_QUERIES = [
 _BM25_VALUES_SQL = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(src: str = "documents") -> str:
     from .operators.retrieval import BM25_B as B, BM25_K1 as K1
 
     return rf"""
@@ -9024,7 +9024,7 @@ def _bm25_oracle() -> str:
         SELECT doc_id,
                unnest(list_filter(string_split_regex(lower(text), '\s+'),
                                   t -> t <> '')) AS token
-        FROM documents),
+        FROM {src}),
     q(query_id, term) AS (VALUES {_BM25_VALUES_SQL}),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
     stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
@@ -9364,3 +9364,71 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = retrieval.bm25_topk(docs, q, k=10)
     rel = retrieval.conjunctive_relevance(docs, q)
     return retrieval.retrieval_metrics(ranked, rel, k=10)
+
+
+#: the bm25_index_incremental gate's final corpus in closed form: update
+#: docs %7==0 (append two query terms), delete docs %11==3, insert copies
+#: of docs %13==1 under shifted ids — all three CDC change classes.
+_BM25_MUT_CORPUS_SQL = """(
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' vector vector spark' ELSE text END AS text
+    FROM documents WHERE doc_id % 11 <> 3
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' vector vector spark' ELSE text END AS text
+    FROM documents WHERE doc_id % 11 <> 3 AND doc_id % 13 = 1
+) mut"""
+
+
+@register(
+    "bm25_index_incremental",
+    _bm25_oracle(_BM25_MUT_CORPUS_SQL),
+    "X4,S2,J5,W4",
+)
+def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained BM25 inverted index, driver-certified:
+    documents land in a txlog table, the postings index bootstraps, the
+    corpus then mutates through all three CDC change classes (update =
+    pre-image + post-image on the feed, delete, insert), TWO catch-ups
+    fold the deltas, the in-gate proof asserts postings AND exact corpus
+    scalars equal a from-scratch tokenization, and the ranked answer
+    comes from the PRUNED index read (token IN-predicate + blooms) —
+    hashed against the plain BM25 SQL over the closed-form final corpus.
+    The index path and the corpus-scan path share one scoring tail
+    (retrieval.bm25_score_from_stats), so this also proves the inverted
+    index loses nothing vs re-tokenizing the world."""
+    from .operators.bm25_index import (
+        assert_bm25_index_matches_scratch,
+        bm25_index_topk,
+        catchup_bm25_index,
+    )
+    from .txlog import TxTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _scratch("bm25_index")
+    src = TxTable(spark, os.path.join(tmp, "src"))
+    src.append(docs)
+    index = TxTable(spark, os.path.join(tmp, "idx"))
+    catchup_bm25_index(src, index)
+    # update: append two query terms to every %7 doc (pre+post images)
+    upd = src.read().filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" vector vector spark")).alias("text"),
+    )
+    src.merge_into(upd, on=["doc_id"], mode="dv")
+    catchup_bm25_index(src, index)  # fold the update before more changes
+    # delete + insert, folded by a second catch-up over two commits
+    gone = src.read().filter(F.col("doc_id") % 11 == 3).withColumn(
+        "_g", F.lit(True)
+    )
+    src.merge_into(gone, on=["doc_id"], delete_when="_g", mode="dv")
+    fresh = src.read().filter(F.col("doc_id") % 13 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    src.append(fresh)
+    catchup_bm25_index(src, index)
+    assert_bm25_index_matches_scratch(index, src)
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    return bm25_index_topk(index, q, k=10)

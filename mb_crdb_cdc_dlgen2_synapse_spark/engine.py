@@ -582,6 +582,37 @@ class Engine:
             **kw,
         )
 
+    def build_bm25_index(self, src_dir: str, index_dir: str, **kw) -> int:
+        """Bring the BM25 inverted index (postings + exact corpus
+        scalars) up to date with the documents table's head by folding
+        its change feed (operators.bm25_index.catchup_bm25_index).
+        Query with ``bm25_search``."""
+        from .operators.bm25_index import catchup_bm25_index
+        from .txlog import TxTable
+
+        return catchup_bm25_index(
+            TxTable(self.spark, src_dir), TxTable(self.spark, index_dir), **kw
+        )
+
+    def start_bm25_index_maintenance(
+        self, src_dir: str, index_dir: str, checkpoint_dir: str, **kw
+    ):
+        """Streaming twin of ``build_bm25_index`` (watermark-tailed CDF,
+        exactly-once scalar deltas under replay)."""
+        from .operators.bm25_index import stream_bm25_index_to_tx_table
+
+        return stream_bm25_index_to_tx_table(
+            self.spark, src_dir, index_dir, checkpoint_dir, **kw
+        )
+
+    def bm25_search(self, index_dir: str, queries: DataFrame, k: int = 10) -> DataFrame:
+        """Ranked BM25 top-k through the inverted index — a pruned read
+        of the query terms' postings, never a corpus scan."""
+        from .operators.bm25_index import bm25_index_topk
+        from .txlog import TxTable
+
+        return bm25_index_topk(TxTable(self.spark, index_dir), queries, k=k)
+
     def start_ivfpq_index_maintenance(
         self,
         src_dir: str,

@@ -1,0 +1,317 @@
+"""Incrementally-maintained BM25 inverted index over a txlog documents
+table, fed by the table's own change feed — the production shape of the
+retrieval suite (operators/retrieval.py): query cost is O(postings of
+the query terms) via token-predicate file skipping instead of O(corpus)
+re-tokenization, and maintenance is O(changed docs) via doc-bucket
+keyed merges. Follows the same watermark / net-change / deferred-empty-
+bootstrap conventions as operators/ann_index.py. BM25 per Robertson &
+Zaragoza 2009; inverted-file maintenance shape per the published
+Lucene/ES segment model re-expressed on the lakehouse table layout.
+
+Index layout: ONE postings table, rows ``(doc_id, token, tf, dl,
+bucket)`` with the doc length denormalized onto every posting (an
+update rewrites the doc's postings anyway, so dl rides along for free
+and scoring needs no second table). Partitioned by ``bucket =
+doc_id % N_BUCKETS`` (merge locality: a changed doc's keys land in one
+partition), files CLUSTERED by token with per-file token blooms (query
+locality: a term lookup opens only files whose token span/bloom can
+hold it). Corpus scalars (``bm25.nDocs``, ``bm25.totalDl``) are exact
+integers maintained in table properties by delta arithmetic — never
+recomputed by scanning.
+
+Change-image semantics: an update renders as delete(pre-image) +
+insert(post-image) on the feed, so the index never needs to READ itself
+to find a changed doc's old postings — the pre-image text carries them
+(``_doc_net_images``: earliest-delete image = state at range start,
+latest-change image = state at range end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .retrieval import BM25_B, BM25_K1, bm25_rank, bm25_score_from_stats
+from .textops import tokens
+
+N_BUCKETS = 32
+
+
+def _tf_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, tf, dl) for every doc with >=1 token."""
+    toks = tokens(docs)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return tf.join(dl, "doc_id").select("doc_id", "token", "tf", "dl")
+
+
+def _doc_net_images(changes: DataFrame, text_col: str) -> DataFrame:
+    """Per-doc (doc_id, old_text, new_text) across a CDF version range:
+    ``old_text`` = the pre-range state (the EARLIEST image iff it is a
+    delete — an update's pre-image or a true delete; an insert-first doc
+    did not exist at range start), ``new_text`` = the post-range state
+    (the LATEST image iff it is an insert; insert beats delete within a
+    version — the same convention as ``_net_changes``)."""
+    rows = changes.select(
+        "doc_id", F.col(text_col).alias("_text"), "_change_type", "_commit_version"
+    )
+    wp = W.partitionBy("doc_id")
+    # 'delete' < 'insert' lexically: ascending type puts the pre-image
+    # first within a version; descending puts the post-image first
+    first = (
+        rows.withColumn(
+            "rn",
+            F.row_number().over(
+                wp.orderBy(
+                    F.col("_commit_version").asc(), F.col("_change_type").asc()
+                )
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("_change_type") == "delete"))
+        .select("doc_id", F.col("_text").alias("old_text"))
+    )
+    last = (
+        rows.withColumn(
+            "rn",
+            F.row_number().over(
+                wp.orderBy(
+                    F.col("_commit_version").desc(), F.col("_change_type").desc()
+                )
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("_change_type") == "insert"))
+        .select("doc_id", F.col("_text").alias("new_text"))
+    )
+    return first.join(last, "doc_id", "full_outer")
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(N_BUCKETS)))
+
+
+def bm25_apply_changes(index, changes: DataFrame, text_col: str, mode: str) -> None:
+    """Fold one change-image batch: tokenize the per-doc pre/post images,
+    full-outer them on (doc_id, token) — post-image postings upsert,
+    pre-image-only postings tombstone — and keyed-merge into the bucket
+    partitions. Corpus scalars adjust by exact integer deltas computed
+    from the same two relations. Re-delivered batches re-merge the same
+    rows and re-derive the same final scalars (the scalar update is
+    delta-from-images, so it is NOT blindly re-addable — the streaming
+    twin guards replays via the watermark instead)."""
+    net = _doc_net_images(changes, text_col).localCheckpoint(eager=True)
+    old_post = _tf_rows(
+        net.filter(F.col("old_text").isNotNull()).select(
+            "doc_id", F.col("old_text").alias("text")
+        )
+    ).localCheckpoint(eager=True)
+    new_post = _tf_rows(
+        net.filter(F.col("new_text").isNotNull()).select(
+            "doc_id", F.col("new_text").alias("text")
+        )
+    ).localCheckpoint(eager=True)
+    ups = new_post.withColumn("_tombstone", F.lit(False))
+    dels = (
+        old_post.select("doc_id", "token")
+        .join(new_post.select("doc_id", "token"), ["doc_id", "token"], "left_anti")
+        .select(
+            "doc_id",
+            "token",
+            F.lit(None).cast("long").alias("tf"),
+            F.lit(None).cast("long").alias("dl"),
+            F.lit(True).alias("_tombstone"),
+        )
+    )
+    source = _with_bucket(ups.unionByName(dels)).localCheckpoint(eager=True)
+    if source.take(1):
+        index.merge_into(
+            source,
+            on=["doc_id", "token"],
+            delete_when="_tombstone",
+            partition_by=["bucket"],
+            mode=mode,
+        )
+    # exact scalar deltas: docs-with-tokens and token mass, old vs new
+    agg = lambda rel: rel.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    o = agg(old_post).agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t")
+    ).collect()[0]
+    n = agg(new_post).agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t")
+    ).collect()[0]
+    props = index.properties()
+    index.set_properties(
+        {
+            "bm25.nDocs": str(int(props.get("bm25.nDocs", 0)) + n["n"] - o["n"]),
+            "bm25.totalDl": str(int(props.get("bm25.totalDl", 0)) + n["t"] - o["t"]),
+        }
+    )
+
+
+def catchup_bm25_index(
+    src,
+    index,
+    text_col: str = "text",
+    step: int | None = None,
+    mode: str = "dv",
+) -> int:
+    """Advance the postings table from its ``bm25.srcVersion`` watermark
+    to the source head. Bootstrap tokenizes the snapshot straight into a
+    bucket-partitioned, token-clustered, token-bloomed append; increments
+    pay change-feed machinery only."""
+    head = src.version()
+    done = int(index.properties().get("bm25.srcVersion", -1))
+    if head <= done:
+        return done
+    if index.version() < 0:
+        snap = src.read(as_of=head).select("doc_id", text_col)
+        rows = _with_bucket(_tf_rows(snap)).localCheckpoint(eager=True)
+        if not rows.take(1):
+            return done  # defer: first non-empty catch-up bootstraps
+        index.append(rows, partition_by=["bucket"], cluster_by=["token"])
+        index.set_clustering(["token"])
+        index.set_bloom_index(["token"], auto_size=True)
+        stats = (
+            rows.groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+            .collect()[0]
+        )
+        index.set_properties(
+            {
+                "bm25.srcVersion": str(head),
+                "bm25.nDocs": str(stats["n"]),
+                "bm25.totalDl": str(stats["t"]),
+            }
+        )
+        return head
+    v = done
+    while v < head:
+        hi = head if step is None else min(v + step, head)
+        try:
+            changes = src.read_changes(v, hi)
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"BM25 index at {index.path!r} is stale beyond the source's "
+                f"CDF retention (watermark v{v}): rebuild — drop the "
+                "postings table and catchup_bm25_index() from scratch."
+            ) from e
+        bm25_apply_changes(index, changes, text_col, mode)
+        index.set_properties({"bm25.srcVersion": str(hi)})
+        v = hi
+    return head
+
+
+def bm25_index_topk(
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k BM25 through the inverted index: ONE pruned read of the
+    postings restricted to the query terms (token IN-predicate — log
+    stats + clustering spans + per-file blooms skip every file that
+    cannot hold a term), df from the fetched postings, corpus scalars
+    from the exact integer properties. Identical arithmetic shape (and
+    therefore identical scores) to the corpus-scan ``bm25_topk``."""
+    spark = index.spark
+    props = index.properties()
+    terms = sorted(
+        r.term for r in queries.select("term").distinct().collect()
+    )  # bounded: a query's term list
+    post = index.read(predicates=[("token", "in", terms)]).select(
+        "doc_id", "token", "tf", "dl"
+    ).localCheckpoint(eager=False)
+    tf = post.select("doc_id", "token", "tf")
+    dl = post.select("doc_id", "dl").distinct()
+    df_t = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.createDataFrame(
+        [(int(props["bm25.nDocs"]), int(props["bm25.totalDl"]))],
+        "n_docs long, total_dl long",
+    )
+    scored = bm25_score_from_stats(tf, df_t, dl, stats, queries, k1=k1, b=b)
+    return bm25_rank(scored, k=k)
+
+
+def assert_bm25_index_matches_scratch(index, src, text_col: str = "text") -> None:
+    """Equality proof: incrementally-maintained postings == a from-scratch
+    tokenization of the source head, INCLUDING the denormalized dl and
+    the exact corpus scalars."""
+    scratch = _tf_rows(src.read().select("doc_id", text_col))
+    got = index.read().select("doc_id", "token", "tf", "dl")
+    extra = got.exceptAll(scratch).count()
+    missing = scratch.exceptAll(got).count()
+    if extra or missing:
+        raise RuntimeError(
+            f"incremental BM25 index diverged from scratch tokenization: "
+            f"{extra} extra posting(s), {missing} missing posting(s)"
+        )
+    stats = (
+        scratch.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t"))
+        .collect()[0]
+    )
+    props = index.properties()
+    if int(props["bm25.nDocs"]) != stats["n"] or int(props["bm25.totalDl"]) != (
+        stats["t"]
+    ):
+        raise RuntimeError(
+            f"BM25 corpus scalars diverged: props nDocs/totalDl = "
+            f"{props['bm25.nDocs']}/{props['bm25.totalDl']}, scratch = "
+            f"{stats['n']}/{stats['t']}"
+        )
+
+
+def stream_bm25_index_to_tx_table(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    available_now: bool = True,
+    mode: str = "dv",
+):
+    """Streaming maintenance twin: tail the documents table's CDF and
+    fold micro-batches through ``bm25_apply_changes``. A fresh checkpoint
+    over an already-maintained index tails from the ``bm25.srcVersion``
+    watermark (a snapshot replay cannot express interim deletions AND
+    would double-count the scalar deltas); a virgin index bootstraps from
+    the snapshot images (tokenization needs no training). Folds advance
+    the watermark and skip batches at or below it, so scalar deltas are
+    exactly-once under replays."""
+    from ..streaming.source import register_tx_source
+    from ..txlog import TxTable
+
+    register_tx_source(spark)
+    wm = TxTable(spark, index_dir).properties().get("bm25.srcVersion")
+    reader = (
+        spark.readStream.format("txtable").option("readChangeFeed", "true")
+    )
+    if wm is not None:
+        reader = reader.option("startingVersion", str(int(wm) + 1))
+    feed = reader.load(src_dir)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        index = TxTable(batch.sparkSession, index_dir)
+        batch = batch.select(
+            "doc_id", text_col, "_change_type", "_commit_version"
+        ).localCheckpoint(eager=True)
+        done = int(index.properties().get("bm25.srcVersion", -1))
+        batch = batch.filter(F.col("_commit_version") > done)
+        if not batch.take(1):
+            return  # replayed at-or-below the watermark: exactly-once no-op
+        bm25_apply_changes(index, batch, text_col, mode)
+        hi = batch.agg(F.max("_commit_version")).collect()[0][0]
+        if hi is not None and hi > done:
+            index.set_properties({"bm25.srcVersion": str(hi)})
+
+    writer = (
+        feed.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -68,7 +68,24 @@ def bm25_scores(
     )
     tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return bm25_score_from_stats(tf, df_t, dl, stats, queries, k1=k1, b=b)
 
+
+def bm25_score_from_stats(
+    tf: DataFrame,
+    df_t: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """The BM25 scoring tail over pre-computed statistics relations —
+    shared by the corpus-scan path (:func:`bm25_scores`) and the
+    inverted-index path (``operators.bm25_index``): ``tf`` (doc_id,
+    token, tf), ``df_t`` (token, df), ``dl`` (doc_id, dl), ``stats`` a
+    one-row (n_docs, total_dl). The arithmetic SHAPE here is the
+    determinism contract — the DuckDB oracle mirrors it textually."""
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / avgdl)
@@ -96,6 +113,18 @@ def bm25_scores(
     return matched.groupBy("query_id", "doc_id").agg(folded.alias("score"))
 
 
+def bm25_rank(scored: DataFrame, k: int = 10) -> DataFrame:
+    """Deterministic top-k ranking of a BM25 score relation: 6 dp
+    rounding (the embedding-score convention) + doc_id tiebreak."""
+    scored = scored.withColumn("score", F.round(F.col("score"), 6))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "doc_id", "score")
+    )
+
+
 def bm25_topk(
     documents: DataFrame,
     queries: DataFrame,
@@ -109,15 +138,7 @@ def bm25_topk(
     place a hair of cross-engine ``ln`` drift is possible) and ties break
     on ``doc_id``. Returns ``(query_id, rk, doc_id, score)``.
     """
-    scored = bm25_scores(documents, queries, k1=k1, b=b).withColumn(
-        "score", F.round(F.col("score"), 6)
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "rk", "doc_id", "score")
-    )
+    return bm25_rank(bm25_scores(documents, queries, k1=k1, b=b), k=k)
 
 
 def lexical_jaccard_topk(
