@@ -111,6 +111,8 @@ HEADLINE = [
     "hybrid_rrf_retrieval",        # lexical x vector RRF fusion
     "dedup_jaccard_ppjoin",        # prefix-filtered exact set-sim join
     "media_wav_features",          # real WAV round-trip + integer features
+    "bm25_index_incremental",      # CDF-fed inverted index, pruned query
+    "retrieval_eval_metrics",      # precision@k/MRR/nDCG vs boolean-AND truth
 ]
 
 
@@ -180,6 +182,10 @@ def main() -> None:
             return catalog.knn_pq_adc_operator(spark, SF_DIR)
         if name == "ivfpq_index_incremental":
             return catalog.ivfpq_index_incremental_operator(spark, SF_DIR)
+        if name == "bm25_index_incremental":
+            # same split: lifecycle + pruned query; postings==scratch
+            # proof is gate-only certification work
+            return catalog.bm25_index_incremental_operator(spark, SF_DIR)
         return reg[name].builder(spark, SF_DIR)
 
     # -- host-speed calibration (VERDICT r4 item 2): a fixed,

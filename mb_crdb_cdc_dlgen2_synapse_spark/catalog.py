@@ -9402,8 +9402,18 @@ def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bm25_index import (
         assert_bm25_index_matches_scratch,
         bm25_index_topk,
-        catchup_bm25_index,
     )
+
+    src, index = _bm25_index_lifecycle(spark, sf_dir)
+    assert_bm25_index_matches_scratch(index, src)
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    return bm25_index_topk(index, q, k=10)
+
+
+def _bm25_index_lifecycle(spark: SparkSession, sf_dir: str):
+    """Shared by the gate and its bench twin: bootstrap, then all three
+    CDC change classes folded by two catch-ups."""
+    from .operators.bm25_index import catchup_bm25_index
     from .txlog import TxTable
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -9429,6 +9439,14 @@ def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src.append(fresh)
     catchup_bm25_index(src, index)
-    assert_bm25_index_matches_scratch(index, src)
+    return src, index
+
+
+def bm25_index_incremental_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of bm25_index_incremental: lifecycle + pruned query
+    only (the postings==scratch equality proof is gate work)."""
+    from .operators.bm25_index import bm25_index_topk
+
+    _src, index = _bm25_index_lifecycle(spark, sf_dir)
     q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     return bm25_index_topk(index, q, k=10)
