@@ -146,6 +146,17 @@ _DRIVER_PRIORITY: list[str] = [
     # rounds over; X4 keeps 7 other in-window certifiers, P5 keeps
     # rag_overlap_chunks + doc_chunks_udtf, A1 keeps 5 others). 52/52
     # ids stay covered (test_driver_window_covers_every_survey_id).
+    # Session 2, final rotation: the four gates that landed later in the
+    # session enter in the round they landed (each MATCH at all 3 SFs in
+    # the replica) — media_wav_features (audio decode boundary, X5/X6),
+    # ivfpq_drift_rebuild_policy (two-pin retrain-and-swap, X3/S2/J5),
+    # retrieval_eval_metrics (P@k/MRR/nDCG vs boolean-AND truth,
+    # X4/J4/A3), bm25_index_incremental (CDF-fed inverted index,
+    # X4/S2/J5/W4). Out: props_variant_stats (r1-green; P1 keeps 2, P8
+    # keeps rag_overlap_chunks, A3 keeps 3), dsir_importance_weights
+    # (r1-green; J1 keeps conversion_funnel, A1 keeps 3),
+    # doc_quality_linear_probe (r8-green; P7 keeps bloom_prefilter),
+    # bpe_tokenize_invariants (r6-green; X4/X6 keep >=5). 52/52 covered.
     # Session 2, continued: the three NEW retrieval/dedup gates enter in
     # the round they landed (MATCH at all 3 SFs in the replica) —
     # bm25_retrieval (sorted-fold BM25, X4/W4), hybrid_rrf_retrieval
@@ -174,10 +185,8 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_tx_sink_partitioned",  # S3,T1,T8,S7,S5 — native sink
     "tx_symlink_manifest",         # S7,S5,P9,T8 — external read path
     "tx_cdf_identity_feed",        # S2,T7,S7,T1 — feed-side identity, batch==stream
-    "props_variant_stats",         # P1,P8,A3
     # (doc_pii_redaction + doc_quality_classifier rotated out r9 s2:
     # r1-green, every id redundantly covered; stay declared + replica-run)
-    "dsir_importance_weights",     # X4,A1,J1
     "rag_overlap_chunks",          # X4,P5,P8
     "corpus_source_mix",           # X4,P9,J2
     "corpus_boilerplate_segments", # X4,A4,Q1,Q2
@@ -195,11 +204,9 @@ _DRIVER_PRIORITY: list[str] = [
     # replica-verified)
     # (tx_partition_evolution rotated out r9 s2 — r6-green, ids redundant)
     "substring_dup_spans",         # X1,X4,W2
-    "bpe_tokenize_invariants",     # X4,X6
     # (streaming_tx_source + tx_fsck_recovery rotated out r9 s2 —
     # r7/r8-green, every id keeps >=3 in-window certifiers)
     # round-8 promotions — first driver row for each
-    "doc_quality_linear_probe",    # X4,A1,P7 — exact-sufficient-stats ridge probe
     "ann_index_incremental",       # X3,X2,S2,J5 — CDF-maintained bucketed ANN index
     "ivf_index_incremental",       # X3,S2,J5 — CDF-maintained IVF lists (frozen quantizer)
     # round-9 promotions — newly certified ANN gates + upgraded oracles
@@ -221,6 +228,10 @@ _DRIVER_PRIORITY: list[str] = [
     "bm25_retrieval",              # X4,W4 — sorted-fold BM25 ranked retrieval
     "hybrid_rrf_retrieval",        # X3,X4,J3 — lexical x vector RRF fusion
     "dedup_jaccard_ppjoin",        # X2,W1 — prefix-filtered exact set-sim join
+    "media_wav_features",          # X5,X6 — audio decode boundary certification
+    "ivfpq_drift_rebuild_policy",  # X3,S2,J5 — two-pin retrain-and-swap policy
+    "retrieval_eval_metrics",      # X4,J4,A3 — P@k/MRR/nDCG retrieval grading
+    "bm25_index_incremental",      # X4,S2,J5,W4 — CDF-fed inverted index
 ]
 
 
