@@ -51,6 +51,8 @@ for name, qd in sorted(catalog.registry().items()):
         "tfidf_top_terms",  # 1-row corpus-size aggregate broadcast
         "bm25_retrieval",  # 1-row corpus-stats (n_docs/total_dl) broadcast
         "hybrid_rrf_retrieval",  # tiny (3-row) query-side cosine broadcast
+        "retrieval_eval_metrics",  # same 1-row corpus-stats broadcast (BM25 tail)
+        "bm25_index_incremental",  # 1-row props-scalar broadcast (shared tail)
         "dedup_jaccard_dfcap",  # 1-row corpus-size aggregate broadcast
         "dsir_importance_weights",  # 1-row vocab-totals aggregate broadcast
         "doc_lm_quality",  # 1-row vocabulary-size aggregate broadcast
