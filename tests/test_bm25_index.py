@@ -143,3 +143,51 @@ def test_empty_bootstrap_defers(spark, tmp_path):
     assert_bm25_index_matches_scratch(index, src)
     assert index.properties()["bm25.nDocs"] == "1"
     assert index.properties()["bm25.totalDl"] == "2"
+
+
+def test_hybrid_retrieval_through_both_incremental_indexes(spark, docs, tmp_path):
+    """Composition capstone: lexical ranking through the BM25 inverted
+    index and vector ranking through the CDF-maintained Hamming ANN
+    index, fused with RRF — the full production retrieval path, every
+    stage an incremental index read, no corpus scan anywhere."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ann_index,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        probed_hamming_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    src_d = TxTable(spark, str(tmp_path / "docs"))
+    src_d.append(docs)
+    bm25 = TxTable(spark, str(tmp_path / "bm25"))
+    catchup_bm25_index(src_d, bm25)
+    src_e = TxTable(spark, str(tmp_path / "emb"))
+    src_e.append(emb.select("vec_id", "embedding"))
+    ann = TxTable(spark, str(tmp_path / "ann"))
+    catchup_ann_index(src_e, ann, prefix_bits=4)
+
+    q = spark.createDataFrame(
+        [(0, "vector"), (0, "hash"), (1, "spark")], "query_id int, term string"
+    )
+    lex = bm25_index_topk(bm25, q, k=20).select(
+        "query_id", "doc_id", F.col("rk").alias("lex_rk")
+    )
+    qv = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = probed_hamming_topk(ann, qv, k=20, radius=1).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk")
+    )
+    fused = retrieval.rrf_fuse(lex, vec, "lex_rk", "vec_rk", k=10).collect()
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for rows in by_q.values():
+        assert [r.rk for r in sorted(rows, key=lambda r: r.rk)] == list(
+            range(1, len(rows) + 1)
+        )
+    # a doc ranked by BOTH systems outranks same-rank single-system docs
+    both = [r for r in fused if r.rrf > 1.0 / 61]
+    assert all(r.rk <= 3 for r in both) or both == []
