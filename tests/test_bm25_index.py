@@ -191,3 +191,60 @@ def test_hybrid_retrieval_through_both_incremental_indexes(spark, docs, tmp_path
     # a doc ranked by BOTH systems outranks same-rank single-system docs
     both = [r for r in fused if r.rrf > 1.0 / 61]
     assert all(r.rk <= 3 for r in both) or both == []
+
+
+def test_compaction_interplay_and_randomized_history(spark, docs, tmp_path):
+    """(a) OPTIMIZE on source or index must not disturb maintenance: a
+    source compact emits nothing on the feed (catch-up no-op), an index
+    compact restores (token, doc_id) clustering without changing content
+    or query answers. (b) Seeded random mutation history: stepwise
+    catch-ups equal scratch at every step."""
+    import random
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    base = docs.filter(F.col("doc_id") < 100).localCheckpoint(eager=True)
+    src.append(base)
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_bm25_index(src, index)
+    q = _queries(spark)
+    before = retrieval_rows(bm25_index_topk(index, q, k=10))
+
+    # (a) source compact: pure relayout, feed emits nothing
+    src.compact()
+    v = index.version()
+    catchup_bm25_index(src, index)
+    assert_bm25_index_matches_scratch(index, src)
+    # index compact: content + answers preserved, maintenance continues
+    index.compact()
+    assert retrieval_rows(bm25_index_topk(index, q, k=10)) == before
+    assert_bm25_index_matches_scratch(index, src)
+
+    # (b) randomized history, stepwise catch-up, equality at every step
+    rng = random.Random(43)
+    next_id = 3000000
+    for step in range(4):
+        for _ in range(rng.randint(1, 2)):
+            op = rng.choice(["update", "delete", "insert"])
+            ids = rng.sample(range(100), rng.randint(1, 8))
+            if op == "update":
+                upd = src.read().filter(F.col("doc_id").isin(ids)).select(
+                    "doc_id",
+                    F.concat(F.col("text"), F.lit(f" step{step}")).alias("text"),
+                )
+                if upd.take(1):
+                    src.merge_into(upd, on=["doc_id"], mode="dv")
+            elif op == "delete":
+                gone = src.read().filter(F.col("doc_id").isin(ids)).withColumn(
+                    "_g", F.lit(True)
+                )
+                if gone.take(1):
+                    src.merge_into(gone, on=["doc_id"], delete_when="_g", mode="dv")
+            else:
+                src.append(
+                    base.filter(F.col("doc_id").isin(ids)).select(
+                        (F.col("doc_id") + next_id).alias("doc_id"), "text"
+                    )
+                )
+                next_id += 1000000
+        catchup_bm25_index(src, index)
+        assert_bm25_index_matches_scratch(index, src)
