@@ -613,6 +613,43 @@ class Engine:
 
         return bm25_index_topk(TxTable(self.spark, index_dir), queries, k=k)
 
+    def hybrid_search(
+        self,
+        bm25_index_dir: str,
+        ann_index_dir: str,
+        term_queries: DataFrame,
+        vector_queries: DataFrame,
+        k: int = 10,
+        per_system_k: int = 20,
+        radius: int = 1,
+    ) -> DataFrame:
+        """Production hybrid retrieval: lexical top-k through the BM25
+        inverted index (pruned token-IN read), vector top-k through the
+        CDF-maintained Hamming ANN index (bucket-probed), fused with
+        reciprocal-rank fusion — every stage an incremental index read,
+        no corpus scan anywhere. ``term_queries`` carries (query_id,
+        term); ``vector_queries`` carries (query_id, embedding) with
+        matching query_ids. Returns (query_id, rk, doc_id, rrf)."""
+        from .operators.bm25_index import bm25_index_topk
+        from .operators.retrieval import rrf_fuse
+        from .operators.similarity import probed_hamming_topk
+        from .txlog import TxTable
+
+        from pyspark.sql import functions as F
+
+        lex = bm25_index_topk(
+            TxTable(self.spark, bm25_index_dir), term_queries, k=per_system_k
+        ).select("query_id", "doc_id", F.col("rk").alias("lex_rk"))
+        vec = probed_hamming_topk(
+            TxTable(self.spark, ann_index_dir),
+            vector_queries,
+            k=per_system_k,
+            radius=radius,
+        ).select(
+            "query_id", F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk")
+        )
+        return rrf_fuse(lex, vec, "lex_rk", "vec_rk", k=k)
+
     def start_ivfpq_index_maintenance(
         self,
         src_dir: str,

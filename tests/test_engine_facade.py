@@ -245,3 +245,45 @@ def test_ivfpq_index_facade_lifecycle(spark, tmp_path):
         TxTable(spark, dirs["books"]),
         src,
     )
+
+
+def test_hybrid_search_facade(spark, tmp_path):
+    """Engine.hybrid_search composes both incremental index read paths
+    with RRF — the facade form of the bm25_index hybrid capstone."""
+    from pyspark.sql import functions as F
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ann_index,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.bm25_index import (
+        catchup_bm25_index,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    eng = Engine(spark)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    src_d = TxTable(spark, str(tmp_path / "docs"))
+    src_d.append(docs)
+    bm25_dir = str(tmp_path / "bm25")
+    catchup_bm25_index(src_d, TxTable(spark, bm25_dir))
+    src_e = TxTable(spark, str(tmp_path / "emb"))
+    src_e.append(emb.select("vec_id", "embedding"))
+    ann_dir = str(tmp_path / "ann")
+    catchup_ann_index(src_e, TxTable(spark, ann_dir), prefix_bits=4)
+
+    tq = spark.createDataFrame(
+        [(0, "vector"), (1, "spark")], "query_id int, term string"
+    )
+    vq = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = eng.hybrid_search(bm25_dir, ann_dir, tq, vq, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    assert set(by_q) == {0, 1}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
