@@ -212,8 +212,19 @@ _DRIVER_PRIORITY: list[str] = [
     # round-9 promotions — newly certified ANN gates + upgraded oracles
     "ann_topk_lsh",                # X3 — multi-probe LSH retrieval contract
     "knn_pq_adc",                  # X3 — PQ ADC shortlist + exact re-rank contract
+    # ---- ROUND-10 ROTATION (VERDICT r9 item 6): the new
+    # hybrid_index_retrieval gate (the retrieval stack's end-to-end
+    # certificate — BOTH incremental indexes through their CDC mutation
+    # histories, composed by Engine.hybrid_search, hashed against a
+    # closed-form dual-corpus RRF replay) enters for its first driver
+    # row. Out: knn_cosine_arrow (r9-green; X3 keeps 9 other in-window
+    # certifiers incl. the new gate, X6 keeps doc_chunks_udtf +
+    # kmeans_cluster_sizes + media_features + media_wav_features +
+    # ivfpq_index_incremental). 52/52 ids stay covered
+    # (test_driver_window_covers_every_survey_id).
     "knn_ivf_probe",               # X3 — IVF probe retrieval contract (upgraded r7)
-    "knn_cosine_arrow",            # X3,X6 — Arrow cosine twin, full oracle
+    # (knn_cosine_arrow rotated out r10: r9-green, ids redundant;
+    # stays declared + replica-run)
     "kmeans_cluster_sizes",        # X3,X6 — Lloyd invariants, full oracle
     "media_features",              # X5,X6 — dyadic-exact decode feature oracle
     "streaming_distinct_sketch",   # A4,A6,T1,T8 — 1%+2 batch cross-check oracle
@@ -232,6 +243,8 @@ _DRIVER_PRIORITY: list[str] = [
     "ivfpq_drift_rebuild_policy",  # X3,S2,J5 — two-pin retrain-and-swap policy
     "retrieval_eval_metrics",      # X4,J4,A3 — P@k/MRR/nDCG retrieval grading
     "bm25_index_incremental",      # X4,S2,J5,W4 — CDF-fed inverted index
+    # round-10 promotion — first driver row
+    "hybrid_index_retrieval",      # X3,X4,J3,J5,S2 — composed dual-index RRF
 ]
 
 
@@ -9461,3 +9474,90 @@ def bm25_index_incremental_operator(spark: SparkSession, sf_dir: str) -> DataFra
     _src, index = _bm25_index_lifecycle(spark, sf_dir)
     q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     return bm25_index_topk(index, q, k=10)
+
+
+def _hybrid_index_oracle() -> str:
+    """Closed-form replay of BOTH index lifecycles + the fused answer:
+    lexical = the BM25 oracle over the mutated documents corpus (top-10,
+    exactly the per_system_k=10 index read), vector = radius-1 probed
+    Hamming top-10 over the mutated embeddings corpus (query vectors from
+    the ORIGINAL table — vec 3 is deleted from the corpus but still
+    queries it), fused with RRF k=60 in fixed textual order."""
+    return f"""
+    WITH lex AS (
+        SELECT query_id, doc_id, rk AS lex_rk
+        FROM ({_bm25_oracle(_BM25_MUT_CORPUS_SQL)})),
+    corpus AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 0
+                    THEN list_transform(embedding, x -> -x)
+                    ELSE embedding END AS embedding
+        FROM embeddings
+        WHERE vec_id % 11 <> 3),
+    bq AS (
+        SELECT vec_id,
+               {_bq_word_sql(0)} AS b_lo,
+               {_bq_word_sql(32)} AS b_hi
+        FROM corpus),
+    bb AS (SELECT vec_id, b_lo, b_hi, b_lo & 15 AS bucket FROM bq),
+    qsig AS (
+        SELECT vec_id AS query_id,
+               {_bq_word_sql(0)} AS q_lo,
+               {_bq_word_sql(32)} AS q_hi
+        FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    qv AS (SELECT query_id, q_lo, q_hi, q_lo & 15 AS q_bucket FROM qsig),
+    vscored AS (
+        SELECT qv.query_id, c.vec_id AS doc_id,
+               CAST(bit_count(xor(c.b_lo, qv.q_lo))
+                    + bit_count(xor(c.b_hi, qv.q_hi)) AS INT) AS hamming
+        FROM bb c CROSS JOIN qv
+        WHERE bit_count(xor(c.bucket, qv.q_bucket)) <= 1),
+    vec AS (
+        SELECT query_id, doc_id, vec_rk FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, doc_id) AS vec_rk
+            FROM vscored)
+        WHERE vec_rk <= 10),
+    fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + lex_rk), 0.0)
+               + coalesce(1.0 / (60 + vec_rk), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+    SELECT query_id, rk, doc_id, rrf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rk
+        FROM fused)
+    WHERE rk <= 10
+    """
+
+
+@register("hybrid_index_retrieval", _hybrid_index_oracle(), "X3,X4,J3,J5,S2")
+def hybrid_index_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval stack's end-to-end certificate (VERDICT r9 item 1):
+    BOTH incremental indexes — the CDF-fed BM25 inverted index and the
+    CDF-fed bucketed Hamming ANN index — are built through their full CDC
+    mutation histories (update + delete + insert on the documents side,
+    bucket-crossing sign-flip update + delete on the embeddings side),
+    then ``Engine.hybrid_search`` composes the two PRUNED index read
+    paths (token-IN postings read × radius-1 bucket probe) into
+    reciprocal-rank fusion. The hash oracle replays both corpus histories
+    in closed form and fuses the two rankings the same way — a MATCH
+    proves a production hybrid query over the maintained indexes answers
+    exactly like re-ranking the mutated corpora from scratch, with no
+    corpus scan anywhere on the engine side."""
+    from .engine import Engine
+
+    _src_d, bm25 = _bm25_index_lifecycle(spark, sf_dir)
+    _src_e, ann = _ann_incr_lifecycle(spark, sf_dir)
+    q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q_vecs = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(1, 2, 3))
+        .select(F.col("vec_id").cast("int").alias("query_id"), "embedding")
+    )
+    return Engine(spark).hybrid_search(
+        bm25.path, ann.path, q_terms, q_vecs, k=10, per_system_k=10, radius=1
+    )

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..txlog import maybe_compact_index
 from .similarity import _prefix_bucket_expr, binary_quantize
 
 _PREFIX_PROP = "ann.prefixDims"
@@ -262,6 +263,10 @@ def catchup_ann_index(
         )
         index.set_properties({"ann.srcVersion": str(hi)})
         v = hi
+    # catch-up-time auto-compaction (file-count-relative, metadata-only
+    # check): trickle maintenance fragments the clustered layout; restore
+    # the bootstrap shape once fragments exceed the slack threshold
+    maybe_compact_index(index, rows_per_file)
     return head
 
 
@@ -327,6 +332,7 @@ def stream_ann_index_to_tx_table(
         hi = batch.agg(F.max("_commit_version")).collect()[0][0]
         if hi is not None and hi > int(index.properties().get("ann.srcVersion", -1)):
             index.set_properties({"ann.srcVersion": str(hi)})
+        maybe_compact_index(index, _CLUSTER_ROWS_PER_FILE)
 
     writer = (
         feed.writeStream.foreachBatch(fold)
@@ -556,6 +562,7 @@ def catchup_ivf_index(
             )
         index.set_properties({"ann.srcVersion": str(hi)})
         v = hi
+    maybe_compact_index(index, _CLUSTER_ROWS_PER_FILE)
     return _ivf_drift_policy(src, index, cents, n_iter)
 
 
@@ -840,27 +847,39 @@ def catchup_ivfpq_index(
         ivfpq_apply_changes(index, changes, centroids, model, mode=mode)
         index.set_properties({"ann.srcVersion": str(hi)})
         v = hi
+    maybe_compact_index(index, _CLUSTER_ROWS_PER_FILE)
     return _ivfpq_drift_policy(src, index, cents, books, n_iter, sample)
 
 
-def ivfpq_index_drift(src, index, cents) -> dict:
+def ivfpq_index_drift(src, index, cents, sample_mod: int | None = None) -> dict:
     """Retrain signal for the frozen IVF-PQ models: mean squared
     assignment distance of the CURRENT source snapshot (normalized — the
     index's metric space) to the pinned coarse centroids, vs the value
     logged at bootstrap (``ann.ivfpq.bootMeanD2``). The compressed lists
     store 8-byte codes, not embeddings, so unlike the raw-IVF twin the
-    metric reads the SOURCE head — one broadcast assign + one global
-    aggregate, the same cost class as a catch-up's own assignment pass.
-    Scale-invariant by construction (unit vectors), so only DIRECTIONAL
-    corpus drift registers — exactly the drift that degrades ADC
-    recall."""
+    metric reads the SOURCE — one broadcast assign + one global
+    aggregate. Scale-invariant by construction (unit vectors), so only
+    DIRECTIONAL corpus drift registers — exactly the drift that degrades
+    ADC recall.
+
+    ``sample_mod`` = s makes the probe o(corpus): only vectors with
+    ``xxhash64(vec_id) % s == 0`` (a deterministic ~1/s key sample —
+    stable across catch-ups, no RNG state) are assigned. A mean over a
+    hash-uniform sample estimates the full mean; the policy compares a
+    RATIO of two means, so sampling noise enters once, and the
+    fire/no-fire decision agrees with the exact probe away from the
+    knife's edge (receipted at 1M vectors in scripts/ann_index_scale.py).
+    The bootstrap baseline stays EXACT — it falls out of the bootstrap's
+    own full assignment pass for free."""
     from .clustering import assign_clusters
 
-    cur = (
-        assign_clusters(
-            _unit_vecs(src.read().select("vec_id", "embedding")),
-            _pinned_cents(index, cents),
+    head = _unit_vecs(src.read().select("vec_id", "embedding"))
+    if sample_mod is not None and sample_mod > 1:
+        head = head.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(int(sample_mod))) == 0
         )
+    cur = (
+        assign_clusters(head, _pinned_cents(index, cents))
         .agg(F.avg("d2").alias("m"))
         .collect()[0]["m"]
     )
@@ -948,13 +967,20 @@ def _ivfpq_drift_policy(src, index, cents, books, n_iter: int, sample: int) -> i
     """Post-catch-up drift check, IVF-PQ twin of ``_ivf_drift_policy``:
     with ``ann.ivfpq.maxDrift`` set, a drift ratio past it raises an
     actionable error (default) or triggers the atomic retrain-and-swap
-    (``ann.ivfpq.onDrift=rebuild``)."""
+    (``ann.ivfpq.onDrift=rebuild``). ``ann.ivfpq.driftSampleMod`` = s
+    makes every policy probe a deterministic ~1/s key sample instead of
+    a full-corpus assignment — a policy CHECK must be o(corpus) at
+    billion scale (the ADVICE-r9 finding); unset keeps the exact probe
+    (small tables, certification gates)."""
     props = index.properties()
     head = int(props.get("ann.srcVersion", -1))
     max_drift = props.get("ann.ivfpq.maxDrift")
     if not max_drift:
         return head
-    d = ivfpq_index_drift(src, index, cents)
+    mod = props.get("ann.ivfpq.driftSampleMod")
+    d = ivfpq_index_drift(
+        src, index, cents, sample_mod=int(mod) if mod else None
+    )
     ratio = d["drift_ratio"]
     if ratio is None or ratio <= float(max_drift):
         return head
@@ -1079,6 +1105,7 @@ def stream_ivfpq_index_to_tx_table(
         hi = batch.agg(F.max("_commit_version")).collect()[0][0]
         if hi is not None and hi > int(index.properties().get("ann.srcVersion", -1)):
             index.set_properties({"ann.srcVersion": str(hi)})
+        maybe_compact_index(index, _CLUSTER_ROWS_PER_FILE)
 
     writer = (
         feed.writeStream.foreachBatch(fold)

@@ -23,7 +23,11 @@ merge's narrow candidate scan went O(corpus): a single-doc update cost
 layout prunes the same update to the handful of files its tokens land
 in. Corpus scalars (``bm25.nDocs``, ``bm25.totalDl``) are exact
 integers maintained in table properties by delta arithmetic — never
-recomputed by scanning.
+recomputed by scanning — and every maintenance step commits scalars,
+postings, and the ``bm25.srcVersion`` watermark ATOMICALLY (``props``
+on the merge/append commit): delta arithmetic is only exactly-once if
+a crash cannot separate an applied delta from the watermark that marks
+it applied.
 
 Change-image semantics: an update renders as delete(pre-image) +
 insert(post-image) on the feed, so the index never needs to READ itself
@@ -38,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..txlog import maybe_compact_index
 from .retrieval import BM25_B, BM25_K1, bm25_rank, bm25_score_from_stats
 from .textops import tokens
 
@@ -91,15 +96,24 @@ def _doc_net_images(changes: DataFrame, text_col: str) -> DataFrame:
     return first.join(last, "doc_id", "full_outer")
 
 
-def bm25_apply_changes(index, changes: DataFrame, text_col: str, mode: str) -> None:
+def bm25_apply_changes(
+    index, changes: DataFrame, text_col: str, mode: str,
+    watermark: int | None = None,
+) -> None:
     """Fold one change-image batch: tokenize the per-doc pre/post images,
     full-outer them on (doc_id, token) — post-image postings upsert,
     pre-image-only postings tombstone — and keyed-merge into the
-    token-clustered files. Corpus scalars adjust by exact integer deltas computed
-    from the same two relations. Re-delivered batches re-merge the same
-    rows and re-derive the same final scalars (the scalar update is
-    delta-from-images, so it is NOT blindly re-addable — the streaming
-    twin guards replays via the watermark instead)."""
+    token-clustered files. Corpus scalars adjust by exact integer deltas
+    computed from the same two relations, and land IN THE SAME commit as
+    the postings merge together with the ``bm25.srcVersion`` watermark
+    (``props`` on ``TxTable.merge_into``): the postings merge is
+    replay-idempotent but the scalar delta is NOT blindly re-addable, so
+    scalars and watermark must advance atomically with the rows — a crash
+    can never leave applied deltas without the watermark (which a restart
+    catch-up would re-apply, permanently skewing every idf/avgdl). A
+    batch with no posting change still advances the watermark (single
+    metadata commit; deltas are provably zero then — ``ups`` carries
+    EVERY post-image posting, so an empty source means no doc changed)."""
     net = _doc_net_images(changes, text_col).localCheckpoint(eager=True)
     old_post = _tf_rows(
         net.filter(F.col("old_text").isNotNull()).select(
@@ -124,14 +138,8 @@ def bm25_apply_changes(index, changes: DataFrame, text_col: str, mode: str) -> N
         )
     )
     source = ups.unionByName(dels).localCheckpoint(eager=True)
-    if source.take(1):
-        index.merge_into(
-            source,
-            on=["token", "doc_id"],
-            delete_when="_tombstone",
-            mode=mode,
-        )
-    # exact scalar deltas: docs-with-tokens and token mass, old vs new
+    # exact scalar deltas: docs-with-tokens and token mass, old vs new —
+    # computed BEFORE the merge so the merge commit can carry them
     agg = lambda rel: rel.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     o = agg(old_post).agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t")
@@ -139,13 +147,23 @@ def bm25_apply_changes(index, changes: DataFrame, text_col: str, mode: str) -> N
     n = agg(new_post).agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t")
     ).collect()[0]
-    props = index.properties()
-    index.set_properties(
-        {
-            "bm25.nDocs": str(int(props.get("bm25.nDocs", 0)) + n["n"] - o["n"]),
-            "bm25.totalDl": str(int(props.get("bm25.totalDl", 0)) + n["t"] - o["t"]),
-        }
-    )
+    cur = index.properties()
+    props = {
+        "bm25.nDocs": str(int(cur.get("bm25.nDocs", 0)) + n["n"] - o["n"]),
+        "bm25.totalDl": str(int(cur.get("bm25.totalDl", 0)) + n["t"] - o["t"]),
+    }
+    if watermark is not None:
+        props["bm25.srcVersion"] = str(watermark)
+    if source.take(1):
+        index.merge_into(
+            source,
+            on=["token", "doc_id"],
+            delete_when="_tombstone",
+            mode=mode,
+            props=props,
+        )
+    else:
+        index.set_properties(props)
 
 
 def catchup_bm25_index(
@@ -168,26 +186,29 @@ def catchup_bm25_index(
         rows = _tf_rows(snap).localCheckpoint(eager=True)
         if not rows.take(1):
             return done  # defer: first non-empty catch-up bootstraps
-        index.append(
-            rows,
-            cluster_by=["token", "doc_id"],
-            max_records_per_file=ROWS_PER_FILE,
-        )
-        index.set_clustering(["token", "doc_id"])
-        index.set_bloom_index(["token"], auto_size=True)
         stats = (
             rows.groupBy("doc_id")
             .agg(F.first("dl").alias("dl"))
             .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
             .collect()[0]
         )
-        index.set_properties(
-            {
+        # scalars + watermark ride the bootstrap append itself: a crash
+        # can never leave committed postings without their exact corpus
+        # scalars (the clustering/bloom declarations after are layout
+        # policy only — losing them to a crash degrades pruning, not
+        # correctness, and the next compact restores them)
+        index.append(
+            rows,
+            cluster_by=["token", "doc_id"],
+            max_records_per_file=ROWS_PER_FILE,
+            props={
                 "bm25.srcVersion": str(head),
                 "bm25.nDocs": str(stats["n"]),
                 "bm25.totalDl": str(stats["t"]),
-            }
+            },
         )
+        index.set_clustering(["token", "doc_id"])
+        index.set_bloom_index(["token"], auto_size=True)
         return head
     v = done
     while v < head:
@@ -200,9 +221,14 @@ def catchup_bm25_index(
                 f"CDF retention (watermark v{v}): rebuild — drop the "
                 "postings table and catchup_bm25_index() from scratch."
             ) from e
-        bm25_apply_changes(index, changes, text_col, mode)
-        index.set_properties({"bm25.srcVersion": str(hi)})
+        # scalars AND the advanced watermark land in the merge commit
+        # itself (atomic — see bm25_apply_changes)
+        bm25_apply_changes(index, changes, text_col, mode, watermark=hi)
         v = hi
+    # catch-up-time auto-compaction: restore the (token, doc_id)
+    # clustered layout once trickle fragments exceed the relative
+    # threshold (metadata-only check; no-op at gate scale)
+    maybe_compact_index(index, ROWS_PER_FILE)
     return head
 
 
@@ -218,13 +244,19 @@ def bm25_index_topk(
     stats + clustering spans + per-file blooms skip every file that
     cannot hold a term), df from the fetched postings, corpus scalars
     from the exact integer properties. Identical arithmetic shape (and
-    therefore identical scores) to the corpus-scan ``bm25_topk``."""
+    therefore identical scores) to the corpus-scan ``bm25_topk``.
+
+    Postings and corpus scalars come from ONE pinned snapshot version —
+    two separate head reads would let a concurrent catch-up land between
+    them and pair new postings with stale n_docs/total_dl (the
+    ivfpq_index_topk pinned-generation discipline)."""
     spark = index.spark
-    props = index.properties()
+    v = index.version()
+    props = index.properties(as_of=v)
     terms = sorted(
         r.term for r in queries.select("term").distinct().collect()
     )  # bounded: a query's term list
-    post = index.read(predicates=[("token", "in", terms)]).select(
+    post = index.read(as_of=v, predicates=[("token", "in", terms)]).select(
         "doc_id", "token", "tf", "dl"
     ).localCheckpoint(eager=False)
     tf = post.select("doc_id", "token", "tf")
@@ -306,10 +338,12 @@ def stream_bm25_index_to_tx_table(
         batch = batch.filter(F.col("_commit_version") > done)
         if not batch.take(1):
             return  # replayed at-or-below the watermark: exactly-once no-op
-        bm25_apply_changes(index, batch, text_col, mode)
         hi = batch.agg(F.max("_commit_version")).collect()[0][0]
-        if hi is not None and hi > done:
-            index.set_properties({"bm25.srcVersion": str(hi)})
+        # scalar deltas + watermark commit WITH the postings merge — a
+        # crash mid-fold leaves watermark un-advanced and deltas
+        # un-applied together, so the replayed batch is exactly-once
+        bm25_apply_changes(index, batch, text_col, mode, watermark=hi)
+        maybe_compact_index(index, ROWS_PER_FILE)
 
     writer = (
         feed.writeStream.foreachBatch(fold)

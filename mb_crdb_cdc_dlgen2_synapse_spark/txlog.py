@@ -1681,9 +1681,13 @@ class TxTable:
             return partition_by
         return self.partitioning() or None
 
-    def properties(self) -> dict[str, str]:
-        """Active table properties ({key: value} strings — TBLPROPERTIES)."""
-        return dict(self._state()["props"])
+    def properties(self, as_of: int | None = None) -> dict[str, str]:
+        """Active table properties ({key: value} strings — TBLPROPERTIES).
+        ``as_of`` reads the map at a pinned snapshot — readers pairing a
+        data read with derived scalar properties (the BM25 index's corpus
+        counters) MUST take both from one version or a concurrent
+        maintenance commit slips new data under stale scalars."""
+        return dict(self._state(as_of)["props"])
 
     def set_properties(self, props: dict[str, str | None]) -> int:
         """``ALTER TABLE SET/UNSET TBLPROPERTIES``: merge ``props`` into the
@@ -3182,13 +3186,19 @@ class TxTable:
         merge_schema: bool = False,
         cluster_by: list[str] | None = None,
         max_records_per_file: int | None = None,
+        props: dict[str, str | None] | None = None,
     ) -> int:
         """Atomic append; with ``txn`` a re-delivered batch is a no-op.
         ``partition_by=None`` inherits the declared partition spec.
         ``cluster_by`` range-clusters the staged files on the given
         columns within each partition (tight per-file key spans —
         see _stage); with ``max_records_per_file`` a sorted task splits
-        into bounded disjoint-span files. Layout only, never content."""
+        into bounded disjoint-span files. Layout only, never content.
+
+        ``props`` merges into the table's property map IN THE SAME commit
+        (``None`` unsets) — same contract as ``overwrite``: state derived
+        from the appended rows (watermarks, exact counters) must advance
+        atomically with the rows or a crash between two commits skews it."""
         if self._txn_seen(txn):
             return self.version()
         partition_by = self._default_partition_by(partition_by)
@@ -3213,10 +3223,32 @@ class TxTable:
             cluster_by=cluster_by,
             max_records_per_file=max_records_per_file,
         )
+        extra: dict = {}
+        if new_colmap is not None:
+            extra["colmap"] = new_colmap
+        if props is not None:
+            extra["props"] = self._merged_props(state, props)
         return self._commit(
             added, lambda active: [], self._union_schema_json(df), txn, "append", stats,
-            extra={"colmap": new_colmap} if new_colmap is not None else None,
+            extra=extra or None,
+            # props make this a metadata write: anchor the conflict scan at
+            # the snapshot the merged map came from (lost-update guard)
+            base=(state["version"], state["schema"]) if props is not None else None,
         )
+
+    @staticmethod
+    def _merged_props(
+        state: dict, props: dict[str, str | None]
+    ) -> dict[str, str]:
+        """Current property map + caller deltas (``None`` unsets) — the
+        full-map form every props-carrying commit logs."""
+        cur = dict(state["props"])
+        for k, v in props.items():
+            if v is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = str(v)
+        return cur
 
     def overwrite(
         self,
@@ -3487,6 +3519,57 @@ class TxTable:
         return self._commit(
             added, removed, logged_out.json(), None, "compact",
             stats, extra={"dv_reset": []},  # DV deletes become physical here
+        )
+
+    def compact_layout(self, max_records_per_file: int | None = None) -> int:
+        """Layout-preserving OPTIMIZE for incrementally-maintained index
+        tables: rewrite the whole table in ONE commit keeping BOTH the
+        hive partition layout (plain ``compact()`` deliberately flattens
+        it — wrong for a cid/bucket-partitioned ANN index whose read path
+        prunes on partition values) and the declared clustering (linear
+        range-clustering within partitions — ``_stage``'s cluster_by),
+        with ``max_records_per_file`` bounding each file to a tight,
+        disjoint cluster-key span. This is the maintenance rewrite that
+        RESTORES the bootstrap layout after trickle catch-ups fragment it
+        (~1 small file per touched token/bucket per batch): candidate
+        pruning receipts (SCALING.md) assume tight spans + right-sized
+        blooms, both of which re-materialize here. Content is byte-for-
+        byte preserved; DVs are applied physically and reset."""
+        v0 = self.version()
+        state0 = self._state()
+        track = bool(state0["rowtrack"].get("enabled"))
+        if track:
+            df = self.read(row_ids=True).withColumnRenamed("_row_id", "__row_id")
+        else:
+            df = self.read()
+        _v, active, _s = self.snapshot()
+        if not active:
+            return v0
+        layout = [k for k in self._parts(active[0]) if k in df.columns]
+        cluster = [c for c in (self.clustering() or []) if c in df.columns]
+        df = df.localCheckpoint(eager=True)
+        added, stats = self._stage(
+            df,
+            layout or None,
+            cluster_by=cluster or None,
+            max_records_per_file=max_records_per_file,
+        )
+
+        def removed(act: list[str]) -> list[str]:
+            clash = self._dv_conflict_since(v0, None)
+            if clash:
+                raise TxConflictError(
+                    f"compact_layout conflict: deletion vector committed on "
+                    f"{clash!r} after the compaction's scan"
+                )
+            return list(act)
+
+        logged_out = T.StructType(
+            [f for f in df.schema.fields if f.name != "__row_id"]
+        )
+        return self._commit(
+            added, removed, logged_out.json(), None, "compact",
+            stats, extra={"dv_reset": []},
         )
 
     # -- read / maintenance --------------------------------------------------
@@ -4087,6 +4170,7 @@ class TxTable:
         extra_df: DataFrame | None = None,
         extra_partition_by: list[str] | None = None,
         txn: dict | None = None,
+        props: dict[str, str | None] | None = None,
     ) -> dict:
         """Copy-on-write core shared by DELETE/UPDATE/REPLACE WHERE: read
         only ``cands`` (partition columns recovered via basePath), apply
@@ -4095,8 +4179,12 @@ class TxTable:
         removes exactly the candidate files. ``extra_df`` stages additional
         NEW files into the SAME commit (replace_where's incoming data).
         Untouched files keep byte identity — at 100 TB the rewrite cost
-        tracks the pruned candidate set, not the table."""
+        tracks the pruned candidate set, not the table. ``props`` merges
+        into the property map in the SAME commit (merge_into's atomic
+        watermark/counter contract on the CoW path)."""
         if not cands:
+            if props is not None:
+                return {"files_rewritten": 0, "version": self.set_properties(props)}
             return {"files_rewritten": 0, "version": self.version()}
         from pyspark.sql import functions as F
 
@@ -4178,8 +4266,14 @@ class TxTable:
         out_schema = T.StructType(
             [f for f in out.schema.fields if f.name != "__row_id"]
         )
+        extra = None
+        base = None
+        if props is not None:
+            extra = {"props": self._merged_props(state0, props)}
+            base = (state0["version"], state0["schema"])
         version = self._commit(
-            added, removed, out_schema.json(), txn, op, stats
+            added, removed, out_schema.json(), txn, op, stats,
+            extra=extra, base=base,
         )
         return {"files_rewritten": len(cands), "version": version}
 
@@ -4449,6 +4543,7 @@ class TxTable:
         insert: bool = True,
         partition_by: list[str] | None = None,
         mode: str = "cow",
+        props: dict[str, str | None] | None = None,
     ) -> dict:
         """Delta-style ``MERGE INTO`` keyed on the ``on`` columns:
 
@@ -4475,6 +4570,14 @@ class TxTable:
         ``mode="dv"`` merges on-read: matched rows are deletion-vectored
         (updates additionally append the source image), so write cost is
         O(changed + inserted rows) — candidate files are never rewritten.
+
+        ``props`` merges into the table's property map ATOMICALLY with the
+        merge (``None`` unsets): the data-changing commit carries the full
+        merged map, and when the merge degenerates to a content no-op the
+        props land in a single ``set_properties`` commit instead — either
+        way a crash can never separate the merged rows from derived state
+        like watermarks or exact delta-maintained counters (the BM25
+        index's ``bm25.nDocs``/``bm25.totalDl``/``bm25.srcVersion``).
         """
         from pyspark.sql import Column
         from pyspark.sql import functions as F
@@ -4506,8 +4609,12 @@ class TxTable:
         if version < 0 or not active:
             out = src.filter(~F.col("__s_del")).drop("__s_del") if insert else None
             if out is None:
+                if props is not None:
+                    return {
+                        "files_rewritten": 0, "version": self.set_properties(props)
+                    }
                 return {"files_rewritten": 0, "version": version}
-            self.append(out, partition_by=partition_by)
+            self.append(out, partition_by=partition_by, props=props)
             return {"files_rewritten": 0, "version": self.version()}
 
         # candidate files: key-span overlap on every merge key
@@ -4651,6 +4758,10 @@ class TxTable:
             # non-delete source row is an insert, appended without touching
             # any existing file (preserving the table's partition layout)
             if not insert:
+                if props is not None:
+                    return {
+                        "files_rewritten": 0, "version": self.set_properties(props)
+                    }
                 return {"files_rewritten": 0, "version": version}
             out = conform(src.filter(~F.col("__s_del")))
             layout = [
@@ -4658,7 +4769,7 @@ class TxTable:
             ]
             # merge_schema: conform already fixed order+types; only the
             # nullable flags may differ from the table's logged schema
-            self.append(out, partition_by=layout or None, merge_schema=True)
+            self.append(out, partition_by=layout or None, merge_schema=True, props=props)
             return {"files_rewritten": 0, "version": self.version()}
 
         def transform(tdf: DataFrame) -> DataFrame:
@@ -4704,19 +4815,21 @@ class TxTable:
 
         if mode == "dv":
             res = self._merge_dv(
-                src, on, cands, target_cols, conform, update, insert
+                src, on, cands, target_cols, conform, update, insert,
+                props=props,
             )
             if res is not None:
                 res["candidates"] = len(cands)
                 return res
             # marked-row volume exceeded DV_MAX_ROWS — CoW is the right
             # physical strategy for a merge touching this much of the table
-        out = self._rewrite_files(cands, transform)
+        out = self._rewrite_files(cands, transform, props=props)
         out["candidates"] = len(cands)
         return out
 
     def _merge_dv(
-        self, src, on, cands, target_cols, conform, update, insert
+        self, src, on, cands, target_cols, conform, update, insert,
+        props: dict[str, str | None] | None = None,
     ) -> dict:
         """Merge-on-read MERGE core: matched rows' positions land in a
         deletion vector (update matches additionally append the source
@@ -4806,7 +4919,23 @@ class TxTable:
                     dv_rel.append(rel)
             shutil.rmtree(stage, ignore_errors=True)
         if not added and not dv_rel:
+            if props is not None:
+                return {"dv_rows": 0, "version": self.set_properties(props)}
             return {"dv_rows": 0, "version": self.version()}
+        extra = {
+            "dv_added": dv_rel,
+            "dv_counts": counts,
+            # per-DV blast radius for fsck: each vector written by this
+            # commit covers exactly these data files (coalesce(1) means
+            # one vector; a multi-file write maps each to the union,
+            # still tighter than a cross-commit scan)
+            "dv_covers": {rel: sorted(counts) for rel in dv_rel},
+        }
+        base = None
+        if props is not None:
+            st = self._state()
+            extra["props"] = self._merged_props(st, props)
+            base = (st["version"], st["schema"])
         version = self._commit(
             added,
             self._dv_commit_removed_fn(set(counts)),
@@ -4814,15 +4943,8 @@ class TxTable:
             None,
             "merge_dv",
             add_stats,
-            extra={
-                "dv_added": dv_rel,
-                "dv_counts": counts,
-                # per-DV blast radius for fsck: each vector written by this
-                # commit covers exactly these data files (coalesce(1) means
-                # one vector; a multi-file write maps each to the union,
-                # still tighter than a cross-commit scan)
-                "dv_covers": {rel: sorted(counts) for rel in dv_rel},
-            },
+            extra=extra,
+            base=base,
         )
         return {"dv_rows": sum(counts.values()), "version": version}
 
@@ -5923,6 +6045,37 @@ def maybe_autocompact(
     if len(active) <= max_files:
         return False
     table.compact(target_files=target_files)
+    return True
+
+
+def maybe_compact_index(
+    table: "TxTable",
+    rows_per_file: int,
+    slack: float = 1.5,
+    min_files: int = 32,
+) -> bool:
+    """Auto-compaction cadence for CDF-maintained index tables (BM25
+    postings, ANN/IVF/IVF-PQ lists), run at catch-up time: trickle
+    maintenance adds ~1 small file per touched token/bucket per batch,
+    and at CDC steady state the candidate-pruning receipts decay as the
+    fragments pile up. The trigger is RELATIVE to table size — compact
+    when the active file count exceeds ``slack`` × the ideal count
+    (``ceil(rows / rows_per_file)``, both from log metadata only — no
+    storage listing, no scan) plus a ``min_files`` grace so small gates
+    and fresh bootstraps never churn. A fixed absolute threshold would be
+    wrong at 100 TB (the ideal count grows with the corpus); a ratio
+    holds at any scale. The rewrite itself is ``compact_layout`` —
+    partition layout + declared clustering + per-file row bound, i.e.
+    exactly the bootstrap shape. Disable per table with
+    ``autoCompact.index=false``."""
+    if str(table.properties().get("autoCompact.index", "")).lower() == "false":
+        return False
+    _v, active, _s = table.snapshot()
+    n_rows = table.count_rows()
+    ideal = max(1, -(-int(n_rows) // int(rows_per_file)))
+    if len(active) <= slack * ideal + min_files:
+        return False
+    table.compact_layout(max_records_per_file=rows_per_file)
     return True
 
 

@@ -229,6 +229,20 @@ def ivfpq_receipt() -> None:
             index, cents, books, src, queries, k=5, nprobe=4, shortlist=200
         ).collect()
         probe = time.time() - t0
+        # drift-probe sampling receipt (ADVICE r9): the o(corpus) policy
+        # check must agree with the exact one — ratio within a few %, and
+        # the SAME fire/no-fire decision at the policy threshold
+        from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+            ivfpq_index_drift,
+        )
+
+        t0 = time.time()
+        exact = ivfpq_index_drift(src, index, cents)
+        t_exact = time.time() - t0
+        t0 = time.time()
+        sampled = ivfpq_index_drift(src, index, cents, sample_mod=32)
+        t_samp = time.time() - t0
+        re_, rs = exact["drift_ratio"], sampled["drift_ratio"]
         print(
             f"[ivfpq] N={N}\n"
             f"  raw corpus       {raw_bytes / 1e6:8.2f} MB  "
@@ -237,7 +251,11 @@ def ivfpq_receipt() -> None:
             f"  bootstrap        {boot:7.2f}s  "
             f"trickle increment {incr:.2f}s / {incr_bytes / 1e6:.2f} MB\n"
             f"  IVFADC+R probe   {probe:7.2f}s (3 queries, nprobe 4/16, "
-            f"shortlist 200, source-key rerank)  equality proof {proof:.2f}s"
+            f"shortlist 200, source-key rerank)  equality proof {proof:.2f}s\n"
+            f"  drift probe      exact {re_:.4f} in {t_exact:.2f}s  "
+            f"sampled(1/32) {rs:.4f} in {t_samp:.2f}s  "
+            f"rel err {abs(rs - re_) / re_ * 100:.2f}%  "
+            f"fire@1.5 agree: {(re_ > 1.5) == (rs > 1.5)}"
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -951,3 +951,104 @@ def test_ivfpq_drift_error_policy_and_rebuild(spark, tmp_path):
     assert abs(d - 1.0) < 1e-9
     # policy satisfied now: quiet catch-up passes
     assert catchup_ivfpq_index(src, index, cents, books) == src.version()
+
+
+def test_ivfpq_drift_probe_sampling_agrees_and_drives_policy(spark, tmp_path):
+    """ADVICE-r9: the drift POLICY check must be o(corpus). With
+    ann.ivfpq.driftSampleMod set, the probe assigns only the
+    xxhash64(vec_id) % s == 0 key sample; the sampled ratio tracks the
+    exact one and makes the SAME fire/no-fire decision, both before and
+    after a drifting mutation — including through the error policy on a
+    quiet catch-up."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ivfpq_index,
+        ivfpq_index_drift,
+    )
+
+    n = 1200
+    base = synthetic_embeddings(spark, n)
+    clustered = base.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> x"
+            " + IF(i = CAST(vec_id % 8 AS INT), 10.0D, 0.0D))"
+        ).alias("embedding"),
+    )
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(clustered)
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    books = TxTable(spark, str(tmp_path / "books"))
+    catchup_ivfpq_index(src, index, cents, books, n_lists=8, m=8, kq=16)
+    # quiet corpus: sampled and exact both read ~1.0, neither fires
+    ex0 = ivfpq_index_drift(src, index, cents)["drift_ratio"]
+    sm0 = ivfpq_index_drift(src, index, cents, sample_mod=8)["drift_ratio"]
+    assert abs(ex0 - 1.0) < 1e-9
+    assert abs(sm0 - 1.0) < 0.35  # hash-uniform sample of the same corpus
+    assert (ex0 > 1.5) == (sm0 > 1.5)
+    # drifted corpus: both ratios blow far past the threshold
+    moved = base.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> x"
+            " + IF(i = CAST(vec_id % 8 AS INT) + 8, 10.0D, 0.0D))"
+        ).alias("embedding"),
+    )
+    src.merge_into(moved, on=["vec_id"], mode="dv")
+    catchup_ivfpq_index(src, index, cents, books)
+    ex1 = ivfpq_index_drift(src, index, cents)["drift_ratio"]
+    sm1 = ivfpq_index_drift(src, index, cents, sample_mod=8)["drift_ratio"]
+    assert ex1 > 1.5 and sm1 > 1.5
+    # the POLICY runs the sampled probe when the property is set: the
+    # quiet catch-up still fires the error with the sampled estimate
+    index.set_properties(
+        {"ann.ivfpq.maxDrift": "1.5", "ann.ivfpq.driftSampleMod": "8"}
+    )
+    with pytest.raises(RuntimeError, match="rebuild_ivfpq_index"):
+        catchup_ivfpq_index(src, index, cents, books)
+
+
+def test_autocompact_restores_layout_after_trickle_fragmentation(
+    spark, tmp_path
+):
+    """VERDICT r9 item 4: trickle maintenance fragments the clustered
+    layout (~1 small file per touched bucket per batch); the catch-up's
+    relative-threshold auto-compaction rewrites to the bootstrap shape —
+    hive bucket partitions preserved, vec_id clustering restored, file
+    count bounded — without changing content or probe answers."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import maybe_compact_index
+
+    n = 2000
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, n))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_ann_index(src, index, prefix_bits=4, rows_per_file=64)
+    ideal = -(-n // 64)
+    # many small scattered batches: each catch-up merges a few dozen keys
+    rng_ids = [list(range(s, n, 97)) for s in range(12)]
+    for ids in rng_ids:
+        upd = src.read().filter(F.col("vec_id").isin(ids[:25])).select(
+            "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+        )
+        src.merge_into(upd, on=["vec_id"], mode="dv")
+        catchup_ann_index(src, index, rows_per_file=64)
+    files = index.snapshot()[1]
+    # the cadence kept the count bounded by the relative threshold
+    assert len(files) <= 1.5 * ideal + 32
+    # hive bucket layout survived the rewrite
+    assert all(f.startswith("bucket=") for f in files)
+    # content still equals a from-scratch build of the mutated corpus
+    assert_index_matches_scratch(index, src)
+    # a probe still answers over the compacted layout
+    q = src.read().filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = probed_hamming_topk(index, q, k=5, radius=1).collect()
+    assert {r.query_id for r in got} == {0, 1}
+    # and the relative threshold means a quiet table never churns:
+    v = index.version()
+    assert maybe_compact_index(index, 64) is False
+    assert index.version() == v
+    # opt-out honored
+    index.set_properties({"autoCompact.index": "false"})
+    assert maybe_compact_index(index, 1) is False

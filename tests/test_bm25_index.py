@@ -33,7 +33,7 @@ def _queries(spark):
     return spark.createDataFrame(QUERIES, "query_id int, term string")
 
 
-def _mutate(src):
+def _mutate(src, offset=2000000):
     upd = src.read().filter(F.col("doc_id") % 7 == 0).select(
         "doc_id", F.concat(F.col("text"), F.lit(" vector vector spark")).alias("text")
     )
@@ -41,7 +41,7 @@ def _mutate(src):
     gone = src.read().filter(F.col("doc_id") % 11 == 3).withColumn("_g", F.lit(True))
     src.merge_into(gone, on=["doc_id"], delete_when="_g", mode="dv")
     fresh = src.read().filter(F.col("doc_id") % 13 == 1).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        (F.col("doc_id") + offset).alias("doc_id"), "text"
     )
     src.append(fresh)
 
@@ -248,3 +248,108 @@ def test_compaction_interplay_and_randomized_history(spark, docs, tmp_path):
                 next_id += 1000000
         catchup_bm25_index(src, index)
         assert_bm25_index_matches_scratch(index, src)
+
+
+def test_scalar_watermark_atomicity_and_crash_restart(
+    spark, docs, tmp_path, monkeypatch
+):
+    """The ADVICE-r9 crash window is closed BY CONSTRUCTION: scalar
+    deltas, postings merge, and the bm25.srcVersion watermark land in ONE
+    index commit per fold (merge_into props pass-through), so (a) one
+    source commit folds as exactly one index commit, (b) a crash between
+    folds restarts exactly-once (the watermark either moved with its
+    delta or neither happened), and (c) properties time-travel with the
+    snapshot — the pinned-version read pairs postings with THEIR scalars."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import bm25_index as bi
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(docs.filter(F.col("doc_id") < 80))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_bm25_index(src, index)
+    boot_props = index.properties()
+    boot_v = index.version()
+
+    # (a) two source commits, step=1: each fold is EXACTLY ONE commit
+    _mutate(src)  # three commits: update, delete, insert
+    v0 = index.version()
+    catchup_bm25_index(src, index, step=1)
+    assert index.version() == v0 + 3
+    assert_bm25_index_matches_scratch(index, src)
+    assert int(index.properties()["bm25.srcVersion"]) == src.version()
+
+    # (c) scalars time-travel with the snapshot (pinned-read contract)
+    old = index.properties(as_of=boot_v)
+    assert old["bm25.nDocs"] == boot_props["bm25.nDocs"]
+    assert old["bm25.totalDl"] == boot_props["bm25.totalDl"]
+    assert old["bm25.srcVersion"] == boot_props["bm25.srcVersion"]
+
+    # (b) crash INSIDE the second of three folds: the first fold's commit
+    # carries its own watermark, so the restart resumes AFTER it and
+    # never re-applies its delta (fresh id range: doc_ids stay unique)
+    _mutate(src, offset=4000000)
+    real = bi.bm25_apply_changes
+    calls = {"n": 0}
+
+    def crashing(index_, changes, text_col, mode, watermark=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between folds")
+        return real(index_, changes, text_col, mode, watermark=watermark)
+
+    monkeypatch.setattr(bi, "bm25_apply_changes", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        bi.catchup_bm25_index(src, index, step=1)
+    monkeypatch.setattr(bi, "bm25_apply_changes", real)
+    # partial progress is durable and exactly-once: watermark == fold 1
+    assert int(index.properties()["bm25.srcVersion"]) == src.version() - 2
+    catchup_bm25_index(src, index)  # restart: folds the remaining commits
+    assert_bm25_index_matches_scratch(index, src)  # scalars NOT skewed
+    # replay: no new source commits -> no index commit, scalars untouched
+    v = index.version()
+    scal = (index.properties()["bm25.nDocs"], index.properties()["bm25.totalDl"])
+    catchup_bm25_index(src, index)
+    assert index.version() == v
+    assert (
+        index.properties()["bm25.nDocs"], index.properties()["bm25.totalDl"]
+    ) == scal
+
+
+def test_autocompact_bounds_postings_fragmentation(
+    spark, docs, tmp_path, monkeypatch
+):
+    """Catch-up-time auto-compaction on the postings table (VERDICT r9
+    item 4): with a tiny rows-per-file the randomized trickle history
+    fragments past the relative threshold, the cadence rewrites to the
+    (token, doc_id)-clustered shape, and content/scalars/answers are
+    all preserved through it."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators import bm25_index as bi
+
+    monkeypatch.setattr(bi, "ROWS_PER_FILE", 256)
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(docs.filter(F.col("doc_id") < 200))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    bi.catchup_bm25_index(src, index)
+    q = _queries(spark)
+    nxt = 5000000
+    for step in range(10):
+        upd = src.read().filter(F.col("doc_id") % 9 == step % 9).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(f" trickle{step}")).alias("text"),
+        )
+        src.merge_into(upd, on=["doc_id"], mode="dv")
+        if step % 3 == 0:
+            fresh = src.read().filter(
+                (F.col("doc_id") % 17 == 2) & (F.col("doc_id") < 200)
+            ).select((F.col("doc_id") + nxt).alias("doc_id"), "text")
+            src.append(fresh)
+            nxt += 1000000
+        bi.catchup_bm25_index(src, index)
+    n_rows = index.count_rows()
+    ideal = max(1, -(-n_rows // 256))
+    assert len(index.snapshot()[1]) <= 1.5 * ideal + 32
+    assert_bm25_index_matches_scratch(index, src)  # content + scalars
+    via_index = retrieval_rows(bi.bm25_index_topk(index, q, k=10))
+    via_scan = retrieval_rows(
+        retrieval.bm25_topk(src.read().select("doc_id", "text"), q, k=10)
+    )
+    assert via_index == via_scan
