@@ -212,19 +212,20 @@ _DRIVER_PRIORITY: list[str] = [
     # round-9 promotions — newly certified ANN gates + upgraded oracles
     "ann_topk_lsh",                # X3 — multi-probe LSH retrieval contract
     "knn_pq_adc",                  # X3 — PQ ADC shortlist + exact re-rank contract
-    # ---- ROUND-10 ROTATION (VERDICT r9 item 6): the new
-    # hybrid_index_retrieval gate (the retrieval stack's end-to-end
-    # certificate — BOTH incremental indexes through their CDC mutation
+    # ---- ROUND-10 ROTATION (VERDICT r9 item 6): the two new gates —
+    # hybrid_index_retrieval (the retrieval stack's end-to-end
+    # certificate: BOTH incremental indexes through their CDC mutation
     # histories, composed by Engine.hybrid_search, hashed against a
-    # closed-form dual-corpus RRF replay) enters for its first driver
-    # row. Out: knn_cosine_arrow (r9-green; X3 keeps 9 other in-window
-    # certifiers incl. the new gate, X6 keeps doc_chunks_udtf +
-    # kmeans_cluster_sizes + media_features + media_wav_features +
-    # ivfpq_index_incremental). 52/52 ids stay covered
-    # (test_driver_window_covers_every_survey_id).
-    "knn_ivf_probe",               # X3 — IVF probe retrieval contract (upgraded r7)
-    # (knn_cosine_arrow rotated out r10: r9-green, ids redundant;
-    # stays declared + replica-run)
+    # closed-form dual-corpus RRF replay) and hybrid_fusion_eval (the
+    # measured RRF-beats-each-single-system receipt on the seeded
+    # complementary-blind-spot corpus) — enter for their first driver
+    # rows. Out: knn_cosine_arrow + knn_ivf_probe (both r9-green; X3
+    # keeps 9+ other in-window certifiers incl. the two new gates, X6
+    # keeps doc_chunks_udtf + kmeans_cluster_sizes + media_features +
+    # media_wav_features + ivfpq_index_incremental). 52/52 ids stay
+    # covered (test_driver_window_covers_every_survey_id).
+    # (knn_cosine_arrow + knn_ivf_probe rotated out r10: r9-green, ids
+    # redundant; stay declared + replica-run)
     "kmeans_cluster_sizes",        # X3,X6 — Lloyd invariants, full oracle
     "media_features",              # X5,X6 — dyadic-exact decode feature oracle
     "streaming_distinct_sketch",   # A4,A6,T1,T8 — 1%+2 batch cross-check oracle
@@ -243,8 +244,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ivfpq_drift_rebuild_policy",  # X3,S2,J5 — two-pin retrain-and-swap policy
     "retrieval_eval_metrics",      # X4,J4,A3 — P@k/MRR/nDCG retrieval grading
     "bm25_index_incremental",      # X4,S2,J5,W4 — CDF-fed inverted index
-    # round-10 promotion — first driver row
+    # round-10 promotions — first driver row for each
     "hybrid_index_retrieval",      # X3,X4,J3,J5,S2 — composed dual-index RRF
+    "hybrid_fusion_eval",          # X3,X4,J4,A3 — RRF>=singles, measured
 ]
 
 
@@ -9040,7 +9042,7 @@ _BM25_QUERIES = [
 _BM25_VALUES_SQL = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
 
 
-def _bm25_oracle(src: str = "documents") -> str:
+def _bm25_oracle(src: str = "documents", values: str | None = None) -> str:
     from .operators.retrieval import BM25_B as B, BM25_K1 as K1
 
     return rf"""
@@ -9049,7 +9051,7 @@ def _bm25_oracle(src: str = "documents") -> str:
                unnest(list_filter(string_split_regex(lower(text), '\s+'),
                                   t -> t <> '')) AS token
         FROM {src}),
-    q(query_id, term) AS (VALUES {_BM25_VALUES_SQL}),
+    q(query_id, term) AS (VALUES {values or _BM25_VALUES_SQL}),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
     stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
     tf AS (
@@ -9532,6 +9534,200 @@ def _hybrid_index_oracle() -> str:
         FROM fused)
     WHERE rk <= 10
     """
+
+
+def _fusion_metrics_block(ranked: str, rk: str, tag: str) -> str:
+    """One system's P@10/MRR/nDCG@10 grading vs the shared ``rel``
+    relation (the _retrieval_metrics_oracle arithmetic, parametrized so
+    three systems can be graded in one oracle)."""
+    return f"""
+        SELECT '{tag}' AS system, nr.query_id, n_rel,
+               coalesce(n_hits, 0) AS n_hits,
+               coalesce(n_hits, 0) / 10 AS p_at_k,
+               coalesce(1.0 / first_hit, 0.0) AS mrr,
+               round(coalesce(dcg, 0.0)
+                     / list_sum(list_transform(range(1, least(10, n_rel) + 1),
+                                               i -> 1.0 / ln(i + 1.0))), 6)
+                   AS ndcg
+        FROM nr LEFT JOIN (
+            SELECT h.query_id, count(*) AS n_hits, min(h.{rk}) AS first_hit,
+                   list_sum(list(1.0 / ln(h.{rk} + 1.0) ORDER BY h.{rk})) AS dcg
+            FROM {ranked} h JOIN rel ON h.query_id = rel.query_id
+                                    AND h.doc_id = rel.doc_id
+            GROUP BY 1) pq ON nr.query_id = pq.query_id"""
+
+
+#: the fusion-eval seeded corpus: for each query q in 1..3, docs
+#: 16q..16q+3 get the EXACT marker terms (lexical-visible), docs
+#: 16q+4..16q+7 get SYNONYM markers (visible only after concept
+#: normalization — the embedding side's stand-in for learned semantics).
+#: Markers are invented tokens (absent from the natural text), so the
+#: relevance truth is exactly the 8 seeded docs per query.
+_FUSION_QUERIES = [(q, f"mk{q}{s}") for q in (1, 2, 3) for s in ("a", "b")]
+_FUSION_VALUES_SQL = ", ".join(f"({q}, '{t}')" for q, t in _FUSION_QUERIES)
+
+
+def _fusion_marker(q: int, syn: bool) -> str:
+    p = f"sy{q}" if syn else f"mk{q}"
+    return f" {p}a {p}a {p}a {p}b {p}b {p}b"
+
+
+def _fusion_corpus_case_sql() -> str:
+    arms = []
+    for q in (1, 2, 3):
+        arms.append(
+            f"WHEN doc_id >= {16 * q} AND doc_id < {16 * q + 4} "
+            f"THEN text || '{_fusion_marker(q, False)}'"
+        )
+        arms.append(
+            f"WHEN doc_id >= {16 * q + 4} AND doc_id < {16 * q + 8} "
+            f"THEN text || '{_fusion_marker(q, True)}'"
+        )
+    return "CASE " + " ".join(arms) + " ELSE text END"
+
+
+#: nested replace() normalizing synonym markers to concepts — the SAME
+#: textual expression runs in Spark SQL and DuckDB
+_FUSION_NORM_SQL = "text"
+for _q in (1, 2, 3):
+    for _s in ("a", "b"):
+        _FUSION_NORM_SQL = (
+            f"replace({_FUSION_NORM_SQL}, 'sy{_q}{_s}', 'mk{_q}{_s}')"
+        )
+
+
+def _fusion_eval_oracle() -> str:
+    """BM25-only vs hashed-BoW-cosine-only vs RRF fusion over the seeded
+    corpus, all graded against the boolean-AND relevance truth on the
+    NORMALIZED text — the receipt that fusion HELPS, hash-certified.
+    BM25 sees raw text (it cannot find the synonym-seeded half), the
+    vector system embeds normalized text (it finds both halves but ranks
+    with no idf), so the systems have complementary blind spots by
+    construction. The vector dot/norm mirror the engine's array folds
+    via sorted folds over present dims (adding an exact 0.0 term is an
+    IEEE no-op, so the relational form is bit-identical to the
+    dense-array fold)."""
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, {_fusion_corpus_case_sql()} AS text FROM documents),
+    norm AS (SELECT doc_id, {_FUSION_NORM_SQL} AS text FROM corpus),
+    ntoks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM norm),
+    q(query_id, term) AS (VALUES {_FUSION_VALUES_SQL}),
+    lex AS (
+        SELECT query_id, doc_id, rk
+        FROM ({_bm25_oracle("corpus", _FUSION_VALUES_SQL)})),
+    dimcnt AS (
+        SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS d,
+               count(*)::DOUBLE AS w
+        FROM ntoks GROUP BY 1, 2),
+    qdim AS (
+        SELECT query_id, ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS d,
+               count(*)::DOUBLE AS w
+        FROM q GROUP BY 1, 2),
+    dnorm AS (SELECT doc_id, sqrt(list_sum(list(w * w ORDER BY d))) AS n
+              FROM dimcnt GROUP BY 1),
+    qnorm AS (SELECT query_id, sqrt(list_sum(list(w * w ORDER BY d))) AS n
+              FROM qdim GROUP BY 1),
+    dots AS (
+        SELECT qd.query_id, dc.doc_id,
+               list_sum(list(qd.w * dc.w ORDER BY qd.d)) AS dot
+        FROM qdim qd JOIN dimcnt dc ON qd.d = dc.d GROUP BY 1, 2),
+    vscore AS (
+        SELECT qn.query_id, dn.doc_id,
+               round(coalesce(d.dot, 0.0) / (qn.n * dn.n), 6) AS cosine
+        FROM qnorm qn CROSS JOIN dnorm dn
+        LEFT JOIN dots d ON d.query_id = qn.query_id AND d.doc_id = dn.doc_id),
+    vec AS (
+        SELECT query_id, doc_id, rk FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, doc_id ASC) AS rk
+            FROM vscore)
+        WHERE rk <= 10),
+    fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + l.rk), 0.0)
+               + coalesce(1.0 / (60 + v.rk), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+    rrf AS (
+        SELECT query_id, doc_id, rk FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rk
+            FROM fused)
+        WHERE rk <= 10),
+    toksd AS (SELECT DISTINCT doc_id, token FROM ntoks),
+    qsz AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+    rel AS (
+        SELECT g.query_id, g.doc_id
+        FROM (SELECT q.query_id, toksd.doc_id, count(*) AS m
+              FROM q JOIN toksd ON toksd.token = q.term
+              GROUP BY 1, 2) g
+        JOIN qsz USING (query_id)
+        WHERE g.m = qsz.n_terms),
+    nr AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1)
+    {_fusion_metrics_block('lex', 'rk', 'bm25')}
+    UNION ALL
+    {_fusion_metrics_block('vec', 'rk', 'cosine')}
+    UNION ALL
+    {_fusion_metrics_block('rrf', 'rk', 'rrf')}
+    """
+
+
+@register("hybrid_fusion_eval", _fusion_eval_oracle(), "X3,X4,J4,A3")
+def hybrid_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is RRF fusion actually better, MEASURED (VERDICT r9 item 5): a
+    seeded corpus gives the two systems complementary blind spots — each
+    query's 8 relevant docs are half exact-marker-seeded (BM25 can find
+    them) and half synonym-seeded (only the embedding side sees them,
+    via concept normalization standing in for learned semantics; BM25
+    over the raw text scores them zero). BM25-only, hashed-BoW-cosine-
+    only, and their RRF fusion are each graded with P@10/MRR/nDCG@10
+    against the full 8-doc truth. The hash oracle recomputes corpus
+    seeding, both rankings, the fusion, and every metric — so the
+    lexical-precision + semantic-recall story is certified, not
+    asserted (the companion pytest pins RRF >= each single system)."""
+    from .operators import retrieval, similarity
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = base.select(
+        "doc_id", F.expr(_fusion_corpus_case_sql()).alias("text")
+    )
+    norm = corpus.select("doc_id", F.expr(_FUSION_NORM_SQL).alias("text"))
+    q = spark.createDataFrame(_FUSION_QUERIES, "query_id int, term string")
+    emb = retrieval.hashed_bow_embeddings(norm)
+    qdocs = q.groupBy("query_id").agg(
+        F.concat_ws(" ", F.collect_list("term")).alias("text")
+    )
+    qv = retrieval.hashed_bow_embeddings(qdocs, id_col="query_id").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lex = retrieval.bm25_topk(corpus, q, k=10)
+    vec = similarity.brute_force_topk(emb, qv, k=10).select(
+        "query_id", "rk", F.col("vec_id").alias("doc_id")
+    )
+    fused = retrieval.rrf_fuse(
+        lex.select("query_id", "doc_id", F.col("rk").alias("lex_rk")),
+        vec.select("query_id", "doc_id", F.col("rk").alias("vec_rk")),
+        "lex_rk",
+        "vec_rk",
+        k=10,
+    )
+    rel = retrieval.conjunctive_relevance(norm, q)
+    out = None
+    for tag, ranked in (("bm25", lex), ("cosine", vec), ("rrf", fused)):
+        m = retrieval.retrieval_metrics(
+            ranked.select("query_id", "rk", "doc_id"), rel, k=10
+        ).withColumn("system", F.lit(tag))
+        out = m if out is None else out.unionByName(m)
+    return out.select(
+        "system", "query_id", "n_rel", "n_hits", "p_at_k", "mrr", "ndcg"
+    )
 
 
 @register("hybrid_index_retrieval", _hybrid_index_oracle(), "X3,X4,J3,J5,S2")

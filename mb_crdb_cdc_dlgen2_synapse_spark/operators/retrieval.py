@@ -246,6 +246,41 @@ def retrieval_metrics(
     )
 
 
+def hashed_bow_embeddings(
+    documents: DataFrame, dims: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-hashed bag-of-words embeddings (the hashing trick,
+    Weinberger et al. 2009): each token maps to dimension
+    ``md5_prefix(token) % dims`` and the embedding is the per-dimension
+    token count as a dense ``array<double>``. Deterministic and
+    ENGINE-MIRRORABLE (md5 is the repo's cross-engine hash convention),
+    which makes it the seeded-corpus vector system for grading retrieval
+    fusion: embeddings correlate with the text by construction — docs
+    sharing tokens are cosine-close — yet rank differently than BM25
+    (no idf, no length normalization), so the two systems genuinely
+    disagree and fusion has something to fuse.
+
+    Returns ``(vec_id, embedding)``. Zero-token documents are absent
+    (they have no angle to compare)."""
+    toks = tokens(documents.withColumnRenamed(id_col, "doc_id"))
+    d = (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long") % dims)
+    cnt = (
+        toks.select("doc_id", d.alias("d"))
+        .groupBy("doc_id", "d")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    m = cnt.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("d", "w")))
+        ).alias("m")
+    )
+    fill = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(dims - 1).cast("long")),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
+    )
+    return m.select(F.col("doc_id").alias("vec_id"), fill.alias("embedding"))
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,
