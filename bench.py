@@ -113,6 +113,9 @@ HEADLINE = [
     "media_wav_features",          # real WAV round-trip + integer features
     "bm25_index_incremental",      # CDF-fed inverted index, pruned query
     "retrieval_eval_metrics",      # precision@k/MRR/nDCG vs boolean-AND truth
+    # round-10 additions
+    "hybrid_index_retrieval",      # both incremental indexes -> RRF, full lifecycle
+    "hybrid_fusion_eval",          # 3-system retrieval grading on seeded corpus
 ]
 
 

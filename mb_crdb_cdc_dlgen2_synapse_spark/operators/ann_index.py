@@ -577,7 +577,8 @@ def _ivf_drift_policy(src, index, cents, n_iter: int) -> int:
     max_drift = props.get("ann.ivf.maxDrift")
     if not max_drift:
         return head
-    d = ivf_index_drift(index, cents)
+    mod = props.get("ann.ivf.driftSampleMod")
+    d = ivf_index_drift(index, cents, sample_mod=int(mod) if mod else None)
     ratio = d["drift_ratio"]
     if ratio is None or ratio <= float(max_drift):
         return head
@@ -663,7 +664,7 @@ def assert_ivf_index_matches_scratch(index, cents, src) -> None:
         )
 
 
-def ivf_index_drift(index, cents) -> dict:
+def ivf_index_drift(index, cents, sample_mod: int | None = None) -> dict:
     """Retrain signal for the frozen quantizer: mean squared assignment
     distance of the CURRENT list table vs the value logged at bootstrap
     (``ann.ivf.bootMeanD2``). A drifting corpus pulls vectors away from
@@ -672,11 +673,19 @@ def ivf_index_drift(index, cents) -> dict:
     rebuild (drop index + centroids, bootstrap on the current snapshot;
     the quantizer is layout, and layout changes are rebuilds, exactly
     like re-keying a partition spec). One broadcast join + one global
-    aggregate over the index — no source-table access."""
+    aggregate over the index — no source-table access. ``sample_mod``
+    = s restricts the probe to the deterministic ``xxhash64(vec_id) %
+    s == 0`` key sample (the IVF-PQ twin's o(corpus) policy shape —
+    the list table is corpus-sized too)."""
     from .clustering import _sq_dist
 
+    lists = index.read()
+    if sample_mod is not None and sample_mod > 1:
+        lists = lists.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(int(sample_mod))) == 0
+        )
     cur = (
-        index.read()
+        lists
         .join(F.broadcast(_pinned_cents(index, cents)), "cid")
         .agg(
             F.avg(_sq_dist(F.col("embedding"), F.col("c_vec"))).alias("m")

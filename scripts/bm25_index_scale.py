@@ -165,6 +165,59 @@ def main():
     maintenance("single_doc", F.col("doc_id") == 55555)
     maintenance("1k_doc_bulk", F.col("doc_id") % (N_DOCS // 1000) == 7)
 
+    # CDC steady state: many trickle batches fragment the clustered
+    # layout; the catch-up-time auto-compaction (maybe_compact_index,
+    # relative threshold = 1.5 x ideal + 32) must bound the file count
+    # AND keep the candidate-pruning receipt from decaying. Run on its
+    # own smaller corpus so the threshold is crossed within a cheap
+    # batch budget (the policy is size-relative, so the mechanics are
+    # identical at any N). Reported: bootstrap/worst/final file counts,
+    # compactions fired, and the post-compaction single-doc merge
+    # candidates + query wall.
+    n2 = min(N_DOCS, 20_000)
+    src2 = TxTable(spark, f"{ROOT}/src2")
+    src2.append(corpus(spark, n2).localCheckpoint(eager=True))
+    idx2 = TxTable(spark, f"{ROOT}/idx2")
+    catchup_bm25_index(src2, idx2)
+    files0 = len(idx2.snapshot()[1])
+    compactions = 0
+    worst_files = files0
+    for i in range(40):
+        upd = src2.read().filter(F.col("doc_id") % 997 == i).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(f" steady{i}")).alias("text"),
+        )
+        src2.merge_into(upd, on=["doc_id"], mode="dv")
+        v_before = idx2.version()
+        catchup_bm25_index(src2, idx2)
+        n_now = len(idx2.snapshot()[1])
+        worst_files = max(worst_files, n_now)
+        if idx2.version() - v_before > 1:  # fold commit + compact commit
+            compactions += 1
+    merges.clear()
+    upd = src2.read().filter(F.col("doc_id") == 777).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" post compact")).alias("text")
+    )
+    src2.merge_into(upd, on=["doc_id"], mode="dv")
+    t0 = time.time()
+    catchup_bm25_index(src2, idx2)
+    post_sec = time.time() - t0
+    t0 = time.time()
+    bm25_index_topk(idx2, q, k=10).collect()
+    q_sec = time.time() - t0
+    print(json.dumps({
+        "step": "steady_state_autocompact",
+        "n_docs": n2,
+        "trickle_batches": 40,
+        "files_bootstrap": files0,
+        "files_worst": worst_files,
+        "files_final": len(idx2.snapshot()[1]),
+        "compactions_fired": compactions,
+        "post_compact_single_doc_candidates": [m for m in merges if m[0] > 1],
+        "post_compact_single_doc_sec": round(post_sec, 2),
+        "post_compact_query_sec": round(q_sec, 2),
+    }))
+
 
 if __name__ == "__main__":
     main()

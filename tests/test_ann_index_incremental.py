@@ -1052,3 +1052,51 @@ def test_autocompact_restores_layout_after_trickle_fragmentation(
     # opt-out honored
     index.set_properties({"autoCompact.index": "false"})
     assert maybe_compact_index(index, 1) is False
+
+
+def test_ivf_drift_probe_sampling_agrees(spark, tmp_path):
+    """The raw-IVF twin of the sampled drift probe: with
+    ann.ivf.driftSampleMod set the policy assigns only the key sample
+    of the (corpus-sized) list table; sampled and exact ratios agree on
+    the fire/no-fire decision before and after a drifting mutation."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ivf_index,
+        ivf_index_drift,
+    )
+
+    n = 1200
+    base = synthetic_embeddings(spark, n)
+    clustered = base.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> x"
+            " + IF(i = CAST(vec_id % 8 AS INT), 10.0D, 0.0D))"
+        ).alias("embedding"),
+    )
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(clustered)
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    catchup_ivf_index(src, index, cents, n_lists=8)
+    ex0 = ivf_index_drift(index, cents)["drift_ratio"]
+    sm0 = ivf_index_drift(index, cents, sample_mod=8)["drift_ratio"]
+    assert abs(ex0 - 1.0) < 1e-9
+    assert (ex0 > 1.5) == (sm0 > 1.5)
+    moved = base.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> x"
+            " + IF(i = CAST(vec_id % 8 AS INT) + 8, 10.0D, 0.0D))"
+        ).alias("embedding"),
+    )
+    src.merge_into(moved, on=["vec_id"], mode="dv")
+    catchup_ivf_index(src, index, cents)
+    ex1 = ivf_index_drift(index, cents)["drift_ratio"]
+    sm1 = ivf_index_drift(index, cents, sample_mod=8)["drift_ratio"]
+    assert ex1 > 1.5 and sm1 > 1.5
+    # the policy runs the sampled probe when the property is set
+    index.set_properties(
+        {"ann.ivf.maxDrift": "1.5", "ann.ivf.driftSampleMod": "8"}
+    )
+    with pytest.raises(RuntimeError, match="drifted .*maxDrift"):
+        catchup_ivf_index(src, index, cents)
