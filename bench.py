@@ -116,6 +116,7 @@ HEADLINE = [
     # round-10 additions
     "hybrid_index_retrieval",      # both incremental indexes -> RRF, full lifecycle
     "hybrid_fusion_eval",          # 3-system retrieval grading on seeded corpus
+    "lsh_index_incremental",       # CDF-fed MinHash bands index, pairs from entries
 ]
 
 
@@ -189,6 +190,10 @@ def main() -> None:
             # same split: lifecycle + pruned query; postings==scratch
             # proof is gate-only certification work
             return catalog.bm25_index_incremental_operator(spark, SF_DIR)
+        if name == "lsh_index_incremental":
+            # same split: lifecycle + pairs; bands==scratch proof is
+            # gate-only certification work
+            return catalog.lsh_index_incremental_operator(spark, SF_DIR)
         return reg[name].builder(spark, SF_DIR)
 
     # -- host-speed calibration (VERDICT r4 item 2): a fixed,

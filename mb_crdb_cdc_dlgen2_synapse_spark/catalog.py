@@ -230,7 +230,9 @@ _DRIVER_PRIORITY: list[str] = [
     "media_features",              # X5,X6 — dyadic-exact decode feature oracle
     "streaming_distinct_sketch",   # A4,A6,T1,T8 — 1%+2 batch cross-check oracle
     "sketch_distinct_rollup",      # A4 — mergeable HLL rollup
-    "sketch_price_quantiles",      # A3 — KLL quantile rank contract
+    # (sketch_price_quantiles rotated out r10 for lsh_index_incremental:
+    # r9-green; A3 keeps approx_percentiles_price + retrieval_eval_metrics
+    # + hybrid_fusion_eval; stays declared + replica-run)
     "approx_distinct_priority",    # A4 — approx_count_distinct envelope
     "approx_percentiles_price",    # A3,A4 — percentile_approx rank contract
     "streaming_neardedup_ingest",  # S1,T1,T8,X2,Q4 — full oracle (upgraded r8)
@@ -247,6 +249,7 @@ _DRIVER_PRIORITY: list[str] = [
     # round-10 promotions — first driver row for each
     "hybrid_index_retrieval",      # X3,X4,J3,J5,S2 — composed dual-index RRF
     "hybrid_fusion_eval",          # X3,X4,J4,A3 — RRF>=singles, measured
+    "lsh_index_incremental",       # X2,S2,J5,Q4 — CDF-fed MinHash bands index
 ]
 
 
@@ -9476,6 +9479,93 @@ def bm25_index_incremental_operator(spark: SparkSession, sf_dir: str) -> DataFra
     _src, index = _bm25_index_lifecycle(spark, sf_dir)
     q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     return bm25_index_topk(index, q, k=10)
+
+
+@register(
+    "lsh_index_incremental",
+    rf"""
+    WITH corpus AS (SELECT doc_id, text FROM {_BM25_MUT_CORPUS_SQL}),
+    {_SHINGLE_SQL},
+    expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    basehash AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h
+        FROM expl),
+    hashes AS (
+        SELECT doc_id, seed, min((a * h + b) % 2147483647) AS mh
+        FROM basehash, ({_MINHASH_SEEDS_SQL}) seeds(seed, a, b)
+        GROUP BY doc_id, seed),
+    sigs AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hashes GROUP BY doc_id),
+    bandkeys AS (
+        SELECT doc_id, b AS band_id,
+               array_to_string(sig[b*4+1 : b*4+4], '-') AS band_key
+        FROM sigs, (SELECT unnest(range(0, 4)) AS b) bands)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bandkeys a JOIN bandkeys b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    "X2,S2,J5,Q4",
+)
+def lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MinHash-LSH bands index, driver-certified
+    — the dedup member of the CDF-maintained index quartet: documents
+    land in a txlog table, the bands index bootstraps, the corpus
+    mutates through all three CDC change classes (an update changes the
+    docs' shingles so their bands MOVE; inserts add exact copies that
+    share all 4 bands with their originals; deletes tombstone), catch-ups
+    fold the pre/post-image band deltas as keyed merges with the
+    watermark in the same commit, the in-gate proof asserts band entries
+    equal a from-scratch banding, and the near-dup pair answer comes from
+    the PRECOMPUTED entries (no re-shingling, no re-signing) — hashed
+    against the plain LSH SQL over the closed-form final corpus."""
+    from .operators.lsh_index import (
+        assert_lsh_index_matches_scratch,
+        lsh_index_pairs,
+    )
+
+    src, index = _lsh_index_lifecycle(spark, sf_dir)
+    assert_lsh_index_matches_scratch(index, src)
+    return lsh_index_pairs(index)
+
+
+def _lsh_index_lifecycle(spark: SparkSession, sf_dir: str):
+    """Shared by the gate and its bench twin: bootstrap, then all three
+    CDC change classes folded by two catch-ups."""
+    from .operators.lsh_index import catchup_lsh_index
+    from .txlog import TxTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _scratch("lsh_index")
+    src = TxTable(spark, os.path.join(tmp, "src"))
+    src.append(docs)
+    index = TxTable(spark, os.path.join(tmp, "idx"))
+    catchup_lsh_index(src, index)
+    upd = src.read().filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" vector vector spark")).alias("text"),
+    )
+    src.merge_into(upd, on=["doc_id"], mode="dv")
+    catchup_lsh_index(src, index)  # fold the band moves before more changes
+    gone = src.read().filter(F.col("doc_id") % 11 == 3).withColumn(
+        "_g", F.lit(True)
+    )
+    src.merge_into(gone, on=["doc_id"], delete_when="_g", mode="dv")
+    fresh = src.read().filter(F.col("doc_id") % 13 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    src.append(fresh)
+    catchup_lsh_index(src, index)  # one catch-up over two commits
+    return src, index
+
+
+def lsh_index_incremental_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench twin of lsh_index_incremental: lifecycle + pairs from the
+    precomputed entries only (the bands==scratch equality proof is
+    gate-only certification work — the protocol split)."""
+    from .operators.lsh_index import lsh_index_pairs
+
+    _src, index = _lsh_index_lifecycle(spark, sf_dir)
+    return lsh_index_pairs(index)
 
 
 def _hybrid_index_oracle() -> str:

@@ -613,6 +613,46 @@ class Engine:
 
         return bm25_index_topk(TxTable(self.spark, index_dir), queries, k=k)
 
+    def build_lsh_index(self, src_dir: str, index_dir: str, **kw) -> int:
+        """Bootstrap-or-advance the CDF-maintained MinHash-LSH bands
+        index (near-dup candidates from precomputed entries — the corpus
+        is never re-shingled/re-signed per run)."""
+        from .operators.lsh_index import catchup_lsh_index
+        from .txlog import TxTable
+
+        return catchup_lsh_index(
+            TxTable(self.spark, src_dir), TxTable(self.spark, index_dir), **kw
+        )
+
+    def start_lsh_index_maintenance(
+        self, src_dir: str, index_dir: str, checkpoint_dir: str, **kw
+    ):
+        """Streaming twin of ``build_lsh_index`` (watermark-tailed CDF,
+        exactly-once folds under replay)."""
+        from .operators.lsh_index import stream_lsh_index_to_tx_table
+
+        return stream_lsh_index_to_tx_table(
+            self.spark, src_dir, index_dir, checkpoint_dir, **kw
+        )
+
+    def neardup_pairs(self, index_dir: str, **kw) -> DataFrame:
+        """All near-dup candidate pairs of the indexed corpus, from the
+        precomputed band entries (hot-bucket skew guard on)."""
+        from .operators.lsh_index import lsh_index_pairs
+        from .txlog import TxTable
+
+        return lsh_index_pairs(TxTable(self.spark, index_dir), **kw)
+
+    def neardup_search(
+        self, index_dir: str, batch: DataFrame, **kw
+    ) -> DataFrame:
+        """Near-dups of an incoming batch against the indexed corpus —
+        a band_key-pruned index read, never a corpus recompute."""
+        from .operators.lsh_index import lsh_index_probe
+        from .txlog import TxTable
+
+        return lsh_index_probe(TxTable(self.spark, index_dir), batch, **kw)
+
     def hybrid_search(
         self,
         bm25_index_dir: str,
