@@ -72,6 +72,10 @@ for name, qd in sorted(catalog.registry().items()):
         # feeding the rank-contract certification aggregate
         "knn_pq_adc",  # 1-row query-LUT broadcast onto the code relation
         "knn_ivf_pq",  # same LUT broadcast + tiny probed-list broadcast
+        "hybrid_index_retrieval",  # 1-row BM25 corpus-stats broadcast +
+        # tiny (3-row) probed query-side broadcast — both index read paths
+        "hybrid_fusion_eval",  # same 1-row corpus-stats broadcast (BM25
+        # tail) + tiny (3-row) query-embedding broadcast (brute-force tail)
     ):
         issues.append("BNLJ")
     if "BatchEvalPython" in plan and name not in (
