@@ -2191,3 +2191,70 @@ def test_merge_keyset_pruning_bounds_candidates_on_clustered_table(
     res2 = t.merge_into(gone, on=["k"], delete_when="v IS NULL", mode="dv")
     assert res2["candidates"] <= res["candidates"]
     assert t.read().filter("k = 999").count() == 0
+
+
+def test_props_carrying_merge_aborts_on_racing_props_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The round-10 props pass-through keeps the lost-update guard: a
+    merge_into carrying props (the BM25 index's atomic scalar/watermark
+    commit) whose full merged map was computed pre-race must ABORT when
+    a rival set_properties lands mid-commit — retrying would silently
+    revert the rival's key with the stale map. A benign data-only rival
+    append, by contrast, retries and lands."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxConflictError
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    orig = t.log_store.write_if_absent
+    fired = []
+
+    def race(target, payload):
+        if not fired:
+            fired.append(1)
+            TxTable(spark, t.path).set_properties({"rival.key": "yes"})
+        return orig(target, payload)
+
+    monkeypatch.setattr(t.log_store, "write_if_absent", race)
+    src = _df(spark, [(1, "a2")])
+    with pytest.raises(TxConflictError, match="metadata conflict"):
+        t.merge_into(src, on=["k"], props={"my.watermark": "7"})
+    t2 = TxTable(spark, t.path)
+    assert t2.properties().get("rival.key") == "yes"  # rival survived
+    assert "my.watermark" not in t2.properties()  # loser fully aborted
+    assert sorted(r.v for r in t2.read().collect()) == ["a", "b"]
+
+    # benign data-only rival: the props merge retries and lands
+    fired2 = []
+
+    def race2(target, payload):
+        if not fired2:
+            fired2.append(1)
+            TxTable(spark, t.path).append(_df(spark, [(9, "z")]))
+        return orig(target, payload)
+
+    monkeypatch.setattr(t.log_store, "write_if_absent", race2)
+    t.merge_into(src, on=["k"], props={"my.watermark": "7"})
+    t3 = TxTable(spark, t.path)
+    assert t3.properties()["my.watermark"] == "7"
+    assert t3.properties()["rival.key"] == "yes"  # merged map kept it
+    assert sorted(r.v for r in t3.read().collect()) == ["a2", "b", "z"]
+
+
+def test_props_carrying_append_is_atomic_with_rows(spark, tmp_path):
+    """append(props=...) lands rows and property deltas in ONE commit
+    (the bootstrap-watermark contract): time-traveling to just before
+    the append sees neither; the head sees both; None unsets."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_properties({"stale.key": "old"})
+    v0 = t.version()
+    t.append(
+        _df(spark, [(1, "a")]),
+        props={"wm": "3", "stale.key": None},
+    )
+    assert t.properties()["wm"] == "3"
+    assert "stale.key" not in t.properties()
+    assert t.read().count() == 1
+    old = t.properties(as_of=v0)
+    assert old == {"stale.key": "old"}
+    assert t.version() == v0 + 1  # one commit, not rows + set_properties
