@@ -233,7 +233,9 @@ _DRIVER_PRIORITY: list[str] = [
     # (sketch_price_quantiles rotated out r10 for lsh_index_incremental:
     # r9-green; A3 keeps approx_percentiles_price + retrieval_eval_metrics
     # + hybrid_fusion_eval; stays declared + replica-run)
-    "approx_distinct_priority",    # A4 — approx_count_distinct envelope
+    # (approx_distinct_priority rotated out r10 for lsh_index_probe_batch:
+    # r9-green; A4 keeps sketch_distinct_rollup + streaming_distinct_sketch
+    # + corpus_boilerplate_segments; stays declared + replica-run)
     "approx_percentiles_price",    # A3,A4 — percentile_approx rank contract
     "streaming_neardedup_ingest",  # S1,T1,T8,X2,Q4 — full oracle (upgraded r8)
     # round-9 session-2 promotions — first driver row for each
@@ -250,6 +252,7 @@ _DRIVER_PRIORITY: list[str] = [
     "hybrid_index_retrieval",      # X3,X4,J3,J5,S2 — composed dual-index RRF
     "hybrid_fusion_eval",          # X3,X4,J4,A3 — RRF>=singles, measured
     "lsh_index_incremental",       # X2,S2,J5,Q4 — CDF-fed MinHash bands index
+    "lsh_index_probe_batch",       # X2,S5,Q4 — band_key-pruned batch probe
 ]
 
 
@@ -9566,6 +9569,61 @@ def lsh_index_incremental_operator(spark: SparkSession, sf_dir: str) -> DataFram
 
     _src, index = _lsh_index_lifecycle(spark, sf_dir)
     return lsh_index_pairs(index)
+
+
+@register(
+    "lsh_index_probe_batch",
+    rf"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 9000000 AS doc_id, text
+        FROM documents WHERE doc_id % 20 = 0),
+    {_SHINGLE_SQL},
+    expl AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    basehash AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS h
+        FROM expl),
+    hashes AS (
+        SELECT doc_id, seed, min((a * h + b) % 2147483647) AS mh
+        FROM basehash, ({_MINHASH_SEEDS_SQL}) seeds(seed, a, b)
+        GROUP BY doc_id, seed),
+    sigs AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hashes GROUP BY doc_id),
+    bandkeys AS (
+        SELECT doc_id, b AS band_id,
+               array_to_string(sig[b*4+1 : b*4+4], '-') AS band_key
+        FROM sigs, (SELECT unnest(range(0, 4)) AS b) bands)
+    SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+           count(*) AS n_shared_bands
+    FROM bandkeys b JOIN bandkeys c
+      ON b.band_id = c.band_id AND b.band_key = c.band_key
+     AND b.doc_id >= 9000000 AND c.doc_id < 9000000
+    GROUP BY 1, 2
+    """,
+    "X2,S5,Q4",
+)
+def lsh_index_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH index's PROBE path, driver-certified (Engine.neardup_search):
+    an incoming batch (every %20 doc re-submitted under a shifted id —
+    the at-least-once re-delivery shape) is banded and joined against
+    the indexed corpus through a band_key IN-predicate read — log stats,
+    clustering spans, and per-file blooms skip every file that cannot
+    hold a batch key, so probe cost tracks the batch, never the corpus.
+    The oracle re-bands batch and corpus from scratch and joins them
+    plainly: a MATCH proves the pruned index read loses no candidate."""
+    from .operators.lsh_index import catchup_lsh_index, lsh_index_probe
+    from .txlog import TxTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _scratch("lsh_probe")
+    src = TxTable(spark, os.path.join(tmp, "src"))
+    src.append(docs)
+    index = TxTable(spark, os.path.join(tmp, "idx"))
+    catchup_lsh_index(src, index)
+    batch = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 9000000).alias("doc_id"), "text"
+    )
+    return lsh_index_probe(index, batch)
 
 
 def _hybrid_index_oracle() -> str:
