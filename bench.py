@@ -117,6 +117,7 @@ HEADLINE = [
     "hybrid_index_retrieval",      # both incremental indexes -> RRF, full lifecycle
     "hybrid_fusion_eval",          # 3-system retrieval grading on seeded corpus
     "lsh_index_incremental",       # CDF-fed MinHash bands index, pairs from entries
+    "lsh_index_probe_batch",       # band_key-pruned incoming-batch near-dup probe
 ]
 
 
