@@ -287,3 +287,38 @@ def test_hybrid_search_facade(spark, tmp_path):
         by_q.setdefault(r.query_id, []).append(r.rk)
     assert set(by_q) == {0, 1}
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_neardup_facade_lifecycle(spark, sf_dir, tmp_path):
+    """The near-dup index surface a reference user migrating a dedup
+    pipeline would call: build_lsh_index (CDF catch-up), neardup_pairs
+    (corpus self-dedup from precomputed entries), neardup_search
+    (incoming batch vs indexed corpus), then a maintenance catch-up
+    after new traffic."""
+    from pyspark.sql import functions as F
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    eng = Engine(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = str(tmp_path / "docs")
+    idx_dir = str(tmp_path / "bands")
+    src = TxTable(spark, src_dir)
+    src.append(docs.filter(F.col("doc_id") < 200))
+    eng.build_lsh_index(src_dir, idx_dir)
+    # exact copies appended -> pairs appear after ONE more catch-up
+    src.append(
+        src.read().filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+        )
+    )
+    eng.build_lsh_index(src_dir, idx_dir)
+    pairs = {(r.doc_a, r.doc_b) for r in eng.neardup_pairs(idx_dir).collect()}
+    assert (0, 5_000_000) in pairs  # copy shares every band with its source
+    # probe an incoming batch without touching the corpus
+    batch = docs.filter(F.col("doc_id") == 7).select(
+        F.lit(9_000_007).alias("doc_id"), "text"
+    )
+    hits = eng.neardup_search(idx_dir, batch).collect()
+    assert any(r.batch_doc == 9_000_007 and r.corpus_doc == 7 for r in hits)
