@@ -141,3 +141,21 @@ def test_streaming_maintenance_resumes_exactly_once(spark, docs, tmp_path):
     assert TxTable(spark, idx_dir).version() == v
     # batch catch-up after streaming: skips the already-folded range
     assert catchup_lsh_index(src, TxTable(spark, idx_dir)) == src.version()
+
+
+def test_probe_key_cap_falls_back_to_full_join(spark, docs, tmp_path):
+    """Past the driver-side key cap the probe skips the IN-predicate and
+    joins the full entries read — identical answers either way."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(docs.filter(F.col("doc_id") < 150))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_lsh_index(src, index)
+    batch = src.read().filter(F.col("doc_id") % 10 == 4).select(
+        (F.col("doc_id") + 8_000_000).alias("doc_id"), "text"
+    )
+    key = lambda df: sorted(
+        (r.batch_doc, r.corpus_doc, r.n_shared_bands) for r in df.collect()
+    )
+    pruned = key(lsh_index_probe(index, batch))
+    full = key(lsh_index_probe(index, batch, key_cap=1))  # force fallback
+    assert pruned == full and pruned
