@@ -690,6 +690,52 @@ class Engine:
         )
         return rrf_fuse(lex, vec, "lex_rk", "vec_rk", k=k)
 
+    def hybrid_search_ivfpq(
+        self,
+        bm25_index_dir: str,
+        ivfpq_index_dir: str,
+        cents_dir: str,
+        books_dir: str,
+        src_dir: str,
+        term_queries: DataFrame,
+        vector_queries: DataFrame,
+        k: int = 10,
+        per_system_k: int = 20,
+        nprobe: int = 3,
+        shortlist: int = 200,
+    ) -> DataFrame:
+        """The billion-scale hybrid: lexical top-k through the BM25
+        inverted index, vector top-k through the CDF-maintained IVF-PQ
+        compressed lists (IVFADC+R — cid-pruned ADC shortlist + exact
+        re-rank against source vectors fetched by key), RRF-fused. Same
+        contract as ``hybrid_search`` with the Hamming stage swapped for
+        the compressed one — at 100 TB of embeddings the 8-byte lists
+        are the only vector index that fits warm storage, so this is the
+        composition a production deployment actually runs."""
+        from .operators.ann_index import ivfpq_index_topk
+        from .operators.bm25_index import bm25_index_topk
+        from .operators.retrieval import rrf_fuse
+        from .txlog import TxTable
+
+        from pyspark.sql import functions as F
+
+        lex = bm25_index_topk(
+            TxTable(self.spark, bm25_index_dir), term_queries, k=per_system_k
+        ).select("query_id", "doc_id", F.col("rk").alias("lex_rk"))
+        vec = ivfpq_index_topk(
+            TxTable(self.spark, ivfpq_index_dir),
+            TxTable(self.spark, cents_dir),
+            TxTable(self.spark, books_dir),
+            TxTable(self.spark, src_dir),
+            vector_queries,
+            k=per_system_k,
+            nprobe=nprobe,
+            shortlist=shortlist,
+        ).select(
+            "query_id", F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk")
+        )
+        return rrf_fuse(lex, vec, "lex_rk", "vec_rk", k=k)
+
     def start_ivfpq_index_maintenance(
         self,
         src_dir: str,

@@ -322,3 +322,48 @@ def test_neardup_facade_lifecycle(spark, sf_dir, tmp_path):
     )
     hits = eng.neardup_search(idx_dir, batch).collect()
     assert any(r.batch_doc == 9_000_007 and r.corpus_doc == 7 for r in hits)
+
+
+def test_hybrid_search_ivfpq_facade(spark, sf_dir, tmp_path):
+    """The compressed hybrid: BM25 inverted index × IVF-PQ IVFADC+R
+    lists fused with RRF, all through the facade — both stages pruned
+    index reads. Doc 0's own terms + its own embedding must fuse doc 0
+    to the top (exact re-rank puts the identical vector at cosine 1,
+    BM25 puts the source doc of the query terms first)."""
+    from pyspark.sql import functions as F
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        synthetic_embeddings,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.textops import tokens
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    eng = Engine(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = {k: str(tmp_path / k) for k in ("sd", "se", "bm", "iv", "ce", "bo")}
+    TxTable(spark, d["sd"]).append(docs.filter(F.col("doc_id") < 200))
+    emb = synthetic_embeddings(spark, 200)
+    TxTable(spark, d["se"]).append(emb)
+    eng.build_bm25_index(d["sd"], d["bm"])
+    eng.build_ivfpq_index(d["se"], d["iv"], d["ce"], d["bo"], n_lists=4, m=8)
+    # query 1 = doc 0's two rarest-ish tokens + doc 0's own vector
+    toks = (
+        tokens(docs.filter(F.col("doc_id") == 0))
+        .groupBy("token").count().orderBy("count", "token").limit(2).collect()
+    )
+    q_terms = spark.createDataFrame(
+        [(1, r.token) for r in toks], "query_id int, term string"
+    )
+    q_vecs = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(1).alias("query_id"), "embedding"
+    )
+    fused = eng.hybrid_search_ivfpq(
+        d["bm"], d["iv"], d["ce"], d["bo"], d["se"], q_terms, q_vecs,
+        k=5, nprobe=4, shortlist=64,
+    ).collect()
+    assert [r.rk for r in sorted(fused, key=lambda r: r.rk)] == list(
+        range(1, len(fused) + 1)
+    )
+    top = min(fused, key=lambda r: r.rk)
+    assert top.doc_id == 0 and top.rrf > 1.0 / 61  # ranked by BOTH systems
