@@ -59,6 +59,19 @@ def lsh_apply_changes(
     n_hashes = int(props.get("lsh.nHashes", 16))
     bands = int(props.get("lsh.bands", 4))
     shingle_k = int(props.get("lsh.shingleK", 3))
+    # a virgin index maintained stream-first has no geometry recorded
+    # yet: persist the defaults WITH the first fold's commit, so every
+    # later fold/probe/scratch-check derives the same layout (geometry
+    # is a bootstrap-time contract, like ann.prefixDims)
+    geom = (
+        {}
+        if "lsh.nHashes" in props
+        else {
+            "lsh.nHashes": str(n_hashes),
+            "lsh.bands": str(bands),
+            "lsh.shingleK": str(shingle_k),
+        }
+    )
     net = _doc_net_images(changes, text_col).localCheckpoint(eager=True)
     old_e = _entries(
         net.filter(F.col("old_text").isNotNull()).select(
@@ -78,14 +91,15 @@ def lsh_apply_changes(
         "_tombstone", F.lit(True)
     )
     source = ups.unionByName(dels).localCheckpoint(eager=True)
-    wm = (
-        {"lsh.srcVersion": str(watermark)} if watermark is not None else None
-    )
+    wm = dict(geom)
+    if watermark is not None:
+        wm["lsh.srcVersion"] = str(watermark)
     if source.take(1):
         index.merge_into(
-            source, on=keys, delete_when="_tombstone", mode=mode, props=wm
+            source, on=keys, delete_when="_tombstone", mode=mode,
+            props=wm or None,
         )
-    elif wm is not None:
+    elif wm:
         index.set_properties(wm)
 
 

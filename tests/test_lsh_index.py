@@ -123,10 +123,11 @@ def test_streaming_maintenance_resumes_exactly_once(spark, docs, tmp_path):
     q = stream_lsh_index_to_tx_table(spark, src_dir, idx_dir, ckpt)
     q.awaitTermination(120)
     index = TxTable(spark, idx_dir)
-    # virgin stream bootstrap uses default geometry; record it for the
-    # scratch check (catchup bootstrap would have set these)
-    index.set_properties(
-        {"lsh.nHashes": "16", "lsh.bands": "4", "lsh.shingleK": "3"}
+    # virgin stream bootstrap persists its default geometry WITH the
+    # first fold (the layout-is-bootstrap-contract rule)
+    p = index.properties()
+    assert (p["lsh.nHashes"], p["lsh.bands"], p["lsh.shingleK"]) == (
+        "16", "4", "3",
     )
     assert_lsh_index_matches_scratch(index, src)
     # interim mutations while the stream is down, then resume from ckpt
