@@ -226,7 +226,10 @@ _DRIVER_PRIORITY: list[str] = [
     # covered (test_driver_window_covers_every_survey_id).
     # (knn_cosine_arrow + knn_ivf_probe rotated out r10: r9-green, ids
     # redundant; stay declared + replica-run)
-    "kmeans_cluster_sizes",        # X3,X6 — Lloyd invariants, full oracle
+    # (kmeans_cluster_sizes rotated out r10 for hybrid_ivfpq_retrieval:
+    # r9-green; X3 keeps 9+ in-window certifiers, X6 keeps
+    # doc_chunks_udtf + media_features + media_wav_features +
+    # ivfpq_index_incremental; stays declared + replica-run)
     "media_features",              # X5,X6 — dyadic-exact decode feature oracle
     "streaming_distinct_sketch",   # A4,A6,T1,T8 — 1%+2 batch cross-check oracle
     "sketch_distinct_rollup",      # A4 — mergeable HLL rollup
@@ -253,6 +256,7 @@ _DRIVER_PRIORITY: list[str] = [
     "hybrid_fusion_eval",          # X3,X4,J4,A3 — RRF>=singles, measured
     "lsh_index_incremental",       # X2,S2,J5,Q4 — CDF-fed MinHash bands index
     "lsh_index_probe_batch",       # X2,S5,Q4 — band_key-pruned batch probe
+    "hybrid_ivfpq_retrieval",      # X3,X4,J3,X6 — compressed hybrid contract
 ]
 
 
@@ -9624,6 +9628,85 @@ def lsh_index_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 9000000).alias("doc_id"), "text"
     )
     return lsh_index_probe(index, batch)
+
+
+@register(
+    "hybrid_ivfpq_retrieval",
+    # retrieval-contract oracle (the ann_topk_lsh/knn_pq_adc family):
+    # exact counts hash-certify, the booleans pin the contract TRUE —
+    # (a) the IVFADC+R stage must self-retrieve each query's own vector
+    # at rank 1 (its list is probed, its code ADC-shortlists near zero,
+    # the exact re-rank scores it cosine 1), and (b) the fused top-10
+    # must contain the self doc (vec_rk=1 floors its RRF at 1/61, above
+    # every single-list doc except a rank-1 lexical tie it wins or adds
+    # its own lexical contribution to).
+    """
+    SELECT vec_id AS query_id,
+           CAST(10 AS BIGINT) AS n_fused,
+           TRUE AS vec_top_is_self,
+           TRUE AS self_in_fused_topk
+    FROM embeddings WHERE vec_id IN (1, 2, 3)
+    ORDER BY query_id
+    """,
+    "X3,X4,J3,X6",
+)
+def hybrid_ivfpq_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED hybrid composition, driver-certified
+    (Engine.hybrid_search_ivfpq): lexical top-10 through the BM25
+    inverted index × vector top-10 through the IVF-PQ IVFADC+R read
+    path (cid-probed ADC shortlist + exact re-rank against source
+    vectors fetched by key), RRF-fused — the hybrid a deployment runs
+    when the embedding corpus only fits warm storage compressed. ADC
+    scores are model-specific floats, so the certification is the
+    retrieval contract (see oracle), not a value hash — the same
+    honesty split as the other IVF-PQ gates."""
+    from .engine import Engine
+    from .operators.ann_index import catchup_ivfpq_index, ivfpq_index_topk
+    from .operators.bm25_index import catchup_bm25_index
+    from .txlog import TxTable
+
+    tmp = _scratch("hybrid_ivfpq")
+    src_d = TxTable(spark, os.path.join(tmp, "sd"))
+    src_d.append(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    bm25 = TxTable(spark, os.path.join(tmp, "bm"))
+    catchup_bm25_index(src_d, bm25)
+    src_e = TxTable(spark, os.path.join(tmp, "se"))
+    src_e.append(_t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    index = TxTable(spark, os.path.join(tmp, "iv"))
+    cents = TxTable(spark, os.path.join(tmp, "ce"))
+    books = TxTable(spark, os.path.join(tmp, "bo"))
+    catchup_ivfpq_index(src_e, index, cents, books, n_lists=8, m=8)
+    q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q_vecs = src_e.read().filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    fused = Engine(spark).hybrid_search_ivfpq(
+        bm25.path, index.path, cents.path, books.path, src_e.path,
+        q_terms, q_vecs, k=10, per_system_k=10, nprobe=3, shortlist=200,
+    )
+    vec_top = {
+        r.query_id: r.vec_id
+        for r in ivfpq_index_topk(
+            index, cents, books, src_e, q_vecs, k=1, nprobe=3, shortlist=200
+        ).collect()
+    }
+    rows = fused.collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    return spark.createDataFrame(
+        sorted(
+            (
+                qid,
+                len(rs),
+                bool(vec_top.get(qid) == qid),
+                bool(any(r.doc_id == qid for r in rs)),
+            )
+            for qid, rs in per_q.items()
+        ),
+        "query_id long, n_fused long, vec_top_is_self boolean, "
+        "self_in_fused_topk boolean",
+    )
 
 
 def _hybrid_index_oracle() -> str:
