@@ -118,6 +118,7 @@ HEADLINE = [
     "hybrid_fusion_eval",          # 3-system retrieval grading on seeded corpus
     "lsh_index_incremental",       # CDF-fed MinHash bands index, pairs from entries
     "lsh_index_probe_batch",       # band_key-pruned incoming-batch near-dup probe
+    "hybrid_ivfpq_retrieval",      # BM25 index x IVF-PQ IVFADC+R -> RRF, dual lifecycle
 ]
 
 
