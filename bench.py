@@ -119,6 +119,8 @@ HEADLINE = [
     "lsh_index_incremental",       # CDF-fed MinHash bands index, pairs from entries
     "lsh_index_probe_batch",       # band_key-pruned incoming-batch near-dup probe
     "hybrid_ivfpq_retrieval",      # BM25 index x IVF-PQ IVFADC+R -> RRF, dual lifecycle
+    # round-11 additions
+    "hybrid_index_operator",       # composed hybrid READ path over prebuilt indexes
 ]
 
 
@@ -149,6 +151,10 @@ def main() -> None:
     orders_as_ride_envelopes(load_table(spark, SF_DIR, "orders")).write.mode(
         "overwrite"
     ).text(lake)
+    # -- setup for the hybrid read-path twin: prebuild both index
+    # lifecycles ONCE, untimed (VERDICT r10 item 4 protocol split) —
+    # the gate entry hybrid_index_retrieval keeps timing the lifecycles
+    hybrid_paths = catalog.hybrid_index_prebuild(spark, SF_DIR)
 
     # warm the JVM/codegen once (untimed)
     run_noop(reg["flagship_cdc_city_revenue"].builder(spark, SF_DIR))
@@ -196,6 +202,9 @@ def main() -> None:
             # same split: lifecycle + pairs; bands==scratch proof is
             # gate-only certification work
             return catalog.lsh_index_incremental_operator(spark, SF_DIR)
+        if name == "hybrid_index_operator":
+            # composed hybrid READ path only — indexes prebuilt in setup
+            return catalog.hybrid_index_operator(spark, SF_DIR, *hybrid_paths)
         return reg[name].builder(spark, SF_DIR)
 
     # -- host-speed calibration (VERDICT r4 item 2): a fixed,

@@ -7828,7 +7828,7 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_incr_probe(src, index)
 
 
-def _ann_incr_lifecycle(spark: SparkSession, sf_dir: str):
+def _ann_incr_lifecycle(spark: SparkSession, sf_dir: str, scratch: str = "ann_incr"):
     """The ann_index_incremental maintenance lifecycle (bootstrap + two
     CDF catch-ups over an update and a delete commit) — shared by the
     gate (which adds the equality proof) and the bench twin (which
@@ -7837,7 +7837,7 @@ def _ann_incr_lifecycle(spark: SparkSession, sf_dir: str):
     from .txlog import TxTable
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    tmp = _scratch("ann_incr")
+    tmp = _scratch(scratch)
     src = TxTable(spark, os.path.join(tmp, "src"))
     src.append(emb)  # v0: initial corpus
     index = TxTable(spark, os.path.join(tmp, "index"))
@@ -9446,14 +9446,16 @@ def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_topk(index, q, k=10)
 
 
-def _bm25_index_lifecycle(spark: SparkSession, sf_dir: str):
+def _bm25_index_lifecycle(spark: SparkSession, sf_dir: str, scratch: str = "bm25_index"):
     """Shared by the gate and its bench twin: bootstrap, then all three
-    CDC change classes folded by two catch-ups."""
+    CDC change classes folded by two catch-ups. ``scratch`` names the
+    per-process scratch dir — the hybrid bench prebuild passes its own
+    so the gates' (wiped-per-call) dirs never clobber it."""
     from .operators.bm25_index import catchup_bm25_index
     from .txlog import TxTable
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = _scratch("bm25_index")
+    tmp = _scratch(scratch)
     src = TxTable(spark, os.path.join(tmp, "src"))
     src.append(docs)
     index = TxTable(spark, os.path.join(tmp, "idx"))
@@ -9987,4 +9989,36 @@ def hybrid_index_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return Engine(spark).hybrid_search(
         bm25.path, ann.path, q_terms, q_vecs, k=10, per_system_k=10, radius=1
+    )
+
+
+def hybrid_index_prebuild(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Bench SETUP for ``hybrid_index_operator`` (untimed, like the
+    e2e flagship's NDJSON lake generation): build both index lifecycles
+    once into dedicated scratch dirs no other builder wipes, so the
+    operator twin times ONLY the composed read path."""
+    _sd, bm25 = _bm25_index_lifecycle(spark, sf_dir, scratch="hybrid_op_bm25")
+    _se, ann = _ann_incr_lifecycle(spark, sf_dir, scratch="hybrid_op_ann")
+    return bm25.path, ann.path
+
+
+def hybrid_index_operator(
+    spark: SparkSession, sf_dir: str, bm25_path: str, ann_path: str
+) -> DataFrame:
+    """Bench twin of hybrid_index_retrieval (VERDICT r10 item 4 protocol
+    split): the composed QUERY over prebuilt indexes — pruned token-IN
+    postings read × radius-1 bucket probe × full-outer RRF — so a
+    read-path regression is visible on its own instead of hiding inside
+    ~20 s of dual-lifecycle noise. The lifecycle cost stays measured by
+    the gate's own bench entry."""
+    from .engine import Engine
+
+    q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q_vecs = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(1, 2, 3))
+        .select(F.col("vec_id").cast("int").alias("query_id"), "embedding")
+    )
+    return Engine(spark).hybrid_search(
+        bm25_path, ann_path, q_terms, q_vecs, k=10, per_system_k=10, radius=1
     )

@@ -61,6 +61,11 @@ _PREFIX_PROP = "ann.prefixDims"
 #: the object-store sweet spot and keep the SAME pruning shape)
 _CLUSTER_ROWS_PER_FILE = 65536
 
+#: driver-side key-list cap for point-fetch IN-predicates (the
+#: lsh_index.PROBE_KEY_CAP contract): past it, reads fall back to a
+#: distributed semi-join so the driver never holds an unbounded key set
+PROBE_KEY_CAP = 100_000
+
 
 def _bloom_bits(rows_per_file: int) -> int:
     """Bloom sizing for the vec_id point-key index: ~16 bits/row with 7
@@ -579,6 +584,13 @@ def _ivf_drift_policy(src, index, cents, n_iter: int) -> int:
         return head
     mod = props.get("ann.ivf.driftSampleMod")
     d = ivf_index_drift(index, cents, sample_mod=int(mod) if mod else None)
+    if mod and d["mean_d2"] is None:
+        # sample_mod larger than the corpus can leave the key sample
+        # empty (avg over zero rows = NULL); treating that as no-drift
+        # would silently disable the retrain guard forever — fall back
+        # to the exact probe (an empty-sample corpus is small enough
+        # that the exact probe is cheap by definition)
+        d = ivf_index_drift(index, cents)
     ratio = d["drift_ratio"]
     if ratio is None or ratio <= float(max_drift):
         return head
@@ -990,6 +1002,10 @@ def _ivfpq_drift_policy(src, index, cents, books, n_iter: int, sample: int) -> i
     d = ivfpq_index_drift(
         src, index, cents, sample_mod=int(mod) if mod else None
     )
+    if mod and d["mean_d2"] is None:
+        # empty hash sample (sample_mod > corpus): NULL mean must not
+        # pass the policy as no-drift — fall back to the exact probe
+        d = ivfpq_index_drift(src, index, cents)
     ratio = d["drift_ratio"]
     if ratio is None or ratio <= float(max_drift):
         return head
@@ -1135,6 +1151,7 @@ def ivfpq_index_topk(
     k: int = 5,
     nprobe: int = 3,
     shortlist: int = 200,
+    key_cap: int = PROBE_KEY_CAP,
 ) -> DataFrame:
     """Probed ADC top-k with exact re-rank — the full IVFADC+R read
     path over the incrementally-maintained tables: probe ``nprobe``
@@ -1144,7 +1161,17 @@ def ivfpq_index_topk(
     full-precision vectors BY KEY from the source table (IN-predicate
     read: bloom/span file skipping, bounded by shortlist×|queries|)
     and re-rank by exact cosine. Generation pins make this consistent
-    under concurrent rebuilds."""
+    under concurrent rebuilds.
+
+    ``key_cap`` bounds the driver-side shortlist key list (the
+    lsh_index_probe contract): an offline batch of 10⁵–10⁶ queries
+    would otherwise materialize shortlist×|queries| keys on the driver
+    for a multi-megabyte IN-predicate that costs more to evaluate
+    against every file's stats than it skips. Past the cap the fetch
+    degrades to a distributed semi-join of the source read against the
+    shortlist — no driver-side key list at all, still one equi-join,
+    only the file-skipping stage is lost (the regime where the
+    shortlist touches most source files anyway)."""
     from .pq import _adc_dist, _pq_lut
     from .similarity import _dot, _norm
 
@@ -1185,12 +1212,21 @@ def ivfpq_index_topk(
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)
     )
-    ids = [r.vec_id for r in short.select("vec_id").distinct().collect()]
-    # bounded point fetch: shortlist×|queries| keys — the source read
-    # prunes files by span/bloom exactly like any IN-predicate lookup
-    full = src.read(predicates=[("vec_id", "in", ids)]).select(
-        "vec_id", "embedding"
-    )
+    ids = [
+        r.vec_id
+        for r in short.select("vec_id").distinct().limit(key_cap + 1).collect()
+    ]
+    if len(ids) <= key_cap:
+        # bounded point fetch: shortlist×|queries| keys — the source read
+        # prunes files by span/bloom exactly like any IN-predicate lookup
+        full = src.read(predicates=[("vec_id", "in", sorted(ids))]).select(
+            "vec_id", "embedding"
+        )
+    else:
+        # over-cap fallback: keep the key set distributed (semi-join)
+        full = src.read().select("vec_id", "embedding").join(
+            short.select("vec_id").distinct(), "vec_id", "semi"
+        )
     q = queries.select("query_id", F.col("embedding").alias("__q"))
     reranked = (
         short.join(full, "vec_id")

@@ -48,6 +48,11 @@ from .textops import tokens
 
 ROWS_PER_FILE = 65536
 
+#: driver-side key-list cap for the probe's token IN-predicate (the
+#: lsh_index.PROBE_KEY_CAP contract; defined locally — lsh_index imports
+#: from this module, so the dependency cannot point the other way)
+PROBE_KEY_CAP = 100_000
+
 def _tf_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, token, tf, dl) for every doc with >=1 token."""
     toks = tokens(docs)
@@ -154,7 +159,24 @@ def bm25_apply_changes(
     }
     if watermark is not None:
         props["bm25.srcVersion"] = str(watermark)
-    if source.take(1):
+    if index.snapshot()[2] is None and new_post.take(1):
+        # virgin index, stream-first: lay the bootstrap layout down with
+        # the FIRST data commit — (token, doc_id)-clustered files, then
+        # declared clustering + token blooms — exactly like
+        # catchup_bm25_index's bootstrap, or probe IN-predicates prune
+        # nothing and compact_layout has no clustering to restore (blooms
+        # only cover writes AFTER declaration, so the append itself must
+        # be clustered). Tombstones target rows the virgin table never
+        # held — provable no-ops, dropped.
+        index.append(
+            new_post,
+            cluster_by=["token", "doc_id"],
+            max_records_per_file=ROWS_PER_FILE,
+            props=props,
+        )
+        index.set_clustering(["token", "doc_id"])
+        index.set_bloom_index(["token"], auto_size=True)
+    elif source.take(1):
         index.merge_into(
             source,
             on=["token", "doc_id"],
@@ -238,6 +260,7 @@ def bm25_index_topk(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    key_cap: int = PROBE_KEY_CAP,
 ) -> DataFrame:
     """Top-k BM25 through the inverted index: ONE pruned read of the
     postings restricted to the query terms (token IN-predicate — log
@@ -254,9 +277,23 @@ def bm25_index_topk(
     v = index.version()
     props = index.properties(as_of=v)
     terms = sorted(
-        r.term for r in queries.select("term").distinct().collect()
-    )  # bounded: a query's term list
-    post = index.read(as_of=v, predicates=[("token", "in", terms)]).select(
+        r.term
+        for r in queries.select("term").distinct().limit(key_cap + 1).collect()
+    )  # driver-bounded: a query's term list, capped at key_cap
+    if len(terms) <= key_cap:
+        post = index.read(as_of=v, predicates=[("token", "in", terms)])
+    else:
+        # an offline mega-batch of queries past the cap keeps its term
+        # set distributed: semi-join the full postings read instead of
+        # materializing a multi-megabyte IN-predicate on the driver —
+        # only the file-skipping stage degrades (that regime touches
+        # most token files anyway)
+        post = index.read(as_of=v).join(
+            queries.select(F.col("term").alias("token")).distinct(),
+            "token",
+            "semi",
+        )
+    post = post.select(
         "doc_id", "token", "tf", "dl"
     ).localCheckpoint(eager=False)
     tf = post.select("doc_id", "token", "tf")

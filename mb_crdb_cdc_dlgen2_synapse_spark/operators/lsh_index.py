@@ -94,7 +94,24 @@ def lsh_apply_changes(
     wm = dict(geom)
     if watermark is not None:
         wm["lsh.srcVersion"] = str(watermark)
-    if source.take(1):
+    if index.snapshot()[2] is None and new_e.take(1):
+        # virgin index, stream-first: the FIRST data commit must lay the
+        # same layout down as catchup's bootstrap — (band_key, doc_id)-
+        # clustered files, then declared clustering + band_key blooms —
+        # or every later probe's IN-predicate prunes nothing and
+        # compact_layout has no clustering to restore (blooms only apply
+        # to writes AFTER declaration, so the append must be clustered
+        # itself and the declarations follow it). Tombstones target rows
+        # the virgin table never held — provable no-ops, dropped.
+        index.append(
+            new_e,
+            cluster_by=keys[:2],
+            max_records_per_file=ROWS_PER_FILE,
+            props=wm or None,
+        )
+        index.set_clustering(keys[:2])
+        index.set_bloom_index(["band_key"], auto_size=True)
+    elif source.take(1):
         index.merge_into(
             source, on=keys, delete_when="_tombstone", mode=mode,
             props=wm or None,

@@ -3545,7 +3545,24 @@ class TxTable:
         _v, active, _s = self.snapshot()
         if not active:
             return v0
-        layout = [k for k in self._parts(active[0]) if k in df.columns]
+        # layout comes from the DECLARED partition spec when one exists;
+        # otherwise from the files — but only if every active file agrees
+        # (a table whose partitioning changed across appends must not be
+        # silently re-staged under the first file's layout, dropping
+        # partition-value pruning for the rest)
+        declared = [c for c in self.partitioning() if c in df.columns]
+        if declared:
+            layout = declared
+        else:
+            key_sets = {tuple(sorted(self._parts(f))) for f in active}
+            if len(key_sets) > 1:
+                raise ValueError(
+                    f"compact_layout: active files carry differing "
+                    f"partition key sets {sorted(key_sets)!r} and no "
+                    "partition spec is declared — set_partitioning() the "
+                    "intended layout first, or compact() to flatten"
+                )
+            layout = [k for k in self._parts(active[0]) if k in df.columns]
         cluster = [c for c in (self.clustering() or []) if c in df.columns]
         df = df.localCheckpoint(eager=True)
         added, stats = self._stage(

@@ -243,6 +243,22 @@ def ivfpq_receipt() -> None:
         sampled = ivfpq_index_drift(src, index, cents, sample_mod=32)
         t_samp = time.time() - t0
         re_, rs = exact["drift_ratio"], sampled["drift_ratio"]
+        # either ratio can be None (missing bootstrap baseline) or ~0
+        # (degenerate bootMeanD2); the receipt must print raw values then,
+        # not crash with TypeError/ZeroDivisionError
+        if re_ and rs is not None:
+            drift_line = (
+                f"  drift probe      exact {re_:.4f} in {t_exact:.2f}s  "
+                f"sampled(1/32) {rs:.4f} in {t_samp:.2f}s  "
+                f"rel err {abs(rs - re_) / re_ * 100:.2f}%  "
+                f"fire@1.5 agree: {(re_ > 1.5) == (rs > 1.5)}"
+            )
+        else:
+            drift_line = (
+                f"  drift probe      exact ratio={re_!r} in {t_exact:.2f}s  "
+                f"sampled(1/32) ratio={rs!r} in {t_samp:.2f}s  "
+                "(degenerate baseline: raw values printed, no rel-err)"
+            )
         print(
             f"[ivfpq] N={N}\n"
             f"  raw corpus       {raw_bytes / 1e6:8.2f} MB  "
@@ -252,10 +268,7 @@ def ivfpq_receipt() -> None:
             f"trickle increment {incr:.2f}s / {incr_bytes / 1e6:.2f} MB\n"
             f"  IVFADC+R probe   {probe:7.2f}s (3 queries, nprobe 4/16, "
             f"shortlist 200, source-key rerank)  equality proof {proof:.2f}s\n"
-            f"  drift probe      exact {re_:.4f} in {t_exact:.2f}s  "
-            f"sampled(1/32) {rs:.4f} in {t_samp:.2f}s  "
-            f"rel err {abs(rs - re_) / re_ * 100:.2f}%  "
-            f"fire@1.5 agree: {(re_ > 1.5) == (rs > 1.5)}"
+            + drift_line
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

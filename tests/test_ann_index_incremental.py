@@ -1105,3 +1105,97 @@ def test_ivf_drift_probe_sampling_agrees(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="drifted .*maxDrift"):
         catchup_ivf_index(src, index, cents)
+
+
+def test_drift_policy_empty_sample_falls_back_to_exact(spark, tmp_path):
+    """ADVICE-r10: driftSampleMod larger than the corpus leaves the
+    xxhash64 key sample empty (avg of zero rows = NULL); the policy must
+    fall back to the exact probe instead of silently treating NULL as
+    no-drift — a drifted corpus still fires through the oversized-sample
+    configuration, for BOTH IVF families."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ivf_index,
+        catchup_ivfpq_index,
+        ivf_index_drift,
+    )
+
+    n = 600
+    base = synthetic_embeddings(spark, n)
+    clustered = base.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> x"
+            " + IF(i = CAST(vec_id % 8 AS INT), 10.0D, 0.0D))"
+        ).alias("embedding"),
+    )
+    moved = base.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> x"
+            " + IF(i = CAST(vec_id % 8 AS INT) + 8, 10.0D, 0.0D))"
+        ).alias("embedding"),
+    )
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(clustered)
+    # an oversized sample really is empty (the NULL-mean premise)
+    idx = TxTable(spark, str(tmp_path / "ivf"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    catchup_ivf_index(src, idx, cents, n_lists=8)
+    assert (
+        ivf_index_drift(idx, cents, sample_mod=1_000_003)["mean_d2"] is None
+    )
+    src.merge_into(moved, on=["vec_id"], mode="dv")
+    catchup_ivf_index(src, idx, cents)
+    idx.set_properties(
+        {"ann.ivf.maxDrift": "1.5", "ann.ivf.driftSampleMod": "1000003"}
+    )
+    with pytest.raises(RuntimeError, match="drifted .*maxDrift"):
+        catchup_ivf_index(src, idx, cents)
+    # IVF-PQ twin through the same oversized-sample configuration
+    src2 = TxTable(spark, str(tmp_path / "src2"))
+    src2.append(clustered)
+    idx2 = TxTable(spark, str(tmp_path / "pq"))
+    cents2 = TxTable(spark, str(tmp_path / "cents2"))
+    books2 = TxTable(spark, str(tmp_path / "books2"))
+    catchup_ivfpq_index(src2, idx2, cents2, books2, n_lists=8, m=8, kq=16)
+    src2.merge_into(moved, on=["vec_id"], mode="dv")
+    catchup_ivfpq_index(src2, idx2, cents2, books2)
+    idx2.set_properties(
+        {"ann.ivfpq.maxDrift": "1.5", "ann.ivfpq.driftSampleMod": "1000003"}
+    )
+    with pytest.raises(RuntimeError, match="rebuild_ivfpq_index"):
+        catchup_ivfpq_index(src2, idx2, cents2, books2)
+
+
+def test_ivfpq_topk_key_cap_falls_back_to_semi_join(spark, tmp_path):
+    """ADVICE-r10 advisory: the IVFADC+R re-rank fetch is driver-bounded
+    by key_cap — past it the full-precision vectors come from a
+    distributed semi-join against the shortlist instead of a
+    shortlist×|queries| IN-predicate, with identical answers."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 220))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    books = TxTable(spark, str(tmp_path / "books"))
+    catchup_ivfpq_index(src, index, cents, books, n_lists=6, m=8, kq=16)
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.rk, r.vec_id, round(r.cosine, 9)) for r in df.collect()
+    )
+    capped = key(ivfpq_index_topk(
+        index, cents, books, src, queries, k=3, nprobe=3, shortlist=60
+    ))
+    fallback = key(ivfpq_index_topk(
+        index, cents, books, src, queries, k=3, nprobe=3, shortlist=60,
+        key_cap=1,
+    ))
+    assert capped == fallback and capped

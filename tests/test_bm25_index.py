@@ -106,6 +106,10 @@ def test_streaming_maintenance_and_exactly_once_scalars(spark, docs, tmp_path):
     q.awaitTermination(120)
     index = TxTable(spark, idx_dir)
     assert_bm25_index_matches_scratch(index, src)
+    # virgin stream bootstrap lays the batch-bootstrap LAYOUT down too:
+    # declared clustering + token bloom (the ADVICE-r10 virgin gap)
+    assert index.clustering() == ["token", "doc_id"]
+    assert "token" in index.bloom_index()
     # interim mutations while the stream is down, then resume from ckpt
     _mutate(src)
     q2 = stream_bm25_index_to_tx_table(spark, src_dir, idx_dir, ckpt)
@@ -353,3 +357,17 @@ def test_autocompact_bounds_postings_fragmentation(
         retrieval.bm25_topk(src.read().select("doc_id", "text"), q, k=10)
     )
     assert via_index == via_scan
+
+
+def test_topk_term_cap_falls_back_to_semi_join(spark, docs, tmp_path):
+    """Past the driver-side term cap the probe skips the token
+    IN-predicate and semi-joins the full postings read — identical
+    scores either way (the lsh_index_probe key_cap contract)."""
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(docs.filter(F.col("doc_id") < 200))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    catchup_bm25_index(src, index)
+    q = _queries(spark)
+    pruned = retrieval_rows(bm25_index_topk(index, q, k=10))
+    full = retrieval_rows(bm25_index_topk(index, q, k=10, key_cap=1))
+    assert pruned == full and pruned

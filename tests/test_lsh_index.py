@@ -129,6 +129,11 @@ def test_streaming_maintenance_resumes_exactly_once(spark, docs, tmp_path):
     assert (p["lsh.nHashes"], p["lsh.bands"], p["lsh.shingleK"]) == (
         "16", "4", "3",
     )
+    # ...and the bootstrap LAYOUT: declared clustering + band_key bloom,
+    # so probes prune and compact_layout can restore the layout (the
+    # ADVICE-r10 virgin-stream gap)
+    assert index.clustering() == ["band_key", "doc_id"]
+    assert "band_key" in index.bloom_index()
     assert_lsh_index_matches_scratch(index, src)
     # interim mutations while the stream is down, then resume from ckpt
     _mutate(src)

@@ -173,3 +173,33 @@ def test_spec_survives_checkpoint_clone_and_sql_forms(spark, tmp_path, eng=None)
     assert TxTable(spark, t.path).partitioning() == ["day"]
     eng.ddl("CREATE TABLE c SHALLOW CLONE t", tabs)
     assert TxTable(spark, tabs["c"]).partitioning() == ["day"]
+
+
+def test_compact_layout_mixed_eras_uses_declared_spec_or_refuses(
+    spark, tmp_path
+):
+    """ADVICE-r10: compact_layout used to inherit the FIRST active file's
+    hive layout, silently re-staging a mixed-era table under it. Now a
+    declared spec wins (the rewrite unifies both eras under it), and an
+    undeclared mixed-era table is refused with an actionable error."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, ROWS_A).coalesce(1))  # era 0: unpartitioned
+    t.set_partitioning(["status"])
+    t.append(_df(spark, ROWS_B).coalesce(1))  # era 1: status=...
+    t.compact_layout()
+    files = t.snapshot()[1]
+    assert files and all("status=" in f for f in files)
+    got = sorted((r.k, r.status) for r in t.read().collect())
+    assert got == sorted((k, s) for k, s, _ in ROWS_A + ROWS_B)
+    # undeclared mixed layouts refuse instead of silently flattening
+    u = TxTable(spark, str(tmp_path / "u"))
+    u.append(_df(spark, ROWS_A).coalesce(1), partition_by=["day"])
+    u.append(_df(spark, ROWS_B).coalesce(1), partition_by=["status"])
+    with pytest.raises(ValueError, match="differing partition key sets"):
+        u.compact_layout()
+    # uniform undeclared layout still compacts under the files' layout
+    w = TxTable(spark, str(tmp_path / "w"))
+    w.append(_df(spark, ROWS_A).coalesce(1), partition_by=["day"])
+    w.append(_df(spark, ROWS_B).coalesce(1), partition_by=["day"])
+    w.compact_layout()
+    assert all("day=" in f for f in w.snapshot()[1])
