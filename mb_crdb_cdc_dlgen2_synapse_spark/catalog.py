@@ -245,7 +245,9 @@ _DRIVER_PRIORITY: list[str] = [
     "ivfpq_index_incremental",     # X3,S2,J5,X6 — CDF-maintained IVF-PQ lists
     "ivf_drift_rebuild_policy",    # X3,S2,J5 — drift-threshold retrain-and-swap
     "bm25_retrieval",              # X4,W4 — sorted-fold BM25 ranked retrieval
-    "hybrid_rrf_retrieval",        # X3,X4,J3 — lexical x vector RRF fusion
+    # (hybrid_rrf_retrieval rotated out r11 for llm_pipeline_e2e:
+    # r9s2-green with two driver rows; X3/X4/J3 all keep 4+ in-window
+    # certifiers incl. the four hybrid gates; stays declared + replica-run)
     "dedup_jaccard_ppjoin",        # X2,W1 — prefix-filtered exact set-sim join
     "media_wav_features",          # X5,X6 — audio decode boundary certification
     "ivfpq_drift_rebuild_policy",  # X3,S2,J5 — two-pin retrain-and-swap policy
@@ -257,6 +259,12 @@ _DRIVER_PRIORITY: list[str] = [
     "lsh_index_incremental",       # X2,S2,J5,Q4 — CDF-fed MinHash bands index
     "lsh_index_probe_batch",       # X2,S5,Q4 — band_key-pruned batch probe
     "hybrid_ivfpq_retrieval",      # X3,X4,J3,X6 — compressed hybrid contract
+    # ---- ROUND-11 ROTATION (VERDICT r10 item 1): llm_pipeline_e2e —
+    # the capstone (NDJSON changefeed drops -> typed-silver streaming
+    # ingestion -> CDF-fed BM25+ANN maintenance streams ->
+    # Engine.hybrid_search, hashed vs the closed-form dual replay) —
+    # enters for its first driver row. Out: hybrid_rrf_retrieval (above).
+    "llm_pipeline_e2e",            # S1,S3,S4,S6,T1,T6,T7,T8,J5,S2,X3,X4,J3
 ]
 
 
@@ -10000,6 +10008,142 @@ def hybrid_index_prebuild(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     _sd, bm25 = _bm25_index_lifecycle(spark, sf_dir, scratch="hybrid_op_bm25")
     _se, ann = _ann_incr_lifecycle(spark, sf_dir, scratch="hybrid_op_ann")
     return bm25.path, ann.path
+
+
+@register(
+    "llm_pipeline_e2e",
+    _hybrid_index_oracle(),
+    "S1,S3,S4,S6,T1,T6,T7,T8,J5,S2,X3,X4,J3",
+)
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone: the reference's whole pipeline shape
+    (/root/reference/README.md:135-192 — changefeed -> date-dir NDJSON ->
+    lake -> query) composed end-to-end through every streaming layer of
+    this engine, certified by one hash. Three dated NDJSON changefeed
+    drops (initial corpus, full-image updates, tombstones + fresh
+    inserts — the same mutation history as the hybrid_index_retrieval
+    lifecycles, derived 1:1 from the parquet tables so it stays
+    SQL-oracle-able) land for BOTH modalities; after each drop the
+    typed-silver ingestion stream advances the documents and embeddings
+    tx tables (materialize_silver_tx: net-image reduce + keyed merge
+    with physical tombstone deletes), and the CDF-fed index maintenance
+    STREAMS fold the silver tables' change feeds into the BM25 inverted
+    index and the bucketed Hamming ANN index from their checkpoints.
+    The final Engine.hybrid_search answer — pruned token-IN postings
+    read × radius-1 bucket probe × RRF — is hashed against the same
+    closed-form dual replay as hybrid_index_retrieval: a MATCH proves
+    NDJSON-files-in to fused-ranking-out equals re-ranking the final
+    corpus from scratch, with every intermediate stage incremental."""
+    from pyspark.sql import types as T
+
+    from .engine import Engine
+    from .streaming.ingest import changefeed_stream, materialize_silver_tx
+
+    tmp = _scratch("llm_e2e")
+    d_land = os.path.join(tmp, "docs_landing")
+    e_land = os.path.join(tmp, "emb_landing")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def land(env: DataFrame, ddir: str) -> None:
+        env.coalesce(2).write.mode("overwrite").text(ddir)
+        for fn in os.listdir(ddir):
+            if fn.startswith("part-") and not fn.endswith(".ndjson"):
+                os.rename(
+                    os.path.join(ddir, fn), os.path.join(ddir, fn + ".ndjson")
+                )
+
+    def envelope(rel: DataFrame, key: str, phase: int, tomb: bool = False):
+        cols = [c for c in rel.columns]
+        return rel.select(
+            F.to_json(
+                F.struct(
+                    F.when(
+                        F.lit(not tomb), F.struct(*[F.col(c) for c in cols])
+                    ).alias("after"),
+                    F.array(F.col(key).cast("string")).alias("key"),
+                    F.lit(f"{phase}.0000000000").alias("updated"),
+                )
+            ).alias("value")
+        )
+
+    upd_docs = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" vector vector spark")).alias("text"),
+    )
+    fresh_docs = (
+        docs.filter((F.col("doc_id") % 11 != 3) & (F.col("doc_id") % 13 == 1))
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" vector vector spark")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    upd_emb = emb.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    doc_drops = [
+        envelope(docs, "doc_id", 1),
+        envelope(upd_docs, "doc_id", 2),
+        envelope(
+            docs.filter(F.col("doc_id") % 11 == 3).select("doc_id", "text"),
+            "doc_id", 3, tomb=True,
+        ).unionByName(envelope(fresh_docs, "doc_id", 3)),
+    ]
+    emb_drops = [
+        envelope(emb, "vec_id", 1),
+        envelope(upd_emb, "vec_id", 2),
+        envelope(
+            emb.filter(F.col("vec_id") % 11 == 3), "vec_id", 3, tomb=True
+        ),
+    ]
+    doc_after = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    emb_after = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    docs_dir = os.path.join(tmp, "docs_silver")
+    emb_dir = os.path.join(tmp, "emb_silver")
+    bm25_dir = os.path.join(tmp, "bm25_idx")
+    ann_dir = os.path.join(tmp, "ann_idx")
+    eng = Engine(spark)
+    for i, (d_env, e_env) in enumerate(zip(doc_drops, emb_drops)):
+        land(d_env, os.path.join(d_land, f"2022-12-1{2 + i}"))
+        land(e_env, os.path.join(e_land, f"2022-12-1{2 + i}"))
+        materialize_silver_tx(
+            changefeed_stream(spark, d_land, doc_after),
+            docs_dir, os.path.join(tmp, "ckpt_docs"), "doc_id",
+            {"doc_id": "cast(element_at(key, 1) as bigint)", "text": "after.text"},
+        ).awaitTermination()
+        materialize_silver_tx(
+            changefeed_stream(spark, e_land, emb_after),
+            emb_dir, os.path.join(tmp, "ckpt_emb"), "vec_id",
+            {
+                "vec_id": "cast(element_at(key, 1) as bigint)",
+                "embedding": "after.embedding",
+            },
+        ).awaitTermination()
+        eng.start_bm25_index_maintenance(
+            docs_dir, bm25_dir, os.path.join(tmp, "ckpt_bm25")
+        ).awaitTermination()
+        eng.start_ann_index_maintenance(
+            emb_dir, ann_dir, os.path.join(tmp, "ckpt_ann"), prefix_bits=4
+        ).awaitTermination()
+    q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q_vecs = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(1, 2, 3))
+        .select(F.col("vec_id").cast("int").alias("query_id"), "embedding")
+    )
+    return eng.hybrid_search(
+        bm25_dir, ann_dir, q_terms, q_vecs, k=10, per_system_k=10, radius=1
+    )
 
 
 def hybrid_index_operator(

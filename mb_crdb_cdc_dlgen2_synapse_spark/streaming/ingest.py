@@ -389,6 +389,75 @@ def materialize_latest_state_dv(
     return writer.start()
 
 
+def materialize_silver_tx(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    columns: dict[str, str],
+    available_now: bool = True,
+    mode: str = "dv",
+):
+    """Typed SILVER terminal of the changefeed ingestion family: per
+    micro-batch, reduce the envelope stream to its net latest-per-key
+    image, project the typed domain columns, and land ONE keyed merge —
+    upserts for live images, PHYSICAL deletes for tombstones (``after IS
+    NULL``). Unlike the latest-state tables above, no envelope wrapper
+    and no tombstone marker rows survive: the result is a plain domain
+    table — ``(doc_id, text)``, ``(vec_id, embedding)`` — whose OWN
+    change feed downstream CDF-maintained indexes (BM25 / ANN / LSH)
+    consume directly. This is the lake shape the reference pipeline
+    queries (README.md:173-192), typed once at ingest instead of
+    re-parsed per query.
+
+    ``columns`` maps output column name -> SQL expression over the
+    envelope (``key``/``after``/``updated``); ``key_col`` names the merge
+    key among them and must derive from the envelope ``key`` (tombstones
+    have no ``after``). Exactly-once under at-least-once delivery:
+    a re-delivered batch re-merges the same net rows (the content no-op
+    of keyed merges) and re-deletes already-absent keys (no-op). Requires
+    the changefeed per-key ordering contract — strictly increasing
+    ``updated`` per key across batches (the CockroachDB changefeed
+    guarantee the envelope format models, FIXTURES.md §B); out-of-order
+    producers should land through ``materialize_latest_state_dv``, which
+    keeps the timestamp compare."""
+    from ..operators.cdc import latest_state
+    from ..txlog import TxTable
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        table = TxTable(batch.sparkSession, table_dir)
+        net = latest_state(
+            batch.withColumn("__ts", F.expr(_UPDATED_NUMERIC)),
+            ["key"],
+            "__ts",
+        )
+        typed = net.select(
+            *[F.expr(e).alias(c) for c, e in columns.items()],
+            F.col("after").isNull().alias("_tombstone"),
+        ).localCheckpoint(eager=True)
+        if not typed.take(1):
+            return
+        if table.version() < 0:
+            # virgin table: tombstones target rows that never existed —
+            # provable no-ops, dropped (the index-bootstrap convention)
+            live = typed.filter(~F.col("_tombstone")).drop("_tombstone")
+            if live.take(1):
+                table.append(live.localCheckpoint(eager=True))
+            return
+        table.merge_into(
+            typed, on=[key_col], delete_when="_tombstone", mode=mode
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_with_dlq(
     stream_lines: DataFrame,
     after_schema: T.StructType,

@@ -342,3 +342,86 @@ def test_envelope_schema_drift_ignores_new_fields(spark, tmp_path):
         for r in read_latest_state(spark, state_dir).collect()
     }
     assert got == {"k1": 1.0, "k2": 2.0}
+
+
+def test_materialize_silver_tx_upserts_deletes_and_replays(spark, tmp_path):
+    """Typed-silver terminal (streaming/ingest.materialize_silver_tx):
+    dated changefeed drops become a plain (doc_id, text) tx table —
+    upserts for live images, PHYSICAL deletes for tombstones, net
+    latest-per-key within a batch, exactly-once across a checkpointed
+    re-run, and a virgin table drops orphan tombstones."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.ingest import (
+        changefeed_stream,
+        materialize_silver_tx,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    landing = str(tmp_path / "landing")
+    after = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def drop(date, rows):
+        d = _os.path.join(landing, date)
+        _os.makedirs(d, exist_ok=True)
+        with open(_os.path.join(d, "feed.ndjson"), "w") as f:
+            for key, img, upd in rows:
+                f.write(
+                    _json.dumps(
+                        {"after": img, "key": [str(key)], "updated": upd}
+                    )
+                    + "\n"
+                )
+
+    cols = {
+        "doc_id": "cast(element_at(key, 1) as bigint)",
+        "text": "after.text",
+    }
+    tdir, ckpt = str(tmp_path / "silver"), str(tmp_path / "ckpt")
+
+    def ingest():
+        materialize_silver_tx(
+            changefeed_stream(spark, landing, after), tdir, ckpt,
+            "doc_id", cols,
+        ).awaitTermination()
+
+    # drop 1: two inserts, an in-batch update (net reduce keeps latest),
+    # and an orphan tombstone for a never-seen key (virgin drop)
+    drop("2022-12-12", [
+        (1, {"doc_id": 1, "text": "alpha"}, "1.0000000000"),
+        (2, {"doc_id": 2, "text": "beta"}, "1.0000000000"),
+        (1, {"doc_id": 1, "text": "alpha two"}, "2.0000000000"),
+        (9, None, "1.0000000000"),
+    ])
+    ingest()
+    state = lambda: sorted(
+        (r.doc_id, r.text) for r in TxTable(spark, tdir).read().collect()
+    )
+    assert state() == [(1, "alpha two"), (2, "beta")]
+    # drop 2: update one, tombstone the other, insert a third
+    drop("2022-12-13", [
+        (2, {"doc_id": 2, "text": "beta two"}, "2.0000000000"),
+        (1, None, "3.0000000000"),
+        (3, {"doc_id": 3, "text": "gamma"}, "1.0000000000"),
+    ])
+    ingest()
+    assert state() == [(2, "beta two"), (3, "gamma")]
+    v = TxTable(spark, tdir).version()
+    # replay with no new files: checkpoint makes it a no-op
+    ingest()
+    assert TxTable(spark, tdir).version() == v
+    # FRESH checkpoint replays all files; keyed merges make the content
+    # converge to the same state (effectively-once)
+    import shutil as _shutil
+
+    _shutil.rmtree(ckpt)
+    ingest()
+    assert state() == [(2, "beta two"), (3, "gamma")]
