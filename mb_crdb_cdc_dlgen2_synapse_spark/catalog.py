@@ -203,7 +203,10 @@ _DRIVER_PRIORITY: list[str] = [
     # bpe_tokenize_invariants + media_png_decode; stays declared +
     # replica-verified)
     # (tx_partition_evolution rotated out r9 s2 — r6-green, ids redundant)
-    "substring_dup_spans",         # X1,X4,W2
+    # (substring_dup_spans rotated out r11 for bm25_index_timetravel:
+    # r6-green; X1 keeps bloom_prefilter_dedup + streaming_dedup_ingest,
+    # W2 keeps scd2_customer_history, X4 keeps 10+; stays declared +
+    # replica-run)
     # (streaming_tx_source + tx_fsck_recovery rotated out r9 s2 —
     # r7/r8-green, every id keeps >=3 in-window certifiers)
     # round-8 promotions — first driver row for each
@@ -265,6 +268,9 @@ _DRIVER_PRIORITY: list[str] = [
     # Engine.hybrid_search, hashed vs the closed-form dual replay) —
     # enters for its first driver row. Out: hybrid_rrf_retrieval (above).
     "llm_pipeline_e2e",            # S1,S3,S4,S6,T1,T6,T7,T8,J5,S2,X3,X4,J3
+    # round-11: the as_of time-travel read discipline gets its own
+    # hash-certified row (out: substring_dup_spans, above)
+    "bm25_index_timetravel",       # X4,S7,W4,S2 — pinned-version index query
 ]
 
 
@@ -9496,6 +9502,32 @@ def bm25_index_incremental_operator(spark: SparkSession, sf_dir: str) -> DataFra
     _src, index = _bm25_index_lifecycle(spark, sf_dir)
     q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     return bm25_index_topk(index, q, k=10)
+
+
+@register("bm25_index_timetravel", _bm25_oracle(), "X4,S7,W4,S2")
+def bm25_index_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel retrieval through the maintained index (the ``as_of``
+    read discipline the concurrency race gate relies on): the index lives
+    through its FULL CDC mutation lifecycle (update + delete + insert
+    folded by catch-ups), then answers the standing query AS OF its
+    bootstrap snapshot — pinned postings AND pinned corpus scalars from
+    one historical version — hashed against the BM25 oracle over the
+    ORIGINAL unmutated corpus. A MATCH proves maintenance never rewrites
+    history: every index version remains a queryable, bit-reproducible
+    snapshot (Delta/Iceberg time travel, applied to a derived index)."""
+    from .operators.bm25_index import bm25_index_topk
+
+    _src, index = _bm25_index_lifecycle(spark, sf_dir)
+    # the bootstrap-era snapshot: the LAST version whose watermark still
+    # reads the source's initial commit (v0) — metadata-only scan of a
+    # version-count-bounded history
+    boot = max(
+        v
+        for v in range(index.version() + 1)
+        if int(index.properties(as_of=v).get("bm25.srcVersion", -1)) == 0
+    )
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    return bm25_index_topk(index, q, k=10, as_of=boot)
 
 
 @register(

@@ -385,6 +385,25 @@ class Engine:
 
         return materialize_latest_state_dv(stream, table_dir, checkpoint_dir, **kw)
 
+    def start_silver_ingestion(
+        self, stream, table_dir: str, checkpoint_dir: str, key_col: str,
+        columns: dict, **kw
+    ):
+        """Typed SILVER latest-state from a changefeed envelope stream
+        (streaming.ingest.materialize_silver_tx): net-image reduce + one
+        keyed merge per batch — upserts for live images, PHYSICAL deletes
+        for tombstones — yielding a plain domain table whose own change
+        feed the CDF-maintained indexes (BM25/ANN/LSH) consume directly.
+        The full production loop is then: changefeed NDJSON ->
+        start_silver_ingestion -> start_*_index_maintenance ->
+        hybrid_search (certified end-to-end by the llm_pipeline_e2e
+        gate)."""
+        from .streaming.ingest import materialize_silver_tx
+
+        return materialize_silver_tx(
+            stream, table_dir, checkpoint_dir, key_col, columns, **kw
+        )
+
     def start_bloom_dedup_ingestion(
         self, stream, table_dir: str, bloom_dir: str, checkpoint_dir: str, **kw
     ):

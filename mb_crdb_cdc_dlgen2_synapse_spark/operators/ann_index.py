@@ -740,6 +740,36 @@ def _unit_vecs(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _residual_vecs(vecs: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """(vec_id, cid, embedding=residual): assign each (unit) vector to
+    its coarse centroid and subtract it — canonical IVFADC encodes the
+    RESIDUAL (vector − assigned centroid), not the raw vector (Jégou
+    et al. §IV-A): residuals concentrate around the origin regardless of
+    which list the vector sits in, so the shared per-subspace codebooks
+    spend their 4 bits on a far smaller dynamic range and the same
+    8-byte code buys a finer ADC shortlist. Assignment ties break to the
+    lowest cid (assign_clusters), identical to the list-placement
+    assignment — code and cid always agree."""
+    from .clustering import assign_clusters
+
+    return _residuals_from_assigned(assign_clusters(vecs, cents_df), cents_df)
+
+
+def _residuals_from_assigned(assigned: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """Residuals from an ALREADY-assigned frame (vec_id, embedding, cid)
+    — callers that just paid the assignment pass (bootstrap, rebuild)
+    reuse it instead of assigning twice."""
+    return assigned.join(
+        F.broadcast(cents_df.select("cid", "c_vec")), "cid"
+    ).select(
+        "vec_id",
+        "cid",
+        F.zip_with("embedding", "c_vec", lambda x, c: x - c).alias(
+            "embedding"
+        ),
+    )
+
+
 def _books_rows(spark, model: list[list[list[float]]]) -> DataFrame:
     rows = [
         (j, c, model[j][c])
@@ -810,18 +840,26 @@ def catchup_ivfpq_index(
         centroids, _ = kmeans(snap, k=n_lists, n_iter=n_iter)
         cents.overwrite(centroids.select("cid", "c_vec"))
         cv = cents.version()
-        model = train_pq_codebooks(
-            snap, m=m, k=kq, n_iter=n_iter, sample=sample
-        )
-        books.overwrite(_books_rows(index.spark, model))
-        bv = books.version()
         assigned = assign_clusters(snap, cents.read(as_of=cv)).localCheckpoint(
             eager=True
         )
         boot_d2 = assigned.agg(F.avg("d2")).collect()[0][0]
+        # RESIDUAL encoding (canonical IVFADC): codebooks train on and
+        # codes quantize (vector − assigned centroid) — see
+        # _residual_vecs. Both the training input and every later encode
+        # derive from the SAME pinned cents generation, so codes never
+        # mix encodings across a retrain (generation pins gate reads).
+        res = _residuals_from_assigned(
+            assigned, cents.read(as_of=cv)
+        ).localCheckpoint(eager=True)
+        model = train_pq_codebooks(
+            res, m=m, k=kq, n_iter=n_iter, sample=sample
+        )
+        books.overwrite(_books_rows(index.spark, model))
+        bv = books.version()
         rows = (
-            pq_encode_arrow(snap, model)
-            .join(assigned.select("vec_id", "cid"), "vec_id")
+            pq_encode_arrow(res.select("vec_id", "embedding"), model)
+            .join(res.select("vec_id", "cid"), "vec_id")
             .select("vec_id", "cid", "pq_code")
             .localCheckpoint(eager=True)
         )
@@ -843,6 +881,10 @@ def catchup_ivfpq_index(
             "ann.ivfpq.booksVersion": str(bv),
             "ann.ivfpq.m": str(m),
             "ann.ivfpq.k": str(kq),
+            # encoding is LAYOUT, frozen at bootstrap: every later
+            # encode/read derives it from here ("raw" = pre-residual
+            # indexes, which keep working unchanged)
+            "ann.ivfpq.encoding": "residual",
         }
         if boot_d2 is not None:
             # drift baseline in the NORMALIZED space (the index's metric
@@ -953,16 +995,23 @@ def rebuild_ivfpq_index(
     centroids, _ = kmeans(snap, k=n_lists, n_iter=n_iter)
     cents.overwrite(centroids.select("cid", "c_vec"))
     cv = cents.version()
-    model = train_pq_codebooks(snap, m=m, k=kq, n_iter=n_iter, sample=sample)
-    books.overwrite(_books_rows(index.spark, model))
-    bv = books.version()
     assigned = assign_clusters(snap, cents.read(as_of=cv)).localCheckpoint(
         eager=True
     )
     boot_d2 = assigned.agg(F.avg("d2")).collect()[0][0]
+    # retrain always lands the residual encoding (see the bootstrap);
+    # the atomic pin swap below is what lets a raw-era index upgrade
+    # in one commit — probes read old cents+books+codes+encoding or new,
+    # never a mix
+    res = _residuals_from_assigned(
+        assigned, cents.read(as_of=cv)
+    ).localCheckpoint(eager=True)
+    model = train_pq_codebooks(res, m=m, k=kq, n_iter=n_iter, sample=sample)
+    books.overwrite(_books_rows(index.spark, model))
+    bv = books.version()
     rows = (
-        pq_encode_arrow(snap, model)
-        .join(assigned.select("vec_id", "cid"), "vec_id")
+        pq_encode_arrow(res.select("vec_id", "embedding"), model)
+        .join(res.select("vec_id", "cid"), "vec_id")
         .select("vec_id", "cid", "pq_code")
         .localCheckpoint(eager=True)
     )
@@ -978,6 +1027,7 @@ def rebuild_ivfpq_index(
             "ann.ivfpq.booksVersion": str(bv),
             "ann.ivfpq.m": str(m),
             "ann.ivfpq.k": str(kq),
+            "ann.ivfpq.encoding": "residual",
             "ann.ivfpq.bootMeanD2": repr(float(boot_d2)),
         },
     )
@@ -1045,11 +1095,21 @@ def ivfpq_apply_changes(
             "vec_id", "embedding"
         )
     ).localCheckpoint(eager=True)
-    ups = (
-        pq_encode_arrow(ins, model)
-        .join(assign_clusters(ins, centroids).select("vec_id", "cid"), "vec_id")
-        .select("vec_id", "cid", "pq_code")
-        .withColumn("_tombstone", F.lit(False))
+    if index.properties().get("ann.ivfpq.encoding") == "residual":
+        # encode (vector − assigned centroid) under the SAME pinned
+        # generation the bootstrap trained on — the encoding property is
+        # layout, read from the index so batch and streaming folds agree
+        # (pinned once: res feeds both the encode and the cid join)
+        res = _residual_vecs(ins, centroids).localCheckpoint(eager=True)
+        enc = pq_encode_arrow(res.select("vec_id", "embedding"), model).join(
+            res.select("vec_id", "cid"), "vec_id"
+        )
+    else:
+        enc = pq_encode_arrow(ins, model).join(
+            assign_clusters(ins, centroids).select("vec_id", "cid"), "vec_id"
+        )
+    ups = enc.select("vec_id", "cid", "pq_code").withColumn(
+        "_tombstone", F.lit(False)
     )
     dels = net.filter(F.col("_change_type") == "delete").select(
         "vec_id",
@@ -1196,13 +1256,35 @@ def ivfpq_index_topk(
             .collect()  # bounded by n_lists
         }
     )
-    lists = index.read(predicates=[("cid", "in", probe_ids)]).select(
-        "vec_id", "pq_code"
-    )
-    lut = _pq_lut(qn, model)
-    adc = lists.join(F.broadcast(lut.drop("embedding"))).select(
-        "query_id", "vec_id", _adc_dist(len(model)).alias("adc_dist")
-    )
+    if index.properties().get("ann.ivfpq.encoding") == "residual":
+        # residual ADC (IVFADC proper): codes quantize (x − c_list), so
+        # the LUT must be built from the SHIFTED query (q − c_list) — one
+        # LUT per (query, probed cid), nprobe·m·k doubles per query, the
+        # published IVFADC table cost. Σ_j LUT[j][code_j] then estimates
+        # ||q − c − r̂||² = ||q − x̂||² exactly as the raw form did.
+        probe_cents = cents_df.filter(F.col("cid").isin(probe_ids))
+        shifted = qn.join(F.broadcast(probe_cents)).select(
+            "query_id",
+            "cid",
+            F.zip_with(
+                "embedding", "c_vec", lambda x, c: x - c
+            ).alias("embedding"),
+        )
+        lut = _pq_lut(shifted, model, passthrough={"cid": "int"})
+        lists = index.read(predicates=[("cid", "in", probe_ids)]).select(
+            "vec_id", "cid", "pq_code"
+        )
+        adc = lists.join(F.broadcast(lut.drop("embedding")), "cid").select(
+            "query_id", "vec_id", _adc_dist(len(model)).alias("adc_dist")
+        )
+    else:
+        lists = index.read(predicates=[("cid", "in", probe_ids)]).select(
+            "vec_id", "pq_code"
+        )
+        lut = _pq_lut(qn, model)
+        adc = lists.join(F.broadcast(lut.drop("embedding"))).select(
+            "query_id", "vec_id", _adc_dist(len(model)).alias("adc_dist")
+        )
     ws = W.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
@@ -1259,16 +1341,26 @@ def assert_ivfpq_index_matches_scratch(index, cents, books, src) -> None:
 
     snap = _unit_vecs(src.read().select("vec_id", "embedding"))
     model = _pinned_books(index, books)
-    scratch = (
-        pq_encode_arrow(snap, model)
-        .join(
-            assign_clusters(snap, _pinned_cents(index, cents)).select(
-                "vec_id", "cid"
-            ),
-            "vec_id",
+    if index.properties().get("ann.ivfpq.encoding") == "residual":
+        res = _residual_vecs(snap, _pinned_cents(index, cents)).localCheckpoint(
+            eager=True
         )
-        .select("vec_id", "cid", "pq_code")
-    )
+        scratch = (
+            pq_encode_arrow(res.select("vec_id", "embedding"), model)
+            .join(res.select("vec_id", "cid"), "vec_id")
+            .select("vec_id", "cid", "pq_code")
+        )
+    else:
+        scratch = (
+            pq_encode_arrow(snap, model)
+            .join(
+                assign_clusters(snap, _pinned_cents(index, cents)).select(
+                    "vec_id", "cid"
+                ),
+                "vec_id",
+            )
+            .select("vec_id", "cid", "pq_code")
+        )
     got = index.read().select("vec_id", "cid", "pq_code")
     extra = got.exceptAll(scratch).count()
     missing = scratch.exceptAll(got).count()

@@ -261,6 +261,7 @@ def bm25_index_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     key_cap: int = PROBE_KEY_CAP,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 through the inverted index: ONE pruned read of the
     postings restricted to the query terms (token IN-predicate — log
@@ -274,7 +275,9 @@ def bm25_index_topk(
     them and pair new postings with stale n_docs/total_dl (the
     ivfpq_index_topk pinned-generation discipline)."""
     spark = index.spark
-    v = index.version()
+    # as_of = time-travel query against a PINNED index version (the
+    # prefix-consistency replay primitive); default = current head
+    v = index.version() if as_of is None else as_of
     props = index.properties(as_of=v)
     terms = sorted(
         r.term

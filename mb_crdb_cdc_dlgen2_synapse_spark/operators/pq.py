@@ -175,6 +175,7 @@ def _pq_lut(
     queries: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
+    passthrough: dict[str, str] | None = None,
 ) -> DataFrame:
     """(query_id, __lut): the per-query ADC lookup table — m arrays of k
     squared subdistances, computed Arrow-batched on the (tiny) query
@@ -182,13 +183,18 @@ def _pq_lut(
     expression form was m·k·(d/m) terms — 1024 at m=16 — which blows
     the JVM codegen method budget: Janino compile fails, logs an ERROR
     and interprets. One numpy einsum per batch is exact IEEE-double
-    arithmetic in the same accumulation order.)"""
+    arithmetic in the same accumulation order.)
+
+    ``passthrough`` carries extra id columns (name -> Spark SQL type)
+    through the batch unchanged — the residual-IVFADC read path keys
+    its LUTs by (query_id, cid), one per probed list."""
     import numpy as np
     import pandas as pd
 
     m, kk = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
     cbook = np.asarray(codebooks, dtype=np.float64)  # (m, kk, sub)
+    extra = dict(passthrough or {})
 
     def lut(batches):
         for pdf in batches:
@@ -198,20 +204,22 @@ def _pq_lut(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             ).reshape(len(pdf), m, sub)
             d2 = ((vecs[:, :, None, :] - cbook[None]) ** 2).sum(-1)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    vec_col: pdf[vec_col],
-                    "__lut": [row.tolist() for row in d2],
-                }
-            )
+            out = {"query_id": pdf["query_id"].to_numpy()}
+            for c in extra:
+                out[c] = pdf[c].to_numpy()
+            out[vec_col] = pdf[vec_col]
+            out["__lut"] = [row.tolist() for row in d2]
+            yield pd.DataFrame(out)
 
+    extra_schema = "".join(f", {c} {t}" for c, t in extra.items())
     out_schema = (
-        f"query_id long, {vec_col} array<double>, __lut array<array<double>>"
+        f"query_id long{extra_schema}, {vec_col} array<double>, "
+        "__lut array<array<double>>"
     )
     return (
         queries.select(
             "query_id",
+            *[F.col(c) for c in extra],
             F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col),
         )
         .mapInPandas(lut, out_schema)

@@ -725,6 +725,7 @@ def probed_hamming_topk(
     radius: int = 1,
     vec_col: str = "embedding",
     min_recall: float | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Stage-1 Hamming retrieval against a ``materialize_binary_codes``
     table, scanning only the probed buckets: query prefixes are a bounded
@@ -749,7 +750,9 @@ def probed_hamming_topk(
     0.035 (SCALING.md, 1M adversarial curve). Callers who know their
     query stream is neighbor-like (measured recall 1.0) may leave it
     unset and keep the cheaper probe."""
-    prop = codes_table.properties().get("ann.prefixDims")
+    # as_of pins both the layout property and the bucket read to ONE
+    # version (time travel / prefix-consistency replay); default = head
+    prop = codes_table.properties(as_of=as_of).get("ann.prefixDims")
     dims = (
         [int(x) for x in prop.split(",")]
         if prop
@@ -768,7 +771,9 @@ def probed_hamming_topk(
     rows = q.select("q_bucket").distinct().collect()  # plan-bounded: <=2^prefix_bits bucket ids, probe planning only
     for r in rows:
         probe.update(prefix_probe_buckets(r.q_bucket, prefix_bits, radius))
-    corp = codes_table.read(predicates=[("bucket", "in", sorted(probe))])
+    corp = codes_table.read(
+        predicates=[("bucket", "in", sorted(probe))], as_of=as_of
+    )
     ham = F.bit_count(F.col("b_lo").bitwiseXOR(F.col("q_lo"))) + F.bit_count(
         F.col("b_hi").bitwiseXOR(F.col("q_hi"))
     )

@@ -76,6 +76,11 @@ for name, qd in sorted(catalog.registry().items()):
         # tiny (3-row) probed query-side broadcast — both index read paths
         "hybrid_fusion_eval",  # same 1-row corpus-stats broadcast (BM25
         # tail) + tiny (3-row) query-embedding broadcast (brute-force tail)
+        "hybrid_ivfpq_retrieval",  # same bounded broadcasts: corpus-stats
+        # scalar + centroid table + per-(query,cid) residual LUT
+        "llm_pipeline_e2e",  # the hybrid_index_retrieval read path over
+        # stream-ingested silver: same 1-row corpus-stats + tiny query
+        # broadcasts
     ):
         issues.append("BNLJ")
     if "BatchEvalPython" in plan and name not in (

