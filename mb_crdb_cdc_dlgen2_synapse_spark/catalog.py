@@ -242,7 +242,10 @@ _DRIVER_PRIORITY: list[str] = [
     # (approx_distinct_priority rotated out r10 for lsh_index_probe_batch:
     # r9-green; A4 keeps sketch_distinct_rollup + streaming_distinct_sketch
     # + corpus_boilerplate_segments; stays declared + replica-run)
-    "approx_percentiles_price",    # A3,A4 — percentile_approx rank contract
+    # (approx_percentiles_price rotated out r11 for filtered_ann_topk:
+    # r-many-green; A3 keeps retrieval_eval_metrics + hybrid_fusion_eval,
+    # A4 keeps sketch_distinct_rollup + streaming_distinct_sketch +
+    # corpus_boilerplate_segments; stays declared + replica-run)
     "streaming_neardedup_ingest",  # S1,T1,T8,X2,Q4 — full oracle (upgraded r8)
     # round-9 session-2 promotions — first driver row for each
     "ivfpq_index_incremental",     # X3,S2,J5,X6 — CDF-maintained IVF-PQ lists
@@ -271,6 +274,9 @@ _DRIVER_PRIORITY: list[str] = [
     # round-11: the as_of time-travel read discipline gets its own
     # hash-certified row (out: substring_dup_spans, above)
     "bm25_index_timetravel",       # X4,S7,W4,S2 — pinned-version index query
+    # round-11: filtered vector search (metadata-predicate top-k, the
+    # production vector-store staple) — out: approx_percentiles_price
+    "filtered_ann_topk",           # X3,P9,J4,W4 — semi-join filtered probe
 ]
 
 
@@ -7785,6 +7791,68 @@ def knn_hamming_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return probed_hamming_topk(table, queries, k=5, prefix_bits=4, radius=1)
+
+
+@register(
+    "filtered_ann_topk",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+    bq AS (
+        SELECT vec_id,
+               {_bq_word_sql(0)} AS b_lo,
+               {_bq_word_sql(32)} AS b_hi
+        FROM corpus),
+    bb AS (SELECT vec_id, b_lo, b_hi, b_lo & 15 AS bucket FROM bq),
+    q AS (SELECT vec_id AS query_id,
+                 {_bq_word_sql(0)} AS q_lo,
+                 {_bq_word_sql(32)} AS q_hi
+          FROM embeddings WHERE vec_id < 3),
+    qv AS (SELECT query_id, q_lo, q_hi, q_lo & 15 AS q_bucket FROM q),
+    scored AS (
+        SELECT qv.query_id, c.vec_id,
+               CAST(bit_count(xor(c.b_lo, qv.q_lo))
+                    + bit_count(xor(c.b_hi, qv.q_hi)) AS INT) AS hamming
+        FROM bb c CROSS JOIN qv
+        WHERE bit_count(xor(c.bucket, qv.q_bucket)) <= 2)
+    SELECT query_id, rk, vec_id, hamming FROM (
+        SELECT query_id, vec_id, hamming,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY hamming, vec_id) AS INT) AS rk
+        FROM scored)
+    WHERE rk <= 5
+    """,
+    "X3,P9,J4,W4",
+)
+def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k restricted to rows matching a
+    metadata predicate, the operation every production vector store
+    pairs with ANN (tenant / source / date scoping). The predicate's
+    key set stays DISTRIBUTED: a semi-join against the probed bucket
+    read (`probed_hamming_topk(allowed=...)`), so a predicate matching
+    a third of a 100 TB corpus never touches the driver, and bucket
+    file-pruning still applies before the filter. Radius is raised to 2
+    (post-filtering thins each probed bucket — the documented
+    selectivity/radius trade). Integer Hamming scores hash-check the
+    whole pruned+filtered pipeline against the oracle's CROSS JOIN over
+    the predicate-filtered corpus."""
+    from .operators.similarity import (
+        materialize_binary_codes,
+        probed_hamming_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = _scratch("filtered_ann")
+    table = materialize_binary_codes(
+        emb, os.path.join(tmp, "codes"), prefix_bits=4
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    return probed_hamming_topk(
+        table, queries, k=5, prefix_bits=4, radius=2, allowed=allowed
+    )
 
 
 @register(

@@ -726,6 +726,7 @@ def probed_hamming_topk(
     vec_col: str = "embedding",
     min_recall: float | None = None,
     as_of: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Stage-1 Hamming retrieval against a ``materialize_binary_codes``
     table, scanning only the probed buckets: query prefixes are a bounded
@@ -774,6 +775,15 @@ def probed_hamming_topk(
     corp = codes_table.read(
         predicates=[("bucket", "in", sorted(probe))], as_of=as_of
     )
+    if allowed is not None:
+        # FILTERED vector search (the metadata-predicate top-k every
+        # production vector store needs): restrict candidates to the
+        # allowed key set BEFORE ranking — a distributed semi-join, so
+        # the predicate's result never lands on the driver and bucket
+        # file-pruning still applies. This is post-filtering: under a
+        # highly selective predicate raise ``radius``/``min_recall`` to
+        # keep enough allowed candidates in the probe set.
+        corp = corp.join(allowed.select("vec_id").distinct(), "vec_id", "semi")
     ham = F.bit_count(F.col("b_lo").bitwiseXOR(F.col("q_lo"))) + F.bit_count(
         F.col("b_hi").bitwiseXOR(F.col("q_hi"))
     )

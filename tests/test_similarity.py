@@ -350,3 +350,31 @@ def test_retrieval_contract_shape_and_floor_semantics(spark):
     assert (row.query_id, row.n_results, row.recall_ok) == (1, 5, True)
     row = similarity.retrieval_contract(got, exact, floor=0.81).collect()[0]
     assert row.recall_ok is False
+
+
+def test_filtered_probe_equals_prefiltered_corpus(spark, emb, queries, tmp_path):
+    """probed_hamming_topk(allowed=...) must equal the same probe over a
+    codes table built from the pre-filtered corpus: filtering happens
+    BEFORE ranking (a doc outside the predicate can never displace an
+    allowed one from the top-k), and non-allowed ids never appear."""
+    table = similarity.materialize_binary_codes(
+        emb, str(tmp_path / "codes_all"), prefix_bits=4
+    )
+    pre = similarity.materialize_binary_codes(
+        emb.filter(F.col("vec_id") % 3 == 0),
+        str(tmp_path / "codes_pre"),
+        prefix_bits=4,
+    )
+    allowed = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    key = lambda df: sorted(
+        (r.query_id, r.rk, r.vec_id, r.hamming) for r in df.collect()
+    )
+    got = similarity.probed_hamming_topk(
+        table, queries, k=5, prefix_bits=4, radius=2, allowed=allowed
+    )
+    rows = got.collect()
+    assert rows and all(r.vec_id % 3 == 0 for r in rows)
+    want = similarity.probed_hamming_topk(
+        pre, queries, k=5, prefix_bits=4, radius=2
+    )
+    assert key(got) == key(want)
