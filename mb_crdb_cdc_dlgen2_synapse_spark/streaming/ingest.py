@@ -420,9 +420,20 @@ def materialize_silver_tx(
     ``updated`` per key across batches (the CockroachDB changefeed
     guarantee the envelope format models, FIXTURES.md §B); out-of-order
     producers should land through ``materialize_latest_state_dv``, which
-    keeps the timestamp compare."""
+    keeps the timestamp compare.
+
+    Scale layout (the virgin-bootstrap convention of the index family):
+    the first data commit lands key-CLUSTERED files with a declared
+    clustering + key bloom, so every later batch's keyed merge prunes
+    its candidate files by key span/bloom — per-batch merge cost tracks
+    the BATCH, not the table — and the relative-threshold compaction
+    cadence restores the layout as trickle batches fragment it."""
+    import pyspark.sql.types as T
+
     from ..operators.cdc import latest_state
-    from ..txlog import TxTable
+    from ..txlog import TxTable, maybe_compact_index
+
+    rows_per_file = 65536
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         table = TxTable(batch.sparkSession, table_dir)
@@ -442,11 +453,26 @@ def materialize_silver_tx(
             # provable no-ops, dropped (the index-bootstrap convention)
             live = typed.filter(~F.col("_tombstone")).drop("_tombstone")
             if live.take(1):
-                table.append(live.localCheckpoint(eager=True))
+                table.append(
+                    live.localCheckpoint(eager=True),
+                    cluster_by=[key_col],
+                    max_records_per_file=rows_per_file,
+                )
+                table.set_clustering([key_col])
+                key_type = typed.schema[key_col].dataType
+                if isinstance(
+                    key_type,
+                    (
+                        T.StringType, T.IntegerType, T.LongType,
+                        T.ShortType, T.ByteType,
+                    ),
+                ):
+                    table.set_bloom_index([key_col], auto_size=True)
             return
         table.merge_into(
             typed, on=[key_col], delete_when="_tombstone", mode=mode
         )
+        maybe_compact_index(table, rows_per_file)
 
     writer = (
         stream.writeStream.foreachBatch(merge_batch)

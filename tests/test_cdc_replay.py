@@ -406,6 +406,10 @@ def test_materialize_silver_tx_upserts_deletes_and_replays(spark, tmp_path):
         (r.doc_id, r.text) for r in TxTable(spark, tdir).read().collect()
     )
     assert state() == [(1, "alpha two"), (2, "beta")]
+    # virgin bootstrap lays the scale layout down: declared key
+    # clustering + key bloom (merge candidate pruning from batch 2 on)
+    assert TxTable(spark, tdir).clustering() == ["doc_id"]
+    assert "doc_id" in TxTable(spark, tdir).bloom_index()
     # drop 2: update one, tombstone the other, insert a third
     drop("2022-12-13", [
         (2, {"doc_id": 2, "text": "beta two"}, "2.0000000000"),
