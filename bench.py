@@ -121,6 +121,11 @@ HEADLINE = [
     "hybrid_ivfpq_retrieval",      # BM25 index x IVF-PQ IVFADC+R -> RRF, dual lifecycle
     # round-11 additions
     "hybrid_index_operator",       # composed hybrid READ path over prebuilt indexes
+    "filtered_ann_topk",           # metadata-predicate semi-join filtered ANN probe
+    # (llm_pipeline_e2e and bm25_index_timetravel are certification
+    # gates, not bench entries: their wall time is streaming-machinery /
+    # duplicate-lifecycle noise whose components are already benched —
+    # BASELINE.md round-11 note)
 ]
 
 

@@ -53,6 +53,11 @@ for name, qd in sorted(catalog.registry().items()):
         "hybrid_rrf_retrieval",  # tiny (3-row) query-side cosine broadcast
         "retrieval_eval_metrics",  # same 1-row corpus-stats broadcast (BM25 tail)
         "bm25_index_incremental",  # 1-row props-scalar broadcast (shared tail)
+        "bm25_index_timetravel",  # same 1-row props-scalar broadcast, read
+        # at the pinned as_of version
+        "filtered_ann_topk",  # tiny (3-row) query-side broadcast, same
+        # bounded shape as knn_hamming_bucketed; the allowed-key side is a
+        # distributed SEMI join, not part of the BNLJ
         "dedup_jaccard_dfcap",  # 1-row corpus-size aggregate broadcast
         "dsir_importance_weights",  # 1-row vocab-totals aggregate broadcast
         "doc_lm_quality",  # 1-row vocabulary-size aggregate broadcast
