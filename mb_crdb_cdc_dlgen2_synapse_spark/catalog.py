@@ -235,7 +235,9 @@ _DRIVER_PRIORITY: list[str] = [
     # ivfpq_index_incremental; stays declared + replica-run)
     "media_features",              # X5,X6 — dyadic-exact decode feature oracle
     "streaming_distinct_sketch",   # A4,A6,T1,T8 — 1%+2 batch cross-check oracle
-    "sketch_distinct_rollup",      # A4 — mergeable HLL rollup
+    # (sketch_distinct_rollup rotated out r11 for hybrid_filtered_retrieval:
+    # long-green; A4 keeps streaming_distinct_sketch +
+    # corpus_boilerplate_segments; stays declared + replica-run + benched)
     # (sketch_price_quantiles rotated out r10 for lsh_index_incremental:
     # r9-green; A3 keeps approx_percentiles_price + retrieval_eval_metrics
     # + hybrid_fusion_eval; stays declared + replica-run)
@@ -277,6 +279,9 @@ _DRIVER_PRIORITY: list[str] = [
     # round-11: filtered vector search (metadata-predicate top-k, the
     # production vector-store staple) — out: approx_percentiles_price
     "filtered_ann_topk",           # X3,P9,J4,W4 — semi-join filtered probe
+    # round-11: tenant-scoped hybrid (allowed= through BOTH systems) —
+    # out: sketch_distinct_rollup (above)
+    "hybrid_filtered_retrieval",   # X3,X4,J3,J4,P9 — filtered dual RRF
 ]
 
 
@@ -9134,7 +9139,11 @@ _BM25_QUERIES = [
 _BM25_VALUES_SQL = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
 
 
-def _bm25_oracle(src: str = "documents", values: str | None = None) -> str:
+def _bm25_oracle(
+    src: str = "documents",
+    values: str | None = None,
+    rank_where: str = "",
+) -> str:
     from .operators.retrieval import BM25_B as B, BM25_K1 as K1
 
     return rf"""
@@ -9166,7 +9175,7 @@ def _bm25_oracle(src: str = "documents", values: str | None = None) -> str:
     SELECT query_id, rk, doc_id, score FROM (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
-        FROM score)
+        FROM score {rank_where})
     WHERE rk <= 10
     """
 
@@ -10097,6 +10106,101 @@ def hybrid_index_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return Engine(spark).hybrid_search(
         bm25.path, ann.path, q_terms, q_vecs, k=10, per_system_k=10, radius=1
+    )
+
+
+def _hybrid_filtered_oracle() -> str:
+    """Closed-form filtered hybrid: BM25 scores stay corpus-GLOBAL, the
+    %3 predicate gates who may enter each system's top-10 (post-filter
+    ranking — the engine's allowed= semantics), Hamming side restricted
+    the same way, RRF k=60 fuse."""
+    return f"""
+    WITH lex AS (
+        SELECT query_id, doc_id, rk AS lex_rk
+        FROM ({_bm25_oracle(rank_where="WHERE doc_id % 3 = 0")})),
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+    bq AS (
+        SELECT vec_id,
+               {_bq_word_sql(0)} AS b_lo,
+               {_bq_word_sql(32)} AS b_hi
+        FROM corpus),
+    bb AS (SELECT vec_id, b_lo, b_hi, b_lo & 15 AS bucket FROM bq),
+    qsig AS (
+        SELECT vec_id AS query_id,
+               {_bq_word_sql(0)} AS q_lo,
+               {_bq_word_sql(32)} AS q_hi
+        FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    qv AS (SELECT query_id, q_lo, q_hi, q_lo & 15 AS q_bucket FROM qsig),
+    vscored AS (
+        SELECT qv.query_id, c.vec_id AS doc_id,
+               CAST(bit_count(xor(c.b_lo, qv.q_lo))
+                    + bit_count(xor(c.b_hi, qv.q_hi)) AS INT) AS hamming
+        FROM bb c CROSS JOIN qv
+        WHERE bit_count(xor(c.bucket, qv.q_bucket)) <= 1),
+    vec AS (
+        SELECT query_id, doc_id, vec_rk FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, doc_id) AS vec_rk
+            FROM vscored)
+        WHERE vec_rk <= 10),
+    fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.doc_id, v.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + lex_rk), 0.0)
+               + coalesce(1.0 / (60 + vec_rk), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+    SELECT query_id, rk, doc_id, rrf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rk
+        FROM fused)
+    WHERE rk <= 10
+    """
+
+
+@register("hybrid_filtered_retrieval", _hybrid_filtered_oracle(), "X3,X4,J3,J4,P9")
+def hybrid_filtered_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenant-scoped hybrid retrieval — the filtered twin of
+    hybrid_index_retrieval: one ``allowed`` key set (a metadata
+    predicate's doc ids) scopes BOTH systems through distributed
+    semi-joins (``Engine.hybrid_search(allowed=...)``) — BM25 keeps
+    corpus-GLOBAL scoring stats and filters who may enter the top-k
+    (post-filter ranking), the Hamming probe filters its probed-bucket
+    candidates the same way, RRF fuses the two scoped rankings. The key
+    set never lands on the driver: at 100 TB a predicate matching a
+    third of the corpus flows as a semi-join against each pruned index
+    read. Hashed against the closed-form filtered dual replay."""
+    from .engine import Engine
+    from .operators.ann_index import catchup_ann_index
+    from .operators.bm25_index import catchup_bm25_index
+    from .txlog import TxTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = _scratch("hybrid_filtered")
+    src_d = TxTable(spark, os.path.join(tmp, "sd"))
+    src_d.append(docs)
+    bm25 = TxTable(spark, os.path.join(tmp, "bm25"))
+    catchup_bm25_index(src_d, bm25)
+    src_e = TxTable(spark, os.path.join(tmp, "se"))
+    src_e.append(emb)
+    ann = TxTable(spark, os.path.join(tmp, "ann"))
+    catchup_ann_index(src_e, ann, prefix_bits=4)
+    allowed = (
+        docs.select("doc_id")
+        .unionByName(emb.select(F.col("vec_id").alias("doc_id")))
+        .filter(F.col("doc_id") % 3 == 0)
+        .distinct()
+    )
+    q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q_vecs = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    return Engine(spark).hybrid_search(
+        bm25.path, ann.path, q_terms, q_vecs,
+        k=10, per_system_k=10, radius=1, allowed=allowed,
     )
 
 

@@ -681,6 +681,7 @@ class Engine:
         k: int = 10,
         per_system_k: int = 20,
         radius: int = 1,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """Production hybrid retrieval: lexical top-k through the BM25
         inverted index (pruned token-IN read), vector top-k through the
@@ -688,7 +689,11 @@ class Engine:
         reciprocal-rank fusion — every stage an incremental index read,
         no corpus scan anywhere. ``term_queries`` carries (query_id,
         term); ``vector_queries`` carries (query_id, embedding) with
-        matching query_ids. Returns (query_id, rk, doc_id, rrf)."""
+        matching query_ids. ``allowed`` (one ``doc_id`` column) scopes
+        BOTH systems to a metadata predicate's keys via distributed
+        semi-joins before each top-k — tenant/source/date-filtered
+        retrieval with corpus-global scoring stats. Returns
+        (query_id, rk, doc_id, rrf)."""
         from .operators.bm25_index import bm25_index_topk
         from .operators.retrieval import rrf_fuse
         from .operators.similarity import probed_hamming_topk
@@ -697,13 +702,19 @@ class Engine:
         from pyspark.sql import functions as F
 
         lex = bm25_index_topk(
-            TxTable(self.spark, bm25_index_dir), term_queries, k=per_system_k
+            TxTable(self.spark, bm25_index_dir), term_queries, k=per_system_k,
+            allowed=allowed,
         ).select("query_id", "doc_id", F.col("rk").alias("lex_rk"))
         vec = probed_hamming_topk(
             TxTable(self.spark, ann_index_dir),
             vector_queries,
             k=per_system_k,
             radius=radius,
+            allowed=(
+                allowed.select(F.col("doc_id").alias("vec_id"))
+                if allowed is not None
+                else None
+            ),
         ).select(
             "query_id", F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk")
         )

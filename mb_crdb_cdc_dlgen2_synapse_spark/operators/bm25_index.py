@@ -262,6 +262,7 @@ def bm25_index_topk(
     b: float = BM25_B,
     key_cap: int = PROBE_KEY_CAP,
     as_of: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 through the inverted index: ONE pruned read of the
     postings restricted to the query terms (token IN-predicate — log
@@ -307,6 +308,15 @@ def bm25_index_topk(
         "n_docs long, total_dl long",
     )
     scored = bm25_score_from_stats(tf, df_t, dl, stats, queries, k1=k1, b=b)
+    if allowed is not None:
+        # FILTERED retrieval (tenant/source/date scoping): restrict the
+        # ranking to the allowed key set with a distributed semi-join on
+        # the SCORED relation — per-doc scores (tf/df/idf) stay the
+        # corpus-global values, the predicate only decides who may enter
+        # the top-k (post-filtering, the probed_hamming_topk convention)
+        scored = scored.join(
+            allowed.select("doc_id").distinct(), "doc_id", "semi"
+        )
     return bm25_rank(scored, k=k)
 
 

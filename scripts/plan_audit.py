@@ -58,6 +58,9 @@ for name, qd in sorted(catalog.registry().items()):
         "filtered_ann_topk",  # tiny (3-row) query-side broadcast, same
         # bounded shape as knn_hamming_bucketed; the allowed-key side is a
         # distributed SEMI join, not part of the BNLJ
+        "hybrid_filtered_retrieval",  # the hybrid gates' bounded
+        # broadcasts (1-row corpus-stats + 3-row query side); the allowed
+        # sides are distributed SEMI joins
         "dedup_jaccard_dfcap",  # 1-row corpus-size aggregate broadcast
         "dsir_importance_weights",  # 1-row vocab-totals aggregate broadcast
         "doc_lm_quality",  # 1-row vocabulary-size aggregate broadcast
