@@ -733,6 +733,7 @@ class Engine:
         per_system_k: int = 20,
         nprobe: int = 3,
         shortlist: int = 200,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """The billion-scale hybrid: lexical top-k through the BM25
         inverted index, vector top-k through the CDF-maintained IVF-PQ
@@ -741,7 +742,9 @@ class Engine:
         contract as ``hybrid_search`` with the Hamming stage swapped for
         the compressed one — at 100 TB of embeddings the 8-byte lists
         are the only vector index that fits warm storage, so this is the
-        composition a production deployment actually runs."""
+        composition a production deployment actually runs. ``allowed``
+        (one ``doc_id`` column) scopes both systems, as in
+        ``hybrid_search``."""
         from .operators.ann_index import ivfpq_index_topk
         from .operators.bm25_index import bm25_index_topk
         from .operators.retrieval import rrf_fuse
@@ -750,7 +753,8 @@ class Engine:
         from pyspark.sql import functions as F
 
         lex = bm25_index_topk(
-            TxTable(self.spark, bm25_index_dir), term_queries, k=per_system_k
+            TxTable(self.spark, bm25_index_dir), term_queries, k=per_system_k,
+            allowed=allowed,
         ).select("query_id", "doc_id", F.col("rk").alias("lex_rk"))
         vec = ivfpq_index_topk(
             TxTable(self.spark, ivfpq_index_dir),
@@ -761,6 +765,11 @@ class Engine:
             k=per_system_k,
             nprobe=nprobe,
             shortlist=shortlist,
+            allowed=(
+                allowed.select(F.col("doc_id").alias("vec_id"))
+                if allowed is not None
+                else None
+            ),
         ).select(
             "query_id", F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk")
         )

@@ -372,7 +372,7 @@ def assert_index_matches_scratch(index, src) -> None:
 # -- IVF variant: frozen coarse quantizer + CDF-maintained lists -------------
 
 
-def _pinned_cents(index, cents) -> DataFrame:
+def _pinned_cents(index, cents, as_of: int | None = None) -> DataFrame:
     """The quantizer GENERATION this index was built against: the index's
     ``ann.ivf.centsVersion`` property names a centroid-table snapshot,
     and every consumer (probes, increments, drift, equality proofs)
@@ -382,7 +382,7 @@ def _pinned_cents(index, cents) -> DataFrame:
     lists + pin together — no reader ever pairs a new quantizer with
     old lists or vice versa. Falls back to head for pre-pinning
     indexes."""
-    pin = index.properties().get("ann.ivf.centsVersion")
+    pin = index.properties(as_of=as_of).get("ann.ivf.centsVersion")
     if pin is not None:
         return cents.read(as_of=int(pin))
     return cents.read()
@@ -615,15 +615,21 @@ def ivf_index_topk(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 3,
+    as_of: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Probed cosine top-k against a ``catchup_ivf_index`` table: each
     query keeps its ``nprobe`` nearest frozen centroids, the UNION of
     probed list ids becomes a partition predicate (file pruning on the
     cid-partitioned table — bounded driver-side read, at most n_lists
-    ids), and the exact rerank runs only over the probed lists."""
+    ids), and the exact rerank runs only over the probed lists.
+    ``as_of`` pins the read (and its quantizer-generation pin) to one
+    historical index version; ``allowed`` (vec_id keys) scopes the
+    candidates via a distributed semi-join before ranking — the
+    filtered-search convention shared with probed_hamming_topk."""
     from .similarity import _dot, _norm, _ivf_probe_lists
 
-    cents_df = _pinned_cents(index, cents)
+    cents_df = _pinned_cents(index, cents, as_of=as_of)
     q = queries.select("query_id", F.col("embedding").alias("q_vec"))
     scored = q.join(F.broadcast(cents_df)).select(
         "query_id",
@@ -646,7 +652,9 @@ def ivf_index_topk(
             .collect()  # bounded by n_lists: probe planning, not data
         }
     )
-    corp = index.read(predicates=[("cid", "in", probe_ids)])
+    corp = index.read(predicates=[("cid", "in", probe_ids)], as_of=as_of)
+    if allowed is not None:
+        corp = corp.join(allowed.select("vec_id").distinct(), "vec_id", "semi")
     return _ivf_probe_lists(
         embeddings=corp.select("vec_id", "cid", "embedding"),
         cents=cents_df.select("cid", "c_vec"),
@@ -794,8 +802,8 @@ def _load_books(books, as_of: int | None = None) -> list[list[list[float]]]:
     return [[rows[(j, c)] for c in range(kq)] for j in range(m)]
 
 
-def _pinned_books(index, books) -> list[list[list[float]]]:
-    pin = index.properties().get("ann.ivfpq.booksVersion")
+def _pinned_books(index, books, as_of: int | None = None) -> list[list[list[float]]]:
+    pin = index.properties(as_of=as_of).get("ann.ivfpq.booksVersion")
     return _load_books(books, as_of=int(pin) if pin is not None else None)
 
 
@@ -1212,6 +1220,8 @@ def ivfpq_index_topk(
     nprobe: int = 3,
     shortlist: int = 200,
     key_cap: int = PROBE_KEY_CAP,
+    as_of: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Probed ADC top-k with exact re-rank — the full IVFADC+R read
     path over the incrementally-maintained tables: probe ``nprobe``
@@ -1235,8 +1245,8 @@ def ivfpq_index_topk(
     from .pq import _adc_dist, _pq_lut
     from .similarity import _dot, _norm
 
-    cents_df = _pinned_cents(index, cents)
-    model = _pinned_books(index, books)
+    cents_df = _pinned_cents(index, cents, as_of=as_of)
+    model = _pinned_books(index, books, as_of=as_of)
     qn = _unit_vecs(queries.select("query_id", "embedding"))
     from .clustering import _sq_dist
 
@@ -1256,7 +1266,7 @@ def ivfpq_index_topk(
             .collect()  # bounded by n_lists
         }
     )
-    if index.properties().get("ann.ivfpq.encoding") == "residual":
+    if index.properties(as_of=as_of).get("ann.ivfpq.encoding") == "residual":
         # residual ADC (IVFADC proper): codes quantize (x − c_list), so
         # the LUT must be built from the SHIFTED query (q − c_list) — one
         # LUT per (query, probed cid), nprobe·m·k doubles per query, the
@@ -1271,16 +1281,26 @@ def ivfpq_index_topk(
             ).alias("embedding"),
         )
         lut = _pq_lut(shifted, model, passthrough={"cid": "int"})
-        lists = index.read(predicates=[("cid", "in", probe_ids)]).select(
-            "vec_id", "cid", "pq_code"
-        )
+        lists = index.read(
+            predicates=[("cid", "in", probe_ids)], as_of=as_of
+        ).select("vec_id", "cid", "pq_code")
+        if allowed is not None:
+            # filtered search: scope candidates BEFORE the ADC ranking
+            # (distributed semi-join — the probed_hamming_topk convention)
+            lists = lists.join(
+                allowed.select("vec_id").distinct(), "vec_id", "semi"
+            )
         adc = lists.join(F.broadcast(lut.drop("embedding")), "cid").select(
             "query_id", "vec_id", _adc_dist(len(model)).alias("adc_dist")
         )
     else:
-        lists = index.read(predicates=[("cid", "in", probe_ids)]).select(
-            "vec_id", "pq_code"
-        )
+        lists = index.read(
+            predicates=[("cid", "in", probe_ids)], as_of=as_of
+        ).select("vec_id", "pq_code")
+        if allowed is not None:
+            lists = lists.join(
+                allowed.select("vec_id").distinct(), "vec_id", "semi"
+            )
         lut = _pq_lut(qn, model)
         adc = lists.join(F.broadcast(lut.drop("embedding"))).select(
             "query_id", "vec_id", _adc_dist(len(model)).alias("adc_dist")
@@ -1298,15 +1318,21 @@ def ivfpq_index_topk(
         r.vec_id
         for r in short.select("vec_id").distinct().limit(key_cap + 1).collect()
     ]
+    # the re-rank fetch reads the SOURCE at the index's own watermark —
+    # index content and full-precision vectors always come from the same
+    # corpus snapshot (and an as_of query time-travels BOTH coherently);
+    # pre-watermark indexes (no prop) fall back to the source head
+    wm = index.properties(as_of=as_of).get("ann.srcVersion")
+    src_v = int(wm) if wm is not None else None
     if len(ids) <= key_cap:
         # bounded point fetch: shortlist×|queries| keys — the source read
         # prunes files by span/bloom exactly like any IN-predicate lookup
-        full = src.read(predicates=[("vec_id", "in", sorted(ids))]).select(
-            "vec_id", "embedding"
-        )
+        full = src.read(
+            predicates=[("vec_id", "in", sorted(ids))], as_of=src_v
+        ).select("vec_id", "embedding")
     else:
         # over-cap fallback: keep the key set distributed (semi-join)
-        full = src.read().select("vec_id", "embedding").join(
+        full = src.read(as_of=src_v).select("vec_id", "embedding").join(
             short.select("vec_id").distinct(), "vec_id", "semi"
         )
     q = queries.select("query_id", F.col("embedding").alias("__q"))

@@ -222,6 +222,7 @@ def lsh_index_probe(
     batch: DataFrame,
     text_col: str = "text",
     key_cap: int = PROBE_KEY_CAP,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Near-dups of an INCOMING batch against the indexed corpus: band
     the batch (tiny), read ONLY the index files whose band_key span /
@@ -237,7 +238,9 @@ def lsh_index_probe(
     equi-join, still never re-signing the corpus; only the file-skipping
     stage degrades, exactly the regime where the batch touches most
     files anyway."""
-    props = index.properties()
+    # as_of pins geometry AND entries to one historical version (the
+    # time-travel / prefix-consistency replay discipline); default = head
+    props = index.properties(as_of=as_of)
     qe = _entries(
         batch.select("doc_id", text_col).withColumnRenamed(text_col, "text"),
         int(props.get("lsh.nHashes", 16)),
@@ -249,7 +252,7 @@ def lsh_index_probe(
         for r in qe.select("band_key").distinct().limit(key_cap + 1).collect()
     )
     preds = [("band_key", "in", keys)] if len(keys) <= key_cap else None
-    corp = index.read(predicates=preds).select(
+    corp = index.read(predicates=preds, as_of=as_of).select(
         "doc_id", "band_id", "band_key"
     )
     return (

@@ -1199,3 +1199,73 @@ def test_ivfpq_topk_key_cap_falls_back_to_semi_join(spark, tmp_path):
         key_cap=1,
     ))
     assert capped == fallback and capped
+
+
+def test_ivf_family_as_of_and_allowed(spark, tmp_path):
+    """API symmetry (round 11): both IVF families honor as_of (the
+    pinned-version time-travel read — answers equal the ones taken at
+    that version, immune to later mutations AND later generation pins)
+    and allowed= (filtered search: rank over probed-candidates ∩
+    allowed, proven by filtering the full probed ranking)."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ivf_index,
+        catchup_ivfpq_index,
+        ivf_index_topk,
+        ivfpq_index_topk,
+    )
+
+    emb = synthetic_embeddings(spark, 220)
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(emb)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+
+    idx = TxTable(spark, str(tmp_path / "ivf"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    catchup_ivf_index(src, idx, cents, n_lists=6)
+    v0 = idx.version()
+    at_boot = key(ivf_index_topk(idx, cents, queries, k=5, nprobe=3))
+    pq = TxTable(spark, str(tmp_path / "pq"))
+    cents2 = TxTable(spark, str(tmp_path / "cents2"))
+    books2 = TxTable(spark, str(tmp_path / "books2"))
+    catchup_ivfpq_index(src, pq, cents2, books2, n_lists=6, m=8, kq=16)
+    vq0 = pq.version()
+    at_boot_pq = key(
+        ivfpq_index_topk(pq, cents2, books2, src, queries, k=5, nprobe=3,
+                         shortlist=60)
+    )
+    # mutate (keep query vectors stable) and fold
+    upd = src.read().filter(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") > 2)
+    ).select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    catchup_ivf_index(src, idx, cents)
+    catchup_ivfpq_index(src, pq, cents2, books2)
+    # time travel: the pinned-version answers are exactly the bootstrap's
+    assert key(ivf_index_topk(idx, cents, queries, k=5, nprobe=3, as_of=v0)) == at_boot
+    assert key(
+        ivfpq_index_topk(pq, cents2, books2, src, queries, k=5, nprobe=3,
+                         shortlist=60, as_of=vq0)
+    ) == at_boot_pq
+    # filtered search: equals the full probed ranking filtered then cut
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    full = ivf_index_topk(idx, cents, queries, k=10_000, nprobe=3)
+    want = {}
+    for r in sorted(full.collect(), key=lambda r: (r.query_id, r.rk)):
+        if r.vec_id % 2 == 0 and len(want.setdefault(r.query_id, [])) < 5:
+            want[r.query_id].append(r.vec_id)
+    got = ivf_index_topk(idx, cents, queries, k=5, nprobe=3, allowed=allowed)
+    got_m = {}
+    for r in sorted(got.collect(), key=lambda r: (r.query_id, r.rk)):
+        got_m.setdefault(r.query_id, []).append(r.vec_id)
+    assert got_m == want and all(v % 2 == 0 for vs in got_m.values() for v in vs)
+    # ivfpq filtered: every id allowed and self still found for even queries
+    gpq = ivfpq_index_topk(
+        pq, cents2, books2, src, queries, k=5, nprobe=3, shortlist=60,
+        allowed=allowed,
+    ).collect()
+    assert gpq and all(r.vec_id % 2 == 0 for r in gpq)
+    top1 = {r.query_id: r.vec_id for r in gpq if r.rk == 1}
+    assert top1.get(0) == 0 and top1.get(2) == 2  # allowed self wins
