@@ -1269,3 +1269,89 @@ def test_ivf_family_as_of_and_allowed(spark, tmp_path):
     assert gpq and all(r.vec_id % 2 == 0 for r in gpq)
     top1 = {r.query_id: r.vec_id for r in gpq if r.rk == 1}
     assert top1.get(0) == 0 and top1.get(2) == 2  # allowed self wins
+
+
+def test_raw_era_ivfpq_index_reads_folds_and_upgrades(spark, tmp_path):
+    """The documented migration path for the residual switch: a RAW-era
+    index (pre-r11 layout — codes quantize the vector itself, no
+    ann.ivfpq.encoding property) keeps answering, folding increments,
+    and passing its equality proof through the same code paths; a
+    rebuild then upgrades it to residual in ONE atomic pin+props swap."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        _books_rows,
+        _pinned_cents,
+        _unit_vecs,
+        assert_ivfpq_index_matches_scratch,
+        catchup_ivfpq_index,
+        ivfpq_index_topk,
+        rebuild_ivfpq_index,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.clustering import (
+        assign_clusters,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.pq import (
+        pq_encode_arrow,
+        train_pq_codebooks,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 220))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    books = TxTable(spark, str(tmp_path / "books"))
+    catchup_ivfpq_index(src, index, cents, books, n_lists=6, m=8, kq=16)
+    assert index.properties()["ann.ivfpq.encoding"] == "residual"
+    # reconstruct the RAW-era layout faithfully: books trained on raw
+    # unit vectors, codes quantizing them, NO encoding property
+    snap = _unit_vecs(src.read().select("vec_id", "embedding")).localCheckpoint(
+        eager=True
+    )
+    model_raw = train_pq_codebooks(snap, m=8, k=16, n_iter=2)
+    books.overwrite(_books_rows(spark, model_raw))
+    assigned = assign_clusters(snap, _pinned_cents(index, cents)).select(
+        "vec_id", "cid"
+    )
+    raw_rows = (
+        pq_encode_arrow(snap, model_raw)
+        .join(assigned, "vec_id")
+        .select("vec_id", "cid", "pq_code")
+        .localCheckpoint(eager=True)
+    )
+    index.overwrite(
+        raw_rows,
+        partition_by=["cid"],
+        props={
+            "ann.ivfpq.booksVersion": str(books.version()),
+            "ann.ivfpq.encoding": None,  # the pre-r11 property set
+        },
+    )
+    assert "ann.ivfpq.encoding" not in index.properties()
+    # raw-era read path still answers (exact re-rank finds self)
+    queries = (
+        src.read()
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = ivfpq_index_topk(
+        index, cents, books, src, queries, k=3, nprobe=3, shortlist=60
+    )
+    top1 = {r.query_id: r.vec_id for r in got.filter(F.col("rk") == 1).collect()}
+    assert top1 and all(v == q for q, v in top1.items())
+    # raw-era equality proof + a fold through the raw apply path
+    assert_ivfpq_index_matches_scratch(index, cents, books, src)
+    upd = src.read().filter(F.col("vec_id") % 9 == 4).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    catchup_ivfpq_index(src, index, cents, books)
+    assert "ann.ivfpq.encoding" not in index.properties()  # layout frozen
+    assert_ivfpq_index_matches_scratch(index, cents, books, src)
+    # one atomic rebuild upgrades to residual; everything re-certifies
+    rebuild_ivfpq_index(src, index, cents, books)
+    assert index.properties()["ann.ivfpq.encoding"] == "residual"
+    assert_ivfpq_index_matches_scratch(index, cents, books, src)
+    got2 = ivfpq_index_topk(
+        index, cents, books, src, queries, k=3, nprobe=3, shortlist=60
+    )
+    top1b = {r.query_id: r.vec_id for r in got2.filter(F.col("rk") == 1).collect()}
+    assert top1b and all(v == q for q, v in top1b.items())
