@@ -10232,7 +10232,9 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx tables (materialize_silver_tx: net-image reduce + keyed merge
     with physical tombstone deletes), and the CDF-fed index maintenance
     STREAMS fold the silver tables' change feeds into the BM25 inverted
-    index and the bucketed Hamming ANN index from their checkpoints.
+    index, the bucketed Hamming ANN index, AND the MinHash-LSH bands
+    index from their checkpoints (the bands index proven equal to a
+    from-scratch banding of the final streamed corpus in-gate).
     The final Engine.hybrid_search answer — pruned token-IN postings
     read × radius-1 bucket probe × RRF — is hashed against the same
     closed-form dual replay as hybrid_index_retrieval: a MATCH proves
@@ -10316,6 +10318,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_dir = os.path.join(tmp, "emb_silver")
     bm25_dir = os.path.join(tmp, "bm25_idx")
     ann_dir = os.path.join(tmp, "ann_idx")
+    lsh_dir = os.path.join(tmp, "lsh_idx")
     eng = Engine(spark)
     for i, (d_env, e_env) in enumerate(zip(doc_drops, emb_drops)):
         land(d_env, os.path.join(d_land, f"2022-12-1{2 + i}"))
@@ -10339,6 +10342,17 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.start_ann_index_maintenance(
             emb_dir, ann_dir, os.path.join(tmp, "ckpt_ann"), prefix_bits=4
         ).awaitTermination()
+        eng.start_lsh_index_maintenance(
+            docs_dir, lsh_dir, os.path.join(tmp, "ckpt_lsh")
+        ).awaitTermination()
+    # the third document-side index rides the same silver CDF: prove the
+    # stream-maintained bands equal a from-scratch banding of the final
+    # streamed corpus (in-gate certification; the returned hash certifies
+    # the hybrid answer)
+    from .operators.lsh_index import assert_lsh_index_matches_scratch
+    from .txlog import TxTable as _Tx
+
+    assert_lsh_index_matches_scratch(_Tx(spark, lsh_dir), _Tx(spark, docs_dir))
     q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     q_vecs = (
         _t(spark, sf_dir, "embeddings")
