@@ -8093,7 +8093,9 @@ def ivf_index_incremental_operator(spark: SparkSession, sf_dir: str) -> DataFram
     # read path (probed lists -> ADC shortlist -> exact re-rank against
     # source rows fetched by key) must return k rows per query with
     # >= 0.8 recall vs the in-query exact top-k. Measured 15/15 at all
-    # three SFs (nprobe=3/8 lists, shortlist=200).
+    # three SFs (nprobe=4/8 lists, shortlist=200 — nprobe raised from 3
+    # in r12 when the per-query probe cut replaced the batch probe-union
+    # candidate set, whose extra lists inflated measured recall).
     """
     SELECT vec_id AS query_id,
            CAST(5 AS BIGINT) AS n_results,
@@ -8127,7 +8129,7 @@ def ivfpq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     got = ivfpq_index_topk(
-        index, cents, books, src, queries, k=5, nprobe=3, shortlist=200
+        index, cents, books, src, queries, k=5, nprobe=4, shortlist=200
     ).select("query_id", "vec_id")
     exact = brute_force_topk(src.read(), queries, k=5).select(
         "query_id", "vec_id"
@@ -8264,7 +8266,7 @@ def ivfpq_index_incremental_operator(
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return ivfpq_index_topk(
-        index, cents, books, src, queries, k=5, nprobe=3, shortlist=200
+        index, cents, books, src, queries, k=5, nprobe=4, shortlist=200
     )
 
 

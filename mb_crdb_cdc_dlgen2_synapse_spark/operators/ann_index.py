@@ -1256,29 +1256,38 @@ def ivfpq_index_topk(
         _sq_dist(F.col("embedding"), F.col("c_vec")).alias("__d"),
     )
     wp = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cid").asc())
-    probe_ids = sorted(
-        {
-            r.cid
-            for r in scored.withColumn("pr", F.row_number().over(wp))
-            .filter(F.col("pr") <= nprobe)
-            .select("cid")
-            .distinct()
-            .collect()  # bounded by n_lists
-        }
+    # per-query probe assignment: each query scores EXACTLY its own
+    # nprobe lists (canonical IVF semantics). The collected union below
+    # exists only for FILE pruning; the probes relation is the per-query
+    # cut — |queries|·nprobe short rows, broadcast-sized at any batch.
+    probes = (
+        scored.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "cid")
+        .localCheckpoint(eager=True)
     )
+    probe_ids = sorted(
+        {r.cid for r in probes.select("cid").distinct().collect()}
+    )  # bounded by n_lists
     if index.properties(as_of=as_of).get("ann.ivfpq.encoding") == "residual":
         # residual ADC (IVFADC proper): codes quantize (x − c_list), so
         # the LUT must be built from the SHIFTED query (q − c_list) — one
         # LUT per (query, probed cid), nprobe·m·k doubles per query, the
         # published IVFADC table cost. Σ_j LUT[j][code_j] then estimates
         # ||q − c − r̂||² = ||q − x̂||² exactly as the raw form did.
-        probe_cents = cents_df.filter(F.col("cid").isin(probe_ids))
-        shifted = qn.join(F.broadcast(probe_cents)).select(
-            "query_id",
-            "cid",
-            F.zip_with(
-                "embedding", "c_vec", lambda x, c: x - c
-            ).alias("embedding"),
+        # LUTs are keyed to each query's OWN probe assignment (join on
+        # query_id), never the batch's probe union — per-query LUT count
+        # stays nprobe however large the offline query batch gets.
+        shifted = (
+            qn.join(probes, "query_id")
+            .join(F.broadcast(cents_df), "cid")
+            .select(
+                "query_id",
+                "cid",
+                F.zip_with(
+                    "embedding", "c_vec", lambda x, c: x - c
+                ).alias("embedding"),
+            )
         )
         lut = _pq_lut(shifted, model, passthrough={"cid": "int"})
         lists = index.read(
@@ -1296,14 +1305,21 @@ def ivfpq_index_topk(
     else:
         lists = index.read(
             predicates=[("cid", "in", probe_ids)], as_of=as_of
-        ).select("vec_id", "pq_code")
+        ).select("vec_id", "cid", "pq_code")
         if allowed is not None:
             lists = lists.join(
                 allowed.select("vec_id").distinct(), "vec_id", "semi"
             )
         lut = _pq_lut(qn, model)
-        adc = lists.join(F.broadcast(lut.drop("embedding"))).select(
-            "query_id", "vec_id", _adc_dist(len(model)).alias("adc_dist")
+        # the probes join is the same per-query cut: a list row joins
+        # only the queries that probed ITS cid (the file predicate above
+        # is the probe UNION — pruning only, not the candidate set)
+        adc = (
+            lists.join(F.broadcast(probes), "cid")
+            .join(F.broadcast(lut.drop("embedding")), "query_id")
+            .select(
+                "query_id", "vec_id", _adc_dist(len(model)).alias("adc_dist")
+            )
         )
     ws = W.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
@@ -1324,17 +1340,35 @@ def ivfpq_index_topk(
     # pre-watermark indexes (no prop) fall back to the source head
     wm = index.properties(as_of=as_of).get("ann.srcVersion")
     src_v = int(wm) if wm is not None else None
-    if len(ids) <= key_cap:
-        # bounded point fetch: shortlist×|queries| keys — the source read
-        # prunes files by span/bloom exactly like any IN-predicate lookup
-        full = src.read(
-            predicates=[("vec_id", "in", sorted(ids))], as_of=src_v
-        ).select("vec_id", "embedding")
-    else:
-        # over-cap fallback: keep the key set distributed (semi-join)
-        full = src.read(as_of=src_v).select("vec_id", "embedding").join(
-            short.select("vec_id").distinct(), "vec_id", "semi"
+    preds = [("vec_id", "in", sorted(ids))] if len(ids) <= key_cap else None
+    try:
+        # bounded point fetch (span/bloom file skipping) under the cap;
+        # over-cap keeps the key set distributed via semi-join below
+        full = src.read(predicates=preds, as_of=src_v)
+    except (FileNotFoundError, ValueError):
+        # a STALE index pinned past the source's vacuum/restore horizon:
+        # the watermark snapshot is unreconstructible. For a HEAD query
+        # (as_of unset) degrade to the head read with a warning — the
+        # pre-r11 behavior, trading snapshot coherence for availability.
+        # An EXPLICIT as_of must stay loud: silently re-ranking against
+        # a different corpus version would break time-travel symmetry.
+        if as_of is not None:
+            raise
+        import warnings
+
+        warnings.warn(
+            f"IVF-PQ re-rank: source snapshot v{src_v} (the index's "
+            "ann.srcVersion watermark) is unreconstructible — vacuum or "
+            "restore pruned it. Falling back to the source HEAD; advance "
+            "the index (catchup_ivfpq_index) or extend source retention "
+            "to restore snapshot-coherent re-ranking.",
+            RuntimeWarning,
+            stacklevel=2,
         )
+        full = src.read(predicates=preds)
+    full = full.select("vec_id", "embedding")
+    if preds is None:
+        full = full.join(short.select("vec_id").distinct(), "vec_id", "semi")
     q = queries.select("query_id", F.col("embedding").alias("__q"))
     reranked = (
         short.join(full, "vec_id")

@@ -1355,3 +1355,96 @@ def test_raw_era_ivfpq_index_reads_folds_and_upgrades(spark, tmp_path):
     )
     top1b = {r.query_id: r.vec_id for r in got2.filter(F.col("rk") == 1).collect()}
     assert top1b and all(v == q for q, v in top1b.items())
+
+
+def test_ivfpq_probe_batch_query_isolation(spark, tmp_path):
+    """Per-query probe assignment (ADVICE r11): a query batched with
+    others returns EXACTLY what it returns alone. Candidates and ADC
+    LUTs derive from each query's OWN nprobe lists — never the batch's
+    probe union, which the pre-r12 cross join scored (making batch
+    composition observable in results and LUT count scale with the
+    union of every query's probes)."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 240))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    books = TxTable(spark, str(tmp_path / "books"))
+    catchup_ivfpq_index(src, index, cents, books, n_lists=6, m=8, kq=16)
+    assert index.properties()["ann.ivfpq.encoding"] == "residual"
+    q_ids = [0, 7, 40, 113]
+    queries = src.read().filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    batch = {
+        (r.query_id, r.rk): r.vec_id
+        for r in ivfpq_index_topk(
+            index, cents, books, src, queries, k=3, nprobe=2, shortlist=40
+        ).collect()
+    }
+    assert len(batch) == 3 * len(q_ids)
+    for qid in q_ids:
+        solo = {
+            (r.query_id, r.rk): r.vec_id
+            for r in ivfpq_index_topk(
+                index, cents, books, src,
+                queries.filter(F.col("query_id") == qid),
+                k=3, nprobe=2, shortlist=40,
+            ).collect()
+        }
+        assert solo == {
+            k: v for k, v in batch.items() if k[0] == qid
+        }, f"query {qid}: batched result differs from solo run"
+
+
+def test_ivfpq_rerank_falls_back_to_head_past_vacuum_horizon(spark, tmp_path):
+    """ADVICE r11: a stale index whose ann.srcVersion watermark was
+    vacuumed out of the source log degrades the exact-rerank fetch to
+    the HEAD read with a RuntimeWarning (availability over snapshot
+    coherence) — but ONLY for head queries: an explicit as_of pin still
+    fails loudly, because silently re-ranking a time-travel query
+    against a different corpus version would break as_of symmetry."""
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 160))
+    index = TxTable(spark, str(tmp_path / "idx"))
+    cents = TxTable(spark, str(tmp_path / "cents"))
+    books = TxTable(spark, str(tmp_path / "books"))
+    catchup_ivfpq_index(src, index, cents, books, n_lists=4, m=8, kq=16)
+    wm = int(index.properties()["ann.srcVersion"])
+    # source advances past the watermark, then vacuum prunes the
+    # watermark snapshot (log + files) — the index is now STALE beyond
+    # the source's retention for its pinned rerank read
+    src.append(synthetic_embeddings(spark, 200).filter(F.col("vec_id") >= 160))
+    upd = src.read().filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    src.merge_into(upd, on=["vec_id"], mode="dv")
+    src.write_checkpoint()
+    src.vacuum(retain_hours=0.0)
+    fresh_src = TxTable(spark, src.path)  # no memoized state for old versions
+    with pytest.raises((FileNotFoundError, ValueError)):
+        fresh_src.read(as_of=wm)
+    queries = src.read().filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    with pytest.warns(RuntimeWarning, match="unreconstructible"):
+        got = ivfpq_index_topk(
+            index, cents, books, fresh_src, queries, k=3, nprobe=2,
+            shortlist=40,
+        ).collect()
+    assert len(got) == 6  # k rows per query, answered from the head read
+    # explicit time travel stays loud
+    with pytest.raises((FileNotFoundError, ValueError)):
+        ivfpq_index_topk(
+            index, cents, books, fresh_src, queries, k=3, nprobe=2,
+            shortlist=40, as_of=index.version(),
+        ).collect()
