@@ -6384,6 +6384,104 @@ def stream_neardedup_to_tx_table(
     return writer.start()
 
 
+def stream_semantic_dedup_to_tx_table(
+    stream: DataFrame,
+    table_dir: str,
+    codes_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    radius: int = 1,
+    prefix_bits: int = 4,
+    available_now: bool = True,
+):
+    """SEMANTIC dedup-on-ingest for embeddings: the streaming form of
+    ``operators/dedup.semantic_dedup_incremental`` — each micro-batch of
+    (vec_id, embedding) keeps only vectors that are semantically novel
+    (6-dp cosine < ``threshold``) against BOTH the batch itself and the
+    committed corpus, probing the CDF-MAINTAINED Hamming codes index
+    instead of re-bucketing the corpus (the embedding twin of
+    ``stream_neardedup_to_tx_table``).
+
+    Per batch:
+    1. the codes index is caught up to the state table's head FIRST
+       (``catchup_ann_index`` — watermark-gated, a no-op when aligned),
+       so the probe always sees every previously committed vector even
+       after a crash between a state commit and its index fold;
+    2. within-batch semantic dedup: pairwise rounded cosine >=
+       ``threshold`` over the (micro-batch-sized) batch -> connected
+       components (``duplicate_clusters`` — pairwise dropping would
+       break a-b-c chains), lowest id per cluster survives;
+    3. vs-corpus verdict via ``semantic_dedup_incremental`` — bucket
+       probe + exact verify, O(batch + collisions), never O(corpus);
+    4. the novel vectors append to the state table under the batch txn
+       marker (replay = no-op); the NEXT fold's step 1 indexes them.
+
+    The state table is the corpus; the codes table is derived data the
+    stream itself maintains — callers query either directly
+    (``probed_hamming_topk`` over the codes table keeps working).
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.ann_index import catchup_ann_index
+    from .operators.dedup import duplicate_clusters, semantic_dedup_incremental
+    from .operators.similarity import _dot, _norm
+
+    app_state = f"semdedup-state:{os.path.abspath(checkpoint_dir)}"
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        state = TxTable(spark, table_dir)
+        codes = TxTable(spark, codes_dir)
+        if state.version() >= 0:
+            catchup_ann_index(state, codes, prefix_bits=prefix_bits)
+        batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+        if not batch.take(1):
+            return
+        # within-batch: pairwise rounded cosine -> components -> reps
+        a = batch.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+        b = batch.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+        cos = F.round(
+            _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))),
+            6,
+        )
+        pairs = (
+            a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+            .filter(cos >= F.lit(threshold))
+            .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
+        )
+        reps = (
+            duplicate_clusters(
+                batch.select(F.col("vec_id").alias("doc_id")), pairs
+            )
+            .filter(F.col("doc_id") == F.col("cluster_id"))
+            .select(F.col("doc_id").alias("vec_id"))
+        )
+        batch_reps = batch.join(reps, "vec_id", "left_semi")
+        if state.version() >= 0 and codes.version() >= 0:
+            verdict = semantic_dedup_incremental(
+                codes, state, batch_reps, threshold=threshold, radius=radius
+            )
+            novel = batch_reps.join(
+                verdict.filter(F.col("is_novel")).select("vec_id"),
+                "vec_id",
+                "left_semi",
+            )
+        else:
+            novel = batch_reps
+        novel = novel.localCheckpoint(eager=True)
+        if novel.take(1):
+            state.append(novel, txn={"app": app_state, "batch": batch_id})
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def sync_changes(
     src: TxTable,
     dst: TxTable,
