@@ -397,6 +397,7 @@ def materialize_silver_tx(
     columns: dict[str, str],
     available_now: bool = True,
     mode: str = "dv",
+    ordering: str = "error",
 ):
     """Typed SILVER terminal of the changefeed ingestion family: per
     micro-batch, reduce the envelope stream to its net latest-per-key
@@ -422,6 +423,34 @@ def materialize_silver_tx(
     producers should land through ``materialize_latest_state_dv``, which
     keeps the timestamp compare.
 
+    The ordering contract is ENFORCED, not just documented: each row
+    carries its commit timestamp in a ``_updated`` column, and every
+    batch's net rows are checked against the stored timestamps of the
+    keys they touch (a key-pruned read — span/bloom skipping, the same
+    O(batch) cost shape as the merge itself). ``ordering`` selects the
+    policy on an incoming image OLDER than the stored row for its key:
+
+    - ``"error"`` (default): fail the batch with the offending keys
+      named — a contract-violating producer becomes a loud error
+      instead of a silent last-write-wrong. An EQUAL timestamp is the
+      exactly-once replay no-op and passes. Note a fresh-checkpoint
+      FULL backfill over an existing table that splits into several
+      micro-batches legitimately re-delivers old images — run backfills
+      with ``"skip"``.
+    - ``"skip"``: drop the stale rows and merge the rest — the
+      order-insensitive safe merge (the ``materialize_latest_state_dv``
+      compare, minus its tombstone markers), for producers known to
+      re-order within a horizon and for backfills.
+    - ``"trust"``: no check (the pre-r12 behavior; the column is still
+      written, so modes switch freely).
+
+    Residual blind spot (all modes, documented): a late update for a
+    PHYSICALLY DELETED key cannot be detected because silver drops
+    tombstone markers by design — producers that re-order across
+    deletes belong on ``materialize_latest_state_dv``. Tables created
+    before r12 (no ``_updated`` column) keep their legacy layout and the
+    guard auto-disables.
+
     Scale layout (the virgin-bootstrap convention of the index family):
     the first data commit lands key-CLUSTERED files with a declared
     clustering + key bloom, so every later batch's keyed merge prunes
@@ -433,7 +462,17 @@ def materialize_silver_tx(
     from ..operators.cdc import latest_state
     from ..txlog import TxTable, maybe_compact_index
 
+    if ordering not in ("error", "skip", "trust"):
+        raise ValueError(
+            f"ordering must be 'error', 'skip' or 'trust', got {ordering!r}"
+        )
+    if "_updated" in columns:
+        raise ValueError(
+            "'_updated' is the reserved per-row commit-timestamp column "
+            "of materialize_silver_tx; rename the output column"
+        )
     rows_per_file = 65536
+    key_guard_cap = 100_000  # the PROBE_KEY_CAP driver-list convention
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         table = TxTable(batch.sparkSession, table_dir)
@@ -444,6 +483,7 @@ def materialize_silver_tx(
         )
         typed = net.select(
             *[F.expr(e).alias(c) for c, e in columns.items()],
+            F.col("__ts").alias("_updated"),
             F.col("after").isNull().alias("_tombstone"),
         ).localCheckpoint(eager=True)
         if not typed.take(1):
@@ -469,8 +509,57 @@ def materialize_silver_tx(
                 ):
                     table.set_bloom_index([key_col], auto_size=True)
             return
+        legacy = "_updated" not in table.read().columns
+        if ordering != "trust" and not legacy:
+            # per-key regression check: fetch the stored timestamps of
+            # ONLY the touched keys (span/bloom-pruned IN read under the
+            # cap, distributed semi-join past it)
+            keys = [
+                r[0]
+                for r in typed.select(key_col)
+                .limit(key_guard_cap + 1)
+                .collect()
+            ]
+            if len(keys) <= key_guard_cap:
+                cur = table.read(predicates=[(key_col, "in", sorted(keys))])
+            else:
+                cur = table.read().join(
+                    typed.select(key_col).distinct(), key_col, "semi"
+                )
+            stale = (
+                typed.select(key_col, "_updated")
+                .join(
+                    cur.select(
+                        key_col, F.col("_updated").alias("__stored")
+                    ),
+                    key_col,
+                )
+                .filter(F.col("_updated") < F.col("__stored"))
+            )
+            if ordering == "error":
+                bad = stale.limit(3).collect()
+                if bad:
+                    names = ", ".join(f"{r[0]}@{r[1]}<{r[2]}" for r in bad)
+                    raise RuntimeError(
+                        f"silver ordering violation at {table_dir!r} batch "
+                        f"{batch_id}: incoming image(s) OLDER than the "
+                        f"stored row for the same key ({names}, first 3 "
+                        "shown) — the producer broke the strictly-"
+                        "increasing-updated-per-key changefeed contract. "
+                        "Re-order the feed, run backfills with "
+                        "ordering='skip', or land this producer through "
+                        "materialize_latest_state_dv (keeps the per-key "
+                        "timestamp compare and tombstone markers)."
+                    )
+            else:  # "skip": the order-insensitive safe merge
+                typed = typed.join(
+                    stale.select(key_col), key_col, "left_anti"
+                ).localCheckpoint(eager=True)
+                if not typed.take(1):
+                    return  # every net row was stale: provable no-op
+        src = typed.drop("_updated") if legacy else typed
         table.merge_into(
-            typed, on=[key_col], delete_when="_tombstone", mode=mode
+            src, on=[key_col], delete_when="_tombstone", mode=mode
         )
         maybe_compact_index(table, rows_per_file)
 

@@ -429,3 +429,130 @@ def test_materialize_silver_tx_upserts_deletes_and_replays(spark, tmp_path):
     _shutil.rmtree(ckpt)
     ingest()
     assert state() == [(2, "beta two"), (3, "gamma")]
+
+
+def test_materialize_silver_tx_ordering_guard(spark, tmp_path):
+    """VERDICT r11 item 5 (crash-injection): a producer that violates the
+    strictly-increasing-updated-per-key changefeed contract fails the
+    batch with an actionable error instead of silently overwriting a
+    newer image with an older one; ordering='skip' instead drops the
+    stale rows (the order-insensitive safe merge); equal-timestamp
+    replays stay exactly-once no-ops; legacy tables (no _updated column)
+    auto-disable the guard and keep merging."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.streaming.ingest import (
+        changefeed_stream,
+        materialize_silver_tx,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    after = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    cols = {
+        "doc_id": "cast(element_at(key, 1) as bigint)",
+        "text": "after.text",
+    }
+
+    def drop(landing, date, rows):
+        d = _os.path.join(landing, date)
+        _os.makedirs(d, exist_ok=True)
+        with open(_os.path.join(d, "feed.ndjson"), "w") as f:
+            for key, img, upd in rows:
+                f.write(
+                    _json.dumps(
+                        {"after": img, "key": [str(key)], "updated": upd}
+                    )
+                    + "\n"
+                )
+
+    def ingest(landing, tdir, ckpt, **kw):
+        materialize_silver_tx(
+            changefeed_stream(spark, landing, after), tdir, ckpt,
+            "doc_id", cols, **kw,
+        ).awaitTermination()
+
+    def state(tdir):
+        return sorted(
+            (r.doc_id, r.text)
+            for r in TxTable(spark, tdir).read().select("doc_id", "text").collect()
+        )
+
+    # --- error mode (default): out-of-order drop fails the batch loudly
+    land, tdir, ckpt = (str(tmp_path / n) for n in ("l1", "t1", "c1"))
+    drop(land, "2022-12-12", [
+        (1, {"doc_id": 1, "text": "newer"}, "5.0000000000"),
+        (2, {"doc_id": 2, "text": "two"}, "5.0000000000"),
+    ])
+    ingest(land, tdir, ckpt)
+    assert state(tdir) == [(1, "newer"), (2, "two")]
+    drop(land, "2022-12-13", [
+        (1, {"doc_id": 1, "text": "stale"}, "3.0000000000"),  # REGRESSION
+        (3, {"doc_id": 3, "text": "three"}, "1.0000000000"),
+    ])
+    with pytest.raises(Exception, match="silver ordering violation"):
+        ingest(land, tdir, ckpt)
+    assert state(tdir) == [(1, "newer"), (2, "two")]  # batch rolled back
+    # a fresh-checkpoint FULL replay reads every drop in one availableNow
+    # batch: the stale 3.0 image nets away INSIDE the batch (latest-per-
+    # key), the equal-timestamp rows are replay no-ops, and the fresh key
+    # lands — the guard only fires on net CROSS-batch regressions, so
+    # whole-history backfills converge instead of erroring
+    ingest(land, tdir, str(tmp_path / "c1b"))
+    assert state(tdir) == [(1, "newer"), (2, "two"), (3, "three")]
+
+    # --- skip mode: stale rows dropped, fresh rows in the same batch land
+    land2, tdir2, ckpt2 = (str(tmp_path / n) for n in ("l2", "t2", "c2"))
+    drop(land2, "2022-12-12", [
+        (1, {"doc_id": 1, "text": "newer"}, "5.0000000000"),
+    ])
+    ingest(land2, tdir2, ckpt2)
+    drop(land2, "2022-12-13", [
+        (1, {"doc_id": 1, "text": "stale"}, "3.0000000000"),  # skipped
+        (1, None, "4.0000000000"),  # stale tombstone: also skipped
+        (3, {"doc_id": 3, "text": "three"}, "1.0000000000"),  # lands
+    ])
+    ingest(land2, tdir2, ckpt2, ordering="skip")
+    assert state(tdir2) == [(1, "newer"), (3, "three")]
+    # an all-stale batch commits nothing
+    v = TxTable(spark, tdir2).version()
+    drop(land2, "2022-12-14", [
+        (1, {"doc_id": 1, "text": "older still"}, "2.0000000000"),
+    ])
+    ingest(land2, tdir2, ckpt2, ordering="skip")
+    assert TxTable(spark, tdir2).version() == v
+    assert state(tdir2) == [(1, "newer"), (3, "three")]
+
+    # --- legacy table (pre-r12 layout, no _updated): guard auto-disables
+    land3, tdir3, ckpt3 = (str(tmp_path / n) for n in ("l3", "t3", "c3"))
+    legacy = TxTable(spark, tdir3)
+    legacy.append(
+        spark.createDataFrame([(7, "seven")], "doc_id long, text string"),
+        cluster_by=["doc_id"],
+    )
+    drop(land3, "2022-12-12", [
+        (7, {"doc_id": 7, "text": "seven two"}, "1.0000000000"),
+        (8, {"doc_id": 8, "text": "eight"}, "1.0000000000"),
+    ])
+    ingest(land3, tdir3, ckpt3)
+    assert state(tdir3) == [(7, "seven two"), (8, "eight")]
+    assert "_updated" not in TxTable(spark, tdir3).read().columns
+
+    # --- reserved column name refused
+    with pytest.raises(ValueError, match="_updated"):
+        materialize_silver_tx(
+            changefeed_stream(spark, land3, after), tdir3, ckpt3,
+            "doc_id", {"doc_id": "1", "_updated": "updated"},
+        )
+    with pytest.raises(ValueError, match="ordering"):
+        materialize_silver_tx(
+            changefeed_stream(spark, land3, after), tdir3, ckpt3,
+            "doc_id", cols, ordering="bogus",
+        )
