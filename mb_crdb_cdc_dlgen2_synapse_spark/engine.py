@@ -471,6 +471,39 @@ class Engine:
 
         return cross_corpus_dedup(incoming, corpus, **kw)
 
+    def semantic_dedup_against_corpus(
+        self, codes_dir: str, src_dir: str, batch: DataFrame, **kw
+    ) -> DataFrame:
+        """EMBEDDING-space twin of ``dedup_against_corpus``
+        (operators/dedup.semantic_dedup_incremental): dedup an incoming
+        (vec_id, embedding) batch against the corpus by probing the
+        CDF-maintained Hamming codes index at ``codes_dir`` and
+        exact-cosine-verifying candidates against the source table at
+        the index's watermark — never re-bucketing the corpus. Returns
+        (vec_id, n_dup_matches, best_cosine, is_novel)."""
+        from .operators.dedup import semantic_dedup_incremental
+        from .txlog import TxTable
+
+        return semantic_dedup_incremental(
+            TxTable(self.spark, codes_dir),
+            TxTable(self.spark, src_dir),
+            batch,
+            **kw,
+        )
+
+    def start_semantic_dedup_ingestion(
+        self, stream, table_dir: str, codes_dir: str, checkpoint_dir: str, **kw
+    ):
+        """SEMANTIC dedup-on-ingest (txlog.stream_semantic_dedup_to_tx_table):
+        per micro-batch, within-batch cosine components, then a
+        vs-corpus verdict through the codes index the sink maintains
+        ITSELF from the state table's CDF; only novel vectors commit."""
+        from .txlog import stream_semantic_dedup_to_tx_table
+
+        return stream_semantic_dedup_to_tx_table(
+            stream, table_dir, codes_dir, checkpoint_dir, **kw
+        )
+
     def planned_join(self, left_dir: str, right_dir: str, on, **kw):
         """Metadata-costed equi join of two txlog tables (plans/planner.py):
         sides sized from logged per-file rows/bytes — zero file I/O — and
@@ -654,6 +687,30 @@ class Engine:
             self.spark, src_dir, index_dir, checkpoint_dir, **kw
         )
 
+    def start_document_index_maintenance(
+        self,
+        src_dir: str,
+        bm25_dir: str,
+        lsh_dir: str,
+        checkpoint_dir: str,
+        **kw,
+    ):
+        """Maintain BOTH document-side indexes (BM25 postings +
+        MinHash-LSH bands) from ONE read of the documents table's
+        change feed — each micro-batch is materialized once and folded
+        into both merges, and both indexes advance to the same source
+        watermark every fold (aligned by construction, not scheduling).
+        Prefer this over running ``start_bm25_index_maintenance`` and
+        ``start_lsh_index_maintenance`` side by side whenever both
+        indexes exist: half the CDF read cost, and the hybrid pair can
+        never sit at different source versions mid-catch-up
+        (operators.doc_indexes.stream_document_indexes_to_tx_tables)."""
+        from .operators.doc_indexes import stream_document_indexes_to_tx_tables
+
+        return stream_document_indexes_to_tx_tables(
+            self.spark, src_dir, bm25_dir, lsh_dir, checkpoint_dir, **kw
+        )
+
     def neardup_pairs(self, index_dir: str, **kw) -> DataFrame:
         """All near-dup candidate pairs of the indexed corpus, from the
         precomputed band entries (hot-bucket skew guard on)."""
@@ -682,6 +739,8 @@ class Engine:
         per_system_k: int = 20,
         radius: int = 1,
         allowed: DataFrame | None = None,
+        id_map: DataFrame | None = None,
+        as_of_source: int | tuple[int, int] | None = None,
     ) -> DataFrame:
         """Production hybrid retrieval: lexical top-k through the BM25
         inverted index (pruned token-IN read), vector top-k through the
@@ -692,7 +751,26 @@ class Engine:
         matching query_ids. ``allowed`` (one ``doc_id`` column) scopes
         BOTH systems to a metadata predicate's keys via distributed
         semi-joins before each top-k — tenant/source/date-filtered
-        retrieval with corpus-global scoring stats. Returns
+        retrieval with corpus-global scoring stats.
+
+        ``id_map`` (columns ``doc_id``, ``vec_id``) declares the
+        document↔embedding id correspondence for corpora whose two id
+        spaces DIFFER (e.g. chunked embeddings with their own key
+        range): the vector stage is scoped through the map and its hits
+        map back to doc ids before fusion (a doc with several mapped
+        vectors fuses at its best vector rank). When omitted the engine
+        assumes the SHARED-id convention ``doc_id == vec_id`` (the
+        testdata corpus contract) and applies it by rename — deploying
+        over distinct id spaces without a map silently scopes and fuses
+        the wrong vectors, which is exactly what the parameter exists
+        to prevent.
+
+        ``as_of_source`` makes time travel ONE parameter: a source
+        version (or a ``(docs_v, embeddings_v)`` pair when the two
+        indexes ride different silver tables) is resolved through each
+        index's watermark history into a consistent index-pin pair
+        (``resolve_hybrid_pins``) — the answer at a pinned source
+        version is bit-stable while maintenance keeps folding. Returns
         (query_id, rk, doc_id, rrf)."""
         from .operators.bm25_index import bm25_index_topk
         from .operators.retrieval import rrf_fuse
@@ -701,24 +779,149 @@ class Engine:
 
         from pyspark.sql import functions as F
 
+        vb = va = None
+        if as_of_source is not None:
+            vb, va = self.resolve_hybrid_pins(
+                bm25_index_dir, ann_index_dir, as_of_source
+            )
         lex = bm25_index_topk(
             TxTable(self.spark, bm25_index_dir), term_queries, k=per_system_k,
-            allowed=allowed,
+            allowed=allowed, as_of=vb,
         ).select("query_id", "doc_id", F.col("rk").alias("lex_rk"))
         vec = probed_hamming_topk(
             TxTable(self.spark, ann_index_dir),
             vector_queries,
             k=per_system_k,
             radius=radius,
-            allowed=(
-                allowed.select(F.col("doc_id").alias("vec_id"))
-                if allowed is not None
-                else None
-            ),
-        ).select(
-            "query_id", F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk")
+            allowed=self._vec_allowed(allowed, id_map),
+            as_of=va,
         )
+        vec = self._vec_to_doc_ranks(vec, "vec_rk", id_map)
         return rrf_fuse(lex, vec, "lex_rk", "vec_rk", k=k)
+
+    @staticmethod
+    def _index_version_at_source(index, prop_key: str, src_version: int) -> int:
+        """The index version that corresponds to a SOURCE version.
+        Resolution is two monotone binary searches (O(log V) property
+        reads): first the largest recorded watermark W <= ``src_version``
+        (watermarks only advance), then the FIRST index version carrying
+        W. The first-occurrence choice is what makes the pin torn-state
+        safe: maintenance paths that land a fold's data and its
+        watermark bump in two commits (the ANN family) leave the NEXT
+        fold's data commit still reading the OLD watermark — picking the
+        last version with wm <= W would capture that half-applied fold,
+        while the first version with wm == W is exactly the state whose
+        content folded source version W (later same-watermark commits
+        are compactions — content-identical — or the next fold's torn
+        half). Once a source version is in the past its resolved state
+        is frozen, so a pinned-source query is bit-stable while
+        maintenance advances. Raises when the index's first watermark
+        postdates the requested source version."""
+        head = index.version()
+        if head < 0:
+            raise ValueError(
+                f"index at {index.path!r} has no committed state to pin"
+            )
+
+        def wm(v: int) -> int:
+            p = index.properties(as_of=v).get(prop_key)
+            return int(p) if p is not None else -1
+
+        # largest watermark <= src_version (monotone over versions)
+        lo, hi, target = 0, head, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            w = wm(mid)
+            if w <= src_version:
+                target = w if target is None else max(target, w)
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if target is None or target < 0:
+            raise ValueError(
+                f"index at {index.path!r} first folded source version "
+                f"{wm(head)} — source v{src_version} predates it; rebuild "
+                "or query a later source version"
+            )
+        # first version carrying that watermark
+        lo, hi, ans = 0, head, head
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if wm(mid) >= target:
+                ans = mid
+                hi = mid - 1
+            else:
+                lo = mid + 1
+        return ans
+
+    def resolve_hybrid_pins(
+        self,
+        bm25_index_dir: str,
+        ann_index_dir: str,
+        as_of_source: int | tuple[int, int],
+        ann_prop: str = "ann.srcVersion",
+    ) -> tuple[int, int]:
+        """Consistent-PAIR time travel (VERDICT r11 item 4): derive BOTH
+        hybrid index pins from ONE source pin, via each index's
+        watermark history. ``as_of_source`` is a single source version
+        when both indexes consume the same source table (the multiplexed
+        document-index case), or a ``(bm25_src_v, ann_src_v)`` pair when
+        the lexical and vector indexes ride different silver tables
+        (documents vs embeddings — their version counters are
+        independent). Returns ``(bm25_as_of, ann_as_of)`` — the pair
+        every answer at this pin is computed from, bit-stable under
+        ongoing maintenance."""
+        from .txlog import TxTable
+
+        sb, sa = (
+            (as_of_source, as_of_source)
+            if isinstance(as_of_source, int)
+            else as_of_source
+        )
+        return (
+            self._index_version_at_source(
+                TxTable(self.spark, bm25_index_dir), "bm25.srcVersion", sb
+            ),
+            self._index_version_at_source(
+                TxTable(self.spark, ann_index_dir), ann_prop, sa
+            ),
+        )
+
+    @staticmethod
+    def _vec_allowed(
+        allowed: DataFrame | None, id_map: DataFrame | None
+    ) -> DataFrame | None:
+        """Vector-side allowed keys: through the explicit doc→vec map
+        when given, else the shared-id rename (see ``hybrid_search``)."""
+        from pyspark.sql import functions as F
+
+        if allowed is None:
+            return None
+        if id_map is not None:
+            return allowed.join(id_map, "doc_id").select("vec_id")
+        return allowed.select(F.col("doc_id").alias("vec_id"))
+
+    @staticmethod
+    def _vec_to_doc_ranks(
+        vec: DataFrame, rank_alias: str, id_map: DataFrame | None
+    ) -> DataFrame:
+        """Map vector hits (query_id, rk, vec_id) into doc-id space for
+        fusion. With a map, a doc reached by several of its vectors
+        keeps its BEST rank (max-pooling — the standard multi-vector
+        collapse); without one, the shared-id rename is exact 1:1."""
+        from pyspark.sql import functions as F
+
+        if id_map is None:
+            return vec.select(
+                "query_id",
+                F.col("vec_id").alias("doc_id"),
+                F.col("rk").alias(rank_alias),
+            )
+        return (
+            vec.join(id_map.select("doc_id", "vec_id"), "vec_id")
+            .groupBy("query_id", "doc_id")
+            .agg(F.min("rk").alias(rank_alias))
+        )
 
     def hybrid_search_ivfpq(
         self,
@@ -734,6 +937,8 @@ class Engine:
         nprobe: int = 3,
         shortlist: int = 200,
         allowed: DataFrame | None = None,
+        id_map: DataFrame | None = None,
+        as_of_source: int | tuple[int, int] | None = None,
     ) -> DataFrame:
         """The billion-scale hybrid: lexical top-k through the BM25
         inverted index, vector top-k through the CDF-maintained IVF-PQ
@@ -743,8 +948,12 @@ class Engine:
         the compressed one — at 100 TB of embeddings the 8-byte lists
         are the only vector index that fits warm storage, so this is the
         composition a production deployment actually runs. ``allowed``
-        (one ``doc_id`` column) scopes both systems, as in
-        ``hybrid_search``."""
+        (one ``doc_id`` column) scopes both systems and ``id_map``
+        declares a distinct doc↔vec id correspondence, exactly as in
+        ``hybrid_search`` (omitting the map asserts the shared-id
+        convention by rename); ``as_of_source`` resolves ONE source pin
+        (or a (docs_v, embeddings_v) pair) into a consistent index-pin
+        pair via ``resolve_hybrid_pins``."""
         from .operators.ann_index import ivfpq_index_topk
         from .operators.bm25_index import bm25_index_topk
         from .operators.retrieval import rrf_fuse
@@ -752,9 +961,14 @@ class Engine:
 
         from pyspark.sql import functions as F
 
+        vb = va = None
+        if as_of_source is not None:
+            vb, va = self.resolve_hybrid_pins(
+                bm25_index_dir, ivfpq_index_dir, as_of_source
+            )
         lex = bm25_index_topk(
             TxTable(self.spark, bm25_index_dir), term_queries, k=per_system_k,
-            allowed=allowed,
+            allowed=allowed, as_of=vb,
         ).select("query_id", "doc_id", F.col("rk").alias("lex_rk"))
         vec = ivfpq_index_topk(
             TxTable(self.spark, ivfpq_index_dir),
@@ -765,14 +979,10 @@ class Engine:
             k=per_system_k,
             nprobe=nprobe,
             shortlist=shortlist,
-            allowed=(
-                allowed.select(F.col("doc_id").alias("vec_id"))
-                if allowed is not None
-                else None
-            ),
-        ).select(
-            "query_id", F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk")
+            allowed=self._vec_allowed(allowed, id_map),
+            as_of=va,
         )
+        vec = self._vec_to_doc_ranks(vec, "vec_rk", id_map)
         return rrf_fuse(lex, vec, "lex_rk", "vec_rk", k=k)
 
     def start_ivfpq_index_maintenance(

@@ -367,3 +367,140 @@ def test_hybrid_search_ivfpq_facade(spark, sf_dir, tmp_path):
     )
     top = min(fused, key=lambda r: r.rk)
     assert top.doc_id == 0 and top.rrf > 1.0 / 61  # ranked by BOTH systems
+
+
+def test_hybrid_search_id_map_disjoint_id_spaces(spark, tmp_path):
+    """ADVICE r11 (engine.py allowed-key rename): corpora whose document
+    and embedding id spaces DIFFER must scope and fuse through an
+    explicit (doc_id, vec_id) map, not the silent shared-id rename.
+    Proof by equivalence: the same corpus indexed twice — once with
+    vec_id == doc_id (the convention the rename assumes), once with
+    every vec_id shifted +5000 plus the id_map — returns IDENTICAL
+    fused rankings in doc-id space, allowed= scoping included. Without
+    the map, the shifted run's vector side would be scoped by keys from
+    the wrong id space (empty candidates, silently lexical-only)."""
+    from pyspark.sql import functions as F
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ann_index,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.bm25_index import (
+        catchup_bm25_index,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        synthetic_embeddings,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.sources.tables import load_table
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    eng = Engine(spark)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 200)
+    emb = synthetic_embeddings(spark, 200)
+    src_d = TxTable(spark, str(tmp_path / "docs"))
+    src_d.append(docs)
+    bm25_dir = str(tmp_path / "bm25")
+    catchup_bm25_index(src_d, TxTable(spark, bm25_dir))
+    # identity-space index (vec_id == doc_id)
+    se_a = TxTable(spark, str(tmp_path / "emb_a"))
+    se_a.append(emb)
+    ann_a = str(tmp_path / "ann_a")
+    catchup_ann_index(se_a, TxTable(spark, ann_a), prefix_bits=4)
+    # disjoint-space index (vec_id = doc_id + 5000) + the explicit map
+    shifted = emb.select((F.col("vec_id") + 5000).alias("vec_id"), "embedding")
+    se_b = TxTable(spark, str(tmp_path / "emb_b"))
+    se_b.append(shifted)
+    ann_b = str(tmp_path / "ann_b")
+    catchup_ann_index(se_b, TxTable(spark, ann_b), prefix_bits=4)
+    id_map = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") + 5000).alias("vec_id")
+    )
+
+    tq = spark.createDataFrame(
+        [(0, "vector"), (1, "spark")], "query_id int, term string"
+    )
+    vq = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    allowed = spark.range(200).filter(F.col("id") % 3 == 0).select(
+        F.col("id").alias("doc_id")
+    )
+
+    def key(df):
+        return sorted(
+            (r.query_id, r.rk, r.doc_id, round(r.rrf, 9)) for r in df.collect()
+        )
+
+    for allow in (None, allowed):
+        want = key(
+            eng.hybrid_search(
+                bm25_dir, ann_a, tq, vq, k=8, per_system_k=8, allowed=allow
+            )
+        )
+        got = key(
+            eng.hybrid_search(
+                bm25_dir, ann_b, tq, vq, k=8, per_system_k=8,
+                allowed=allow, id_map=id_map,
+            )
+        )
+        assert got == want, f"id_map run diverged (allowed={allow is not None})"
+        assert want, "empty fused result would certify nothing"
+    # multi-vector collapse: two vectors of one doc fuse at the BEST rank
+    dup_map = id_map.unionByName(
+        spark.range(200).select(
+            F.col("id").alias("doc_id"), (F.col("id") + 5000).alias("vec_id")
+        )
+    )
+    got_dup = key(
+        eng.hybrid_search(
+            bm25_dir, ann_b, tq, vq, k=8, per_system_k=8, id_map=dup_map
+        )
+    )
+    assert got_dup == key(
+        eng.hybrid_search(bm25_dir, ann_b, tq, vq, k=8, per_system_k=8,
+                          id_map=id_map)
+    )
+
+
+def test_semantic_dedup_facade(spark, tmp_path):
+    """Engine.semantic_dedup_against_corpus + start_semantic_dedup_ingestion:
+    the facade forms of the incremental semantic dedup family."""
+    from pyspark.sql import functions as F
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.ann_index import (
+        catchup_ann_index,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.similarity import (
+        synthetic_embeddings,
+    )
+    from mb_crdb_cdc_dlgen2_synapse_spark.txlog import TxTable
+
+    eng = Engine(spark)
+    src = TxTable(spark, str(tmp_path / "src"))
+    src.append(synthetic_embeddings(spark, 120))
+    codes_dir = str(tmp_path / "codes")
+    catchup_ann_index(src, TxTable(spark, codes_dir), prefix_bits=4)
+    batch = src.read().filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 7_000).alias("vec_id"), "embedding"
+    )
+    got = {
+        r.vec_id: r.is_novel
+        for r in eng.semantic_dedup_against_corpus(
+            codes_dir, src.path, batch, threshold=0.95
+        ).collect()
+    }
+    assert got and not any(got.values())  # exact re-embeds: all dups
+
+    landing = str(tmp_path / "landing")
+    synthetic_embeddings(spark, 30).write.parquet(f"{landing}/b1")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{landing}/*")
+    )
+    eng.start_semantic_dedup_ingestion(
+        stream, str(tmp_path / "state"), str(tmp_path / "codes2"),
+        str(tmp_path / "ckpt"),
+    ).awaitTermination()
+    assert TxTable(spark, str(tmp_path / "state")).read().count() == 30

@@ -296,3 +296,93 @@ def test_hybrid_search_during_live_maintenance_is_prefix_consistent(
         )
     # the race must actually have raced at least once to prove anything
     assert raced >= 1, "no query overlapped a maintenance commit; widen the race"
+
+
+def test_hybrid_pinned_source_answers_are_bit_stable(spark, sf_dir, tmp_path):
+    """VERDICT r11 item 4: tenant-facing time travel is ONE parameter —
+    Engine.hybrid_search(as_of_source=(docs_v, emb_v)) resolves BOTH
+    index pins from the source versions via each index's watermark
+    history (resolve_hybrid_pins), and the pinned answer — filtered
+    path included — is BIT-stable while maintenance keeps folding new
+    source commits. Also pins the boundary: resolving a source version
+    older than the index's first watermark raises."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+        .localCheckpoint(eager=True)
+    )
+    emb = synthetic_embeddings(spark, 100).localCheckpoint(eager=True)
+    src_d = TxTable(spark, str(tmp_path / "sd"))
+    src_d.append(docs)
+    src_e = TxTable(spark, str(tmp_path / "se"))
+    src_e.append(emb)
+    bm25 = TxTable(spark, str(tmp_path / "bm25"))
+    catchup_bm25_index(src_d, bm25)
+    ann = TxTable(spark, str(tmp_path / "ann"))
+    catchup_ann_index(src_e, ann, prefix_bits=4)
+
+    eng = Engine(spark)
+    q_terms = spark.createDataFrame(
+        [(1, "vector"), (1, "spark"), (2, "data")], "query_id int, term string"
+    )
+    q_vecs = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").cast("int").alias("query_id"), "embedding"
+    )
+    allowed = spark.range(100).filter(F.col("id") % 2 == 0).select(
+        F.col("id").alias("doc_id")
+    )
+    key = lambda df: tuple(
+        sorted((r.query_id, r.rk, r.doc_id, round(r.rrf, 12)) for r in df.collect())
+    )
+
+    pin = (src_d.version(), src_e.version())
+    want_plain = key(
+        eng.hybrid_search(bm25.path, ann.path, q_terms, q_vecs, k=8)
+    )
+    want_filtered = key(
+        eng.hybrid_search(
+            bm25.path, ann.path, q_terms, q_vecs, k=8, allowed=allowed
+        )
+    )
+    # at pin time, the resolved pair answers exactly like head
+    assert key(
+        eng.hybrid_search(
+            bm25.path, ann.path, q_terms, q_vecs, k=8, as_of_source=pin
+        )
+    ) == want_plain
+
+    for step in range(3):  # maintenance keeps folding...
+        upd = src_d.read().filter(F.col("doc_id") % 4 == step % 4).select(
+            "doc_id", F.concat("text", F.lit(f" drift{step} vector")).alias("text")
+        )
+        src_d.merge_into(upd, on=["doc_id"], mode="dv")
+        mv = src_e.read().filter(
+            (F.col("vec_id") % 6 == step) & ~F.col("vec_id").isin(1, 2)
+        ).select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+        src_e.merge_into(mv, on=["vec_id"], mode="dv")
+        catchup_bm25_index(src_d, bm25)
+        catchup_ann_index(src_e, ann)
+        # ...and the pinned-source answers never move, filtered included
+        assert key(
+            eng.hybrid_search(
+                bm25.path, ann.path, q_terms, q_vecs, k=8, as_of_source=pin
+            )
+        ) == want_plain, f"pinned plain answer drifted at step {step}"
+        assert key(
+            eng.hybrid_search(
+                bm25.path, ann.path, q_terms, q_vecs, k=8,
+                as_of_source=pin, allowed=allowed,
+            )
+        ) == want_filtered, f"pinned filtered answer drifted at step {step}"
+    # head answers DID move (the maintenance was real)
+    assert key(
+        eng.hybrid_search(bm25.path, ann.path, q_terms, q_vecs, k=8)
+    ) != want_plain
+    # resolved pins equal the last index versions whose watermark <= pin
+    vb, va = eng.resolve_hybrid_pins(bm25.path, ann.path, pin)
+    assert int(bm25.properties(as_of=vb)["bm25.srcVersion"]) <= pin[0]
+    assert int(ann.properties(as_of=va)["ann.srcVersion"]) <= pin[1]
+    # a source version older than the first watermark has no index state
+    with pytest.raises(ValueError, match="predates"):
+        eng.resolve_hybrid_pins(bm25.path, ann.path, (-1, -1))
