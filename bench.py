@@ -126,6 +126,13 @@ HEADLINE = [
     # gates, not bench entries: their wall time is streaming-machinery /
     # duplicate-lifecycle noise whose components are already benched —
     # BASELINE.md round-11 note)
+    # round-12 additions
+    "semantic_dedup_incremental",  # index-probed batch-vs-corpus embedding dedup
+    # (streaming_semantic_dedup_ingest is a certification gate, not a
+    # bench entry: streaming trigger/checkpoint machinery noise; its
+    # data-proportional components — ANN index maintenance, the bucket
+    # probe, the exact-cosine verify — are already bench rows via
+    # ann_index_incremental + semantic_dedup_incremental)
 ]
 
 

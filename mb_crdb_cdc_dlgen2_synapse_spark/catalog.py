@@ -212,9 +212,11 @@ _DRIVER_PRIORITY: list[str] = [
     # round-8 promotions — first driver row for each
     "ann_index_incremental",       # X3,X2,S2,J5 — CDF-maintained bucketed ANN index
     "ivf_index_incremental",       # X3,S2,J5 — CDF-maintained IVF lists (frozen quantizer)
-    # round-9 promotions — newly certified ANN gates + upgraded oracles
-    "ann_topk_lsh",                # X3 — multi-probe LSH retrieval contract
-    "knn_pq_adc",                  # X3 — PQ ADC shortlist + exact re-rank contract
+    # (ann_topk_lsh + knn_pq_adc rotated out r12 for the two semantic
+    # dedup gates: both r9-green with three driver rows each and X3-only
+    # cover — X3 keeps 9+ in-window certifiers incl. all four hybrid
+    # gates, filtered_ann_topk and the new semantic gates; both stay
+    # declared + replica-run + benched)
     # ---- ROUND-10 ROTATION (VERDICT r9 item 6): the two new gates —
     # hybrid_index_retrieval (the retrieval stack's end-to-end
     # certificate: BOTH incremental indexes through their CDC mutation
@@ -282,6 +284,15 @@ _DRIVER_PRIORITY: list[str] = [
     # round-11: tenant-scoped hybrid (allowed= through BOTH systems) —
     # out: sketch_distinct_rollup (above)
     "hybrid_filtered_retrieval",   # X3,X4,J3,J4,P9 — filtered dual RRF
+    # ---- ROUND-12 ROTATION (VERDICT r11 item 2): ANN-index-backed
+    # incremental semantic dedup — the batch-vs-corpus embedding dedup
+    # (bucket-probed candidates, watermark-pinned exact-cosine verify,
+    # full value oracle) and its streaming dedup-on-ingest twin (the
+    # sink maintains the codes index itself; invariant oracle) — enter
+    # for their first driver rows. Out: ann_topk_lsh + knn_pq_adc
+    # (above). 52/52 ids stay covered.
+    "semantic_dedup_incremental",  # X2,X3,S2,J4 — index-probed embedding dedup
+    "streaming_semantic_dedup_ingest",  # S1,T1,T8,X2,X3,Q4 — semantic ingest sink
 ]
 
 
@@ -1399,6 +1410,7 @@ def cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 # ===========================================================================
 # Similarity search (X3) + array functions (P8)
 # ===========================================================================
@@ -2393,6 +2405,215 @@ def knn_hamming_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_hamming_topk(emb, queries, k=5)
+
+
+
+def _incoming_vectors(emb: DataFrame) -> DataFrame:
+    """Deterministic 'new crawl' EMBEDDING batch for the incremental
+    semantic dedup gates, reconstructible in SQL: exact re-embeds under
+    new ids (cosine 1.0 duplicates), +0.05-on-dim-1 perturbations (near
+    duplicates — the corpus is unit-norm, so cosine ≈ 0.9988), and
+    negated vectors (novel: the corpus' max non-copy pairwise cosine is
+    ~0.51, measured — nothing reaches a 0.9 threshold)."""
+    exact = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    perturbed = emb.filter(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    novel = emb.filter(F.col("vec_id") % 10 == 2).select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    return exact.unionByName(perturbed).unionByName(novel)
+
+
+_INCOMING_VEC_SQL = """
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+        UNION ALL
+        SELECT vec_id + 2000000 AS vec_id,
+               list_concat([embedding[1] + 0.05], embedding[2:64]) AS embedding
+        FROM embeddings WHERE vec_id % 10 = 1
+        UNION ALL
+        SELECT vec_id + 3000000 AS vec_id,
+               list_transform(embedding, x -> -x) AS embedding
+        FROM embeddings WHERE vec_id % 10 = 2"""
+
+
+@register(
+    "semantic_dedup_incremental",
+    # FULL value oracle: the whole pipeline — sign-bit quantization,
+    # 4-bit prefix buckets, radius-1 probe (integer arithmetic, so SQL
+    # replicates the APPROXIMATE candidate set exactly), 6-dp-rounded
+    # exact-cosine verify — recomputed closed-form on the same parquet.
+    f"""
+    WITH incoming AS ({_INCOMING_VEC_SQL}),
+    cb AS (
+        SELECT vec_id, {{bq0}} AS b_lo, {{bq0}} & 15 AS bucket
+        FROM embeddings),
+    qb AS (
+        SELECT vec_id, {{bq0}} & 15 AS q_bucket FROM incoming),
+    cands AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id
+        FROM qb q JOIN cb c
+          ON bit_count(xor(c.bucket, q.q_bucket)) <= 1
+         AND c.vec_id <> q.vec_id),
+    verified AS (
+        SELECT cands.q_id,
+               round({{dot}} / ({{ni}} * {{ne}}), 6) AS cosine
+        FROM cands
+        JOIN incoming i ON i.vec_id = cands.q_id
+        JOIN embeddings e ON e.vec_id = cands.c_id),
+    agg AS (
+        SELECT q_id, CAST(count(*) AS BIGINT) AS n_dup_matches,
+               max(cosine) AS best_cosine
+        FROM verified WHERE cosine >= 0.9 GROUP BY q_id)
+    SELECT i.vec_id,
+           coalesce(agg.n_dup_matches, 0) AS n_dup_matches,
+           agg.best_cosine,
+           agg.n_dup_matches IS NULL AS is_novel
+    FROM incoming i LEFT JOIN agg ON agg.q_id = i.vec_id
+    """.format(
+        bq0=_bq_word_sql(0),
+        dot=_DOT_SQL.format(a="i.embedding", b="e.embedding"),
+        ni=_NORM_SQL.format(a="i.embedding"),
+        ne=_NORM_SQL.format(a="e.embedding"),
+    ),
+    "X2,X3,S2,J4",
+)
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup (VERDICT r11 item 2): a synthetic new
+    crawl of embeddings (exact re-embeds, near-duplicate perturbations,
+    novel vectors) deduped against the EXISTING corpus by probing the
+    CDF-MAINTAINED Hamming ANN index — bucket-pruned candidates within
+    prefix radius 1, exact-cosine verify of survivors against the
+    watermark-pinned source — never re-bucketing the corpus
+    (operators/dedup.semantic_dedup_incremental, the embedding twin of
+    cross_corpus_dedup). Per-batch cost tracks the batch and its bucket
+    collisions; the recurring 100 TB job 'dedup this crawl against the
+    corpus by embedding similarity' that the whole-corpus batch
+    operators (semantic_dedup, dedup_embedding_cosine) cannot serve."""
+    from .operators.ann_index import catchup_ann_index
+    from .txlog import TxTable
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tmp = _scratch("semdedup_incr")
+    src = TxTable(spark, os.path.join(tmp, "src"))
+    src.append(emb)
+    codes = TxTable(spark, os.path.join(tmp, "codes"))
+    catchup_ann_index(src, codes, prefix_bits=4)
+    return dedup.semantic_dedup_incremental(
+        codes, src, _incoming_vectors(emb), threshold=0.9, radius=1
+    )
+
+
+@register(
+    "streaming_semantic_dedup_ingest",
+    # FULL invariant oracle (the streaming_neardedup_ingest pattern):
+    # the measured corpus separation (max non-copy cosine ~0.51 vs
+    # threshold 0.9) makes every verdict engine-independent — exact
+    # re-embeds and near-perturbations are always rejected, negated
+    # vectors always admitted, and the admitted count is the exact
+    # hash-certified anchor.
+    """
+    SELECT CAST(count(*) FILTER (WHERE vec_id % 10 = 2) AS BIGINT)
+               AS n_novel_admitted,
+           TRUE AS re_embeds_rejected,
+           TRUE AS near_dups_rejected,
+           TRUE AS survivors_subset_of_landed
+    FROM embeddings WHERE vec_id < 200
+    """,
+    "S1,T1,T8,X2,X3,Q4",
+)
+def streaming_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup-on-INGEST (txlog.stream_semantic_dedup_to_tx_table,
+    the streaming twin of semantic_dedup_incremental): batch 1 seeds the
+    corpus with 200 vectors; batch 2 re-delivers every 10th exactly
+    (cosine 1.0), every 15th perturbed (+0.05 on dim 1 — cosine ~0.9988,
+    only the semantic check catches it), plus negated novels. The sink
+    probes the codes index it maintains ITSELF from the state table's
+    CDF — the corpus is never re-bucketed, and a crash between state
+    commit and index fold self-heals at the next batch's catch-up."""
+    from .txlog import TxTable, stream_semantic_dedup_to_tx_table
+
+    tmp = _scratch("semdedup_ingest")
+    landing = os.path.join(tmp, "landing")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    emb.write.parquet(os.path.join(landing, "b1"))
+    b2 = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") % 15 == 0).select(
+                (F.col("vec_id") + 200_000).alias("vec_id"),
+                F.concat(
+                    F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+                    F.slice("embedding", 2, 63),
+                ).alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 2).select(
+                (F.col("vec_id") + 300_000).alias("vec_id"),
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            )
+        )
+    )
+    b2.write.parquet(os.path.join(landing, "b2"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(f"{landing}/*")
+    )
+    table_dir = os.path.join(tmp, "state")
+    stream_semantic_dedup_to_tx_table(
+        stream, table_dir, os.path.join(tmp, "codes"), os.path.join(tmp, "ckpt"),
+        threshold=0.9, radius=1,
+    ).awaitTermination()
+    surv = TxTable(spark, table_dir).read().select("vec_id")
+    landed = (
+        emb.select("vec_id")
+        .unionByName(b2.select("vec_id"))
+        .agg(F.collect_set("vec_id"))
+        .collect()[0][0]
+    )
+    agg = surv.agg(
+        F.sum((F.col("vec_id") >= 300_000).cast("long")).alias("novel"),
+        F.sum(
+            (
+                (F.col("vec_id") >= 100_000) & (F.col("vec_id") < 200_000)
+            ).cast("long")
+        ).alias("re_embeds"),
+        F.sum(
+            (
+                (F.col("vec_id") >= 200_000) & (F.col("vec_id") < 300_000)
+            ).cast("long")
+        ).alias("near"),
+        F.sum((~F.col("vec_id").isin(list(landed))).cast("long")).alias("alien"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(agg.novel or 0),
+                int(agg.re_embeds or 0) == 0,
+                int(agg.near or 0) == 0,
+                int(agg.alien or 0) == 0,
+            )
+        ],
+        "n_novel_admitted long, re_embeds_rejected boolean, "
+        "near_dups_rejected boolean, survivors_subset_of_landed boolean",
+    )
 
 
 @register(
@@ -10233,10 +10454,14 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed-silver ingestion stream advances the documents and embeddings
     tx tables (materialize_silver_tx: net-image reduce + keyed merge
     with physical tombstone deletes), and the CDF-fed index maintenance
-    STREAMS fold the silver tables' change feeds into the BM25 inverted
-    index, the bucketed Hamming ANN index, AND the MinHash-LSH bands
-    index from their checkpoints (the bands index proven equal to a
-    from-scratch banding of the final streamed corpus in-gate).
+    STREAMS fold the silver tables' change feeds into the indexes: ONE
+    multiplexed fold reads the documents CDF once and maintains BOTH
+    the BM25 inverted index and the MinHash-LSH bands index to a shared
+    watermark (Engine.start_document_index_maintenance, r12), while the
+    embeddings CDF feeds the bucketed Hamming ANN index (the bands
+    index proven equal to a from-scratch banding of the final streamed
+    corpus in-gate, and the two document indexes proven watermark-
+    aligned).
     The final Engine.hybrid_search answer — pruned token-IN postings
     read × radius-1 bucket probe × RRF — is hashed against the same
     closed-form dual replay as hybrid_index_retrieval: a MATCH proves
@@ -10338,23 +10563,29 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "embedding": "after.embedding",
             },
         ).awaitTermination()
-        eng.start_bm25_index_maintenance(
-            docs_dir, bm25_dir, os.path.join(tmp, "ckpt_bm25")
+        # the MULTIPLEXED document-index fold (r12): one read of the
+        # docs silver CDF maintains BOTH the BM25 postings and the LSH
+        # bands, advancing them to one shared watermark per micro-batch
+        eng.start_document_index_maintenance(
+            docs_dir, bm25_dir, lsh_dir, os.path.join(tmp, "ckpt_docidx")
         ).awaitTermination()
         eng.start_ann_index_maintenance(
             emb_dir, ann_dir, os.path.join(tmp, "ckpt_ann"), prefix_bits=4
         ).awaitTermination()
-        eng.start_lsh_index_maintenance(
-            docs_dir, lsh_dir, os.path.join(tmp, "ckpt_lsh")
-        ).awaitTermination()
-    # the third document-side index rides the same silver CDF: prove the
-    # stream-maintained bands equal a from-scratch banding of the final
-    # streamed corpus (in-gate certification; the returned hash certifies
-    # the hybrid answer)
+    # both document-side indexes ride ONE read of the silver CDF (the
+    # multiplexed fold): prove the stream-maintained bands equal a
+    # from-scratch banding of the final streamed corpus, and that the
+    # fold left both indexes at the SAME source watermark — aligned by
+    # construction, not by scheduling luck (in-gate certification; the
+    # returned hash certifies the hybrid answer)
     from .operators.lsh_index import assert_lsh_index_matches_scratch
     from .txlog import TxTable as _Tx
 
     assert_lsh_index_matches_scratch(_Tx(spark, lsh_dir), _Tx(spark, docs_dir))
+    assert (
+        _Tx(spark, bm25_dir).properties()["bm25.srcVersion"]
+        == _Tx(spark, lsh_dir).properties()["lsh.srcVersion"]
+    ), "multiplexed fold left the document indexes at different watermarks"
     q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
     q_vecs = (
         _t(spark, sf_dir, "embeddings")

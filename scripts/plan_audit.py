@@ -26,6 +26,7 @@ SKIP = {
     "flagship_silver_lake",
     "silver_partition_pruning",
     "streaming_dedup_ingest",
+    "streaming_semantic_dedup_ingest",
     "tx_time_travel",
 }
 # ^ these build temp dirs as a side effect; their plans are covered by tests
