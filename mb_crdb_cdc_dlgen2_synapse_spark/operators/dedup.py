@@ -666,12 +666,20 @@ def semantic_dedup_incremental(
 
     1. quantize the BATCH with the index's own logged layout
        (``ann.prefixDims`` — layout and probe can never disagree);
-    2. probe the index like ``probed_hamming_topk``: the probe-bucket
-       union is a file-level IN predicate (span/bloom pruning), the
-       per-row cut keeps corpus codes within prefix Hamming ``radius``
-       of each batch vector's bucket — approximate by design, recall
-       bounded by the same prefix-error argument, and the probe is
-       integer arithmetic so a SQL oracle replicates it exactly;
+    2. probe the index by DISTRIBUTED bucket equi-join: each batch
+       vector explodes into its radius-``radius`` probe buckets (XOR
+       against the fixed flip-mask set — sum_{r<=radius} C(bits, r)
+       rows per vector) and joins the bucket-clustered codes on
+       ``bucket`` equality. Unlike ``probed_hamming_topk``'s
+       broadcast-the-queries cross join (right for interactive query
+       batches), nothing here assumes the batch fits in a broadcast —
+       a crawl batch of millions shuffles like any other join side.
+       The probe-bucket UNION still feeds the file-level IN predicate
+       (span/bloom pruning; bounded by 2^prefix_bits regardless of
+       batch size), candidates stay exactly "corpus codes within
+       prefix Hamming ``radius`` of the vector's bucket" — approximate
+       by design, recall bounded by the same prefix-error argument,
+       and integer arithmetic, so a SQL oracle replicates it exactly;
     3. exact-cosine VERIFY of the survivors only: full-precision
        vectors point-fetched from the SOURCE at the index's
        ``ann.srcVersion`` watermark (the ivfpq re-rank coherence
@@ -705,8 +713,6 @@ def semantic_dedup_incremental(
         binary_quantize(batch.select("vec_id", "embedding"))
         .select(
             F.col("vec_id").alias("q_id"),
-            F.col("b_lo").alias("q_lo"),
-            F.col("b_hi").alias("q_hi"),
             _prefix_bucket_expr(dims).alias("q_bucket"),
         )
         .localCheckpoint(eager=True)
@@ -716,16 +722,25 @@ def semantic_dedup_incremental(
         probe.update(prefix_probe_buckets(r.q_bucket, prefix_bits, radius))
     corp = codes_index.read(
         predicates=[("bucket", "in", sorted(probe))], as_of=as_of
-    ).select("vec_id", "b_lo", "b_hi", "bucket")
+    ).select("vec_id", "bucket")
+    # flip-mask explode: prefix_probe_buckets(0, ...) is exactly the
+    # XOR-mask set, shared by every query — each batch vector becomes
+    # one row per probed bucket, and the candidate cut is a plain
+    # bucket equi-join (hash-shuffled, batch-size-agnostic; a corpus
+    # row's single bucket meets each query at most once, so the join
+    # itself is duplicate-free)
+    masks = F.array(
+        *[F.lit(m) for m in prefix_probe_buckets(0, prefix_bits, radius)]
+    )
+    q_probe = q.select(
+        "q_id",
+        F.explode(
+            F.transform(masks, lambda m: F.col("q_bucket").bitwiseXOR(m))
+        ).alias("bucket"),
+    )
     cands = (
-        corp.join(F.broadcast(q))
-        .filter(
-            (
-                F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket")))
-                <= radius
-            )
-            & (F.col("vec_id") != F.col("q_id"))
-        )
+        corp.join(q_probe, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
         .localCheckpoint(eager=True)
     )
