@@ -133,6 +133,11 @@ HEADLINE = [
     # data-proportional components — ANN index maintenance, the bucket
     # probe, the exact-cosine verify — are already bench rows via
     # ann_index_incremental + semantic_dedup_incremental)
+    # (training_snapshot_export is a certification gate, not a bench
+    # entry: a duplicate two-table + two-index lifecycle whose unique
+    # work — the manifest write and the manifest-list parquet read —
+    # is metadata-sized; every data-proportional component is already
+    # a bench row via the index lifecycle gates and tx_symlink_manifest)
 ]
 
 

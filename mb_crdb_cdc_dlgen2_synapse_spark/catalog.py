@@ -183,7 +183,11 @@ _DRIVER_PRIORITY: list[str] = [
     # round-7 promotions — first driver row for each
     "streaming_tx_cdf",            # S1,S2,T1,T7,S7 — CDF streaming source
     "streaming_tx_sink_partitioned",  # S3,T1,T8,S7,S5 — native sink
-    "tx_symlink_manifest",         # S7,S5,P9,T8 — external read path
+    # (tx_symlink_manifest rotated out r12 for training_snapshot_export
+    # below: r7-green with three driver rows, and the snapshot gate
+    # certifies the same external manifest read path multi-table +
+    # index-pinned; stays declared + replica-run + benched)
+    "training_snapshot_export",    # S5,S7,S2,J2 — pinned multi-table export
     "tx_cdf_identity_feed",        # S2,T7,S7,T1 — feed-side identity, batch==stream
     # (doc_pii_redaction + doc_quality_classifier rotated out r9 s2:
     # r1-green, every id redundantly covered; stay declared + replica-run)
@@ -6181,6 +6185,124 @@ def tx_symlink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("o_totalprice").alias("revenue"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "training_snapshot_export",
+    # Deterministic full oracle: the exported snapshot is exactly the
+    # documents table after the pre-export update (%5 suffix) and cow
+    # delete (%7), plus the embeddings table after its cow delete (%4)
+    # — the POST-export churn (delete %3 / delete %5 / index catch-ups)
+    # must be invisible to the manifest read, so any stale, missing, or
+    # extra manifest entry breaks the per-lang counts and sums.
+    """
+    WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' r12' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 7 <> 0
+    ),
+    v AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs
+        FROM embeddings WHERE vec_id % 4 <> 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           (SELECT n_vecs FROM v) AS n_vecs_snapshot
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+    "S5,S7,S2,J2",
+)
+def training_snapshot_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent multi-table TRAINING SNAPSHOT export
+    (snapshot.export_snapshot / Engine.export_training_snapshot): the
+    documents and embeddings tables take cow mutations, BOTH retrieval
+    indexes catch up, and ONE export freezes the four pins — data
+    tables as exact active-file URI manifests (read back externally:
+    raw parquet via the manifest list, never the transaction log — the
+    reference's OPENROWSET serving path,
+    /root/reference/README.md:131-192, made version-consistent across
+    every table one training job consumes), indexes at the version
+    whose watermark covers their source table's pin. The tables then
+    churn AGAIN and both indexes re-fold; the returned aggregate reads
+    only through the export, so it certifies the snapshot is bit-stable
+    under continued ingestion AND maintenance. In-gate assertions pin
+    the index records to resolve_hybrid_pins' derivation."""
+    from .engine import Engine
+    from .operators.ann_index import catchup_ann_index
+    from .operators.bm25_index import catchup_bm25_index
+    from .txlog import TxTable
+
+    eng = Engine(spark)
+    tmp = _scratch("training_snapshot")
+    docs = TxTable(spark, os.path.join(tmp, "docs"))
+    docs.append(_t(spark, sf_dir, "documents").select("doc_id", "lang", "text"))
+    upd = docs.read().filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "lang", F.concat("text", F.lit(" r12")).alias("text")
+    )
+    docs.merge_into(upd, on=["doc_id"], mode="cow")
+    gone = docs.read().filter(F.col("doc_id") % 7 == 0).withColumn(
+        "_g", F.lit(True)
+    )
+    docs.merge_into(gone, on=["doc_id"], delete_when="_g", mode="cow")
+    emb = TxTable(spark, os.path.join(tmp, "emb"))
+    emb.append(_t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    vgone = emb.read().filter(F.col("vec_id") % 4 == 0).withColumn(
+        "_g", F.lit(True)
+    )
+    emb.merge_into(vgone, on=["vec_id"], delete_when="_g", mode="cow")
+    bm25 = TxTable(spark, os.path.join(tmp, "bm25"))
+    catchup_bm25_index(docs, bm25)
+    ann = TxTable(spark, os.path.join(tmp, "ann"))
+    catchup_ann_index(emb, ann, prefix_bits=4)
+
+    out = os.path.join(tmp, "export")
+    desc = eng.export_training_snapshot(
+        out,
+        {"documents": docs.path, "embeddings": emb.path},
+        indexes={
+            "bm25": (bm25.path, "bm25.srcVersion", "documents"),
+            "ann": (ann.path, "ann.srcVersion", "embeddings"),
+        },
+    )
+    pins = (
+        desc["tables"]["documents"]["version"],
+        desc["tables"]["embeddings"]["version"],
+    )
+    # post-export churn: both tables mutate, both indexes re-fold
+    g2 = docs.read().filter(F.col("doc_id") % 3 == 0).withColumn(
+        "_g", F.lit(True)
+    )
+    docs.merge_into(g2, on=["doc_id"], delete_when="_g", mode="cow")
+    catchup_bm25_index(docs, bm25)
+    v2 = emb.read().filter(F.col("vec_id") % 5 == 0).withColumn(
+        "_g", F.lit(True)
+    )
+    emb.merge_into(v2, on=["vec_id"], delete_when="_g", mode="cow")
+    catchup_ann_index(emb, ann)
+    # the recorded index pins ARE the consistent-pair derivation, and
+    # each folded exactly its source table's pinned version
+    assert eng.resolve_hybrid_pins(bm25.path, ann.path, pins) == (
+        desc["indexes"]["bm25"]["version"],
+        desc["indexes"]["ann"]["version"],
+    ), "exported index pins diverged from resolve_hybrid_pins"
+    assert desc["indexes"]["bm25"]["src_version_folded"] == pins[0]
+    assert desc["indexes"]["ann"]["src_version_folded"] == pins[1]
+
+    d = eng.read_training_snapshot(out, "documents")
+    n_vecs = (
+        eng.read_training_snapshot(out, "embeddings")
+        .agg(F.count(F.lit(1)).alias("n_vecs_snapshot"))
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(n_vecs))
+        .orderBy("lang")
     )
 
 

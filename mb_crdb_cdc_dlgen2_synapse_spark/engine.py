@@ -711,6 +711,46 @@ class Engine:
             self.spark, src_dir, bm25_dir, lsh_dir, checkpoint_dir, **kw
         )
 
+    def export_training_snapshot(
+        self,
+        out_dir: str,
+        tables: dict[str, str],
+        pins: dict[str, int] | None = None,
+        indexes: dict[str, tuple[str, str, str]] | None = None,
+    ) -> dict:
+        """Freeze a TRAINING SNAPSHOT (snapshot.export_snapshot): every
+        named table's pinned version + exact active-file URI list lands
+        in ``out_dir`` for external raw-parquet reads, and every index —
+        given as ``name: (index_dir, watermark_prop, source_table_name)``
+        — is resolved to the version whose watermark covers its source
+        table's pin (the ``resolve_hybrid_pins`` machinery). One export
+        = one reproducible corpus, while ingestion and maintenance keep
+        running underneath."""
+        from .snapshot import export_snapshot
+        from .txlog import TxTable
+
+        return export_snapshot(
+            out_dir,
+            {n: TxTable(self.spark, d) for n, d in tables.items()},
+            pins=pins,
+            indexes={
+                n: {
+                    "index": TxTable(self.spark, d),
+                    "prop": prop,
+                    "source": src,
+                }
+                for n, (d, prop, src) in (indexes or {}).items()
+            },
+        )
+
+    def read_training_snapshot(self, out_dir: str, name: str) -> DataFrame:
+        """Read one table of an exported training snapshot the external
+        way: manifest URI list + raw parquet + hive partition inference,
+        no transaction-log access (snapshot.read_snapshot_table)."""
+        from .snapshot import read_snapshot_table
+
+        return read_snapshot_table(self.spark, out_dir, name)
+
     def neardup_pairs(self, index_dir: str, **kw) -> DataFrame:
         """All near-dup candidate pairs of the indexed corpus, from the
         precomputed band entries (hot-bucket skew guard on)."""

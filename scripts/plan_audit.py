@@ -90,6 +90,8 @@ for name, qd in sorted(catalog.registry().items()):
         "llm_pipeline_e2e",  # the hybrid_index_retrieval read path over
         # stream-ingested silver: same 1-row corpus-stats + tiny query
         # broadcasts
+        "training_snapshot_export",  # 1-row snapshot-cardinality scalar
+        # broadcast onto the per-lang aggregate of the exported read
     ):
         issues.append("BNLJ")
     if "BatchEvalPython" in plan and name not in (
