@@ -718,7 +718,7 @@ def semantic_dedup_incremental(
         .localCheckpoint(eager=True)
     )
     probe: set[int] = set()
-    for r in q.select("q_bucket").distinct().collect():  # <=2^prefix_bits
+    for r in q.select("q_bucket").distinct().collect():  # plan-bounded: <=2^prefix_bits bucket ids, probe planning only
         probe.update(prefix_probe_buckets(r.q_bucket, prefix_bits, radius))
     corp = codes_index.read(
         predicates=[("bucket", "in", sorted(probe))], as_of=as_of
@@ -749,7 +749,7 @@ def semantic_dedup_incremental(
     src_v = int(wm) if wm is not None else None
     ids = [
         r.vec_id
-        for r in cands.select("vec_id").distinct().limit(key_cap + 1).collect()
+        for r in cands.select("vec_id").distinct().limit(key_cap + 1).collect()  # plan-bounded: capped at key_cap+1 rows, semi-join fallback past the cap
     ]
     preds = [("vec_id", "in", sorted(ids))] if len(ids) <= key_cap else None
     full = src.read(predicates=preds, as_of=src_v).select(
