@@ -170,6 +170,7 @@ def ann_index_apply_changes(
         delete_when="_tombstone",
         partition_by=["bucket"],
         mode=mode,
+        source_materialized=True,
     )
 
 
@@ -564,6 +565,7 @@ def catchup_ivf_index(
                 delete_when="_tombstone",
                 partition_by=["cid"],
                 mode=mode,
+                source_materialized=True,
             )
         index.set_properties({"ann.srcVersion": str(hi)})
         v = hi
@@ -1133,6 +1135,7 @@ def ivfpq_apply_changes(
             delete_when="_tombstone",
             partition_by=["cid"],
             mode=mode,
+            source_materialized=True,
         )
 
 

@@ -61,6 +61,26 @@ def _tf_rows(docs: DataFrame) -> DataFrame:
     return tf.join(dl, "doc_id").select("doc_id", "token", "tf", "dl")
 
 
+def _tf_rows_tagged(docs: DataFrame) -> DataFrame:
+    """``_tf_rows`` keyed additionally by an old/new image tag ``_new`` —
+    one tokenize+aggregate pass covers BOTH sides of a change batch
+    (the per-side groupings are independent because ``_new`` is in every
+    key, so per-side tf/dl values are identical to two ``_tf_rows``
+    passes over the split inputs)."""
+    toks = docs.select(
+        "doc_id",
+        "_new",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "_new", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy("doc_id", "_new").agg(F.count(F.lit(1)).alias("dl"))
+    return tf.join(dl, ["doc_id", "_new"]).select(
+        "doc_id", "_new", "token", "tf", "dl"
+    )
+
+
 def _doc_net_images(changes: DataFrame, text_col: str) -> DataFrame:
     """Per-doc (doc_id, old_text, new_text) across a CDF version range:
     ``old_text`` = the pre-range state (the EARLIEST image iff it is a
@@ -119,17 +139,33 @@ def bm25_apply_changes(
     batch with no posting change still advances the watermark (single
     metadata commit; deltas are provably zero then — ``ups`` carries
     EVERY post-image posting, so an empty source means no doc changed)."""
-    net = _doc_net_images(changes, text_col).localCheckpoint(eager=True)
-    old_post = _tf_rows(
-        net.filter(F.col("old_text").isNotNull()).select(
-            "doc_id", F.col("old_text").alias("text")
+    # ONE tokenize+aggregate pass over both image sides (side-tagged),
+    # pinned once — the former three eager checkpoints (net images, old
+    # postings, new postings) cost three full materialization jobs per
+    # batch for relations that are cheap filters of this single one
+    net = _doc_net_images(changes, text_col)
+    tagged = (
+        net.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(False).alias("_new"),
+                        F.col("old_text").alias("text"),
+                    ),
+                    F.struct(
+                        F.lit(True).alias("_new"),
+                        F.col("new_text").alias("text"),
+                    ),
+                )
+            ).alias("e"),
         )
-    ).localCheckpoint(eager=True)
-    new_post = _tf_rows(
-        net.filter(F.col("new_text").isNotNull()).select(
-            "doc_id", F.col("new_text").alias("text")
-        )
-    ).localCheckpoint(eager=True)
+        .filter(F.col("e.text").isNotNull())
+        .select("doc_id", F.col("e._new").alias("_new"), F.col("e.text").alias("text"))
+    )
+    posts = _tf_rows_tagged(tagged).localCheckpoint(eager=True)
+    old_post = posts.filter(~F.col("_new")).drop("_new")
+    new_post = posts.filter(F.col("_new")).drop("_new")
     ups = new_post.withColumn("_tombstone", F.lit(False))
     dels = (
         old_post.select("doc_id", "token")
@@ -144,14 +180,24 @@ def bm25_apply_changes(
     )
     source = ups.unionByName(dels).localCheckpoint(eager=True)
     # exact scalar deltas: docs-with-tokens and token mass, old vs new —
-    # computed BEFORE the merge so the merge commit can carry them
-    agg = lambda rel: rel.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-    o = agg(old_post).agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t")
-    ).collect()[0]
-    n = agg(new_post).agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t")
-    ).collect()[0]
+    # computed BEFORE the merge so the merge commit can carry them.
+    # ONE job over the pinned side-tagged postings covers both sides
+    # (a missing side simply has no group row -> 0/0, the same totals
+    # the former per-side global aggregates returned)
+    side_rows = {
+        r["_new"]: r
+        for r in posts.groupBy("_new", "doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .groupBy("_new")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+        )
+        .collect()
+    }
+    _zero = {"n": 0, "t": 0}
+    o = side_rows.get(False, _zero)
+    n = side_rows.get(True, _zero)
     cur = index.properties()
     props = {
         "bm25.nDocs": str(int(cur.get("bm25.nDocs", 0)) + n["n"] - o["n"]),
@@ -183,6 +229,7 @@ def bm25_apply_changes(
             delete_when="_tombstone",
             mode=mode,
             props=props,
+            source_materialized=True,
         )
     else:
         index.set_properties(props)

@@ -153,18 +153,23 @@ def minhash_signatures(
     """
     expl = shingles if shingles is not None else shingle_rows(documents, k=shingle_k)
     h = (_hash64(F.col("s")) % MINHASH_P).alias("h")
+    # each aggregate (and the final array) is one parsed SQL expression —
+    # the Column-arithmetic list comprehension cost ~6 py4j round trips
+    # per hash of pure plan construction, paid on every signature build
     return (
         expl.select("doc_id", h)
         .groupBy("doc_id")
         .agg(
             *[
-                F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
+                F.expr(f"min((h * {a} + {b}) % {MINHASH_P})").alias(f"mh{i}")
                 for i, (a, b) in enumerate(minhash_params(n_hashes))
             ]
         )
         .select(
             "doc_id",
-            F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("sig"),
+            F.expr(
+                "array(" + ", ".join(f"mh{i}" for i in range(n_hashes)) + ")"
+            ).alias("sig"),
         )
     )
 
@@ -800,25 +805,20 @@ def _band_entries(
     (incoming-vs-corpus join)."""
     rows = n_hashes // bands
     sigs = minhash_signatures(documents, n_hashes, shingle_k, shingles=shingles)
+    # one parsed SQL generator expression instead of ~20 py4j calls per
+    # band of Column construction (same explode(array(struct(..))) tree)
+    structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_key', concat_ws('-', {parts}))".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(element_at(sig, {b * rows + r + 1}) AS STRING)"
+                for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
     return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.element_at("sig", b * rows + r + 1).cast("string")
-                                for r in range(rows)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        "doc_id", F.expr(f"explode(array({structs}))").alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
 
 

@@ -72,19 +72,48 @@ def lsh_apply_changes(
             "lsh.shingleK": str(shingle_k),
         }
     )
-    net = _doc_net_images(changes, text_col).localCheckpoint(eager=True)
-    old_e = _entries(
-        net.filter(F.col("old_text").isNotNull()).select(
-            "doc_id", F.col("old_text").alias("text")
-        ),
-        n_hashes, bands, shingle_k,
-    ).localCheckpoint(eager=True)
-    new_e = _entries(
-        net.filter(F.col("new_text").isNotNull()).select(
-            "doc_id", F.col("new_text").alias("text")
-        ),
-        n_hashes, bands, shingle_k,
-    ).localCheckpoint(eager=True)
+    # ONE banding pass over both image sides: the doc key becomes a
+    # (id, _new) struct — every stage of the MinHash pipeline treats
+    # doc_id as an opaque grouping key, so per-side band entries are
+    # identical to two separate passes, and one eager checkpoint
+    # replaces the former three (net + old entries + new entries)
+    net = _doc_net_images(changes, text_col)
+    tagged = (
+        net.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(False).alias("_new"),
+                        F.col("old_text").alias("text"),
+                    ),
+                    F.struct(
+                        F.lit(True).alias("_new"),
+                        F.col("new_text").alias("text"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .filter(F.col("e.text").isNotNull())
+        .select(
+            F.struct(
+                F.col("doc_id").alias("id"), F.col("e._new").alias("_new")
+            ).alias("doc_id"),
+            F.col("e.text").alias("text"),
+        )
+    )
+    ent = (
+        _entries(tagged, n_hashes, bands, shingle_k)
+        .select(
+            "band_key",
+            F.col("doc_id._new").alias("_new"),
+            F.col("doc_id.id").alias("doc_id"),
+            "band_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    old_e = ent.filter(~F.col("_new")).drop("_new")
+    new_e = ent.filter(F.col("_new")).drop("_new")
     keys = ["band_key", "doc_id", "band_id"]
     ups = new_e.withColumn("_tombstone", F.lit(False))
     dels = old_e.join(new_e, keys, "left_anti").withColumn(
@@ -114,7 +143,7 @@ def lsh_apply_changes(
     elif source.take(1):
         index.merge_into(
             source, on=keys, delete_when="_tombstone", mode=mode,
-            props=wm or None,
+            props=wm or None, source_materialized=True,
         )
     elif wm:
         index.set_properties(wm)

@@ -110,23 +110,35 @@ def pq_encode(
     nibbles in one bigint. Pure literal-expression codegen."""
     m, k = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
-    code = F.lit(0).cast("bigint")
+    # The whole packed-code expression is built as ONE SQL string and
+    # parsed JVM-side in a single call: the previous Column-arithmetic
+    # loops issued ~m·k·sub (≈1000+) py4j round trips of pure plan
+    # construction per encode call (profiled as multi-second driver
+    # stalls in every IVF-PQ lifecycle). The parsed tree is the same
+    # left-associated accumulation — bit-identical codes.
+    def dlit(v: float) -> str:
+        # CAST('<repr>' AS DOUBLE) round-trips exactly (shortest repr ->
+        # Double.parseDouble) and folds to the same constant as F.lit
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    code = "CAST(0 AS BIGINT)"
     for j in range(m):
         dists = []
         for c in range(k):
             cent = codebooks[j][c]
-            d = F.lit(0.0)
+            d = "CAST(0.0 AS DOUBLE)"
             for t in range(sub):
-                x = F.element_at(F.col(vec_col), j * sub + t + 1).cast(
-                    "double"
-                ) - F.lit(float(cent[t]))
-                d = d + x * x
+                x = (
+                    f"(CAST(element_at(`{vec_col}`, {j * sub + t + 1}) "
+                    f"AS DOUBLE) - {dlit(cent[t])})"
+                )
+                d = f"({d} + ({x} * {x}))"
             dists.append(d)
-        arr = F.array(*dists)
+        arr = f"array({', '.join(dists)})"
         # first index of the minimum -> ties to the LOWEST centroid id
-        cid = (F.array_position(arr, F.array_min(arr)) - 1).cast("bigint")
-        code = code + F.shiftleft(cid, 4 * j)
-    return embeddings.select("vec_id", code.alias("pq_code"))
+        cid = f"CAST(array_position({arr}, array_min({arr})) - 1 AS BIGINT)"
+        code = f"({code} + shiftleft({cid}, {4 * j}))"
+    return embeddings.select("vec_id", F.expr(code).alias("pq_code"))
 
 
 def pq_encode_arrow(
@@ -228,14 +240,17 @@ def _pq_lut(
 
 
 def _adc_dist(m: int) -> F.Column:
-    """Σ_j LUT[j][code_j] over the packed nibbles — m array lookups."""
-    dist = F.lit(0.0)
+    """Σ_j LUT[j][code_j] over the packed nibbles — m array lookups.
+    One parsed SQL expression (same tree as the former Column loop,
+    without its ~10·m py4j round trips of plan construction)."""
+    dist = "CAST(0.0 AS DOUBLE)"
     for j in range(m):
-        nib = F.shiftright(F.col("pq_code"), 4 * j).bitwiseAND(F.lit(15))
-        dist = dist + F.element_at(
-            F.element_at(F.col("__lut"), j + 1), (nib + 1).cast("int")
+        nib = f"(shiftright(pq_code, {4 * j}) & 15)"
+        dist = (
+            f"({dist} + element_at(element_at(__lut, {j + 1}), "
+            f"CAST({nib} + 1 AS INT)))"
         )
-    return dist
+    return F.expr(dist)
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:

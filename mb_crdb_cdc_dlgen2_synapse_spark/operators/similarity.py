@@ -95,10 +95,15 @@ def _lsh_bucket_expr(
     """The bucket key for one hash table: sign bit per hyperplane packed
     into one bigint."""
     planes = _deterministic_planes(n_planes, dim, seed)
+    # each plane's coefficient array is ONE F.lit(list) literal (a single
+    # py4j call) instead of dim separate F.lit objects — the zip_with/
+    # aggregate dot itself is unchanged (an unrolled 64-term literal sum
+    # was tried and blows the Janino codegen method budget when several
+    # table keys share one Generate node)
     bits = [
         F.when(
-            _dot(F.col(vec_col), F.array(*[F.lit(c) for c in plane])) > 0,
-            F.shiftleft(F.lit(1).cast("bigint"), i),
+            _dot(F.col(vec_col), F.lit(plane)) > 0,
+            F.lit(1 << i).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint"))
         for i, plane in enumerate(planes)
     ]
@@ -558,14 +563,19 @@ def binary_quantize(embeddings: DataFrame, vec_col: str = "embedding") -> DataFr
     64 floats become 8 bytes: the compressed store for memory-resident ANN
     at corpus scale; distance becomes XOR + popcount (codegen integer ops,
     no float math at query time)."""
+    # one F.expr per word instead of a 32-iteration Column-arithmetic
+    # loop: the py4j round trips of building ~200 JVM Column objects per
+    # word dominated driver time when quantize is constructed repeatedly
+    # (profiled: ~1.4 s per call, pure plan construction). The SQL text
+    # parses JVM-side in one call to the SAME expression tree shape
+    # (CASE WHEN chain summed left-to-right from a 0 seed).
     def word(lo: int) -> F.Column:
-        acc = F.lit(0).cast("bigint")
-        for i in range(32):
-            acc = acc + F.when(
-                F.element_at(F.col(vec_col), lo + i + 1) > 0,
-                F.lit(1 << i).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        return acc
+        terms = " + ".join(
+            f"(CASE WHEN element_at(`{vec_col}`, {lo + i + 1}) > 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(32)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
     return embeddings.withColumn("b_lo", word(0)).withColumn("b_hi", word(32))
 

@@ -14,6 +14,8 @@ Mapping to reference semantics (SURVEY.md §2.7):
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -373,6 +375,7 @@ def materialize_latest_state_dv(
                 on=["row_key"],
                 mode="dv",
                 partition_by=["bucket"],
+                source_materialized=True,
             )
         else:
             table.append(
@@ -509,7 +512,13 @@ def materialize_silver_tx(
                 ):
                     table.set_bloom_index([key_col], auto_size=True)
             return
-        legacy = "_updated" not in table.read().columns
+        # column presence from the LOGGED schema — no scan-plan build
+        _schema_json = table.snapshot()[2]
+        legacy = "_updated" not in (
+            [f["name"] for f in json.loads(_schema_json)["fields"]]
+            if _schema_json
+            else table.read().columns
+        )
         if ordering != "trust" and not legacy:
             # per-key regression check: fetch the stored timestamps of
             # ONLY the touched keys (span/bloom-pruned IN read under the
@@ -559,7 +568,8 @@ def materialize_silver_tx(
                     return  # every net row was stale: provable no-op
         src = typed.drop("_updated") if legacy else typed
         table.merge_into(
-            src, on=[key_col], delete_when="_tombstone", mode=mode
+            src, on=[key_col], delete_when="_tombstone", mode=mode,
+            source_materialized=True,
         )
         maybe_compact_index(table, rows_per_file)
 

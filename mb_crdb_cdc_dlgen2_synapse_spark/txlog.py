@@ -910,9 +910,15 @@ def _bucket_expr(df: DataFrame, col: str, bits: int):
     for c in cuts:
         if not uniq or c > uniq[-1]:
             uniq.append(c)
-    bucket = F.lit(0)
-    for c in uniq:
-        bucket = bucket + F.when(F.col(col) > F.lit(c), 1).otherwise(0)
+    if not uniq:
+        return F.lit(0).cast("long")
+    # bucket id = number of cuts strictly below the value — one
+    # size(filter(...)) over an array literal instead of a 2^bits-term
+    # CASE-WHEN chain (the chain's ~300 py4j round trips per column were
+    # pure driver-side plan-construction cost; the value is identical,
+    # nulls land in bucket 0 either way because a null comparison drops
+    # out of filter() exactly as it zeroed each WHEN branch)
+    bucket = F.size(F.filter(F.lit(uniq), lambda x: F.col(col) > x))
     return F.coalesce(bucket, F.lit(0)).cast("long")
 
 
@@ -4561,6 +4567,7 @@ class TxTable:
         partition_by: list[str] | None = None,
         mode: str = "cow",
         props: dict[str, str | None] | None = None,
+        source_materialized: bool = False,
     ) -> dict:
         """Delta-style ``MERGE INTO`` keyed on the ``on`` columns:
 
@@ -4620,7 +4627,14 @@ class TxTable:
             src = src.withColumn("__s_del", cond.cast("boolean"))
         else:
             src = src.withColumn("__s_del", F.lit(False))
-        src = src.localCheckpoint(eager=True)
+        if not source_materialized:
+            # the merge references its source several times (bounds/keyset
+            # collects, matched update, no-match anti-join) — pin it once.
+            # Callers that ALREADY hand over a locally-checkpointed source
+            # (the index apply_changes family) pass source_materialized to
+            # skip a second full materialization job; re-evaluating the
+            # projection above over checkpointed blocks is free.
+            src = src.localCheckpoint(eager=True)
 
         version, active, _schema = self.snapshot()
         if version < 0 or not active:
@@ -4634,14 +4648,45 @@ class TxTable:
             self.append(out, partition_by=partition_by, props=props)
             return {"files_rewritten": 0, "version": self.version()}
 
-        # candidate files: key-span overlap on every merge key
-        bounds = src.agg(
-            *[F.min(k).alias(f"lo_{k}") for k in on],
-            *[F.max(k).alias(f"hi_{k}") for k in on],
-        ).first()
+        # candidate files: key-span overlap on every merge key. The span
+        # bounds derive from the SAME capped distinct-key collect the
+        # key-set refinement below uses (one Spark job per key column
+        # instead of a bounds aggregate PLUS a distinct collect); only a
+        # batch with more than MERGE_KEYSET_CAP distinct keys pays the
+        # dedicated min/max aggregate.
+        keyvals: dict[str, list] = {}
+        need_agg: list[str] = []
+        for k in on:
+            vals = [
+                r[0]
+                for r in src.select(k)
+                .distinct()
+                .limit(self.MERGE_KEYSET_CAP + 1)
+                .collect()
+            ]
+            if len(vals) <= self.MERGE_KEYSET_CAP:
+                keyvals[k] = vals
+            else:
+                need_agg.append(k)
+        bounds = (
+            src.agg(
+                *[F.min(k).alias(f"lo_{k}") for k in need_agg],
+                *[F.max(k).alias(f"hi_{k}") for k in need_agg],
+            ).first()
+            if need_agg
+            else {}
+        )
         preds = []
         for k in on:
-            lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+            if k in keyvals:
+                nn = [v for v in keyvals[k] if v is not None]
+                try:
+                    lo = min(nn) if nn else None
+                    hi = max(nn) if nn else None
+                except TypeError:
+                    lo = hi = None  # incomparable type: no span pruning
+            else:
+                lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
             if lo is not None:
                 preds.append((k, ">=", lo))
             if hi is not None:
@@ -4666,14 +4711,7 @@ class TxTable:
         # incomparable types.
         if len(cands) > 1:
             keysets: dict[str, list] = {}
-            for k in on:
-                vals = [
-                    r[0]
-                    for r in src.select(k)
-                    .distinct()
-                    .limit(self.MERGE_KEYSET_CAP + 1)
-                    .collect()
-                ]
+            for k, vals in keyvals.items():
                 if 0 < len(vals) <= self.MERGE_KEYSET_CAP and None not in vals:
                     try:
                         keysets[k] = sorted(vals)
@@ -4742,7 +4780,6 @@ class TxTable:
 
                 cands = [f for f in cands if _holds_a_key(f)]
 
-        target_cols = self.read().columns
         # column order + types conform to the table; nullability is relaxed
         # (join/when outputs are nullable and .to() refuses to tighten) — a
         # nullable-flag difference only costs readers a footer mergeSchema
@@ -4755,6 +4792,15 @@ class TxTable:
             )
             if _schema
             else None
+        )
+        # target columns come from the LOGGED schema — constructing a full
+        # table scan just to ask for .columns costs a multi-group plan
+        # build per merge (profiled as a fixed driver-side tax on every
+        # keyed merge); the log is authoritative for both (Delta model)
+        target_cols = (
+            [f.name for f in target_schema.fields]
+            if target_schema is not None
+            else self.read().columns
         )
 
         def conform(df: DataFrame) -> DataFrame:
@@ -4880,14 +4926,32 @@ class TxTable:
             joined = joined.filter(F.col("__s_del"))
         marked = joined.select(
             F.col("__rf").alias("rel_file"), F.col("__ri").alias("row_index")
-        ).localCheckpoint(eager=True)
-        counts = {
-            r["rel_file"]: r["n"]
-            for r in marked.groupBy("rel_file")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        )
+        # write the vector FIRST and harvest per-file counts from the
+        # written parquet driver-side: the former eager checkpoint +
+        # groupBy().collect() pair cost two extra Spark jobs per merge
+        # for data this commit writes out anyway. DV_MAX_ROWS still
+        # guards the commit — an over-budget vector is discarded unwritten
+        # into the log and the caller falls back to CoW exactly as before.
+        dv_stage = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
+        marked.coalesce(1).write.mode("overwrite").parquet(dv_stage)
+        import pyarrow.parquet as _pq
+
+        counts: dict[str, int] = {}
+        dv_staged: list[str] = []
+        for name in sorted(os.listdir(dv_stage)):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(dv_stage, name)
+            tbl = _pq.read_table(fp, columns=["rel_file"])
+            if tbl.num_rows == 0:
+                continue
+            dv_staged.append(fp)
+            for s in tbl.column("rel_file").combine_chunks().value_counts():
+                rel = s["values"].as_py()
+                counts[rel] = counts.get(rel, 0) + s["counts"].as_py()
         if sum(counts.values()) > self.DV_MAX_ROWS:
+            shutil.rmtree(dv_stage, ignore_errors=True)
             return None  # guardrail — merge_into falls back to CoW
         matched_keys = joined.select(*on)
         new_rows = None
@@ -4919,22 +4983,27 @@ class TxTable:
             out = conform(new_rows)
             # logical keys via the column mapping (see _update_dv)
             layout = [k for k in self._parts(cands[0]) if k in target_cols]
-            out = out.localCheckpoint(eager=True)
-            if out.count() > 0:
-                added, add_stats = self._stage(out, layout or None)
+            # stage directly (one evaluation of the insert/update lineage
+            # in the write itself — the former checkpoint + count() pair
+            # cost two extra jobs); zero-row part files are dropped from
+            # the commit afterwards via their own footer row counts
+            added, add_stats = self._stage(out, layout or None)
+            empty = [r for r in added if not (add_stats.get(r) or {}).get("rows")]
+            for r in empty:
+                try:
+                    os.remove(os.path.join(self.path, r))
+                except OSError:
+                    pass
+                add_stats.pop(r, None)
+            added = [r for r in added if r not in set(empty)]
         dv_rel: list[str] = []
         if counts:
-            stage = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
-            marked.coalesce(1).write.mode("overwrite").parquet(stage)
             os.makedirs(os.path.join(self.path, _DV_DIR), exist_ok=True)
-            for name in os.listdir(stage):
-                if name.endswith(".parquet"):
-                    rel = os.path.join(_DV_DIR, f"{uuid.uuid4().hex}.parquet")
-                    os.rename(
-                        os.path.join(stage, name), os.path.join(self.path, rel)
-                    )
-                    dv_rel.append(rel)
-            shutil.rmtree(stage, ignore_errors=True)
+            for fp in dv_staged:
+                rel = os.path.join(_DV_DIR, f"{uuid.uuid4().hex}.parquet")
+                os.rename(fp, os.path.join(self.path, rel))
+                dv_rel.append(rel)
+        shutil.rmtree(dv_stage, ignore_errors=True)
         if not added and not dv_rel:
             if props is not None:
                 return {"dv_rows": 0, "version": self.set_properties(props)}
