@@ -86,14 +86,22 @@ def _net_changes(changes: DataFrame) -> DataFrame:
     highest ``_commit_version`` wins; within one version an insert beats
     the delete it replaced (Delta renders an update as delete+insert at
     the same version — the post-image is the surviving row)."""
-    w = W.partitionBy("vec_id").orderBy(
-        F.col("_commit_version").desc(),
-        (F.col("_change_type") == "insert").cast("int").desc(),
+    # one hash aggregate (map-side partial agg, no sort) instead of the
+    # former row_number window: max_by on the lexicographic
+    # (_commit_version, is-insert) key picks exactly the window's top
+    # row — highest version, insert over delete within it (guide §2.3:
+    # aggregate before the shuffle; the window shipped every change row)
+    cols = changes.columns
+    key = F.struct(
+        F.col("_commit_version"),
+        (F.col("_change_type") == "insert").cast("int"),
     )
+    payload = [c for c in cols if c != "vec_id"]
     return (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        changes.groupBy("vec_id")
+        .agg(F.max_by(F.struct(*payload), key).alias("__top"))
+        .select("vec_id", *[F.col(f"__top.{c}").alias(c) for c in payload])
+        .select(*cols)
     )
 
 

@@ -87,38 +87,45 @@ def _doc_net_images(changes: DataFrame, text_col: str) -> DataFrame:
     delete — an update's pre-image or a true delete; an insert-first doc
     did not exist at range start), ``new_text`` = the post-range state
     (the LATEST image iff it is an insert; insert beats delete within a
-    version — the same convention as ``_net_changes``)."""
+    version — the same convention as ``_net_changes``).
+
+    ONE hash aggregate: ``min_by``/``max_by`` on the lexicographic
+    (_commit_version, _change_type) key pick the same rows the former
+    two row_number windows picked ('delete' < 'insert' orders the
+    pre-image first within a version), and the has-old/has-new flags
+    reproduce the former full-outer join's row set exactly (a doc whose
+    earliest image is an insert AND whose latest is a delete — lived and
+    died inside the range — appears in neither side, so it is dropped).
+    The former shape cost two window sorts plus a full-outer join (three
+    exchanges of the full text payload); this is one exchange with
+    map-side partial aggregation (guide §2.3/§2.4)."""
     rows = changes.select(
         "doc_id", F.col(text_col).alias("_text"), "_change_type", "_commit_version"
     )
-    wp = W.partitionBy("doc_id")
-    # 'delete' < 'insert' lexically: ascending type puts the pre-image
-    # first within a version; descending puts the post-image first
-    first = (
-        rows.withColumn(
-            "rn",
-            F.row_number().over(
-                wp.orderBy(
-                    F.col("_commit_version").asc(), F.col("_change_type").asc()
-                )
-            ),
+    key = F.struct(F.col("_commit_version"), F.col("_change_type"))
+    img = F.struct(F.col("_change_type"), F.col("_text"))
+    return (
+        rows.groupBy("doc_id")
+        .agg(
+            F.min_by(img, key).alias("__first"),
+            F.max_by(img, key).alias("__last"),
         )
-        .filter((F.col("rn") == 1) & (F.col("_change_type") == "delete"))
-        .select("doc_id", F.col("_text").alias("old_text"))
-    )
-    last = (
-        rows.withColumn(
-            "rn",
-            F.row_number().over(
-                wp.orderBy(
-                    F.col("_commit_version").desc(), F.col("_change_type").desc()
-                )
-            ),
+        .filter(
+            (F.col("__first._change_type") == "delete")
+            | (F.col("__last._change_type") == "insert")
         )
-        .filter((F.col("rn") == 1) & (F.col("_change_type") == "insert"))
-        .select("doc_id", F.col("_text").alias("new_text"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("__first._change_type") == "delete",
+                F.col("__first._text"),
+            ).alias("old_text"),
+            F.when(
+                F.col("__last._change_type") == "insert",
+                F.col("__last._text"),
+            ).alias("new_text"),
+        )
     )
-    return first.join(last, "doc_id", "full_outer")
 
 
 def bm25_apply_changes(

@@ -101,6 +101,7 @@ def kmeans(
     Init: the k lowest vec_ids (deterministic; k-means++ would sample by
     distance — same dataflow, more rounds).
     """
+    spark = embeddings.sparkSession
     centroids = (
         embeddings.orderBy("vec_id")
         .limit(k)
@@ -111,12 +112,33 @@ def kmeans(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
         )
     )
+    # ONE Spark job per iteration: the (cid, pos) means collect
+    # driver-side (k·d doubles — model-sized, like the assignment
+    # kernel's own centroid collect) and the next iteration's centroid
+    # relation rebuilds as a local table. The former shape paid TWO
+    # materialization jobs per iteration (assignment checkpoint +
+    # centroid checkpoint); the means values are bit-identical — same
+    # per-partition partial averages over the same kernel output
+    # partitions, assembled in the same pos order ``_centroids_from``'s
+    # array_sort used.
     assigned = None
     for _ in range(n_iter):
-        assigned = assign_clusters(embeddings, centroids, vec_col).localCheckpoint(
-            eager=True
+        assigned = assign_clusters(embeddings, centroids, vec_col)
+        mean_rows = (
+            assigned.select(
+                "cid", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
         )
-        centroids = _centroids_from(assigned, vec_col).localCheckpoint(eager=True)
+        byc: dict[int, list] = {}
+        for r in mean_rows:
+            byc.setdefault(int(r["cid"]), []).append((r["pos"], r["m"]))
+        centroids = spark.createDataFrame(
+            [(c, [m for _, m in sorted(v)]) for c, v in sorted(byc.items())],
+            "cid int, c_vec array<double>",
+        )
     return centroids, assigned
 
 
@@ -136,8 +158,9 @@ def kmeans_grouped(
     the k lowest vec_ids of the group, tie-breaks to the lowest cid.
     Returns (centroids: group, cid, c_vec; assignments: group, vec_id,
     vec, cid, d2)."""
+    spark = points.sparkSession
     w0 = W.partitionBy(group_col).orderBy("vec_id")
-    centroids = (
+    init = (
         points.withColumn("__rk", F.row_number().over(w0))
         .filter(F.col("__rk") <= k)
         .select(
@@ -145,8 +168,22 @@ def kmeans_grouped(
             F.col("__rk").alias("cid"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
         )
-        .localCheckpoint(eager=True)
     )
+    cent_schema = init.schema
+
+    def _local(df):
+        # model-sized (m·k·(d/m) floats): hold it driver-side and
+        # rebuild as a local relation — a broadcast join against a
+        # LocalTableScan needs no checkpoint job, and the final
+        # centroids' .collect() in train_pq_codebooks becomes free
+        return spark.createDataFrame(df.collect(), cent_schema)
+
+    centroids = _local(init)
+    # ONE Spark job per iteration (the means collect) instead of two
+    # checkpoint jobs; the k-candidate row_number window (a k-fold row
+    # blowup through a sort) becomes a min_by hash aggregate with
+    # map-side partial aggregation — the same (d2 asc, cid asc) row
+    # selection, no sort (guide §2.3/§2.4)
     assigned = None
     for _ in range(n_iter):
         scored = points.join(F.broadcast(centroids), group_col).select(
@@ -156,30 +193,41 @@ def kmeans_grouped(
             "cid",
             _sq_dist(F.col(vec_col), F.col("c_vec")).alias("d2"),
         )
-        w = W.partitionBy(group_col, "vec_id").orderBy(
-            F.col("d2").asc(), F.col("cid").asc()
-        )
         assigned = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(group_col, "vec_id", vec_col, "cid", "d2")
-            .localCheckpoint(eager=True)
-        )
-        pos = assigned.select(
-            group_col, "cid", F.posexplode(F.col(vec_col)).alias("pos", "x")
-        )
-        means = pos.groupBy(group_col, "cid", "pos").agg(
-            F.avg(F.col("x").cast("double")).alias("m")
-        )
-        centroids = (
-            means.groupBy(group_col, "cid")
+            scored.groupBy(group_col, "vec_id")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.m,
-                ).alias("c_vec")
+                F.min_by(
+                    F.struct(vec_col, "cid", "d2"),
+                    F.struct(F.col("d2"), F.col("cid")),
+                ).alias("__t")
             )
-            .localCheckpoint(eager=True)
+            .select(
+                group_col,
+                "vec_id",
+                F.col(f"__t.{vec_col}").alias(vec_col),
+                F.col("__t.cid").alias("cid"),
+                F.col("__t.d2").alias("d2"),
+            )
+        )
+        mean_rows = (
+            assigned.select(
+                group_col, "cid", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy(group_col, "cid", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        byc: dict[tuple, list] = {}
+        for r in mean_rows:
+            byc.setdefault((r[group_col], r["cid"]), []).append(
+                (r["pos"], r["m"])
+            )
+        centroids = spark.createDataFrame(
+            [
+                (g, c, [m for _, m in sorted(v)])
+                for (g, c), v in sorted(byc.items())
+            ],
+            cent_schema,
         )
     return centroids, assigned
 
