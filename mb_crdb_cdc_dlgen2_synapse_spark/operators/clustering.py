@@ -15,8 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .similarity import _dot, _norm
-
 
 def _sq_dist(a, b) -> F.Column:
     return F.aggregate(
@@ -26,14 +24,22 @@ def _sq_dist(a, b) -> F.Column:
     )
 
 
-def _centroids_from(assigned: DataFrame, vec_col: str) -> DataFrame:
-    pos = assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "x"))
-    means = pos.groupBy("cid", "pos").agg(F.avg(F.col("x").cast("double")).alias("m"))
-    return means.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-        ).alias("c_vec")
-    )
+def _sq_dist_expr(a: str, b: str, dims: int) -> F.Column:
+    """Codegen'd twin of ``_sq_dist`` for a KNOWN dimension count: the
+    identical left-fold of POWER(x - y, 2) terms built as one parsed
+    expression. The HOF form's lambdas run interpreted per element —
+    measured ~1.5 s for 512k 4-dim evals in the grouped PQ trainer —
+    while this tree whole-stage-codegens (guide §4.1: built-ins over
+    lambdas). Same subtract/power/add nodes in the same association
+    order, so the result is bit-identical to ``_sq_dist``."""
+    d = "CAST(0.0 AS DOUBLE)"
+    for t in range(dims):
+        x = (
+            f"(CAST(element_at(`{a}`, {t + 1}) AS DOUBLE) - "
+            f"CAST(element_at(`{b}`, {t + 1}) AS DOUBLE))"
+        )
+        d = f"({d} + power({x}, 2))"
+    return F.expr(d)
 
 
 def assign_clusters(
@@ -138,96 +144,6 @@ def kmeans(
         centroids = spark.createDataFrame(
             [(c, [m for _, m in sorted(v)]) for c, v in sorted(byc.items())],
             "cid int, c_vec array<double>",
-        )
-    return centroids, assigned
-
-
-def kmeans_grouped(
-    points: DataFrame,
-    k: int = 16,
-    n_iter: int = 2,
-    group_col: str = "j",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """Lloyd's over MANY independent problems at once (one per value of
-    ``group_col``): every iteration is ONE broadcast join + ONE
-    aggregate spanning all groups, so training m PQ subspace codebooks
-    costs ~2 jobs/iteration instead of 2·m (measured: 16 sequential
-    kmeans() calls dominated the knn_pq_adc gate at ~30 s; grouped is
-    a few seconds). Per-group math is identical to ``kmeans``: init =
-    the k lowest vec_ids of the group, tie-breaks to the lowest cid.
-    Returns (centroids: group, cid, c_vec; assignments: group, vec_id,
-    vec, cid, d2)."""
-    spark = points.sparkSession
-    w0 = W.partitionBy(group_col).orderBy("vec_id")
-    init = (
-        points.withColumn("__rk", F.row_number().over(w0))
-        .filter(F.col("__rk") <= k)
-        .select(
-            group_col,
-            F.col("__rk").alias("cid"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
-        )
-    )
-    cent_schema = init.schema
-
-    def _local(df):
-        # model-sized (m·k·(d/m) floats): hold it driver-side and
-        # rebuild as a local relation — a broadcast join against a
-        # LocalTableScan needs no checkpoint job, and the final
-        # centroids' .collect() in train_pq_codebooks becomes free
-        return spark.createDataFrame(df.collect(), cent_schema)
-
-    centroids = _local(init)
-    # ONE Spark job per iteration (the means collect) instead of two
-    # checkpoint jobs; the k-candidate row_number window (a k-fold row
-    # blowup through a sort) becomes a min_by hash aggregate with
-    # map-side partial aggregation — the same (d2 asc, cid asc) row
-    # selection, no sort (guide §2.3/§2.4)
-    assigned = None
-    for _ in range(n_iter):
-        scored = points.join(F.broadcast(centroids), group_col).select(
-            group_col,
-            "vec_id",
-            F.col(vec_col),
-            "cid",
-            _sq_dist(F.col(vec_col), F.col("c_vec")).alias("d2"),
-        )
-        assigned = (
-            scored.groupBy(group_col, "vec_id")
-            .agg(
-                F.min_by(
-                    F.struct(vec_col, "cid", "d2"),
-                    F.struct(F.col("d2"), F.col("cid")),
-                ).alias("__t")
-            )
-            .select(
-                group_col,
-                "vec_id",
-                F.col(f"__t.{vec_col}").alias(vec_col),
-                F.col("__t.cid").alias("cid"),
-                F.col("__t.d2").alias("d2"),
-            )
-        )
-        mean_rows = (
-            assigned.select(
-                group_col, "cid", F.posexplode(F.col(vec_col)).alias("pos", "x")
-            )
-            .groupBy(group_col, "cid", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
-        )
-        byc: dict[tuple, list] = {}
-        for r in mean_rows:
-            byc.setdefault((r[group_col], r["cid"]), []).append(
-                (r["pos"], r["m"])
-            )
-        centroids = spark.createDataFrame(
-            [
-                (g, c, [m for _, m in sorted(v)])
-                for (g, c), v in sorted(byc.items())
-            ],
-            cent_schema,
         )
     return centroids, assigned
 

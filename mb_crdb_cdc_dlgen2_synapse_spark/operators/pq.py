@@ -5,10 +5,11 @@ Neighbor Search", and the FAISS default) expressed Spark-first.
 Design:
 
 - **Train** (``train_pq_codebooks``): split the d-dim space into ``m``
-  subspaces of d/m dims; per subspace, run the engine's deterministic
-  Lloyd k-means (operators/clustering.py) over a bounded md5-ranked
-  sample. The model is m × k × (d/m) floats — a few KB, driver-side by
-  design (exactly like the IVF centroid table).
+  subspaces of d/m dims; per subspace, run a deterministic Lloyd
+  k-means over a bounded md5-ranked sample (collected once; the Lloyd
+  iterations are driver-side numpy — the sample and the model are both
+  model-scale). The model is m × k × (d/m) floats — a few KB,
+  driver-side by design (exactly like the IVF centroid table).
 - **Encode** (``pq_encode``): per subspace, the argmin-centroid id; the
   m 4-bit codes pack into ONE bigint per vector (k ≤ 16 → nibbles).
   64 floats (256 bytes) become 8 bytes — 32× compression, 4× smaller
@@ -36,11 +37,6 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def _sub_slice(vec, j: int, sub: int):
-    """Subvector j (1-based slice) of an array column."""
-    return F.slice(vec, j * sub + 1, sub)
-
-
 def train_pq_codebooks(
     embeddings: DataFrame,
     m: int = 8,
@@ -52,52 +48,64 @@ def train_pq_codebooks(
     """m per-subspace codebooks of k centroids each, trained with the
     deterministic k-means over an md5-ranked sample of ``sample`` rows
     (seeded-sample device shared with stratified_sample / Z-order cuts).
-    All m subspaces train in ONE grouped-Lloyd pipeline
-    (clustering.kmeans_grouped): each iteration is one broadcast join +
-    one aggregate spanning every subspace, not 2·m sequential jobs.
-    Returns driver-side nested lists (the model: m·k·(d/m) floats)."""
-    from .clustering import kmeans_grouped
 
-    dims = int(embeddings.select(F.size(vec_col).alias("n")).first()["n"])
+    The sample is BOUNDED (``sample`` rows, ~1 MB) and the model is
+    driver-side nested lists by design, so Lloyd's runs driver-side in
+    numpy over the ONE collected sample: the previous grouped-Lloyd
+    Spark pipeline paid n_iter broadcast-join + double-aggregate jobs
+    over a single-partition relation (measured ~4 s of the knn_pq_adc
+    bench entry for microseconds of arithmetic — guide §1.2: fix the
+    algorithm before the code). Scale-correct at any corpus size: only
+    the md5-ranked sample job touches the corpus. Same deterministic
+    semantics as the Spark form — init = the k lowest vec_ids per
+    subspace, assignment argmin ties to the lowest cid, empty clusters
+    drop out for later iterations, missing final slots re-point at the
+    lowest surviving centroid (nothing encodes to them). Centroid
+    values agree with the former distributed form up to float-sum
+    association order; every PQ/IVF-PQ gate is certified by
+    engine-independent contracts (recall floors, partition counts),
+    not by centroid bits, exactly for this freedom.
+    Returns driver-side nested lists (the model: m·k·(d/m) floats)."""
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", vec_col)
+        .withColumn("__r", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__r")
+        .limit(sample)
+        .select("vec_id", vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    X = np.asarray([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
+    dims = int(X.shape[1]) if len(rows) else 0
     if dims % m:
         raise ValueError(f"vector dim {dims} not divisible by m={m}")
     if k > 16:
         raise ValueError("k > 16 does not fit the nibble packing")
     sub = dims // m
-    sampled = (
-        embeddings.select("vec_id", vec_col)
-        .withColumn("__r", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("__r")
-        .limit(sample)
-        .drop("__r")
-        .localCheckpoint(eager=True)
-    )
-    pts = sampled.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _sub_slice(F.col(vec_col), j, sub).alias("sv"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", F.col("e.j").alias("j"), F.col("e.sv").alias("embedding"))
-    centroids, _ = kmeans_grouped(pts, k=k, n_iter=n_iter, group_col="j")
-    rows = {
-        (r["j"], r["cid"]): list(r["c_vec"]) for r in centroids.collect()
-    }
     books: list[list[list[float]]] = []
     for j in range(m):
-        jrows = {c: v for (jj, c), v in rows.items() if jj == j}
-        # cids are 1-based and contiguous; an empty cluster would drop
-        # out — re-point missing slots at the first centroid so the
-        # codebook always has k rows (harmless: nothing encodes to them)
-        first = jrows[min(jrows)]
-        books.append([jrows.get(c, first) for c in range(1, k + 1)])
+        S = X[:, j * sub : (j + 1) * sub]
+        # init: the k lowest vec_ids of the (vec_id-sorted) sample
+        cent: dict[int, "np.ndarray"] = {
+            c: S[c].copy() for c in range(min(k, len(S)))
+        }
+        for _ in range(n_iter):
+            order = sorted(cent)
+            C = np.stack([cent[c] for c in order])
+            d2 = ((S[:, None, :] - C[None]) ** 2).sum(-1)
+            a = d2.argmin(1)  # first minimum == lowest cid (order sorted)
+            nxt: dict[int, "np.ndarray"] = {}
+            for i, c in enumerate(order):
+                mask = a == i
+                if mask.any():  # empty clusters drop out
+                    nxt[c] = S[mask].mean(0)
+            cent = nxt
+        first = cent[min(cent)]
+        books.append(
+            [[float(x) for x in cent.get(c, first)] for c in range(k)]
+        )
     return books
 
 
