@@ -33,6 +33,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .localrel import local_df
 from .operators import cdc, dedup, multimodal, relational, similarity, textops
 from .sources.changegen import CITIES
 from .sources.tables import load_table
@@ -2606,7 +2607,7 @@ def streaming_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("near"),
         F.sum((~F.col("vec_id").isin(list(landed))).cast("long")).alias("alien"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(agg.novel or 0),
@@ -4119,7 +4120,7 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1, w2 = wcss(a1), wcss(a2)
     sizes = a2.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
     total = sum(r.n for r in sizes)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 total,
@@ -4552,7 +4553,7 @@ def inline_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables usually are."""
     from .functions.numeric import exact_sum
 
-    lookup = spark.createDataFrame(
+    lookup = local_df(spark, 
         [(0, "small"), (1, "medium"), (2, "large")], "bucket int, label string"
     )
     o = _t(spark, sf_dir, "orders")
@@ -4874,7 +4875,7 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unknown sources get a 10% floor."""
     from .functions.numeric import exact_sum
 
-    rates = spark.createDataFrame(
+    rates = local_df(spark, 
         [("web", 0.25), ("wiki", 1.0), ("books", 1.0), ("code", 0.5), ("news", 0.75)],
         "source string, rate double",
     )
@@ -5772,7 +5773,7 @@ def streaming_neardedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("doc_id").isin(list(landed))).cast("long")
         ).alias("alien"),
     ).collect()[0]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 int(agg.novel or 0),
@@ -8089,7 +8090,7 @@ def tx_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(8)
     ]
-    return spark.createDataFrame(rows, "bucket long, n_rows long, n_high long")
+    return local_df(spark, rows, "bucket long, n_rows long, n_high long")
 
 
 @register(
@@ -8579,7 +8580,7 @@ def ivf_drift_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .collect()
     }
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 1,
@@ -9538,7 +9539,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake)."""
     from .operators import retrieval
 
-    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     return retrieval.bm25_topk(_t(spark, sf_dir, "documents"), q, k=10)
 
 
@@ -9762,7 +9763,7 @@ def ivfpq_drift_rebuild_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .collect()
     }
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 1,
@@ -9832,7 +9833,7 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import retrieval
 
     docs = _t(spark, sf_dir, "documents")
-    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     ranked = retrieval.bm25_topk(docs, q, k=10)
     rel = retrieval.conjunctive_relevance(docs, q)
     return retrieval.retrieval_metrics(ranked, rel, k=10)
@@ -9878,7 +9879,7 @@ def bm25_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src, index = _bm25_index_lifecycle(spark, sf_dir)
     assert_bm25_index_matches_scratch(index, src)
-    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     return bm25_index_topk(index, q, k=10)
 
 
@@ -9922,7 +9923,7 @@ def bm25_index_incremental_operator(spark: SparkSession, sf_dir: str) -> DataFra
     from .operators.bm25_index import bm25_index_topk
 
     _src, index = _bm25_index_lifecycle(spark, sf_dir)
-    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     return bm25_index_topk(index, q, k=10)
 
 
@@ -9948,7 +9949,7 @@ def bm25_index_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in range(index.version() + 1)
         if int(index.properties(as_of=v).get("bm25.srcVersion", -1)) == 0
     )
-    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     return bm25_index_topk(index, q, k=10, as_of=boot)
 
 
@@ -10140,7 +10141,7 @@ def hybrid_ivfpq_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = TxTable(spark, os.path.join(tmp, "ce"))
     books = TxTable(spark, os.path.join(tmp, "bo"))
     catchup_ivfpq_index(src_e, index, cents, books, n_lists=8, m=8)
-    q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q_terms = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     q_vecs = src_e.read().filter(F.col("vec_id").isin(1, 2, 3)).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -10158,7 +10159,7 @@ def hybrid_ivfpq_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_q: dict[int, list] = {}
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r)
-    return spark.createDataFrame(
+    return local_df(spark, 
         sorted(
             (
                 qid,
@@ -10394,7 +10395,7 @@ def hybrid_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_fusion_corpus_case_sql()).alias("text")
     )
     norm = corpus.select("doc_id", F.expr(_FUSION_NORM_SQL).alias("text"))
-    q = spark.createDataFrame(_FUSION_QUERIES, "query_id int, term string")
+    q = local_df(spark, _FUSION_QUERIES, "query_id int, term string")
     emb = retrieval.hashed_bow_embeddings(norm)
     qdocs = q.groupBy("query_id").agg(
         F.concat_ws(" ", F.collect_list("term")).alias("text")
@@ -10443,7 +10444,7 @@ def hybrid_index_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _src_d, bm25 = _bm25_index_lifecycle(spark, sf_dir)
     _src_e, ann = _ann_incr_lifecycle(spark, sf_dir)
-    q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q_terms = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     q_vecs = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isin(1, 2, 3))
@@ -10539,7 +10540,7 @@ def hybrid_filtered_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 3 == 0)
         .distinct()
     )
-    q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q_terms = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     q_vecs = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
     )
@@ -10708,7 +10709,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Tx(spark, bm25_dir).properties()["bm25.srcVersion"]
         == _Tx(spark, lsh_dir).properties()["lsh.srcVersion"]
     ), "multiplexed fold left the document indexes at different watermarks"
-    q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q_terms = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     q_vecs = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isin(1, 2, 3))
@@ -10730,7 +10731,7 @@ def hybrid_index_operator(
     the gate's own bench entry."""
     from .engine import Engine
 
-    q_terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    q_terms = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     q_vecs = (
         _t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isin(1, 2, 3))

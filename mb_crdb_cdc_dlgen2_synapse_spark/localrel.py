@@ -1,0 +1,47 @@
+"""Driver-side local relations that execute as JVM ``LocalTableScan``.
+
+``spark.createDataFrame(rows, schema)`` on a plain Python list builds a
+*pickled Python RDD* partitioned ``defaultParallelism`` ways: every job
+whose plan touches the relation (a broadcast build, a tiny model-table
+write, a collect) launches a Python worker per partition to unpickle a
+handful of rows — measured ~0.44 s for an 8-row parquet write and
+~0.36 s per collect at local[32], against ~0.11 s / 0.008 s for the same
+rows as a JVM local relation (guide §4: eliminate the Python boundary).
+
+Routing the rows through one Arrow table (``createDataFrame`` accepts
+``pyarrow.Table`` since Spark 4) lands a ``LocalTableScan``: the data
+crosses to the JVM once, at plan-construction time, and execution never
+touches Python. Null semantics are exact (Arrow nulls, not NaN). Any
+conversion the Arrow path cannot express falls back to the classic row
+path unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """A local relation from driver-side ``rows`` (tuples, positional)
+    with the given schema (DDL string or StructType), as a JVM
+    ``LocalTableScan`` when Arrow can express the types."""
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    rows = rows if isinstance(rows, list) else list(rows)
+    if rows:
+        try:
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            aschema = to_arrow_schema(st)
+            cols = list(zip(*rows))
+            arrays = [
+                pa.array(list(c), type=aschema.field(i).type)
+                for i, c in enumerate(cols)
+            ]
+            return spark.createDataFrame(
+                pa.Table.from_arrays(arrays, schema=aschema), schema=st
+            )
+        except Exception:
+            pass  # types Arrow can't express: classic row path below
+    return spark.createDataFrame(rows, st)

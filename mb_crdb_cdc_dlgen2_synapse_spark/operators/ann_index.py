@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..localrel import local_df
 from ..txlog import maybe_compact_index
 from .similarity import _prefix_bucket_expr, binary_quantize
 
@@ -794,9 +795,7 @@ def _books_rows(spark, model: list[list[list[float]]]) -> DataFrame:
         for j in range(len(model))
         for c in range(len(model[0]))
     ]
-    return spark.createDataFrame(
-        rows, "j int, cid int, c_vec array<double>"
-    )
+    return local_df(spark, rows, "j int, cid int, c_vec array<double>")
 
 
 def _load_books(books, as_of: int | None = None) -> list[list[list[float]]]:

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..localrel import local_df
 from ..txlog import maybe_compact_index
 from .retrieval import BM25_B, BM25_K1, bm25_rank, bm25_score_from_stats
 from .textops import tokens
@@ -357,7 +358,8 @@ def bm25_index_topk(
     tf = post.select("doc_id", "token", "tf")
     dl = post.select("doc_id", "dl").distinct()
     df_t = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = spark.createDataFrame(
+    stats = local_df(
+        spark,
         [(int(props["bm25.nDocs"]), int(props["bm25.totalDl"]))],
         "n_docs long, total_dl long",
     )

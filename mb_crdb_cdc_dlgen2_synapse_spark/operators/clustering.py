@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..localrel import local_df
+
 
 def _sq_dist(a, b) -> F.Column:
     return F.aggregate(
@@ -141,7 +143,8 @@ def kmeans(
         byc: dict[int, list] = {}
         for r in mean_rows:
             byc.setdefault(int(r["cid"]), []).append((r["pos"], r["m"]))
-        centroids = spark.createDataFrame(
+        centroids = local_df(
+            spark,
             [(c, [m for _, m in sorted(v)]) for c, v in sorted(byc.items())],
             "cid int, c_vec array<double>",
         )

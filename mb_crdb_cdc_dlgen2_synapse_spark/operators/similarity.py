@@ -15,6 +15,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..localrel import local_df
+
 
 def _dot(a, b) -> F.Column:
     return F.aggregate(
@@ -483,8 +485,8 @@ def perturbed_queries(spark, ids: list[int], noise: float = 0.1) -> DataFrame:
     """Queries = corpus vectors for ``ids`` plus small deterministic
     additive noise (flips ~5% of sign bits at noise=0.1) — the
     near-neighbor regime ANN recall is measured in."""
-    base = spark.createDataFrame(
-        [(int(i), q) for q, i in enumerate(ids)], "vec_id long, query_id int"
+    base = local_df(
+        spark, [(int(i), q) for q, i in enumerate(ids)], "vec_id long, query_id int"
     )
     return base.select(
         "query_id",
@@ -513,8 +515,8 @@ def boundary_queries(
     disagree — the worst case for bucketed multi-probe, and the regime
     where the easy perturbed-neighbor measurement (recall 1.0 by
     construction) says nothing."""
-    base = spark.createDataFrame(
-        [(int(i), q) for q, i in enumerate(ids)], "vec_id long, query_id int"
+    base = local_df(
+        spark, [(int(i), q) for q, i in enumerate(ids)], "vec_id long, query_id int"
     )
     return base.select(
         "query_id",

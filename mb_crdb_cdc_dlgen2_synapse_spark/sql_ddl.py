@@ -52,6 +52,8 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .localrel import local_df
 from pyspark.sql import functions as F
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -407,14 +409,14 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
         d = t(m.group(1)).describe()
         import json as _json
 
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(k, _json.dumps(v)) for k, v in d.items()], "item string, value string"
         )
 
     m = re.fullmatch(rf"(?is)SHOW\s+TBLPROPERTIES\s+({_IDENT})", stmt)
     if m:
         props = t(m.group(1))._state()["props"]
-        return spark.createDataFrame(
+        return local_df(spark, 
             sorted((str(k), str(v)) for k, v in props.items()),
             "key string, value string",
         )
@@ -422,7 +424,7 @@ def execute_ddl(spark: SparkSession, statement: str, tables: dict[str, str]):
     m = re.fullmatch(rf"(?is)DESCRIBE\s+HISTORY\s+({_IDENT})", stmt)
     if m:
         hist = t(m.group(1)).history()
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     int(c["version"]),

@@ -65,6 +65,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .localrel import local_df
+
 _LOG_DIR = "_txlog"
 _STAGING = "_staging"
 _DV_DIR = "_dv"
@@ -3967,9 +3969,7 @@ class TxTable:
             for rel in state["active"]
             if (state["stats"].get(rel) or {}).get("base_row_id") is not None
         ]
-        bdf = self.spark.createDataFrame(
-            pairs or [], "___rel string, ___base long"
-        )
+        bdf = local_df(self.spark, pairs or [], "___rel string, ___base long")
         out = df.join(
             F.broadcast(bdf), F.col("__rf") == F.col("___rel"), "left"
         )
