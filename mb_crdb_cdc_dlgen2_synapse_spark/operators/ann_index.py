@@ -774,10 +774,16 @@ def _residual_vecs(vecs: DataFrame, cents_df: DataFrame) -> DataFrame:
     return _residuals_from_assigned(assign_clusters(vecs, cents_df), cents_df)
 
 
-def _residuals_from_assigned(assigned: DataFrame, cents_df: DataFrame) -> DataFrame:
+def _residuals_from_assigned(
+    assigned: DataFrame, cents_df: DataFrame, keep_d2: bool = False
+) -> DataFrame:
     """Residuals from an ALREADY-assigned frame (vec_id, embedding, cid)
     — callers that just paid the assignment pass (bootstrap, rebuild)
-    reuse it instead of assigning twice."""
+    reuse it instead of assigning twice. ``keep_d2`` carries the
+    assignment distance through so the bootstrap can take its drift
+    baseline off THIS relation's one materialization instead of
+    checkpointing the assignment separately (one corpus-sized
+    materialization instead of two)."""
     return assigned.join(
         F.broadcast(cents_df.select("cid", "c_vec")), "cid"
     ).select(
@@ -786,6 +792,57 @@ def _residuals_from_assigned(assigned: DataFrame, cents_df: DataFrame) -> DataFr
         F.zip_with("embedding", "c_vec", lambda x, c: x - c).alias(
             "embedding"
         ),
+        *(["d2"] if keep_d2 else []),
+    )
+
+
+def _assign_encode_residual(
+    ins: DataFrame, cents_df: DataFrame, model: list[list[list[float]]]
+) -> DataFrame:
+    """(vec_id, cid, pq_code): nearest-centroid assignment, residual
+    subtraction and PQ encoding in ONE Arrow pass over the (unit)
+    batch vectors — the incremental fold's former shape was three
+    relations (assign kernel → broadcast-join+zip_with residuals →
+    encode kernel) with two checkpoints and a join between them
+    (guide §4: cross the Python boundary once). Bit-identical to
+    assign_clusters + _residuals_from_assigned + pq_encode_arrow:
+    all three already compute in float64 numpy / IEEE-double JVM ops
+    with the same subtract/argmin semantics (first minimum == lowest
+    cid / lowest code)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(
+        (int(r["cid"]), [float(x) for x in r["c_vec"]])
+        for r in cents_df.collect()  # k-bounded: model, not data
+    )
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cmat = np.asarray([v for _, v in cents], dtype=np.float64)
+    m = len(model)
+    sub = len(model[0][0])
+    cbook = np.asarray(model, dtype=np.float64)  # (m, kq, sub)
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            d2 = ((vecs[:, None, :] - cmat[None]) ** 2).sum(-1)
+            j = d2.argmin(1)  # first minimum == lowest cid (cents sorted)
+            res = (vecs - cmat[j]).reshape(len(pdf), m, sub)
+            dq = ((res[:, :, None, :] - cbook[None]) ** 2).sum(-1)
+            codes = dq.argmin(-1).astype(np.int64)
+            packed = np.zeros(len(pdf), dtype=np.int64)
+            for t in range(m):
+                packed |= codes[:, t] << np.int64(4 * t)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cid": cids[j], "pq_code": packed}
+            )
+
+    return ins.select("vec_id", "embedding").mapInPandas(
+        kern, "vec_id long, cid int, pq_code long"
     )
 
 
@@ -857,18 +914,20 @@ def catchup_ivfpq_index(
         centroids, _ = kmeans(snap, k=n_lists, n_iter=n_iter)
         cents.overwrite(centroids.select("cid", "c_vec"))
         cv = cents.version()
-        assigned = assign_clusters(snap, cents.read(as_of=cv)).localCheckpoint(
-            eager=True
-        )
-        boot_d2 = assigned.agg(F.avg("d2")).collect()[0][0]
         # RESIDUAL encoding (canonical IVFADC): codebooks train on and
         # codes quantize (vector − assigned centroid) — see
         # _residual_vecs. Both the training input and every later encode
         # derive from the SAME pinned cents generation, so codes never
         # mix encodings across a retrain (generation pins gate reads).
+        # ONE corpus-sized materialization: the residual checkpoint
+        # carries d2 so the drift baseline reads off it (the former
+        # shape checkpointed the assignment AND the residuals).
         res = _residuals_from_assigned(
-            assigned, cents.read(as_of=cv)
+            assign_clusters(snap, cents.read(as_of=cv)),
+            cents.read(as_of=cv),
+            keep_d2=True,
         ).localCheckpoint(eager=True)
+        boot_d2 = res.agg(F.avg("d2")).collect()[0][0]
         model = train_pq_codebooks(
             res, m=m, k=kq, n_iter=n_iter, sample=sample
         )
@@ -1012,17 +1071,17 @@ def rebuild_ivfpq_index(
     centroids, _ = kmeans(snap, k=n_lists, n_iter=n_iter)
     cents.overwrite(centroids.select("cid", "c_vec"))
     cv = cents.version()
-    assigned = assign_clusters(snap, cents.read(as_of=cv)).localCheckpoint(
-        eager=True
-    )
-    boot_d2 = assigned.agg(F.avg("d2")).collect()[0][0]
     # retrain always lands the residual encoding (see the bootstrap);
     # the atomic pin swap below is what lets a raw-era index upgrade
     # in one commit — probes read old cents+books+codes+encoding or new,
-    # never a mix
+    # never a mix. One corpus-sized materialization (d2 rides the
+    # residual checkpoint), same as the bootstrap.
     res = _residuals_from_assigned(
-        assigned, cents.read(as_of=cv)
+        assign_clusters(snap, cents.read(as_of=cv)),
+        cents.read(as_of=cv),
+        keep_d2=True,
     ).localCheckpoint(eager=True)
+    boot_d2 = res.agg(F.avg("d2")).collect()[0][0]
     model = train_pq_codebooks(res, m=m, k=kq, n_iter=n_iter, sample=sample)
     books.overwrite(_books_rows(index.spark, model))
     bv = books.version()
@@ -1111,17 +1170,17 @@ def ivfpq_apply_changes(
         net.filter(F.col("_change_type") == "insert").select(
             "vec_id", "embedding"
         )
-    ).localCheckpoint(eager=True)
+    )
     if index.properties().get("ann.ivfpq.encoding") == "residual":
         # encode (vector − assigned centroid) under the SAME pinned
         # generation the bootstrap trained on — the encoding property is
-        # layout, read from the index so batch and streaming folds agree
-        # (pinned once: res feeds both the encode and the cid join)
-        res = _residual_vecs(ins, centroids).localCheckpoint(eager=True)
-        enc = pq_encode_arrow(res.select("vec_id", "embedding"), model).join(
-            res.select("vec_id", "cid"), "vec_id"
-        )
+        # layout, read from the index so batch and streaming folds agree.
+        # Assign+residual+encode is ONE Arrow pass (_assign_encode_residual)
+        # landing directly in the ``source`` checkpoint below — the former
+        # shape paid two extra checkpoints and a join for the same rows.
+        enc = _assign_encode_residual(ins, centroids, model)
     else:
+        ins = ins.localCheckpoint(eager=True)  # feeds encode AND assign
         enc = pq_encode_arrow(ins, model).join(
             assign_clusters(ins, centroids).select("vec_id", "cid"), "vec_id"
         )
@@ -1267,18 +1326,28 @@ def ivfpq_index_topk(
     )
     wp = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("cid").asc())
     # per-query probe assignment: each query scores EXACTLY its own
-    # nprobe lists (canonical IVF semantics). The collected union below
-    # exists only for FILE pruning; the probes relation is the per-query
-    # cut — |queries|·nprobe short rows, broadcast-sized at any batch.
-    probes = (
-        scored.withColumn("pr", F.row_number().over(wp))
+    # nprobe lists (canonical IVF semantics). The relation is
+    # |queries|·nprobe short rows — broadcast-sized at any batch, so it
+    # collects ONCE and rebuilds as a JVM local relation: one job yields
+    # both the per-query cut (broadcast below) and the cid union for
+    # FILE pruning (the former shape paid a checkpoint job plus a
+    # distinct-collect job for the same rows).
+    from ..localrel import local_df
+
+    qid_t = dict(
+        (f.name, f.dataType.simpleString()) for f in qn.schema.fields
+    )["query_id"]
+    probe_rows = [
+        (r["query_id"], int(r["cid"]))
+        for r in scored.withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "cid")
-        .localCheckpoint(eager=True)
+        .collect()
+    ]
+    probes = local_df(
+        index.spark, probe_rows, f"query_id {qid_t}, cid int"
     )
-    probe_ids = sorted(
-        {r.cid for r in probes.select("cid").distinct().collect()}
-    )  # bounded by n_lists
+    probe_ids = sorted({c for _, c in probe_rows})  # bounded by n_lists
     if index.properties(as_of=as_of).get("ann.ivfpq.encoding") == "residual":
         # residual ADC (IVFADC proper): codes quantize (x − c_list), so
         # the LUT must be built from the SHIFTED query (q − c_list) — one
