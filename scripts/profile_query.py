@@ -80,9 +80,10 @@ def main() -> None:
             dt = time.time() - t0
             print(f"{name:40s} {dt:8.3f}", flush=True)
             best[name] = min(best.get(name, 1e9), dt)
-    print("--- min ---")
-    for name in args.queries:
-        print(f"{name:40s} {best[name]:8.3f}")
+    if best:
+        print("--- min ---")
+        for name in args.queries:
+            print(f"{name:40s} {best[name]:8.3f}")
     if args.plan:
         os.makedirs("plans/r12", exist_ok=True)
         for name in args.queries:
