@@ -1882,9 +1882,31 @@ class TxTable:
         if not cfg or not relpaths:
             return
         paths = [os.path.join(self.path, r) for r in relpaths]
-        df = self.spark.read.option("basePath", self.path).parquet(*paths)
+        # driver-side fast path for SMALL staged batches (value mode):
+        # the staged rows were just written (page-cache warm, footers in
+        # hand) and the position math is the same _bloom_positions the
+        # probe uses, so a bounded batch hashes on the driver instead of
+        # paying a Spark job per commit (read + distinct + k md5
+        # expressions + collect — measured ~0.5 s per keyed merge for
+        # ~17k rows of work). Over the cap, or for types whose Spark
+        # string cast differs from str() (anything but int/string), the
+        # distributed pass below runs unchanged.
+        total_rows = sum(
+            int((stats.get(r) or {}).get("rows") or 0) for r in relpaths
+        )
+        df = None
         for lcol, bc in cfg.items():
             phys = colmap.get(lcol, lcol) if colmap else lcol
+            if (
+                bc.get("mode") != "trigram"
+                and total_rows <= self.BLOOM_BUILD_DRIVER_ROWS_CAP
+                and self._bloom_for_staged_driver(relpaths, stats, phys, bc)
+            ):
+                continue
+            if df is None:
+                df = self.spark.read.option("basePath", self.path).parquet(
+                    *paths
+                )
             if phys not in df.columns:
                 continue  # partition column (exact path pruning) or absent
             m, k = int(bc["m"]), int(bc["k"])
@@ -2007,52 +2029,130 @@ class TxTable:
                     except ValueError:
                         continue
                 by_rel[rel] = list(r["__ps"])
-            for rel in relpaths:
-                if rel not in by_rel:
-                    # normalization failed to map this staged file back to a
-                    # scanned URI — fail OPEN (no bloom entry; min/max stats
-                    # still prune, the bloom just never skips this file)
+            self._attach_bloom_entries(relpaths, stats, by_rel, phys, bc, m, k)
+
+    #: staged-batch row bound for the driver-side bloom build: below it
+    #: the per-commit filter hashes on the driver (<= k x cap md5 calls,
+    #: ~0.3 s worst case); above it the distributed pass runs — the
+    #: bounded-driver-work-with-distributed-fallback pattern shared with
+    #: PROBE_KEY_CAP / MERGE_KEYSET_CAP
+    BLOOM_BUILD_DRIVER_ROWS_CAP = 65_536
+
+    def _bloom_for_staged_driver(
+        self, relpaths: list[str], stats: dict[str, dict], phys: str, bc: dict
+    ) -> bool:
+        """Driver-side bloom build for one indexed column over a SMALL
+        staged batch: pyarrow-read just that column per file, hash the
+        distinct values with the same ``_bloom_positions`` the probe
+        uses (bit-for-bit the distributed build's md5 formula). Returns
+        False — caller falls back to the distributed pass — when any
+        file's column type is not int/string (Spark's string cast must
+        equal ``str()``) or a read fails. A file lacking the column
+        yields the same all-zero filter the distributed scan's NULL rows
+        produce; a PARTITION column (present only in paths) attaches
+        nothing, exactly like the distributed ``not in df.columns``
+        skip."""
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        m, k = int(bc["m"]), int(bc["k"])
+        by_rel: dict[str, set] = {}
+        part_col = False
+        for rel in relpaths:
+            if phys in _partition_values(rel):
+                part_col = True
+                continue
+            try:
+                schema = _pq.read_schema(os.path.join(self.path, rel))
+                if phys not in schema.names:
+                    by_rel[rel] = set()  # reads as NULLs: all-zero filter
                     continue
-                positions = by_rel[rel]
-                m_eff = m
-                # per-file RIGHT-SIZING (value mode, power-of-two cap
-                # only): the declared bits size a FULL file; a small file
-                # (DV-merge increments, tail partitions) folds to the
-                # smallest power of two >= 16 bits/row. Sound because for
-                # powers of two with m' | m, md5 % m' == (md5 % m) % m' —
-                # the probe recomputes positions from the per-file
-                # geometry it reads out of the entry. Without this, a
-                # 2^20-bit cap costs 131 KB of log per 100-row file
-                # (measured: the blooms were 75% of a small index's disk).
-                nrows = (stats.get(rel) or {}).get("rows")
-                if (
-                    bc.get("auto")
-                    and nrows is not None
-                    and m & (m - 1) == 0
-                    and bc.get("mode") != "trigram"
-                ):
-                    want = 16 * max(int(nrows), 1)
-                    m_small = 1024
-                    while m_small < want:
-                        m_small <<= 1
-                    if m_small < m:
-                        m_eff = m_small
-                        positions = {h % m_small for h in positions}
-                bits = bytearray(m_eff // 8)
-                for h in positions:
-                    bits[h >> 3] |= 1 << (h & 7)
-                st = stats.setdefault(rel, {})
-                entry = {
-                    "m": m_eff,
-                    "k": k,
-                    "b64": base64.b64encode(bytes(bits)).decode(),
-                }
-                if bc.get("mode") == "trigram":
-                    # the per-file entry is self-describing so the pruning
-                    # probe needs no config lookup (and an == predicate can
-                    # never mis-consult a trigram filter's key space)
-                    entry["mode"] = "trigram"
-                st.setdefault("bloom", {})[phys] = entry
+                t = schema.field(phys).type
+                if not (pa.types.is_integer(t) or pa.types.is_string(t)
+                        or pa.types.is_large_string(t)):
+                    return False  # cast-to-string semantics differ: fall back
+                col = _pq.read_table(
+                    os.path.join(self.path, rel), columns=[phys]
+                ).column(0)
+                pos: set[int] = set()
+                for v in col.unique().to_pylist():
+                    if v is None:
+                        continue
+                    pos.update(_bloom_positions(v, k, m))
+                by_rel[rel] = pos
+            except (OSError, pa.ArrowInvalid, KeyError):
+                return False  # unreadable here: the Spark pass decides
+        if part_col and by_rel:
+            # mixed partition/data presence across staged files — let the
+            # distributed pass resolve it (never observed from this writer)
+            return False
+        if not part_col:
+            self._attach_bloom_entries(
+                relpaths, stats, by_rel, phys, bc, m, k
+            )
+        return True
+
+    def _attach_bloom_entries(
+        self,
+        relpaths: list[str],
+        stats: dict[str, dict],
+        by_rel: dict[str, list],
+        phys: str,
+        bc: dict,
+        m: int,
+        k: int,
+    ) -> None:
+        """Assemble per-file bloom bitsets from collected bit positions
+        and attach them to ``stats`` — the shared tail of the distributed
+        and driver-side builds (identical right-sizing and encoding)."""
+        import base64
+
+        for rel in relpaths:
+            if rel not in by_rel:
+                # normalization failed to map this staged file back to a
+                # scanned URI — fail OPEN (no bloom entry; min/max stats
+                # still prune, the bloom just never skips this file)
+                continue
+            positions = by_rel[rel]
+            m_eff = m
+            # per-file RIGHT-SIZING (value mode, power-of-two cap
+            # only): the declared bits size a FULL file; a small file
+            # (DV-merge increments, tail partitions) folds to the
+            # smallest power of two >= 16 bits/row. Sound because for
+            # powers of two with m' | m, md5 % m' == (md5 % m) % m' —
+            # the probe recomputes positions from the per-file
+            # geometry it reads out of the entry. Without this, a
+            # 2^20-bit cap costs 131 KB of log per 100-row file
+            # (measured: the blooms were 75% of a small index's disk).
+            nrows = (stats.get(rel) or {}).get("rows")
+            if (
+                bc.get("auto")
+                and nrows is not None
+                and m & (m - 1) == 0
+                and bc.get("mode") != "trigram"
+            ):
+                want = 16 * max(int(nrows), 1)
+                m_small = 1024
+                while m_small < want:
+                    m_small <<= 1
+                if m_small < m:
+                    m_eff = m_small
+                    positions = {h % m_small for h in positions}
+            bits = bytearray(m_eff // 8)
+            for h in positions:
+                bits[h >> 3] |= 1 << (h & 7)
+            st = stats.setdefault(rel, {})
+            entry = {
+                "m": m_eff,
+                "k": k,
+                "b64": base64.b64encode(bytes(bits)).decode(),
+            }
+            if bc.get("mode") == "trigram":
+                # the per-file entry is self-describing so the pruning
+                # probe needs no config lookup (and an == predicate can
+                # never mis-consult a trigram filter's key space)
+                entry["mode"] = "trigram"
+            st.setdefault("bloom", {})[phys] = entry
 
     def generated_columns(self) -> dict[str, str]:
         """Active generated-column definitions ({name: sql expr})."""
