@@ -708,18 +708,32 @@ def ivf_index_drift(index, cents, sample_mod: int | None = None) -> dict:
     = s restricts the probe to the deterministic ``xxhash64(vec_id) %
     s == 0`` key sample (the IVF-PQ twin's o(corpus) policy shape —
     the list table is corpus-sized too)."""
-    from .clustering import _sq_dist
-
     lists = index.read()
     if sample_mod is not None and sample_mod > 1:
         lists = lists.filter(
             F.pmod(F.xxhash64(F.col("vec_id")), F.lit(int(sample_mod))) == 0
         )
+    # the pinned centroids are model-sized: collect once so the drift
+    # aggregate knows the dimension driver-side and the corpus-sized d2
+    # runs through the codegen'd _sq_dist_expr twin (bit-identical fold;
+    # the HOF form's interpreted lambdas cost ~1.5 s / 512k evals) over
+    # a JVM local relation instead of a re-read of the cents table
+    from ..localrel import local_df
+    from .clustering import _sq_dist_expr
+
+    cent_rows = [
+        (int(r["cid"]), [float(x) for x in r["c_vec"]])
+        for r in _pinned_cents(index, cents).collect()
+    ]
+    dims = len(cent_rows[0][1]) if cent_rows else 0
+    cents_df = local_df(
+        index.spark, cent_rows, "cid int, c_vec array<double>"
+    )
     cur = (
         lists
-        .join(F.broadcast(_pinned_cents(index, cents)), "cid")
+        .join(F.broadcast(cents_df), "cid")
         .agg(
-            F.avg(_sq_dist(F.col("embedding"), F.col("c_vec"))).alias("m")
+            F.avg(_sq_dist_expr("embedding", "c_vec", dims)).alias("m")
         )
         .collect()[0]["m"]
     )
