@@ -3701,11 +3701,9 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned: unit feeds train + encode + queries, codes feeds the
     # shortlist — without checkpoints each consumer re-normalizes /
     # re-encodes the corpus
-    unit = (
-        similarity.with_normalized(emb)
-        .select("vec_id", F.col("unit_vec").alias("embedding"))
-        .localCheckpoint(eager=True)
-    )
+    unit = similarity.unit_vectors(
+        emb.select("vec_id", "embedding")
+    ).localCheckpoint(eager=True)
     books = pq.train_pq_codebooks(unit, m=16, k=16, n_iter=3, sample=4096)
     codes = pq.pq_encode_arrow(unit, books).localCheckpoint(eager=True)
     queries = unit.filter(F.col("vec_id") < 3).select(
@@ -3744,11 +3742,9 @@ def knn_pq_adc_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import pq
 
     emb = _t(spark, sf_dir, "embeddings")
-    unit = (
-        similarity.with_normalized(emb)
-        .select("vec_id", F.col("unit_vec").alias("embedding"))
-        .localCheckpoint(eager=True)
-    )
+    unit = similarity.unit_vectors(
+        emb.select("vec_id", "embedding")
+    ).localCheckpoint(eager=True)
     books = pq.train_pq_codebooks(unit, m=16, k=16, n_iter=3, sample=4096)
     codes = pq.pq_encode_arrow(unit, books)
     queries = unit.filter(F.col("vec_id") < 3).select(

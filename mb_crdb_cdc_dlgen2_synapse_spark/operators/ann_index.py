@@ -765,12 +765,9 @@ def ivf_index_drift(index, cents, sample_mod: int | None = None) -> dict:
 
 
 def _unit_vecs(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    from .similarity import with_normalized
+    from .similarity import unit_vectors
 
-    return with_normalized(df, vec_col).select(
-        *[c for c in df.columns if c != vec_col and c != "unit_vec"],
-        F.col("unit_vec").alias(vec_col),
-    )
+    return unit_vectors(df, vec_col)
 
 
 def _residual_vecs(vecs: DataFrame, cents_df: DataFrame) -> DataFrame:

@@ -45,6 +45,51 @@ def with_normalized(embeddings: DataFrame, vec_col: str = "embedding") -> DataFr
     )
 
 
+def unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Vectorized twin of ``with_normalized(...).select(other cols,
+    unit_vec AS vec_col)`` — one Arrow batch kernel instead of the
+    interpreted transform/aggregate lambdas (measured ~0.6 s per
+    2000×64 corpus pass for ~30 ms of arithmetic; guide §4.2: hand
+    whole batches to vectorized native code). Bit-identical to the HOF
+    form: the squared-norm accumulates in the SAME strict left-fold
+    order (acc = (..((0 + x₀²) + x₁²)..) — one vectorized add per
+    dimension, not numpy's pairwise ``sum``), and each element divides
+    by the same sqrt — identical IEEE-double ops in identical order.
+    Zero-norm rows divide to ±inf/nan exactly like the JVM division."""
+    import numpy as np
+    import pandas as pd
+
+    other = [c for c in df.columns if c != vec_col]
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {in_fields[c]}" for c in other] + [f"{vec_col} array<double>"]
+    )
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for t in range(vecs.shape[1]):
+                x = vecs[:, t]
+                acc = acc + x * x  # strict left fold, matches F.aggregate
+            if (acc == 0.0).any():
+                # the HOF form raises DIVIDE_BY_ZERO under ANSI (Spark 4
+                # default) — keep zero-norm inputs loud, not inf/nan
+                raise ArithmeticError(
+                    "zero-norm vector cannot be unit-normalized"
+                )
+            unit = vecs / np.sqrt(acc)[:, None]
+            out = {c: pdf[c] for c in other}
+            out[vec_col] = list(unit)
+            yield pd.DataFrame(out)
+
+    return df.select(*other, vec_col).mapInPandas(kern, out_schema)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
