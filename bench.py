@@ -137,7 +137,11 @@ HEADLINE = [
     # entry: a duplicate two-table + two-index lifecycle whose unique
     # work — the manifest write and the manifest-list parquet read —
     # is metadata-sized; every data-proportional component is already
-    # a bench row via the index lifecycle gates and tx_symlink_manifest)
+    # a bench row via the index lifecycle gates and, for the manifest
+    # write + external manifest-driven read itself, the
+    # tx_symlink_manifest row below)
+    # round-13 additions
+    "tx_symlink_manifest",         # manifest publish + external URI-list read
 ]
 
 
@@ -312,6 +316,13 @@ def main() -> None:
     # headline total (observed: a recorded round artifact with parsed=null).
     # Emit a guaranteed-short final line with the summary fields so any
     # last-line / last-bytes capture always catches a parseable record.
+    # The per-query map rides in this final line too (ms precision,
+    # compact separators — ~2 KB for ~80 entries): both r11 and r12 the
+    # driver's per-query comparison came back EMPTY because its bounded
+    # tail capture truncated the long line above and the short line only
+    # carried the total (VERDICT r12 defect #2). Compact-encoding the map
+    # here keeps the final line small enough for any last-KB capture
+    # while restoring PERF.per_query.
     print(
         json.dumps(
             {
@@ -320,6 +331,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
+                "queries": times,
                 "calibration": {
                     "cpu_sec": out["calibration"]["cpu_sec"],
                     "io_sec": out["calibration"]["io_sec"],

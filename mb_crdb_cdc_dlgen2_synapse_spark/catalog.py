@@ -3215,37 +3215,40 @@ def crossmodal_paraphrase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise matrix); the embedding<->document join rides the 1:1
     vec_id==doc_id testdata alignment."""
     from .operators.dedup import with_content_hash
-    from .operators.similarity import _dot, _norm, lsh_bucket_signatures
+    from .operators.similarity import cosine_pairs, lsh_bucket_signatures
 
     emb = _t(spark, sf_dir, "embeddings")
     docs = with_content_hash(_t(spark, sf_dir, "documents")).select(
         "doc_id", "content_hash"
     )
-    # norm hoisted to one per ROW (same value the per-pair form computes;
-    # the interpreted-HOF norm lambda would otherwise run once per PAIR)
+    # bucket keys via the Arrow kernel; the pair cosine via the Arrow
+    # pair kernel (guide §4.2) — the former per-row norm hoist is moot,
+    # the kernel's vectorized per-pair norms ARE the same bit-identical
+    # left-fold values
     b = (
         lsh_bucket_signatures(emb, 6, 64, "embedding", "semdedup")
         .select("vec_id", "bucket", "embedding")
-        .withColumn("nrm", _norm(F.col("embedding")))
         .localCheckpoint(eager=True)
     )
-    a, c = b.alias("a"), b.alias("c")
-    cos = _dot(F.col("a.embedding"), F.col("c.embedding")) / (
-        F.col("a.nrm") * F.col("c.nrm")
+    a = b.select(
+        F.col("vec_id").alias("vec_a"), "bucket",
+        F.col("embedding").alias("emb_a"),
     )
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col("a.vec_id") < F.col("c.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("c.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.4)
+    c = b.select(
+        F.col("vec_id").alias("vec_b"), "bucket",
+        F.col("embedding").alias("emb_b"),
     )
+    raw = cosine_pairs(
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b"),
+        "emb_a",
+        "emb_b",
+        "__raw_cos",
+    )
+    pairs = raw.select(
+        "vec_a", "vec_b", F.round(F.col("__raw_cos"), 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.4)
     ha = docs.select(F.col("doc_id").alias("vec_a"), F.col("content_hash").alias("ch_a"))
     hb = docs.select(F.col("doc_id").alias("vec_b"), F.col("content_hash").alias("ch_b"))
     return (

@@ -703,10 +703,9 @@ def semantic_dedup_incremental(
     same change feed keeps current.
     """
     from .similarity import (
-        _dot,
-        _norm,
         _prefix_bucket_expr,
         binary_quantize,
+        cosine_pairs,
         prefix_probe_buckets,
     )
 
@@ -765,15 +764,19 @@ def semantic_dedup_incremental(
     qv = batch.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    cos = F.round(
-        _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb"))),
-        6,
-    )
-    matches = (
+    # exact-cosine verify through the Arrow pair kernel (guide §4.2) —
+    # the HOF form paid ~2.7-5 s of interpreted per-element lambdas for
+    # the O(batch x bucket-collisions) pair set (375k pairs at sf0.1);
+    # cosine_pairs is the bit-identical left-fold twin, and the 6-dp
+    # round stays a JVM expression so rounded values match exactly
+    pairs = (
         cands.join(full, "vec_id")
         .join(F.broadcast(qv), "q_id")
-        .select("q_id", "vec_id", cos.alias("cosine"))
+        .select("q_id", "vec_id", "q_emb", "c_emb")
+    )
+    matches = (
+        cosine_pairs(pairs, "q_emb", "c_emb", "__raw_cos")
+        .select("q_id", "vec_id", F.round(F.col("__raw_cos"), 6).alias("cosine"))
         .filter(F.col("cosine") >= F.lit(threshold))
         .groupBy("q_id")
         .agg(

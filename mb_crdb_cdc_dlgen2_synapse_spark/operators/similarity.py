@@ -90,6 +90,234 @@ def unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.select(*other, vec_col).mapInPandas(kern, out_schema)
 
 
+def _list_matrix(col, n_rows):
+    """(matrix, width) for an Arrow list column with no nulls and one
+    uniform width, else (None, None) — the fast-path gate for the pair
+    kernels. ``col.flatten()`` re-slices the child values buffer to the
+    array's own offsets (no per-row Python), so the reshape is one copy
+    at most."""
+    import numpy as np
+
+    if col.null_count:
+        return None, None
+    offs = np.asarray(col.offsets)
+    if len(offs) < 2:
+        return None, None
+    widths = np.diff(offs)
+    d = int(widths[0])
+    if d == 0 or (widths != d).any():
+        return None, None
+    flat = col.flatten()
+    if flat.null_count:
+        return None, None
+    return (
+        flat.to_numpy(zero_copy_only=False)
+        .astype(np.float64, copy=False)
+        .reshape(n_rows, d),
+        d,
+    )
+
+
+def cosine_pairs(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_col: str = "cosine",
+) -> DataFrame:
+    """UNROUNDED cosine per row — the Arrow twin of
+    ``_dot(a,b) / (_norm(a) * _norm(b))`` (guide §4.2: one vectorized
+    batch kernel instead of per-element interpreted lambdas; measured
+    2.7-5.1 s for 375k 64-dim pairs through the HOF form vs ~0.5 s
+    here). Bit-identical to the HOF expression: the dot and both
+    squared norms accumulate in the SAME strict left-fold order
+    (acc = (..((0 + x₀y₀) + x₁y₁)..) — one vectorized multiply-add per
+    dimension, deliberately NOT numpy's pairwise ``einsum``), then the
+    identical sqrt/multiply/divide sequence. Callers that need Spark's
+    6-dp contract apply ``F.round`` ON THE OUTPUT column — rounding
+    stays in the JVM (java BigDecimal HALF_UP), so rounded values equal
+    the HOF form's exactly.
+
+    Null/ragged semantics match the HOF form: a null array, a null
+    element, or unequal lengths fold to a null cosine (``zip_with``
+    null-pads the shorter side and a null product poisons the whole
+    aggregate — a null numerator short-circuits ANSI division); only
+    such rows take the per-row fallback. A zero denominator with a
+    non-null dot RAISES, matching Spark 4 ANSI division (measured:
+    ANSI ``Divide`` errors on a 0.0 double divisor too, not just
+    integral/decimal — the ``unit_vectors`` convention). Both vector
+    columns are consumed (dropped from the output)."""
+    import numpy as np
+    import pyarrow as pa
+
+    other = [c for c in pairs.columns if c not in (a_col, b_col)]
+    in_fields = {f.name: f.dataType.simpleString() for f in pairs.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {in_fields[c]}" for c in other] + [f"{out_col} double"]
+    )
+
+    def _slow_row(av, bv):
+        if av is None or bv is None:
+            return None
+        if len(av) != len(bv):
+            return None  # zip_with null-pads -> null product -> null fold
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(av, bv):
+            if x is None or y is None:
+                return None
+            dot = dot + float(x) * float(y)
+        for x in av:
+            na = na + float(x) * float(x)
+        for y in bv:
+            nb = nb + float(y) * float(y)
+        den = np.sqrt(na) * np.sqrt(nb)
+        if den == 0.0:
+            # Spark 4 ANSI Divide raises on a 0.0 divisor (doubles too)
+            raise ArithmeticError(
+                "cosine_pairs: zero-norm vector divides by zero (ANSI "
+                "DIVIDE_BY_ZERO, matching the JVM expression form)"
+            )
+        return float(dot / den)
+
+    def kern(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            a = rb.column(rb.schema.get_field_index(a_col))
+            b = rb.column(rb.schema.get_field_index(b_col))
+            A, da = _list_matrix(a, n)
+            B, db = _list_matrix(b, n)
+            if A is not None and B is not None and da == db:
+                dot = np.zeros(n, dtype=np.float64)
+                na = np.zeros(n, dtype=np.float64)
+                nb = np.zeros(n, dtype=np.float64)
+                for t in range(da):  # strict left fold per dimension
+                    x = A[:, t]
+                    y = B[:, t]
+                    dot = dot + x * y
+                    na = na + x * x
+                    nb = nb + y * y
+                den = np.sqrt(na) * np.sqrt(nb)
+                if (den == 0.0).any():
+                    # Spark 4 ANSI Divide raises on a 0.0 divisor
+                    raise ArithmeticError(
+                        "cosine_pairs: zero-norm vector divides by zero "
+                        "(ANSI DIVIDE_BY_ZERO, matching the JVM "
+                        "expression form)"
+                    )
+                cos = dot / den
+            else:
+                av = a.to_pylist()
+                bv = b.to_pylist()
+                cos = np.asarray(
+                    [_slow_row(x, y) for x, y in zip(av, bv)], dtype=object
+                )
+            cols = [
+                rb.column(rb.schema.get_field_index(c)) for c in other
+            ] + [pa.array(cos, type=pa.float64())]
+            yield pa.RecordBatch.from_arrays(cols, other + [out_col])
+
+    return pairs.select(*other, a_col, b_col).mapInArrow(kern, out_schema)
+
+
+def lsh_table_keys(
+    df: DataFrame,
+    id_col: str,
+    n_planes: int,
+    dim: int,
+    n_tables: int | None = None,
+    vec_col: str = "embedding",
+    seed_prefix: str = "lsh",
+    seeds: list[str] | None = None,
+) -> DataFrame:
+    """(id, tbl, bucket) for ALL ``n_tables`` hash tables in ONE Arrow
+    pass — the vectorized twin of ``posexplode(array(_lsh_bucket_expr(t)
+    for t))`` (VERDICT r12 item 7: the HOF form's per-element lambdas
+    are the measured cost, and the unrolled-literal codegen variant
+    blows the Janino method budget and falls back interpreted).
+    Bit-identical to the expression form: each plane's dot accumulates
+    in the same strict left-fold order over the same
+    ``_deterministic_planes`` coefficients, the sign test is the same
+    ``> 0`` on the identical IEEE double, and the bucket packs the same
+    ``1 << i`` bits. Rows with a null or short vector take a per-row
+    fallback with identical null semantics (zip_with null-pads: any
+    missing element nulls the dot, so the ``> 0`` test is false and the
+    bit stays 0 — matching ``F.when(null > 0, ...).otherwise(0)``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if seeds is None:
+        seeds = [f"{seed_prefix}{t}" for t in range(n_tables)]
+    n_tables = len(seeds)
+    # W[d, t*n_planes + i] = plane i of table t, coefficient d
+    planes = [
+        _deterministic_planes(n_planes, dim, s) for s in seeds
+    ]
+    W = np.asarray(
+        [[p[i][d] for p in planes for i in range(n_planes)] for d in range(dim)],
+        dtype=np.float64,
+    )
+    bitw = np.asarray(
+        [np.int64(1) << i for _ in range(n_tables) for i in range(n_planes)],
+        dtype=np.int64,
+    )
+    tbl_ids = np.arange(n_tables, dtype=np.int32)
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = f"{id_col} {in_fields[id_col]}, tbl int, bucket bigint"
+
+    def _slow_row(v):
+        # zip_with(vec, plane, x*y) null-pads EITHER shorter side: a
+        # null vector, a null element, or len != dim all yield a null
+        # dot -> (null > 0) is false -> bit stays 0
+        if v is None or len(v) != dim or any(x is None for x in v):
+            return [0] * n_tables
+        out = []
+        for t in range(n_tables):
+            bucket = 0
+            for i in range(n_planes):
+                dot = 0.0
+                for d in range(dim):
+                    dot = dot + float(v[d]) * planes[t][i][d]
+                if dot > 0:
+                    bucket += 1 << i
+            out.append(bucket)
+        return out
+
+    def kern(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            vcol = rb.column(rb.schema.get_field_index(vec_col))
+            V, dv = _list_matrix(vcol, n)
+            if V is not None and dv == dim:
+                acc = np.zeros((n, n_tables * n_planes), dtype=np.float64)
+                for d in range(dim):  # strict left fold per dimension
+                    acc = acc + V[:, d, None] * W[None, d, :]
+                bits = (acc > 0).astype(np.int64) * bitw[None, :]
+                buckets = bits.reshape(n, n_tables, n_planes).sum(
+                    axis=2, dtype=np.int64
+                )
+            else:
+                buckets = np.asarray(
+                    [_slow_row(v) for v in vcol.to_pylist()], dtype=np.int64
+                )
+            out_ids = ids.take(pa.array(np.repeat(np.arange(n), n_tables)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    out_ids,
+                    pa.array(np.tile(tbl_ids, n), type=pa.int32()),
+                    pa.array(buckets.reshape(-1), type=pa.int64()),
+                ],
+                [id_col, "tbl", "bucket"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(kern, out_schema)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -106,14 +334,13 @@ def brute_force_topk(
     q = queries.select(
         F.col("query_id"), F.col(vec_col).alias("q_vec")
     )
-    scored = embeddings.alias("e").join(F.broadcast(q)).select(
+    # cosine through the Arrow pair kernel (guide §4.2) — bit-identical
+    # left-fold doubles, rounded in the JVM exactly like the HOF form
+    pairs = embeddings.select("vec_id", vec_col).join(F.broadcast(q))
+    scored = cosine_pairs(pairs, "q_vec", vec_col, "__raw_cos").select(
         "query_id",
-        F.col("vec_id"),
-        F.round(
-            _dot(F.col("q_vec"), F.col(vec_col))
-            / (_norm(F.col("q_vec")) * _norm(F.col(vec_col))),
-            6,
-        ).alias("cosine"),
+        "vec_id",
+        F.round(F.col("__raw_cos"), 6).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
@@ -169,10 +396,69 @@ def lsh_bucket_signatures(
 ) -> DataFrame:
     """X3 scale path, step 1: hyperplane-LSH bucket key per vector (sign bit
     per plane packed into one bigint). Vectors in the same bucket are
-    cosine-close with high probability."""
-    return embeddings.withColumn(
-        "bucket", _lsh_bucket_expr(n_planes, dim, vec_col, seed)
+    cosine-close with high probability.
+
+    Since r13 the bucket computes in ONE Arrow batch kernel instead of
+    the per-element interpreted ``_lsh_bucket_expr`` lambdas (guide
+    §4.2) — bit-identical left-fold plane dots, same ``> 0`` sign test,
+    same packed bits (the ``lsh_table_keys`` argument); every column
+    passes through unchanged and ``bucket`` appends at the end, exactly
+    the ``withColumn`` schema."""
+    import numpy as np
+    import pyarrow as pa
+
+    planes = _deterministic_planes(n_planes, dim, seed)
+    W_mat = np.asarray(
+        [[planes[i][d] for i in range(n_planes)] for d in range(dim)],
+        dtype=np.float64,
     )
+    bitw = np.asarray([np.int64(1) << i for i in range(n_planes)], dtype=np.int64)
+    cols = list(embeddings.columns)
+    in_fields = {
+        f.name: f.dataType.simpleString() for f in embeddings.schema.fields
+    }
+    out_schema = ", ".join(
+        [f"{c} {in_fields[c]}" for c in cols] + ["bucket bigint"]
+    )
+
+    def _slow_row(v):
+        # zip_with null-pads a null/short/long vector: null dot -> bit 0
+        if v is None or len(v) != dim or any(x is None for x in v):
+            return 0
+        bucket = 0
+        for i in range(n_planes):
+            dot = 0.0
+            for d in range(dim):
+                dot = dot + float(v[d]) * planes[i][d]
+            if dot > 0:
+                bucket += 1 << i
+        return bucket
+
+    def kern(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            vcol = rb.column(rb.schema.get_field_index(vec_col))
+            V, dv = _list_matrix(vcol, n)
+            if V is not None and dv == dim:
+                acc = np.zeros((n, n_planes), dtype=np.float64)
+                for d in range(dim):  # strict left fold per dimension
+                    acc = acc + V[:, d, None] * W_mat[None, d, :]
+                buckets = ((acc > 0).astype(np.int64) * bitw[None, :]).sum(
+                    axis=1, dtype=np.int64
+                )
+            else:
+                buckets = np.asarray(
+                    [_slow_row(v) for v in vcol.to_pylist()], dtype=np.int64
+                )
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(rb.schema.get_field_index(c)) for c in cols]
+                + [pa.array(buckets, type=pa.int64())],
+                cols + ["bucket"],
+            )
+
+    return embeddings.mapInArrow(kern, out_schema)
 
 
 def ann_topk(
@@ -206,15 +492,14 @@ def ann_topk(
     regardless of table count — at 100 TB, n_tables separate scans is
     the difference between one pass and n passes over the lake.
     """
-    table_keys = [
-        _lsh_bucket_expr(n_planes, dim, vec_col, f"lsh{t}")
-        for t in range(n_tables)
-    ]
-    corpus_keys = embeddings.select(
-        "vec_id", F.posexplode(F.array(*table_keys)).alias("tbl", "bucket")
+    # all n_tables bucket keys in ONE Arrow pass per side (bit-identical
+    # to the posexplode(array(_lsh_bucket_expr...)) form — see
+    # lsh_table_keys; the unrolled-codegen variant is Janino-capped)
+    corpus_keys = lsh_table_keys(
+        embeddings, "vec_id", n_planes, dim, n_tables, vec_col
     )
-    q_keys = queries.select(
-        "query_id", F.posexplode(F.array(*table_keys)).alias("tbl", "bucket")
+    q_keys = lsh_table_keys(
+        queries, "query_id", n_planes, dim, n_tables, vec_col
     )
     if multiprobe:
         probes = F.array(
@@ -233,18 +518,15 @@ def ann_topk(
         .dropDuplicates(["query_id", "vec_id"])
     )
     q = queries.select("query_id", F.col(vec_col).alias("q_vec"))
-    scored = (
+    pairs = (
         cand.join(embeddings.select("vec_id", vec_col), "vec_id")
         .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                _dot(F.col("q_vec"), F.col(vec_col))
-                / (_norm(F.col("q_vec")) * _norm(F.col(vec_col))),
-                6,
-            ).alias("cosine"),
-        )
+        .select("query_id", "vec_id", "q_vec", vec_col)
+    )
+    scored = cosine_pairs(pairs, "q_vec", vec_col, "__raw_cos").select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("__raw_cos"), 6).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
@@ -396,14 +678,15 @@ def _ivf_probe_lists(
         .filter(F.col("pr") <= nprobe)
         .select("query_id", "cid", "q_vec")
     )
-    scored = probes.join(embeddings, "cid").select(
-        "query_id",
-        "vec_id",
-        F.round(
-            _dot(F.col("q_vec"), F.col(vec_col))
-            / (_norm(F.col("q_vec")) * _norm(F.col(vec_col))),
-            6,
-        ).alias("cosine"),
+    scored = cosine_pairs(
+        probes.join(embeddings, "cid").select(
+            "query_id", "vec_id", "q_vec", vec_col
+        ),
+        "q_vec",
+        vec_col,
+        "__raw_cos",
+    ).select(
+        "query_id", "vec_id", F.round(F.col("__raw_cos"), 6).alias("cosine")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (

@@ -378,3 +378,113 @@ def test_filtered_probe_equals_prefiltered_corpus(spark, emb, queries, tmp_path)
         pre, queries, k=5, prefix_bits=4, radius=2
     )
     assert key(got) == key(want)
+
+
+def test_cosine_pairs_kernel_bit_identical_to_hof(spark):
+    """The r13 Arrow pair kernel must produce BIT-identical doubles to
+    the interpreted aggregate/zip_with cosine (strict left-fold), with
+    identical null semantics for ragged/null inputs — the guarantee
+    every rounded-6dp oracle hash rides on."""
+    import math
+    import random
+
+    random.seed(13)
+    rows = [
+        (
+            i,
+            [random.uniform(-1, 1) for _ in range(64)],
+            [random.uniform(-1, 1) for _ in range(64)],
+        )
+        for i in range(2000)
+    ]
+    rows.append((2000, [1.0] * 32, [1.0] * 64))  # ragged -> null cosine
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    ).unionByName(
+        spark.createDataFrame(
+            [(2001, None, [1.0] * 64)], "id long, a array<double>, b array<double>"
+        )
+    )
+    hof = {
+        r.id: r.c
+        for r in df.select(
+            "id",
+            (
+                similarity._dot(F.col("a"), F.col("b"))
+                / (similarity._norm(F.col("a")) * similarity._norm(F.col("b")))
+            ).alias("c"),
+        ).collect()
+    }
+    kern = {
+        r.c_id: r.c
+        for r in similarity.cosine_pairs(
+            df.withColumnRenamed("id", "c_id"), "a", "b", "c"
+        ).collect()
+    }
+    assert set(hof) == set(kern)
+    for i, x in hof.items():
+        y = kern[i]
+        if x is None or (isinstance(x, float) and math.isnan(x)):
+            assert y is None or math.isnan(y)
+        else:
+            assert x == y, (i, repr(x), repr(y))
+
+
+def test_cosine_pairs_kernel_raises_on_zero_norm_like_ansi(spark):
+    """Spark 4 ANSI Divide raises DIVIDE_BY_ZERO on a 0.0 double divisor;
+    the kernel keeps zero-norm inputs equally loud."""
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64, [1.0] * 64)], "id long, a array<double>, b array<double>"
+    )
+    with pytest.raises(Exception):
+        df.select(
+            (
+                similarity._dot(F.col("a"), F.col("b"))
+                / (similarity._norm(F.col("a")) * similarity._norm(F.col("b")))
+            ).alias("c")
+        ).collect()
+    with pytest.raises(Exception):
+        similarity.cosine_pairs(df, "a", "b", "c").collect()
+
+
+def test_lsh_key_kernels_bit_identical_to_expression_form(spark):
+    """lsh_table_keys and the kernelized lsh_bucket_signatures must equal
+    the _lsh_bucket_expr expression tree bucket-for-bucket, including the
+    zero-vector and ragged-vector edge rows (null dot -> bit 0)."""
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(64)]) for i in range(1000)
+    ]
+    rows += [(1000, [0.0] * 64), (1001, [1.0] * 32)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # multi-table kernel vs posexplode(array(expr...))
+    exprs = [
+        similarity._lsh_bucket_expr(4, 64, "embedding", f"lsh{t}")
+        for t in range(3)
+    ]
+    want = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in emb.select(
+            "vec_id", F.posexplode(F.array(*exprs)).alias("tbl", "bucket")
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in similarity.lsh_table_keys(
+            emb, "vec_id", 4, 64, 3
+        ).collect()
+    }
+    assert want == got
+    # single-seed pass-through kernel vs withColumn(expr)
+    want1 = {
+        r.vec_id: r.bucket
+        for r in emb.withColumn(
+            "bucket", similarity._lsh_bucket_expr(6, 64, "embedding", "semdedup")
+        ).collect()
+    }
+    sig = similarity.lsh_bucket_signatures(emb, 6, 64, "embedding", "semdedup")
+    assert sig.columns == ["vec_id", "embedding", "bucket"]
+    got1 = {r.vec_id: r.bucket for r in sig.collect()}
+    assert want1 == got1
