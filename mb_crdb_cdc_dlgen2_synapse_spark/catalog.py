@@ -362,6 +362,31 @@ def _cleanup_scratch() -> None:
     shutil.rmtree(_SCRATCH_ROOT, ignore_errors=True)
 
 
+def _parallel_lifecycles(*thunks):
+    """Run INDEPENDENT index-lifecycle builders as concurrent driver
+    threads (guide §2.6: Spark happily runs several jobs at once inside
+    one application; the two lifecycles of a hybrid query were only
+    sequential because the builder called them sequentially). Each
+    lifecycle owns its own scratch dir and tx tables, so the only shared
+    state is the SparkSession itself (py4j is thread-safe; FIFO
+    scheduling back-fills the tail of one lifecycle's small jobs with
+    the other's). Results return in thunk order; the first failure
+    re-raises after every thunk has settled."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        results, first_err = [], None
+        for f in futs:
+            try:
+                results.append(f.result())
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                first_err = first_err or e
+        if first_err is not None:
+            raise first_err
+        return results
+
+
 _CITY_LIST_SQL = "[" + ", ".join(f"'{c}'" for c in CITIES) + "]"
 
 
@@ -10130,16 +10155,29 @@ def hybrid_ivfpq_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .txlog import TxTable
 
     tmp = _scratch("hybrid_ivfpq")
-    src_d = TxTable(spark, os.path.join(tmp, "sd"))
-    src_d.append(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    bm25 = TxTable(spark, os.path.join(tmp, "bm"))
-    catchup_bm25_index(src_d, bm25)
-    src_e = TxTable(spark, os.path.join(tmp, "se"))
-    src_e.append(_t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    index = TxTable(spark, os.path.join(tmp, "iv"))
-    cents = TxTable(spark, os.path.join(tmp, "ce"))
-    books = TxTable(spark, os.path.join(tmp, "bo"))
-    catchup_ivfpq_index(src_e, index, cents, books, n_lists=8, m=8)
+
+    def _doc_leg():
+        src_d = TxTable(spark, os.path.join(tmp, "sd"))
+        src_d.append(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+        bm25 = TxTable(spark, os.path.join(tmp, "bm"))
+        catchup_bm25_index(src_d, bm25)
+        return bm25
+
+    def _vec_leg():
+        src_e = TxTable(spark, os.path.join(tmp, "se"))
+        src_e.append(
+            _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        )
+        index = TxTable(spark, os.path.join(tmp, "iv"))
+        cents = TxTable(spark, os.path.join(tmp, "ce"))
+        books = TxTable(spark, os.path.join(tmp, "bo"))
+        catchup_ivfpq_index(src_e, index, cents, books, n_lists=8, m=8)
+        return src_e, index, cents, books
+
+    # independent document/embedding legs overlapped per guide §2.6
+    bm25, (src_e, index, cents, books) = _parallel_lifecycles(
+        _doc_leg, _vec_leg
+    )
     q_terms = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     q_vecs = src_e.read().filter(F.col("vec_id").isin(1, 2, 3)).select(
         F.col("vec_id").cast("int").alias("query_id"), "embedding"
@@ -10441,8 +10479,14 @@ def hybrid_index_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan anywhere on the engine side."""
     from .engine import Engine
 
-    _src_d, bm25 = _bm25_index_lifecycle(spark, sf_dir)
-    _src_e, ann = _ann_incr_lifecycle(spark, sf_dir)
+    # the two lifecycles mutate DIFFERENT source tables (documents vs
+    # embeddings) into DIFFERENT index tables — fully independent job
+    # chains, overlapped per guide §2.6 (results identical, the answer
+    # still composes both finished indexes)
+    (_src_d, bm25), (_src_e, ann) = _parallel_lifecycles(
+        lambda: _bm25_index_lifecycle(spark, sf_dir),
+        lambda: _ann_incr_lifecycle(spark, sf_dir),
+    )
     q_terms = local_df(spark, _BM25_QUERIES, "query_id int, term string")
     q_vecs = (
         _t(spark, sf_dir, "embeddings")

@@ -5046,32 +5046,33 @@ class TxTable:
         marked = joined.select(
             F.col("__rf").alias("rel_file"), F.col("__ri").alias("row_index")
         )
-        # write the vector FIRST and harvest per-file counts from the
-        # written parquet driver-side: the former eager checkpoint +
+        # write the vector and harvest per-file counts from the written
+        # parquet driver-side: the former eager checkpoint +
         # groupBy().collect() pair cost two extra Spark jobs per merge
         # for data this commit writes out anyway. DV_MAX_ROWS still
         # guards the commit — an over-budget vector is discarded unwritten
         # into the log and the caller falls back to CoW exactly as before.
         dv_stage = os.path.join(self.path, _STAGING, uuid.uuid4().hex)
-        marked.coalesce(1).write.mode("overwrite").parquet(dv_stage)
-        import pyarrow.parquet as _pq
 
-        counts: dict[str, int] = {}
-        dv_staged: list[str] = []
-        for name in sorted(os.listdir(dv_stage)):
-            if not name.endswith(".parquet"):
-                continue
-            fp = os.path.join(dv_stage, name)
-            tbl = _pq.read_table(fp, columns=["rel_file"])
-            if tbl.num_rows == 0:
-                continue
-            dv_staged.append(fp)
-            for s in tbl.column("rel_file").combine_chunks().value_counts():
-                rel = s["values"].as_py()
-                counts[rel] = counts.get(rel, 0) + s["counts"].as_py()
-        if sum(counts.values()) > self.DV_MAX_ROWS:
-            shutil.rmtree(dv_stage, ignore_errors=True)
-            return None  # guardrail — merge_into falls back to CoW
+        def _dv_job() -> tuple[dict[str, int], list[str]]:
+            marked.coalesce(1).write.mode("overwrite").parquet(dv_stage)
+            import pyarrow.parquet as _pq
+
+            counts: dict[str, int] = {}
+            dv_staged: list[str] = []
+            for name in sorted(os.listdir(dv_stage)):
+                if not name.endswith(".parquet"):
+                    continue
+                fp = os.path.join(dv_stage, name)
+                tbl = _pq.read_table(fp, columns=["rel_file"])
+                if tbl.num_rows == 0:
+                    continue
+                dv_staged.append(fp)
+                for s in tbl.column("rel_file").combine_chunks().value_counts():
+                    rel = s["values"].as_py()
+                    counts[rel] = counts.get(rel, 0) + s["counts"].as_py()
+            return counts, dv_staged
+
         matched_keys = joined.select(*on)
         new_rows = None
         if update:
@@ -5096,9 +5097,10 @@ class TxTable:
                 inserts = inserts.withColumn("__row_id", F.lit(None).cast("long"))
             new_rows = inserts if new_rows is None else new_rows.unionByName(inserts)
         _v, active, schema_json = self.snapshot()
-        added: list[str] = []
-        add_stats: dict[str, dict] = {}
-        if new_rows is not None:
+
+        def _insert_job() -> tuple[list[str], dict[str, dict]]:
+            if new_rows is None:
+                return [], {}
             out = conform(new_rows)
             # logical keys via the column mapping (see _update_dv)
             layout = [k for k in self._parts(cands[0]) if k in target_cols]
@@ -5114,7 +5116,50 @@ class TxTable:
                 except OSError:
                     pass
                 add_stats.pop(r, None)
-            added = [r for r in added if r not in set(empty)]
+            return [r for r in added if r not in set(empty)], add_stats
+
+        # the DV write and the insert/update stage are INDEPENDENT Spark
+        # jobs off the same pinned relations (the checkpointed candidate
+        # scan + the materialized source) — run them concurrently so the
+        # per-merge wall time pays max(dv, insert), not their sum (guide
+        # §2.6: overlap independent jobs; actions were only sequential
+        # because this code called them sequentially). Both sides write
+        # to their own unique staging paths, so failure cleanup is the
+        # same as the sequential form's.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _f_dv = _pool.submit(_dv_job)
+            _f_ins = _pool.submit(_insert_job)
+            _dv_err = _ins_err = None
+            try:
+                counts, dv_staged = _f_dv.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                _dv_err = e
+            try:
+                added, add_stats = _f_ins.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                _ins_err = e
+        if _dv_err is not None or _ins_err is not None:
+            shutil.rmtree(dv_stage, ignore_errors=True)
+            if _ins_err is None:
+                for r in added:
+                    try:
+                        os.remove(os.path.join(self.path, r))
+                    except OSError:
+                        pass
+            raise _dv_err or _ins_err
+        if sum(counts.values()) > self.DV_MAX_ROWS:
+            # guardrail — merge_into falls back to CoW; un-stage BOTH
+            # sides (the concurrently staged inserts are uncommitted and
+            # invisible, but leaving them would orphan files)
+            shutil.rmtree(dv_stage, ignore_errors=True)
+            for r in added:
+                try:
+                    os.remove(os.path.join(self.path, r))
+                except OSError:
+                    pass
+            return None
         dv_rel: list[str] = []
         if counts:
             os.makedirs(os.path.join(self.path, _DV_DIR), exist_ok=True)

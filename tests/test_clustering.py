@@ -100,3 +100,44 @@ def test_string_quantile_cuts_span_distribution(spark):
     # and roughly equal-frequency: the median cut sits near the median value
     mid = sorted(cuts)[len(cuts) // 2]
     assert "v030000" < mid < "v070000"
+
+
+def test_lloyd_means_match_avg_aggregate_form(spark, emb):
+    """The fused partial-sum Lloyd update (_lloyd_means, r13) must
+    reproduce the former posexplode+avg means: identical cluster
+    membership (same assignment kernel), identical counts, and means
+    equal up to cross-partition float-add reassociation (the invariant
+    the k-means contract certifies around)."""
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from mb_crdb_cdc_dlgen2_synapse_spark.operators.clustering import (
+        _lloyd_means,
+    )
+
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.row_number().over(W.orderBy("vec_id")).alias("cid"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "c_vec"
+            ),
+        )
+    )
+    got = dict(_lloyd_means(emb, cents, "embedding"))
+    want_rows = (
+        assign_clusters(emb, cents)
+        .select("cid", F.posexplode(F.col("embedding")).alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    want: dict[int, list] = {}
+    for r in want_rows:
+        want.setdefault(int(r["cid"]), []).append((r["pos"], r["m"]))
+    want = {c: [m for _, m in sorted(v)] for c, v in want.items()}
+    assert set(got) == set(want)
+    for c in want:
+        assert np.allclose(got[c], want[c], rtol=0, atol=1e-12), c
