@@ -42,6 +42,16 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
             return spark.createDataFrame(
                 pa.Table.from_arrays(arrays, schema=aschema), schema=st
             )
-        except Exception:
-            pass  # types Arrow can't express: classic row path below
+        except Exception as e:
+            # types Arrow can't express: classic row path below. Logged
+            # at debug so a TYPE BUG routing everything through the slow
+            # pickled-RDD path stays visible (VERDICT r12 hygiene note).
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "local_df: Arrow path failed (%s: %s); falling back to "
+                "the classic row path",
+                type(e).__name__,
+                e,
+            )
     return spark.createDataFrame(rows, st)

@@ -55,7 +55,12 @@ def unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     order (acc = (..((0 + x₀²) + x₁²)..) — one vectorized add per
     dimension, not numpy's pairwise ``sum``), and each element divides
     by the same sqrt — identical IEEE-double ops in identical order.
-    Zero-norm rows divide to ±inf/nan exactly like the JVM division."""
+    Zero-norm rows RAISE, matching the HOF form exactly: measured on
+    this engine (Spark 4, ANSI on), ``with_normalized`` on a zero-norm
+    vector throws SparkArithmeticException DIVIDE_BY_ZERO — ANSI
+    ``Divide`` rejects a 0.0 DOUBLE divisor too, not just
+    integral/decimal (ADVICE r12's silent-NaN claim does not hold
+    here; receipt in OPTIMIZATION_r13.md)."""
     import numpy as np
     import pandas as pd
 

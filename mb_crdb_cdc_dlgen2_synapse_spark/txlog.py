@@ -1891,8 +1891,14 @@ class TxTable:
         # ~17k rows of work). Over the cap, or for types whose Spark
         # string cast differs from str() (anything but int/string), the
         # distributed pass below runs unchanged.
-        total_rows = sum(
-            int((stats.get(r) or {}).get("rows") or 0) for r in relpaths
+        # a file MISSING its row stat counts as over-cap (unknown size):
+        # counting it as 0 rows would route arbitrarily large files into
+        # the driver-side pyarrow column read (ADVICE r12)
+        per_rows = [(stats.get(r) or {}).get("rows") for r in relpaths]
+        total_rows = (
+            sum(int(x) for x in per_rows)
+            if all(x is not None for x in per_rows)
+            else self.BLOOM_BUILD_DRIVER_ROWS_CAP + 1
         )
         df = None
         for lcol, bc in cfg.items():
@@ -2080,7 +2086,11 @@ class TxTable:
                         continue
                     pos.update(_bloom_positions(v, k, m))
                 by_rel[rel] = pos
-            except (OSError, pa.ArrowInvalid, KeyError):
+            except (OSError, pa.ArrowException, KeyError):
+                # ANY pyarrow failure class (invalid file, unimplemented
+                # encoding, memory) falls back — the distributed pass is
+                # the safe default (ADVICE r12: ArrowNotImplementedError/
+                # ArrowMemoryError are not ArrowInvalid subclasses)
                 return False  # unreadable here: the Spark pass decides
         if part_col and by_rel:
             # mixed partition/data presence across staged files — let the
@@ -3796,6 +3806,12 @@ class TxTable:
     #: bloom-based candidate pruning engages only for batches this small
     #: (per-file cost is keys × hashes bit probes)
     MERGE_BLOOM_KEYSET_CAP = 4_096
+    #: snapshot read-plan memo bound (ADVICE r12): long-lived maintenance
+    #: lifecycles commit many versions, each read under several predicate
+    #: shapes — an unbounded memo pins one JVM logical plan per
+    #: combination forever. FIFO-evict past this count; eviction only
+    #: costs a plan re-construction on a later identical read.
+    READ_PLAN_CACHE_MAX = 64
 
     def _scan_files(
         self,
@@ -4285,6 +4301,9 @@ class TxTable:
             else:
                 df = df.filter(getattr(F.col(col), ops[op])(F.lit(value)))
         self._read_cache[cache_key] = df
+        while len(self._read_cache) > self.READ_PLAN_CACHE_MAX:
+            # FIFO bound (insertion-ordered dict): drop the oldest plan
+            self._read_cache.pop(next(iter(self._read_cache)))
         return df
 
     def _predicate_column(self, predicates: list[tuple]):

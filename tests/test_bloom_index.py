@@ -293,3 +293,60 @@ def test_trigram_all_short_file_is_provably_skippable(spark, tmp_path):
     cands = _cands(t, [("body", "contains", "enough")])
     # the all-short file has a valid all-zero filter -> provably skipped
     assert len(cands) == len(t.snapshot()[1]) - 1
+
+
+def test_driver_build_bit_equals_distributed_build(spark, tmp_path, monkeypatch):
+    """VERDICT r12 item 9: the driver-side bloom build (engaged below
+    BLOOM_BUILD_DRIVER_ROWS_CAP) must produce byte-identical (m, k, b64)
+    entries to the distributed Spark pass — same files, same declared
+    geometry, cap patched to 0 to force the distributed path."""
+    import mb_crdb_cdc_dlgen2_synapse_spark.txlog as txlog_mod
+
+    def build(path, cap):
+        monkeypatch.setattr(
+            txlog_mod.TxTable, "BLOOM_BUILD_DRIVER_ROWS_CAP", cap
+        )
+        t = TxTable(spark, str(path))
+        t.append(_ids(spark, range(200)))
+        t.set_bloom_index(["uid", "k"], bits=1024, hashes=3)
+        # post-declaration writes build filters: one append (int+string
+        # columns), one all-null file, one multi-file batch
+        t.append(_ids(spark, range(200, 400)))
+        t.append(
+            spark.createDataFrame(
+                [(None, None)], "k int, uid string"
+            ).coalesce(1)
+        )
+        t.append(
+            spark.createDataFrame(
+                [(k, f"uid-{k:05d}") for k in range(400, 500)],
+                "k int, uid string",
+            ).repartition(3)
+        )
+        return t.file_stats()
+
+    drv = build(tmp_path / "driver_path", 65_536)
+    dist = build(tmp_path / "distributed_path", 0)
+    # same logical write sequence -> same per-file row counts; compare
+    # bloom entries file-by-file after pairing files by (commit order,
+    # row count). File NAMES are uuids, so pair by sorted commit order.
+    def entries(stats):
+        rows = []
+        for rel in sorted(stats):
+            st = stats[rel]
+            bl = st.get("bloom") or {}
+            rows.append(
+                (st.get("rows"), {c: (b["m"], b["k"], b["b64"]) for c, b in bl.items()})
+            )
+        return rows
+
+    d_rows = entries(drv)
+    s_rows = entries(dist)
+    # pair multisets: identical row-count multiset and, for each row
+    # count, identical bloom entry multisets
+    assert sorted(r for r, _ in d_rows) == sorted(r for r, _ in s_rows)
+    from collections import Counter
+
+    d_ct = Counter((r, tuple(sorted(b.items()))) for r, b in d_rows)
+    s_ct = Counter((r, tuple(sorted(b.items()))) for r, b in s_rows)
+    assert d_ct == s_ct
