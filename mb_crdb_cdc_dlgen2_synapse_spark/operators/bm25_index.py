@@ -186,23 +186,36 @@ def bm25_apply_changes(
             F.lit(True).alias("_tombstone"),
         )
     )
-    source = ups.unionByName(dels).localCheckpoint(eager=True)
+    # the source materialization and the scalar-delta aggregate are
+    # independent jobs over the SAME pinned side-tagged postings — run
+    # them concurrently (guide §2.6) so the pre-merge phase pays
+    # max(ckpt, deltas) instead of their sum.
     # exact scalar deltas: docs-with-tokens and token mass, old vs new —
     # computed BEFORE the merge so the merge commit can carry them.
     # ONE job over the pinned side-tagged postings covers both sides
     # (a missing side simply has no group row -> 0/0, the same totals
     # the former per-side global aggregates returned)
-    side_rows = {
-        r["_new"]: r
-        for r in posts.groupBy("_new", "doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .groupBy("_new")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _deltas():
+        return (
+            posts.groupBy("_new", "doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .groupBy("_new")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+            )
+            .collect()
         )
-        .collect()
-    }
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_src = _pool.submit(
+            lambda: ups.unionByName(dels).localCheckpoint(eager=True)
+        )
+        _f_deltas = _pool.submit(_deltas)
+        source = _f_src.result()
+        side_rows = {r["_new"]: r for r in _f_deltas.result()}
     _zero = {"n": 0, "t": 0}
     o = side_rows.get(False, _zero)
     n = side_rows.get(True, _zero)
